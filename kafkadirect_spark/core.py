@@ -1,0 +1,414 @@
+"""Stream / Table / GlobalTable — the Kafka Streams DSL shape over DataFrames.
+
+Reference surface (spcl/kafkadirect):
+- KStream   streams/src/main/java/org/apache/kafka/streams/kstream/KStream.java
+- KTable    streams/src/main/java/org/apache/kafka/streams/kstream/KTable.java
+- GlobalKTable kstream/GlobalKTable.java:50-76
+- grouping  KGroupedStream.java / TimeWindowedKStream.java / SessionWindowedKStream.java
+
+Semantics carried over from the reference:
+- Records with a NULL key are skipped by stateful operators (joins,
+  aggregations) — KStreamKStreamJoin.java:72-85.  We apply an explicit
+  ``key IS NOT NULL`` pre-filter, which Catalyst pushes to the scan.
+- A NULL value on a table upsert is a tombstone (delete), not SQL NULL —
+  LogCleaner.scala:43-92.  ``Table.from_changelog`` applies last-wins
+  then drops tombstoned keys.
+- ``map``/``select_key``/``group_by`` (key-changing ops) mark a
+  repartition in Kafka (KStreamImpl.java:640).  Here the shuffle is
+  inserted by Catalyst's EnsureRequirements only when an actual
+  stateful op follows — strictly fewer shuffles than the reference.
+
+Everything compiles to DataFrame expressions: no RDDs, no driver-side
+loops, so the same code runs on local[32] and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Window specs (kstream/TimeWindows.java, SessionWindows.java,
+# UnlimitedWindows.java, JoinWindows.java)
+# ---------------------------------------------------------------------------
+
+
+class Windows:
+    """Window spec factory mirroring the reference spec objects."""
+
+    def __init__(self, kind: str, size: str | None = None, advance: str | None = None,
+                 gap: str | None = None, grace: str | None = None):
+        self.kind = kind
+        self.size = size
+        self.advance = advance
+        self.gap = gap
+        self.grace = grace
+
+    @classmethod
+    def tumbling(cls, size: str, grace: str | None = None) -> "Windows":
+        """TimeWindows.of(size) — kstream/TimeWindows.java:110."""
+        return cls("tumbling", size=size, grace=grace)
+
+    @classmethod
+    def hopping(cls, size: str, advance: str, grace: str | None = None) -> "Windows":
+        """TimeWindows.of(size).advanceBy(advance) — TimeWindows.java:150."""
+        return cls("hopping", size=size, advance=advance, grace=grace)
+
+    @classmethod
+    def session(cls, gap: str, grace: str | None = None) -> "Windows":
+        """SessionWindows.with(gap) — kstream/SessionWindows.java:96."""
+        return cls("session", gap=gap, grace=grace)
+
+    def window_col(self, ts: ColumnOrName) -> Column:
+        if self.kind == "tumbling":
+            return F.window(_col(ts), self.size)
+        if self.kind == "hopping":
+            return F.window(_col(ts), self.size, self.advance)
+        if self.kind == "session":
+            return F.session_window(_col(ts), self.gap)
+        raise ValueError(f"unknown window kind {self.kind}")
+
+
+class JoinWindows:
+    """Interval-join window: match if ts_r in [ts_l - before, ts_l + after].
+
+    kstream/JoinWindows.java:121,153,186 (``of/before/after``).
+    """
+
+    def __init__(self, before: str, after: str, grace: str | None = None):
+        self.before = before
+        self.after = after
+        self.grace = grace
+
+    @classmethod
+    def of(cls, diff: str, grace: str | None = None) -> "JoinWindows":
+        return cls(before=diff, after=diff, grace=grace)
+
+
+# ---------------------------------------------------------------------------
+# Stream (KStream)
+# ---------------------------------------------------------------------------
+
+
+class Stream:
+    """A record stream: DataFrame + designated key / event-time columns.
+
+    Batch DataFrames model a bounded replay of the topic; streaming
+    DataFrames (``readStream``) use the identical operator surface.
+    """
+
+    def __init__(self, df: DataFrame, key: str | None = None, ts: str | None = None):
+        self.df = df
+        self.key = key
+        self.ts = ts
+
+    def _with(self, df: DataFrame, key: str | None = None, ts: str | None = None) -> "Stream":
+        return Stream(df, key=key or self.key, ts=ts or self.ts)
+
+    # -- stateless transforms (§2.2) ------------------------------------
+
+    def filter(self, predicate: Column) -> "Stream":
+        """KStream.filter — KStream.java:67 → KStreamFilter.java."""
+        return self._with(self.df.filter(predicate))
+
+    def filter_not(self, predicate: Column) -> "Stream":
+        """KStream.filterNot — KStream.java:79."""
+        return self._with(self.df.filter(~predicate))
+
+    def map_values(self, **exprs: Column) -> "Stream":
+        """KStream.mapValues — KStream.java:183 (key preserved, no shuffle)."""
+        return self._with(self.df.withColumns(dict(exprs)))
+
+    def select_key(self, expr: ColumnOrName, name: str = "key") -> "Stream":
+        """KStream.selectKey — KStream.java:111 (marks repartition in the
+        reference; here the shuffle appears only if a stateful op follows)."""
+        return Stream(self.df.withColumn(name, _col(expr)), key=name, ts=self.ts)
+
+    def map(self, key_expr: ColumnOrName, key_name: str = "key", **value_exprs: Column) -> "Stream":
+        """KStream.map — KStream.java:149 (re-key + re-value)."""
+        df = self.df.withColumn(key_name, _col(key_expr)).withColumns(dict(value_exprs))
+        return Stream(df, key=key_name, ts=self.ts)
+
+    def select(self, *cols: ColumnOrName) -> "Stream":
+        return self._with(self.df.select(*[_col(c) for c in cols]))
+
+    def flat_map_values(self, expr: Column, name: str = "value") -> "Stream":
+        """KStream.flatMapValues — KStream.java:307: 0..n values per input,
+        key kept.  Array-producing expression + explode (JVM-side, no UDF)."""
+        keep = [c for c in self.df.columns if c != name]
+        return self._with(self.df.select(*keep, F.explode(expr).alias(name)))
+
+    def branch(self, *predicates: Column) -> list["Stream"]:
+        """KStream.branch — KStream.java:404 → KStreamBranch.java:40-52.
+        First matching predicate wins; record goes to exactly one branch."""
+        out: list[Stream] = []
+        seen = F.lit(False)
+        for p in predicates:
+            out.append(self._with(self.df.filter(~seen & p)))
+            seen = seen | p.isNotNull() & p  # record claimed by earlier branch
+        return out
+
+    def branch_tag(self, *predicates: Column, name: str = "branch") -> "Stream":
+        """One-pass branch: tag each record with the index of the first
+        matching predicate (-1 = no match). Scale-friendly single scan."""
+        expr = F.lit(-1)
+        for i in reversed(range(len(predicates))):
+            expr = F.when(predicates[i], F.lit(i)).otherwise(expr)
+        return self._with(self.df.withColumn(name, expr))
+
+    def merge(self, other: "Stream") -> "Stream":
+        """KStream.merge — KStream.java:417: UNION ALL, no dedup."""
+        return self._with(self.df.unionByName(other.df))
+
+    def peek(self, action: Callable[[DataFrame], None]) -> "Stream":
+        """KStream.peek — KStream.java:388. Batch: run observer on the
+        DataFrame; pass-through unchanged (side effect only)."""
+        action(self.df)
+        return self
+
+    # -- repartition / sink (§2.1) ---------------------------------------
+
+    def through(self, num_partitions: int | None = None) -> "Stream":
+        """KStream.through — KStream.java:431 (materialized exchange via an
+        intermediate topic).  In Spark this is just a hash repartition —
+        Catalyst reuses the exchange instead of writing a topic."""
+        if self.key is None:
+            raise ValueError("through() requires a key column")
+        if num_partitions:
+            return self._with(self.df.repartition(num_partitions, F.col(self.key)))
+        return self._with(self.df.repartition(F.col(self.key)))
+
+    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """KStream.to — KStream.java:458 (sink)."""
+        self.df.write.mode(mode).parquet(path)
+
+    # -- grouping (§2.4) --------------------------------------------------
+
+    def group_by_key(self) -> "GroupedStream":
+        """KStream.groupByKey — KStream.java:895."""
+        if self.key is None:
+            raise ValueError("stream has no key; use group_by(expr)")
+        return self.group_by(self.key)
+
+    def group_by(self, *exprs: ColumnOrName, names: Sequence[str] | None = None) -> "GroupedStream":
+        """KStream.groupBy — KStream.java:983.  Null keys are skipped
+        (reference semantics, KStreamSessionWindowAggregate.java:100-106)."""
+        cols = [_col(e) for e in exprs]
+        if names:
+            cols = [c.alias(n) for c, n in zip(cols, names)]
+        df = self.df
+        for c in cols:
+            df = df.filter(c.isNotNull())
+        return GroupedStream(df, cols, ts=self.ts)
+
+    # -- joins (§2.3) ------------------------------------------------------
+
+    def join_interval(
+        self,
+        other: "Stream",
+        on: Column,
+        windows: JoinWindows,
+        how: str = "inner",
+        left_ts: str | None = None,
+        right_ts: str | None = None,
+    ) -> "Stream":
+        """KStream⋈KStream windowed join — KStream.java:1118 →
+        KStreamKStreamJoin.java:88-100.  Match iff equi-key AND
+        |ts_l − ts_r| within [−before, +after].  Null keys skipped.
+
+        Batch: plain interval join (Catalyst can pick sort-merge with
+        range pruning).  Streaming: both sides must carry watermarks.
+        """
+        lts = _col(left_ts or self.ts)
+        rts = _col(right_ts or other.ts)
+        time_pred = rts.between(
+            lts - F.expr(f"INTERVAL {windows.before}"),
+            lts + F.expr(f"INTERVAL {windows.after}"),
+        )
+        ldf = self.df.filter(_col(self.key).isNotNull()) if self.key else self.df
+        rdf = other.df.filter(_col(other.key).isNotNull()) if other.key else other.df
+        joined = ldf.join(rdf, on & time_pred, how)
+        return Stream(joined, key=self.key, ts=self.ts)
+
+    def join_table(self, table: "Table", on: Column, how: str = "inner") -> "Stream":
+        """KStream⋈KTable lookup join — KStream.java:1604 →
+        KStreamKTableJoinProcessor.java.  Stream side drives; table side
+        provides current value per key.  how in {inner, left}."""
+        if how not in ("inner", "left"):
+            raise ValueError("stream-table join supports inner/left only")
+        ldf = self.df.filter(_col(self.key).isNotNull()) if self.key else self.df
+        return Stream(ldf.join(table.df, on, how), key=self.key, ts=self.ts)
+
+    def join_global(self, gtable: "GlobalTable", on: Column, how: str = "inner") -> "Stream":
+        """KStream⋈GlobalKTable — KStream.java:1873 →
+        KStreamGlobalKTableJoin.java.  Arbitrary key-mapper join against a
+        fully-replicated table ⇒ broadcast hash join, no shuffle."""
+        if how not in ("inner", "left"):
+            raise ValueError("global-table join supports inner/left only")
+        return Stream(self.df.join(F.broadcast(gtable.df), on, how), key=self.key, ts=self.ts)
+
+    # -- conversion ---------------------------------------------------------
+
+    def to_table(self, order_by: ColumnOrName, value_cols: Sequence[str] | None = None) -> "Table":
+        """Materialize latest-by-key view (KTable semantics) — see
+        Table.from_changelog."""
+        return Table.from_changelog(self.df, key=self.key, order_by=order_by,
+                                    value_cols=value_cols)
+
+
+# ---------------------------------------------------------------------------
+# Grouped / windowed aggregation (§2.4, §2.5)
+# ---------------------------------------------------------------------------
+
+
+class GroupedStream:
+    """KGroupedStream — KGroupedStreamImpl.java."""
+
+    def __init__(self, df: DataFrame, keys: list[Column], ts: str | None):
+        self.df = df
+        self.keys = keys
+        self.ts = ts
+
+    def count(self, name: str = "count") -> DataFrame:
+        """KGroupedStream.count — KGroupedStream.java:71 →
+        KStreamAggregate.java:71-97.  Map-side partial aggregation is
+        automatic (Spark HashAggregate partial → final)."""
+        return self.df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias(name))
+
+    def reduce(self, expr: Column, name: str) -> DataFrame:
+        """KGroupedStream.reduce — KGroupedStream.java:151 (running
+        reduce per key; here: any associative aggregate expression)."""
+        return self.df.groupBy(*self.keys).agg(expr.alias(name))
+
+    def aggregate(self, *aggs: Column) -> DataFrame:
+        """KGroupedStream.aggregate — KGroupedStream.java:256 (init+fold).
+        Pass pre-aliased aggregate expressions."""
+        return self.df.groupBy(*self.keys).agg(*aggs)
+
+    def windowed_by(self, windows: Windows) -> "WindowedGroupedStream":
+        """KStream.groupBy(...).windowedBy — TimeWindowedKStreamImpl.java."""
+        if self.ts is None:
+            raise ValueError("windowed aggregation requires an event-time column")
+        return WindowedGroupedStream(self.df, self.keys, self.ts, windows)
+
+
+class WindowedGroupedStream:
+    """TimeWindowedKStream / SessionWindowedKStream over F.window /
+    F.session_window.  Late-record handling in streaming comes from
+    ``withWatermark`` (grace ≙ watermark delay) — KStreamWindowAggregate
+    .java:96-153."""
+
+    def __init__(self, df: DataFrame, keys: list[Column], ts: str, windows: Windows):
+        self.df = df
+        self.keys = keys
+        self.ts = ts
+        self.windows = windows
+
+    def _grouped(self):
+        df = self.df
+        if self.windows.grace and df.isStreaming:
+            df = df.withWatermark(self.ts, self.windows.grace)
+        w = self.windows.window_col(self.ts)
+        return df.groupBy(w.alias("window"), *self.keys)
+
+    def count(self, name: str = "count") -> DataFrame:
+        return self._grouped().agg(F.count(F.lit(1)).alias(name))
+
+    def reduce(self, expr: Column, name: str) -> DataFrame:
+        return self._grouped().agg(expr.alias(name))
+
+    def aggregate(self, *aggs: Column) -> DataFrame:
+        return self._grouped().agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Table (KTable) / GlobalTable (GlobalKTable)
+# ---------------------------------------------------------------------------
+
+
+class Table:
+    """KTable — a latest-value-per-key view of a changelog.
+
+    Compaction semantics (core/.../log/LogCleaner.scala:43-92): keep the
+    last record per key; a NULL value is a tombstone that deletes the key.
+    """
+
+    def __init__(self, df: DataFrame, key: str):
+        self.df = df
+        self.key = key
+
+    @classmethod
+    def from_changelog(
+        cls,
+        df: DataFrame,
+        key: str,
+        order_by: ColumnOrName,
+        value_cols: Sequence[str] | None = None,
+        tombstone_col: str | None = None,
+    ) -> "Table":
+        """Build the latest-by-key snapshot: one shuffle on the key,
+        ``max_by(struct(values), order)`` per key — the Spark shape of
+        KTableSource.java (upsert-materialize).  If ``tombstone_col`` is
+        given, keys whose *latest* record has NULL there are deleted
+        (LogCleaner tombstone, KTableSource semantics)."""
+        value_cols = list(value_cols or [c for c in df.columns if c != key])
+        df = df.filter(F.col(key).isNotNull())
+        latest = (
+            df.groupBy(key)
+            .agg(F.max_by(F.struct(*value_cols), _col(order_by)).alias("_v"))
+            .select(key, "_v.*")
+        )
+        if tombstone_col:
+            latest = latest.filter(F.col(tombstone_col).isNotNull())
+        return cls(latest, key=key)
+
+    def filter(self, predicate: Column) -> "Table":
+        """KTable.filter — KTable.java:91 → KTableFilter.java (non-matching
+        keys are tombstoned downstream ⇒ simply absent from the view)."""
+        return Table(self.df.filter(predicate), key=self.key)
+
+    def map_values(self, **exprs: Column) -> "Table":
+        """KTable.mapValues — KTable.java:225 → KTableMapValues.java."""
+        return Table(self.df.withColumns(dict(exprs)), key=self.key)
+
+    def join(self, other: "Table", how: str = "inner") -> "Table":
+        """KTable⋈KTable — KTable.java:725,887,1055 →
+        KTableKTable{Inner,Left,Outer}Join.java.  Equi-join on the primary
+        key of both tables; result keyed the same."""
+        how = {"outer": "full_outer"}.get(how, how)
+        if self.key == other.key:
+            joined = self.df.join(other.df, on=[self.key], how=how)
+        else:
+            joined = self.df.join(other.df, self.df[self.key] == other.df[other.key], how)
+        return Table(joined, key=self.key)
+
+    def group_by(self, *exprs: ColumnOrName) -> "GroupedStream":
+        """KTable.groupBy + aggregate with adder/subtractor —
+        KTable.java:584 → KTableAggregate.java:72-98.  In batch the
+        retraction machinery collapses: re-aggregate the current
+        snapshot (old values were never added).  In streaming this is
+        recomputed per microbatch via foreachBatch (see
+        streaming/retraction.py)."""
+        return GroupedStream(self.df, [_col(e) for e in exprs], ts=None)
+
+    def to_stream(self) -> Stream:
+        """KTable.toStream — KTable.java:363."""
+        return Stream(self.df, key=self.key)
+
+
+class GlobalTable:
+    """GlobalKTable — kstream/GlobalKTable.java:50-76: a table fully
+    replicated to every instance for non-key lookup joins ⇒ broadcast."""
+
+    def __init__(self, df: DataFrame, key: str):
+        self.df = df
+        self.key = key

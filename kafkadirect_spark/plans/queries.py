@@ -1,0 +1,337 @@
+"""Named queries exercising every operator family from SURVEY.md §2,
+each paired with an ANSI-SQL oracle that DuckDB runs on the same
+parquet tables.
+
+Conventions for oracle hash-matching (the driver sorts columns by name
+and hashes values):
+- every computed column is aliased identically in Spark and SQL;
+- money/double aggregations go through DECIMAL(18,2) casts so both
+  engines sum exactly (no float-accumulation-order divergence), then
+  cast back to DOUBLE for a stable output type;
+- averages/ratios are computed as one IEEE double division of two
+  exactly-agreed operands (division is correctly rounded ⇒ identical
+  bits in both engines);
+- windows are derived with wall-clock date_trunc / epoch arithmetic so
+  results don't depend on the session time zone.
+
+Each query function takes (spark, sf_dir) and returns a DataFrame —
+the contract of ``__spark_entry__.queries()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.core import GlobalTable, JoinWindows, Stream, Table, Windows
+from kafkadirect_spark.sources.batch import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing-summary aggregation (streamprocess + aggregate shape,
+# TPC-H Q1).  Exercises filter pushdown, projection pruning, grouped
+# aggregation with map-side partials — the ``streamcount``/``aggregate``
+# surface of SimpleBenchmark.java:182-199 at SQL-analytics fidelity.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (100 - CAST(l_discount*100 AS BIGINT))) AS DOUBLE) / 100.0 AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (100 - CAST(l_discount*100 AS BIGINT)) * (100 + CAST(l_tax*100 AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount*100 AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100.0) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Stream(load_table(spark, sf_dir, "lineitem"), ts="l_shipdate")
+    # discount/tax are 2-dp doubles: scale to exact integer percents.
+    disc_pct = (F.col("l_discount") * 100).cast("bigint")
+    tax_pct = (F.col("l_tax") * 100).cast("bigint")
+    price = _dec("l_extendedprice")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .group_by("l_returnflag", "l_linestatus")
+        .aggregate(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            (F.sum(price * (F.lit(100) - disc_pct)).cast("double") / F.lit(100.0)).alias("sum_disc_price"),
+            (F.sum(price * (F.lit(100) - disc_pct) * (F.lit(100) + tax_pct)).cast("double") / F.lit(10000.0)).alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc_pct).cast("double") / (F.count(F.lit(1)) * F.lit(100.0))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateless core (§2.2): filter / map / project  (streamprocess suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (100 - CAST(l_discount*100 AS BIGINT)) AS DOUBLE) / 100.0 AS net_price,
+           upper(l_returnflag) AS flag
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_discount >= 0.05
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter + mapValues chain — KStreamFilter.java / KStreamMapValues.java."""
+    s = Stream(load_table(spark, sf_dir, "lineitem"))
+    disc_pct = (F.col("l_discount") * 100).cast("bigint")
+    return (
+        s.filter((F.col("l_quantity") > 25) & (F.col("l_discount") >= 0.05))
+        .map_values(
+            net_price=(_dec("l_extendedprice") * (F.lit(100) - disc_pct)).cast("double") / F.lit(100.0),
+            flag=F.upper("l_returnflag"),
+        )
+        .select("l_orderkey", "l_linenumber", "net_price", "flag")
+        .df
+    )
+
+
+@query(
+    "flat_map_word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS count
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def flat_map_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount — examples/wordcount/WordCountDemo.java:65-70:
+    flatMapValues(split) → groupBy(word) → count."""
+    docs = Stream(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.map_values(value=F.lower("text"))
+        .flat_map_values(F.split(F.col("value"), "[^a-z0-9]+"), name="word")
+        .filter(F.col("word") != "")
+        .group_by("word")
+        .count(name="count")
+    )
+
+
+@query(
+    "branch_counts",
+    oracle="""
+    SELECT CASE
+             WHEN event_type = 'purchase' THEN 0
+             WHEN value > 150 THEN 1
+             ELSE -1
+           END AS branch,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY 1
+    """,
+)
+def branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """branch (first-match-wins) — KStreamBranch.java:40-52, realized as a
+    single-pass tag so the 100 TB case scans once, not once per branch."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    tagged = s.branch_tag(F.col("event_type") == "purchase", F.col("value") > 150)
+    return tagged.group_by("branch").count(name="count")
+
+
+@query(
+    "merge_streams",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type, user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge — KStream.java:417 (interleaved union, no dedup)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    clicks = Stream(ev).filter(F.col("event_type") == "click")
+    errors = Stream(ev).filter(F.col("event_type") == "error")
+    return clicks.merge(errors).df
+
+
+# ---------------------------------------------------------------------------
+# Unwindowed aggregation (§2.4): count / reduce / aggregate  (streamcount)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_count",
+    oracle="SELECT user_id, COUNT(*) AS count FROM events WHERE user_id IS NOT NULL GROUP BY user_id",
+)
+def stream_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByKey().count() — KGroupedStream.java:71 (SimpleBenchmark
+    ``streamcount``)."""
+    return Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts").group_by_key().count(name="count")
+
+
+@query(
+    "stream_reduce",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value, MIN(value) AS min_value
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    """,
+)
+def stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce (running fold per key) — KGroupedStream.java:151 /
+    KStreamReduce.java. min/max of doubles are order-insensitive; sum
+    goes through decimal."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    return s.group_by_key().aggregate(
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+@query(
+    "stream_aggregate",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate (init+fold UDAF shape) — KGroupedStream.java:256; the
+    avg-by-sum/count decomposition is exactly the Initializer+Aggregator
+    pattern, expressed as Catalyst aggregates."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    return s.group_by("event_type").aggregate(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation (§2.5): tumbling / hopping / session
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "windowed_count_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window count — TimeWindows.of(1h) ≙ F.window(ts, '1 hour')
+    (TimeWindows.java:110; KStreamWindowAggregate.java:96-153).  Output
+    exposes window.start; derived TZ-safely via date_trunc."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    out = s.group_by(F.date_trunc("hour", F.col("ts")), "event_type",
+                     names=["window_start", "event_type"]).count(name="count")
+    return out
+
+
+@query(
+    "windowed_count_hopping",
+    oracle="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS count
+    FROM (
+      SELECT e.event_type,
+             unnest(generate_series(
+               date_trunc('hour', e.ts - INTERVAL 45 MINUTE),
+               date_trunc('hour', e.ts - INTERVAL 45 MINUTE) + INTERVAL 45 MINUTE,
+               INTERVAL 15 MINUTE)) AS ws
+      FROM events e
+    ) x
+    WHERE ws <= x.ws + INTERVAL 0 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def windowed_count_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window count — TimeWindows.of(1h).advanceBy(15m)
+    (TimeWindows.java:150,176-186): each record belongs to all 4 windows
+    covering its timestamp."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    w = Windows.hopping("1 hour", "15 minutes")
+    out = (
+        Stream(s.df, ts="ts")
+        .group_by(w.window_col("ts").getField("start"), "event_type",
+                  names=["window_start", "event_type"])
+        .count(name="count")
+    )
+    return out
+
+
+@query(
+    "session_count",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS count
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window count — SessionWindows.with(30m) ≙
+    F.session_window(ts, '30 minutes') (SessionWindows.java:96;
+    merge loop KStreamSessionWindowAggregate.java:94-141).  Spark's
+    session_window end = last event + gap, matching Kafka's
+    session-merge semantics."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    out = (
+        s.group_by_key()
+        .windowed_by(Windows.session("30 minutes"))
+        .count(name="count")
+    )
+    return out.select(
+        F.col("user_id"),
+        F.col("window.start").alias("session_start"),
+        F.col("window.end").alias("session_end"),
+        F.col("count"),
+    )
