@@ -149,13 +149,16 @@ class Stream:
 
     def branch(self, *predicates: Column) -> list["Stream"]:
         """KStream.branch — KStream.java:404 → KStreamBranch.java:40-52.
-        First matching predicate wins; record goes to exactly one branch."""
-        out: list[Stream] = []
-        seen = F.lit(False)
-        for p in predicates:
-            out.append(self._with(self.df.filter(~seen & p)))
-            seen = seen | p.isNotNull() & p  # record claimed by earlier branch
-        return out
+        First matching predicate wins; record goes to exactly one branch.
+
+        Implemented as filters over a single ``branch_tag`` column so the
+        input is scanned once regardless of branch count (the N-filter
+        formulation scans N times at 100 TB unless cached)."""
+        tagged = self.branch_tag(*predicates, name="__branch").df
+        return [
+            self._with(tagged.filter(F.col("__branch") == i).drop("__branch"))
+            for i in range(len(predicates))
+        ]
 
     def branch_tag(self, *predicates: Column, name: str = "branch") -> "Stream":
         """One-pass branch: tag each record with the index of the first
@@ -194,20 +197,27 @@ class Stream:
     # -- grouping (§2.4) --------------------------------------------------
 
     def group_by_key(self) -> "GroupedStream":
-        """KStream.groupByKey — KStream.java:895."""
+        """KStream.groupByKey — KStream.java:895.  Records with a NULL
+        key are skipped (reference semantics,
+        KStreamSessionWindowAggregate.java:100-106)."""
         if self.key is None:
             raise ValueError("stream has no key; use group_by(expr)")
-        return self.group_by(self.key)
+        return self.group_by(self.key, drop_null_keys=True)
 
-    def group_by(self, *exprs: ColumnOrName, names: Sequence[str] | None = None) -> "GroupedStream":
-        """KStream.groupBy — KStream.java:983.  Null keys are skipped
-        (reference semantics, KStreamSessionWindowAggregate.java:100-106)."""
+    def group_by(self, *exprs: ColumnOrName, names: Sequence[str] | None = None,
+                 drop_null_keys: bool = False) -> "GroupedStream":
+        """KStream.groupBy — KStream.java:983.  Kafka's null-skip applies
+        to the *record key*, so the pre-filter is opt-in here: group_by_key
+        sets ``drop_null_keys=True``; arbitrary grouping expressions keep
+        SQL NULL-group semantics (one group for NULL), matching the
+        DuckDB oracles."""
         cols = [_col(e) for e in exprs]
         if names:
             cols = [c.alias(n) for c, n in zip(cols, names)]
         df = self.df
-        for c in cols:
-            df = df.filter(c.isNotNull())
+        if drop_null_keys:
+            for c in cols:
+                df = df.filter(c.isNotNull())
         return GroupedStream(df, cols, ts=self.ts)
 
     # -- joins (§2.3) ------------------------------------------------------
@@ -395,9 +405,8 @@ class Table:
         """KTable.groupBy + aggregate with adder/subtractor —
         KTable.java:584 → KTableAggregate.java:72-98.  In batch the
         retraction machinery collapses: re-aggregate the current
-        snapshot (old values were never added).  In streaming this is
-        recomputed per microbatch via foreachBatch (see
-        streaming/retraction.py)."""
+        snapshot (old values were never added).  For streaming, see
+        streaming/retraction.py (foreachBatch snapshot re-aggregation)."""
         return GroupedStream(self.df, [_col(e) for e in exprs], ts=None)
 
     def to_stream(self) -> Stream:

@@ -257,12 +257,20 @@ def stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def windowed_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window count — TimeWindows.of(1h) ≙ F.window(ts, '1 hour')
-    (TimeWindows.java:110; KStreamWindowAggregate.java:96-153).  Output
-    exposes window.start; derived TZ-safely via date_trunc."""
+    (TimeWindows.java:110; KStreamWindowAggregate.java:96-153).  Goes
+    through the engine's Windows.tumbling path; epoch-aligned 1h windows
+    coincide with date_trunc('hour') in the UTC session."""
     s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
-    out = s.group_by(F.date_trunc("hour", F.col("ts")), "event_type",
-                     names=["window_start", "event_type"]).count(name="count")
-    return out
+    out = (
+        s.group_by("event_type")
+        .windowed_by(Windows.tumbling("1 hour"))
+        .count(name="count")
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("event_type"),
+        F.col("count"),
+    )
 
 
 @query(
@@ -272,43 +280,45 @@ def windowed_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT e.event_type,
              unnest(generate_series(
-               date_trunc('hour', e.ts - INTERVAL 45 MINUTE),
-               date_trunc('hour', e.ts - INTERVAL 45 MINUTE) + INTERVAL 45 MINUTE,
+               CAST(to_timestamp(floor(epoch(e.ts)/900)*900) AS TIMESTAMP) - INTERVAL 45 MINUTE,
+               CAST(to_timestamp(floor(epoch(e.ts)/900)*900) AS TIMESTAMP),
                INTERVAL 15 MINUTE)) AS ws
       FROM events e
     ) x
-    WHERE ws <= x.ws + INTERVAL 0 MINUTE
     GROUP BY 1, 2
     """,
 )
 def windowed_count_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window count — TimeWindows.of(1h).advanceBy(15m)
-    (TimeWindows.java:150,176-186): each record belongs to all 4 windows
-    covering its timestamp."""
+    (TimeWindows.java:150,176-186): each record belongs to the 4
+    windows whose starts lie on the 15-min grid in
+    (ts - 1h, ts]: floor(ts/15m) − {45m, 30m, 15m, 0}."""
     s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
-    w = Windows.hopping("1 hour", "15 minutes")
     out = (
-        Stream(s.df, ts="ts")
-        .group_by(w.window_col("ts").getField("start"), "event_type",
-                  names=["window_start", "event_type"])
+        s.group_by("event_type")
+        .windowed_by(Windows.hopping("1 hour", "15 minutes"))
         .count(name="count")
     )
-    return out
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("event_type"),
+        F.col("count"),
+    )
 
 
 @query(
     "session_count",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE user_id IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )

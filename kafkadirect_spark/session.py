@@ -28,11 +28,20 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
+    builder = SparkSession.builder.appName(app_name)
+    # On a real cluster the master comes from spark-submit; only default
+    # to local[] when none is configured (e.g. unit tests, bench).
+    if not os.environ.get("SPARK_MASTER") and "MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         # Deterministic wall-clock semantics for event-time operators.
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark
+        # refuses to scan by default (PARQUET_TYPE_ILLEGAL).  Read nanos as
+        # LongType; sources/batch.py normalizes them back to TimestampType
+        # with truncating ns→µs division.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # AQE: runtime coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,10 +32,43 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only check —
+    no data read).  Spark scans these as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong=true``."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pt
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [f.name for f in schema
+                if pt.is_timestamp(f.type) and f.type.unit == "ns"]
+    except Exception:
+        return []
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections applied by the caller reach
-    the parquet reader via Catalyst pushdown — keep this a bare scan."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    the parquet reader via Catalyst pushdown — keep this a bare scan.
+
+    The one normalization: TIMESTAMP(NANOS) columns (which Spark reads
+    as raw nanos longs, see session.py) become TimestampType via
+    **truncating** ns→µs division — ``ts div 1000``, not a rounding
+    cast, so values agree bit-for-bit with DuckDB's µs view of the
+    same file.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # Runtime-settable; applied here (not only in get_spark) so the
+        # engine also works with an externally-built SparkSession that
+        # lacks the builder-time config (e.g. the verify driver's).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

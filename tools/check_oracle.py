@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 (or
+$SPARK_GRAFT_SF_DIR) and compares against its DuckDB oracle:
+row count, sorted-by-name column set, and an order-insensitive
+value comparison (exact for non-floats, 1e-9 relative for floats).
+
+Usage:  python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                # quantize so hash-equality tolerates last-ulp noise
+                vals.append(round(v, 6) if math.isfinite(v) else v)
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main(names=None):
+    from __spark_entry__ import oracle_sql, queries
+    from kafkadirect_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    selected = names or sorted(qs)
+    n_pass = n_fail = 0
+    for name in selected:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"{name:32s} ROWS-ONLY rows={len(srows)}")
+                n_pass += 1
+                continue
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+            problems = []
+            if sorted(scols) != sorted(ocols):
+                problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+            if len(srows) != len(orows):
+                problems.append(f"rows {len(srows)} vs {len(orows)}")
+            if not problems:
+                a, b = normalize(srows, scols), normalize(orows, ocols)
+                bad = sum(1 for x, y in zip(a, b) if x != y)
+                if bad:
+                    problems.append(f"{bad}/{len(a)} rows differ")
+                    for x, y in zip(a, b):
+                        if x != y:
+                            problems.append(f"  spark={x}\n  duck ={y}")
+                            break
+            if problems:
+                n_fail += 1
+                print(f"{name:32s} FAIL  " + "; ".join(problems[:3]))
+            else:
+                n_pass += 1
+                print(f"{name:32s} PASS  rows={len(srows)}")
+        except Exception as e:
+            n_fail += 1
+            msg = str(e).split("\n")[0][:200]
+            print(f"{name:32s} ERROR {type(e).__name__}: {msg}")
+            if os.environ.get("CHECK_VERBOSE"):
+                traceback.print_exc()
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
