@@ -345,3 +345,265 @@ def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.end").alias("session_end"),
         F.col("count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.3) — all six families + the Yahoo flagship pipeline.
+# events.user_id references customer.c_custkey (the stream→dim key).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_stream_table",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream⋈KTable lookup join — KStream.java:1604 →
+    KStreamKTableJoinProcessor.java (SimpleBenchmark ``streamtablejoin``).
+    The dim side is a Table; Catalyst broadcasts it under the 64 MB
+    threshold — at 100 TB the stream side never shuffles."""
+    ev = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    cust = Table(load_table(spark, sf_dir, "customer"), key="c_custkey")
+    out = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join_table(cust, on=F.col("user_id") == F.col("c_custkey"))
+    )
+    return out.select("event_id", "user_id", "value", "c_name", "c_mktsegment").df
+
+
+@query(
+    "join_stream_table_left",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e LEFT JOIN customer c
+      ON e.user_id = c.c_custkey AND c.c_acctbal > 5000
+    WHERE e.event_type = 'signup'
+    """,
+)
+def join_stream_table_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left lookup join — unmatched stream records emit joiner(v, null)
+    (KStream.java:1760)."""
+    ev = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    cust = Table(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000),
+        key="c_custkey",
+    )
+    out = (
+        ev.filter(F.col("event_type") == "signup")
+        .join_table(cust, on=F.col("user_id") == F.col("c_custkey"), how="left")
+    )
+    return out.select("event_id", "user_id", "c_name").df
+
+
+@query(
+    "join_interval_inner",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id,
+           l.ts AS click_ts, r.ts AS purchase_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts + INTERVAL 10 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def join_interval_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream⋈KStream interval join — KStream.java:1118 →
+    KStreamKStreamJoin.java:88-100 (SimpleBenchmark ``streamstreamjoin``):
+    equi-key AND |ts_l − ts_r| ≤ 10 min.  Self-join on a shared scan;
+    AQE skew-join splits hot user_ids at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = Stream(
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")),
+        key="user_id", ts="click_ts",
+    )
+    purchases = Stream(
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("r_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts")),
+        key="r_user_id", ts="purchase_ts",
+    )
+    out = clicks.join_interval(
+        purchases,
+        on=F.col("user_id") == F.col("r_user_id"),
+        windows=JoinWindows.of("10 minutes"),
+    )
+    return out.df.select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+@query(
+    "join_interval_left",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 1 MINUTE AND l.ts + INTERVAL 1 MINUTE
+     AND r.event_type = 'purchase'
+    WHERE l.event_type = 'click'
+    """,
+)
+def join_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left interval join — unmatched left records null-padded
+    (KStream.java:1278; Spark emits at window close in streaming — the
+    post-KIP-633 semantics, declared in SURVEY §7)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = Stream(
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")),
+        key="user_id", ts="click_ts",
+    )
+    purchases = Stream(
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("r_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts")),
+        key="r_user_id", ts="purchase_ts",
+    )
+    out = clicks.join_interval(
+        purchases,
+        on=F.col("user_id") == F.col("r_user_id"),
+        windows=JoinWindows.of("1 minute"),
+        how="left",
+    )
+    return out.df.select("click_id", "purchase_id", "user_id")
+
+
+@query(
+    "join_table_table",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey,
+             max_by(o_orderkey,  o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice,
+             max_by(o_orderstatus, o_orderkey) AS o_orderstatus
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT l.o_custkey, l.o_orderkey, l.o_totalprice, l.o_orderstatus,
+           c.c_name, c.c_mktsegment
+    FROM latest l JOIN customer c ON l.o_custkey = c.c_custkey
+    """,
+)
+def join_table_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable⋈KTable inner — KTable.java:725 → KTableKTableInnerJoin.java
+    (SimpleBenchmark ``tabletablejoin``).  Left side materialized with
+    Table.from_changelog (last-wins by the monotone o_orderkey — the
+    compaction shape, LogCleaner.scala:43-92)."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = Table.from_changelog(
+        orders, key="o_custkey", order_by="o_orderkey",
+        value_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    cust = Table(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        key="c_custkey",
+    )
+    joined = Table(latest.df.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey").join(cust)
+    return joined.df.select(
+        F.col("c_custkey").alias("o_custkey"),
+        "o_orderkey", "o_totalprice", "o_orderstatus", "c_name", "c_mktsegment",
+    )
+
+
+@query(
+    "join_table_table_outer",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, max_by(o_totalprice, o_orderkey) AS last_price
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), rich AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
+    )
+    SELECT COALESCE(l.o_custkey, r.c_custkey) AS custkey, l.last_price, r.c_name
+    FROM latest l FULL OUTER JOIN rich r ON l.o_custkey = r.c_custkey
+    """,
+)
+def join_table_table_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable⋈KTable outer — KTable.java:1055 → KTableKTableOuterJoin.java:
+    both sides null-padded; result key is the coalesced primary key
+    (KTableKTableJoinMerger.java)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    latest = Table.from_changelog(
+        orders.select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("last_price")),
+        key="o_custkey", order_by="o_orderkey", value_cols=["last_price"],
+    )
+    rich = Table(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7500).select("c_custkey", "c_name"),
+        key="c_custkey",
+    )
+    joined = latest.df.join(rich.df, latest.df["o_custkey"] == rich.df["c_custkey"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+        "last_price", "c_name",
+    )
+
+
+@query(
+    "join_global_enrich",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_global_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream⋈GlobalKTable — KStream.java:1873 →
+    KStreamGlobalKTableJoin.java: arbitrary key-mapper lookup against a
+    fully-replicated dim ⇒ explicit broadcast, zero stream-side shuffle."""
+    cust = Stream(load_table(spark, sf_dir, "customer"), key="c_custkey")
+    nation = GlobalTable(
+        load_table(spark, sf_dir, "nation"), key="n_nationkey")
+    region = GlobalTable(
+        load_table(spark, sf_dir, "region"), key="r_regionkey")
+    out = (
+        cust.join_global(nation, on=F.col("c_nationkey") == F.col("n_nationkey"))
+        .join_global(region, on=F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return out.df.select(
+        "c_custkey", "c_name",
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region"),
+    )
+
+
+@query(
+    "yahoo_pipeline",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment AS campaign,
+           COUNT(*) AS views
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def yahoo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Yahoo streaming-benchmark shape — YahooBenchmark.java:266-295:
+    filter(event_type) → project → stream⋈table dim join → tumbling
+    windowed count per campaign.  Our flagship: the dim (customer ≙
+    campaigns) broadcasts; the only shuffle is the final windowed agg,
+    with map-side partials."""
+    ev = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    campaigns = Table(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+        key="c_custkey",
+    )
+    out = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .join_table(campaigns, on=F.col("user_id") == F.col("c_custkey"))
+        .map_values(campaign=F.col("c_mktsegment"))
+        .group_by("campaign")
+        .windowed_by(Windows.tumbling("1 hour"))
+        .count(name="views")
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("campaign"),
+        F.col("views"),
+    )
