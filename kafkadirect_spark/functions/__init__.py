@@ -1,0 +1,11 @@
+"""Column-function library: Connect-SMT equivalents (smt) and the
+large-scale training-data-pipeline operators (text, dedup, similarity,
+multimodal).
+
+Everything here returns Column expressions or DataFrame transforms
+built from pyspark.sql.functions — JVM-side, whole-stage-codegen'd —
+except the explicitly-marked Pandas-UDF paths (multimodal decode),
+which are Arrow-batched.  No row-at-a-time Python UDFs anywhere.
+"""
+
+from kafkadirect_spark.functions import dedup, similarity, smt, text  # noqa: F401

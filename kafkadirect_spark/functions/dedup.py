@@ -1,0 +1,173 @@
+"""Deduplication operators: exact content-hash, n-gram Jaccard,
+MinHash-LSH (banded), SimHash.
+
+Scale design (the 100 TB contract):
+
+- **exact_dedup** — one shuffle on the 128-bit content hash; map-side
+  partial aggregation; no sort.
+- **ngram_jaccard_pairs** — shingle-inverted-index join: explode
+  distinct shingles, join on the shingle, count common per pair.  This
+  is the *exact* verifier; its shuffle is bounded by the inverted index
+  size, not |docs|².  Hot shingles are the skew risk — ``max_doc_freq``
+  drops shingles shared by more than that many docs (stopword-grams
+  carry no dedup signal), which is also what keeps the join from
+  degenerating toward all-pairs on common text.
+- **minhash_signatures / lsh_candidate_pairs** — the sub-quadratic
+  scale path: 32 portable min-hashes per doc, banded 8×4; candidate
+  pair ⇔ equal 4-row signature in ≥1 band.  The only shuffles are
+  groupBy(doc) for signatures and groupBy(band, band_sig) for buckets —
+  never an all-pairs join.  Feed candidates to ngram_jaccard_pairs
+  (restricted to the candidate set) for exact verification.
+- **simhash** — one 32-bit signature per doc in a single aggregation
+  pass; near-dup ⇔ small Hamming distance; bucket by signature (or
+  rotated prefixes) for sub-quadratic search.
+
+All hashing uses text.portable_hash, so every step is reproducible in
+ANSI SQL for the DuckDB oracles (plans/llm_queries.py embeds the same
+permutation constants).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions.text import HASH_P, portable_hash, shingles, tokens
+
+# MinHash permutations h_i(x) = (a_i·x + b_i) mod P — frozen seed so
+# Spark results and the SQL oracles agree byte-for-byte.
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+_rng = random.Random(42)
+PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(N_PERM)
+]
+
+
+def content_hash(text_col: Column | str) -> Column:
+    """128-bit md5 of the raw content — the exact-dedup key."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: (content_hash, keeper=min id, n_dups).
+    Single hash-shuffle; downstream keeps rows where id == keeper."""
+    return (
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ t).
+
+    |A∩B| comes from the inverted-index self-join on the shingle;
+    |A|,|B| from per-doc shingle counts; J = c/(|A|+|B|−c).  The
+    division is one double op on exact integers — bit-identical in any
+    engine.
+    """
+    sh = _shingle_index(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: one row per doc with sig_0..sig_{31}
+    (docs with <n tokens have no shingles and drop out — they can't
+    near-dup anything).  One shuffle: groupBy(doc)."""
+    sh = _shingle_index(df, text_col, id_col, n)
+    h0 = portable_hash(F.col("shingle"))
+    mins = [
+        F.min((h0 * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Banded-LSH candidates: docs agreeing on all ROWS_PER_BAND sig
+    values of ≥1 band.  Shuffle key is (band, band signature) — bucket
+    sizes are the only skew concern, never |docs|²."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"v{r}")
+              for r in range(ROWS_PER_BAND)],
+        )
+        for b in range(N_BANDS)
+    ])
+    buckets = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.*")
+    key = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
+    a = buckets.select(*key, F.col(id_col).alias("id_a"))
+    b = buckets.select(*key, F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit j of the signature is
+    the sign of Σ_tokens (±1 by bit j of the token hash).  One
+    explode + one groupBy(doc); Hamming-near signatures ⇒ near-dup."""
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", portable_hash(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- **cosine_topk** — exact brute force: cross-join + vectorized dot
+  product.  O(n²·d); the correctness baseline and the right answer for
+  a broadcast-able probe set (n_query ≪ n_index: broadcast the probes,
+  scan the index once — no shuffle at all).
+- **ann_lsh_topk** — random-hyperplane LSH: each vector hashes to a
+  sign-pattern bucket; candidates share a bucket in ≥1 of the hash
+  tables; exact cosine only within buckets.  Shuffle key is
+  (table, bucket) — sub-quadratic, skew-bounded by bucket size.
+
+Dot products run through F.aggregate/F.zip_with on the JVM — no
+Python in the inner loop.  Cosines are computed in double precision,
+sequential-sum order, so DuckDB's list_cosine_similarity (the oracle)
+agrees to the last ulp in practice; ranks (not raw floats) are the
+query output to keep the correctness hash stable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Frozen hyperplanes for the LSH path: N_TABLES tables × N_BITS
+# hyperplanes, components in {-1, +1} (signed-projection LSH with
+# Rademacher planes — dot products stay exact in double).  Bucket
+# count per table is 2^N_BITS: size N_BITS so the expected bucket
+# occupancy stays well above k at the target scale (more tables ↑
+# recall, more bits ↓ candidate cost).
+N_TABLES = 8
+N_BITS = 4
+
+
+def _planes(dim: int) -> list[list[list[int]]]:
+    rng = random.Random(7)
+    return [
+        [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(N_BITS)]
+        for _ in range(N_TABLES)
+    ]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, sequential order (JVM higher-order funcs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe vector (self excluded).
+
+    ``probes`` defaults to the whole index (all-pairs — fine at test
+    scale, the oracle baseline).  With an explicit small probe set the
+    plan is broadcast(probes) ⋈ index: one index scan, zero shuffle
+    before the per-probe top-k.
+    Output: (id, neighbor_id, rank) — ranks are hash-stable; ties
+    broken by neighbor id.
+    """
+    index = df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
+    probe = (probes or df).select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias("_pvec"))
+    if probes is not None:
+        probe = F.broadcast(probe)
+    pairs = probe.join(index, F.col(id_col) != F.col("_nid"))
+    scored = pairs.withColumn("_cos", cosine(F.col("_pvec"), F.col("_nvec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), F.col("_nid").alias("neighbor_id"), "rank")
+    )
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """(table, bucket, id, vec) — bucket = sign pattern of N_BITS
+    Rademacher projections, packed into an int."""
+    planes = _planes(dim)
+    rows = []
+    for t, table in enumerate(planes):
+        bucket = None
+        for j, plane in enumerate(table):
+            proj = dot(F.col(vec_col),
+                       F.array(*[F.lit(float(c)) for c in plane]))
+            bit = F.when(proj >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        rows.append(F.struct(F.lit(t).alias("table"),
+                             bucket.cast("int").alias("bucket")))
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*rows)).alias("tb"),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+
+
+def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 3) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to bucket-sharing
+    candidates.  Recall grows with N_TABLES; cost is Σ bucket²
+    instead of n²."""
+    b = lsh_buckets(df, id_col, vec_col, dim)
+    a = b.select("table", "bucket", F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
+    c = b.select("table", "bucket", F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
+    cands = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("_pid") != F.col("_nid"))
+        .select("_pid", "_pvec", "_nid", "_nvec")
+        .distinct()
+    )
+    scored = cands.withColumn("_cos", cosine(F.col("_pvec"), F.col("_nvec")))
+    w = Window.partitionBy("_pid").orderBy(F.col("_cos").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(id_col), F.col("_nid").alias("neighbor_id"), "rank")
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+n-gram shingles, portable content hashing, quality stats, language-ID
+heuristic, document fingerprinting.
+
+The reference engine has no scalar-function library (SURVEY.md §2.7:
+users write Java lambdas); these are the beyond-parity operators a
+100 TB text pipeline needs.  Every function is a pure Column
+expression (JVM-side, codegen'd, no Python in the hot path), and each
+has an exactly-equivalent ANSI-SQL formulation so DuckDB can oracle
+the results — which pins the semantics across engines.
+
+Portability contract: all content hashing goes through
+``portable_hash`` = first 14 hex chars of md5 (56 bits, positive)
+reduced mod 2^31−1, which both Spark (conv/substring/md5) and DuckDB
+(('0x'||substr(md5,…))::BIGINT) compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 − 1: products a*h stay under 2^62 (no int64
+# overflow) for the MinHash permutations in dedup.py.
+HASH_P = 2_147_483_647
+
+# Small English stopword list used by the quality/lang-ID heuristics.
+# Frozen: changing it changes results; oracles embed the same list.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from",
+)
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased word tokens, empties removed (ArrayType(String)).
+    SQL equivalent: list_filter(regexp_split_to_array(lower(t), …))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != F.lit(""))
+
+
+def portable_hash(c: Column) -> Column:
+    """56-bit md5 prefix as a positive BIGINT mod 2^31−1 — identical in
+    Spark and DuckDB (see module docstring)."""
+    return (F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long") % HASH_P)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (ArrayType(String));
+    empty array when fewer than ``n`` tokens.  The unit of MinHash /
+    Jaccard near-dup detection (dedup.py)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingles (for fingerprinting)."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(0)))
+    return F.when(F.length(c) >= k,
+                  F.transform(idx, lambda i: c.substr(i, F.lit(k)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace+punct token count — the cheap BPE-proxy 'how many
+    tokens will the tokenizer emit' estimate."""
+    return F.size(tokens(text))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are English stopwords (DOUBLE; NULL-safe
+    0.0 for empty docs)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(toks) > 0,
+                  n_sw.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_guess(toks: Column, threshold: float = 0.05) -> Column:
+    """N-gram-free language-ID heuristic: docs whose stopword ratio
+    clears ``threshold`` are tagged 'en', else 'unknown'.  (A real
+    pipeline would use per-language character-n-gram profiles; the
+    engine surface — a deterministic Column classifier — is the same.)"""
+    return F.when(stopword_ratio(toks) >= threshold, F.lit("en")) \
+            .otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column | str, k: int = 5) -> Column:
+    """Document fingerprint: min portable hash over character k-grams
+    (the 1-fingerprint degenerate case of winnowing).  Equal
+    fingerprints ⇒ near-identical prefix content; used as a cheap
+    pre-cluster key before exact comparison."""
+    grams = char_shingles(text, k)
+    return F.array_min(F.transform(grams, portable_hash))

@@ -1,0 +1,270 @@
+"""Training-data-pipeline queries over documents/embeddings, each
+oracle-paired (the SQL replicates the exact same portable-hash
+computation, so DuckDB verifies MinHash/SimHash/LSH byte-for-byte).
+
+Registered into the same QUERIES/ORACLE_SQL dicts as plans.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions import dedup, multimodal, similarity, text
+from kafkadirect_spark.functions.dedup import HASH_P, N_PERM, PERMS, ROWS_PER_BAND
+from kafkadirect_spark.plans.queries import query
+from kafkadirect_spark.sources.batch import load_table
+
+# Shared SQL fragments — the DuckDB formulation of text.portable_hash
+# and the tokenize/shingle pipeline (kept textually in sync with
+# functions/text.py; the correctness gate is what enforces the sync).
+
+_PHASH = "(('0x' || substr(md5({x}), 1, 14))::BIGINT % 2147483647)"
+_TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')")
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+
+_SHINGLES_CTE = f"""
+    tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    sh0 AS (
+      SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS g
+            FROM tok WHERE len(w) >= 3)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_PERMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — one shuffle on the 128-bit content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via the shingle inverted
+    index — the near-dup verifier (no all-pairs join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc_id, {_PHASH.format(x='shingle')} AS h FROM sh),
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % {HASH_P}) AS v
+      FROM h, perms GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             MAX(CASE WHEN i % {ROWS_PER_BAND} = 0 THEN v END) AS v0,
+             MAX(CASE WHEN i % {ROWS_PER_BAND} = 1 THEN v END) AS v1,
+             MAX(CASE WHEN i % {ROWS_PER_BAND} = 2 THEN v END) AS v2,
+             MAX(CASE WHEN i % {ROWS_PER_BAND} = 3 THEN v END) AS v3
+      FROM sig GROUP BY doc_id, i // {ROWS_PER_BAND}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (32 hashes, 8 bands × 4) —
+    the sub-quadratic 100 TB near-dup path; shuffles only on
+    groupBy(doc) and groupBy(band, signature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id")
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, tok FROM tok0),
+    h AS (SELECT doc_id, {_PHASH.format(x='tok')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS j) js
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (sign-of-sum over token-hash bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(w) > 0
+                THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN len(w) > 0
+                THEN CAST(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(w)
+                ELSE 0.0 END AS stopword_ratio
+    FROM tok
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats per doc: token counts, avg token length,
+    stopword ratio — all JVM-side array expressions, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    total_len = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.when(F.size(w) > 0, total_len.cast("double") / F.size(w))
+         .otherwise(F.lit(0.0)).alias("avg_token_len"),
+        text.stopword_ratio(w).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(w) > 0 AND
+                     CAST(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(w) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM tok
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-ratio classifier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.lang_guess(text.tokens("text")).alias("pred_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           MIN({_PHASH.format(x='substr(text, g, 5)')}) AS fp
+    FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS g
+          FROM documents WHERE length(text) >= 5)
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min portable hash over
+    char-5-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.length("text") >= 5).select(
+        "doc_id", text.fingerprint("text", k=5).alias("fp"))
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+             list_cosine_similarity(a.e, b.e) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, nid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid)
+               AS rank
+      FROM pairs
+    )
+    SELECT vec_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 neighbors — the ANN correctness
+    baseline (ranks output, not raw floats, for hash stability)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("similarity_ann_lsh")  # no SQL oracle: approximate operator;
+# recall vs the brute-force baseline is asserted in tests/test_llm_ops.py
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-3 (4 tables × 8 bits): exact
+    cosine only within shared buckets — the sub-quadratic scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_lsh_topk(emb, "vec_id", "embedding", dim=64, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             CAST(SUM(ascii(substr(text, g, 1))) % 2147483647 AS BIGINT)
+               AS checksum
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS g
+            FROM documents)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, 'image' AS media_type,
+           CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           CAST((strlen(d.text) % 640) + 1 AS INTEGER) AS width,
+           CAST(((strlen(d.text) // 640) % 480) + 1 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           ch.checksum
+    FROM documents d JOIN ch USING (doc_id)
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes → binary payload +
+    metadata struct → Arrow-batched mapInPandas decode-stub feature
+    extraction.  The checksum/size/shape outputs are deterministic, so
+    the whole Python-boundary path is oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs, "doc_id", "text", media_type="image")
+    return multimodal.extract_features(media)
