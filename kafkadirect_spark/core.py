@@ -68,6 +68,13 @@ class Windows:
         """SessionWindows.with(gap) — kstream/SessionWindows.java:96."""
         return cls("session", gap=gap, grace=grace)
 
+    @classmethod
+    def unlimited(cls, start: str = "1970-01-01 00:00:00") -> "Windows":
+        """UnlimitedWindows.of().startOn(t) — UnlimitedWindows.java:60,94:
+        one landmark window [start, ∞); records before ``start`` are
+        excluded, the aggregate never closes (``size`` holds the start)."""
+        return cls("unlimited", size=start)
+
     def window_col(self, ts: ColumnOrName) -> Column:
         if self.kind == "tumbling":
             return F.window(_col(ts), self.size)
@@ -75,6 +82,10 @@ class Windows:
             return F.window(_col(ts), self.size, self.advance)
         if self.kind == "session":
             return F.session_window(_col(ts), self.gap)
+        if self.kind == "unlimited":
+            start = F.lit(self.size).cast("timestamp")
+            return F.struct(start.alias("start"),
+                            F.lit(None).cast("timestamp").alias("end"))
         raise ValueError(f"unknown window kind {self.kind}")
 
 
@@ -147,6 +158,15 @@ class Stream:
         keep = [c for c in self.df.columns if c != name]
         return self._with(self.df.select(*keep, F.explode(expr).alias(name)))
 
+    def flat_map(self, expr: Column, key: str | None = None) -> "Stream":
+        """KStream.flatMap — KStream.java:266 → KStreamFlatMap.java: 0..n
+        (key, value) records per input.  ``expr`` is an array<struct>
+        column; each struct becomes one output record (its fields are
+        the new columns).  Marks a re-key: downstream stateful ops
+        shuffle on the new key (inserted by Catalyst only when needed)."""
+        exploded = self.df.select(F.explode(expr).alias("_kv")).select("_kv.*")
+        return Stream(exploded, key=key, ts=self.ts if self.ts and self.ts in exploded.columns else None)
+
     def branch(self, *predicates: Column) -> list["Stream"]:
         """KStream.branch — KStream.java:404 → KStreamBranch.java:40-52.
         First matching predicate wins; record goes to exactly one branch.
@@ -177,6 +197,20 @@ class Stream:
         DataFrame; pass-through unchanged (side effect only)."""
         action(self.df)
         return self
+
+    def print(self, n: int = 20, truncate: bool = True) -> None:
+        """KStream.print — KStream.java:363 → KStreamPrint.java (terminal
+        console sink; ``console`` sink in streaming)."""
+        if self.df.isStreaming:
+            self.df.writeStream.format("console").start()
+        else:
+            self.df.show(n, truncate=truncate)
+
+    def foreach(self, action: Callable) -> None:
+        """KStream.foreach — KStream.java:373: terminal per-record side
+        effect, executed on the executors (distributed, not a driver
+        loop)."""
+        self.df.foreach(action)
 
     # -- repartition / sink (§2.1) ---------------------------------------
 
@@ -325,6 +359,11 @@ class WindowedGroupedStream:
 
     def _grouped(self):
         df = self.df
+        if self.windows.kind == "unlimited":
+            # Landmark window: drop records before the start; the single
+            # window never closes (UnlimitedWindows.java:73 windowsFor).
+            df = df.filter(
+                F.col(self.ts) >= F.lit(self.windows.size).cast("timestamp"))
         if self.windows.grace and df.isStreaming:
             df = df.withWatermark(self.ts, self.windows.grace)
         w = self.windows.window_col(self.ts)

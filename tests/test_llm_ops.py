@@ -1,0 +1,111 @@
+"""Training-data-pipeline operators: dedup / similarity / text /
+multimodal — recall and semantics beyond the SQL-oracle gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from kafkadirect_spark.sources.batch import load_table
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from kafkadirect_spark.sources.batch import load_table
+    return load_table(spark, SF, "embeddings")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string")
+    out = {r.keeper: r.n_docs for r in
+           dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lsh_candidates_superset_of_true_pairs(docs):
+    true = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5).collect()}
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    cand = {(r.id_a, r.id_b) for r in
+            dedup.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert true, "fixture should contain planted near-dups"
+    missed = true - cand
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    # and it must be sub-quadratic in practice: far fewer than all pairs
+    n = docs.count()
+    assert len(cand) < n * (n - 1) / 20
+
+
+def test_simhash_near_for_near_dups(docs):
+    pair = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     threshold=0.9).first()
+    sh = {r.doc_id: r.simhash for r in
+          dedup.simhash(docs, "text", "doc_id").collect()}
+    ham = bin(sh[pair.id_a] ^ sh[pair.id_b]).count("1")
+    assert ham <= 4  # near-dup ⇒ small Hamming distance (32-bit sig)
+    # relative sanity: random pairs are farther apart than the near-dup
+    # (absolute distances are compressed here — all docs share one small
+    # vocabulary, so token *sets* overlap heavily even for non-dups)
+    ids = sorted(sh)[:10]
+    far = [bin(sh[a] ^ sh[b]).count("1") for a in ids for b in ids if a < b]
+    assert sum(far) / len(far) > ham
+
+
+def test_ann_recall_vs_brute_force(emb):
+    bf = {(r.vec_id, r.neighbor_id) for r in
+          similarity.cosine_topk(emb, "vec_id", "embedding", k=3).collect()}
+    ann = {(r.vec_id, r.neighbor_id) for r in
+           similarity.ann_lsh_topk(emb, "vec_id", "embedding", dim=64, k=3).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall > 0.5, f"ANN recall@3 too low: {recall:.3f}"
+
+
+def test_cosine_topk_with_probe_broadcast(emb):
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", k=2, probes=probes)
+    rows = out.collect()
+    assert {r.vec_id for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r.neighbor_id != r.vec_id for r in rows)
+
+
+def test_text_helpers(spark):
+    df = spark.createDataFrame([(1, "The quick brown fox AND the dog")],
+                               "doc_id long, text string")
+    row = df.select(
+        text.token_count("text").alias("n"),
+        text.stopword_ratio(text.tokens("text")).alias("sw"),
+        text.lang_guess(text.tokens("text")).alias("lang"),
+    ).first()
+    assert row.n == 7
+    assert abs(row.sw - 3 / 7) < 1e-12
+    assert row.lang == "en"
+
+
+def test_fingerprint_stable_under_suffix_change(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgh XYZ")], "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in
+           df.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
+    # min-hash over shared 5-grams usually survives a suffix edit;
+    # at minimum both must be deterministic and non-null
+    assert fps[1] is not None and fps[2] is not None
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_payload(docs.limit(10), "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "meta"]
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 10
+    assert all(r.n_bytes > 0 and 1 <= r.width <= 640 for r in out)
+
+
+def test_multimodal_strict_decode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", "image", strict=True)

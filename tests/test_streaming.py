@@ -1,0 +1,155 @@
+"""Structured Streaming slice: file-source microbatches through the
+windowed/watermark path (suppression ≙ append mode), stateful
+processors (applyInPandasWithState), and foreachBatch retraction.
+
+Mirrors the reference's suppression and processor semantics:
+KTableSuppressProcessor.java:71-110, KStreamTransformValues.java,
+KTableAggregate.java:72-98.
+"""
+
+import shutil
+import tempfile
+import time
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.core import Stream, Table, Windows
+from kafkadirect_spark.sources.stream import stream_from_dir
+from kafkadirect_spark.streaming import retraction, suppress, transform
+
+KV = "key string, value int, ts timestamp"
+
+
+def t(s):
+    return datetime.fromisoformat(f"2024-01-01 {s}")
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="kds-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows, n):
+    spark.createDataFrame(rows, KV).coalesce(1).write.mode(
+        "overwrite").parquet(f"{path}/in/b{n}")
+
+
+def test_windowed_count_append_mode_suppression(spark, tmpdir):
+    """untilWindowCloses: append mode emits a window exactly once, only
+    after the watermark passes its end."""
+    # batch 0: two records in the 10:00 window; batch 1: a late-ish
+    # record that advances stream time far past the window end.
+    _write_batch(spark, tmpdir, [("a", 1, t("10:00:10")), ("a", 1, t("10:00:40"))], 0)
+    src = stream_from_dir(
+        spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    agg = (
+        Stream(src.df, key="key", ts="ts")
+        .group_by_key()
+        .windowed_by(Windows.tumbling("1 minute", grace="30 seconds"))
+        .count(name="n")
+    )
+    q = suppress.until_window_closes(
+        agg, "memory", query_name="supp",
+        checkpoint=f"{tmpdir}/ckpt").start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM supp").count() == 0  # window still open
+        _write_batch(spark, tmpdir, [("a", 1, t("10:05:00"))], 1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM supp").collect()
+        assert [(r.key, r.n) for r in rows] == [("a", 2)]  # emitted once, final
+    finally:
+        q.stop()
+
+
+def test_process_with_state_streaming_counter(spark, tmpdir):
+    """Processor API ≙ applyInPandasWithState: running per-key count
+    across microbatches (state survives batch boundaries)."""
+    _write_batch(spark, tmpdir, [("x", 1, t("00:00:00")), ("y", 1, t("00:00:01"))], 0)
+    _write_batch(spark, tmpdir, [("x", 1, t("00:00:02"))], 1)
+
+    def counter(key, pdfs, state):
+        opt = state.getOption
+        n = opt[0] if opt else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = transform.process_with_state(
+        src.df, ["key"], counter,
+        state_schema="n long", output_schema="key string, n long")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("cnt").option("checkpointLocation", f"{tmpdir}/ckpt2").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cnt").collect()
+        final = {}
+        for r in rows:  # update mode: last emission per key wins
+            final[r.key] = max(r.n, final.get(r.key, 0))
+        assert final == {"x": 2, "y": 1}
+    finally:
+        q.stop()
+
+
+def test_process_with_state_batch_fallback(spark):
+    def counter(key, pdfs, state):
+        opt = state.getOption
+        n = opt[0] if opt else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+    df = spark.createDataFrame(
+        [("x", 1, t("00:00:00")), ("x", 2, t("00:00:01")), ("y", 3, t("00:00:02"))], KV)
+    out = transform.process_with_state(
+        df, ["key"], counter, state_schema="n long",
+        output_schema="key string, n long")
+    assert {(r.key, r.n) for r in out.collect()} == {("x", 2), ("y", 1)}
+
+
+def test_transform_values_mapinpandas(spark):
+    df = spark.createDataFrame([("a", 2, t("00:00:00"))], KV)
+    out = transform.transform_values(
+        df, lambda pdf: pdf.assign(value=pdf.value * 10)[["key", "value"]],
+        schema="key string, value int")
+    assert out.first().value == 20
+
+
+def test_streaming_retraction_reaggregate(spark, tmpdir):
+    """KTable groupBy re-agg with retraction: after k1 moves from attr
+    x to attr y, x's sum must drop k1's old value."""
+    up = "key string, attr string, value int, offset bigint"
+
+    def w(rows, n):
+        spark.createDataFrame(rows, up).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmpdir}/in/b{n}")
+
+    w([("k1", "x", 5, 0), ("k2", "x", 3, 1)], 0)
+    results = []
+    src = spark.readStream.schema(up).option(
+        "maxFilesPerTrigger", "1").parquet(f"{tmpdir}/in/*")
+    q = retraction.streaming_table_group_aggregate(
+        src, key="key", order_by="offset",
+        group_exprs=[F.col("attr")],
+        aggs=[F.sum("value").alias("total")],
+        sink=lambda df, bid: results.append(
+            {r.attr: r.total for r in df.collect()}),
+        value_cols=["attr", "value"],
+        checkpoint=f"{tmpdir}/ckpt3",
+    )
+    try:
+        q.processAllAvailable()
+        assert results[-1] == {"x": 8}
+        w([("k1", "y", 7, 2)], 1)  # upsert: k1 re-keys x→y
+        q.processAllAvailable()
+        assert results[-1] == {"x": 3, "y": 7}  # old x:5 retracted
+    finally:
+        q.stop()
