@@ -63,10 +63,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the expensive explode/hash stages run cluster-wide: a
+    small/single-file scan yields fewer partitions than cores, which
+    would serialize the shingle hashing.  No-op when the scan is
+    already as wide as the cluster (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input."""
     return (
-        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        _widen(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
         .distinct()
     )
 
@@ -156,7 +168,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     the sign of Σ_tokens (±1 by bit j of the token hash).  One
     explode + one groupBy(doc); Hamming-near signatures ⇒ near-dup."""
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        _widen(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn("h", portable_hash(F.col("tok")))
     )

@@ -91,6 +91,65 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Vectorized exact top-k: the probe set is normalized into one
+    numpy matrix and broadcast; each Arrow batch of the index computes
+    all probe×batch cosines as a single BLAS matmul and emits its
+    batch-local top-k per probe; a final per-probe top-k merges.
+
+    Same output contract as cosine_topk (id, neighbor_id, rank; ties
+    by neighbor id).  ~100× the per-pair expression path on wide
+    batches.  ``probes`` defaults to the whole index (self all-pairs —
+    test scale); at 100 TB pass an explicit probe set ≪ index: the
+    index is scanned once, nothing shuffles except n_probes·k·
+    n_partitions candidate rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_pdf = (probes or df).select(id_col, vec_col).toPandas()
+    P = np.stack([np.asarray(v, dtype=np.float64) for v in probe_pdf[vec_col]])
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    p_ids = probe_pdf[id_col].to_numpy()
+    sc = df.sparkSession.sparkContext
+    b_mat, b_ids = sc.broadcast(P), sc.broadcast(p_ids)
+
+    def gen(batches):
+        mat, pids = b_mat.value, b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            x_ids = pdf[id_col].to_numpy()
+            sims = mat @ X.T                      # n_probes × batch
+            sims[pids[:, None] == x_ids[None, :]] = -np.inf  # self-exclude
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                id_col: np.repeat(pids, kk),
+                "neighbor_id": x_ids[top].ravel(),
+                "_cos": np.take_along_axis(sims, top, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["_cos"] > -np.inf]
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, neighbor_id long, _cos double")
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "rank")
+    )
+
+
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
     """(table, bucket, id, vec) — bucket = sign pattern of N_BITS
     Rademacher projections, packed into an int."""

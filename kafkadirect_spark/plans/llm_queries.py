@@ -224,9 +224,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-3 neighbors — the ANN correctness
-    baseline (ranks output, not raw floats, for hash stability)."""
+    baseline, via the vectorized BLAS-matmul path (ranks output, not
+    raw floats, for hash stability)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.cosine_topk(emb, "vec_id", "embedding", k=3)
+    out = similarity.cosine_topk_blas(emb, "vec_id", "embedding", k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -607,3 +607,92 @@ def yahoo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("campaign"),
         F.col("views"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KTable groupBy re-aggregation (§2.4), SMT chain (§2.7), time travel (§2.1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_group_aggregate",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey,
+             max_by(o_orderstatus, o_orderkey) AS o_orderstatus,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM latest GROUP BY o_orderstatus
+    """,
+)
+def table_group_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable.groupBy + aggregate with retraction — KTable.java:584 →
+    KTableAggregate.java:72-98: each customer's *latest* order re-keys
+    to its status group; superseded orders contribute nothing (the
+    adder/subtractor semantics, collapsed to snapshot re-aggregation —
+    see streaming/retraction.py for the incremental path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = Table.from_changelog(
+        orders, key="o_custkey", order_by="o_orderkey",
+        value_cols=["o_orderstatus", "o_totalprice"])
+    return latest.group_by("o_orderstatus").aggregate(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "smt_chain",
+    oracle="""
+    SELECT event_id,
+           -- trunc: Spark/Java (int) casts truncate; DuckDB's would round
+           CAST(trunc(value) AS INTEGER) AS value_int,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           regexp_replace(event_type, '^(.*)$', 'route-\\1') AS route,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(0 AS BIGINT) AS user_id_masked
+    FROM events
+    """,
+)
+def smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connect SMT chain — Cast → ExtractField (JSON) → RegexRouter →
+    TimestampConverter → MaskField (connect/transforms/.../Cast.java:118,
+    ExtractField.java, RegexRouter.java, TimestampConverter.java:275,
+    MaskField.java), applied as one projection pass."""
+    from kafkadirect_spark.functions import smt
+
+    ev = load_table(spark, sf_dir, "events")
+    out = smt.cast_fields(
+        ev.withColumn("value_int", F.col("value").cast("int"))
+          .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+          .withColumn("route", smt.regex_router("event_type", "^(.*)$", "route-$1"))
+          .withColumn("day", smt.timestamp_converter("ts", "string", "yyyy-MM-dd")),
+        {},
+    )
+    out = smt.mask_field(out.withColumn("user_id_masked", F.col("user_id")),
+                         ["user_id_masked"])
+    return out.select("event_id", "value_int", "k", "route", "day", "user_id_masked")
+
+
+@query(
+    "scan_from_timestamp",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def scan_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel scan — Log.fetchOffsetByTimestamp (Log.scala:1705) /
+    ListOffsets: 'start at the first record with ts ≥ t'.  The
+    timestamp predicate reaches the parquet scan and prunes row groups
+    via min/max stats (the columnar time index)."""
+    from kafkadirect_spark.sources.kafka import scan_from
+
+    ev = load_table(spark, sf_dir, "events")
+    travelled = scan_from(ev, "ts", "2024-01-03 00:00:00")
+    return (Stream(travelled, ts="ts").group_by("event_type")
+            .count(name="n"))
