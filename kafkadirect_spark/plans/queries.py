@@ -687,12 +687,13 @@ def smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel scan — Log.fetchOffsetByTimestamp (Log.scala:1705) /
-    ListOffsets: 'start at the first record with ts ≥ t'.  The
-    timestamp predicate reaches the parquet scan and prunes row groups
-    via min/max stats (the columnar time index)."""
-    from kafkadirect_spark.sources.kafka import scan_from
+    ListOffsets: 'start at the first record with ts ≥ t'.  The bound is
+    pushed onto the raw nanos long so the parquet reader prunes row
+    groups via min/max stats (the columnar time index) — see
+    sources/batch.py:scan_table_from."""
+    from kafkadirect_spark.sources.batch import scan_table_from
 
-    ev = load_table(spark, sf_dir, "events")
-    travelled = scan_from(ev, "ts", "2024-01-03 00:00:00")
+    travelled = scan_table_from(spark, sf_dir, "events", "ts",
+                                "2024-01-03 00:00:00")
     return (Stream(travelled, ts="ts").group_by("event_type")
             .count(name="n"))

@@ -71,6 +71,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_table_from(spark: SparkSession, sf_dir: str, name: str,
+                    ts_col: str, timestamp: str) -> DataFrame:
+    """Time-travel scan — Log.fetchOffsetByTimestamp (core/.../log/
+    Log.scala:1705): start at the first record with ts ≥ t, with the
+    predicate **pushed to the parquet reader** so row groups are pruned
+    by min/max stats (the columnar analogue of TimeIndex.scala).
+
+    For TIMESTAMP(NANOS) columns the normalized ``ts`` is a derived
+    expression (timestamp_micros(ns div 1000)), which Catalyst cannot
+    push through — so the bound is applied to the *raw nanos long*
+    before normalization: ts ≥ T  ⟺  ns ≥ T_µs·1000 (floor-division
+    monotonicity), which is a plain comparison the scan accepts.
+    """
+    from datetime import datetime, timezone
+
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_cols(path)
+    bound = F.lit(timestamp).cast("timestamp")
+    if ts_col not in nanos_cols:
+        return load_table(spark, sf_dir, name).filter(F.col(ts_col) >= bound)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dt = datetime.fromisoformat(timestamp).replace(tzinfo=timezone.utc)
+    t_ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+    df = spark.read.parquet(path).filter(F.col(ts_col) >= F.lit(t_ns))
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

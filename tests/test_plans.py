@@ -1,0 +1,59 @@
+"""Physical-plan quality gates — the 100 TB contract, pinned as tests:
+filters and projections reach the parquet scan, dimension joins
+broadcast, time-travel bounds prune row groups even on nanos columns."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.sources.batch import load_table, scan_table_from
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _pushed(df):
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", _formatted(df))
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (load_table(spark, SF, "lineitem")
+          .filter(F.col("l_quantity") > 25).select("l_orderkey"))
+    plan = _formatted(df)
+    assert "GreaterThan(l_quantity,25.0)" in plan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) >= {"l_orderkey", "l_quantity"}
+    assert "l_extendedprice" not in m.group(1)  # pruned
+
+
+def test_time_travel_pushes_nanos_bound(spark):
+    df = scan_table_from(spark, SF, "events", "ts", "2024-01-02 00:00:00")
+    pushed = " ".join(_pushed(df))
+    assert "GreaterThanOrEqual(ts," in pushed, pushed
+    # and values are correct after normalization
+    assert df.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp")).count() == 0
+
+
+def test_dim_join_broadcasts(spark):
+    from kafkadirect_spark.core import Stream, Table
+    ev = Stream(load_table(spark, SF, "events"), key="user_id", ts="ts")
+    cust = Table(load_table(spark, SF, "customer"), key="c_custkey")
+    out = ev.join_table(cust, on=F.col("user_id") == F.col("c_custkey"))
+    assert "BroadcastHashJoin" in _formatted(out.df)
+
+
+def test_no_cartesian_in_interval_join(spark):
+    from kafkadirect_spark.core import JoinWindows, Stream
+    ev = load_table(spark, SF, "events")
+    l = Stream(ev.select("user_id", F.col("ts").alias("lts")), key="user_id", ts="lts")
+    r = Stream(ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("rts")),
+               key="u2", ts="rts")
+    out = l.join_interval(r, on=F.col("user_id") == F.col("u2"),
+                          windows=JoinWindows.of("5 minutes"))
+    plan = _formatted(out.df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
