@@ -1,9 +1,12 @@
 """Structured-Streaming equivalents of the reference's stateful
 machinery (SURVEY.md §2.6):
 
-- ``suppress``    Suppressed.untilWindowCloses / untilTimeLimit
-- ``retraction``  KTable groupBy re-aggregation (adder/subtractor)
-- ``transform``   Transformer/Processor API ≙ applyInPandasWithState
+- ``suppress``     Suppressed.untilWindowCloses / untilTimeLimit
+- ``retraction``   KTable groupBy re-aggregation (adder/subtractor)
+- ``transform``    Transformer/Processor API ≙ applyInPandasWithState
+- ``interactive``  queryable state (KafkaStreams.store)
 """
 
-from kafkadirect_spark.streaming import retraction, suppress, transform  # noqa: F401
+from kafkadirect_spark.streaming import (  # noqa: F401
+    interactive, retraction, suppress, transform,
+)
