@@ -51,6 +51,10 @@ def main() -> None:
         "similarity_topk": QUERIES["similarity_topk"],
     }
 
+    # JVM/codegen warmup outside the measured window (SimpleBenchmark
+    # also measures steady state, not first-query JIT).
+    load_table(spark, sf_dir, "lineitem").count()
+
     timings: dict[str, float] = {}
     for name, fn in suites.items():
         t0 = time.perf_counter()

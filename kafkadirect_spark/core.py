@@ -338,6 +338,18 @@ class GroupedStream:
         Pass pre-aliased aggregate expressions."""
         return self.df.groupBy(*self.keys).agg(*aggs)
 
+    def aggregate_with(self, fn: Callable, schema: str) -> DataFrame:
+        """KGroupedStream.aggregate with an *arbitrary* Initializer +
+        Aggregator lambda (KGroupedStream.java:256; the §2.8 UDAF
+        surface) — when the fold isn't expressible as Catalyst
+        aggregates, run it as an Arrow-batched per-group pandas
+        function: ``fn(pandas.DataFrame) → pandas.DataFrame`` (one
+        group in, aggregate row(s) out).  Shuffles once on the keys,
+        like any aggregate; prefer expression aggregates (``aggregate``)
+        whenever possible — they get map-side partials, this doesn't."""
+        return self.df.groupBy(*self.keys).applyInPandas(
+            lambda pdf: fn(pdf), schema)
+
     def windowed_by(self, windows: Windows) -> "WindowedGroupedStream":
         """KStream.groupBy(...).windowedBy — TimeWindowedKStreamImpl.java."""
         if self.ts is None:

@@ -98,7 +98,10 @@ def ngram_jaccard_pairs(
     division is one double op on exact integers — bit-identical in any
     engine.
     """
-    sh = _shingle_index(df, text_col, id_col, n)
+    # The inverted index feeds three consumers (both self-join sides +
+    # sizes); persist so the tokenize/hash pipeline runs once, not 3×.
+    # MEMORY_AND_DISK by default — spills rather than recomputes at scale.
+    sh = _shingle_index(df, text_col, id_col, n).persist()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
@@ -150,8 +153,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ])
+    # Tiny table (n_docs × N_BANDS rows of ints); persist so the
+    # upstream shingle→signature pipeline isn't recomputed for both
+    # sides of the self-join.
     buckets = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, "bk.*")
+        id_col, "bk.*").persist()
     key = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
     a = buckets.select(*key, F.col(id_col).alias("id_a"))
     b = buckets.select(*key, F.col(id_col).alias("id_b"))

@@ -153,3 +153,63 @@ def test_streaming_retraction_reaggregate(spark, tmpdir):
         assert results[-1] == {"x": 3, "y": 7}  # old x:5 retracted
     finally:
         q.stop()
+
+
+def test_aggregate_with_arbitrary_fold(spark):
+    """§2.8 Initializer+Aggregator with a non-Catalyst fold (midrange)."""
+    import pandas as pd
+    from kafkadirect_spark.core import Stream
+
+    df = spark.createDataFrame(
+        [("a", 1, t("00:00:00")), ("a", 9, t("00:00:01")), ("b", 4, t("00:00:02"))], KV)
+
+    def midrange(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": [pdf.key.iloc[0]],
+                             "mid": [(pdf.value.min() + pdf.value.max()) / 2.0]})
+
+    out = Stream(df, key="key").group_by_key().aggregate_with(
+        midrange, "key string, mid double")
+    assert {(r.key, r.mid) for r in out.collect()} == {("a", 5.0), ("b", 4.0)}
+
+
+def test_event_time_timer_punctuation(spark, tmpdir):
+    """Punctuation/timers — PunctuationType.STREAM_TIME ≙
+    EventTimeTimeout: a key's timer fires when the watermark passes its
+    timeout timestamp, emitting a final 'flush' row."""
+    _write_batch(spark, tmpdir, [("x", 1, t("00:00:00")), ("x", 1, t("00:00:01"))], 0)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            n = state.getOption[0] if state.exists else 0
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "flushed": [True]})
+        else:
+            opt = state.getOption
+            n = opt[0] if opt else 0
+            mx = 0
+            for pdf in pdfs:
+                n += len(pdf)
+                mx = max(mx, int(pdf.ts.max().timestamp() * 1000))
+            state.update((n,))
+            state.setTimeoutTimestamp(mx + 5_000)  # stream-time punctuation +5s
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "flushed": [False]})
+
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = transform.process_with_state(
+        src.df.withWatermark("ts", "1 second"), ["key"], fn,
+        state_schema="n long", output_schema="key string, n long, flushed boolean",
+        timeout="EventTimeTimeout")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("punct").option("checkpointLocation", f"{tmpdir}/ckpt4").start())
+    try:
+        q.processAllAvailable()
+        # batch advancing the watermark far past x's timeout fires the timer
+        _write_batch(spark, tmpdir, [("y", 1, t("01:00:00"))], 1)
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("y", 1, t("02:00:00"))], 2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM punct").collect()
+        flushed = [(r.key, r.n) for r in rows if r.flushed]
+        assert ("x", 2) in flushed
+    finally:
+        q.stop()
