@@ -272,14 +272,24 @@ class Stream:
         Batch: plain interval join (Catalyst can pick sort-merge with
         range pruning).  Streaming: both sides must carry watermarks.
         """
-        lts = _col(left_ts or self.ts)
-        rts = _col(right_ts or other.ts)
+        lts_name = left_ts or self.ts
+        rts_name = right_ts or other.ts
+        lts, rts = _col(lts_name), _col(rts_name)
         time_pred = rts.between(
             lts - F.expr(f"INTERVAL {windows.before}"),
             lts + F.expr(f"INTERVAL {windows.after}"),
         )
         ldf = self.df.filter(_col(self.key).isNotNull()) if self.key else self.df
         rdf = other.df.filter(_col(other.key).isNotNull()) if other.key else other.df
+        if ldf.isStreaming and rdf.isStreaming:
+            # Both sides buffer in state; watermark = grace (JoinWindows.
+            # grace, JoinWindows.java:233) bounds the buffers, defaulting
+            # to the window span itself so state is GC'd as soon as no
+            # future match is possible (KStreamImplJoin dual window
+            # stores ≙ the two join-state stores here).
+            delay = windows.grace or windows.before
+            ldf = ldf.withWatermark(lts_name, delay)
+            rdf = rdf.withWatermark(rts_name, windows.grace or windows.after)
         joined = ldf.join(rdf, on & time_pred, how)
         return Stream(joined, key=self.key, ts=self.ts)
 

@@ -213,3 +213,67 @@ def test_event_time_timer_punctuation(spark, tmpdir):
         assert ("x", 2) in flushed
     finally:
         q.stop()
+
+
+def test_streaming_stream_stream_interval_join(spark, tmpdir):
+    """Watermarked stream-stream interval join — the streaming form of
+    KStreamKStreamJoin (both sides buffered in join state, matches
+    emitted as they arrive)."""
+    from kafkadirect_spark.core import JoinWindows
+
+    L = "key string, lv string, lts timestamp"
+    R = "rkey string, rv string, rts timestamp"
+    spark.createDataFrame([("k1", "L1", t("00:00:00"))], L) \
+        .coalesce(1).write.parquet(f"{tmpdir}/l/b0")
+    spark.createDataFrame([("k1", "R1", t("00:00:30")),
+                           ("k2", "R2", t("00:00:30"))], R) \
+        .coalesce(1).write.parquet(f"{tmpdir}/r/b0")
+
+    lstream = stream_from_dir(spark, f"{tmpdir}/l/*", L, key="key", ts="lts")
+    rstream = stream_from_dir(spark, f"{tmpdir}/r/*", R, key="rkey", ts="rts")
+    joined = lstream.join_interval(
+        rstream, on=F.col("key") == F.col("rkey"),
+        windows=JoinWindows.of("1 minute", grace="2 minutes"))
+    q = (joined.df.writeStream.outputMode("append").format("memory")
+         .queryName("ssj").option("checkpointLocation", f"{tmpdir}/ckpt5").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj").collect()
+        assert [(r.lv, r.rv) for r in rows] == [("L1", "R1")]
+        # a second left batch joins against the still-buffered right side
+        spark.createDataFrame([("k2", "L2", t("00:00:40"))], L) \
+            .coalesce(1).write.parquet(f"{tmpdir}/l/b1")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj").collect()
+        assert sorted((r.lv, r.rv) for r in rows) == [("L1", "R1"), ("L2", "R2")]
+    finally:
+        q.stop()
+
+
+def test_streaming_yahoo_pipeline(spark, tmpdir):
+    """The Yahoo shape in streaming mode: filter → project →
+    stream-static dim join → watermarked tumbling count (update mode)."""
+    EV = "user_id long, event_type string, ts timestamp"
+    spark.createDataFrame(
+        [(1, "view", t("10:00:10")), (1, "click", t("10:00:20")),
+         (2, "view", t("10:00:30"))], EV) \
+        .coalesce(1).write.parquet(f"{tmpdir}/ev/b0")
+    campaigns = spark.createDataFrame(
+        [(1, "CAMP-A"), (2, "CAMP-B")], "c_custkey long, campaign string")
+
+    from kafkadirect_spark.core import Table, Windows
+    ev = stream_from_dir(spark, f"{tmpdir}/ev/*", EV, key="user_id", ts="ts")
+    agg = (ev.filter(F.col("event_type") == "view")
+           .join_table(Table(campaigns, key="c_custkey"),
+                       on=F.col("user_id") == F.col("c_custkey"))
+           .group_by("campaign")
+           .windowed_by(Windows.tumbling("1 hour", grace="1 minute"))
+           .count(name="views"))
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("yahoo_s").option("checkpointLocation", f"{tmpdir}/ckpt6").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT campaign, views FROM yahoo_s").collect()
+        assert {(r.campaign, r.views) for r in rows} == {("CAMP-A", 1), ("CAMP-B", 1)}
+    finally:
+        q.stop()
