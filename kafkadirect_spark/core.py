@@ -224,9 +224,16 @@ class Stream:
             return self._with(self.df.repartition(num_partitions, F.col(self.key)))
         return self._with(self.df.repartition(F.col(self.key)))
 
-    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
-        """KStream.to — KStream.java:458 (sink)."""
-        self.df.write.mode(mode).parquet(path)
+    def to_parquet(self, path: str, mode: str = "overwrite",
+                   partition_by: Sequence[str] | None = None) -> None:
+        """KStream.to — KStream.java:458 (sink).  ``partition_by`` is
+        the per-record dynamic routing surface (TopicNameExtractor,
+        KStream.java:478): records land in one directory per route
+        value, the columnar analogue of per-record topic routing."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     # -- grouping (§2.4) --------------------------------------------------
 

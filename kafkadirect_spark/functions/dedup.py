@@ -131,8 +131,14 @@ def ngram_jaccard_pairs(
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: one row per doc with sig_0..sig_{31}
     (docs with <n tokens have no shingles and drop out — they can't
-    near-dup anything).  One shuffle: groupBy(doc)."""
-    sh = _shingle_index(df, text_col, id_col, n)
+    near-dup anything).  One shuffle: groupBy(doc).
+
+    Note: no distinct() on the exploded shingles — min() is idempotent
+    under duplicates, so the dedup shuffle the Jaccard path needs is
+    skipped here (signatures are identical either way)."""
+    sh = _widen(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), n)).alias("shingle"))
     h0 = portable_hash(F.col("shingle"))
     mins = [
         F.min((h0 * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(f"sig_{i}")
