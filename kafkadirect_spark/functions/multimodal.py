@@ -79,6 +79,56 @@ def decode_stub(payload: bytes, media_type: str, strict: bool = False) -> dict:
     }
 
 
+def resize_stub(payload: bytes, width: int, height: int,
+                strict: bool = False) -> bytes:
+    """STUB — deterministic fake resize: a real deployment decodes,
+    resamples, re-encodes (PIL/ffmpeg); here the payload is resized to
+    a deterministic w·h-proportional byte slice so downstream plumbing
+    (schemas, batch shapes, size accounting) is exercised for real."""
+    if strict:
+        raise NotImplementedError("real resize requires an image codec")
+    n = max(1, min(len(payload), (width * height) // 64))
+    return payload[:n]
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every ``every_n``-th frame of video/audio payloads: one
+    output row per sampled frame with a deterministic per-frame slice.
+    Arrow-batched mapInPandas; the explode happens executor-side, so
+    output size scales with frames sampled, never with a shuffle."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("n_frames", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf["meta"].tolist() if "meta" in pdf else [{}] * len(pdf)
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], metas):
+                mt = (meta or {}).get("media_type", "video")
+                d = decode_stub(bytes(payload), mt)
+                nf = d["n_frames"]
+                span = max(1, len(payload) // max(nf, 1))
+                for i in range(0, nf, every_n):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "frame_bytes": bytes(payload[i * span:(i + 1) * span]),
+                        "n_frames": nf,
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "frame_bytes", "n_frames"])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: fills the
     decoded width/height/n_frames metadata and a per-payload checksum

@@ -231,11 +231,48 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("similarity_ann_lsh")  # no SQL oracle: approximate operator;
-# recall vs the brute-force baseline is asserted in tests/test_llm_ops.py
+def _ann_oracle_sql() -> str:
+    """Replicate the hyperplane-LSH ANN in SQL: the frozen Rademacher
+    planes are embedded as literal DOUBLE arrays, so DuckDB computes
+    the same buckets, candidates, and ranks as the engine."""
+    planes = similarity._planes(64)
+    selects = []
+    for t, table in enumerate(planes):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {[float(c) for c in plane]}"
+            f"::DOUBLE[]) >= 0 THEN {2 ** j} ELSE 0 END)"
+            for j, plane in enumerate(table)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM v")
+    buckets = " UNION ALL ".join(selects)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    buckets AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS pid, b.vec_id AS nid
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT pid, nid, list_cosine_similarity(va.e, vb.e) AS cos
+      FROM cand JOIN v va ON pid = va.vec_id JOIN v vb ON nid = vb.vec_id
+    ),
+    ranked AS (
+      SELECT pid AS vec_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_oracle_sql())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN top-3 (4 tables × 8 bits): exact
-    cosine only within shared buckets — the sub-quadratic scale path."""
+    """Random-hyperplane LSH ANN top-3 (8 tables × 4 bits): exact
+    cosine only within shared buckets — the sub-quadratic scale path.
+    Fully oracle-verified: the frozen planes are replicated as SQL
+    literals (recall vs brute force is asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.ann_lsh_topk(emb, "vec_id", "embedding", dim=64, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))

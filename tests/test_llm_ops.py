@@ -109,3 +109,24 @@ def test_multimodal_plumbing(docs):
 def test_multimodal_strict_decode_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"bytes", "image", strict=True)
+
+
+def test_multimodal_frame_sampling(docs):
+    media = multimodal.attach_payload(docs.limit(5), "doc_id", "text",
+                                      media_type="video")
+    frames = multimodal.frame_sample(media, every_n=2).collect()
+    assert frames, "videos should yield sampled frames"
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(0, rows[0].n_frames, 2))
+        assert all(len(r.frame_bytes) > 0 for r in rows if r.frame_idx * 1 >= 0)
+
+
+def test_multimodal_resize_stub():
+    out = multimodal.resize_stub(b"x" * 1000, 64, 64)
+    assert len(out) == 64  # 64*64/64
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(b"x", 8, 8, strict=True)
