@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 # Rademacher planes — dot products stay exact in double).  Bucket
 # count per table is 2^N_BITS: size N_BITS so the expected bucket
 # occupancy stays well above k at the target scale (more tables ↑
-# recall, more bits ↓ candidate cost).
-N_TABLES = 8
+# recall, more bits ↓ candidate cost).  16×4 measures recall@3 ≈ 0.89
+# vs brute force on the sf0.01 embeddings (8×4 gave 0.66).
+N_TABLES = 16
 N_BITS = 4
 
 
