@@ -141,7 +141,13 @@ def cosine_topk_blas(
             out = pd.DataFrame(rows)
             yield out[out["_cos"] > -np.inf]
 
-    partial = df.select(id_col, vec_col).mapInPandas(
+    index = df.select(id_col, vec_col)
+    # Run the matmul cluster-wide even when the index scan is a single
+    # file/partition (same rationale as dedup._widen).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if index.rdd.getNumPartitions() < target:
+        index = index.repartition(target)
+    partial = index.mapInPandas(
         gen, schema=f"{id_col} long, neighbor_id long, _cos double")
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     return (
