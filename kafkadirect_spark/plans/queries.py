@@ -347,6 +347,122 @@ def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "windowed_sum_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_sum_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed reduce/aggregate — TimeWindowedKStream.aggregate
+    (TimeWindowedKStreamImpl.java:63-112): per-(window, key) fold
+    beyond count."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    out = (
+        s.group_by("event_type")
+        .windowed_by(Windows.tumbling("1 hour"))
+        .aggregate(
+            F.sum(_dec("value")).cast("double").alias("total"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "total", "max_value",
+    )
+
+
+@query(
+    "session_aggregate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+           COUNT(*) AS n
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session aggregate (beyond count) — SessionWindowedKStream
+    .aggregate with the session Merger (SessionWindowedKStreamImpl.java;
+    merge loop KStreamSessionWindowAggregate.java:94-141)."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    out = (
+        s.group_by_key()
+        .windowed_by(Windows.session("30 minutes"))
+        .aggregate(
+            F.sum(_dec("value")).cast("double").alias("session_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("window.start").alias("session_start"),
+        "session_value", "n",
+    )
+
+
+@query(
+    "unlimited_window_count",
+    oracle="""
+    SELECT TIMESTAMP '2024-01-03 00:00:00' AS window_start, event_type,
+           COUNT(*) AS count
+    FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def unlimited_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlimited (landmark) window — UnlimitedWindows.of().startOn(t)
+    (UnlimitedWindows.java:60,94): one [start, ∞) window per key."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    out = (
+        s.group_by("event_type")
+        .windowed_by(Windows.unlimited("2024-01-03 00:00:00"))
+        .count(name="count")
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "count")
+
+
+@query(
+    "ktable_filter",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice,
+             max_by(o_orderstatus, o_orderkey) AS o_orderstatus
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, o_totalprice, o_orderstatus
+    FROM latest WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    """,
+)
+def ktable_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable.filter — KTable.java:91 → KTableFilter.java: predicate on
+    the table view; non-matching keys are tombstoned (absent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = Table.from_changelog(
+        orders, key="o_custkey", order_by="o_orderkey",
+        value_cols=["o_totalprice", "o_orderstatus"])
+    return latest.filter(
+        (F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O")).df
+
+
 # ---------------------------------------------------------------------------
 # Joins (§2.3) — all six families + the Yahoo flagship pipeline.
 # events.user_id references customer.c_custkey (the stream→dim key).
