@@ -1,0 +1,5 @@
+"""Scale operators that don't exist in the reference but that its
+workloads need at 100 TB: explicit skew mitigation beyond what AQE
+does automatically."""
+
+from kafkadirect_spark.operators import skew  # noqa: F401

@@ -78,3 +78,49 @@ def test_tumbling_equals_hopping_with_equal_advance(spark, rows):
     b = {(r.key, r.window.start, r.n) for r in
          s2.windowed_by(Windows.hopping("7 minutes", "7 minutes")).count(name="n").collect()}
     assert a == b
+
+
+interval_events = st.tuples(
+    st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                       st.integers(min_value=0, max_value=600)),
+             min_size=0, max_size=15),
+    st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                       st.integers(min_value=0, max_value=600)),
+             min_size=0, max_size=15),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(interval_events)
+def test_interval_join_matches_model(spark, sides):
+    """Interval join vs a quadratic Python model: match iff equal key
+    and rts ∈ [lts − before, lts + after] (KStreamKStreamJoin.java:88)."""
+    from kafkadirect_spark.core import JoinWindows, Stream
+
+    lrows, rrows = sides
+    before_s, after_s = 30, 90
+    expected = sorted(
+        (lk, li, ri)
+        for li, (lk, ls) in enumerate(lrows)
+        for ri, (rk, rs) in enumerate(rrows)
+        if lk == rk and ls - before_s <= rs <= ls + after_s
+    )
+    ldf = spark.createDataFrame(
+        [(k, i, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(lrows)] or
+        [("_", -1, BASE)],
+        "key string, li int, lts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, i, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(rrows)] or
+        [("_", -1, BASE)],
+        "rkey string, ri int, rts timestamp")
+    if not lrows:
+        ldf = ldf.filter("li >= 0")
+    if not rrows:
+        rdf = rdf.filter("ri >= 0")
+    out = Stream(ldf, key="key", ts="lts").join_interval(
+        Stream(rdf, key="rkey", ts="rts"),
+        on=F.col("key") == F.col("rkey"),
+        windows=JoinWindows(before=f"{before_s} seconds", after=f"{after_s} seconds"))
+    actual = sorted((r.key, r.li, r.ri) for r in out.df.collect())
+    assert actual == expected
