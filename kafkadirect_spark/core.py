@@ -407,6 +407,27 @@ class WindowedGroupedStream:
     def aggregate(self, *aggs: Column) -> DataFrame:
         return self._grouped().agg(*aggs)
 
+    def aggregate_with(self, fn: Callable, schema: str) -> DataFrame:
+        """Arbitrary per-(window, key) fold — TimeWindowedKStream
+        .aggregate with a non-expressible Aggregator: Arrow-batched
+        pandas function over each window-group.  The window struct is
+        materialized as a real ``window`` column so it reaches the
+        group frame (applyInPandas omits derived grouping exprs), which
+        limits this to one-window-per-row kinds: tumbling/unlimited
+        (hopping duplicates rows, sessions merge — use the expression
+        aggregates there)."""
+        if self.windows.kind not in ("tumbling", "unlimited"):
+            raise ValueError(
+                "aggregate_with supports tumbling/unlimited windows; "
+                f"got {self.windows.kind}")
+        df = self.df
+        if self.windows.kind == "unlimited":
+            df = df.filter(
+                F.col(self.ts) >= F.lit(self.windows.size).cast("timestamp"))
+        df = df.withColumn("window", self.windows.window_col(self.ts))
+        return df.groupBy("window", *self.keys).applyInPandas(
+            lambda pdf: fn(pdf), schema)
+
 
 # ---------------------------------------------------------------------------
 # Table (KTable) / GlobalTable (GlobalKTable)

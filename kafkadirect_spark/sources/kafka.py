@@ -90,6 +90,25 @@ def write_stream(
             .start())
 
 
+def write_stream_routed(
+    stream: Stream,
+    base_path: str,
+    route_col: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+):
+    """Per-record dynamic routing in streaming — TopicNameExtractor
+    (KStream.java:478) over a file sink: each microbatch partitions by
+    the route column, so records land under ``base_path/route=<v>/``.
+    foreachBatch + partitionBy keeps the write idempotent per batch."""
+    def per_batch(batch, batch_id):
+        (batch.write.mode("append").partitionBy(route_col)
+         .format(fmt).save(base_path))
+
+    return (stream.df.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def offsets_for_times(starting: dict[str, dict[int, int]]) -> str:
     """Per-partition offset spec (KafkaConsumer.seek) as the JSON the
     source's startingOffsets option takes."""

@@ -124,3 +124,33 @@ def test_interval_join_matches_model(spark, sides):
         windows=JoinWindows(before=f"{before_s} seconds", after=f"{after_s} seconds"))
     actual = sorted((r.key, r.li, r.ri) for r in out.df.collect())
     assert actual == expected
+
+
+upserts = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2", "k3"]),
+              st.one_of(st.none(), st.integers(min_value=0, max_value=9))),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(upserts)
+def test_from_changelog_matches_model(spark, rows):
+    """Last-wins + tombstone compaction vs a dict replay of the log
+    (LogCleaner.scala:43-92 semantics)."""
+    from kafkadirect_spark.core import Table
+
+    model = {}
+    for k, v in rows:
+        if v is None:
+            model.pop(k, None)   # tombstone deletes
+        else:
+            model[k] = v
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "key string, value int, offset bigint")
+    t = Table.from_changelog(df, key="key", order_by="offset",
+                             value_cols=["value"], tombstone_col="value")
+    got = {r.key: r.value for r in t.df.collect()}
+    assert got == model

@@ -277,3 +277,60 @@ def test_streaming_yahoo_pipeline(spark, tmpdir):
         assert {(r.campaign, r.views) for r in rows} == {("CAMP-A", 1), ("CAMP-B", 1)}
     finally:
         q.stop()
+
+
+def test_windowed_aggregate_with_fold(spark):
+    """Arbitrary per-(window,key) fold via applyInPandas."""
+    import pandas as pd
+    from kafkadirect_spark.core import Stream, Windows
+
+    df = spark.createDataFrame(
+        [("a", 1, t("10:05:00")), ("a", 9, t("10:20:00")), ("a", 4, t("11:05:00"))], KV)
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": [pdf.key.iloc[0]],
+            "window_start": [pdf.window.iloc[0]["start"]],
+            "spread": [int(pdf.value.max() - pdf.value.min())],
+        })
+
+    out = (Stream(df, key="key", ts="ts").group_by_key()
+           .windowed_by(Windows.tumbling("1 hour"))
+           .aggregate_with(spread, "key string, window_start timestamp, spread int"))
+    got = {(r.window_start.hour, r.spread) for r in out.collect()}
+    assert got == {(10, 8), (11, 0)}
+
+
+def test_streaming_routed_sink(spark, tmpdir):
+    """Dynamic per-record routing (TopicNameExtractor) on a streaming
+    file sink: records land under route=<value> directories."""
+    from kafkadirect_spark.core import Stream as KStream
+    from kafkadirect_spark.sources.kafka import write_stream_routed
+
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:00")), ("b", 2, t("00:00:01"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    q = write_stream_routed(KStream(src.df, key="key", ts="ts"),
+                            f"{tmpdir}/routed", route_col="key",
+                            checkpoint=f"{tmpdir}/ckpt7")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob
+    dirs = sorted(p.split("/")[-1] for p in glob.glob(f"{tmpdir}/routed/key=*"))
+    assert dirs == ["key=a", "key=b"]
+    back = spark.read.parquet(f"{tmpdir}/routed")
+    assert back.count() == 2
+
+
+def test_kafka_wrapper_options(spark):
+    """Kafka wrappers: option construction fails fast without
+    subscribe/pattern; offsets JSON matches the seek spec shape."""
+    import json
+    import pytest as _pytest
+    from kafkadirect_spark.sources import kafka as k
+
+    with _pytest.raises(ValueError):
+        k.read_stream(spark, "broker:9092")
+    spec = k.offsets_for_times({"topic-a": {0: 100, 1: 200}})
+    assert json.loads(spec) == {"topic-a": {"0": 100, "1": 200}}
