@@ -86,3 +86,12 @@ def test_global_table_join_arbitrary_mapper(spark, left):
     assert got == [("L1", "G1"), ("L2", "G1"), ("L3", "G2")]
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # GlobalKTable ⇒ broadcast, no shuffle
+
+
+def test_global_table_left_join_null_pads(spark, left):
+    gt = GlobalTable(spark.createDataFrame(
+        [("1", "G1")], "gk string, gv string"), key="gk")
+    out = left.filter(F.col("key").isNotNull()).join_global(
+        gt, on=F.regexp_extract("key", "k(\\d)", 1) == F.col("gk"), how="left")
+    got = sorted((r.lv, r.gv) for r in out.df.collect())
+    assert got == [("L1", "G1"), ("L2", "G1"), ("L3", None)]

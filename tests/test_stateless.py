@@ -116,3 +116,14 @@ def test_through_repartitions(kv):
     out = kv.through(num_partitions=2)
     assert out.df.rdd.getNumPartitions() == 2
     assert out.df.count() == 6
+
+
+def test_flat_map_keeps_ts_when_present(spark):
+    s = Stream(spark.createDataFrame(
+        [("k", 2, t("00:01:00"))], "key string, n int, ts timestamp"),
+        key="key", ts="ts")
+    arr = F.transform(F.sequence(F.lit(1), F.col("n")),
+                      lambda i: F.struct(i.alias("newkey"), F.col("ts").alias("ts")))
+    out = s.flat_map(arr, key="newkey")
+    assert out.ts == "ts"           # event-time column survives the re-key
+    assert out.df.count() == 2

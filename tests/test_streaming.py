@@ -334,3 +334,21 @@ def test_kafka_wrapper_options(spark):
         k.read_stream(spark, "broker:9092")
     spec = k.offsets_for_times({"topic-a": {0: 100, 1: 200}})
     assert json.loads(spec) == {"topic-a": {"0": 100, "1": 200}}
+
+
+def test_until_time_limit_rate_limited_emission(spark, tmpdir):
+    """untilTimeLimit ≙ update mode + processingTime trigger: updates
+    coalesce per trigger and emit at most once per interval (smoke:
+    the configured query runs and emits coalesced counts)."""
+    _write_batch(spark, tmpdir, [("a", 1, t("10:00:10")), ("a", 1, t("10:00:40"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    agg = Stream(src.df, key="key", ts="ts").group_by_key().count(name="n")
+    q = suppress.until_time_limit(agg, "1 second", query_name="rl",
+                                  checkpoint=f"{tmpdir}/ckpt8").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rl").collect()
+        # both input records coalesced into one emission for key a
+        assert [(r.key, r.n) for r in rows] == [("a", 2)]
+    finally:
+        q.stop()

@@ -89,3 +89,12 @@ def test_to_stream_roundtrip(upserts):
     s = t.to_stream()
     assert s.key == "key"
     assert s.df.count() == 2
+
+
+def test_table_join_different_key_names(spark):
+    a = Table(spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "akey string, a int"), key="akey")
+    b = Table(spark.createDataFrame(
+        [("k2", 20), ("k3", 30)], "bkey string, b int"), key="bkey")
+    got = {(r.akey, r.a, r.b) for r in a.join(b, "inner").df.collect()}
+    assert got == {("k2", 2, 20)}
