@@ -157,6 +157,53 @@ def cosine_topk_blas(
     )
 
 
+def cosine_pairs_blas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: ALL pairs (id_a < id_b) with cosine ≥
+    threshold — exact, via the same broadcast-matmul batch plan as
+    cosine_topk_blas but emitting every above-threshold hit instead of
+    a top-k.  Output bounded by the true near-dup count, so the only
+    scale knob is the probe set (pass a candidate subset — e.g. LSH
+    bucket members — when the full cross product is too hot)."""
+    import numpy as np
+    import pandas as pd
+
+    probe_pdf = (probes or df).select(id_col, vec_col).toPandas()
+    P = np.stack([np.asarray(v, dtype=np.float64) for v in probe_pdf[vec_col]])
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    p_ids = probe_pdf[id_col].to_numpy()
+    sc = df.sparkSession.sparkContext
+    b_mat, b_ids = sc.broadcast(P), sc.broadcast(p_ids)
+
+    def gen(batches):
+        mat, pids = b_mat.value, b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            x_ids = pdf[id_col].to_numpy()
+            sims = mat @ X.T
+            pi, xi = np.where((sims >= threshold) &
+                              (pids[:, None] < x_ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": pids[pi], "id_b": x_ids[xi],
+                "cosine": sims[pi, xi],
+            })
+
+    index = df.select(id_col, vec_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if index.rdd.getNumPartitions() < target:
+        index = index.repartition(target)
+    return index.mapInPandas(
+        gen, schema="id_a long, id_b long, cosine double")
+
+
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
     """(table, bucket, id, vec) — bucket = sign pattern of N_BITS
     Rademacher projections, packed into an int."""

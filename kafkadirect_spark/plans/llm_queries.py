@@ -279,6 +279,24 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45) — exact, via the
+    broadcast-matmul batch plan (ids only in the output: the float is
+    engine-rounding-sensitive, the pair set is not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blas(
+        emb, "vec_id", "embedding", threshold=0.45).select("id_a", "id_b")
+
+
+@query(
     "multimodal_meta",
     oracle="""
     WITH ch AS (
