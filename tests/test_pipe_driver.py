@@ -1,0 +1,46 @@
+"""PipeDriver (TopologyTestDriver analogue) — golden sequences piped
+batch-by-batch, outputs read synchronously."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.core import Stream, Windows
+from kafkadirect_spark.testing import PipeDriver
+
+KV = "key string, value int, ts timestamp"
+
+
+def t(s):
+    return datetime.fromisoformat(f"2024-01-01 {s}")
+
+
+def test_pipe_running_count(spark):
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: s.group_by_key().count(name="n"),
+        key="key", ts="ts",
+    ) as d:
+        d.pipe([("a", 1, t("00:00:00")), ("b", 1, t("00:00:01"))])
+        first = {(r.key, r.n) for r in d.read_output()}
+        assert first == {("a", 1), ("b", 1)}
+        d.pipe([("a", 1, t("00:00:02"))])
+        second = {(r.key, r.n) for r in d.read_output()}
+        assert second == {("a", 2)}  # update mode: only the changed key
+
+
+def test_pipe_suppressed_window_emits_on_close(spark):
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: (
+            s.group_by_key()
+            .windowed_by(Windows.tumbling("1 minute", grace="30 seconds"))
+            .count(name="n")),
+        key="key", ts="ts",
+        output_mode="append",  # untilWindowCloses
+    ) as d:
+        d.pipe([("a", 1, t("10:00:10")), ("a", 1, t("10:00:40"))])
+        assert d.read_output() == []          # window still open
+        d.pipe([("a", 1, t("10:05:00"))])     # watermark passes the end
+        out = [(r.key, r.n) for r in d.read_output()]
+        assert out == [("a", 2)]
