@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkadirect_spark.functions import dedup, multimodal, similarity, text
-from kafkadirect_spark.functions.dedup import HASH_P, N_PERM, PERMS, ROWS_PER_BAND
+from kafkadirect_spark.functions.dedup import HASH_P, PERMS, ROWS_PER_BAND
 from kafkadirect_spark.plans.queries import query
 from kafkadirect_spark.sources.batch import load_table
 

@@ -9,14 +9,13 @@ KTableAggregate.java:72-98.
 
 import shutil
 import tempfile
-import time
 from datetime import datetime
 
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from kafkadirect_spark.core import Stream, Table, Windows
+from kafkadirect_spark.core import Stream, Windows
 from kafkadirect_spark.sources.stream import stream_from_dir
 from kafkadirect_spark.streaming import retraction, suppress, transform
 
