@@ -55,10 +55,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -71,9 +73,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via the shingle inverted
-    index — the near-dup verifier (no all-pairs join)."""
+    index, with the hot-shingle cap (max_doc_freq=50) that keeps the
+    join sub-quadratic at scale — the oracle verifies the *capped*
+    variant, i.e. exactly the shape we'd run at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                     threshold=0.5, max_doc_freq=50)
 
 
 @query(
