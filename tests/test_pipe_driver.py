@@ -44,3 +44,28 @@ def test_pipe_suppressed_window_emits_on_close(spark):
         d.pipe([("a", 1, t("10:05:00"))])     # watermark passes the end
         out = [(r.key, r.n) for r in d.read_output()]
         assert out == [("a", 2)]
+
+
+def test_pipe_session_window_merge_across_batches(spark):
+    """Session merges across microbatches, emitted finally at close
+    (streaming session aggregation supports append mode only —
+    Spark's equivalent of suppression being mandatory here)."""
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: (
+            s.group_by_key()
+            .windowed_by(Windows.session("10 minutes", grace="1 minute"))
+            .count(name="n")
+            .select(F.col("key"), F.col("window.start").alias("ws"), "n")),
+        key="key", ts="ts",
+        output_mode="append",
+    ) as d:
+        d.pipe([("a", 1, t("09:00:00"))])
+        d.pipe([("a", 1, t("09:05:00"))])   # within gap → merges
+        assert d.read_output() == []        # session still open
+        d.pipe([("a", 1, t("10:00:00"))])   # far → new session; closes first
+        first = [(r.ws.time().isoformat(), r.n) for r in d.read_output()]
+        assert first == [("09:00:00", 2)]   # merged session, emitted once
+        d.pipe([("a", 1, t("11:00:00"))])   # closes the second session
+        second = [(r.ws.time().isoformat(), r.n) for r in d.read_output()]
+        assert second == [("10:00:00", 1)]
