@@ -36,8 +36,20 @@ def main() -> None:
     def consume(spark, sf):
         return load_table(spark, sf, "lineitem")
 
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="kds-bench-")
+
+    def consumeproduce(spark, sf):
+        # scan → rewrite (SimpleBenchmark consumeproduce); the write IS
+        # the measurement, so return a trivial frame for the noop sink.
+        load_table(spark, sf, "lineitem").write.mode("overwrite").parquet(
+            f"{out_dir}/lineitem_copy")
+        return spark.range(1)
+
     suites: dict[str, callable] = {
         "consume": consume,
+        "consumeproduce": consumeproduce,
         "streamprocess": QUERIES["filter_project"],
         "streamcount": QUERIES["stream_count"],
         "streamcountwindowed": QUERIES["windowed_count_tumbling"],
