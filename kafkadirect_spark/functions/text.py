@@ -91,6 +91,29 @@ def lang_guess(toks: Column, threshold: float = 0.05) -> Column:
             .otherwise(F.lit("unknown"))
 
 
+BPE_PIECE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token-count estimate: count pre-tokenizer pieces
+    (letter runs / digit runs / punctuation runs, each with optional
+    leading space) on the lowercased text — the standard 'how many
+    tokens will the tokenizer emit, roughly' proxy.  The pattern is
+    RE2-safe (no lookahead) so the SQL oracle computes it identically."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PIECE_RE), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation (not
+    alphanumeric) — a standard quality-scoring signal."""
+    c = F.col(text) if isinstance(text, str) else text
+    nonspace = F.length(F.regexp_replace(c, " ", ""))
+    punct = F.length(F.regexp_replace(F.lower(c), "[a-z0-9 ]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace) \
+            .otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column | str, k: int = 5) -> Column:
     """Document fingerprint: min portable hash over character k-grams
     (the 1-fingerprint degenerate case of winnowing).  Equal

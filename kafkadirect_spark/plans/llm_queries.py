@@ -191,6 +191,41 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT)
+             AS bpe_tokens,
+           CASE WHEN length(replace(text, ' ', '')) > 0
+                THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(replace(text, ' ', ''))
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(w) > 0 AND length(text) >= 200
+                     AND CAST(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(w) >= 0.02
+                THEN true ELSE false END AS keep
+    FROM tok
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: BPE-ish token estimate, punctuation ratio, and
+    a keep/drop gate (length + stopword-ratio heuristic) — the filter
+    stage of a training-data pipeline, as pure column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    keep = (
+        (F.size(w) > 0) & (F.length("text") >= 200)
+        & (text.stopword_ratio(w) >= 0.02)
+    )
+    return docs.select(
+        "doc_id",
+        text.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        keep.alias("keep"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
