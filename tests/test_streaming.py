@@ -351,3 +351,39 @@ def test_until_time_limit_rate_limited_emission(spark, tmpdir):
         assert [(r.key, r.n) for r in rows] == [("a", 2)]
     finally:
         q.stop()
+
+
+def test_streaming_left_interval_join_emits_at_expiry(spark, tmpdir):
+    """Streaming LEFT interval join: the null-padded row for an
+    unmatched left record is emitted only once the watermark proves no
+    match can arrive (SURVEY §7: Spark's post-KIP-633 semantics,
+    declared in place of Kafka's eager spurious emission)."""
+    from kafkadirect_spark.core import JoinWindows
+
+    L = "key string, lv string, lts timestamp"
+    R = "rkey string, rv string, rts timestamp"
+    spark.createDataFrame([("k1", "L1", t("00:00:00"))], L) \
+        .coalesce(1).write.parquet(f"{tmpdir}/l/b0")
+    spark.createDataFrame([("zz", "seed", t("00:00:00"))], R) \
+        .coalesce(1).write.parquet(f"{tmpdir}/r/b0")
+
+    lstream = stream_from_dir(spark, f"{tmpdir}/l/*", L, key="key", ts="lts")
+    rstream = stream_from_dir(spark, f"{tmpdir}/r/*", R, key="rkey", ts="rts")
+    joined = lstream.join_interval(
+        rstream, on=F.col("key") == F.col("rkey"),
+        windows=JoinWindows.of("1 minute", grace="1 minute"), how="left")
+    q = (joined.df.writeStream.outputMode("append").format("memory")
+         .queryName("lsj").option("checkpointLocation", f"{tmpdir}/ckpt9").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM lsj").count() == 0  # match still possible
+        # advance both watermarks far past L1's window
+        spark.createDataFrame([("zz", "adv", t("01:00:00"))], L) \
+            .coalesce(1).write.parquet(f"{tmpdir}/l/b1")
+        spark.createDataFrame([("zz", "adv", t("01:00:00"))], R) \
+            .coalesce(1).write.parquet(f"{tmpdir}/r/b1")
+        q.processAllAvailable()
+        rows = {(r.lv, r.rv) for r in spark.sql("SELECT * FROM lsj").collect()}
+        assert ("L1", None) in rows  # null-padded exactly at expiry
+    finally:
+        q.stop()
