@@ -26,8 +26,11 @@ API so that at 100 TB the physical plan (shuffles, broadcasts,
 pushdown, codegen) is chosen by Catalyst + AQE, not hand-scheduled.
 """
 
-from kafkadirect_spark.core import GlobalTable, Stream, Table
+from kafkadirect_spark.core import (
+    GlobalTable, JoinWindows, Stream, Table, Windows,
+)
 from kafkadirect_spark.session import get_spark
 
-__all__ = ["Stream", "Table", "GlobalTable", "get_spark"]
-__version__ = "0.1.0"
+__all__ = ["Stream", "Table", "GlobalTable", "Windows", "JoinWindows",
+           "get_spark"]
+__version__ = "0.2.0"

@@ -8,4 +8,6 @@ except the explicitly-marked Pandas-UDF paths (multimodal decode),
 which are Arrow-batched.  No row-at-a-time Python UDFs anywhere.
 """
 
-from kafkadirect_spark.functions import dedup, similarity, smt, text  # noqa: F401
+from kafkadirect_spark.functions import (  # noqa: F401
+    dedup, multimodal, similarity, smt, text,
+)
