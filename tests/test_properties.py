@@ -154,3 +154,67 @@ def test_from_changelog_matches_model(spark, rows):
                              value_cols=["value"], tombstone_col="value")
     got = {r.key: r.value for r in t.df.collect()}
     assert got == model
+
+
+kv_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.one_of(st.none(), st.integers(min_value=-5, max_value=5))),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(kv_rows)
+def test_branch_partitions_exactly_once(spark, rows):
+    """branch: every record lands in exactly the branch of its first
+    matching predicate, or none (KStreamBranch.java:40-52)."""
+    from kafkadirect_spark.core import Stream
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "key string, value int, idx int")
+    preds = [F.col("value") > 0, F.col("key") == "a"]
+    branches = Stream(df, key="key").branch(*preds)
+    got = [sorted(r.idx for r in b.df.collect()) for b in branches]
+
+    def model(k, v):
+        if v is not None and v > 0:
+            return 0
+        if k == "a":
+            return 1
+        return None
+
+    expected = [[], []]
+    for i, (k, v) in enumerate(rows):
+        m = model(k, v)
+        if m is not None:
+            expected[m].append(i)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events)
+def test_hopping_window_membership(spark, rows):
+    """Hopping windows: a record belongs to every window whose
+    [start, start+size) covers it — counts must equal a direct
+    per-window model (TimeWindows.java:176-186 windowsFor)."""
+    from kafkadirect_spark.core import Stream, Windows
+
+    size_s, adv_s = 600, 180
+    df = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s)) for k, s in rows],
+        "key string, ts timestamp")
+    out = (Stream(df, key="key", ts="ts").group_by_key()
+           .windowed_by(Windows.hopping("10 minutes", "3 minutes"))
+           .count(name="n"))
+    actual = {(r.key, int((r.window.start - BASE).total_seconds())): r.n
+              for r in out.collect()}
+    model = {}
+    for k, s in rows:
+        w = (s // adv_s) * adv_s  # last grid start <= s
+        while w > s - size_s:     # every start with w <= s < w + size
+            model[(k, w)] = model.get((k, w), 0) + 1
+            w -= adv_s            # grid starts may precede BASE (negative)
+    assert actual == model
