@@ -228,14 +228,24 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 3)
     """Approximate top-k: exact cosine restricted to bucket-sharing
     candidates.  Recall grows with N_TABLES; cost is Σ bucket²
     instead of n²."""
-    b = lsh_buckets(df, id_col, vec_col, dim)
-    a = b.select("table", "bucket", F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
-    c = b.select("table", "bucket", F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
-    cands = (
+    b = lsh_buckets(df, id_col, vec_col, dim).persist()
+    a = b.select("table", "bucket", F.col(id_col).alias("_pid"))
+    c = b.select("table", "bucket", F.col(id_col).alias("_nid"))
+    # dedup on id pairs (cheap ints), then join the vectors back once —
+    # distinct over float arrays would shuffle the embeddings N_TABLES×.
+    pairs = (
         a.join(c, ["table", "bucket"])
         .filter(F.col("_pid") != F.col("_nid"))
-        .select("_pid", "_pvec", "_nid", "_nvec")
+        .select("_pid", "_nid")
         .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cands = (
+        pairs
+        .join(vecs.select(F.col(id_col).alias("_pid"),
+                          F.col(vec_col).alias("_pvec")), "_pid")
+        .join(vecs.select(F.col(id_col).alias("_nid"),
+                          F.col(vec_col).alias("_nvec")), "_nid")
     )
     scored = cands.withColumn("_cos", cosine(F.col("_pvec"), F.col("_nvec")))
     w = Window.partitionBy("_pid").orderBy(F.col("_cos").desc(), F.col("_nid"))
