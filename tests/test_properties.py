@@ -42,7 +42,7 @@ def _model_sessions(rows, gap_s):
     return out
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(events)
 def test_session_windows_match_model(spark, rows):
@@ -62,7 +62,7 @@ def test_session_windows_match_model(spark, rows):
     assert actual == _model_sessions(rows, 600)
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(events)
 def test_tumbling_equals_hopping_with_equal_advance(spark, rows):
@@ -90,7 +90,7 @@ interval_events = st.tuples(
 )
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(interval_events)
 def test_interval_join_matches_model(spark, sides):
@@ -133,7 +133,7 @@ upserts = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(upserts)
 def test_from_changelog_matches_model(spark, rows):
@@ -163,7 +163,7 @@ kv_rows = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(kv_rows)
 def test_branch_partitions_exactly_once(spark, rows):
@@ -193,7 +193,7 @@ def test_branch_partitions_exactly_once(spark, rows):
     assert got == expected
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(events)
 def test_hopping_window_membership(spark, rows):
