@@ -56,14 +56,31 @@ def read_stream(
         r = r.option("startingOffsets", starting_offsets)
     df = r.load()
     if value_schema:
-        df = df.select(
-            F.col("key").cast("string").alias("key"),
-            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-            F.col("timestamp").alias("ts"),
-            "topic", "partition", "offset",
-        ).select("key", "v.*", "ts", "topic", "partition", "offset")
-        return Stream(df, key="key", ts="ts")
+        return Stream(parse_records(df, value_schema), key="key", ts="ts")
     return Stream(df, key="key", ts="timestamp")
+
+
+def parse_records(df: DataFrame, value_schema: str) -> DataFrame:
+    """Deserialize the Kafka record shape (§1.1: key/value bytes +
+    timestamp + topic/partition/offset) into typed columns: the
+    consumer-side serde.  Pure transform — testable without a broker."""
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("timestamp").alias("ts"),
+        "topic", "partition", "offset",
+    ).select("key", "v.*", "ts", "topic", "partition", "offset")
+
+
+def serialize_records(stream: Stream) -> DataFrame:
+    """Producer-side serde: (key string, value JSON) from a typed
+    Stream — the record shape KStream.to puts on the wire.  Pure
+    transform — testable without a broker."""
+    df = stream.df
+    key = F.col(stream.key).cast("string").alias("key") if stream.key \
+        else F.lit(None).cast("string").alias("key")
+    value_cols = [c for c in df.columns if c != stream.key]
+    return df.select(key, F.to_json(F.struct(*value_cols)).alias("value"))
 
 
 def write_stream(
@@ -77,11 +94,7 @@ def write_stream(
     a JSON value; returns the started StreamingQuery.  At-least-once
     (checkpoint + Kafka producer retries) — the Spark Kafka sink has
     no transactional EOS, which BASELINE.json scopes out."""
-    df = stream.df
-    key = F.col(stream.key).cast("string").alias("key") if stream.key \
-        else F.lit(None).cast("string").alias("key")
-    value_cols = [c for c in df.columns if c != stream.key]
-    out = df.select(key, F.to_json(F.struct(*value_cols)).alias("value"))
+    out = serialize_records(stream)
     return (out.writeStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("topic", topic)

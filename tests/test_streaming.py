@@ -387,3 +387,31 @@ def test_streaming_left_interval_join_emits_at_expiry(spark, tmpdir):
         assert ("L1", None) in rows  # null-padded exactly at expiry
     finally:
         q.stop()
+
+
+def test_kafka_serde_roundtrip(spark):
+    """Producer/consumer serde as pure transforms: a typed Stream
+    serializes to (key, JSON value) and parses back to the same typed
+    columns — the wire contract of read_stream/write_stream, testable
+    without a broker."""
+    from kafkadirect_spark.sources import kafka as k
+
+    src = Stream(spark.createDataFrame(
+        [("u1", 7, t("00:00:01"))], "key string, value int, ts timestamp"),
+        key="key", ts="ts")
+    wire = k.serialize_records(src)
+    row = wire.first()
+    assert row.key == "u1" and '"value":7' in row.value
+
+    # simulate the kafka source record shape, then parse back
+    fake = wire.select(
+        F.encode("key", "UTF-8").alias("key"),
+        F.encode("value", "UTF-8").alias("value"),
+        F.lit(t("00:00:05")).alias("timestamp"),
+        F.lit("topic-a").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.lit(42).alias("offset"),
+    )
+    parsed = k.parse_records(fake, "value int, ts timestamp").first()
+    assert (parsed.key, parsed.value, parsed.topic, parsed.offset) == \
+        ("u1", 7, "topic-a", 42)
