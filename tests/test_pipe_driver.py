@@ -69,3 +69,30 @@ def test_pipe_session_window_merge_across_batches(spark):
         d.pipe([("a", 1, t("11:00:00"))])   # closes the second session
         second = [(r.ws.time().isoformat(), r.n) for r in d.read_output()]
         assert second == [("10:00:00", 1)]
+
+
+def test_late_record_beyond_grace_is_dropped(spark):
+    """Late-data drop — KStreamWindowAggregate.java:131-151: a record
+    arriving after its window closed (stream time ≥ end + grace) is
+    dropped, not re-opened.  Spark: the watermark already emitted the
+    final append row; the late record must not produce another."""
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: (
+            s.group_by_key()
+            .windowed_by(Windows.tumbling("1 minute", grace="30 seconds"))
+            .count(name="n")),
+        key="key", ts="ts",
+        output_mode="append",
+    ) as d:
+        d.pipe([("a", 1, t("10:00:10"))])
+        d.pipe([("a", 1, t("10:05:00"))])   # closes the 10:00 window
+        closed = [(r.key, r.n) for r in d.read_output()]
+        assert closed == [("a", 1)]
+        # a record for the already-closed window, far beyond grace
+        d.pipe([("a", 1, t("10:00:20"))])
+        d.pipe([("a", 1, t("10:10:00"))])   # push stream time further
+        late_out = [(r.key, r.window.start.time().isoformat(), r.n)
+                    for r in d.read_output()]
+        # no re-emission for the 10:00 window — the late record was dropped
+        assert all(ws != "10:00:00" for _, ws, _ in late_out), late_out
