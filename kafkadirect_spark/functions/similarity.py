@@ -169,7 +169,12 @@ def cosine_pairs_blas(
     cosine_topk_blas but emitting every above-threshold hit instead of
     a top-k.  Output bounded by the true near-dup count, so the only
     scale knob is the probe set (pass a candidate subset — e.g. LSH
-    bucket members — when the full cross product is too hot)."""
+    bucket members — when the full cross product is too hot).
+
+    Pairs are emitted once, in (id_a < id_b) order — so a custom
+    ``probes`` subset finds only pairs whose *lower* id is a probe;
+    pass the full bucket membership (not one side) as probes when
+    using LSH candidates."""
     import numpy as np
     import pandas as pd
 

@@ -41,7 +41,6 @@ def salted_join(
     b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-    cond = (F.col(key) == F.col(small_key)) if key != small_key else key
     if key == small_key:
         joined = b.join(s, on=[key, "__salt"], how=how)
     else:

@@ -43,3 +43,11 @@ def test_salted_agg_matches_plain(spark):
                          F.collect_list("pv")))).alias("nd")],
         salt=4).collect()}
     assert salted == plain
+
+
+def test_salted_join_different_key_names(spark):
+    big = spark.createDataFrame([("hot", 1), ("x", 2)], "bkey string, v int")
+    small = spark.createDataFrame([("hot", "H")], "skey string, d string")
+    out = skew.salted_join(big, small, "bkey", small_key="skey", salt=4)
+    assert "__salt" not in out.columns
+    assert [(r.bkey, r.d) for r in out.collect()] == [("hot", "H")]
