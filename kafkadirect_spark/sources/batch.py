@@ -58,6 +58,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same file.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # The engine declares UTC event-time semantics (session.py): wall-
+    # clock functions (date_trunc, date_format) must agree with the
+    # TZ-free epoch alignment of F.window and with the DuckDB oracles.
+    # Enforced here so externally-built sessions get it too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         # Runtime-settable; applied here (not only in get_spark) so the
