@@ -463,6 +463,85 @@ def ktable_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O")).df
 
 
+@query(
+    "select_key_regroup",
+    oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS shard, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    """,
+)
+def select_key_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """selectKey → groupByKey — KStream.java:111 → 895: re-keying marks
+    a repartition in the reference; here Catalyst inserts the single
+    shuffle only because the aggregate follows."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    return (
+        s.select_key((F.col("user_id") % 10).cast("long"), name="shard")
+        .group_by_key()
+        .aggregate(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@query(
+    "windowed_avg_hopping",
+    oracle="""
+    SELECT ws AS window_start, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM (
+      SELECT e.event_type, e.value,
+             unnest(generate_series(
+               CAST(to_timestamp(floor(epoch(e.ts)/1800)*1800) AS TIMESTAMP) - INTERVAL 30 MINUTE,
+               CAST(to_timestamp(floor(epoch(e.ts)/1800)*1800) AS TIMESTAMP),
+               INTERVAL 30 MINUTE)) AS ws
+      FROM events e
+    ) x
+    GROUP BY 1, 2
+    """,
+)
+def windowed_avg_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate beyond count — 1h windows sliding by
+    30m (2 windows per record), averaging through the decimal-exact
+    sum/count decomposition."""
+    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
+    out = (
+        s.group_by("event_type")
+        .windowed_by(Windows.hopping("1 hour", "30 minutes"))
+        .aggregate(
+            (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "avg_value")
+
+
+@query(
+    "table_map_values",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, max_by(o_totalprice, o_orderkey) AS price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(CAST(price AS DECIMAL(18,2)) * 110 AS DOUBLE) / 100.0 AS with_tax
+    FROM latest
+    """,
+)
+def table_map_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable.mapValues — KTable.java:225 → KTableMapValues.java: value
+    transform over the latest-by-key view."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = Table.from_changelog(
+        orders.select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("price")),
+        key="o_custkey", order_by="o_orderkey", value_cols=["price"])
+    out = latest.map_values(
+        with_tax=(_dec("price") * 110).cast("double") / F.lit(100.0))
+    return out.df.select("o_custkey", "with_tax")
+
+
 # ---------------------------------------------------------------------------
 # Joins (§2.3) — all six families + the Yahoo flagship pipeline.
 # events.user_id references customer.c_custkey (the stream→dim key).
