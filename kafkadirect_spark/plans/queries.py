@@ -892,3 +892,167 @@ def scan_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "2024-01-03 00:00:00")
     return (Stream(travelled, ts="ts").group_by("event_type")
             .count(name="n"))
+
+
+@query(
+    "join_interval_outer",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           COALESCE(l.user_id, r.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 1 MINUTE AND l.ts + INTERVAL 1 MINUTE
+    """,
+)
+def join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer interval join — KStream.java:1429 (outerJoin) →
+    KStreamKStreamJoin.java emitLeftJoin path on BOTH sides: unmatched
+    records of either stream are null-padded.  The result key is the
+    coalesced join key (both sides keyed identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = Stream(
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts")),
+        key="user_id", ts="click_ts",
+    )
+    purchases = Stream(
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("r_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts")),
+        key="r_user_id", ts="purchase_ts",
+    )
+    out = clicks.join_interval(
+        purchases,
+        on=F.col("user_id") == F.col("r_user_id"),
+        windows=JoinWindows.of("1 minute"),
+        how="outer",
+    )
+    return out.df.select(
+        "click_id", "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("r_user_id")).alias("user_id"),
+    )
+
+
+@query(
+    "map_rekey_count",
+    oracle="""
+    SELECT user_id % 10 AS shard,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    """,
+)
+def map_rekey_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream.map re-key + re-value — KStream.java:149 →
+    KStreamMap.java: each record gets a new key (shard) and a reshaped
+    value; the map marks a repartition, so the downstream count
+    shuffles on the NEW key (KStreamImpl repartitionRequired)."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    mapped = s.map(F.col("user_id") % 10, key_name="shard",
+                   amount=_dec("value"))
+    return (
+        mapped.group_by_key()
+        .aggregate(F.count(F.lit(1)).alias("n"),
+                   F.sum("amount").cast("double").alias("total"))
+    )
+
+
+@query(
+    "flat_map_rekey_ledger",
+    oracle="""
+    WITH fanout AS (
+      SELECT 'u:' || user_id AS key, value FROM events
+      UNION ALL
+      SELECT 't:' || event_type AS key, value FROM events
+    )
+    SELECT key, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM fanout GROUP BY key
+    """,
+)
+def flat_map_rekey_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream.flatMap with re-key — KStream.java:266 →
+    KStreamFlatMap.java: each event fans out to one per-user and one
+    per-type ledger record under brand-new keys; the downstream
+    aggregation shuffles on the emitted key."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    fanned = s.flat_map(
+        F.array(
+            F.struct(F.concat(F.lit("u:"), F.col("user_id")).alias("key"),
+                     _dec("value").alias("amount")),
+            F.struct(F.concat(F.lit("t:"), F.col("event_type")).alias("key"),
+                     _dec("value").alias("amount")),
+        ),
+        key="key",
+    )
+    return (
+        fanned.group_by_key()
+        .aggregate(F.count(F.lit(1)).alias("n"),
+                   F.sum("amount").cast("double").alias("total"))
+    )
+
+
+@query(
+    "table_to_stream_count",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, max_by(event_type, event_id) AS event_type
+      FROM events GROUP BY user_id
+    )
+    SELECT event_type, COUNT(*) AS n_users FROM latest GROUP BY event_type
+    """,
+)
+def table_to_stream_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable.toStream + downstream aggregation — KTable.java:363:
+    the events changelog materializes to latest-state-per-user (offset
+    order = event_id, the Kafka log order), converts back to a stream,
+    and re-aggregates by a value field."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = Table.from_changelog(
+        ev, key="user_id", order_by="event_id", value_cols=["event_type"])
+    return (
+        latest.to_stream()
+        .group_by("event_type")
+        .count(name="n_users")
+    )
+
+
+@query(
+    "session_reduce",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(value) AS peak
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SessionWindowedKStream.reduce — SessionWindowedKStreamImpl.java:
+    per-(user, session) fold (max is order-insensitive ⇒ exact in both
+    engines); sessions merge across the 30-minute gap exactly as in
+    session_count."""
+    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
+    out = (
+        s.group_by_key()
+        .windowed_by(Windows.session("30 minutes"))
+        .reduce(F.max("value"), name="peak")
+    )
+    return out.select(
+        F.col("user_id"),
+        F.col("window.start").alias("session_start"),
+        F.col("peak"),
+    )
