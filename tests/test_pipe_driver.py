@@ -96,3 +96,62 @@ def test_late_record_beyond_grace_is_dropped(spark):
                     for r in d.read_output()]
         # no re-emission for the 10:00 window — the late record was dropped
         assert all(ws != "10:00:00" for _, ws, _ in late_out), late_out
+
+
+def test_pipe_hopping_window_late_within_grace_then_close(spark):
+    """Hopping windows under grace — KStreamWindowAggregate.java:96-153
+    with TimeWindows.advanceBy: a late (out-of-order) record that is
+    still inside grace counts toward EVERY slide window covering it;
+    both windows emit their final count once the watermark passes their
+    end."""
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: (
+            s.group_by_key()
+            .windowed_by(Windows.hopping("1 minute", "30 seconds",
+                                         grace="1 minute"))
+            .count(name="n")
+            .select(F.col("key"), F.col("window.start").alias("ws"), "n")),
+        key="key", ts="ts",
+        output_mode="append",
+    ) as d:
+        d.pipe([("a", 1, t("10:00:10"))])
+        assert d.read_output() == []                 # all windows open
+        # out-of-order but ahead of the watermark (10:00:10 - 1m grace)
+        d.pipe([("a", 1, t("10:00:05"))])
+        assert d.read_output() == []
+        d.pipe([("a", 1, t("10:02:00"))])            # watermark → 10:01:00
+        out = sorted((r.ws.time().isoformat(), r.n) for r in d.read_output())
+        # both covering slides [09:59:30, 10:00:30) and [10:00:00, 10:01:00)
+        # closed with the late record included
+        assert out == [("09:59:30", 2), ("10:00:00", 2)]
+
+
+def test_pipe_session_late_within_grace_merges(spark):
+    """Session merge with a late record inside grace —
+    KStreamSessionWindowAggregate.java:94-141: the out-of-order record
+    extends the open session (no new session, no re-emission); a record
+    beyond grace after the session closed is dropped."""
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: (
+            s.group_by_key()
+            .windowed_by(Windows.session("10 minutes", grace="5 minutes"))
+            .count(name="n")
+            .select(F.col("key"), F.col("window.start").alias("ws"), "n")),
+        key="key", ts="ts",
+        output_mode="append",
+    ) as d:
+        d.pipe([("a", 1, t("09:00:00"))])
+        d.pipe([("a", 1, t("09:05:00"))])
+        # late but >= watermark (09:05:00 - 5m = 09:00:00) → merges
+        d.pipe([("a", 1, t("09:02:00"))])
+        assert d.read_output() == []                 # session still open
+        d.pipe([("a", 1, t("10:00:00"))])            # watermark → 09:55:00
+        out = [(r.ws.time().isoformat(), r.n) for r in d.read_output()]
+        assert out == [("09:00:00", 3)]              # one merged session
+        # beyond grace: session already closed — must not re-emit
+        d.pipe([("a", 1, t("09:03:00"))])
+        d.pipe([("a", 1, t("11:00:00"))])            # push stream time
+        late = [(r.ws.time().isoformat(), r.n) for r in d.read_output()]
+        assert all(ws != "09:00:00" for ws, _ in late), late
