@@ -271,10 +271,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _ann_oracle_sql() -> str:
+def _ann_oracle_sql(probe_radius: int = 0) -> str:
     """Replicate the hyperplane-LSH ANN in SQL: the frozen Rademacher
     planes are embedded as literal DOUBLE arrays, so DuckDB computes
-    the same buckets, candidates, and ranks as the engine."""
+    the same buckets, candidates, and ranks as the engine.  With
+    ``probe_radius`` the probe side also XOR-flips ≤ radius bucket
+    bits — the multiprobe variant."""
     planes = similarity._planes(64)
     selects = []
     for t, table in enumerate(planes):
@@ -285,12 +287,17 @@ def _ann_oracle_sql() -> str:
         )
         selects.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM v")
     buckets = " UNION ALL ".join(selects)
+    probes = " UNION ALL ".join(
+        f"SELECT vec_id, tbl, xor(bucket, {m}) AS bucket FROM buckets"
+        for m in similarity.probe_buckets(probe_radius)
+    )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     buckets AS ({buckets}),
+    probes AS ({probes}),
     cand AS (
       SELECT DISTINCT a.vec_id AS pid, b.vec_id AS nid
-      FROM buckets a JOIN buckets b
+      FROM probes a JOIN buckets b
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ),
     scored AS (
@@ -315,6 +322,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (recall vs brute force is asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.ann_lsh_topk(emb, "vec_id", "embedding", dim=64, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("similarity_ann_multiprobe", oracle=_ann_oracle_sql(probe_radius=1))
+def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN top-3 (Lv et al., VLDB'07): probes also look
+    into buckets one sign-bit away, buying recall on the probe side of
+    the bucket join instead of with more stored tables — the knob to
+    turn at 100 TB where index state is the expensive part."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_lsh_topk(emb, "vec_id", "embedding", dim=64, k=3,
+                                  probe_radius=1)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
