@@ -196,3 +196,72 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         term = F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labels from candidate pairs: each vertex gets
+    the MIN id reachable through the pair graph (the canonical
+    "keeper" of its near-dup cluster).
+
+    Min-label propagation: per round, every vertex takes the smallest
+    label among itself and its neighbors — one shuffle join + one
+    shuffle agg per round, state is one (id, label) row per vertex
+    (never the edge closure).  Rounds needed = graph diameter, which
+    for near-dup clusters is tiny (dup groups are quasi-cliques: LSH
+    emits most intra-cluster pairs directly).  ``localCheckpoint``
+    cuts the lineage each round so plans stay O(1) deep at 100 TB.
+    Raises after ``max_iter`` rounds rather than silently returning
+    unconverged labels.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+             .distinct().persist()
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("v"),
+                                     F.col("label").alias("nbr_label")), "v")
+            .groupBy("u").agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        merged = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                "id", "label",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")))
+                .alias("new_label"),
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        labels = merged.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_cluster_assign(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, cluster) for EVERY row of ``df``: members of a near-dup
+    component share its min id; untouched rows are their own cluster.
+    Downstream dedup keeps rows where id == cluster."""
+    labels = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster"),
+        )
+    )

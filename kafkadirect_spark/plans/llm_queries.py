@@ -81,10 +81,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      threshold=0.5, max_doc_freq=50)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# CTE chain ending in the banded signatures — shared by the LSH-pairs
+# oracle and the duplicate-cluster oracle built on top of them.
+_MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
     h AS (SELECT doc_id, {_PHASH.format(x='shingle')} AS h FROM sh),
     perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
     sig AS (
@@ -98,7 +97,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN i % {ROWS_PER_BAND} = 2 THEN v END) AS v2,
              MAX(CASE WHEN i % {ROWS_PER_BAND} = 3 THEN v END) AS v3
       FROM sig GROUP BY doc_id, i // {ROWS_PER_BAND}
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
     WHERE a.doc_id < b.doc_id
@@ -111,6 +116,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
     return dedup.lsh_candidate_pairs(sigs, "doc_id")
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_BANDS_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs →
+    connected components (min-label propagation) → every document
+    labeled with its cluster's canonical keeper id.  The step an
+    actual training pipeline runs after candidate generation; the
+    oracle computes the same components via a recursive-CTE closure
+    (fine at sf0.01; the engine side never materializes the closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    return dedup.dedup_cluster_assign(docs, pairs, "doc_id")
 
 
 @query(

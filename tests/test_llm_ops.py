@@ -136,3 +136,25 @@ def test_multimodal_resize_stub():
     assert len(out) == 64  # 64*64/64
     with pytest.raises(NotImplementedError):
         multimodal.resize_stub(b"x", 8, 8, strict=True)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4-5 (diameter 4 — forces several propagation
+    rounds), disjoint pair 10-11, clique 20-21-22: every vertex must
+    land on its component's min id."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5),
+         (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    labels = {r.id: r.label for r in
+              dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                      10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_cluster_assign_includes_singletons(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster for r in
+           dedup.dedup_cluster_assign(df, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 5: 1, 3: 3, 4: 4, 6: 6}
