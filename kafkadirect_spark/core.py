@@ -224,6 +224,31 @@ class Stream:
             return self._with(self.df.repartition(num_partitions, F.col(self.key)))
         return self._with(self.df.repartition(F.col(self.key)))
 
+    def deduplicate(self, *cols: ColumnOrName, within: str | None = None) -> "Stream":
+        """Event deduplication — the Kafka Streams EventDeduplication
+        pattern (a windowed-store Transformer that drops records whose
+        id was already seen; kafka/streams examples) as a first-class
+        op.  ``cols`` is the identity (default: the key); ``within``
+        bounds how long an id is remembered.
+
+        Batch: ``dropDuplicates`` (one hash shuffle).  Streaming with
+        ``within``: ``dropDuplicatesWithinWatermark`` after a watermark
+        of that delay — state for an id is dropped once the watermark
+        passes, so memory is O(ids per window), never O(all ids ever)
+        — exactly the windowed-store bound the reference pattern uses.
+        """
+        idents = [c if isinstance(c, str) else c._jc.toString() for c in cols] \
+            or ([self.key] if self.key else None)
+        if not idents:
+            raise ValueError("deduplicate() needs identity columns or a key")
+        df = self.df
+        if within is not None and df.isStreaming:
+            if self.ts is None:
+                raise ValueError("deduplicate(within=...) requires an event-time column")
+            df = df.withWatermark(self.ts, within)
+            return self._with(df.dropDuplicatesWithinWatermark(idents))
+        return self._with(df.dropDuplicates(idents))
+
     def to_parquet(self, path: str, mode: str = "overwrite",
                    partition_by: Sequence[str] | None = None) -> None:
         """KStream.to — KStream.java:458 (sink).  ``partition_by`` is

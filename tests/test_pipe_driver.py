@@ -155,3 +155,25 @@ def test_pipe_session_late_within_grace_merges(spark):
         d.pipe([("a", 1, t("11:00:00"))])            # push stream time
         late = [(r.ws.time().isoformat(), r.n) for r in d.read_output()]
         assert all(ws != "09:00:00" for ws, _ in late), late
+
+
+def test_pipe_streaming_deduplicate_within_watermark(spark):
+    """EventDeduplication (kafka/streams examples windowed-store
+    Transformer): duplicate ids inside the remembering window are
+    dropped across microbatches; after the watermark expires the id's
+    state, the same id passes again."""
+    with PipeDriver(
+        spark, KV,
+        topology=lambda s: s.deduplicate("key", within="1 minute"),
+        key="key", ts="ts",
+        output_mode="append",
+    ) as d:
+        d.pipe([("a", 1, t("10:00:00")), ("a", 2, t("10:00:10"))])
+        first = [(r.key, r.value) for r in d.read_output()]
+        assert first == [("a", 1)]           # in-batch duplicate dropped
+        d.pipe([("a", 3, t("10:00:30"))])    # still remembered
+        assert d.read_output() == []
+        d.pipe([("b", 1, t("10:05:00"))])    # watermark → 10:04; 'a' expires
+        d.pipe([("a", 4, t("10:05:30"))])    # same id, new epoch → passes
+        later = {(r.key, r.value) for r in d.read_output()}
+        assert ("a", 4) in later and ("b", 1) in later
