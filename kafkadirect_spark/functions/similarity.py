@@ -290,3 +290,70 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
         .filter(F.col("rank") <= k)
         .select(F.col("_pid").alias(id_col), F.col("_nid").alias("neighbor_id"), "rank")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    centroid_stride: int = 25,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the
+    index — each vector lists under its nearest centroid — and a query
+    probes only its ``nprobe`` closest centroids' lists.
+
+    The quantizer here is deterministic (centroids = every
+    ``centroid_stride``-th vector by id, no Lloyd rounds) so the DuckDB
+    oracle can replay it exactly; swap in trained centroids at scale.
+
+    Plan shape: centroids are broadcast both times they're needed —
+    assignment is broadcast-join + map-side-combined ``max_by`` (the
+    shuffle carries ONE row per indexed vector, never the n×c cross
+    product), probing is per-query top-nprobe over the same broadcast.
+    The candidate join then shuffles on centroid id — list sizes, not
+    |index|², bound the work, the same skew profile as LSH buckets.
+    """
+    cent = F.broadcast(
+        df.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")))
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    scored_cent = (
+        vecs.join(cent)
+        .withColumn("_ccos", cosine(F.col(vec_col), F.col("_cvec")))
+    )
+    # assignment: argmax centroid per vector (ties → smaller cid);
+    # max_by partial-aggregates map-side, so the shuffle is 1 row/vec
+    assign = (
+        scored_cent.groupBy(id_col)
+        .agg(F.max_by("_cid", F.struct(F.col("_ccos"), -F.col("_cid")))
+             .alias("_cid"))
+        .select(F.col(id_col).alias("_nid"), "_cid")
+    )
+    pw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid"))
+    probes = (
+        scored_cent.withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select(F.col(id_col).alias("_pid"), "_cid")
+    )
+    pairs = (
+        probes.join(assign, "_cid")
+        .filter(F.col("_pid") != F.col("_nid"))
+        .select("_pid", "_nid")
+    )
+    cands = (
+        pairs
+        .join(vecs.select(F.col(id_col).alias("_pid"),
+                          F.col(vec_col).alias("_pvec")), "_pid")
+        .join(vecs.select(F.col(id_col).alias("_nid"),
+                          F.col(vec_col).alias("_nvec")), "_nid")
+    )
+    scored = cands.withColumn("_cos", cosine(F.col("_pvec"), F.col("_nvec")))
+    w = Window.partitionBy("_pid").orderBy(F.col("_cos").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(id_col), F.col("_nid").alias("neighbor_id"),
+                "rank")
+    )

@@ -369,6 +369,48 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "similarity_ann_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 25 = 0),
+    sc AS (
+      SELECT v.vec_id, c.cid,
+             list_cosine_similarity(v.e, c.ce) AS ccos,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                         c.cid) AS pr
+      FROM v, cent c
+    ),
+    assign AS (SELECT vec_id AS nid, cid FROM sc WHERE pr = 1),
+    probes AS (SELECT vec_id AS pid, cid FROM sc WHERE pr <= 4),
+    cand AS (
+      SELECT pid, nid FROM probes JOIN assign USING (cid) WHERE pid <> nid
+    ),
+    scored AS (
+      SELECT pid, nid, list_cosine_similarity(a.e, b.e) AS cos
+      FROM cand JOIN v a ON pid = a.vec_id JOIN v b ON nid = b.vec_id
+    ),
+    ranked AS (
+      SELECT pid AS vec_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: deterministic coarse quantizer (every 25th
+    vector), nprobe=4 — exact cosine only within the probed inverted
+    lists.  The second sub-quadratic scale path next to LSH; the
+    oracle replays the identical quantizer in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", k=3,
+                              centroid_stride=25, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("similarity_ann_multiprobe", oracle=_ann_oracle_sql(probe_radius=1))
 def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe LSH ANN top-3 (Lv et al., VLDB'07): probes also look

@@ -158,3 +158,20 @@ def test_dedup_cluster_assign_includes_singletons(spark):
     out = {r.doc_id: r.cluster for r in
            dedup.dedup_cluster_assign(df, pairs, "doc_id").collect()}
     assert out == {1: 1, 2: 1, 5: 1, 3: 3, 4: 4, 6: 6}
+
+
+def test_ivf_recall_and_probe_scaling(emb):
+    """IVF on these synthetic near-uniform embeddings is the
+    worst case (little cluster structure), so absolute recall is
+    modest — but it must beat its probed fraction (nprobe/c ≈ 20%)
+    and grow with nprobe."""
+    bf = {(r.vec_id, r.neighbor_id) for r in
+          similarity.cosine_topk_blas(emb, "vec_id", "embedding", k=3).collect()}
+    r4 = {(r.vec_id, r.neighbor_id) for r in
+          similarity.ivf_topk(emb, "vec_id", "embedding", k=3, nprobe=4).collect()}
+    rec4 = len(bf & r4) / len(bf)
+    assert rec4 > 0.35, f"IVF recall@3 too low: {rec4:.3f}"
+    r8 = {(r.vec_id, r.neighbor_id) for r in
+          similarity.ivf_topk(emb, "vec_id", "embedding", k=3, nprobe=8).collect()}
+    rec8 = len(bf & r8) / len(bf)
+    assert rec8 > rec4, f"more probes must help: {rec4:.3f} -> {rec8:.3f}"
