@@ -319,24 +319,22 @@ def ivf_topk(
         df.filter(F.col(id_col) % centroid_stride == 0)
         .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")))
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    scored_cent = (
+    # ONE scoring pass over index × broadcast(centroids); rank 1 is the
+    # inverted-list assignment, ranks ≤ nprobe are the probe set.  The
+    # persisted frame is int-only (id, cid, rank) — the vectors never
+    # flow through the ranking shuffle.
+    pw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid"))
+    ranked_cent = (
         vecs.join(cent)
         .withColumn("_ccos", cosine(F.col(vec_col), F.col("_cvec")))
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= max(nprobe, 1))
+        .select(F.col(id_col), "_cid", "_pr")
+        .persist()
     )
-    # assignment: argmax centroid per vector (ties → smaller cid);
-    # max_by partial-aggregates map-side, so the shuffle is 1 row/vec
-    assign = (
-        scored_cent.groupBy(id_col)
-        .agg(F.max_by("_cid", F.struct(F.col("_ccos"), -F.col("_cid")))
-             .alias("_cid"))
-        .select(F.col(id_col).alias("_nid"), "_cid")
-    )
-    pw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid"))
-    probes = (
-        scored_cent.withColumn("_pr", F.row_number().over(pw))
-        .filter(F.col("_pr") <= nprobe)
-        .select(F.col(id_col).alias("_pid"), "_cid")
-    )
+    assign = (ranked_cent.filter(F.col("_pr") == 1)
+              .select(F.col(id_col).alias("_nid"), "_cid"))
+    probes = ranked_cent.select(F.col(id_col).alias("_pid"), "_cid")
     pairs = (
         probes.join(assign, "_cid")
         .filter(F.col("_pid") != F.col("_nid"))

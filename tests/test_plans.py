@@ -57,3 +57,36 @@ def test_no_cartesian_in_interval_join(spark):
                           windows=JoinWindows.of("5 minutes"))
     plan = _formatted(out.df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_centroids_broadcast_single_scoring_pass(spark):
+    """IVF: centroid scoring must be a broadcast nested-loop (the
+    centroid set rides to the data), and the scoring cross product
+    must appear ONCE in the plan — assignment and probe set reuse one
+    persisted pass, not two scans of index × centroids."""
+    from kafkadirect_spark.functions import similarity
+    emb = load_table(spark, SF, "embeddings")
+    plan = emb.sparkSession.sparkContext is not None and \
+        similarity.ivf_topk(emb, "vec_id", "embedding", k=3)
+    txt = _formatted(plan)
+    assert "BroadcastNestedLoopJoin" in txt
+    # both consumers (assignment + probes) must read the persisted
+    # scoring pass, not recompute the index × centroid cross product
+    # (the cache's child plan is printed per consumer, so count the
+    # InMemoryTableScans, not the join nodes)
+    assert txt.count("InMemoryTableScan") >= 2, txt[:2000]
+    assert "CartesianProduct" not in txt
+
+
+def test_connected_components_plan_stays_shallow(spark):
+    """The label-propagation loop must localCheckpoint each round so
+    the plan depth does not grow with iterations (lineage blow-up is
+    the classic iterative-DataFrame trap at scale)."""
+    from kafkadirect_spark.functions import dedup
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long")
+    labels = dedup.connected_components(pairs)  # diameter 11 → many rounds
+    txt = _formatted(labels)
+    # a checkpointed frame shows as an ExistingRDD/LogicalRDD scan,
+    # not a 11-round join tower
+    assert txt.count("Join") <= 2, txt[:2000]
