@@ -469,3 +469,71 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_payload(docs, "doc_id", "text", media_type="image")
     return multimodal.extract_features(media)
+
+
+_KEEP_GATE_SQL = f"""length(text) >= 200 AND len({_TOK}) > 0
+      AND CAST(len(list_filter({_TOK}, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+          / len({_TOK}) >= 0.02"""
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH RECURSIVE
+    base0 AS (
+      SELECT doc_id, text FROM documents WHERE {_KEEP_GATE_SQL}
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM base0),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM ex GROUP BY h),
+    base AS (SELECT b.doc_id, b.text FROM base0 b JOIN keepers k USING (doc_id)),
+    {_MINHASH_BANDS_CTES.replace("FROM documents", "FROM base")},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    )
+    SELECT b.doc_id,
+           CAST(len(regexp_extract_all(lower(b.text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT)
+             AS bpe_tokens
+    FROM base b LEFT JOIN labels l USING (doc_id)
+    WHERE COALESCE(l.cluster, b.doc_id) = b.doc_id
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the whole pipeline as ONE
+    oracle-paired query: quality keep-gate (length + stopword ratio) →
+    exact-dedup keeper (min doc id per content hash) → MinHash-LSH
+    near-dup clustering keeper (min id of each connected component) →
+    surviving docs with their token budget.
+
+    Shuffle ledger at 100 TB: one groupBy(content-hash), one
+    groupBy(doc) for signatures, one groupBy(band,sig) for buckets,
+    diameter-bounded label-propagation rounds over candidate-pair ids
+    only, one semijoin back — no all-pairs stage anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    kept = docs.filter(
+        (F.length("text") >= 200) & (F.size(w) > 0)
+        & (text.stopword_ratio(w) >= 0.02))
+    ex = dedup.exact_dedup(kept, "text", "doc_id")
+    reps = kept.join(
+        ex.select(F.col("keeper").alias("doc_id")), "doc_id")
+    sigs = dedup.minhash_signatures(reps, "text", "doc_id", n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    clusters = dedup.dedup_cluster_assign(reps, pairs, "doc_id")
+    survivors = (reps.join(clusters, "doc_id")
+                 .filter(F.col("doc_id") == F.col("cluster")))
+    return survivors.select(
+        "doc_id", text.bpe_token_count("text").cast("long").alias("bpe_tokens"))

@@ -218,3 +218,40 @@ def test_hopping_window_membership(spark, rows):
             model[(k, w)] = model.get((k, w), 0) + 1
             w -= adv_s            # grid starts may precede BASE (negative)
     assert actual == model
+
+
+pair_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=25,
+).filter(lambda ps: any(a != b for a, b in ps))
+
+
+def _model_components(pairs):
+    """Union-find reference model."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+@given(pair_lists)
+def test_connected_components_matches_union_find(spark, pairs):
+    from kafkadirect_spark.functions import dedup
+    clean = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(clean, "id_a long, id_b long")
+    got = {r.id: r.label for r in dedup.connected_components(df).collect()}
+    assert got == _model_components(clean)
