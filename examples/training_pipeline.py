@@ -47,7 +47,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     n2 = survivors.count()
 
     # 4: near-dup removal — LSH candidates, exact-Jaccard confirm ≥0.8,
-    # drop the higher id of each confirmed pair
+    # connected-components clustering, keep each cluster's min id
+    # (transitive-safe: a~b~c keeps exactly one document)
     sigs = dedup.minhash_signatures(survivors, "text", "doc_id")
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id")
     confirmed = (
@@ -55,8 +56,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
                                   threshold=0.8, max_doc_freq=50)
         .join(cands, ["id_a", "id_b"])          # candidates ∩ verified
     )
-    losers = confirmed.select(F.col("id_b").alias("doc_id")).distinct()
-    clean = survivors.join(losers, "doc_id", "left_anti")
+    clusters = dedup.dedup_cluster_assign(survivors, confirmed, "doc_id")
+    clean = (survivors.join(clusters, "doc_id")
+             .filter(F.col("doc_id") == F.col("cluster")).drop("cluster"))
     n3 = clean.count()
 
     print(f"corpus:        {n0}")
