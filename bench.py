@@ -61,6 +61,7 @@ def main() -> None:
         "pricing_summary": QUERIES["pricing_summary"],
         "dedup_minhash_lsh": QUERIES["dedup_minhash_lsh"],
         "similarity_topk": QUERIES["similarity_topk"],
+        "corpus_curation": QUERIES["corpus_curation"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -203,24 +203,71 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster labels from candidate pairs: each vertex gets
     the MIN id reachable through the pair graph (the canonical
     "keeper" of its near-dup cluster).
 
-    Min-label propagation: per round, every vertex takes the smallest
-    label among itself and its neighbors — one shuffle join + one
-    shuffle agg per round, state is one (id, label) row per vertex
-    (never the edge closure).  Rounds needed = graph diameter, which
-    for near-dup clusters is tiny (dup groups are quasi-cliques: LSH
-    emits most intra-cluster pairs directly).  ``localCheckpoint``
-    cuts the lineage each round so plans stay O(1) deep at 100 TB.
-    Raises after ``max_iter`` rounds rather than silently returning
-    unconverged labels.
+    Two regimes, picked by the measured pair count — the candidate
+    graph is orders of magnitude smaller than the corpus (LSH emits
+    near-dup PAIRS, not documents), so the cheap regime is common
+    even for a 100 TB corpus:
+
+    - ``≤ driver_threshold`` pairs (default 2M ≈ 32 MB of long ids):
+      collect the bounded edge list and union-find in-core — one
+      action instead of an action-per-round loop.  Bounded by the
+      threshold, never by corpus size.
+    - larger: distributed min-label propagation — per round one
+      shuffle join + one shuffle agg; state is one (id, label) row
+      per vertex (never the edge closure); partitioning sized to the
+      edge count; ``localCheckpoint`` per round keeps plan depth
+      O(1).  Rounds = component diameter (near-dup clusters are
+      quasi-cliques, typically 2-3 rounds).  Raises after
+      ``max_iter`` rounds rather than silently returning unconverged
+      labels.
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+    spark = pairs.sparkSession
+    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
+    n_pairs = p.count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:          # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in p.collect():
+            if r.u is not None and r.v is not None and r.u != r.v:
+                ra, rb = find(r.u), find(r.v)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        rows = [(v, find(v)) for v in parent]
+        p.unpersist()
+        return spark.createDataFrame(rows, "id long, label long")
+
+    edges = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
              .distinct().persist()
+    # Size the loop to the GRAPH, not the corpus: per-round task count
+    # is what the loop's wall time buys; a billion-edge graph still
+    # runs cluster-wide.
+    npart = max(1, min(spark.sparkContext.defaultParallelism,
+                       n_pairs // 250_000 + 1))
+    edges = edges.repartition(npart, "v")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        return _cc_loop(edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (edges.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id")).localCheckpoint())
     for _ in range(max_iter):

@@ -1056,3 +1056,39 @@ def session_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("session_start"),
         F.col("peak"),
     )
+
+
+@query(
+    "table_tombstones",
+    oracle="""
+    WITH mx AS (SELECT user_id, MAX(event_id) AS last_id
+                FROM events GROUP BY user_id),
+    latest AS (
+      SELECT e.user_id,
+             CASE WHEN e.event_type = 'purchase' THEN NULL ELSE e.value END
+               AS last_value,
+             e.event_type AS last_type
+      FROM events e JOIN mx
+        ON e.user_id = mx.user_id AND e.event_id = mx.last_id
+    )
+    SELECT user_id, last_value, last_type FROM latest
+    WHERE last_value IS NOT NULL
+    """,
+)
+def table_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog tombstones — LogCleaner.scala:43-92 / KTableSource:
+    a key whose LATEST record is a delete marker (NULL value) drops
+    out of the materialized view entirely.  Here 'purchase' events
+    act as the tombstone marker, so users whose last event is a
+    purchase vanish from the table."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "last_value",
+        F.when(F.col("event_type") == "purchase", F.lit(None).cast("double"))
+        .otherwise(F.col("value")))
+    t = Table.from_changelog(
+        ev, key="user_id", order_by="event_id",
+        value_cols=["last_value", "event_type"],
+        tombstone_col="last_value",
+    )
+    return t.df.select("user_id", "last_value",
+                       F.col("event_type").alias("last_type"))

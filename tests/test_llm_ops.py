@@ -138,16 +138,19 @@ def test_multimodal_resize_stub():
         multimodal.resize_stub(b"x", 8, 8, strict=True)
 
 
-def test_connected_components_chain_and_clique(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0],
+                         ids=["driver-unionfind", "distributed-loop"])
+def test_connected_components_chain_and_clique(spark, threshold):
     """Chain 1-2-3-4-5 (diameter 4 — forces several propagation
     rounds), disjoint pair 10-11, clique 20-21-22: every vertex must
-    land on its component's min id."""
+    land on its component's min id — identically in BOTH regimes."""
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (4, 5),
          (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long")
     labels = {r.id: r.label for r in
-              dedup.connected_components(pairs).collect()}
+              dedup.connected_components(
+                  pairs, driver_threshold=threshold).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                       10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 

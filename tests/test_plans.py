@@ -85,7 +85,7 @@ def test_connected_components_plan_stays_shallow(spark):
     from kafkadirect_spark.functions import dedup
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long")
-    labels = dedup.connected_components(pairs)  # diameter 11 → many rounds
+    labels = dedup.connected_components(pairs, driver_threshold=0)  # force the distributed loop; diameter 11 → many rounds
     txt = _formatted(labels)
     # a checkpointed frame shows as an ExistingRDD/LogicalRDD scan,
     # not a 11-round join tower
