@@ -1,0 +1,173 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+train/val/test splits, stratified sampling, benchmark decontamination,
+sequence packing, and per-group selection.
+
+The reference engine stops at record streams (SURVEY.md §2); these are
+the beyond-parity operators every large-scale training pipeline needs
+between "deduplicated corpus" and "token shards".  Scale design:
+
+- **split_assign / stratified_sample** — pure Column expressions over
+  ``portable_hash``: no shuffle, no RNG state, reproducible across
+  engines and re-runs (a re-run after adding data keeps every existing
+  row's split — the property random sampling loses).
+- **decontaminate** — n-gram overlap against an evaluation set.  The
+  eval side of a real pipeline is tiny (benchmarks are MBs, the corpus
+  is TBs), so the eval shingle set is broadcast; the train side is
+  scanned once, exploded to distinct shingle hashes, and semi-joined.
+  Shuffle ledger: one groupBy(train doc) — the broadcast removes the
+  shuffle of the join itself.
+- **pack_sequences** — greedy token-budget packing within deterministic
+  hash shards.  The window (cumulative token sum) is per-shard, so at
+  100 TB each shard packs independently after one hash-partition
+  shuffle; no global sort, no driver loop.  Shards ≈ output files.
+- **topk_per_group** — per-stratum selection via row_number over a
+  (group, order) window: one shuffle on the group key; skew-safe when
+  groups are balanced (languages, sources), which is the use case.
+
+All hashing goes through text.portable_hash so every operator has an
+exactly-equivalent ANSI-SQL formulation for the DuckDB oracles
+(plans/curation_queries.py embeds the same constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions.text import portable_hash, shingles, tokens
+
+# Buckets for split/sampling decisions: fractions are expressed in
+# 1/10000ths so oracles compare integers, never floats.
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(c: Column | str, n_buckets: int = SPLIT_BUCKETS,
+                salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets) from the portable hash of
+    a key column (optionally salted so independent decisions — split
+    vs. sample — use independent hashes)."""
+    col = F.col(c) if isinstance(c, str) else c
+    key = F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    return portable_hash(key) % n_buckets
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 fractions: dict[str, float],
+                 salt: str = "split") -> DataFrame:
+    """Label every row with a deterministic train/val/test split.
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1 (any
+    remainder falls into the last split).  Assignment is
+    ``portable_hash(id ∥ salt) % 10000`` against cumulative fraction
+    boundaries — stable under re-runs and data growth, content-free
+    (id-keyed), and shuffle-free.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = hash_bucket(id_col, salt=salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * SPLIT_BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: Column | str,
+                      fractions: dict[str, float], id_col: str,
+                      default: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    ``hash_bucket(id ∥ salt) < fraction[stratum] · 10000``.
+
+    This is the data-mixing primitive: up/down-weight sources or
+    languages to target proportions with zero shuffles and exact
+    reproducibility (same ids survive every run).
+    """
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    bucket = hash_bucket(id_col, salt=salt)
+    rate = None
+    for name, frac in fractions.items():
+        cond = strata == name
+        lit = F.lit(int(round(frac * SPLIT_BUCKETS)))
+        rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
+    rate = rate.otherwise(F.lit(int(round(default * SPLIT_BUCKETS)))) \
+        if rate is not None else F.lit(int(round(default * SPLIT_BUCKETS)))
+    return df.filter(bucket < rate)
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
+                  id_col: str, n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with the evaluation set.
+
+    Returns ``(id, contaminated)`` for every training doc.  The eval
+    shingle-hash set is deduplicated and **broadcast** (eval benchmarks
+    are MB-scale against a TB-scale corpus), so the only shuffle is the
+    per-train-doc aggregation; the train corpus streams through once.
+    """
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return (df.select(F.col(id_col),
+                          F.explode(shingles(tokens(text_col), n)).alias("g"))
+                  .select(id_col, portable_hash(F.col("g")).alias("gh"))
+                  .distinct())
+
+    eval_hashes = F.broadcast(
+        shingle_hashes(eval_df).select("gh").distinct())
+    train_hashes = shingle_hashes(train)
+    hits = (train_hashes.join(eval_hashes, "gh")
+            .select(id_col).distinct()
+            .withColumn("contaminated", F.lit(True)))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(id_col, F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated")))
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   budget: int, n_shards: int = 64,
+                   salt: str = "shard") -> DataFrame:
+    """Greedy token-budget packing: assign each doc to a sequence so
+    consecutive docs (by id, within a deterministic hash shard) fill
+    ~``budget`` tokens per sequence.
+
+    ``seq_id = floor((cumulative_tokens − doc_tokens) / budget)`` —
+    i.e. a doc starts a new sequence when the running total crosses a
+    budget boundary.  Docs longer than the budget get a sequence of
+    their own.  The window is per-shard: one hash shuffle, then each
+    shard packs independently — no global sort at any scale.
+
+    Returns ``(id, shard, seq_id, n_tokens)``.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(id_col, n_buckets=n_shards, salt=salt)
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.select(F.col(id_col), F.col(tokens_col).alias("n_tokens"))
+              .withColumn("shard", shard)
+              .withColumn("seq_id",
+                          F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                                  / budget))
+              .select(id_col, "shard", "seq_id", "n_tokens"))
+
+
+def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
+                   tiebreak_col: str | None = None,
+                   ascending: bool = False) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` (desc by default),
+    deterministic via ``tiebreak_col`` — per-language / per-source
+    quality selection.  One shuffle on the group key; rank is computed
+    with row_number so exactly k survive per group."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    keys = [order] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(group_col).orderBy(*keys)
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .withColumn("rank", F.col("rank").cast("long")))

@@ -1,0 +1,166 @@
+"""Corpus-curation queries (functions/curation.py), oracle-paired.
+
+Every sampling/packing decision routes through text.portable_hash, so
+the DuckDB oracles replay the identical arithmetic — splits, survivor
+sets, shard assignments and sequence ids are byte-checkable, not just
+statistically similar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions import curation, text
+from kafkadirect_spark.functions.curation import SPLIT_BUCKETS
+from kafkadirect_spark.plans.llm_queries import _STOPWORDS_SQL, _TOK
+from kafkadirect_spark.plans.queries import query
+from kafkadirect_spark.sources.batch import load_table
+
+# DuckDB formulation of hash_bucket(id, salt): salted portable hash
+# reduced to buckets.
+_BUCKET = ("((('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 14))::BIGINT"
+           f" % 2147483647) % {{n}})")
+
+_BPE_SQL = ("CAST(len(regexp_extract_all(lower(text),"
+            " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT)")
+
+_LANG_SQL = f"""CASE WHEN len({_TOK}) > 0 AND
+      CAST(len(list_filter({_TOK}, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+      / len({_TOK}) >= 0.05 THEN 'en' ELSE 'unknown' END"""
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET.format(salt='split', n=SPLIT_BUCKETS)} < 9000 THEN 'train'
+                WHEN {_BUCKET.format(salt='split', n=SPLIT_BUCKETS)} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split — hash-keyed, so it is
+    stable under re-runs and data growth (no RNG state), and
+    shuffle-free (a pure Column expression on the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.split_assign(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH lang AS (SELECT doc_id, {_LANG_SQL} AS pred_lang FROM documents)
+    SELECT doc_id, pred_lang FROM lang
+    WHERE {_BUCKET.format(salt='sample', n=SPLIT_BUCKETS)} <
+          CASE pred_lang WHEN 'en' THEN 3000 WHEN 'unknown' THEN 500 ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling / data mixing: keep 30% of 'en' docs and 5%
+    of 'unknown' ones (per the lang-ID heuristic) — the up/down-weight
+    primitive of corpus mixing, deterministic per id, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn("pred_lang", text.lang_guess(text.tokens("text")))
+    return curation.stratified_sample(
+        tagged, "pred_lang", {"en": 0.30, "unknown": 0.05}, "doc_id",
+    ).select("doc_id", "pred_lang")
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g8 AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(
+                w[g]   || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] || ' ' ||
+                w[g+4] || ' ' || w[g+5] || ' ' || w[g+6] || ' ' || w[g+7]
+             ), 1, 14))::BIGINT % 2147483647) AS gh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS g
+            FROM tok WHERE len(w) >= 8)
+    ),
+    eval_g AS (SELECT DISTINCT gh FROM g8 WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT DISTINCT g8.doc_id FROM g8 JOIN eval_g USING (gh)
+      WHERE g8.doc_id % 10 <> 0
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (ids not ≡0 mod 10)
+    sharing any word 8-gram with the held-out eval slice (ids ≡0) are
+    flagged.  The eval shingle-hash set is broadcast — at 100 TB the
+    corpus streams past a MB-scale benchmark set with no shuffle on the
+    join; the oracle replays the same 8-gram portable hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return curation.decontaminate(train, eval_df, "text", "doc_id", n=8)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_BPE_SQL} AS n_tokens,
+             {_BUCKET.format(salt='shard', n=8)} AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM toks
+    )
+    SELECT doc_id, shard, (cum - n_tokens) // 1024 AS seq_id, n_tokens
+    FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 1024-token budgets within 8
+    deterministic hash shards — the corpus→token-shards step.  One
+    hash-partition shuffle, then per-shard running sums; no global
+    sort.  Shard count scales with the cluster (files out ≈ shards)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.bpe_token_count("text").cast("long").alias("bpe"))
+    return curation.pack_sequences(
+        toks, "doc_id", "bpe", budget=1024, n_shards=8)
+
+
+@query(
+    "quality_topk_per_lang",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_LANG_SQL} AS pred_lang, {_BPE_SQL} AS bpe_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, pred_lang, bpe_tokens,
+             row_number() OVER (PARTITION BY pred_lang
+                                ORDER BY bpe_tokens DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, pred_lang, bpe_tokens, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum selection: the 5 highest-token-count docs per
+    predicted language (deterministic id tiebreak) — the 'take the best
+    N per source/language' curation step; one shuffle on the stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.lang_guess(text.tokens("text")).alias("pred_lang"),
+        text.bpe_token_count("text").cast("long").alias("bpe_tokens"))
+    return curation.topk_per_group(
+        scored, "pred_lang", "bpe_tokens", k=5, tiebreak_col="doc_id")

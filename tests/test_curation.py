@@ -1,0 +1,115 @@
+"""Golden tests for corpus-curation operators (functions/curation.py):
+deterministic splits, stratified sampling, decontamination, sequence
+packing, per-group top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc number {i} " + ("alpha beta gamma " * (i % 5 + 1)))
+            for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_assign_partitions_everything_once(docs):
+    out = curation.split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 200
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # deterministic: a second run assigns identical splits
+    again = curation.split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.collect() == again.collect()
+
+
+def test_split_assign_rejects_excess_fractions(docs):
+    with pytest.raises(ValueError):
+        curation.split_assign(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_split_disjoint_from_sample_hash(docs):
+    """Different salts ⇒ independent decisions: the sampled set is not
+    a prefix/suffix of any split."""
+    split = curation.split_assign(docs, "doc_id", {"train": 0.5, "rest": 0.5})
+    sampled = curation.stratified_sample(
+        docs.withColumn("s", F.lit("x")), "s", {"x": 0.5}, "doc_id")
+    train_ids = {r["doc_id"] for r in
+                 split.filter("split = 'train'").collect()}
+    sample_ids = {r["doc_id"] for r in sampled.collect()}
+    assert train_ids != sample_ids  # overlap but not identical
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 400 <= counts["en"] <= 600       # ~500 of 1000
+    assert 60 <= counts["de"] <= 140        # ~100 of 1000
+    # default rate 0 drops unknown strata entirely
+    extra = spark.createDataFrame([(9999, "fr")], "doc_id long, lang string")
+    out2 = curation.stratified_sample(
+        df.union(extra), "lang", {"en": 0.5, "de": 0.1}, "doc_id")
+    assert out2.filter("lang = 'fr'").count() == 0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    base = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame(
+        [(1, base + " extra tail words here"),        # shares an 8-gram
+         (2, "totally different content with no overlapping phrases at all"),
+         (3, "short doc")],                           # < 8 tokens: clean
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "prefix words then " + base)], "doc_id long, text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in curation.decontaminate(train, eval_df, "text", "doc_id",
+                                           n=8).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    # one shard so the packing order is the id order
+    df = spark.createDataFrame(
+        [(1, 400), (2, 400), (3, 400), (4, 1500), (5, 10)],
+        "doc_id long, n long")
+    out = curation.pack_sequences(df, "doc_id", "n", budget=1000, n_shards=1)
+    rows = {r["doc_id"]: (r["shard"], r["seq_id"], r["n_tokens"])
+            for r in out.collect()}
+    seqs = {i: rows[i][1] for i in rows}
+    # docs 1,2 fill seq 0 (800); doc 3 crosses 1000 -> starts at cum 800
+    assert seqs[1] == seqs[2] == 0
+    assert seqs[3] == 0  # starts at 800 < 1000 (greedy: may overflow budget)
+    assert seqs[4] == 1  # starts at cum 1200 -> 1200//1000
+    assert seqs[5] == 2  # starts at 2700 -> 2
+    assert all(r[2] > 0 for r in rows.values())
+
+
+def test_pack_sequences_shards_are_stable(spark):
+    df = spark.createDataFrame([(i, 100) for i in range(50)],
+                               "doc_id long, n long")
+    a = curation.pack_sequences(df, "doc_id", "n", budget=500, n_shards=4)
+    b = curation.pack_sequences(df, "doc_id", "n", budget=500, n_shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.select("shard").distinct().count() <= 4
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(20)]
+        + [("b", 100 + i, float(i)) for i in range(3)],
+        "grp string, id long, score double")
+    out = curation.topk_per_group(df, "grp", "score", k=2, tiebreak_col="id")
+    got = [(r["grp"], r["id"], r["rank"]) for r in
+           out.orderBy("grp", "rank").collect()]
+    # group a: score 6.0 at ids 6 and 13 -> tiebreak keeps 6 then 13
+    assert got == [("a", 6, 1), ("a", 13, 2), ("b", 102, 1), ("b", 101, 2)]
