@@ -9,5 +9,5 @@ which are Arrow-batched.  No row-at-a-time Python UDFs anywhere.
 """
 
 from kafkadirect_spark.functions import (  # noqa: F401
-    dedup, multimodal, similarity, smt, text,
+    curation, dedup, multimodal, similarity, smt, text,
 )

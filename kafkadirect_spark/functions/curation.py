@@ -148,12 +148,62 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     shard = hash_bucket(id_col, n_buckets=n_shards, salt=salt)
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # integer `div`, not floating division: cumulative sums can exceed
+    # 2^53 at scale, where a double round-trip would misplace boundaries
     return (df.select(F.col(id_col), F.col(tokens_col).alias("n_tokens"))
               .withColumn("shard", shard)
+              .withColumn("cum", F.sum("n_tokens").over(w))
               .withColumn("seq_id",
-                          F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                                  / budget))
+                          F.expr(f"(cum - n_tokens) div CAST({budget} AS BIGINT)"))
               .select(id_col, "shard", "seq_id", "n_tokens"))
+
+
+def vocab_stats(df: DataFrame, text_col: str, id_col: str,
+                top_k: int | None = None) -> DataFrame:
+    """Corpus vocabulary statistics: per token, total term frequency
+    (``tf``) and document frequency (``df``) — the vocab-build /
+    tokenizer-training input.
+
+    One explode + one groupBy(token); ``df`` is a two-phase distinct
+    aggregate on (token, doc).  With ``top_k`` the result is ordered
+    (tf desc, token) and truncated via TakeOrdered — a per-partition
+    top-k then a driver merge of k rows, never a global sort.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"))
+    if top_k is not None:
+        stats = stats.orderBy(F.col("tf").desc(), F.col("token")).limit(top_k)
+    return stats
+
+
+def boilerplate_ratio(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 10, max_doc_freq: int = 2) -> DataFrame:
+    """Boilerplate signal per document: the fraction of its distinct
+    word ``n``-grams that appear in more than ``max_doc_freq``
+    documents (navigation chrome, license headers, templated text).
+
+    Inverted-index shape — explode distinct (doc, gram-hash), count
+    docs per gram, join back, aggregate per doc: three key-bounded
+    shuffles, no pairwise comparison anywhere.  Returns
+    ``(id, n_grams, n_boiler, boiler_ratio)`` for docs with ≥ n
+    tokens; a pipeline drops or rewrites docs above a ratio threshold.
+    """
+    grams = (df.select(F.col(id_col),
+                       F.explode(shingles(tokens(text_col), n)).alias("g"))
+               .select(id_col, portable_hash(F.col("g")).alias("gh"))
+               .distinct())
+    freq = grams.groupBy("gh").agg(F.countDistinct(id_col).alias("gdf"))
+    return (grams.join(freq, "gh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("gdf") > max_doc_freq, 1).otherwise(0))
+                  .alias("n_boiler"))
+            .select(id_col, "n_grams", "n_boiler",
+                    (F.col("n_boiler").cast("double") / F.col("n_grams"))
+                    .alias("boiler_ratio")))
 
 
 def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,

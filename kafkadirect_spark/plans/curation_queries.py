@@ -137,6 +137,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary by term frequency with document frequencies —
+    the tokenizer-training / vocab-build aggregation.  One token
+    shuffle with map-side partials; the top-k is TakeOrdered (no
+    global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.vocab_stats(docs, "text", "doc_id", top_k=100)
+
+
+@query(
+    "boilerplate_flag",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g10 AS (
+      SELECT DISTINCT doc_id,
+             (('0x' || substr(md5(
+                w[g]   || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] || ' ' ||
+                w[g+4] || ' ' || w[g+5] || ' ' || w[g+6] || ' ' || w[g+7] || ' ' ||
+                w[g+8] || ' ' || w[g+9]
+             ), 1, 14))::BIGINT % 2147483647) AS gh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-9)) AS g
+            FROM tok WHERE len(w) >= 10)
+    ),
+    freq AS (SELECT gh, COUNT(DISTINCT doc_id) AS gdf FROM g10 GROUP BY gh)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gdf > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN gdf > 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS boiler_ratio
+    FROM g10 JOIN freq USING (gh)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate ratio: fraction of the doc's distinct word
+    10-grams appearing in >2 documents — the C4-style repeated-span
+    signal, computed via the shingle inverted index (no pairwise
+    stage); the oracle replays the same 10-gram portable hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.boilerplate_ratio(docs, "text", "doc_id",
+                                      n=10, max_doc_freq=2)
+
+
+@query(
     "quality_topk_per_lang",
     oracle=f"""
     WITH scored AS (

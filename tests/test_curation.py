@@ -113,3 +113,34 @@ def test_topk_per_group(spark):
            out.orderBy("grp", "rank").collect()]
     # group a: score 6.0 at ids 6 and 13 -> tiebreak keeps 6 then 13
     assert got == [("a", 6, 1), ("a", 13, 2), ("b", 102, 1), ("b", 101, 2)]
+
+
+def test_vocab_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry")],
+        "doc_id long, text string")
+    out = {r["token"]: (r["tf"], r["df"]) for r in
+           curation.vocab_stats(df, "text", "doc_id").collect()}
+    assert out == {"apple": (3, 2), "banana": (1, 1), "cherry": (1, 1)}
+    top1 = curation.vocab_stats(df, "text", "doc_id", top_k=1).collect()
+    assert [(r["token"], r["tf"]) for r in top1] == [("apple", 3)]
+
+
+def test_boilerplate_ratio(spark):
+    span = " ".join(f"w{i}" for i in range(10))        # one shared 10-gram
+    df = spark.createDataFrame(
+        [(1, span + " unique one extra"),
+         (2, span + " other tail entirely"),
+         (3, span + " third copy here"),
+         (4, "completely different words " + " ".join(f"x{i}" for i in range(10))),
+         (5, "short doc")],                            # <10 tokens: absent
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.boilerplate_ratio(df, "text", "doc_id",
+                                      n=10, max_doc_freq=2).collect()}
+    assert 5 not in out
+    # docs 1-3 share exactly the w0..w9 gram (df=3 > 2): 1 boiler gram each
+    for d in (1, 2, 3):
+        assert out[d]["n_boiler"] == 1
+        assert out[d]["boiler_ratio"] == pytest.approx(1 / out[d]["n_grams"])
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_ratio"] == 0.0

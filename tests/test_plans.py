@@ -90,3 +90,43 @@ def test_connected_components_plan_stays_shallow(spark):
     # a checkpointed frame shows as an ExistingRDD/LogicalRDD scan,
     # not a 11-round join tower
     assert txt.count("Join") <= 2, txt[:2000]
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """Decontamination must ship the (tiny) eval shingle set to the
+    train corpus as a broadcast — a shuffle join here would repartition
+    the TB-scale train side against an MB-scale benchmark set."""
+    from kafkadirect_spark.functions import curation
+    docs = load_table(spark, SF, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    out = curation.decontaminate(train, ev, "text", "doc_id", n=8)
+    txt = _formatted(out)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_split_and_sample_are_shuffle_free(spark):
+    """Split assignment and stratified sampling are pure row-local
+    Column expressions — no Exchange may appear in their plans."""
+    from kafkadirect_spark.functions import curation
+    docs = load_table(spark, SF, "documents")
+    split = curation.split_assign(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    samp = curation.stratified_sample(
+        docs.withColumn("s", F.lit("x")), "s", {"x": 0.5}, "doc_id")
+    for df in (split, samp):
+        assert "Exchange" not in _formatted(df)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing shuffles once (hash-partition by shard) and
+    sorts only within partitions — no global sort at any scale."""
+    from kafkadirect_spark.functions import curation
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n"))
+    out = curation.pack_sequences(docs, "doc_id", "n", budget=1024, n_shards=8)
+    txt = _formatted(out)
+    # formatted explain prints each node twice (tree + detail): count ids
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt[:2000]
+    # the sort under the window is partition-local (no range exchange)
+    assert "rangepartitioning" not in txt.lower()
