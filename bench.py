@@ -47,6 +47,9 @@ def main() -> None:
             f"{out_dir}/lineitem_copy")
         return spark.range(1)
 
+    # The BASELINE.md-mapped reference suites — the 2× gate compares
+    # THESE against the driver-measured baseline, so the headline
+    # `value` is their sum alone.
     suites: dict[str, callable] = {
         "consume": consume,
         "consumeproduce": consumeproduce,
@@ -57,10 +60,14 @@ def main() -> None:
         "streamstreamjoin": QUERIES["join_interval_inner"],
         "tabletablejoin": QUERIES["join_table_table"],
         "yahoo": QUERIES["yahoo_pipeline"],
-        # beyond-parity pipeline ops (graded alongside):
+    }
+    # Beyond-parity pipeline suites, timed and reported separately —
+    # they have no reference-suite counterpart to compare against.
+    extra_suites: dict[str, callable] = {
         "pricing_summary": QUERIES["pricing_summary"],
         "dedup_minhash_lsh": QUERIES["dedup_minhash_lsh"],
         "similarity_topk": QUERIES["similarity_topk"],
+        "decontaminate": QUERIES["decontaminate"],
         "corpus_curation": QUERIES["corpus_curation"],
     }
 
@@ -68,17 +75,24 @@ def main() -> None:
     # also measures steady state, not first-query JIT).
     load_table(spark, sf_dir, "lineitem").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in suites.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run(fns: dict[str, callable]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = run(suites)
+    extras = run(extra_suites)
 
     print(json.dumps({
-        "metric": "total_wall_sec",
+        "metric": "reference_suites_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
+        "extras_wall_sec": round(sum(extras.values()), 3),
         "sf": sf_dir,
     }))
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafkadirect_spark.functions.dedup import _widen
 from kafkadirect_spark.functions.text import portable_hash, shingles, tokens
 
 # Buckets for split/sampling decisions: fractions are expressed in
@@ -112,15 +113,18 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
     per-train-doc aggregation; the train corpus streams through once.
     """
     def shingle_hashes(df: DataFrame) -> DataFrame:
-        return (df.select(F.col(id_col),
+        # _widen: a single-file scan would serialize the explode+hash
+        # stage on one partition (no-op on an already-wide scan)
+        return (_widen(df.select(F.col(id_col), F.col(text_col)))
+                  .select(F.col(id_col),
                           F.explode(shingles(tokens(text_col), n)).alias("g"))
-                  .select(id_col, portable_hash(F.col("g")).alias("gh"))
-                  .distinct())
+                  .select(id_col, portable_hash(F.col("g")).alias("gh")))
 
-    eval_hashes = F.broadcast(
-        shingle_hashes(eval_df).select("gh").distinct())
-    train_hashes = shingle_hashes(train)
-    hits = (train_hashes.join(eval_hashes, "gh")
+    eval_hashes = F.broadcast(shingle_hashes(eval_df).select("gh").distinct())
+    # broadcast left-semi: the corpus side streams through with NO
+    # pre-join shuffle (duplicate grams are fine — the per-doc distinct
+    # after the semi-join is the only wide op on the corpus side)
+    hits = (shingle_hashes(train).join(eval_hashes, "gh", "left_semi")
             .select(id_col).distinct()
             .withColumn("contaminated", F.lit(True)))
     return (train.select(id_col).join(hits, id_col, "left")
@@ -191,7 +195,8 @@ def boilerplate_ratio(df: DataFrame, text_col: str, id_col: str,
     ``(id, n_grams, n_boiler, boiler_ratio)`` for docs with ≥ n
     tokens; a pipeline drops or rewrites docs above a ratio threshold.
     """
-    grams = (df.select(F.col(id_col),
+    grams = (_widen(df.select(F.col(id_col), F.col(text_col)))
+               .select(F.col(id_col),
                        F.explode(shingles(tokens(text_col), n)).alias("g"))
                .select(id_col, portable_hash(F.col("g")).alias("gh"))
                .distinct())
