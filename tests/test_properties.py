@@ -255,3 +255,88 @@ def test_connected_components_matches_union_find(spark, pairs):
     df = spark.createDataFrame(clean, "id_a long, id_b long")
     got = {r.id: r.label for r in dedup.connected_components(df).collect()}
     assert got == _model_components(clean)
+
+
+word_docs = st.lists(
+    st.lists(st.sampled_from(["red", "blue", "green", "gold", "iron",
+                              "wolf", "moon", "star", "rain", "snow"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(word_docs, word_docs)
+def test_decontaminate_matches_ngram_model(spark, train_texts, eval_texts):
+    """Decontamination vs a brute-force set model: a train doc is
+    contaminated iff it shares ANY word 3-gram with any eval doc."""
+    from kafkadirect_spark.functions import curation
+
+    def grams(t, n=3):
+        w = [x for x in t.split() if x]
+        return {tuple(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    eval_g = set().union(*(grams(t) for t in eval_texts)) if eval_texts else set()
+    expected = {i: bool(grams(t) & eval_g) for i, t in enumerate(train_texts)}
+
+    train = spark.createDataFrame(list(enumerate(train_texts)),
+                                  "doc_id long, text string")
+    ev = spark.createDataFrame(list(enumerate(eval_texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r.contaminated for r in
+           curation.decontaminate(train, ev, "text", "doc_id", n=3).collect()}
+    assert got == expected
+
+
+token_budgets = st.lists(st.integers(min_value=1, max_value=500),
+                         min_size=1, max_size=30)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(token_budgets, st.integers(min_value=50, max_value=400))
+def test_pack_sequences_matches_greedy_model(spark, counts, budget):
+    """Packing vs a sequential greedy model: within a shard, doc i's
+    sequence is floor(prefix_sum/budget); sequences are contiguous."""
+    from kafkadirect_spark.functions import curation
+
+    df = spark.createDataFrame(list(enumerate(counts)), "doc_id long, n long")
+    out = curation.pack_sequences(df, "doc_id", "n", budget=budget, n_shards=2)
+    rows = sorted((r.shard, r.doc_id, r.seq_id, r.n_tokens)
+                  for r in out.collect())
+    by_shard = {}
+    for shard, doc, seq, n in rows:
+        by_shard.setdefault(shard, []).append((doc, seq, n))
+    for shard, docs_in in by_shard.items():
+        cum = 0
+        prev_seq = 0
+        for doc, seq, n in docs_in:        # already id-ordered
+            assert seq == cum // budget    # model
+            assert seq >= prev_seq         # monotone
+            cum += n
+            prev_seq = seq
+    assert sum(len(v) for v in by_shard.values()) == len(counts)
+
+
+id_lists = st.lists(st.integers(min_value=0, max_value=10_000),
+                    min_size=1, max_size=60, unique=True)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(id_lists)
+def test_split_assign_is_a_pure_function_of_id(spark, ids):
+    """Splits are decided per id: any subset of the data gets exactly
+    the assignments the full set gave those ids (stability under
+    growth — the property RNG sampling loses)."""
+    from kafkadirect_spark.functions import curation
+
+    full = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    frac = {"train": 0.6, "val": 0.2, "test": 0.2}
+    all_assign = {r.doc_id: r.split for r in
+                  curation.split_assign(full, "doc_id", frac).collect()}
+    half = spark.createDataFrame([(i,) for i in ids[::2]], "doc_id long")
+    half_assign = {r.doc_id: r.split for r in
+                   curation.split_assign(half, "doc_id", frac).collect()}
+    assert half_assign == {i: all_assign[i] for i in ids[::2]}
