@@ -6,7 +6,10 @@ the workload this engine exists for at 100 TB:
   3. exact dedup      (content-hash keeper)
   4. near-dup removal (MinHash-LSH candidates → exact Jaccard verify
                        → drop the higher doc_id of each confirmed pair)
-  5. emit the clean corpus + a survivorship report
+  5. benchmark decontamination (broadcast 8-gram overlap vs eval slice)
+  6. train/val/test split (deterministic hash-keyed)
+  7. sequence packing (1024-token budgets in hash shards)
+  8. emit the clean corpus + a survivorship report
 
 Every stage is a DataFrame transform: one scan, the dedup shuffles are
 bounded by the inverted index / band buckets, never |docs|².
@@ -21,7 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, ".")
 
 from kafkadirect_spark import get_spark
-from kafkadirect_spark.functions import dedup, text
+from kafkadirect_spark.functions import curation, dedup, text
 from kafkadirect_spark.sources.batch import load_table
 
 
@@ -61,10 +64,31 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
              .filter(F.col("doc_id") == F.col("cluster")).drop("cluster"))
     n3 = clean.count()
 
+    # 5: decontamination against a held-out eval slice (ids ≡ 0 mod 10
+    # stand in for the benchmark set); the eval shingles broadcast
+    eval_slice = docs.filter(F.col("doc_id") % 10 == 0)
+    flags = curation.decontaminate(clean, eval_slice, "text", "doc_id", n=8)
+    clean = (clean.join(flags.filter(~F.col("contaminated")), "doc_id")
+             .drop("contaminated"))
+    n4 = clean.count()
+
+    # 6-7: deterministic split, then pack the train split into
+    # 1024-token sequences (8 hash shards; one Exchange)
+    split = curation.split_assign(
+        clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = split.filter(F.col("split") == "train") \
+        .withColumn("bpe", text.bpe_token_count("text").cast("long"))
+    packed = curation.pack_sequences(train, "doc_id", "bpe",
+                                     budget=1024, n_shards=8)
+    n5 = packed.count()
+    n_seqs = packed.select("shard", "seq_id").distinct().count()
+
     print(f"corpus:        {n0}")
     print(f"quality+lang:  {n1}  (-{n0 - n1})")
     print(f"exact dedup:   {n2}  (-{n1 - n2})")
     print(f"near-dup:      {n3}  (-{n2 - n3})")
+    print(f"decontam:      {n4}  (-{n3 - n4})")
+    print(f"train packed:  {n5} docs into {n_seqs} sequences")
     clean.select("doc_id", "source", F.substring("text", 1, 60).alias("text")) \
         .show(5, truncate=False)
 

@@ -162,6 +162,40 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
               .select(id_col, "shard", "seq_id", "n_tokens"))
 
 
+def upsample(df: DataFrame, strata_col: Column | str,
+             weights: dict[str, float], id_col: str,
+             default: float = 1.0, salt: str = "epoch") -> DataFrame:
+    """Fractional up/down-sampling by stratum: weight 2.3 emits 2 full
+    copies of every row plus a deterministic 30% third copy; weight
+    0.4 emits a 40% sample.  The mixing primitive when target
+    proportions call for repeating high-quality sources.
+
+    Output is the input plus an ``epoch`` column (0-based copy index);
+    downstream shuffles (e.g. sequence packing salted by (id, epoch))
+    spread the copies.  Row-local explode — no shuffle; the decision
+    hash is salted with the epoch so fractional copies of different
+    epochs pick independent row subsets.
+    """
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    w = None
+    for name, weight in weights.items():
+        lit = F.lit(float(weight))
+        w = F.when(strata == name, lit) if w is None else w.when(strata == name, lit)
+    w = w.otherwise(F.lit(float(default))) if w is not None else F.lit(float(default))
+    n_full = F.floor(w).cast("int")
+    frac_buckets = F.round((w - F.floor(w)) * SPLIT_BUCKETS).cast("int")
+    epochs = F.sequence(F.lit(0), n_full)  # 0..floor(w) inclusive: last is the fractional copy
+    out = df.withColumn("__w_full", n_full) \
+            .withColumn("__w_frac", frac_buckets) \
+            .withColumn("epoch", F.explode(epochs))
+    keep_full = F.col("epoch") < F.col("__w_full")
+    id_c = F.col(id_col).cast("string")
+    frac_bucket = portable_hash(
+        F.concat(id_c, F.lit(salt), F.col("epoch").cast("string"))) % SPLIT_BUCKETS
+    keep_frac = (F.col("epoch") == F.col("__w_full")) & (frac_bucket < F.col("__w_frac"))
+    return out.filter(keep_full | keep_frac).drop("__w_full", "__w_frac")
+
+
 def vocab_stats(df: DataFrame, text_col: str, id_col: str,
                 top_k: int | None = None) -> DataFrame:
     """Corpus vocabulary statistics: per token, total term frequency

@@ -137,6 +137,43 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mix_upsample",
+    oracle=f"""
+    WITH lang AS (SELECT doc_id, {_LANG_SQL} AS pred_lang FROM documents),
+    e AS (
+      SELECT doc_id, pred_lang,
+             CASE pred_lang WHEN 'en' THEN 2.3 WHEN 'unknown' THEN 0.4
+                  ELSE 1.0 END AS w
+      FROM lang
+    ),
+    x AS (
+      SELECT doc_id, pred_lang,
+             CAST(floor(w) AS INTEGER) AS nf,
+             CAST(round((w - floor(w)) * {SPLIT_BUCKETS}) AS INTEGER) AS fb,
+             unnest(generate_series(0, CAST(floor(w) AS INTEGER))) AS epoch
+      FROM e
+    )
+    SELECT doc_id, pred_lang, CAST(epoch AS INTEGER) AS epoch
+    FROM x
+    WHERE epoch < nf
+       OR (epoch = nf AND
+           ((('0x' || substr(md5(doc_id::VARCHAR || 'epoch' || epoch::VARCHAR), 1, 14))::BIGINT
+             % 2147483647) % {SPLIT_BUCKETS}) < fb)
+    """,
+)
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional source mixing: 'en' docs repeated 2.3× (two full
+    epochs + a deterministic 30% third), 'unknown' sampled to 0.4× —
+    the upsampling half of corpus mixing.  Row-local explode, no
+    shuffle; every copy decision replayed by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn("pred_lang", text.lang_guess(text.tokens("text")))
+    return curation.upsample(
+        tagged, "pred_lang", {"en": 2.3, "unknown": 0.4}, "doc_id",
+    ).select("doc_id", "pred_lang", "epoch")
+
+
+@query(
     "vocab_topk",
     oracle=f"""
     WITH tok AS (

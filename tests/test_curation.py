@@ -144,3 +144,27 @@ def test_boilerplate_ratio(spark):
         assert out[d]["n_boiler"] == 1
         assert out[d]["boiler_ratio"] == pytest.approx(1 / out[d]["n_grams"])
     assert out[4]["n_boiler"] == 0 and out[4]["boiler_ratio"] == 0.0
+
+
+def test_upsample_fractional_copies(spark):
+    df = spark.createDataFrame(
+        [(i, "hi" if i < 100 else "lo") for i in range(200)],
+        "doc_id long, src string")
+    out = curation.upsample(df, "src", {"hi": 2.5, "lo": 0.25}, "doc_id")
+    rows = [(r["doc_id"], r["src"], r["epoch"]) for r in out.collect()]
+    hi = [r for r in rows if r[1] == "hi"]
+    lo = [r for r in rows if r[1] == "lo"]
+    # every hi doc appears in epochs 0 and 1; ~50% get epoch 2
+    assert sum(1 for r in hi if r[2] in (0, 1)) == 200
+    n_third = sum(1 for r in hi if r[2] == 2)
+    assert 30 <= n_third <= 70
+    # lo docs appear at most once (epoch 0), ~25%
+    assert all(r[2] == 0 for r in lo)
+    assert 10 <= len(lo) <= 40
+    # weight 1.0 default: exactly one copy each
+    plain = curation.upsample(df, "src", {}, "doc_id")
+    assert plain.count() == 200 and plain.filter("epoch != 0").count() == 0
+    # deterministic across runs
+    again = curation.upsample(df, "src", {"hi": 2.5, "lo": 0.25}, "doc_id")
+    assert sorted(rows) == sorted(
+        (r["doc_id"], r["src"], r["epoch"]) for r in again.collect())
