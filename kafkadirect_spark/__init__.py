@@ -16,7 +16,8 @@ log-scan query surface and Kafka Connect's per-record transforms
 - ``functions``   Connect-SMT equivalents plus the large-scale
                   training-data-pipeline set: dedup (exact/MinHash-LSH/
                   SimHash/ngram-Jaccard), similarity search, text
-                  analysis, multimodal binary columns
+                  analysis, multimodal binary columns, corpus curation
+                  (splits, sampling/mixing, decontamination, packing)
 - ``sources``     parquet/Kafka/file sources and sinks
 - ``streaming``   Structured Streaming equivalents of the stateful
                   machinery (suppression, custom processors, watermarks)
