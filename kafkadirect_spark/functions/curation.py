@@ -245,6 +245,31 @@ def boilerplate_ratio(df: DataFrame, text_col: str, id_col: str,
                     .alias("boiler_ratio")))
 
 
+def corpus_stats(df: DataFrame, group_col: str, size_col: Column | str,
+                 quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-group corpus report: doc count, total/mean size, and
+    discrete size percentiles — the dataset card / shard-size-planning
+    aggregation.  One shuffle on the group key.
+
+    ``percentile_disc`` (not interpolated): the result is an actual
+    value from the data, integer-exact across engines — no
+    floating-interpolation drift in the oracle comparison.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    d = df.select(F.col(group_col), size.alias("__sz"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__sz").alias("total_size"),
+        (F.sum("__sz").cast("double") / F.count(F.lit(1))).alias("avg_size"),
+    ]
+    for q in quantiles:
+        pct = str(int(q * 100))
+        aggs.append(F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY __sz)"
+        ).alias(f"p{pct}_size"))
+    return d.groupBy(group_col).agg(*aggs)
+
+
 def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
                    tiebreak_col: str | None = None,
                    ascending: bool = False) -> DataFrame:

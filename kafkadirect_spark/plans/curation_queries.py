@@ -228,6 +228,30 @@ def boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stats",
+    oracle=f"""
+    WITH sz AS (SELECT source, {_BPE_SQL} AS s FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS total_size,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_size,
+           CAST(quantile_disc(s, 0.5) AS BIGINT) AS p50_size,
+           CAST(quantile_disc(s, 0.9) AS BIGINT) AS p90_size,
+           CAST(quantile_disc(s, 0.99) AS BIGINT) AS p99_size
+    FROM sz GROUP BY source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per source: doc counts, token totals,
+    mean, and discrete p50/p90/p99 token sizes (integer-exact across
+    engines — no interpolation drift).  One shuffle on the source."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("source",
+                        text.bpe_token_count("text").cast("long").alias("bpe"))
+    return curation.corpus_stats(sized, "source", "bpe")
+
+
+@query(
     "quality_topk_per_lang",
     oracle=f"""
     WITH scored AS (

@@ -168,3 +168,17 @@ def test_upsample_fractional_copies(spark):
     again = curation.upsample(df, "src", {"hi": 2.5, "lo": 0.25}, "doc_id")
     assert sorted(rows) == sorted(
         (r["doc_id"], r["src"], r["epoch"]) for r in again.collect())
+
+
+def test_corpus_stats(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in [10, 20, 30, 40, 100]] + [("b", 7)],
+        "src string, sz long")
+    out = {r["src"]: r for r in
+           curation.corpus_stats(df, "src", "sz").collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["total_size"], a["avg_size"]) == (5, 200, 40.0)
+    # discrete percentiles are actual data values
+    assert a["p50_size"] == 30 and a["p90_size"] == 100 and a["p99_size"] == 100
+    b = out["b"]
+    assert (b["n_docs"], b["p50_size"]) == (1, 7)

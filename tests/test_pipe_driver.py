@@ -177,3 +177,32 @@ def test_pipe_streaming_deduplicate_within_watermark(spark):
         d.pipe([("a", 4, t("10:05:30"))])    # same id, new epoch → passes
         later = {(r.key, r.value) for r in d.read_output()}
         assert ("a", 4) in later and ("b", 1) in later
+
+
+def test_pipe_streaming_curation_gate(spark):
+    """The stateless curation gates (quality filter + deterministic
+    split assignment) run unchanged on a stream — per-row hash
+    decisions need no state, so streamed output must equal the batch
+    run over the same rows (batch/streaming parity)."""
+    from kafkadirect_spark.functions import curation
+
+    schema = "doc_id long, text string"
+    frac = {"train": 0.6, "val": 0.2, "test": 0.2}
+
+    def gate(df):
+        return curation.split_assign(
+            df.filter(F.length("text") >= 15), "doc_id", frac
+        ).select("doc_id", "split")
+
+    b1 = [(i, f"document body number {i} with enough text") for i in range(8)]
+    b2 = [(8, "short"),                      # dropped by the gate
+          (9, "another sufficiently long document body here")]
+    with PipeDriver(spark, schema, topology=lambda s: gate(s.df),
+                    output_mode="append") as d:
+        d.pipe(b1)
+        d.pipe(b2)
+        streamed = {(r.doc_id, r.split) for r in d.all_output()}
+    batch = {(r.doc_id, r.split) for r in
+             gate(spark.createDataFrame(b1 + b2, schema)).collect()}
+    assert streamed == batch
+    assert not any(i == 8 for i, _ in streamed)
