@@ -340,3 +340,69 @@ def test_split_assign_is_a_pure_function_of_id(spark, ids):
     half_assign = {r.doc_id: r.split for r in
                    curation.split_assign(half, "doc_id", frac).collect()}
     assert half_assign == {i: all_assign[i] for i in ids[::2]}
+
+
+def _phash_py(s: str) -> int:
+    """Independent python model of text.portable_hash."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % 2_147_483_647
+
+
+weight_strat = st.floats(min_value=0.0, max_value=3.0,
+                         allow_nan=False, width=16)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(id_lists, weight_strat)
+def test_upsample_matches_hash_model(spark, ids, w):
+    """Fractional upsampling vs an independent hashlib model: id i
+    appears floor(w) times plus one more iff its salted hash clears
+    the fractional gate."""
+    from kafkadirect_spark.functions import curation
+
+    df = spark.createDataFrame([(i, "s") for i in ids],
+                               "doc_id long, src string")
+    out = curation.upsample(df, "src", {"s": w}, "doc_id")
+    got = {}
+    for r in out.collect():
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    import math
+    nf = math.floor(w)
+    fb = round((w - nf) * 10_000)
+    expected = {}
+    for i in ids:
+        n = nf + (1 if _phash_py(f"{i}epoch{nf}") % 10_000 < fb else 0)
+        if n:
+            expected[i] = n
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(word_docs)
+def test_boilerplate_matches_set_model(spark, texts):
+    """Boilerplate ratio vs a brute-force model over word 3-grams."""
+    from kafkadirect_spark.functions import curation
+
+    def grams(t):
+        w = [x for x in t.split() if x]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    gsets = {i: grams(t) for i, t in enumerate(texts)}
+    df_freq = {}
+    for gs in gsets.values():
+        for g in gs:
+            df_freq[g] = df_freq.get(g, 0) + 1
+    expected = {}
+    for i, gs in gsets.items():
+        if gs:
+            boiler = sum(1 for g in gs if df_freq[g] > 1)
+            expected[i] = (len(gs), boiler)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = curation.boilerplate_ratio(df, "text", "doc_id",
+                                     n=3, max_doc_freq=1)
+    got = {r.doc_id: (r.n_grams, r.n_boiler) for r in out.collect()}
+    assert got == expected
