@@ -5,7 +5,8 @@ campaigns dim → windowed count per campaign, over an unbounded source.
 Uses the rate source as the ad-event generator (broker-free); the same
 topology runs against sources/kafka.py:read_stream with a real broker.
 
-Run:  python examples/yahoo_streaming.py   (ctrl-c to stop)
+Run:  python examples/yahoo_streaming.py [seconds]   (default 30; 0 = run
+until ctrl-c)
 """
 
 import sys
@@ -18,7 +19,7 @@ from kafkadirect_spark import Stream, Table, get_spark
 from kafkadirect_spark.core import Windows
 
 
-def main() -> None:
+def main(seconds: str = "30") -> None:
     spark = get_spark("yahoo-streaming-demo")
     # rate source → synthetic ad events (user_id, event_type, ts)
     events = Stream(
@@ -49,8 +50,13 @@ def main() -> None:
     q = (agg.select(F.col("window.start").alias("w"), "campaign", "views")
          .writeStream.outputMode("update").format("console")
          .option("truncate", "false").start())
-    q.awaitTermination()
+    limit = float(seconds)
+    if limit > 0:
+        q.awaitTermination(limit)
+        q.stop()
+    else:
+        q.awaitTermination()
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])

@@ -114,6 +114,36 @@ def punct_ratio(text: Column | str) -> Column:
             .otherwise(F.lit(0.0))
 
 
+# PII patterns — RE2-safe (no lookaround, no backrefs) so Spark (Java
+# regex) and DuckDB (RE2) match identically; order matters (SSN before
+# phone so the more specific pattern wins its span).
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_PHONE = "[0-9]{3}[- ][0-9]{4}"
+PII_PATTERNS = ((PII_SSN, "<SSN>"), (PII_EMAIL, "<EMAIL>"),
+                (PII_PHONE, "<PHONE>"))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Text with email / SSN / phone spans replaced by typed mask
+    tokens — the scrubbing stage of a training-data pipeline.  Pure
+    regexp_replace chain (codegen'd, no shuffle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, mask in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, mask)
+    return c
+
+
+def pii_count(text: Column | str) -> Column:
+    """Number of PII spans in the original text (emails + SSNs +
+    phones), for audit/reporting next to ``redact_pii``."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    return n.cast("long")
+
+
 def fingerprint(text: Column | str, k: int = 5) -> Column:
     """Document fingerprint: min portable hash over character k-grams
     (the 1-fingerprint degenerate case of winnowing).  Equal

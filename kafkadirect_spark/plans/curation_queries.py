@@ -228,6 +228,44 @@ def boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_redaction",
+    oracle="""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@example.com or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_hash,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+              + len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+              + len(regexp_extract_all(t, '[0-9]{3}[- ][0-9]{4}')) AS BIGINT)
+             AS n_pii
+    FROM pii
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: synthesize a deterministic email + phone per doc
+    (the corpus itself is PII-free), then mask emails/SSNs/phones and
+    count spans — the scrubbing stage as codegen'd regexp chains, no
+    shuffle; the oracle replays the identical RE2-safe patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return docs.select(
+        "doc_id",
+        F.md5(text.redact_pii(t)).alias("redacted_hash"),
+        text.pii_count(t).alias("n_pii"))
+
+
+@query(
     "corpus_stats",
     oracle=f"""
     WITH sz AS (SELECT source, {_BPE_SQL} AS s FROM documents)

@@ -182,3 +182,20 @@ def test_corpus_stats(spark):
     assert a["p50_size"] == 30 and a["p90_size"] == 100 and a["p99_size"] == 100
     b = out["b"]
     assert (b["n_docs"], b["p50_size"]) == (1, 7)
+
+
+def test_redact_pii(spark):
+    from kafkadirect_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@example.com or call 555-1234 now"),
+         (2, "ssn 123-45-6789 stays hidden"),
+         (3, "no sensitive content here"),
+         (4, "two mails a@b.co and c.d@e.org plus 987 6543")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["red"], r["n"]) for r in df.select(
+        "doc_id", T.redact_pii("text").alias("red"),
+        T.pii_count("text").alias("n")).collect()}
+    assert out[1] == ("mail <EMAIL> or call <PHONE> now", 2)
+    assert out[2] == ("ssn <SSN> stays hidden", 1)
+    assert out[3] == ("no sensitive content here", 0)
+    assert out[4] == ("two mails <EMAIL> and <EMAIL> plus <PHONE>", 3)
