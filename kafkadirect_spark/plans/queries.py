@@ -767,6 +767,70 @@ def join_global_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE) / 100.0
+             AS revenue,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (100 - CAST(l.l_discount*100 AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape on the DSL: fact stream ⋈ part dimension
+    (broadcast lookup join), promo-revenue share per brand.  The share
+    is one IEEE division of two exactly-agreed decimal sums — the
+    oracle convention for cross-engine float stability."""
+    line = Stream(load_table(spark, sf_dir, "lineitem"))
+    part = Table(load_table(spark, sf_dir, "part"), key="p_partkey")
+    joined = line.join_table(part, on=F.col("l_partkey") == F.col("p_partkey"))
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    promo_cents = F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return joined.group_by("p_brand").aggregate(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(disc_cents).cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.sum(promo_cents).cast("double") / F.sum(disc_cents).cast("double"))
+        .alias("promo_share"),
+    )
+
+
+@query(
+    "supplier_nation_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way dimension chain on the DSL: fact ⋈ supplier (lookup
+    join) ⋈ nation (GlobalKTable broadcast), shipped volume per
+    nation — the deep-join shape where Catalyst's join reordering and
+    broadcast selection earn their keep."""
+    line = Stream(load_table(spark, sf_dir, "lineitem"))
+    supp = Table(load_table(spark, sf_dir, "supplier"), key="s_suppkey")
+    nation = GlobalTable(load_table(spark, sf_dir, "nation"), key="n_nationkey")
+    out = (line.join_table(supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
+               .join_global(nation, on=F.col("s_nationkey") == F.col("n_nationkey")))
+    return (out.group_by(F.col("n_name").alias("nation"))
+            .aggregate(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(_dec("l_quantity")).cast("double").alias("total_qty")))
+
+
+@query(
     "yahoo_pipeline",
     oracle="""
     SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment AS campaign,
