@@ -831,6 +831,48 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join under the correctness gate: the salt column
+    only routes rows to tasks, so the result must equal the plain
+    equi-join the oracle computes (operators/skew.py:salted_join)."""
+    from kafkadirect_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return salted_join(ev, cust, key="user_id", small_key="c_custkey",
+                       salt=8).select("event_id", "c_name")
+
+
+@query(
+    "skew_salted_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for a non-algebraic aggregate
+    (distinct users per hot group): per-(key, salt) partial sets, then
+    a per-key merge — must equal the plain COUNT(DISTINCT) the oracle
+    runs (operators/skew.py:salted_agg)."""
+    from kafkadirect_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev, "event_type",
+        agg_exprs=[F.collect_set("user_id").alias("us")],
+        merge_exprs=[F.size(F.array_distinct(F.flatten(F.collect_list("us"))))
+                     .cast("long").alias("distinct_users")],
+    )
+
+
+@query(
     "yahoo_pipeline",
     oracle="""
     SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment AS campaign,

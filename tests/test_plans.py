@@ -130,3 +130,15 @@ def test_pack_sequences_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt[:2000]
     # the sort under the window is partition-local (no range exchange)
     assert "rangepartitioning" not in txt.lower()
+
+
+def test_multiway_dim_chain_broadcasts_both_dims(spark):
+    """supplier_nation_volume: the fact stream must reach the agg
+    through two broadcast joins (supplier under the threshold, nation
+    explicitly Global) — no sort-merge on a dimension, no cartesian."""
+    from kafkadirect_spark.plans import QUERIES
+    df = QUERIES["supplier_nation_volume"](spark, SF)
+    txt = _formatted(df)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", txt)) == 2, txt[:2000]
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
