@@ -54,11 +54,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # (transitive-safe: a~b~c keeps exactly one document)
     sigs = dedup.minhash_signatures(survivors, "text", "doc_id")
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id")
-    confirmed = (
-        dedup.ngram_jaccard_pairs(survivors, "text", "doc_id",
-                                  threshold=0.8, max_doc_freq=50)
-        .join(cands, ["id_a", "id_b"])          # candidates ∩ verified
-    )
+    # exact Jaccard computed only for the candidates (work bounded by
+    # the candidate set, not the corpus)
+    confirmed = dedup.jaccard_verify(survivors, cands, "text", "doc_id",
+                                     threshold=0.8)
     clusters = dedup.dedup_cluster_assign(survivors, confirmed, "doc_id")
     clean = (survivors.join(clusters, "doc_id")
              .filter(F.col("doc_id") == F.col("cluster")).drop("cluster"))

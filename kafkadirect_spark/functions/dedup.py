@@ -198,6 +198,94 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``
+    — the second sub-quadratic near-dup path next to MinHash-LSH.
+
+    Bucket join on ``n_bands`` signature bytes: by pigeonhole, two
+    signatures within ``n_bands − 1`` differing bits agree on ≥ 1
+    band, so candidate recall is EXACT for ``max_hamming <
+    n_bands``; exact ``bit_count(xor)`` verification then filters the
+    band collisions.  Shuffles: groupBy(doc) for signatures, one
+    (band, byte) bucket join — never all-pairs.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("exact recall needs max_hamming < n_bands")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(df, text_col, id_col, bits)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * band_bits)
+                  .bitwiseAND(F.lit(mask)).alias("v"))
+        for b in range(n_bands)
+    ])
+    buckets = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")
+    ).select(id_col, "simhash", "bk.*").persist()
+    a = buckets.select("band", "v", F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sig_a"))
+    b = buckets.select("band", "v", F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                 .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard, computed ONLY for the candidate ``pairs``
+    (id_a, id_b) — the verification stage after LSH candidate
+    generation.  The shingle index is semi-joined down to candidate
+    docs before the inverted-index join, and the joined pairs are
+    semi-joined against the candidate set before grouping: work is
+    bounded by the candidates, not the corpus."""
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh = (_shingle_index(df, text_col, id_col, n)
+          .join(cand_ids, id_col, "left_semi").persist())
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -157,30 +157,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_cluster_assign(docs, pairs, "doc_id")
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok0 AS (
+# SimHash CTE chain ending in (doc_id, simhash) — shared by the
+# signature oracle and the Hamming-pair oracle built on top of it.
+_SIMHASH_CTES = f"""
+    tok0 AS (
       SELECT doc_id, unnest({_TOK}) AS tok FROM documents
     ),
-    tok AS (SELECT DISTINCT doc_id, tok FROM tok0),
-    h AS (SELECT doc_id, {_PHASH.format(x='tok')} AS h FROM tok),
+    tokd AS (SELECT DISTINCT doc_id, tok FROM tok0),
+    hh AS (SELECT doc_id, {_PHASH.format(x='tok')} AS h FROM tokd),
     bits AS (
       SELECT doc_id, j,
              SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM h, (SELECT unnest(generate_series(0, 31)) AS j) js
+      FROM hh, (SELECT unnest(generate_series(0, 31)) AS j) js
       GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM bits GROUP BY doc_id
+    ),
+    shsig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM shsig
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per doc (sign-of-sum over token-hash bits)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS v
+      FROM shsig, (SELECT unnest(generate_series(0, 3)) AS b) bs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b USING (b, v)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via 4-byte band buckets —
+    pigeonhole makes candidate recall exact for distance < 4; only
+    band collisions pay the bit_count verification.  The second
+    sub-quadratic near-dup path, fully SQL-replayed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id",
+                               bits=32, max_hamming=3, n_bands=4)
+
+
+@query(
+    "dedup_verified_pairs",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           c * 1.0 / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical candidates→verify composition: MinHash-LSH
+    candidate pairs, then exact 3-gram Jaccard computed ONLY for the
+    candidates (shingle index semi-joined to candidate docs) — the
+    production near-dup pipeline stage between bucket generation and
+    clustering; work bounded by candidates, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    return dedup.jaccard_verify(docs, pairs, "text", "doc_id",
+                                n=3, threshold=0.8)
 
 
 @query(

@@ -178,3 +178,52 @@ def test_ivf_recall_and_probe_scaling(emb):
           similarity.ivf_topk(emb, "vec_id", "embedding", k=3, nprobe=8).collect()}
     rec8 = len(bf & r8) / len(bf)
     assert rec8 > rec4, f"more probes must help: {rec4:.3f} -> {rec8:.3f}"
+
+
+def test_simhash_pairs_finds_near_identical_docs(spark):
+    from kafkadirect_spark.functions import dedup
+    base = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base),
+         (2, base + " extraword"),             # tiny hamming delta
+         (3, " ".join(f"zz{i}" for i in range(60)))],  # far away
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(df, "text", "doc_id",
+                                        max_hamming=3).collect()}
+    assert (1, 2) in out
+    assert all(p == (1, 2) for p in out)
+    # identical docs -> hamming 0
+    df2 = spark.createDataFrame([(1, base), (2, base)],
+                                "doc_id long, text string")
+    out2 = dedup.simhash_pairs(df2, "text", "doc_id").collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out2] == [(1, 2, 0)]
+
+
+def test_simhash_pairs_rejects_bad_band_config(spark):
+    from kafkadirect_spark.functions import dedup
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dedup.simhash_pairs(df, "text", "doc_id", max_hamming=4, n_bands=4)
+
+
+def test_jaccard_verify_restricted_to_candidates(spark):
+    from pyspark.sql import functions as F
+    from kafkadirect_spark.functions import dedup
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, a), (2, a + " iota"), (3, a + " kappa"), (4, a)],
+        "doc_id long, text string")
+    # candidates exclude (1, 4) even though they're identical
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.jaccard_verify(df, pairs, "text", "doc_id",
+                                         n=3, threshold=0.5).collect()}
+    assert set(out) == {(1, 2), (1, 3)}      # (1,4) not computed
+    # and matches the full-jaccard computation on those pairs
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                               threshold=0.5).collect()}
+    for p, j in out.items():
+        assert abs(full[p] - j) < 1e-12
