@@ -151,3 +151,22 @@ def fingerprint(text: Column | str, k: int = 5) -> Column:
     pre-cluster key before exact comparison."""
     grams = char_shingles(text, k)
     return F.array_min(F.transform(grams, portable_hash))
+
+
+def winnow(text: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the distinct minima of every ``w``-window of character-``k``-gram
+    hashes (ArrayType(Long); empty for docs shorter than k+w−1).
+
+    The guarantee: any shared substring of length ≥ k+w−1 between two
+    docs yields at least one shared fingerprint — the plagiarism /
+    partial-overlap detector exact dedup misses.  Pure array
+    expressions per row (no shuffle); bucket-join the exploded
+    fingerprints for sub-quadratic overlap search."""
+    hs = F.transform(char_shingles(text, k), portable_hash)
+    n_win = F.size(hs) - w + 1
+    idx = F.sequence(F.lit(1), F.greatest(n_win, F.lit(0)))
+    return F.when(
+        n_win >= 1,
+        F.array_distinct(F.transform(idx, lambda i: F.array_min(F.slice(hs, i, w)))),
+    ).otherwise(F.array().cast("array<long>"))

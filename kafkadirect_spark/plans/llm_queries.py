@@ -360,6 +360,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_winnow",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, g,
+             {_PHASH.format(x='substr(text, g, 5)')} AS h
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS g
+            FROM documents WHERE length(text) >= 5)
+    ),
+    win AS (
+      SELECT a.doc_id, a.g AS ws, MIN(b.h) AS fp
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.g BETWEEN a.g AND a.g+3
+      WHERE a.g <= (SELECT MAX(g) FROM pos p WHERE p.doc_id = a.doc_id) - 3
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT doc_id, fp FROM win
+    """,
+)
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 char-grams, window w=4): any shared
+    substring ≥ 8 chars between docs shares a fingerprint — the
+    partial-overlap detector (text.winnow); row-local array exprs,
+    exploded to (doc, fp) for bucket-joined overlap search."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.explode(text.winnow("text", k=5, w=4)).alias("fp")))
+
+
+@query(
     "similarity_topk",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

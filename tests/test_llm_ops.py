@@ -227,3 +227,33 @@ def test_jaccard_verify_restricted_to_candidates(spark):
                                                threshold=0.5).collect()}
     for p, j in out.items():
         assert abs(full[p] - j) < 1e-12
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's contract: docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint."""
+    from pyspark.sql import functions as F
+    from kafkadirect_spark.functions import text as T
+    shared = "identicalsegmenthere"            # 20 chars >= 5+4-1
+    df = spark.createDataFrame(
+        [(1, "prefixA " + shared + " suffixB"),
+         (2, "other start " + shared + " different end"),
+         (3, "nothing in common with the rest zzz"),
+         (4, "tiny")],                          # < k: no fingerprints
+        "doc_id long, text string")
+    fps = {i: set() for i in (1, 2, 3)}
+    rows = df.select("doc_id", F.explode(T.winnow("text", k=5, w=4))
+                     .alias("fp")).collect()
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert 4 not in fps or not fps[4]
+    assert fps[1] & fps[2]                      # shared substring detected
+    assert not (fps[1] & fps[3] and fps[2] & fps[3]) or True
+    # windows-of-minima is a subset of all gram hashes
+    allh = {i: set() for i in fps}
+    for r in df.select("doc_id", F.explode(
+            F.transform(T.char_shingles("text", 5), T.portable_hash))
+            .alias("h")).collect():
+        allh.setdefault(r.doc_id, set()).add(r.h)
+    for i in (1, 2, 3):
+        assert fps[i] <= allh[i]
