@@ -153,6 +153,18 @@ def fingerprint(text: Column | str, k: int = 5) -> Column:
     return F.array_min(F.transform(grams, portable_hash))
 
 
+def repetition_ratio(toks: Column, n: int = 2) -> Column:
+    """Within-document repetition: fraction of word ``n``-grams that
+    are duplicates of an earlier one (0.0 = no repetition).  The
+    Gopher-style quality signal for templated/looping text — high
+    values mean the doc repeats itself.  Pure array expression."""
+    grams = shingles(toks, n)
+    return F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+
 def winnow(text: Column | str, k: int = 5, w: int = 4) -> Column:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     the distinct minima of every ``w``-window of character-``k``-gram

@@ -342,6 +342,44 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w)-1),
+                                      i -> w[i] || ' ' || w[i+1])
+                  ELSE [] END AS g2,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w)-2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS g3
+      FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS rep2,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS rep3
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition ratios (duplicate 2-gram and 3-gram
+    fractions) — the Gopher-style templated-text quality signal, as
+    pure array expressions; one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    return docs.select(
+        "doc_id",
+        text.repetition_ratio(w, n=2).alias("rep2"),
+        text.repetition_ratio(w, n=3).alias("rep3"))
+
+
+@query(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,

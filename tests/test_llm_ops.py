@@ -257,3 +257,19 @@ def test_winnow_shared_substring_guarantee(spark):
         allh.setdefault(r.doc_id, set()).add(r.h)
     for i in (1, 2, 3):
         assert fps[i] <= allh[i]
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+    from kafkadirect_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),            # 3 bigrams, 1 distinct
+         (2, "all unique words here now"),      # no repeats
+         (3, "one")],                           # < 2 tokens
+        "doc_id long, text string")
+    out = {r.doc_id: r.rep for r in df.select(
+        "doc_id", T.repetition_ratio(T.tokens("text"), 2).alias("rep")
+    ).collect()}
+    assert out[1] == pytest.approx(1 - 1 / 3)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
