@@ -286,6 +286,44 @@ def jaccard_verify(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Partial-overlap pairs via winnowing fingerprints: doc pairs
+    sharing ≥ ``min_shared`` fingerprints (text.winnow guarantees a
+    shared fingerprint for any common substring ≥ k+w−1 chars) — the
+    plagiarism / quotation / cross-doc-copy detector.
+
+    Inverted-index shape on the fingerprint (one explode + bucket
+    self-join), with the same hot-key cap as the Jaccard path:
+    fingerprints in more than ``max_doc_freq`` docs are boilerplate
+    and carry no pairing signal.
+    """
+    from kafkadirect_spark.functions.text import winnow
+
+    fps = (_widen(df.select(F.col(id_col), F.col(text_col)))
+           .select(F.col(id_col),
+                   F.explode(winnow(text_col, k, w)).alias("fp")))
+    if max_doc_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(freq.filter(F.col("df") <= max_doc_freq), "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -426,6 +426,41 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, g,
+             {_PHASH.format(x='substr(text, g, 5)')} AS h
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS g
+            FROM documents WHERE length(text) >= 5)
+    ),
+    win AS (
+      SELECT a.doc_id, a.g AS ws, MIN(b.h) AS fp
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.g BETWEEN a.g AND a.g+3
+      WHERE a.g <= (SELECT MAX(g) FROM pos p WHERE p.doc_id = a.doc_id) - 3
+      GROUP BY 1, 2
+    ),
+    fps0 AS (SELECT DISTINCT doc_id, fp FROM win),
+    keep AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 50),
+    fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc partial-overlap pairs: ≥3 shared winnowing
+    fingerprints (hot fingerprints capped at df ≤ 50) — detects
+    copied spans exact and near-dup hashing miss; inverted-index
+    join, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, "text", "doc_id",
+                                      k=5, w=4, min_shared=3,
+                                      max_doc_freq=50)
+
+
+@query(
     "similarity_topk",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -273,3 +273,18 @@ def test_repetition_ratio(spark):
     assert out[1] == pytest.approx(1 - 1 / 3)
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_winnow_overlap_pairs_detects_copied_span(spark):
+    from kafkadirect_spark.functions import dedup
+    span = "thequickbrownfoxjumpsoverthelazydogagain"
+    df = spark.createDataFrame(
+        [(1, "AAA " + span + " BBB"),
+         (2, "CCC " + span + " DDD"),          # copied span from 1
+         (3, "totally unrelated content zzz qqq www eee rrr")],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.shared_fps for r in
+           dedup.winnow_overlap_pairs(df, "text", "doc_id", min_shared=3,
+                                      max_doc_freq=None).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 3
+    assert all(p == (1, 2) for p in out)
