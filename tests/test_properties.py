@@ -406,3 +406,55 @@ def test_boilerplate_matches_set_model(spark, texts):
                                      n=3, max_doc_freq=1)
     got = {r.doc_id: (r.n_grams, r.n_boiler) for r in out.collect()}
     assert got == expected
+
+
+texts_with_overlap = st.tuples(
+    st.text(alphabet="abcdef ", min_size=0, max_size=30),
+    st.text(alphabet="abcdef ", min_size=0, max_size=30),
+    st.text(alphabet="ghijkl", min_size=8, max_size=20),   # shared core
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts_with_overlap)
+def test_winnow_shared_substring_property(spark, parts):
+    """Winnowing guarantee, property form: two docs embedding the same
+    substring of length >= k+w-1 (=8) always share a fingerprint."""
+    from pyspark.sql import functions as F
+    from kafkadirect_spark.functions import text as T
+
+    pre, post, core = parts
+    df = spark.createDataFrame(
+        [(1, pre + core), (2, core + post)], "doc_id long, text string")
+    rows = df.select("doc_id", F.explode(T.winnow("text", k=5, w=4))
+                     .alias("fp")).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], (pre, core, post)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(word_docs)
+def test_jaccard_verify_equals_full_jaccard_on_candidates(spark, texts):
+    """jaccard_verify(df, pairs) must equal the full all-pairs Jaccard
+    restricted to the candidate set, for any candidate set."""
+    from kafkadirect_spark.functions import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    n = len(texts)
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)][::2]
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.jaccard_verify(df, pdf, "text", "doc_id",
+                                n=2, threshold=0.1).collect()}
+    full = {(r.id_a, r.id_b): r.jaccard for r in
+            dedup.ngram_jaccard_pairs(df, "text", "doc_id",
+                                      n=2, threshold=0.1).collect()}
+    expected = {p: j for p, j in full.items() if p in set(pairs)}
+    assert got == expected
