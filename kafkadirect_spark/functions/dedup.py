@@ -67,11 +67,24 @@ def _widen(df: DataFrame) -> DataFrame:
     """Ensure the expensive explode/hash stages run cluster-wide: a
     small/single-file scan yields fewer partitions than cores, which
     would serialize the shingle hashing.  No-op when the scan is
-    already as wide as the cluster (the 100 TB case)."""
+    already as wide as the cluster (the 100 TB case).
+
+    Metadata-only check: ``inputFiles()`` never converts the plan to an
+    RDD (the old ``df.rdd.getNumPartitions()`` probe forced an RDD
+    conversion and would throw on a streaming frame).  A scan over
+    ≥ ``defaultParallelism`` files is already wide; fewer files (or a
+    non-file source) round-robins once — cheap next to the
+    per-row-expensive stage this guards."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

