@@ -7,6 +7,7 @@ KTableSuppressProcessor.java:71-110, KStreamTransformValues.java,
 KTableAggregate.java:72-98.
 """
 
+import os
 import shutil
 import tempfile
 from datetime import datetime
@@ -150,6 +151,93 @@ def test_streaming_retraction_reaggregate(spark, tmpdir):
         w([("k1", "y", 7, 2)], 1)  # upsert: k1 re-keys x→y
         q.processAllAvailable()
         assert results[-1] == {"x": 3, "y": 7}  # old x:5 retracted
+    finally:
+        q.stop()
+
+
+def test_streaming_retraction_bounded_state_many_batches(spark, tmpdir):
+    """The retraction store must stay O(|distinct keys|) regardless of
+    changelog length: after 50 microbatches over 5 keys the durable
+    snapshot holds exactly 5 rows and exactly one committed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for i in range(50):
+        pq.write_table(pa.table({
+            "key": [f"k{i % 5}"], "attr": ["x" if i % 2 else "y"],
+            "value": pa.array([i], type=pa.int32()),
+            "offset": pa.array([i], type=pa.int64()),
+        }), f"{tmpdir}/in/b{i:03d}.parquet")
+    results = []
+    src = spark.readStream.schema(
+        "key string, attr string, value int, offset bigint"
+    ).option("maxFilesPerTrigger", "1").parquet(f"{tmpdir}/in/*")
+    q = retraction.streaming_table_group_aggregate(
+        src, key="key", order_by="offset",
+        group_exprs=[F.col("attr")],
+        aggs=[F.sum("value").alias("total")],
+        sink=lambda df, bid: results.append(
+            {r.attr: r.total for r in df.collect()}),
+        value_cols=["attr", "value"],
+        checkpoint=f"{tmpdir}/ckpt_many",
+        store_dir=f"{tmpdir}/store_many",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(results) == 50
+    # Latest offsets per key are 45..49; odd offsets carry attr "x" →
+    # x: 45+47+49, y: 46+48.
+    assert results[-1] == {"x": 45 + 47 + 49, "y": 46 + 48}
+    versions = [d for d in os.listdir(f"{tmpdir}/store_many")
+                if d.startswith("v=")]
+    assert len(versions) == 1  # pruned: one committed snapshot
+    snap = spark.read.parquet(f"{tmpdir}/store_many/{versions[0]}")
+    assert snap.count() == 5  # |distinct keys|, not 50 changelog rows
+
+
+def test_streaming_retraction_restart_from_checkpoint(spark, tmpdir):
+    """Kill the query, restart with the same checkpoint + store: state
+    survives and the re-keying retraction still lands correctly."""
+    up = "key string, attr string, value int, offset bigint"
+
+    def w(rows, n):
+        spark.createDataFrame(rows, up).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmpdir}/in/b{n}")
+
+    def start(results):
+        src = spark.readStream.schema(up).option(
+            "maxFilesPerTrigger", "1").parquet(f"{tmpdir}/in/*")
+        return retraction.streaming_table_group_aggregate(
+            src, key="key", order_by="offset",
+            group_exprs=[F.col("attr")],
+            aggs=[F.sum("value").alias("total")],
+            sink=lambda df, bid: results.append(
+                {r.attr: r.total for r in df.collect()}),
+            value_cols=["attr", "value"],
+            checkpoint=f"{tmpdir}/ckpt_rs",
+            store_dir=f"{tmpdir}/store_rs",
+        )
+
+    r1 = []
+    w([("k1", "x", 5, 0), ("k2", "x", 3, 1)], 0)
+    q = start(r1)
+    try:
+        q.processAllAvailable()
+        assert r1[-1] == {"x": 8}
+    finally:
+        q.stop()
+
+    # New incarnation of the query: picks up the durable store, and the
+    # re-key of k1 x→y must retract 5 from x.
+    r2 = []
+    w([("k1", "y", 7, 2)], 1)
+    q = start(r2)
+    try:
+        q.processAllAvailable()
+        assert r2[-1] == {"x": 3, "y": 7}
     finally:
         q.stop()
 
