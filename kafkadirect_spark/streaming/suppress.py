@@ -18,6 +18,10 @@ accepts a checkpoint for state but refuses to restart from it.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -48,3 +52,180 @@ def until_time_limit(windowed_agg: DataFrame, interval: str,
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.format("memory")
+
+
+class BufferFullError(RuntimeError):
+    """SHUT_DOWN full-buffer strategy — Suppressed.BufferConfig
+    .shutDownWhenFull() (Suppressed.java:134-148): adding a record to a
+    full suppression buffer stops the topology instead of emitting an
+    unfinalized result early."""
+
+
+@dataclass(frozen=True)
+class BufferConfig:
+    """Suppressed.BufferConfig — Suppressed.java:134-148.
+
+    ``max_records`` / ``max_bytes``: buffer bounds (None = unbounded,
+    BufferConfig.unbounded()).  ``on_full``: what to do when an insert
+    exceeds a bound — ``"emit"`` (emitEarlyWhenFull: evict + forward the
+    earliest-buffered entries until back under the bound) or
+    ``"shutdown"`` (shutDownWhenFull: raise BufferFullError, the
+    StreamThread-fatal path).  Note untilWindowCloses only accepts a
+    STRICT config in the reference (unbounded or shutdown) — emitting
+    early would break the "final results only" contract; the adapter
+    below enforces the same.
+    """
+    max_records: int | None = None
+    max_bytes: int | None = None
+    on_full: str = "emit"
+
+    def __post_init__(self):
+        if self.on_full not in ("emit", "shutdown"):
+            raise ValueError("on_full must be 'emit' or 'shutdown'")
+
+    @property
+    def strict(self) -> bool:
+        """StrictBufferConfig: never emits early (Suppressed.java:76)."""
+        return (self.max_records is None and self.max_bytes is None) \
+            or self.on_full == "shutdown"
+
+
+def _entry_bytes(key: tuple, value: dict) -> int:
+    """Deterministic stand-in for the reference's serialized key+value
+    byte accounting (InMemoryTimeOrderedKeyValueBuffer.java
+    computeRecordSize): string length of every field."""
+    return sum(len(str(v)) for v in (*key, *value.values()))
+
+
+class SuppressionBuffer:
+    """Time-ordered key-value suppression buffer — the Python mirror of
+    InMemoryTimeOrderedKeyValueBuffer.java driving
+    KTableSuppressProcessor.java:71-110.
+
+    Entries are keyed (latest update per key wins — an update re-times
+    the entry, as put() re-inserts at the new record time) and ordered
+    by buffer time for eviction.  Two emit conditions:
+
+    - ``emit_after=None`` (untilWindowCloses): an entry emits when
+      observed stream time passes ``end_col`` + ``grace`` — the final
+      result, exactly once.
+    - ``emit_after=timedelta`` (untilTimeLimit): an entry emits when
+      stream time passes its buffer time + the limit.
+
+    Bounds are enforced on every insert (the reference's
+    enforceConstraints loop): over ``max_records``/``max_bytes`` the
+    EMIT strategy force-evicts earliest-first, SHUT_DOWN raises.
+    The buffer is bounded by construction, so holding it in task/driver
+    memory is the same contract as the reference's in-memory buffer.
+    """
+
+    def __init__(
+        self,
+        key_cols: list[str],
+        end_col: str = "end",
+        grace: timedelta = timedelta(0),
+        emit_after: timedelta | None = None,
+        config: BufferConfig = BufferConfig(),
+    ):
+        if emit_after is None and not config.strict:
+            raise ValueError(
+                "untilWindowCloses requires a strict buffer config "
+                "(unbounded or shutdown-when-full) — emitting early would "
+                "break final-results semantics (Suppressed.java:76)")
+        self.key_cols = list(key_cols)
+        self.end_col = end_col
+        self.grace = grace
+        self.emit_after = emit_after
+        self.config = config
+        self._entries: dict[tuple, tuple[datetime, dict]] = {}
+        self._bytes = 0
+        self.stream_time: datetime | None = None
+
+    def _emit_due(self, entry_time: datetime, value: dict) -> bool:
+        if self.stream_time is None:
+            return False
+        if self.emit_after is None:
+            return value[self.end_col] + self.grace <= self.stream_time
+        return entry_time + self.emit_after <= self.stream_time
+
+    def _pop(self, key: tuple) -> dict:
+        t, value = self._entries.pop(key)
+        self._bytes -= _entry_bytes(key, value)
+        return value
+
+    def put_batch(self, rows: list[dict], ts_col: str) -> list[dict]:
+        """Feed one microbatch of (updated) aggregate rows; returns the
+        rows emitted by this step: time-due evictions first (the
+        processor's eviction loop runs on every record), then any
+        forced early emissions from the bound."""
+        emitted: list[dict] = []
+        for row in rows:
+            ts = row[ts_col]
+            if self.stream_time is None or ts > self.stream_time:
+                self.stream_time = ts
+            key = tuple(row[c] for c in self.key_cols)
+            value = {c: v for c, v in row.items()}
+            if key in self._entries:
+                self._pop(key)  # re-time + re-value (latest wins)
+            self._entries[key] = (ts, value)
+            self._bytes += _entry_bytes(key, value)
+            emitted.extend(self._evict_due())
+            emitted.extend(self._enforce_bounds())
+        emitted.extend(self._evict_due())
+        return emitted
+
+    def _evict_due(self) -> list[dict]:
+        out = []
+        for key, (t, value) in sorted(self._entries.items(),
+                                      key=lambda kv: kv[1][0]):
+            if self._emit_due(t, value):
+                out.append(self._pop(key))
+        return out
+
+    def _over_bound(self) -> bool:
+        c = self.config
+        return ((c.max_records is not None and len(self._entries) > c.max_records)
+                or (c.max_bytes is not None and self._bytes > c.max_bytes))
+
+    def _enforce_bounds(self) -> list[dict]:
+        out = []
+        while self._over_bound():
+            if self.config.on_full == "shutdown":
+                raise BufferFullError(
+                    f"suppression buffer full ({len(self._entries)} records, "
+                    f"{self._bytes} bytes) with shutDownWhenFull")
+            oldest = min(self._entries, key=lambda k: self._entries[k][0])
+            out.append(self._pop(oldest))
+        return out
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+def suppress_bounded(
+    windowed_agg: DataFrame,
+    buffer: SuppressionBuffer,
+    ts_col: str,
+    sink: Callable[[list[dict], int], None],
+    checkpoint: str | None = None,
+):
+    """Streaming adapter: drive a bounded SuppressionBuffer from an
+    update-mode windowed aggregation via foreachBatch — per-key updates
+    coalesce in the buffer, finals (or forced early emissions) reach
+    ``sink(rows, batch_id)``.  A SHUT_DOWN-full buffer propagates
+    BufferFullError and fails the query, matching the reference's
+    fatal StreamThread shutdown.
+
+    ``ts_col`` must carry EVENT time (add ``F.max(ts)`` to the
+    aggregation), not the window end — stream time is "max record
+    timestamp observed" (KTableSuppressProcessor observedStreamTime);
+    keying it off the window end would close every window the moment
+    its first update arrives."""
+    def per_batch(batch: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict(recursive=True) for r in batch.collect()]
+        sink(buffer.put_batch(rows, ts_col), batch_id)
+
+    w = windowed_agg.writeStream.outputMode("update").foreachBatch(per_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

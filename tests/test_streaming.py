@@ -155,6 +155,114 @@ def test_streaming_retraction_reaggregate(spark, tmpdir):
         q.stop()
 
 
+def test_suppress_buffer_final_results_until_window_closes():
+    """SuppressScenarioTest 'shouldSupportFinalResults...' shape: per-key
+    updates coalesce; the final value emits exactly once, when stream
+    time passes window end + grace."""
+    from datetime import timedelta
+    buf = suppress.SuppressionBuffer(
+        ["key", "end"], end_col="end", grace=timedelta(minutes=1))
+    e1, e2 = t("00:10:00"), t("00:20:00")
+    out = buf.put_batch([
+        {"key": "a", "end": e1, "n": 1, "ts": t("00:05:00")},
+        {"key": "a", "end": e1, "n": 2, "ts": t("00:06:00")},  # coalesces
+    ], "ts")
+    assert out == [] and len(buf) == 1
+    # stream time passes e1+grace → the LATEST buffered value emits once
+    out = buf.put_batch([
+        {"key": "b", "end": e2, "n": 1, "ts": t("00:11:30")}], "ts")
+    assert [(r["key"], r["n"]) for r in out] == [("a", 2)]
+    assert len(buf) == 1  # b still open
+
+
+def test_suppress_buffer_emit_early_when_full():
+    """BufferConfig.maxRecords(2).emitEarlyWhenFull(): the third key
+    forces the earliest-buffered entry out before its time."""
+    from datetime import timedelta
+    buf = suppress.SuppressionBuffer(
+        ["key"], emit_after=timedelta(hours=1),
+        config=suppress.BufferConfig(max_records=2, on_full="emit"))
+    out = buf.put_batch([
+        {"key": "a", "n": 1, "ts": t("00:01:00")},
+        {"key": "b", "n": 1, "ts": t("00:02:00")},
+        {"key": "c", "n": 1, "ts": t("00:03:00")},
+    ], "ts")
+    assert [r["key"] for r in out] == ["a"]  # evicted earliest-first
+    assert len(buf) == 2
+
+
+def test_suppress_buffer_max_bytes_and_update_retiming():
+    """maxBytes bound + upsert semantics: an update to a buffered key
+    replaces value AND buffer time (put re-inserts at the new record
+    time), so eviction order follows the latest update."""
+    from datetime import timedelta
+    buf = suppress.SuppressionBuffer(
+        ["key"], emit_after=timedelta(hours=1),
+        config=suppress.BufferConfig(max_bytes=60, on_full="emit"))
+    buf.put_batch([{"key": "a", "n": 1, "ts": t("00:01:00")},
+                   {"key": "b", "n": 1, "ts": t("00:02:00")}], "ts")
+    # re-time a to be newest; then overflow → b (now oldest) evicts first
+    buf.put_batch([{"key": "a", "n": 2, "ts": t("00:03:00")}], "ts")
+    out = buf.put_batch([{"key": "c", "n": 1, "ts": t("00:04:00")}], "ts")
+    assert [r["key"] for r in out] == ["b"]
+
+
+def test_suppress_buffer_shutdown_when_full():
+    """BufferConfig.shutDownWhenFull(): overflow is fatal, not lossy."""
+    from datetime import timedelta
+    buf = suppress.SuppressionBuffer(
+        ["key"], emit_after=timedelta(hours=1),
+        config=suppress.BufferConfig(max_records=1, on_full="shutdown"))
+    buf.put_batch([{"key": "a", "n": 1, "ts": t("00:01:00")}], "ts")
+    with pytest.raises(suppress.BufferFullError):
+        buf.put_batch([{"key": "b", "n": 1, "ts": t("00:02:00")}], "ts")
+
+
+def test_suppress_until_window_closes_requires_strict_config():
+    """Suppressed.untilWindowCloses only accepts a StrictBufferConfig —
+    an emit-early bound would break final-results semantics."""
+    with pytest.raises(ValueError, match="strict"):
+        suppress.SuppressionBuffer(
+            ["key"], config=suppress.BufferConfig(max_records=2,
+                                                  on_full="emit"))
+    # shutdown-when-full IS strict — allowed
+    suppress.SuppressionBuffer(
+        ["key"], config=suppress.BufferConfig(max_records=2,
+                                              on_full="shutdown"))
+
+
+def test_suppress_bounded_streaming_adapter(spark, tmpdir):
+    """suppress_bounded end-to-end: update-mode windowed count feeds
+    the bounded buffer via foreachBatch; the closed window's final
+    count reaches the sink exactly once."""
+    from datetime import timedelta
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:10")),
+                                 ("a", 1, t("00:00:40"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    agg = (Stream(src.df, key="key", ts="ts")
+           .group_by_key()
+           .windowed_by(Windows.tumbling("1 minute"))
+           .aggregate(F.count(F.lit(1)).alias("n"),
+                      F.max("ts").alias("_ts"))
+           .select(F.col("window.end").alias("end"), "key", "n", "_ts"))
+    buf = suppress.SuppressionBuffer(
+        ["key", "end"], end_col="end",
+        config=suppress.BufferConfig(max_records=100, on_full="shutdown"))
+    got = []
+    q = suppress.suppress_bounded(
+        agg, buf, ts_col="_ts",
+        sink=lambda rows, bid: got.extend(rows),
+        checkpoint=f"{tmpdir}/ckpt_sb")
+    try:
+        q.processAllAvailable()
+        assert got == []  # window still open
+        _write_batch(spark, tmpdir, [("b", 1, t("00:02:30"))], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [(r["key"], r["n"]) for r in got if r["key"] == "a"] == [("a", 2)]
+
+
 def test_streaming_retraction_bounded_state_many_batches(spark, tmpdir):
     """The retraction store must stay O(|distinct keys|) regardless of
     changelog length: after 50 microbatches over 5 keys the durable
