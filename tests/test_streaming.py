@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from kafkadirect_spark.core import Stream, Windows
 from kafkadirect_spark.sources.stream import stream_from_dir
-from kafkadirect_spark.streaming import retraction, suppress, transform
+from kafkadirect_spark.streaming import (retraction, suppress, table_join,
+                                         transform)
 
 KV = "key string, value int, ts timestamp"
 
@@ -346,6 +347,94 @@ def test_streaming_retraction_restart_from_checkpoint(spark, tmpdir):
     try:
         q.processAllAvailable()
         assert r2[-1] == {"x": 3, "y": 7}
+    finally:
+        q.stop()
+
+
+LJ = "key string, lval string, offset bigint"
+RJ = "key string, rval string, offset bigint"
+
+
+def _ttj_harness(spark, tmpdir, how):
+    """Start a streaming table-table join over two file changelogs;
+    returns (pipe_left, pipe_right, outputs, query)."""
+    for side, schema in (("l", LJ), ("r", RJ)):
+        (spark.createDataFrame([], schema).coalesce(1)
+         .write.parquet(f"{tmpdir}/{side}/b_seed"))
+    left = spark.readStream.schema(LJ).option(
+        "maxFilesPerTrigger", "1").parquet(f"{tmpdir}/l/*")
+    right = spark.readStream.schema(RJ).option(
+        "maxFilesPerTrigger", "1").parquet(f"{tmpdir}/r/*")
+    outputs = []
+    q = table_join.streaming_table_table_join(
+        left, right, key="key", order_by="offset",
+        sink=lambda rows: outputs.append(
+            [(r.key, r.lval, r.rval, r._change) for r in rows]),
+        how=how, left_tombstone="lval", right_tombstone="rval",
+        checkpoint=f"{tmpdir}/ckpt", store_dir=f"{tmpdir}/store")
+    n = {"l": 0, "r": 0}
+
+    def pipe(side, schema):
+        def go(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(f"{tmpdir}/{side}/b{n[side]}")
+            n[side] += 1
+            q.processAllAvailable()
+        return go
+
+    return pipe("l", LJ), pipe("r", RJ), outputs, q
+
+
+def test_streaming_table_table_left_join_update_sequence(spark, tmpdir):
+    """KTableKTableLeftJoinTest shape: updates on either side re-emit
+    the joined row; a left-side tombstone deletes the key downstream."""
+    pl, pr, out, q = _ttj_harness(spark, tmpdir, "left")
+    try:
+        q.processAllAvailable()
+        pl([("k1", "v1", 0)])
+        assert out[-1] == [("k1", "v1", None, "upsert")]
+        pr([("k1", "w1", 1)])
+        assert out[-1] == [("k1", "v1", "w1", "upsert")]
+        pr([("k1", "w2", 2)])  # right update re-joins against left state
+        assert out[-1] == [("k1", "v1", "w2", "upsert")]
+        pl([("k2", "v2", 3)])  # unrelated key: no k1 noise
+        assert out[-1] == [("k2", "v2", None, "upsert")]
+        pl([("k1", None, 4)])  # left tombstone → join tombstone
+        assert out[-1] == [("k1", None, None, "delete")]
+    finally:
+        q.stop()
+
+
+def test_streaming_table_table_inner_join_update_sequence(spark, tmpdir):
+    """Inner join: no emission until both sides have the key; a
+    right-side tombstone retracts the joined row."""
+    pl, pr, out, q = _ttj_harness(spark, tmpdir, "inner")
+    try:
+        q.processAllAvailable()
+        pl([("k1", "v1", 0)])
+        assert out[-1] == []  # right side empty: nothing joins yet
+        pr([("k1", "w1", 1)])
+        assert out[-1] == [("k1", "v1", "w1", "upsert")]
+        pr([("k1", None, 2)])  # right tombstone
+        assert out[-1] == [("k1", None, None, "delete")]
+    finally:
+        q.stop()
+
+
+def test_streaming_table_table_outer_join(spark, tmpdir):
+    """Outer join: each side visible alone; tombstones degrade the row
+    instead of deleting while the other side still has the key."""
+    pl, pr, out, q = _ttj_harness(spark, tmpdir, "outer")
+    try:
+        q.processAllAvailable()
+        pr([("k1", "w1", 0)])
+        assert out[-1] == [("k1", None, "w1", "upsert")]
+        pl([("k1", "v1", 1)])
+        assert out[-1] == [("k1", "v1", "w1", "upsert")]
+        pl([("k1", None, 2)])  # left gone, right remains → degraded row
+        assert out[-1] == [("k1", None, "w1", "upsert")]
+        pr([("k1", None, 3)])  # both gone → delete
+        assert out[-1] == [("k1", None, None, "delete")]
     finally:
         q.stop()
 
