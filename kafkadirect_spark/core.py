@@ -131,6 +131,19 @@ class Stream:
         """KStream.filter — KStream.java:67 → KStreamFilter.java."""
         return self._with(self.df.filter(predicate))
 
+    def with_timestamp_policy(self, on_invalid: str = "fail",
+                              order_by: str | None = None,
+                              partition_by: str | None = None) -> "Stream":
+        """TimestampExtractor policy over the stream's event-time column
+        — Fail/LogAndSkip/UsePartitionTime/Wallclock on invalid
+        timestamps (RecordQueue.java:178; functions/timestamps.py)."""
+        from kafkadirect_spark.functions.timestamps import with_timestamp_policy
+        if self.ts is None:
+            raise ValueError("timestamp policy requires an event-time column")
+        return self._with(with_timestamp_policy(
+            self.df, self.ts, on_invalid=on_invalid,
+            order_by=order_by, partition_by=partition_by))
+
     def filter_not(self, predicate: Column) -> "Stream":
         """KStream.filterNot — KStream.java:79."""
         return self._with(self.df.filter(~predicate))
@@ -237,8 +250,10 @@ class Stream:
         passes, so memory is O(ids per window), never O(all ids ever)
         — exactly the windowed-store bound the reference pattern uses.
         """
-        idents = [c if isinstance(c, str) else c._jc.toString() for c in cols] \
-            or ([self.key] if self.key else None)
+        # Column → name via a select's resolved schema (no private _jc,
+        # which Spark Connect lacks and versions move).
+        idents = [c if isinstance(c, str) else self.df.select(c).columns[0]
+                  for c in cols] or ([self.key] if self.key else None)
         if not idents:
             raise ValueError("deduplicate() needs identity columns or a key")
         df = self.df

@@ -1001,6 +1001,63 @@ def scan_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_policy_skip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE event_id % 97 <> 53
+    GROUP BY event_type
+    """,
+)
+def ts_policy_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampExtractor policy 'skip' (LogAndSkipOnInvalidTimestamp
+    .java; extraction at RecordQueue.java:178): records whose event
+    time is invalid — here synthetically NULLed on a deterministic id
+    slice — are dropped before processing."""
+    from kafkadirect_spark.functions.timestamps import with_timestamp_policy
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.when(F.col("event_id") % 97 == 53, F.lit(None))
+        .otherwise(F.col("ts")))
+    fixed = with_timestamp_policy(ev, "ts", on_invalid="skip")
+    return (Stream(fixed, ts="ts").group_by("event_type")
+            .count(name="n"))
+
+
+@query(
+    "ts_policy_previous",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 97 = 53 THEN NULL ELSE ts END AS ts
+      FROM events),
+    filled AS (
+      SELECT event_id, event_type,
+             last_value(ts IGNORE NULLS) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ts
+      FROM ev)
+    SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
+    FROM filled GROUP BY hr
+    """,
+)
+def ts_policy_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampExtractor policy 'previous' (UsePartitionTimeOnInvalid
+    Timestamp.java): an invalid event time is replaced by the highest
+    prior valid one in record order — stream time carries forward, so
+    the record still lands in a (near-)correct window.  The hourly
+    rollup over the repaired column is the oracle surface."""
+    from kafkadirect_spark.functions.timestamps import with_timestamp_policy
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.when(F.col("event_id") % 97 == 53, F.lit(None))
+        .otherwise(F.col("ts")))
+    fixed = with_timestamp_policy(ev, "ts", on_invalid="previous",
+                                  order_by="event_id")
+    return (fixed.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
     "join_interval_outer",
     oracle="""
     SELECT l.event_id AS click_id, r.event_id AS purchase_id,

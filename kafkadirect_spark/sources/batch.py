@@ -47,7 +47,9 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               on_invalid_ts: str | None = None, ts_col: str = "ts",
+               ts_order_by: str | None = None) -> DataFrame:
     """Scan one table. Filters/projections applied by the caller reach
     the parquet reader via Catalyst pushdown — keep this a bare scan.
 
@@ -73,6 +75,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if on_invalid_ts is not None:
+        # TimestampExtractor policy at the source — the same hook point
+        # as RecordQueue.java:178 (extraction happens on ingest).
+        from kafkadirect_spark.functions.timestamps import with_timestamp_policy
+        df = with_timestamp_policy(df, ts_col, on_invalid=on_invalid_ts,
+                                   order_by=ts_order_by)
     return df
 
 
