@@ -76,6 +76,8 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     def run(fns: dict[str, callable], reps: int = 1) -> dict[str, float]:
+        from kafkadirect_spark.functions.dedup import release_caches
+
         out: dict[str, float] = {}
         for name, fn in fns.items():
             best = float("inf")
@@ -83,6 +85,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                # free pipeline-cached intermediates between runs so
+                # suites are measured cold-cache and blocks don't pile
+                # up across the session
+                release_caches()
             out[name] = round(best, 3)
         return out
 

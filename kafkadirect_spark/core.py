@@ -211,13 +211,19 @@ class Stream:
         action(self.df)
         return self
 
-    def print(self, n: int = 20, truncate: bool = True) -> None:
+    def print(self, n: int = 20, truncate: bool = True,
+              checkpoint: str | None = None):
         """KStream.print — KStream.java:363 → KStreamPrint.java (terminal
-        console sink; ``console`` sink in streaming)."""
+        console sink; ``console`` sink in streaming).  Streaming returns
+        the StreamingQuery so the caller can stop/await it (batch
+        returns None)."""
         if self.df.isStreaming:
-            self.df.writeStream.format("console").start()
-        else:
-            self.df.show(n, truncate=truncate)
+            w = self.df.writeStream.format("console")
+            if checkpoint:
+                w = w.option("checkpointLocation", checkpoint)
+            return w.start()
+        self.df.show(n, truncate=truncate)
+        return None
 
     def foreach(self, action: Callable) -> None:
         """KStream.foreach — KStream.java:373: terminal per-record side

@@ -140,10 +140,12 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     ~``budget`` tokens per sequence.
 
     ``seq_id = floor((cumulative_tokens − doc_tokens) / budget)`` —
-    i.e. a doc starts a new sequence when the running total crosses a
-    budget boundary.  Docs longer than the budget get a sequence of
-    their own.  The window is per-shard: one hash shuffle, then each
-    shard packs independently — no global sort at any scale.
+    i.e. each doc joins the sequence its START offset falls in, so a
+    doc longer than the budget spans boundary(ies) rather than being
+    isolated, and an earlier doc whose start lands in the same bucket
+    shares that sequence (see the greedy-packing property test).  The
+    window is per-shard: one hash shuffle, then each shard packs
+    independently — no global sort at any scale.
 
     Returns ``(id, shard, seq_id, n_tokens)``.
     """

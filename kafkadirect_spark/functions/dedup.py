@@ -63,6 +63,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Intermediates cached by the pipelines below (inverted indexes, LSH
+# bucket frames, edge lists).  They can't be unpersisted inside the
+# builder functions — the returned lazy DataFrames still reference
+# them — so they are tracked here and released explicitly: pipelines
+# that run many dedup jobs in one session call release_caches() after
+# the terminal action of each job; otherwise Spark's LRU block
+# eviction reclaims them under memory pressure (MEMORY_AND_DISK).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by this module (and by
+    functions/similarity.py, which registers here too) since the last
+    release; returns how many frames were freed."""
+    n = len(_LIVE_CACHES)
+    for df in _LIVE_CACHES:
+        df.unpersist()
+    _LIVE_CACHES.clear()
+    return n
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Ensure the expensive explode/hash stages run cluster-wide: a
     small/single-file scan yields fewer partitions than cores, which
@@ -114,7 +141,7 @@ def ngram_jaccard_pairs(
     # The inverted index feeds three consumers (both self-join sides +
     # sizes); persist so the tokenize/hash pipeline runs once, not 3×.
     # MEMORY_AND_DISK by default — spills rather than recomputes at scale.
-    sh = _shingle_index(df, text_col, id_col, n).persist()
+    sh = _persist(_shingle_index(df, text_col, id_col, n))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
@@ -175,8 +202,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     # Tiny table (n_docs × N_BANDS rows of ints); persist so the
     # upstream shingle→signature pipeline isn't recomputed for both
     # sides of the self-join.
-    buckets = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, "bk.*").persist()
+    buckets = _persist(sigs.select(
+        F.col(id_col), F.explode(bands).alias("bk")).select(id_col, "bk.*"))
     key = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
     a = buckets.select(*key, F.col(id_col).alias("id_a"))
     b = buckets.select(*key, F.col(id_col).alias("id_b"))
@@ -240,9 +267,9 @@ def simhash_pairs(
                   .bitwiseAND(F.lit(mask)).alias("v"))
         for b in range(n_bands)
     ])
-    buckets = sigs.select(
+    buckets = _persist(sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")
-    ).select(id_col, "simhash", "bk.*").persist()
+    ).select(id_col, "simhash", "bk.*"))
     a = buckets.select("band", "v", F.col(id_col).alias("id_a"),
                        F.col("simhash").alias("sig_a"))
     b = buckets.select("band", "v", F.col(id_col).alias("id_b"),
@@ -275,8 +302,8 @@ def jaccard_verify(
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    sh = (_shingle_index(df, text_col, id_col, n)
-          .join(cand_ids, id_col, "left_semi").persist())
+    sh = _persist(_shingle_index(df, text_col, id_col, n)
+                  .join(cand_ids, id_col, "left_semi"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -367,7 +394,7 @@ def connected_components(
       labels.
     """
     spark = pairs.sparkSession
-    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
+    p = _persist(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
     n_pairs = p.count()
     if n_pairs <= driver_threshold:
         parent: dict = {}
@@ -390,8 +417,9 @@ def connected_components(
         p.unpersist()
         return spark.createDataFrame(rows, "id long, label long")
 
-    edges = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-             .distinct().persist()
+    edges = _persist(
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct())
     # Size the loop to the GRAPH, not the corpus: per-round task count
     # is what the loop's wall time buys; a billion-edge graph still
     # runs cluster-wide.

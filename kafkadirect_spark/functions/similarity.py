@@ -25,7 +25,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafkadirect_spark.functions.dedup import _widen
+from kafkadirect_spark.functions.dedup import _persist, _widen
 
 # Hard ceiling on how many vectors the exact BLAS paths will pull to
 # the driver as the probe matrix.  The broadcast-matmul design is
@@ -350,7 +350,7 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     candidates.  Cost grows only on the probe side of the bucket join
     (× Σ C(N_BITS, r)), not in stored state — the standard way to buy
     recall without more tables at 100 TB index scale."""
-    b = lsh_buckets(df, id_col, vec_col, dim).persist()
+    b = _persist(lsh_buckets(df, id_col, vec_col, dim))
     if probe_radius:
         masks = probe_buckets(probe_radius)
         a = b.select(
@@ -420,13 +420,12 @@ def ivf_topk(
     # persisted frame is int-only (id, cid, rank) — the vectors never
     # flow through the ranking shuffle.
     pw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid"))
-    ranked_cent = (
+    ranked_cent = _persist(
         vecs.join(cent)
         .withColumn("_ccos", cosine(F.col(vec_col), F.col("_cvec")))
         .withColumn("_pr", F.row_number().over(pw))
         .filter(F.col("_pr") <= max(nprobe, 1))
         .select(F.col(id_col), "_cid", "_pr")
-        .persist()
     )
     assign = (ranked_cent.filter(F.col("_pr") == 1)
               .select(F.col(id_col).alias("_nid"), "_cid"))

@@ -36,7 +36,17 @@ def salted_join(
 
     Cost: small side ×salt (bounded — it's the dimension side).  The
     salt column is internal and dropped from the output.
+
+    Restricted to join types where replicating the small side is
+    sound: right/full-outer would emit each UNMATCHED small-side row
+    once per salt value (×salt duplicates).
     """
+    allowed = ("inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {allowed}; {how!r} would duplicate "
+            "unmatched small-side rows once per salt value")
     small_key = small_key or key
     b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     s = small.withColumn(

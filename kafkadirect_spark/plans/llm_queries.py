@@ -710,8 +710,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = dedup.exact_dedup(kept, "text", "doc_id")
     # three consumers (signatures, cluster assign, survivor join) —
     # persist so the tokenize-heavy quality gate runs once
-    reps = kept.join(
-        ex.select(F.col("keeper").alias("doc_id")), "doc_id").persist()
+    reps = dedup._persist(kept.join(
+        ex.select(F.col("keeper").alias("doc_id")), "doc_id"))
     sigs = dedup.minhash_signatures(reps, "text", "doc_id", n=3)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
     clusters = dedup.dedup_cluster_assign(reps, pairs, "doc_id")

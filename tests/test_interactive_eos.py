@@ -37,14 +37,36 @@ def test_interactive_query_snapshot_updates(spark, tmpdir):
     src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
     counts = Stream(src.df, key="key", ts="ts").group_by_key().count(name="n")
     view = interactive.materialize(counts, "store_counts",
-                                   checkpoint=f"{tmpdir}/ck")
+                                   checkpoint=f"{tmpdir}/ck",
+                                   key_cols=["key"])
     try:
         view.query.processAllAvailable()
-        assert {(r.key, r.n) for r in view.snapshot().collect()} >= {("a", 1), ("b", 1)}
+        assert {(r.key, r.n) for r in view.snapshot().collect()} == {("a", 1), ("b", 1)}
         _write(spark, tmpdir, [("a", 1, t("00:00:02"))], 1)
         view.query.processAllAvailable()
-        # point lookup sees the updated count (latest upsert per key)
-        assert max(r.n for r in view.get("key", "a")) == 2
+        # the store serves the CURRENT value per key — superseded
+        # upserts are reduced away (ReadOnlyKeyValueStore.get contract)
+        assert [r.n for r in view.get("key", "a")] == [2]
+        assert {(r.key, r.n) for r in view.snapshot().collect()} == {("a", 2), ("b", 1)}
+    finally:
+        view.stop()
+
+
+def test_interactive_get_quote_bearing_key(spark, tmpdir):
+    """Point lookup is parameterized (no SQL-text interpolation): keys
+    containing quotes must neither break nor escape the filter."""
+    evil = "a'; DROP TABLE x --"
+    _write(spark, tmpdir, [(evil, 1, t("00:00:00")),
+                           ("b", 5, t("00:00:01"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    counts = Stream(src.df, key="key", ts="ts").group_by_key().count(name="n")
+    view = interactive.materialize(counts, "store_quoted",
+                                   checkpoint=f"{tmpdir}/ckq",
+                                   key_cols=["key"])
+    try:
+        view.query.processAllAvailable()
+        assert [(r.key, r.n) for r in view.get("key", evil)] == [(evil, 1)]
+        assert view.get("key", "nope") == []
     finally:
         view.stop()
 

@@ -111,6 +111,17 @@ def test_candidate_verify_matches_exact_pairs(emb):
     assert len(exact) > 0
 
 
+def test_release_caches_frees_pipeline_intermediates(docs):
+    """Cached intermediates (inverted index, LSH buckets) are tracked
+    and released explicitly — repeated pipeline runs must not
+    accumulate blocks forever."""
+    dedup.release_caches()  # clean slate
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    pairs.count()
+    assert dedup.release_caches() >= 1
+    assert dedup.release_caches() == 0  # nothing left behind
+
+
 def test_text_helpers(spark):
     df = spark.createDataFrame([(1, "The quick brown fox AND the dog")],
                                "doc_id long, text string")
