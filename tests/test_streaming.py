@@ -351,6 +351,43 @@ def test_streaming_retraction_restart_from_checkpoint(spark, tmpdir):
         q.stop()
 
 
+def test_global_table_refresh_staleness_bound(spark, tmpdir):
+    """GlobalKTable refresh: a dimension update becomes visible to the
+    stream⋈global enrichment within refresh_every triggers."""
+    from kafkadirect_spark.streaming import global_refresh
+
+    dim_schema = "key string, label string"
+
+    def write_dim(rows):
+        spark.createDataFrame(rows, dim_schema).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmpdir}/dim")
+
+    write_dim([("a", "v1")])
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:00"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    seen = []
+    q = global_refresh.streaming_global_join(
+        src.df,
+        load_dim=lambda s: s.read.parquet(f"{tmpdir}/dim"),
+        on="key",
+        sink=lambda df, bid: seen.append(
+            sorted((r.key, r.value, r.label) for r in df.collect())),
+        refresh_every=2,
+        checkpoint=f"{tmpdir}/ckpt_gr")
+    try:
+        q.processAllAvailable()
+        assert seen[-1] == [("a", 1, "v1")]
+        write_dim([("a", "v2")])            # dimension update lands
+        _write_batch(spark, tmpdir, [("a", 2, t("00:00:01"))], 1)
+        q.processAllAvailable()
+        assert seen[-1] == [("a", 2, "v1")]  # within bound: still stale
+        _write_batch(spark, tmpdir, [("a", 3, t("00:00:02"))], 2)
+        q.processAllAvailable()
+        assert seen[-1] == [("a", 3, "v2")]  # refreshed at the bound
+    finally:
+        q.stop()
+
+
 LJ = "key string, lval string, offset bigint"
 RJ = "key string, rval string, offset bigint"
 
