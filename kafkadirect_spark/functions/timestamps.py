@@ -39,7 +39,7 @@ def with_timestamp_policy(
     ts_col: str,
     on_invalid: str = "fail",
     order_by: str | None = None,
-    partition_by: str | None = None,
+    partition_by: str | Column | None = None,
     invalid: Column | None = None,
 ) -> DataFrame:
     """Apply a TimestampExtractor policy to ``ts_col``.

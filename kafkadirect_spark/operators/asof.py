@@ -51,9 +51,12 @@ def asof_join(
 
     - ``backward``: latest right row with ``right_ts <= left_ts``
       (``<`` when ``strict``);
-    - ``forward``: earliest right row with ``right_ts >= left_ts``.
+    - ``forward``: earliest right row with ``right_ts >= left_ts``
+      (``>`` when ``strict``).
 
     Unmatched left rows keep null value columns (left-join shape).
+    Null timestamps never match: right rows with a null ``right_ts``
+    are dropped, left rows with a null ``left_ts`` come out unmatched.
     ``tolerance_s`` voids matches further than that many seconds away.
 
     ``right_order`` breaks ties among right rows sharing a timestamp
@@ -67,8 +70,8 @@ def asof_join(
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
     if len(lkeys) != len(rkeys):
         raise ValueError("left_on and right_on must have the same length")
-    value_cols = value_cols or [
-        c for c in right.columns if c not in (*rkeys, right_ts)]
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*rkeys, right_ts)]
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -76,6 +79,14 @@ def asof_join(
             "columns; alias them on the right side first")
 
     order = right_order if right_order is not None else F.lit(0)
+    # Left rows need an __ord of the same type as the right side's, or
+    # unionByName widens both (int 0 vs a string order column turns the
+    # documented numeric tie-break lexicographic).  A typed null keeps
+    # the right side's type and is order-irrelevant among left rows.
+    if right_order is not None:
+        l_order = F.lit(None).cast(right.schema[right_order].dataType)
+    else:
+        l_order = F.lit(0)
     pay = F.struct(*[F.col(c) for c in value_cols],
                    F.col(right_ts).alias(_TS + "_r"))
     ikeys = [f"__asof_k{i}" for i in range(len(lkeys))]
@@ -90,12 +101,12 @@ def asof_join(
         pay.alias(_PAY),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns],
-    )
+    ).filter(F.col(_TS).isNotNull())  # null-ts right rows can match nothing
     l = left.select(
         *[F.col(k).alias(ik) for k, ik in zip(lkeys, ikeys)],
         F.col(left_ts).cast("timestamp").alias(_TS),
         F.lit(l_side).alias(_SIDE),
-        F.lit(0).alias("__ord"),
+        l_order.alias("__ord"),
         F.lit(None).cast(r.schema[_PAY].dataType).alias(_PAY),
         *[F.col(c) for c in left.columns],
     )
@@ -103,9 +114,13 @@ def asof_join(
 
     ts_o, side_o, ord_o = F.col(_TS), F.col(_SIDE), F.col("__ord")
     if direction == "backward":
+        # asc nulls-first: a null-ts left row precedes every right row
+        # and so carries a null payload (unmatched).
         w_order = [ts_o.asc(), side_o.asc(), ord_o.asc()]
     else:  # forward: scan from the future backwards
-        w_order = [ts_o.desc(), side_o.asc(), ord_o.desc()]
+        # desc_nulls_first keeps null-ts left rows ahead of all right
+        # rows in scan order — unmatched, same contract as backward.
+        w_order = [ts_o.desc_nulls_first(), side_o.asc(), ord_o.desc()]
     w = (Window.partitionBy(*ikeys).orderBy(*w_order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = F.last(_PAY, ignorenulls=True).over(w)

@@ -1033,6 +1033,7 @@ def ts_policy_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled AS (
       SELECT event_id, event_type,
              last_value(ts IGNORE NULLS) OVER (
+               PARTITION BY event_id % 32
                ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ts
       FROM ev)
@@ -1044,15 +1045,20 @@ def ts_policy_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimestampExtractor policy 'previous' (UsePartitionTimeOnInvalid
     Timestamp.java): an invalid event time is replaced by the highest
     prior valid one in record order — stream time carries forward, so
-    the record still lands in a (near-)correct window.  The hourly
-    rollup over the repaired column is the oracle surface."""
+    the record still lands in a (near-)correct window.  The fill is
+    per-partition (event_id % 32 stands in for Kafka's
+    murmur2(key) % numPartitions) — the reference's stream time is
+    per-partition state, and an unpartitioned fill would be a global
+    single-reducer sort at 100 TB.  The hourly rollup over the
+    repaired column is the oracle surface."""
     from kafkadirect_spark.functions.timestamps import with_timestamp_policy
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.when(F.col("event_id") % 97 == 53, F.lit(None))
         .otherwise(F.col("ts")))
     fixed = with_timestamp_policy(ev, "ts", on_invalid="previous",
-                                  order_by="event_id")
+                                  order_by="event_id",
+                                  partition_by=F.pmod(F.col("event_id"), F.lit(32)))
     return (fixed.groupBy(F.date_trunc("hour", "ts").alias("hr"))
             .agg(F.count(F.lit(1)).alias("n")))
 

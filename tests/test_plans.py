@@ -132,6 +132,33 @@ def test_pack_sequences_single_shuffle(spark):
     assert "rangepartitioning" not in txt.lower()
 
 
+def _unpartitioned_windows(df):
+    """Logical Window nodes with an empty partitionSpec — at scale one
+    task sorts the whole input, the classic global-sort killer."""
+    bad, stack = [], [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            bad.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return bad
+
+
+def test_no_unpartitioned_window_in_registered_queries(spark):
+    """Every registered query must keep window functions partitioned:
+    an empty PARTITION BY ships 100 TB through a single reducer (the
+    exact defect ts_policy_previous had in round 3)."""
+    from kafkadirect_spark.plans import QUERIES
+    offenders = {}
+    for name, fn in QUERIES.items():
+        bad = _unpartitioned_windows(fn(spark, SF))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_multiway_dim_chain_broadcasts_both_dims(spark):
     """supplier_nation_volume: the fact stream must reach the agg
     through two broadcast joins (supplier under the threshold, nation
