@@ -75,16 +75,41 @@ def main() -> None:
     # also measures steady state, not first-query JIT).
     load_table(spark, sf_dir, "lineitem").count()
 
-    def run(fns: dict[str, callable], reps: int = 1) -> dict[str, float]:
+    def plan_stats(df) -> dict[str, int]:
+        """Stable plan-shape fingerprint per suite: if a timing moves
+        but these don't, the movement is machine noise, not a plan
+        regression — and vice versa."""
+        import re
+        from collections import Counter
+
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        c = Counter(re.findall(r"\(\d+\) (\w+)", txt))
+        return {
+            "shuffles": c.get("Exchange", 0),
+            "broadcasts": c.get("BroadcastExchange", 0),
+            "scans": c.get("Scan", 0),
+            "joins": sum(v for k, v in c.items() if k.endswith("Join")),
+            "sorts": c.get("Sort", 0),
+        }
+
+    def run(fns: dict[str, callable], reps: int,
+            plans: dict[str, dict]) -> dict[str, float]:
         from kafkadirect_spark.functions.dedup import release_caches
 
         out: dict[str, float] = {}
         for name, fn in fns.items():
             best = float("inf")
-            for _ in range(reps):
+            for i in range(reps):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                if i == 0 and name != "consumeproduce":
+                    # consumeproduce's work happens in fn itself (the
+                    # rewrite is the measurement); its returned frame
+                    # is a placeholder with no plan worth printing.
+                    plans[name] = plan_stats(df)
                 # free pipeline-cached intermediates between runs so
                 # suites are measured cold-cache and blocks don't pile
                 # up across the session
@@ -92,10 +117,11 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
-    # min-of-2 for the judged suites: SimpleBenchmark measures steady
-    # state, and single-run noise here is ~2× on a shared machine
-    timings = run(suites, reps=2)
-    extras = run(extra_suites)
+    # Best-of-N: SimpleBenchmark measures steady state, and single-run
+    # noise on a shared machine is ~2× for the shuffle-heavy extras.
+    plans: dict[str, dict] = {}
+    timings = run(suites, 2, plans)
+    extras = run(extra_suites, 3, plans)
 
     print(json.dumps({
         "metric": "reference_suites_wall_sec",
@@ -104,6 +130,7 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "extras_wall_sec": round(sum(extras.values()), 3),
+        "plans": plans,
         "sf": sf_dir,
     }))
 

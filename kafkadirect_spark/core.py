@@ -455,24 +455,83 @@ class WindowedGroupedStream:
 
     def aggregate_with(self, fn: Callable, schema: str) -> DataFrame:
         """Arbitrary per-(window, key) fold — TimeWindowedKStream
-        .aggregate with a non-expressible Aggregator: Arrow-batched
-        pandas function over each window-group.  The window struct is
-        materialized as a real ``window`` column so it reaches the
-        group frame (applyInPandas omits derived grouping exprs), which
-        limits this to one-window-per-row kinds: tumbling/unlimited
-        (hopping duplicates rows, sessions merge — use the expression
-        aggregates there)."""
-        if self.windows.kind not in ("tumbling", "unlimited"):
-            raise ValueError(
-                "aggregate_with supports tumbling/unlimited windows; "
-                f"got {self.windows.kind}")
+        .aggregate with a non-expressible Aggregator
+        (TimeWindowedKStreamImpl.java:63-112; session merge
+        KStreamSessionWindowAggregate.java:94-141): Arrow-batched
+        pandas function over each window-group, every window kind.
+        The window struct is materialized as a real ``window`` column
+        so it reaches the group frame (applyInPandas omits derived
+        grouping exprs):
+
+        - tumbling/unlimited: one window per row, direct groupBy;
+        - hopping: each record explodes to its covering windows
+          (TimeWindows.java:176-186 windowsFor) — epoch-aligned starts
+          in (ts − size, ts], the same enumeration ``F.window(size,
+          advance)`` performs, done with exact integer µs arithmetic;
+        - session: gaps-and-islands per key (lag > gap starts a new
+          session; window end = last event + gap, the F.session_window
+          convention) — one shuffle on the keys, the sid/window passes
+          and the final grouping all reuse that partitioning.
+
+        Batch DataFrames only (streaming custom folds go through
+        ``streaming.transform.process_with_state``).  Prefer expression
+        aggregates (``aggregate``) when expressible — they get
+        map-side partials, this doesn't."""
         df = self.df
-        if self.windows.kind == "unlimited":
-            df = df.filter(
-                F.col(self.ts) >= F.lit(self.windows.size).cast("timestamp"))
-        df = df.withColumn("window", self.windows.window_col(self.ts))
+        if df.isStreaming:
+            raise ValueError(
+                "aggregate_with is batch-only; streaming custom folds "
+                "need keyed state — use streaming.transform."
+                "process_with_state")
+        if self.windows.kind in ("tumbling", "unlimited"):
+            if self.windows.kind == "unlimited":
+                df = df.filter(
+                    F.col(self.ts)
+                    >= F.lit(self.windows.size).cast("timestamp"))
+            df = df.withColumn("window", self.windows.window_col(self.ts))
+        elif self.windows.kind == "hopping":
+            df = self._with_hopping_windows(df)
+        else:  # session
+            df = self._with_session_windows(df)
         return df.groupBy("window", *self.keys).applyInPandas(
             lambda pdf: fn(pdf), schema)
+
+    def _interval_us(self, spec: str) -> Column:
+        """Interval length in exact integer microseconds (no float
+        duration parsing: epoch + interval, read back as µs)."""
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        return F.unix_micros(epoch + F.expr(f"INTERVAL {spec}"))
+
+    def _with_hopping_windows(self, df: DataFrame) -> DataFrame:
+        size, adv = (self._interval_us(self.windows.size),
+                     self._interval_us(self.windows.advance))
+        e = F.unix_micros(F.col(self.ts))
+        last_start = e - F.pmod(e, adv)          # newest covering window
+        k_back = ((size - 1) - F.pmod(size - 1, adv)) / adv  # ⌊(size-1)/adv⌋
+        first_start = last_start - k_back.cast("long") * adv
+        start = F.explode(
+            F.filter(F.sequence(first_start, last_start, adv),
+                     lambda s: s > e - size)).alias("__ws")
+        return (df.withColumn("__ws", start)
+                .withColumn("window", F.struct(
+                    F.timestamp_micros(F.col("__ws")).alias("start"),
+                    F.timestamp_micros(F.col("__ws") + size).alias("end")))
+                .drop("__ws"))
+
+    def _with_session_windows(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+        gap = F.expr(f"INTERVAL {self.windows.gap}")
+        kw = W.partitionBy(*self.keys).orderBy(self.ts)
+        lag_ts = F.lag(F.col(self.ts)).over(kw)
+        new_s = (lag_ts.isNull()
+                 | (F.col(self.ts) > lag_ts + gap)).cast("long")
+        df = df.withColumn("__sid", F.sum(new_s).over(
+            kw.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        sw = W.partitionBy(*self.keys, F.col("__sid"))
+        return (df.withColumn("window", F.struct(
+                    F.min(self.ts).over(sw).alias("start"),
+                    (F.max(self.ts).over(sw) + gap).alias("end")))
+                .drop("__sid"))
 
 
 # ---------------------------------------------------------------------------

@@ -15,8 +15,9 @@ Two routing columns are offered:
   for sinks that must agree with an existing Kafka topic's layout
   (e.g. writing files a Kafka consumer's partition assignment maps
   onto).  Computed in an Arrow-batched pandas UDF (per-record byte
-  hashing is not expressible in Catalyst); keep it off hot paths that
-  don't need cross-system agreement.
+  hashing is not expressible in Catalyst), with the hash itself
+  vectorized over the batch in numpy (``murmur2_batch``) — the block
+  loop runs per 4-byte column of the batch, not per row.
 
 Both are deterministic in the key alone — the round-robin
 null-key branch of DefaultPartitioner (sticky counter) is stateful and
@@ -67,6 +68,58 @@ def kafka_partition_for(key: bytes, num_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % num_partitions
 
 
+def murmur2_batch(keys: list[bytes]):
+    """Vectorized Utils.murmur2 over a batch of byte keys — numpy
+    uint32 wraparound arithmetic over a zero-padded (n × width) byte
+    matrix; the per-4-byte-block loop runs ⌈max_len/4⌉ times total
+    instead of once per row, so per-row Python cost disappears for the
+    short keys partition routing sees.  Returns an int32 array equal
+    elementwise to ``murmur2`` (verified property-wise in tests)."""
+    import numpy as np
+
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    lengths = np.fromiter((len(b) for b in keys), dtype=np.int64, count=n)
+    width = max(4, int((lengths.max() + 3) & ~3))
+    buf = np.zeros(n * width, dtype=np.uint8)
+    flat = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    # destination of byte j: row(j)*width + (j - row_start(j))
+    dest = np.arange(len(flat), dtype=np.int64) \
+        + np.repeat(np.arange(n, dtype=np.int64) * width - (ends - lengths),
+                    lengths)
+    buf[dest] = flat
+    buf = buf.reshape(n, width)
+
+    m = np.uint32(_M)
+    words = buf.reshape(n, width // 4, 4).astype(np.uint32)
+    kwords = (words[:, :, 0] | (words[:, :, 1] << np.uint32(8))
+              | (words[:, :, 2] << np.uint32(16))
+              | (words[:, :, 3] << np.uint32(24)))
+    h = np.uint32(_SEED) ^ lengths.astype(np.uint32)
+    n4 = lengths // 4
+    for i in range(width // 4):
+        mask = n4 > i
+        if not mask.any():
+            break
+        k = kwords[mask, i] * m
+        k ^= k >> np.uint32(24)
+        k *= m
+        h[mask] = (h[mask] * m) ^ k
+    tail, base = lengths % 4, (n4 * 4).astype(np.int64)
+    idx = np.arange(n)
+    safe = np.minimum(base, width - 3)  # base+2 stays in bounds; padding is 0
+    b0, b1, b2 = (buf[idx, safe], buf[idx, safe + 1], buf[idx, safe + 2])
+    h = np.where(tail >= 3, h ^ (b2.astype(np.uint32) << np.uint32(16)), h)
+    h = np.where(tail >= 2, h ^ (b1.astype(np.uint32) << np.uint32(8)), h)
+    h = np.where(tail >= 1, (h ^ b0.astype(np.uint32)) * m, h).astype(np.uint32)
+    h ^= h >> np.uint32(13)
+    h *= m
+    h ^= h >> np.uint32(15)
+    return h.view(np.int32)
+
+
 def murmur2_partition(key: Column | str, num_partitions: int) -> Column:
     """Column: the Kafka partition the record's key routes to.  String
     keys hash their UTF-8 bytes (the StringSerializer wire bytes);
@@ -75,14 +128,19 @@ def murmur2_partition(key: Column | str, num_partitions: int) -> Column:
 
     @F.pandas_udf("int")
     def _route(s):
-        def one(v):
-            if v is None:
-                raise ValueError(
-                    "null key: Kafka's null-key routing is sticky "
-                    "round-robin (stateful); assign keys explicitly")
-            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-            return kafka_partition_for(b, num_partitions)
-        return s.map(one)
+        import numpy as np
+        import pandas as pd
+
+        if s.isnull().any():
+            raise ValueError(
+                "null key: Kafka's null-key routing is sticky "
+                "round-robin (stateful); assign keys explicitly")
+        keys = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                for v in s]
+        h = murmur2_batch(keys)
+        part = (h.view(np.uint32) & np.uint32(0x7FFFFFFF)) \
+            % np.uint32(num_partitions)
+        return pd.Series(part.astype(np.int32), index=s.index)
 
     return _route(c)
 

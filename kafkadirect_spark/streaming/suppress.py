@@ -23,7 +23,9 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 
 def until_window_closes(windowed_agg: DataFrame, path_or_format: str = "memory",
@@ -216,11 +218,26 @@ def suppress_bounded(
     BufferFullError and fails the query, matching the reference's
     fatal StreamThread shutdown.
 
+    The buffer lives in DRIVER memory, so an explicit bound
+    (``max_records`` or ``max_bytes``) is REQUIRED — an unbounded
+    driver buffer holds O(open windows × keys) and dies at scale.  For
+    unbounded final-results semantics use ``until_window_closes``
+    (native append mode, executor-side state); for bounded semantics
+    with executor-side state use ``suppress_bounded_distributed``.
+
     ``ts_col`` must carry EVENT time (add ``F.max(ts)`` to the
     aggregation), not the window end — stream time is "max record
     timestamp observed" (KTableSuppressProcessor observedStreamTime);
     keying it off the window end would close every window the moment
     its first update arrives."""
+    cfg = buffer.config
+    if cfg.max_records is None and cfg.max_bytes is None:
+        raise ValueError(
+            "suppress_bounded holds its buffer on the driver and requires "
+            "max_records or max_bytes; use until_window_closes (native "
+            "append mode) or suppress_bounded_distributed for unbounded "
+            "state")
+
     def per_batch(batch: DataFrame, batch_id: int) -> None:
         rows = [r.asDict(recursive=True) for r in batch.collect()]
         sink(buffer.put_batch(rows, ts_col), batch_id)
@@ -229,3 +246,196 @@ def suppress_bounded(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+# ---------------------------------------------------------------------------
+# Executor-side bounded suppression.
+# ---------------------------------------------------------------------------
+
+_AGG_OPS = ("count", "sum", "max", "min")
+
+
+def _parse_duration_ms(s: str) -> int:
+    qty, unit = s.split()
+    unit_ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
+               "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
+    return int(qty) * unit_ms
+
+
+def suppress_bounded_distributed(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window: str,
+    agg: dict[str, str | tuple[str, str]],
+    grace: str = "0 seconds",
+    emit_after: timedelta | None = None,
+    config: BufferConfig = BufferConfig(max_records=100_000),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Bounded suppression with EXECUTOR-side state — the scale path
+    for Suppressed.BufferConfig (Suppressed.java:134-148) semantics.
+
+    Spark cannot chain a stateful operator after a streaming
+    aggregation, so this folds the tumbling-window aggregate INTO the
+    suppression buffer: raw keyed events go through
+    ``applyInPandasWithState`` grouped by ``hash(key) % n_buckets``.
+    Each bucket's state is one time-ordered buffer — the analogue of
+    the reference's per-task InMemoryTimeOrderedKeyValueBuffer, so
+    bounds and observed stream time are per bucket exactly as they are
+    per task there (KTableSuppressProcessor.java:71-110).
+
+    - data arrival: merge rows into (key, window) entries, evict
+      entries due vs the bucket's observed stream time;
+    - watermark advance: an event-time timeout fires and evicts
+      entries due vs the watermark (so idle buckets still emit);
+    - over ``max_records``/``max_bytes``: EMIT force-evicts
+      earliest-first, SHUT_DOWN raises BufferFullError in the task —
+      the query fails, the reference's fatal StreamThread path.
+
+    ``agg`` maps output column → "count" | ("sum"|"max"|"min", col);
+    counts come back as long, the rest as double.  Returns a streaming
+    DataFrame (append semantics) with columns
+    ``*key_cols, window_start, window_end, *agg`` — attach a writer.
+
+    Key columns must be JSON-representable (string/int/bool): they
+    travel through the state codec.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    for spec in agg.values():
+        op = spec if isinstance(spec, str) else spec[0]
+        if op not in _AGG_OPS:
+            raise ValueError(f"unsupported agg op {op!r}; use {_AGG_OPS}")
+    size_ms = _parse_duration_ms(window)
+    grace_ms = _parse_duration_ms(grace)
+    emit_after_ms = (None if emit_after is None
+                     else int(emit_after.total_seconds() * 1000))
+    if emit_after_ms is None and not config.strict:
+        raise ValueError(
+            "untilWindowCloses requires a strict buffer config "
+            "(Suppressed.java:76)")
+    max_records, max_bytes, on_full = \
+        config.max_records, config.max_bytes, config.on_full
+    keys, aggs = list(key_cols), dict(agg)
+
+    out_fields = ", ".join(
+        [f"`{stream_df.schema[k].name}` "
+         f"{stream_df.schema[k].dataType.simpleString()}" for k in keys]
+        + ["window_start timestamp", "window_end timestamp"]
+        + [f"`{c}` {'bigint' if spec == 'count' else 'double'}"
+           for c, spec in aggs.items()])
+    state_schema = "buf string"
+
+    def _merge(cur: dict, row) -> dict:
+        for c, spec in aggs.items():
+            if spec == "count":
+                cur[c] = cur.get(c, 0) + 1
+            else:
+                op, col = spec
+                v = float(row[col])
+                if c not in cur:
+                    cur[c] = v
+                elif op == "sum":
+                    cur[c] += v
+                elif op == "max":
+                    cur[c] = max(cur[c], v)
+                else:
+                    cur[c] = min(cur[c], v)
+        return cur
+
+    def _due_ms(e: dict) -> int:
+        if emit_after_ms is None:
+            return e["we"] + grace_ms
+        return e["t"] + emit_after_ms
+
+    def _entry_size(e: dict) -> int:
+        return sum(len(str(v)) for v in (*e["k"], *e["agg"].values()))
+
+    def _emit_frame(evicted: list[dict]):
+        cols: dict[str, list] = {k: [] for k in keys}
+        cols["window_start"], cols["window_end"] = [], []
+        for c in aggs:
+            cols[c] = []
+        for e in evicted:
+            for k, v in zip(keys, e["k"]):
+                cols[k].append(v)
+            cols["window_start"].append(
+                pd.Timestamp(e["ws"], unit="ms"))
+            cols["window_end"].append(pd.Timestamp(e["we"], unit="ms"))
+            for c in aggs:
+                cols[c].append(e["agg"].get(c))
+        return pd.DataFrame(cols)
+
+    def fn(key, pdf_iter, state):
+        st = (_json.loads(state.get[0]) if state.exists
+              else {"e": {}, "time": None})
+        entries, out = st["e"], []
+
+        def bytes_total():
+            return sum(_entry_size(e) for e in entries.values())
+
+        def evict_due(clock_ms):
+            if clock_ms is None:
+                return
+            for ek in sorted(entries, key=lambda k: entries[k]["t"]):
+                if _due_ms(entries[ek]) <= clock_ms:
+                    out.append(entries.pop(ek))
+
+        if state.hasTimedOut:
+            evict_due(state.getCurrentWatermarkMs())
+        else:
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(ts_col, kind="stable")
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
+                    ts_ms = int(pd.Timestamp(rd[ts_col]).value // 1_000_000)
+                    if st["time"] is None or ts_ms > st["time"]:
+                        st["time"] = ts_ms
+                    ws = (ts_ms // size_ms) * size_ms
+                    kv = [rd[k] for k in keys]
+                    ek = _json.dumps([*kv, ws])
+                    e = entries.get(ek)
+                    if e is None:
+                        e = {"k": kv, "ws": ws, "we": ws + size_ms,
+                             "t": ts_ms, "agg": {}}
+                        entries[ek] = e
+                    else:
+                        e["t"] = ts_ms  # re-time: latest update wins
+                    e["agg"] = _merge(e["agg"], rd)
+                    evict_due(st["time"])
+                    while ((max_records is not None
+                            and len(entries) > max_records)
+                           or (max_bytes is not None
+                               and bytes_total() > max_bytes)):
+                        if on_full == "shutdown":
+                            raise BufferFullError(
+                                f"suppression buffer full "
+                                f"({len(entries)} records) with "
+                                "shutDownWhenFull")
+                        oldest = min(entries,
+                                     key=lambda k: entries[k]["t"])
+                        out.append(entries.pop(oldest))
+            evict_due(st["time"])
+
+        if entries:
+            state.update((_json.dumps(st),))
+            wm = state.getCurrentWatermarkMs()
+            next_due = min(_due_ms(e) for e in entries.values())
+            state.setTimeoutTimestamp(max(next_due, wm + 1))
+        else:
+            state.remove()
+        if out:
+            yield _emit_frame(out)
+
+    bucket = F.pmod(F.hash(*keys), F.lit(n_buckets))
+    return (
+        stream_df.withWatermark(ts_col, grace)
+        .withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fn, out_fields, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )

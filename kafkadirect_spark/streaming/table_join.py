@@ -21,13 +21,17 @@ pieces that already exist here (SURVEY.md §2.3 divergence note):
   KTableKTableJoinMerger forwards.
 
 Work per trigger is O(|keys_left| + |keys_right|) snapshot merge +
-one keyed join — never O(changelog).  Replayed batches after a crash
-are detected by the stores' recorded batch ids; the re-run diff is
-empty, so the sink sees no duplicates.
+one keyed join — never O(changelog).  The per-trigger diff is written
+to the store and the sink receives a scan of it — no driver
+materialization.  Replayed batches after a crash are detected by the
+stores' recorded batch ids and re-emit the recorded changelog, which
+a changelog consumer applies idempotently per key.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -43,7 +47,7 @@ def streaming_table_table_join(
     right: DataFrame,
     key: str,
     order_by: str,
-    sink: Callable[[list], None],
+    sink: Callable[[DataFrame, int], None],
     how: str = "inner",
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
@@ -52,11 +56,18 @@ def streaming_table_table_join(
     checkpoint: str | None = None,
     store_dir: str | None = None,
 ) -> StreamingQuery:
-    """Start the continuous table-table join; ``sink(rows)`` receives a
-    list of pyspark Rows per trigger: the CHANGELOG of the join view —
+    """Start the continuous table-table join; ``sink(diff_df, batch_id)``
+    receives per trigger a DataFrame — the CHANGELOG of the join view —
     columns (key, <left_cols>, <right_cols>, _change) where ``_change``
     is 'upsert' or 'delete' (value columns null on delete — the
     forwarded tombstone of KTableKTableJoinMerger.java:111).
+
+    The diff is materialized to the store before the sink runs, so the
+    handed frame is a plain scan: the sink may write it anywhere
+    without pulling it through the driver (collect only in tests).  A
+    replayed batch re-emits the recorded changelog of its trigger —
+    changelog upserts/deletes are idempotent per key, so re-application
+    is safe (at-least-once on the crash edge, never lost).
 
     ``left``/``right`` are streaming changelogs sharing ``key`` and
     ``order_by`` column names but DISJOINT value column names (the same
@@ -123,7 +134,15 @@ def streaming_table_table_join(
         )
         jstore, jhead = stores["J"], stores["J"].latest()
         if jhead is not None and batch_id <= jhead[1]:
-            sink([])  # replayed batch: view unchanged, nothing to forward
+            # Post-crash replay: state is current; re-emit the recorded
+            # changelog of the latest trigger (idempotent per key).
+            prior = f"{base}/J_changelog/v={jhead[0]}"
+            if os.path.isdir(prior):
+                sink(spark.read.parquet(prior), batch_id)
+            else:
+                sink(joined.limit(0).select(
+                    key, *out_cols, F.lit("upsert").alias("_change")),
+                    batch_id)
             return
         new = joined.select(key, F.struct(*out_cols).alias("_n"))
         if jhead is None:
@@ -141,9 +160,17 @@ def streaming_table_table_join(
                 .otherwise(F.lit("delete")).alias("_change"),
             )
         )
-        rows = diff.collect()
-        jstore.commit(joined, (jhead[0] + 1) if jhead else 0, batch_id)
-        sink(rows)
+        version = (jhead[0] + 1) if jhead else 0
+        # Materialize the diff BEFORE committing: commit prunes the old
+        # snapshot version the lazy diff still reads, and a durable
+        # changelog is what makes crash replay re-emittable.
+        diff_dir = f"{base}/J_changelog/v={version}"
+        diff.write.mode("overwrite").parquet(diff_dir)
+        jstore.commit(joined, version, batch_id)
+        for name in os.listdir(f"{base}/J_changelog"):
+            if name.startswith("v=") and int(name[2:]) < version:
+                shutil.rmtree(f"{base}/J_changelog/{name}", ignore_errors=True)
+        sink(spark.read.parquet(diff_dir), batch_id)
 
     w = tagged.writeStream.outputMode("append").foreachBatch(per_batch)
     if checkpoint:

@@ -59,3 +59,35 @@ def test_route_to_partitions_write_layout(spark, tmp_path):
     # spreading variant stays in range too
     fast = partitioner.route_to_partitions(df, "key", 4).collect()
     assert {r.partition for r in fast} <= {0, 1, 2, 3}
+
+
+def test_murmur2_batch_matches_scalar_exhaustive_shapes():
+    """Vectorized batch hash must equal the scalar reference on every
+    tail length, the empty key, high bytes, and unicode wire bytes."""
+    import random
+    rnd = random.Random(7)
+    keys = [b"", b"21", b"a", b"foobar", "äöü".encode(), "日本語".encode(),
+            bytes(range(256))]
+    keys += [bytes(rnd.getrandbits(8) for _ in range(n))
+             for n in range(0, 40) for _ in range(5)]
+    got = partitioner.murmur2_batch(keys)
+    for k, g in zip(keys, got):
+        assert int(g) == partitioner.murmur2(k), k
+
+
+def test_murmur2_batch_faster_than_loop():
+    """The numpy path must beat the per-row Python loop by >5× on a
+    routing-sized batch (the point of vectorizing)."""
+    import time
+    keys = [f"user-{i}".encode() for i in range(50_000)]
+    partitioner.murmur2_batch(keys[:100])  # warm
+    vec = loop = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        partitioner.murmur2_batch(keys)
+        vec = min(vec, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for k in keys:
+            partitioner.murmur2(k)
+        loop = min(loop, time.perf_counter() - t0)
+    assert loop / vec > 5, (loop, vec)

@@ -264,6 +264,90 @@ def test_suppress_bounded_streaming_adapter(spark, tmpdir):
     assert [(r["key"], r["n"]) for r in got if r["key"] == "a"] == [("a", 2)]
 
 
+def test_suppress_bounded_requires_a_bound(spark, tmpdir):
+    """The driver-buffer adapter refuses an unbounded config — that
+    state belongs in append mode or the distributed path."""
+    buf = suppress.SuppressionBuffer(["key"], config=suppress.BufferConfig())
+    os.makedirs(f"{tmpdir}/empty")
+    with pytest.raises(ValueError, match="max_records or max_bytes"):
+        suppress.suppress_bounded(
+            spark.readStream.schema(KV).parquet(f"{tmpdir}/empty"),
+            buf, ts_col="ts", sink=lambda rows, bid: None)
+
+
+def _distributed_suppress(spark, tmpdir, name, **kw):
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = suppress.suppress_bounded_distributed(
+        src.df, key_cols=["key"], ts_col="ts", window="1 minute",
+        agg={"n": "count", "tot": ("sum", "value")}, **kw)
+    return (out.writeStream.outputMode("append").format("memory")
+            .queryName(name).option(
+                "checkpointLocation", f"{tmpdir}/ckpt_{name}").start())
+
+
+def test_suppress_distributed_final_results_on_window_close(spark, tmpdir):
+    """untilWindowCloses semantics, executor-side state: the final
+    (key, window) aggregate emits exactly once, after the watermark
+    passes window end + grace — even when the closing event lands in a
+    different bucket (timeout-driven eviction)."""
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:10")),
+                                 ("a", 2, t("00:00:40"))], 0)
+    q = _distributed_suppress(
+        spark, tmpdir, "sup_dist",
+        config=suppress.BufferConfig(max_records=100, on_full="shutdown"),
+        n_buckets=4)
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sup_dist").count() == 0  # open
+        _write_batch(spark, tmpdir, [("b", 1, t("00:02:30"))], 1)
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("b", 1, t("00:03:30"))], 2)
+        q.processAllAvailable()
+        rows = {(r.key, r.window_start.isoformat(), r.n, r.tot)
+                for r in spark.sql(
+                    "SELECT * FROM sup_dist WHERE key='a'").collect()}
+        assert rows == {("a", "2024-01-01T00:00:00", 2, 3.0)}
+    finally:
+        q.stop()
+
+
+def test_suppress_distributed_emit_early_when_full(spark, tmpdir):
+    """emitEarlyWhenFull: a third distinct (key, window) entry in a
+    1-bucket buffer with max_records=2 force-evicts the earliest."""
+    from datetime import timedelta
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:10")),
+                                 ("b", 2, t("00:00:20")),
+                                 ("c", 3, t("00:00:30"))], 0)
+    q = _distributed_suppress(
+        spark, tmpdir, "sup_early",
+        emit_after=timedelta(hours=1),
+        config=suppress.BufferConfig(max_records=2, on_full="emit"),
+        n_buckets=1)
+    try:
+        q.processAllAvailable()
+        rows = [(r.key, r.n) for r in
+                spark.sql("SELECT * FROM sup_early").collect()]
+        assert rows == [("a", 1)]  # earliest entry forced out, others held
+    finally:
+        q.stop()
+
+
+def test_suppress_distributed_shutdown_when_full(spark, tmpdir):
+    """shutDownWhenFull: overflow raises in the task and fails the
+    query — the reference's fatal StreamThread path."""
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:10")),
+                                 ("b", 2, t("00:00:20"))], 0)
+    q = _distributed_suppress(
+        spark, tmpdir, "sup_shut",
+        config=suppress.BufferConfig(max_records=1, on_full="shutdown"),
+        n_buckets=1)
+    try:
+        with pytest.raises(Exception, match="BufferFullError|buffer full"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def test_streaming_retraction_bounded_state_many_batches(spark, tmpdir):
     """The retraction store must stay O(|distinct keys|) regardless of
     changelog length: after 50 microbatches over 5 keys the durable
@@ -405,8 +489,8 @@ def _ttj_harness(spark, tmpdir, how):
     outputs = []
     q = table_join.streaming_table_table_join(
         left, right, key="key", order_by="offset",
-        sink=lambda rows: outputs.append(
-            [(r.key, r.lval, r.rval, r._change) for r in rows]),
+        sink=lambda df, bid: outputs.append(
+            [(r.key, r.lval, r.rval, r._change) for r in df.collect()]),
         how=how, left_tombstone="lval", right_tombstone="rval",
         checkpoint=f"{tmpdir}/ckpt", store_dir=f"{tmpdir}/store")
     n = {"l": 0, "r": 0}

@@ -75,3 +75,82 @@ def test_unlimited_window_landmark(clicks):
     assert got == {"u1": 2, "u2": 2}
     w = out.collect()[0].window
     assert w.start == t("10:30:00") and w.end is None
+
+
+def _make_argmax_fold():
+    """Arg-max-by-value with full row context — the Aggregator shape
+    expression aggregates can't do when the fold inspects arbitrary
+    row state (here: the winning row's ts AND a count).  Built as a
+    closure so cloudpickle ships it by value (a module-level test
+    function would pickle by reference and fail on executors)."""
+    def fold(pdf):
+        import pandas as pd
+        best = pdf.loc[pdf.value.idxmax()]
+        return pd.DataFrame({
+            "key": [pdf.key.iloc[0]],
+            "window_start": [pdf.window.iloc[0]["start"]],
+            "window_end": [pdf.window.iloc[0]["end"]],
+            "best_value": [int(best.value)],
+            "best_ts": [best.ts],
+            "n": [len(pdf)],
+        })
+    return fold
+
+
+_FOLD_SCHEMA = ("key string, window_start timestamp, window_end timestamp, "
+                "best_value int, best_ts timestamp, n long")
+
+
+def test_aggregate_with_hopping_fold(spark):
+    """Custom fold on HOPPING windows (TimeWindowedKStreamImpl.java:
+    63-112): each record explodes to its covering windows; golden
+    values hand-derived and cross-checked against the expression
+    aggregation over F.window(size, advance)."""
+    rows = [("a", 1, t("10:05:00"), 0), ("a", 9, t("10:20:00"), 1),
+            ("a", 4, t("10:35:00"), 2)]
+    s = Stream(spark.createDataFrame(rows, KV), key="key", ts="ts")
+    win = Windows.hopping("30 minutes", "15 minutes")
+    out = s.group_by_key().windowed_by(win).aggregate_with(
+        _make_argmax_fold(), _FOLD_SCHEMA)
+    got = {(r.window_start.time().isoformat(), r.best_value, r.n)
+           for r in out.collect()}
+    assert got == {("09:45:00", 1, 1), ("10:00:00", 9, 2),
+                   ("10:15:00", 9, 2), ("10:30:00", 4, 1)}
+    # same enumeration as the built-in hopping window operator
+    expr = (s.group_by_key().windowed_by(win)
+            .aggregate(F.max_by("value", "value").alias("best_value"),
+                       F.count(F.lit(1)).alias("n")))
+    expr_got = {(r.window.start.time().isoformat(), r.best_value, r.n)
+                for r in expr.collect()}
+    assert expr_got == got
+
+
+def test_aggregate_with_session_fold(clicks):
+    """Custom fold on SESSION windows (KStreamSessionWindowAggregate
+    .java:94-141 merge): gaps-and-islands sessionization feeding the
+    pandas fold; golden cross-checked against F.session_window."""
+    win = Windows.session("30 minutes")
+    out = clicks.group_by_key().windowed_by(win).aggregate_with(
+        _make_argmax_fold(), _FOLD_SCHEMA)
+    got = {(r.key, r.window_start.time().isoformat(),
+            r.window_end.time().isoformat(), r.n)
+           for r in out.collect()}
+    # u1: 10:00+10:20+10:50 merge (boundary inclusive, end = last+gap),
+    # 12:00 alone; u2: 10:59:59 + 11:00:00 merge.
+    assert got == {("u1", "10:00:00", "11:20:00", 3),
+                   ("u1", "12:00:00", "12:30:00", 1),
+                   ("u2", "10:59:59", "11:30:00", 2)}
+    expr = clicks.group_by_key().windowed_by(win).count()
+    expr_got = {(r.key, r.window.start.time().isoformat(),
+                 r.window.end.time().isoformat(), r["count"])
+                for r in expr.collect()}
+    assert expr_got == got
+
+
+def test_aggregate_with_streaming_raises(spark, tmp_path):
+    df = (spark.readStream.schema(KV)
+          .parquet(str(tmp_path)))
+    with pytest.raises(ValueError, match="batch-only"):
+        (Stream(df, key="key", ts="ts").group_by_key()
+         .windowed_by(Windows.tumbling("1 hour"))
+         .aggregate_with(_make_argmax_fold(), _FOLD_SCHEMA))
