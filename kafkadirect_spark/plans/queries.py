@@ -1261,3 +1261,43 @@ def table_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.df.select("user_id", "last_value",
                        F.col("event_type").alias("last_type"))
+
+
+@query(
+    "asof_enrich",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+    purchases AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id, ts)
+    SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.click_ts >= p.ts
+    """,
+)
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) enrichment — each click picks the user's
+    latest purchase at or before its timestamp.  Generalizes the
+    reference's KStream⋈KTable lookup (KStream.java:1604 — always
+    the CURRENT value) to a time-correct lookup; oracle is DuckDB's
+    native ASOF LEFT JOIN.  The purchase side is pre-deduped to one
+    row per (user, ts) so the match is deterministic without a
+    tie-break column.  Plan shape: union + one hash shuffle on
+    user_id + per-partition sort — no row amplification (see
+    operators/asof.py)."""
+    from kafkadirect_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter((F.col("event_type") == "click")
+                        & F.col("user_id").isNotNull())
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter((F.col("event_type") == "purchase")
+                           & F.col("user_id").isNotNull())
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("purchase_id")))
+    return asof_join(clicks, purchases, "user_id", "user_id",
+                     "click_ts", "ts", value_cols=["purchase_id"])
