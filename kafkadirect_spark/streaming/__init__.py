@@ -4,9 +4,10 @@ machinery (SURVEY.md §2.6):
 - ``suppress``     Suppressed.untilWindowCloses / untilTimeLimit
 - ``retraction``   KTable groupBy re-aggregation (adder/subtractor)
 - ``transform``    Transformer/Processor API ≙ applyInPandasWithState
+- ``sessions``     SessionWindowedKStream.aggregate custom fold
 - ``interactive``  queryable state (KafkaStreams.store)
 """
 
 from kafkadirect_spark.streaming import (  # noqa: F401
-    interactive, retraction, suppress, transform,
+    interactive, retraction, sessions, suppress, transform,
 )

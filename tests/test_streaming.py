@@ -821,3 +821,100 @@ def test_kafka_serde_roundtrip(spark):
     parsed = k.parse_records(fake, "value int, ts timestamp").first()
     assert (parsed.key, parsed.value, parsed.topic, parsed.offset) == \
         ("u1", 7, "topic-a", 42)
+
+
+def _session_fold_query(spark, tmpdir, name, gap="30 minutes",
+                        grace="0 seconds"):
+    from kafkadirect_spark.streaming import sessions
+
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = sessions.streaming_session_aggregate(
+        src.df, key_cols=["key"], ts_col="ts", gap=gap, grace=grace,
+        initializer=lambda: {"n": 0, "best": None},
+        aggregator=lambda a, row: {
+            "n": a["n"] + 1,
+            "best": row["value"] if a["best"] is None
+            else max(a["best"], row["value"])},
+        merger=lambda a, b: {
+            "n": a["n"] + b["n"],
+            "best": b["best"] if a["best"] is None
+            else a["best"] if b["best"] is None
+            else max(a["best"], b["best"])},
+        finisher=lambda a: {"n": a["n"], "best": a["best"]},
+        agg_fields="n long, best int")
+    return (out.writeStream.outputMode("append").format("memory")
+            .queryName(name).option(
+                "checkpointLocation", f"{tmpdir}/ckpt_{name}").start())
+
+
+def test_streaming_session_fold_merge_and_close(spark, tmpdir):
+    """KStreamSessionWindowAggregate shape: records within the gap
+    merge across microbatches; the session emits once the watermark
+    passes last_event + gap, with end = last + gap."""
+    _write_batch(spark, tmpdir, [("u1", 1, t("10:00:00")),
+                                 ("u1", 9, t("10:20:00"))], 0)
+    q = _session_fold_query(spark, tmpdir, "sess_fold")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u1", 4, t("10:50:00"))], 1)  # merges
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sess_fold").count() == 0  # open
+        _write_batch(spark, tmpdir, [("u1", 1, t("13:00:00"))], 2)  # advances wm
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u1", 1, t("13:00:01"))], 3)
+        q.processAllAvailable()
+        rows = [(r.key, r.window_start.time().isoformat(),
+                 r.window_end.time().isoformat(), r.n, r.best)
+                for r in spark.sql(
+                    "SELECT * FROM sess_fold ORDER BY window_start").collect()]
+        assert rows == [("u1", "10:00:00", "11:20:00", 3, 9)]
+    finally:
+        q.stop()
+
+
+def test_streaming_session_fold_bridge_merges_two_sessions(spark, tmpdir):
+    """A bridge record arriving later merges two open sessions into
+    one — the Merger path (KStreamSessionWindowAggregate.java:94-141).
+    Grace keeps Spark's GLOBAL watermark behind the bridge: unlike
+    Kafka's per-task stream time, the watermark closes sessions across
+    all keys, so a cross-batch backfill needs the grace allowance
+    (SURVEY.md §7 watermark-divergence note)."""
+    _write_batch(spark, tmpdir, [("u", 2, t("09:00:00")),
+                                 ("u", 8, t("10:00:00"))], 0)  # two sessions
+    q = _session_fold_query(spark, tmpdir, "sess_bridge", gap="31 minutes",
+                            grace="2 hours")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u", 5, t("09:29:00"))], 1)  # bridge
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u", 1, t("14:00:00"))], 2)
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u", 1, t("14:00:01"))], 3)
+        q.processAllAvailable()
+        rows = [(r.window_start.time().isoformat(),
+                 r.window_end.time().isoformat(), r.n, r.best)
+                for r in spark.sql(
+                    "SELECT * FROM sess_bridge ORDER BY window_start").collect()]
+        assert rows[0] == ("09:00:00", "10:31:00", 3, 8)
+    finally:
+        q.stop()
+
+
+def test_streaming_session_fold_late_record_dropped(spark, tmpdir):
+    """A record whose whole session window is behind the watermark is
+    dropped, not resurrected — the late-record drop."""
+    _write_batch(spark, tmpdir, [("u", 1, t("09:00:00"))], 0)
+    q = _session_fold_query(spark, tmpdir, "sess_late")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u", 1, t("15:00:00"))], 1)  # wm jumps
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u", 7, t("09:01:00"))], 2)  # too late
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("u", 1, t("16:00:00"))], 3)
+        q.processAllAvailable()
+        early = [(r.n, r.best) for r in spark.sql(
+            "SELECT * FROM sess_late WHERE window_start < '2024-01-01 10:00'").collect()]
+        assert early == [(1, 1)]  # the 09:01 late record never lands
+    finally:
+        q.stop()
