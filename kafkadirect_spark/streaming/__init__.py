@@ -5,9 +5,10 @@ machinery (SURVEY.md §2.6):
 - ``retraction``   KTable groupBy re-aggregation (adder/subtractor)
 - ``transform``    Transformer/Processor API ≙ applyInPandasWithState
 - ``sessions``     SessionWindowedKStream.aggregate custom fold
+- ``window_fold``  TimeWindowedKStream.aggregate custom fold
 - ``interactive``  queryable state (KafkaStreams.store)
 """
 
 from kafkadirect_spark.streaming import (  # noqa: F401
-    interactive, retraction, sessions, suppress, transform,
+    interactive, retraction, sessions, suppress, transform, window_fold,
 )

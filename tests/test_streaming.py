@@ -918,3 +918,73 @@ def test_streaming_session_fold_late_record_dropped(spark, tmpdir):
         assert early == [(1, 1)]  # the 09:01 late record never lands
     finally:
         q.stop()
+
+
+def _window_fold_query(spark, tmpdir, name, size="1 minute", advance=None,
+                       grace="0 seconds"):
+    from kafkadirect_spark.streaming import window_fold
+
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = window_fold.streaming_windowed_aggregate(
+        src.df, key_cols=["key"], ts_col="ts", size=size, advance=advance,
+        grace=grace,
+        initializer=lambda: {"n": 0, "best": None},
+        aggregator=lambda a, row: {
+            "n": a["n"] + 1,
+            "best": row["value"] if a["best"] is None
+            else max(a["best"], row["value"])},
+        finisher=lambda a: {"n": a["n"], "best": a["best"]},
+        agg_fields="n long, best int")
+    return (out.writeStream.outputMode("append").format("memory")
+            .queryName(name).option(
+                "checkpointLocation", f"{tmpdir}/ckpt_{name}").start())
+
+
+def test_streaming_tumbling_fold_final_results(spark, tmpdir):
+    """TimeWindowedKStream.aggregate in streaming: the window's final
+    fold emits once, after the watermark passes its end; a record
+    behind the closed window is dropped (KStreamWindowAggregate
+    .java:131-151)."""
+    _write_batch(spark, tmpdir, [("a", 3, t("10:00:10")),
+                                 ("a", 7, t("10:00:40"))], 0)
+    q = _window_fold_query(spark, tmpdir, "wf_tumb")
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM wf_tumb").count() == 0  # open
+        _write_batch(spark, tmpdir, [("a", 1, t("10:05:00"))], 1)
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("a", 9, t("10:00:50"))], 2)  # late
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("a", 1, t("10:06:00"))], 3)
+        q.processAllAvailable()
+        rows = [(r.window_start.time().isoformat(), r.n, r.best)
+                for r in spark.sql(
+                    "SELECT * FROM wf_tumb ORDER BY window_start").collect()]
+        assert rows[0] == ("10:00:00", 2, 7)  # late 9 never lands
+    finally:
+        q.stop()
+
+
+def test_streaming_hopping_fold_covering_windows(spark, tmpdir):
+    """Hopping: one record folds into every covering window —
+    windowsFor enumeration (TimeWindows.java:176-186) across
+    microbatches, each window emitting its own final."""
+    _write_batch(spark, tmpdir, [("a", 5, t("10:20:00"))], 0)
+    q = _window_fold_query(spark, tmpdir, "wf_hop",
+                           size="30 minutes", advance="15 minutes")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("a", 8, t("10:25:00"))], 1)
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("a", 1, t("12:00:00"))], 2)  # closes all
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("a", 1, t("12:00:01"))], 3)
+        q.processAllAvailable()
+        rows = [(r.window_start.time().isoformat(), r.n, r.best)
+                for r in spark.sql(
+                    "SELECT * FROM wf_hop WHERE window_start < '2024-01-01 11:00' "
+                    "ORDER BY window_start").collect()]
+        # 10:20 covers [10:00,10:30) and [10:15,10:45); 10:25 the same.
+        assert rows == [("10:00:00", 2, 8), ("10:15:00", 2, 8)]
+    finally:
+        q.stop()
