@@ -479,3 +479,43 @@ def dedup_cluster_assign(
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster"),
         )
     )
+
+
+def span_dedup(df: DataFrame, text_col: str, id_col: str,
+               span_words: int = 8) -> DataFrame:
+    """Span-level exact dedup (the C4/RefinedWeb recipe): split every
+    document into fixed ``span_words``-word chunks, keep only the
+    globally FIRST occurrence of each identical chunk (ordered by
+    (id, position)), and rebuild documents from the surviving spans.
+    Documents whose every span is a duplicate vanish entirely.
+
+    Beyond the reference (which has no document model); the natural
+    companion to ``exact_dedup`` for partially-copied documents.
+
+    Scale shape: explode → groupBy(span *hash*, never the text — the
+    64-bit xxhash64 keeps the shuffle narrow) with a map-side-partial
+    min → hash-join occurrences back to winners → groupBy(doc) to
+    reassemble.  No window functions, no driver state; a boilerplate
+    span repeated across the corpus is one hot aggregation key, which
+    partial aggregation absorbs.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * span_words + 1, span_words)))
+    occ = df.select(F.col(id_col),
+                    F.posexplode(spans).alias("pos", "span"))
+    occ = occ.withColumn("_h", F.xxhash64("span"))
+    winners = occ.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+    kept = (occ.join(winners, "_h")
+            .filter((F.col(id_col) == F.col(f"_w.{id_col}"))
+                    & (F.col("pos") == F.col("_w.pos"))))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "span")))
+    return (kept.groupBy(id_col)
+            .agg(F.concat_ws(
+                     " ", F.transform(ordered, lambda x: x["span"])
+                 ).alias("text_dedup"),
+                 F.count(F.lit(1)).alias("n_spans")))

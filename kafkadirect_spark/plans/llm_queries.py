@@ -719,3 +719,37 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("doc_id") == F.col("cluster")))
     return survivors.select(
         "doc_id", text.bpe_token_count("text").cast("long").alias("bpe_tokens"))
+
+
+@query(
+    "dedup_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, g AS pos,
+             array_to_string(w[(g*8+1):(g*8+8)], ' ') AS span
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(
+                     0, CAST(ceil(len(w)/8.0) AS BIGINT) - 1)) AS g
+            FROM words)),
+    sel AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks)
+    SELECT doc_id,
+           string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+           COUNT(*) AS n_spans
+    FROM sel WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (C4 recipe): 8-word chunks, global
+    first-occurrence wins, documents rebuilt from surviving spans —
+    functions/dedup.py:span_dedup.  The oracle replays the winner
+    selection with a window rank ordered (doc_id, pos), the same
+    total order as Spark's min(struct(id, pos))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, "text", "doc_id", span_words=8)

@@ -329,3 +329,20 @@ def test_winnow_overlap_pairs_detects_copied_span(spark):
                                       max_doc_freq=None).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 3
     assert all(p == (1, 2) for p in out)
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """C4-style span dedup: the copied half of doc 2 is removed (doc 1
+    saw those spans first), the fresh half survives; a fully-copied
+    doc vanishes."""
+    from kafkadirect_spark.functions.dedup import span_dedup
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"          # one full span
+    b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    c = "y1 y2 y3 y4"                      # short tail span
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, a)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.text_dedup, r.n_spans)
+           for r in span_dedup(docs, "text", "doc_id", span_words=8).collect()}
+    assert got == {1: (f"{a} {b}", 2), 2: (c, 1)}  # doc 3 vanished
