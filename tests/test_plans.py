@@ -146,16 +146,36 @@ def _unpartitioned_windows(df):
     return bad
 
 
-def test_no_unpartitioned_window_in_registered_queries(spark):
-    """Every registered query must keep window functions partitioned:
-    an empty PARTITION BY ships 100 TB through a single reducer (the
-    exact defect ts_policy_previous had in round 3)."""
+# Queries allowed a BroadcastNestedLoopJoin: IVF-family scoring rides
+# the (tiny, literal) centroid set to the data by construction — the
+# broadcast IS the design (test_ivf_centroids_broadcast... above).
+_BNLJ_OK = {"similarity_ann_ivf"}
+
+
+def test_registered_query_plan_lints(spark):
+    """One pass over every registered query's optimized/physical plan,
+    asserting the three 100 TB killers are absent:
+
+    - unpartitioned window functions (single-reducer global sort —
+      the exact defect ts_policy_previous had in round 3);
+    - CartesianProduct anywhere;
+    - BroadcastNestedLoopJoin outside the declared allowlist (an
+      accidental non-equi join shape; allowed only where broadcasting
+      a literal constant table is the design).
+    """
     from kafkadirect_spark.plans import QUERIES
     offenders = {}
     for name, fn in QUERIES.items():
-        bad = _unpartitioned_windows(fn(spark, SF))
-        if bad:
-            offenders[name] = bad
+        df = fn(spark, SF)
+        problems = [f"unpartitioned window: {w}"
+                    for w in _unpartitioned_windows(df)]
+        phys = _formatted(df)
+        if "CartesianProduct" in phys:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in phys and name not in _BNLJ_OK:
+            problems.append("BroadcastNestedLoopJoin")
+        if problems:
+            offenders[name] = problems
     assert not offenders, offenders
 
 
