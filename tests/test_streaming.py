@@ -988,3 +988,45 @@ def test_streaming_hopping_fold_covering_windows(spark, tmpdir):
         assert rows == [("10:00:00", 2, 8), ("10:15:00", 2, 8)]
     finally:
         q.stop()
+
+
+def test_streaming_session_fold_restart_from_checkpoint(spark, tmpdir):
+    """Kill the query mid-session, restart on the same checkpoint: the
+    open session (applyInPandasWithState JSON state) survives and later
+    records still merge into it — durability of the custom-fold state."""
+    def start(name_dir):
+        from kafkadirect_spark.streaming import sessions
+        src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+        out = sessions.streaming_session_aggregate(
+            src.df, key_cols=["key"], ts_col="ts", gap="30 minutes",
+            initializer=lambda: {"n": 0},
+            aggregator=lambda a, row: {"n": a["n"] + 1},
+            merger=lambda a, b: {"n": a["n"] + b["n"]},
+            finisher=lambda a: {"n": a["n"]},
+            agg_fields="n long")
+        return (out.writeStream.outputMode("append").format("parquet")
+                .option("path", f"{tmpdir}/{name_dir}")
+                .option("checkpointLocation", f"{tmpdir}/ckpt_sf_rs").start())
+
+    _write_batch(spark, tmpdir, [("u1", 1, t("10:00:00")),
+                                 ("u1", 1, t("10:20:00"))], 0)
+    q = start("out_sf")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Incarnation 2: a record within the gap of the RESTORED session
+    # must merge with it, then the closing record emits n=3.
+    _write_batch(spark, tmpdir, [("u1", 1, t("10:45:00"))], 1)
+    _write_batch(spark, tmpdir, [("u1", 1, t("13:00:00"))], 2)
+    _write_batch(spark, tmpdir, [("u1", 1, t("13:00:01"))], 3)
+    q = start("out_sf")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.key, r.window_start.time().isoformat(), r.n)
+            for r in spark.read.parquet(f"{tmpdir}/out_sf")
+            .filter("window_start < '2024-01-01 12:00'").collect()]
+    assert rows == [("u1", "10:00:00", 3)]
