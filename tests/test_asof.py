@@ -125,3 +125,53 @@ def test_left_rows_always_preserved(spark):
     out = asof_join(l, r, "key", "key", "lts", "rts")
     assert out.count() == len(LEFT)
     assert set(out.columns) == {"key", "lts", "lid", "price"}
+
+
+def test_multi_key_asof(spark):
+    """Composite join keys: the match respects BOTH key columns."""
+    l = spark.createDataFrame(
+        [("a", 1, _t(10), 1), ("a", 2, _t(10), 2)],
+        "k1 string, k2 int, lts timestamp, lid int")
+    r = spark.createDataFrame(
+        [("a", 1, _t(5), 100.0), ("a", 2, _t(7), 200.0), ("a", 1, _t(9), 150.0)],
+        "k1 string, k2 int, rts timestamp, price double")
+    got = {(row.lid, row.price) for row in asof_join(
+        l, r, ["k1", "k2"], ["k1", "k2"], "lts", "rts").collect()}
+    assert got == {(1, 150.0), (2, 200.0)}
+
+
+def test_asof_property_random_vs_pandas(spark):
+    """Property check: random keyed series vs pandas merge_asof across
+    both directions (seeded exhaustively rather than via hypothesis —
+    each case costs a Spark job, so we batch all cases into ONE join
+    by making the key carry the case id)."""
+    import random
+    rnd = random.Random(11)
+    lrows, rrows = [], []
+    for case in range(40):
+        key = f"c{case}"
+        for i in range(rnd.randint(1, 6)):
+            lrows.append((key, _t(rnd.randint(0, 50)), case * 100 + i))
+        for j in range(rnd.randint(0, 6)):
+            rrows.append((key, _t(rnd.randint(0, 50)), float(case * 100 + j)))
+    # dedupe right (key, ts) so the expected match is deterministic
+    seen = {}
+    for k, ts, v in rrows:
+        seen[(k, ts)] = max(v, seen.get((k, ts), v))
+    rrows = [(k, ts, v) for (k, ts), v in seen.items()]
+
+    l = spark.createDataFrame(lrows, "key string, lts timestamp, lid int")
+    r = spark.createDataFrame(rrows, "key string, rts timestamp, price double")
+    for direction in ("backward", "forward"):
+        got = {(row.key, row.lid, row.price) for row in asof_join(
+            l, r, "key", "key", "lts", "rts", direction=direction).collect()}
+        lpd = pd.DataFrame(lrows, columns=["key", "lts", "lid"]).sort_values(
+            "lts", kind="stable")
+        rpd = pd.DataFrame(rrows, columns=["key", "rts", "price"]).sort_values(
+            "rts", kind="stable")
+        exp = pd.merge_asof(lpd, rpd, left_on="lts", right_on="rts",
+                            by="key", direction=direction)
+        want = {(row.key, row.lid,
+                 None if pd.isna(row.price) else row.price)
+                for row in exp.itertuples()}
+        assert got == want, direction
