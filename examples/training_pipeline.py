@@ -63,6 +63,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
              .filter(F.col("doc_id") == F.col("cluster")).drop("cluster"))
     n3 = clean.count()
 
+    # 4b: span-level dedup (C4 recipe) — strip copied 8-word spans
+    # from otherwise-unique survivors, rebuilding their text
+    spans = dedup.span_dedup(clean, "text", "doc_id")
+    clean = (clean.drop("text")
+             .join(spans.withColumnRenamed("text_dedup", "text"), "doc_id"))
+    n3b = clean.count()
+
     # 5: decontamination against a held-out eval slice (ids ≡ 0 mod 10
     # stand in for the benchmark set); the eval shingles broadcast
     eval_slice = docs.filter(F.col("doc_id") % 10 == 0)
@@ -86,7 +93,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"quality+lang:  {n1}  (-{n0 - n1})")
     print(f"exact dedup:   {n2}  (-{n1 - n2})")
     print(f"near-dup:      {n3}  (-{n2 - n3})")
-    print(f"decontam:      {n4}  (-{n3 - n4})")
+    print(f"span dedup:    {n3b}  (-{n3 - n3b})")
+    print(f"decontam:      {n4}  (-{n3b - n4})")
     print(f"train packed:  {n5} docs into {n_seqs} sequences")
     clean.select("doc_id", "source", F.substring("text", 1, 60).alias("text")) \
         .show(5, truncate=False)
