@@ -373,16 +373,24 @@ def suppress_bounded_distributed(
         st = (_json.loads(state.get[0]) if state.exists
               else {"e": {}, "time": None})
         entries, out = st["e"], []
+        # Running byte accounting (only when the bound needs it):
+        # recomputing the total per insert would be O(rows × entries).
+        sizes = ({ek: _entry_size(e) for ek, e in entries.items()}
+                 if max_bytes is not None else {})
+        total = sum(sizes.values())
 
-        def bytes_total():
-            return sum(_entry_size(e) for e in entries.values())
+        def pop(ek):
+            nonlocal total
+            if max_bytes is not None:
+                total -= sizes.pop(ek)
+            return entries.pop(ek)
 
         def evict_due(clock_ms):
             if clock_ms is None:
                 return
             for ek in sorted(entries, key=lambda k: entries[k]["t"]):
                 if _due_ms(entries[ek]) <= clock_ms:
-                    out.append(entries.pop(ek))
+                    out.append(pop(ek))
 
         if state.hasTimedOut:
             evict_due(state.getCurrentWatermarkMs())
@@ -405,11 +413,15 @@ def suppress_bounded_distributed(
                     else:
                         e["t"] = ts_ms  # re-time: latest update wins
                     e["agg"] = _merge(e["agg"], rd)
+                    if max_bytes is not None:
+                        total -= sizes.get(ek, 0)
+                        sizes[ek] = _entry_size(e)
+                        total += sizes[ek]
                     evict_due(st["time"])
                     while ((max_records is not None
                             and len(entries) > max_records)
                            or (max_bytes is not None
-                               and bytes_total() > max_bytes)):
+                               and total > max_bytes)):
                         if on_full == "shutdown":
                             raise BufferFullError(
                                 f"suppression buffer full "
@@ -417,7 +429,7 @@ def suppress_bounded_distributed(
                                 "shutDownWhenFull")
                         oldest = min(entries,
                                      key=lambda k: entries[k]["t"])
-                        out.append(entries.pop(oldest))
+                        out.append(pop(oldest))
             evict_due(st["time"])
 
         if entries:

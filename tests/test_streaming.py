@@ -1030,3 +1030,30 @@ def test_streaming_session_fold_restart_from_checkpoint(spark, tmpdir):
             for r in spark.read.parquet(f"{tmpdir}/out_sf")
             .filter("window_start < '2024-01-01 12:00'").collect()]
     assert rows == [("u1", "10:00:00", 3)]
+
+
+def test_suppress_distributed_max_bytes_emit_early(spark, tmpdir):
+    """max_bytes bound with running byte accounting: a tiny byte
+    budget in a 1-bucket buffer forces the earliest entry out."""
+    from datetime import timedelta
+    _write_batch(spark, tmpdir, [("a", 1, t("00:00:10")),
+                                 ("b", 2, t("00:00:20")),
+                                 ("c", 3, t("00:00:30"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = suppress.suppress_bounded_distributed(
+        src.df, key_cols=["key"], ts_col="ts", window="1 minute",
+        agg={"n": "count"},
+        emit_after=timedelta(hours=1),
+        config=suppress.BufferConfig(max_bytes=5, on_full="emit"),
+        n_buckets=1)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sup_bytes").option(
+             "checkpointLocation", f"{tmpdir}/ckpt_bytes").start())
+    try:
+        q.processAllAvailable()
+        rows = [(r.key, r.n) for r in spark.sql(
+            "SELECT * FROM sup_bytes ORDER BY key").collect()]
+        assert rows and rows[0] == ("a", 1)  # earliest forced out first
+        assert len(rows) < 3                 # something stayed buffered
+    finally:
+        q.stop()
