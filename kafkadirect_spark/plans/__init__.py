@@ -16,6 +16,10 @@ from kafkadirect_spark.plans import curation_queries  # noqa: F401  (registers i
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
+    # round-4 additions — no driver CORRECTNESS row yet
+    "asof_enrich",
+    "dedup_spans",
+    # rounds 1-3 tail the driver never sampled
     "text_quality",
     "text_repetition",
     "doc_fingerprint",
