@@ -35,12 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-
-def _interval_ms(spec: str) -> int:
-    qty, unit = spec.split()
-    unit_ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
-               "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
-    return int(qty) * unit_ms
+from kafkadirect_spark.streaming.util import interval_ms as _interval_ms
 
 
 def streaming_session_aggregate(

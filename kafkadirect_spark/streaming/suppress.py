@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from kafkadirect_spark.streaming.util import interval_ms as _parse_duration_ms
+
 
 def until_window_closes(windowed_agg: DataFrame, path_or_format: str = "memory",
                         query_name: str = "suppressed",
@@ -253,13 +255,6 @@ def suppress_bounded(
 # ---------------------------------------------------------------------------
 
 _AGG_OPS = ("count", "sum", "max", "min")
-
-
-def _parse_duration_ms(s: str) -> int:
-    qty, unit = s.split()
-    unit_ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
-               "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
-    return int(qty) * unit_ms
 
 
 def suppress_bounded_distributed(

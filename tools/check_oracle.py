@@ -6,6 +6,7 @@ row count, sorted-by-name column set, and an order-insensitive
 value comparison (exact for non-floats, 1e-9 relative for floats).
 
 Usage:  python tools/check_oracle.py [query ...]
+        python tools/check_oracle.py --first50   # the driver's window
 """
 
 from __future__ import annotations
@@ -52,7 +53,12 @@ def main(names=None):
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
-    selected = names or sorted(qs)
+    if names and names[0] == "--first50":
+        # Replicate the driver's sampling exactly: the first 50 in
+        # registration order (plus any extra names passed after).
+        selected = list(qs)[:50] + names[1:]
+    else:
+        selected = names or sorted(qs)
     n_pass = n_fail = 0
     for name in selected:
         try:
