@@ -450,3 +450,23 @@ def ivf_topk(
         .select(F.col("_pid").alias(id_col), F.col("_nid").alias("neighbor_id"),
                 "rank")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-scale
+    companion to the ANN paths: max-abs scale per vector, elements
+    mapped to ⌊x·127/scale⌋ ∈ [-127, 127].  At 100 TB this is the 4×
+    embedding-store shrink every production ANN index applies before
+    distance computation; dequantization is q·scale/127.
+
+    Pure codegen array expressions (one row-local pass, no shuffle).
+    All arithmetic is forced to DOUBLE before the divide so the floor
+    boundary is bit-identical across engines (float ULP noise at the
+    127/scale edge would flip the quantized value), which is what
+    makes the SQL oracle exact.  A zero vector quantizes to zeros.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    q = F.when(scale == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(x, lambda v: F.floor(v * 127 / scale).cast("int")))
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("qvec"))

@@ -19,6 +19,7 @@ _PROMOTED = [
     # round-4 additions — no driver CORRECTNESS row yet
     "asof_enrich",
     "dedup_spans",
+    "embedding_quantize",
     # rounds 1-3 tail the driver never sampled
     "text_quality",
     "text_repetition",

@@ -753,3 +753,30 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order as Spark's min(struct(id, pos))."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.span_dedup(docs, "text", "doc_id", span_words=8)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS scale
+      FROM d)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+                ELSE list_transform(
+                  x, v -> CAST(floor(v * 127 / scale) AS INT))
+           END AS qvec
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization of the embedding store —
+    functions/similarity.py:quantize_int8.  Row-local array codegen;
+    double-forced arithmetic makes the floor boundary engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding")

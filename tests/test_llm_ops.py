@@ -346,3 +346,21 @@ def test_span_dedup_first_occurrence_wins(spark):
     got = {r.doc_id: (r.text_dedup, r.n_spans)
            for r in span_dedup(docs, "text", "doc_id", span_words=8).collect()}
     assert got == {1: (f"{a} {b}", 2), 2: (c, 1)}  # doc 3 vanished
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from kafkadirect_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.scale, r.qvec)
+           for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert got[1][0] == 1.0 and got[1][1] == [63, -127, 31]
+    assert got[2] == (0.0, [0, 0])          # zero vector → zeros
+    assert got[3][1] == [127]               # max element hits +127
+    # dequantization error ≤ scale/127 per element
+    for vid, (scale, q) in got.items():
+        orig = {1: [0.5, -1.0, 0.25], 2: [0.0, 0.0], 3: [2.0]}[vid]
+        for o, qi in zip(orig, q):
+            assert abs(o - qi * scale / 127) <= scale / 127 + 1e-9
