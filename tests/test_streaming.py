@@ -1057,3 +1057,41 @@ def test_suppress_distributed_max_bytes_emit_early(spark, tmpdir):
         assert len(rows) < 3                 # something stayed buffered
     finally:
         q.stop()
+
+
+def test_streaming_window_fold_restart_from_checkpoint(spark, tmpdir):
+    """The tumbling custom-fold state survives a query restart: batch
+    two lands in the same window after the restart and the final count
+    includes both incarnations' records."""
+    def start():
+        from kafkadirect_spark.streaming import window_fold
+        src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+        out = window_fold.streaming_windowed_aggregate(
+            src.df, key_cols=["key"], ts_col="ts", size="1 minute",
+            initializer=lambda: {"n": 0},
+            aggregator=lambda a, row: {"n": a["n"] + 1},
+            finisher=lambda a: {"n": a["n"]},
+            agg_fields="n long")
+        return (out.writeStream.outputMode("append").format("parquet")
+                .option("path", f"{tmpdir}/out_wf")
+                .option("checkpointLocation", f"{tmpdir}/ckpt_wf_rs").start())
+
+    _write_batch(spark, tmpdir, [("a", 1, t("10:00:10"))], 0)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _write_batch(spark, tmpdir, [("a", 1, t("10:00:40"))], 1)  # same window
+    _write_batch(spark, tmpdir, [("a", 1, t("10:05:00"))], 2)  # closes it
+    _write_batch(spark, tmpdir, [("a", 1, t("10:05:01"))], 3)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.window_start.time().isoformat(), r.n)
+            for r in spark.read.parquet(f"{tmpdir}/out_wf")
+            .filter("window_start < '2024-01-01 10:05'").collect()]
+    assert rows == [("10:00:00", 2)]
