@@ -20,6 +20,7 @@ _PROMOTED = [
     "asof_enrich",
     "dedup_spans",
     "embedding_quantize",
+    "shipping_priority",
     # rounds 1-3 tail the driver never sampled
     "text_quality",
     "text_repetition",

@@ -1301,3 +1301,55 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.max("event_id").alias("purchase_id")))
     return asof_join(clicks, purchases, "user_id", "user_id",
                      "click_ts", "ts", value_cols=["purchase_id"])
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape on the DSL: segment-filtered customer dim
+    (broadcast) ⋈ orders ⋈ lineitem fact stream, revenue per open
+    order, top 10.  The top-k compiles to TakeOrderedAndProject —
+    per-partition heaps merged on one reducer over k rows, never a
+    global sort; the (revenue DESC, orderkey ASC) order is total, so
+    the k-row result is deterministic and hash-comparable."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = Table(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING"), key="c_custkey")
+    orders = Stream(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff), key="o_custkey")
+    line = Stream(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff), key="l_orderkey")
+    open_orders = orders.join_table(
+        cust, on=F.col("o_custkey") == F.col("c_custkey"))
+    joined = line.df.join(
+        open_orders.df, F.col("l_orderkey") == F.col("o_orderkey"))
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(disc_cents).cast("double") / F.lit(100.0))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

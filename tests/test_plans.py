@@ -179,6 +179,17 @@ def test_registered_query_plan_lints(spark):
     assert not offenders, offenders
 
 
+def test_topk_is_distributed_not_global_sort(spark):
+    """shipping_priority's top 10 must compile to
+    TakeOrderedAndProject (per-partition heaps merged over k rows),
+    never a full Sort + Limit — a global sort of the join result is
+    the 100 TB version of ORDER BY death."""
+    from kafkadirect_spark.plans import QUERIES
+    txt = _formatted(QUERIES["shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in txt
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", txt)) == 2, txt[:1500]
+
+
 def test_multiway_dim_chain_broadcasts_both_dims(spark):
     """supplier_nation_volume: the fact stream must reach the agg
     through two broadcast joins (supplier under the threshold, nation
