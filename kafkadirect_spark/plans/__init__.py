@@ -21,6 +21,8 @@ _PROMOTED = [
     "dedup_spans",
     "embedding_quantize",
     "shipping_priority",
+    "revenue_rollup",
+    "event_gaps",
     # rounds 1-3 tail the driver never sampled
     "text_quality",
     "text_repetition",

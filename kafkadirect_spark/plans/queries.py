@@ -1353,3 +1353,94 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(region, nation) revenue — hierarchy subtotals +
+    grand total in ONE pass (Spark expands the grouping sets inside a
+    single hash aggregate; no reference analogue — Kafka Streams has
+    no grouping sets at all, SURVEY.md §2.4 'not present').  Dims
+    broadcast; decimal-cents discipline keeps the three aggregation
+    levels bit-identical across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    return (
+        joined
+        .select(F.col("r_name").alias("region"),
+                F.col("n_name").alias("nation"), disc_cents.alias("_c"))
+        .rollup("region", "nation")
+        .agg((F.sum("_c").cast("double") / F.lit(100.0)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap_us
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0
+             AS avg_gap_s,
+           CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+    FROM g GROUP BY user_id
+    HAVING COUNT(gap_us) > 0
+    """,
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via the analytic lag()
+    window — ranking/analytic functions are absent from the reference
+    (SURVEY.md §2.4 'not present'; per-partition log order is its only
+    order concept) and free here.  The window partitions on user_id —
+    gate-checked: never an unpartitioned sort.  The average is one
+    IEEE division of exactly-agreed integer sums (µs gaps)."""
+    from pyspark.sql import Window as W
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    def us(c):
+        # events ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP —
+        # the session is pinned UTC, so the cast is value-preserving
+        return F.unix_micros(c.cast("timestamp"))
+
+    gap_us = (us(F.col("ts")) - us(F.lag("ts").over(w))).alias("gap_us")
+    return (
+        ev.select("user_id", gap_us)
+        .groupBy("user_id")
+        .agg(F.count("gap_us").alias("n_gaps"),
+             (F.sum("gap_us").cast("double") / F.count("gap_us")
+              / F.lit(1e6)).alias("avg_gap_s"),
+             (F.max("gap_us").cast("double") / F.lit(1e6))
+             .alias("max_gap_s"))
+        .filter(F.col("n_gaps") > 0)
+    )
