@@ -498,9 +498,12 @@ class WindowedGroupedStream:
 
     def _interval_us(self, spec: str) -> Column:
         """Interval length in exact integer microseconds (no float
-        duration parsing: epoch + interval, read back as µs)."""
-        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
-        return F.unix_micros(epoch + F.expr(f"INTERVAL {spec}"))
+        duration parsing: true epoch + interval, read back as µs).
+        ``timestamp_micros(0)`` is the tz-independent epoch — parsing
+        an epoch *string* here would shift by the session timezone and
+        return a wrong (even negative) length on non-UTC sessions."""
+        return F.unix_micros(F.timestamp_micros(F.lit(0))
+                             + F.expr(f"INTERVAL {spec}"))
 
     def _with_hopping_windows(self, df: DataFrame) -> DataFrame:
         size, adv = (self._interval_us(self.windows.size),

@@ -265,7 +265,11 @@ def suppress_bounded_distributed(
     agg: dict[str, str | tuple[str, str]],
     grace: str = "0 seconds",
     emit_after: timedelta | None = None,
-    config: BufferConfig = BufferConfig(max_records=100_000),
+    # Strict default: bounded + shutdown-when-full is valid for the
+    # default emit_after=None (untilWindowCloses) path; an emit-on-full
+    # default would break final-results semantics and raise.
+    config: BufferConfig = BufferConfig(max_records=100_000,
+                                        on_full="shutdown"),
     n_buckets: int = 32,
 ) -> DataFrame:
     """Bounded suppression with EXECUTOR-side state — the scale path
@@ -347,7 +351,8 @@ def suppress_bounded_distributed(
         return e["t"] + emit_after_ms
 
     def _entry_size(e: dict) -> int:
-        return sum(len(str(v)) for v in (*e["k"], *e["agg"].values()))
+        # same accounting as the driver-side buffer, one definition
+        return _entry_bytes(tuple(e["k"]), e["agg"])
 
     def _emit_frame(evicted: list[dict]):
         cols: dict[str, list] = {k: [] for k in keys}
@@ -388,7 +393,12 @@ def suppress_bounded_distributed(
                     out.append(pop(ek))
 
         if state.hasTimedOut:
-            evict_due(state.getCurrentWatermarkMs())
+            # The watermark is already delayed by grace (withWatermark),
+            # but _due_ms adds grace too (it compares against raw
+            # observed stream time on the data path).  Reconstruct
+            # stream time so an idle bucket emits at end + grace, not
+            # end + 2x grace.
+            evict_due(state.getCurrentWatermarkMs() + grace_ms)
         else:
             for pdf in pdf_iter:
                 pdf = pdf.sort_values(ts_col, kind="stable")
@@ -412,7 +422,6 @@ def suppress_bounded_distributed(
                         total -= sizes.get(ek, 0)
                         sizes[ek] = _entry_size(e)
                         total += sizes[ek]
-                    evict_due(st["time"])
                     while ((max_records is not None
                             and len(entries) > max_records)
                            or (max_bytes is not None
@@ -425,12 +434,18 @@ def suppress_bounded_distributed(
                         oldest = min(entries,
                                      key=lambda k: entries[k]["t"])
                         out.append(pop(oldest))
+            # One eviction sweep per batch (emission is batch-granular
+            # anyway): a per-row sweep would rescan the whole buffer
+            # for every input row — O(rows x entries log entries).
             evict_due(st["time"])
 
         if entries:
             state.update((_json.dumps(st),))
             wm = state.getCurrentWatermarkMs()
-            next_due = min(_due_ms(e) for e in entries.values())
+            # Timeouts fire on the grace-delayed watermark clock, so
+            # translate the stream-time due back by grace (see the
+            # hasTimedOut branch for the inverse).
+            next_due = min(_due_ms(e) for e in entries.values()) - grace_ms
             state.setTimeoutTimestamp(max(next_due, wm + 1))
         else:
             state.remove()

@@ -64,10 +64,14 @@ def streaming_table_table_join(
 
     The diff is materialized to the store before the sink runs, so the
     handed frame is a plain scan: the sink may write it anywhere
-    without pulling it through the driver (collect only in tests).  A
-    replayed batch re-emits the recorded changelog of its trigger —
-    changelog upserts/deletes are idempotent per key, so re-application
-    is safe (at-least-once on the crash edge, never lost).
+    without pulling it through the driver (collect only in tests).
+    The frame is valid DURING its trigger only — consume it (write or
+    collect) inside the sink call; changelog files older than the
+    previous trigger are pruned, so a frame held across triggers
+    eventually reads deleted files.  A replayed batch re-emits the
+    recorded changelog of its trigger — changelog upserts/deletes are
+    idempotent per key, so re-application is safe (at-least-once on
+    the crash edge, never lost).
 
     ``left``/``right`` are streaming changelogs sharing ``key`` and
     ``order_by`` column names but DISJOINT value column names (the same
@@ -167,8 +171,11 @@ def streaming_table_table_join(
         diff_dir = f"{base}/J_changelog/v={version}"
         diff.write.mode("overwrite").parquet(diff_dir)
         jstore.commit(joined, version, batch_id)
+        # Keep the previous trigger's changelog too: the sink's frame
+        # for version N-1 may still be lazily evaluated while trigger
+        # N runs; anything older is unreachable by the contract.
         for name in os.listdir(f"{base}/J_changelog"):
-            if name.startswith("v=") and int(name[2:]) < version:
+            if name.startswith("v=") and int(name[2:]) < version - 1:
                 shutil.rmtree(f"{base}/J_changelog/{name}", ignore_errors=True)
         sink(spark.read.parquet(diff_dir), batch_id)
 

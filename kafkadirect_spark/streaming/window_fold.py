@@ -32,7 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from kafkadirect_spark.streaming.sessions import _interval_ms
+from kafkadirect_spark.streaming.util import interval_ms as _interval_ms
 
 
 def streaming_windowed_aggregate(

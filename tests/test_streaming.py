@@ -1095,3 +1095,39 @@ def test_streaming_window_fold_restart_from_checkpoint(spark, tmpdir):
             for r in spark.read.parquet(f"{tmpdir}/out_wf")
             .filter("window_start < '2024-01-01 10:05'").collect()]
     assert rows == [("10:00:00", 2)]
+
+
+def test_suppress_distributed_grace_single_delay(spark, tmpdir):
+    """With nonzero grace, an idle bucket's timeout eviction must fire
+    once stream time passes window end + grace — NOT end + 2x grace
+    (the watermark is already grace-delayed; the timeout path must not
+    add grace again)."""
+    # Find a closing key whose bucket differs from 'a' so the closing
+    # events never touch a's bucket and eviction runs on the timeout
+    # path (hash is fixed per Spark version, so probe it).
+    hash4 = lambda k: spark.sql(f"SELECT pmod(hash('{k}'), 4) AS h").first().h
+    other = next(k for k in (f"k{i}" for i in range(20))
+                 if hash4(k) != hash4("a"))
+
+    _write_batch(spark, tmpdir, [("a", 1, t("10:00:30"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    out = suppress.suppress_bounded_distributed(
+        src.df, key_cols=["key"], ts_col="ts", window="1 minute",
+        agg={"n": "count"}, grace="3 minutes",
+        config=suppress.BufferConfig(max_records=100, on_full="shutdown"),
+        n_buckets=4)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sup_grace").option(
+             "checkpointLocation", f"{tmpdir}/ckpt_grace").start())
+    try:
+        q.processAllAvailable()
+        # Stream time 10:04:30 >= 10:01 (end) + 3m grace → a emits.
+        _write_batch(spark, tmpdir, [(other, 1, t("10:04:30"))], 1)
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [(other, 1, t("10:04:31"))], 2)
+        q.processAllAvailable()
+        rows = [(r.key, r.n) for r in spark.sql(
+            "SELECT * FROM sup_grace WHERE key = 'a'").collect()]
+        assert rows == [("a", 1)]
+    finally:
+        q.stop()

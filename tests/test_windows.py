@@ -154,3 +154,26 @@ def test_aggregate_with_streaming_raises(spark, tmp_path):
         (Stream(df, key="key", ts="ts").group_by_key()
          .windowed_by(Windows.tumbling("1 hour"))
          .aggregate_with(_make_argmax_fold(), _FOLD_SCHEMA))
+
+
+def test_aggregate_with_hopping_tz_independent(spark):
+    """Interval arithmetic must not depend on the session timezone —
+    parsing an epoch *string* shifted by the local offset once made
+    _interval_us negative under non-UTC sessions."""
+    rows = [("a", 1, t("10:05:00"), 0), ("a", 9, t("10:20:00"), 1)]
+    want = {("09:45:00", 1), ("10:00:00", 2), ("10:15:00", 1)}
+
+    def run():
+        s = Stream(spark.createDataFrame(rows, KV), key="key", ts="ts")
+        out = (s.group_by_key()
+               .windowed_by(Windows.hopping("30 minutes", "15 minutes"))
+               .aggregate_with(_make_argmax_fold(), _FOLD_SCHEMA))
+        return {(r.window_start.time().isoformat(), r.n)
+                for r in out.collect()}
+
+    assert run() == want
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        assert run() == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
