@@ -23,6 +23,7 @@ _PROMOTED = [
     "shipping_priority",
     "revenue_rollup",
     "event_gaps",
+    "returned_item_report",
     # rounds 1-3 tail the driver never sampled
     "text_quality",
     "text_repetition",

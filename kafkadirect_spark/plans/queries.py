@@ -1444,3 +1444,49 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("max_gap_s"))
         .filter(F.col("n_gaps") > 0)
     )
+
+
+@query(
+    "returned_item_report",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue —
+    returnflag-filtered fact ⋈ orders ⋈ customer ⋈ nation, top 20 by
+    revenue on a total order (TakeOrderedAndProject, never a global
+    sort).  The returnflag filter pushes to the lineitem scan, so the
+    join only sees returned lines."""
+    l = (load_table(spark, sf_dir, "lineitem")
+         .filter(F.col("l_returnflag") == "R"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg((F.sum(disc_cents).cast("double") / F.lit(100.0))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
