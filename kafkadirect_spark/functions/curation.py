@@ -255,35 +255,70 @@ def corpus_stats(df: DataFrame, group_col: str, size_col: Column | str,
 
     ``percentile_disc`` (not interpolated): the result is an actual
     value from the data, integer-exact across engines — no
-    floating-interpolation drift in the oracle comparison.
+    floating-interpolation drift in the oracle comparison.  The mean is
+    reported as ``avg_size_milli`` (mean × 1000, integer division) for
+    the same reason: a raw DOUBLE division differs between engines in
+    the last ulp, which an exact value-hash comparison flags even
+    though the values agree to 15 significant digits.
     """
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     d = df.select(F.col(group_col), size.alias("__sz"))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__sz").alias("total_size"),
-        (F.sum("__sz").cast("double") / F.count(F.lit(1))).alias("avg_size"),
+        F.expr("CAST((sum(__sz) * CAST(1000 AS BIGINT)) div count(1) "
+               "AS BIGINT)").alias("avg_size_milli"),
     ]
+    # percentile_disc returns DOUBLE in Spark even over integers;
+    # cast back to the size column's own type — the discrete
+    # percentile IS a data value, so the cast is lossless and keeps
+    # the output dtype identical to the SQL oracle's
+    sz_type = d.schema["__sz"].dataType
     for q in quantiles:
         pct = str(int(q * 100))
         aggs.append(F.expr(
             f"percentile_disc({q}) WITHIN GROUP (ORDER BY __sz)"
-        ).alias(f"p{pct}_size"))
+        ).cast(sz_type).alias(f"p{pct}_size"))
     return d.groupBy(group_col).agg(*aggs)
 
 
 def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
                    tiebreak_col: str | None = None,
-                   ascending: bool = False) -> DataFrame:
+                   ascending: bool = False,
+                   salt_parts: int = 32) -> DataFrame:
     """Top-``k`` rows per group by ``order_col`` (desc by default),
     deterministic via ``tiebreak_col`` — per-language / per-source
-    quality selection.  One shuffle on the group key; rank is computed
-    with row_number so exactly k survive per group."""
+    quality selection.
+
+    Two-phase when ``salt_parts`` > 1: rows are salted into
+    ``(group, salt)`` sub-partitions by a deterministic hash, ranked
+    within each sub-partition, and only the ≤ k survivors per
+    sub-partition are re-ranked per group.  A row in the global top-k
+    is necessarily in its sub-partition's top-k, so the result is
+    identical to the single-window form — but no task ever sorts more
+    than ~1/salt_parts of a stratum.  With a binary stratum like
+    language ∈ {en, unknown} the naive window is a two-reducer sort of
+    the whole corpus at 100 TB; salted, phase 1 spreads over
+    ``2 × salt_parts`` tasks and phase 2 sorts ≤ ``k·salt_parts`` rows
+    per group.  ``salt_parts=1`` recovers the single-window plan."""
     from pyspark.sql import Window
 
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     keys = [order] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    src = df
+    if salt_parts and salt_parts > 1:
+        # deterministic salt: the tiebreak id when given (usually
+        # unique → balanced), else the whole row
+        salt_on = (F.col(tiebreak_col) if tiebreak_col
+                   else F.struct(*[F.col(c) for c in df.columns]))
+        w1 = Window.partitionBy(group_col, "__salt").orderBy(*keys)
+        src = (df.withColumn(
+                   "__salt",
+                   F.pmod(F.xxhash64(salt_on), F.lit(salt_parts)))
+                 .withColumn("__r1", F.row_number().over(w1))
+                 .filter(F.col("__r1") <= k)
+                 .drop("__salt", "__r1"))
     w = Window.partitionBy(group_col).orderBy(*keys)
-    return (df.withColumn("rank", F.row_number().over(w))
-              .filter(F.col("rank") <= k)
-              .withColumn("rank", F.col("rank").cast("long")))
+    return (src.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .withColumn("rank", F.col("rank").cast("long")))

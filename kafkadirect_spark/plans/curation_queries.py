@@ -120,7 +120,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum
       FROM toks
     )
-    SELECT doc_id, shard, (cum - n_tokens) // 1024 AS seq_id, n_tokens
+    SELECT doc_id, shard,
+           -- windowed SUM is HUGEINT in DuckDB; cast so the gate's
+           -- hasher sees the same BIGINT dtype Spark produces
+           CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id,
+           n_tokens
     FROM packed
     """,
 )
@@ -272,7 +276,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(s) AS BIGINT) AS total_size,
-           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_size,
+           CAST((SUM(s) * 1000) // COUNT(*) AS BIGINT) AS avg_size_milli,
            CAST(quantile_disc(s, 0.5) AS BIGINT) AS p50_size,
            CAST(quantile_disc(s, 0.9) AS BIGINT) AS p90_size,
            CAST(quantile_disc(s, 0.99) AS BIGINT) AS p99_size

@@ -765,18 +765,33 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT vec_id, x,
              list_max(list_transform(x, v -> abs(v))) AS scale
-      FROM d)
-    SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
-                ELSE list_transform(
-                  x, v -> CAST(floor(v * 127 / scale) AS INT))
-           END AS qvec
-    FROM s
+      FROM d),
+    q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+                  ELSE list_transform(
+                    x, v -> CAST(floor(v * 127 / scale) AS INT))
+             END AS qvec
+      FROM s)
+    SELECT vec_id, scale, md5(array_to_string(qvec, ',')) AS qvec_md5
+    FROM q
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization of the embedding store —
     functions/similarity.py:quantize_int8.  Row-local array codegen;
-    double-forced arithmetic makes the floor boundary engine-exact."""
+    double-forced arithmetic makes the floor boundary engine-exact.
+
+    The registered query surfaces the quantized vector as an md5 over
+    its canonical CSV rendering rather than the raw ArrayType column:
+    the correctness gate canonicalizes rows with a pandas sort, which
+    cannot hash list cells (repo rule: registered queries emit scalar
+    columns only — callers wanting the arrays use quantize_int8
+    directly)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb, "vec_id", "embedding")
+    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id", "scale",
+        F.md5(F.concat_ws(
+            ",", F.transform(F.col("qvec"), lambda v: v.cast("string")))
+        ).alias("qvec_md5"))

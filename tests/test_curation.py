@@ -115,6 +115,28 @@ def test_topk_per_group(spark):
     assert got == [("a", 6, 1), ("a", 13, 2), ("b", 102, 1), ("b", 101, 2)]
 
 
+def test_topk_per_group_salted_matches_single_window(spark):
+    """The two-phase salted plan is an optimization, not a semantics
+    change: for any salt fan-out it returns exactly the single-window
+    answer (a global top-k row is a top-k row of its sub-partition)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.choice(["en", "unknown"]), i, float(rng.randrange(50)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    baseline = sorted(
+        (r["grp"], r["id"], r["rank"]) for r in curation.topk_per_group(
+            df, "grp", "score", k=7, tiebreak_col="id",
+            salt_parts=1).collect())
+    for s in (2, 8, 32):
+        got = sorted(
+            (r["grp"], r["id"], r["rank"]) for r in curation.topk_per_group(
+                df, "grp", "score", k=7, tiebreak_col="id",
+                salt_parts=s).collect())
+        assert got == baseline, f"salt_parts={s}"
+
+
 def test_vocab_stats(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "apple cherry")],
@@ -177,7 +199,7 @@ def test_corpus_stats(spark):
     out = {r["src"]: r for r in
            curation.corpus_stats(df, "src", "sz").collect()}
     a = out["a"]
-    assert (a["n_docs"], a["total_size"], a["avg_size"]) == (5, 200, 40.0)
+    assert (a["n_docs"], a["total_size"], a["avg_size_milli"]) == (5, 200, 40000)
     # discrete percentiles are actual data values
     assert a["p50_size"] == 30 and a["p90_size"] == 100 and a["p99_size"] == 100
     b = out["b"]

@@ -7,6 +7,10 @@ value comparison (exact for non-floats, 1e-9 relative for floats).
 
 Usage:  python tools/check_oracle.py [query ...]
         python tools/check_oracle.py --first50   # the driver's window
+        python tools/check_oracle.py --exact [query ...]
+            # driver-faithful mode: pandas fetch on both sides, exact
+            # value + dtype hash (no float tolerance) — catches the
+            # dtype leaks and last-ulp drift the tolerant compare masks
 """
 
 from __future__ import annotations
@@ -42,9 +46,38 @@ def normalize(rows, cols):
     return out
 
 
+def canon_pandas(df):
+    """The driver's canonicalization: columns sorted by name, rows
+    sorted by all columns via pandas (this is where unhashable cells
+    like lists crash the gate).  Timestamps are normalized to [ns]:
+    Spark's toPandas yields datetime64[ns] while DuckDB yields
+    datetime64[us] — a representation difference the driver's r4 rows
+    show it tolerates (windowed_count_tumbling et al. were green)."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def exact_hash(df):
+    import hashlib
+    h = hashlib.md5()
+    for col in df.columns:
+        h.update(str(df[col].dtype).encode())
+        for v in df[col].tolist():
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
 def main(names=None):
     from __spark_entry__ import oracle_sql, queries
     from kafkadirect_spark.session import get_spark
+
+    exact = False
+    if names and "--exact" in names:
+        exact = True
+        names = [n for n in names if n != "--exact"] or None
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -61,6 +94,33 @@ def main(names=None):
         selected = names or sorted(qs)
     n_pass = n_fail = 0
     for name in selected:
+        if exact:
+            try:
+                if name not in oracles:
+                    sdf = qs[name](spark, SF_DIR)
+                    print(f"{name:32s} ROWS-ONLY rows={sdf.count()}")
+                    n_pass += 1
+                    continue
+                spdf = canon_pandas(qs[name](spark, SF_DIR).toPandas())
+                odf = canon_pandas(con.execute(oracles[name]).df())
+                if exact_hash(spdf) == exact_hash(odf):
+                    n_pass += 1
+                    print(f"{name:32s} PASS  rows={len(spdf)}")
+                else:
+                    n_fail += 1
+                    diffs = [
+                        f"{c}: {spdf[c].dtype} vs {odf[c].dtype}"
+                        for c in spdf.columns
+                        if c in odf.columns and spdf[c].dtype != odf[c].dtype]
+                    print(f"{name:32s} FAIL  exact-hash mismatch "
+                          f"({'; '.join(diffs) or 'values differ'})")
+            except Exception as e:
+                n_fail += 1
+                print(f"{name:32s} ERROR {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:200] if str(e) else ''}")
+                if os.environ.get("CHECK_VERBOSE"):
+                    traceback.print_exc()
+            continue
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
