@@ -146,10 +146,86 @@ def _unpartitioned_windows(df):
     return bad
 
 
+# Columns whose value domain is known-tiny in the test corpus schema:
+# a rank window partitioned ONLY on these funnels the whole input
+# through |domain| reducers — the quality_topk_per_lang defect from
+# round 4's verdict.  (Running-sum windows like pack_sequences' shard
+# cumsum are exempt: shard count is an explicit scale knob, and the
+# window is not a rank.)
+_LOW_CARD_COLS = {"pred_lang", "split", "source", "lang", "split_name"}
+_RANK_FNS = ("row_number()", "rank(", "dense_rank(")
+
+
+def _subtree_has_wider_window(node, width):
+    """True if any descendant Window partitions on MORE expressions —
+    i.e. a salted phase-1 rank feeding this bounded re-rank."""
+    kids, stack = node.children(), []
+    for i in range(kids.size()):
+        stack.append(kids.apply(i))
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Window" and n.partitionSpec().size() > width:
+            return True
+        kids = n.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return False
+
+
+def _lowcard_rank_windows(df):
+    """Rank windows whose ENTIRE partition spec is known-low-cardinality
+    columns, with no salted (wider) rank window beneath them bounding
+    the rows they sort."""
+    bad, stack = [], [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window":
+            s = node.simpleString(1000)
+            spec = node.partitionSpec()
+            if (any(fn in s for fn in _RANK_FNS)
+                    and not spec.isEmpty()):
+                names = set()
+                for i in range(spec.size()):
+                    names.add(spec.apply(i).sql().strip("`").split("#")[0])
+                if (names <= _LOW_CARD_COLS
+                        and not _subtree_has_wider_window(node, spec.size())):
+                    bad.append(node.simpleString(160))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return bad
+
+
 # Queries allowed a BroadcastNestedLoopJoin: IVF-family scoring rides
 # the (tiny, literal) centroid set to the data by construction — the
 # broadcast IS the design (test_ivf_centroids_broadcast... above).
 _BNLJ_OK = {"similarity_ann_ivf"}
+
+
+def test_lowcard_rank_lint_catches_naive_window(spark):
+    """The lint itself must fire on the pre-round-5 shape (single rank
+    window over pred_lang) and stay quiet on the salted two-phase plan
+    — otherwise the sweep below proves nothing."""
+    from pyspark.sql import Window
+
+    from kafkadirect_spark.functions import curation
+    # pred_lang must be data-derived: a literal would be constant-folded
+    # out of the partition spec entirely (making it an UNpartitioned
+    # window, the other lint's territory)
+    df = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "en")
+         .otherwise("unknown").alias("pred_lang"),
+        F.length("text").cast("long").alias("sz"))
+    naive = (df.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("pred_lang")
+            .orderBy(F.col("sz").desc(), F.col("doc_id"))))
+        .filter(F.col("rank") <= 5))
+    assert _lowcard_rank_windows(naive), "lint missed the naive window"
+    salted = curation.topk_per_group(
+        df, "pred_lang", "sz", k=5, tiebreak_col="doc_id")
+    assert not _lowcard_rank_windows(salted), "lint flagged the salted plan"
 
 
 def test_registered_query_plan_lints(spark):
@@ -169,6 +245,8 @@ def test_registered_query_plan_lints(spark):
         df = fn(spark, SF)
         problems = [f"unpartitioned window: {w}"
                     for w in _unpartitioned_windows(df)]
+        problems += [f"low-cardinality rank window: {w}"
+                     for w in _lowcard_rank_windows(df)]
         phys = _formatted(df)
         if "CartesianProduct" in phys:
             problems.append("CartesianProduct")
