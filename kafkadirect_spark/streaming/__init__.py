@@ -7,8 +7,10 @@ machinery (SURVEY.md §2.6):
 - ``sessions``     SessionWindowedKStream.aggregate custom fold
 - ``window_fold``  TimeWindowedKStream.aggregate custom fold
 - ``interactive``  queryable state (KafkaStreams.store)
+- ``asof``         time-correct stream⋈stream as-of enrichment
 """
 
 from kafkadirect_spark.streaming import (  # noqa: F401
-    interactive, retraction, sessions, suppress, transform, window_fold,
+    asof, interactive, retraction, sessions, suppress, transform,
+    window_fold,
 )

@@ -76,8 +76,12 @@ def streaming_session_aggregate(
         closed = []
 
         if not state.hasTimedOut:
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(ts_col, kind="stable")
+            # one sort across ALL arrow chunks of the trigger: a
+            # per-chunk sort would still feed a non-commutative
+            # aggregator cross-chunk out-of-order folds
+            chunks = [c for c in pdf_iter if len(c)]
+            for pdf in ([pd.concat(chunks).sort_values(
+                    ts_col, kind="stable")] if chunks else []):
                 for row in pdf.itertuples(index=False):
                     rd = dict(zip(in_cols, row))
                     ts_ms = int(pd.Timestamp(rd[ts_col]).value // 1_000_000)

@@ -400,8 +400,11 @@ def suppress_bounded_distributed(
             # end + 2x grace.
             evict_due(state.getCurrentWatermarkMs() + grace_ms)
         else:
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(ts_col, kind="stable")
+            # sort once across all arrow chunks — record order must be
+            # the trigger's event-time order, not per-chunk order
+            chunks = [c for c in pdf_iter if len(c)]
+            for pdf in ([pd.concat(chunks).sort_values(
+                    ts_col, kind="stable")] if chunks else []):
                 for row in pdf.itertuples(index=False):
                     rd = row._asdict()
                     ts_ms = int(pd.Timestamp(rd[ts_col]).value // 1_000_000)

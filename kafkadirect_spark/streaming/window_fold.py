@@ -85,7 +85,11 @@ def streaming_windowed_aggregate(
         wm = state.getCurrentWatermarkMs()
 
         if not state.hasTimedOut:
-            for pdf in pdf_iter:
+            # fold in event-time order across ALL arrow chunks so a
+            # non-commutative user aggregator sees records in order
+            chunks = [c for c in pdf_iter if len(c)]
+            for pdf in ([pd.concat(chunks).sort_values(
+                    ts_col, kind="stable")] if chunks else []):
                 for row in pdf.itertuples(index=False):
                     rd = dict(zip(in_cols, row))
                     ts_ms = int(pd.Timestamp(rd[ts_col]).value // 1_000_000)

@@ -1131,3 +1131,127 @@ def test_suppress_distributed_grace_single_delay(spark, tmpdir):
         assert rows == [("a", 1)]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of join (streaming/asof.py)
+# ---------------------------------------------------------------------------
+
+LSCHEMA = "key string, ts timestamp, qty int"
+RSCHEMA = "key string, ts timestamp, price int"
+
+
+def _asof_query(spark, tmpdir, name, grace="0 seconds"):
+    from kafkadirect_spark.streaming import asof
+
+    lsrc = stream_from_dir(spark, f"{tmpdir}/L/*", LSCHEMA)
+    rsrc = stream_from_dir(spark, f"{tmpdir}/R/*", RSCHEMA)
+    out = asof.streaming_asof_join(
+        lsrc.df, rsrc.df, on="key", left_ts="ts", right_ts="ts",
+        value_cols=["price"], grace=grace)
+    return (out.writeStream.outputMode("append").format("memory")
+            .queryName(name).option(
+                "checkpointLocation", f"{tmpdir}/ckpt_{name}").start())
+
+
+def _aw(spark, tmpdir, side, rows, n, schema=None):
+    schema = schema or (LSCHEMA if side == "L" else RSCHEMA)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(f"{tmpdir}/{side}/b{n}")
+
+
+def test_streaming_asof_time_correct_enrichment(spark, tmpdir):
+    """Each left event gets the right version as of ITS timestamp —
+    not the latest state at processing time (the KStream⋈KTable race
+    this operator fixes): two events straddling a price change pick
+    two different prices even when processed in one trigger."""
+    _aw(spark, tmpdir, "R", [("a", t("10:00:00"), 100),
+                             ("a", t("10:30:00"), 200)], 0)
+    _aw(spark, tmpdir, "L", [("a", t("10:15:00"), 1),
+                             ("a", t("10:45:00"), 2)], 0)
+    q = _asof_query(spark, tmpdir, "asof_basic")
+    try:
+        q.processAllAvailable()
+        # watermark still at epoch during the first trigger
+        _aw(spark, tmpdir, "L", [("a", t("12:00:00"), 3)], 1)  # advance wm
+        q.processAllAvailable()
+        _aw(spark, tmpdir, "L", [("a", t("12:00:01"), 4)], 2)  # trigger emit
+        q.processAllAvailable()
+        rows = sorted((r.qty, r.price) for r in
+                      spark.sql("SELECT * FROM asof_basic").collect())
+        # qty=3 (the 12:00 watermark-advancer) emits too once the
+        # 12:00:01 row pushes the watermark past it
+        assert rows == [(1, 100), (2, 200), (3, 200)]
+    finally:
+        q.stop()
+
+
+def test_streaming_asof_late_right_never_rewrites(spark, tmpdir):
+    """The round-5 contract golden: once a left event's enrichment is
+    emitted, a late-arriving right version behind the watermark must
+    NOT rewrite it — no second row, no updated value."""
+    _aw(spark, tmpdir, "R", [("a", t("10:00:00"), 100)], 0)
+    _aw(spark, tmpdir, "L", [("a", t("10:10:00"), 1)], 0)
+    q = _asof_query(spark, tmpdir, "asof_late")
+    try:
+        q.processAllAvailable()
+        _aw(spark, tmpdir, "L", [("a", t("11:00:00"), 2)], 1)  # advance wm
+        q.processAllAvailable()
+        _aw(spark, tmpdir, "L", [("a", t("11:00:01"), 3)], 2)  # emit qty=1
+        q.processAllAvailable()
+        first = [(r.qty, r.price) for r in
+                 spark.sql("SELECT * FROM asof_late").collect()]
+        assert (1, 100) in first
+        # late right: ts 10:05 is far behind the watermark (~11:00)
+        _aw(spark, tmpdir, "R", [("a", t("10:05:00"), 999)], 1)
+        _aw(spark, tmpdir, "L", [("a", t("13:00:00"), 4)], 3)  # advance wm
+        q.processAllAvailable()
+        _aw(spark, tmpdir, "L", [("a", t("13:00:01"), 5)], 4)
+        q.processAllAvailable()
+        got = sorted((r.qty, r.price) for r in
+                     spark.sql("SELECT * FROM asof_late").collect())
+        # qty=1 emitted exactly once, still at price 100 — the late 999
+        # version never rewrote it; qty=2/3 match the latest version at
+        # their own timestamps
+        assert [p for (qv, p) in got if qv == 1] == [100]
+        assert (2, 100) in got and (3, 100) in got
+    finally:
+        q.stop()
+
+
+def test_streaming_asof_unmatched_left_emits_nulls(spark, tmpdir):
+    """A left event with no right version at or before it emits with
+    null value columns (left-join shape), exactly once."""
+    _aw(spark, tmpdir, "L", [("a", t("09:00:00"), 1)], 0)
+    _aw(spark, tmpdir, "R", [("a", t("09:30:00"), 100)], 0)
+    q = _asof_query(spark, tmpdir, "asof_null")
+    try:
+        q.processAllAvailable()
+        _aw(spark, tmpdir, "L", [("a", t("11:00:00"), 2)], 1)
+        q.processAllAvailable()
+        _aw(spark, tmpdir, "L", [("a", t("11:00:01"), 3)], 2)
+        q.processAllAvailable()
+        rows = {r.qty: r.price for r in
+                spark.sql("SELECT * FROM asof_null").collect()}
+        assert rows[1] is None      # 09:00 precedes every right version
+        assert rows[2] == 100       # 11:00 sees the 09:30 version
+    finally:
+        q.stop()
+
+
+def test_interval_ms_grammar():
+    """Duration parsing accepts the withWatermark/F.window forms —
+    compound specs, weeks, millis, abbreviations — and raises a
+    ValueError naming the problem on anything else (a bad spec must
+    fail at query build time with a message, not as a KeyError)."""
+    from kafkadirect_spark.streaming.util import interval_ms
+
+    assert interval_ms("30 seconds") == 30_000
+    assert interval_ms("500 millis") == 500
+    assert interval_ms("500 ms") == 500
+    assert interval_ms("3 m") == 180_000          # 'm' is minutes, not ms
+    assert interval_ms("1 week") == 604_800_000
+    assert interval_ms("1 hour 30 minutes") == 5_400_000
+    for bad in ("1.5 hours", "10 fortnights", "seconds", ""):
+        with pytest.raises(ValueError):
+            interval_ms(bad)
