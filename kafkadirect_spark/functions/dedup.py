@@ -492,12 +492,18 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
     Beyond the reference (which has no document model); the natural
     companion to ``exact_dedup`` for partially-copied documents.
 
-    Scale shape: explode → groupBy(span *hash*, never the text — the
-    64-bit xxhash64 keeps the shuffle narrow) with a map-side-partial
-    min → hash-join occurrences back to winners → groupBy(doc) to
-    reassemble.  No window functions, no driver state; a boilerplate
-    span repeated across the corpus is one hot aggregation key, which
-    partial aggregation absorbs.
+    Scale shape: explode → groupBy(span *hash*, never the text — two
+    independent hashes, xxhash64 + crc32, keep the shuffle narrow)
+    with a map-side-partial min → hash-join occurrences back to
+    winners → groupBy(doc) to reassemble.  No window functions, no
+    driver state; a boilerplate span repeated across the corpus is one
+    hot aggregation key, which partial aggregation absorbs.
+
+    Grouping on a single 64-bit hash would silently merge colliding
+    distinct spans — negligible at test scale but expected by the
+    birthday bound at 1e10-1e11 spans (100 TB).  The (xxhash64, crc32)
+    pair pushes the per-pair collision odds to ~2^-96: corpus-wide
+    expected collisions at 1e11 spans ≈ 1e22·2^-97 ≈ 6e-8 — accepted.
     """
     words = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
@@ -507,10 +513,11 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
             " ", F.slice(words, i * span_words + 1, span_words)))
     occ = df.select(F.col(id_col),
                     F.posexplode(spans).alias("pos", "span"))
-    occ = occ.withColumn("_h", F.xxhash64("span"))
-    winners = occ.groupBy("_h").agg(
+    occ = occ.withColumn("_h", F.xxhash64("span")) \
+             .withColumn("_h2", F.crc32(F.col("span")))
+    winners = occ.groupBy("_h", "_h2").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
-    kept = (occ.join(winners, "_h")
+    kept = (occ.join(winners, ["_h", "_h2"])
             .filter((F.col(id_col) == F.col(f"_w.{id_col}"))
                     & (F.col("pos") == F.col("_w.pos"))))
     ordered = F.array_sort(F.collect_list(F.struct("pos", "span")))

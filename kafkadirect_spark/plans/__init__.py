@@ -16,37 +16,49 @@ from kafkadirect_spark.plans import curation_queries  # noqa: F401  (registers i
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # round-4 additions — no driver CORRECTNESS row yet
-    "asof_enrich",
-    "dedup_spans",
-    "embedding_quantize",
-    "shipping_priority",
-    "revenue_rollup",
-    "event_gaps",
-    "returned_item_report",
-    # rounds 1-3 tail the driver never sampled
-    "text_quality",
-    "text_repetition",
-    "doc_fingerprint",
-    "doc_winnow",
-    "winnow_overlap_pairs",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_multiprobe",
-    "dedup_embedding_cosine",
-    "multimodal_meta",
-    "corpus_curation",
-    "sample_split",
-    "sample_stratified",
-    "decontaminate",
-    "pack_sequences",
-    "corpus_mix_upsample",
-    "vocab_topk",
-    "boilerplate_flag",
-    "pii_redaction",
-    "corpus_stats",
-    "quality_topk_per_lang",
+    # Round-5 window.  Two admission rules (VERDICT r4 + ADVICE r4):
+    # (1) every query without an r4 driver row — the 29 below were all
+    #     r3-green but must not go two rounds unchecked;
+    # (2) every query whose implementation or oracle CHANGED this
+    #     round stays inside the sampled window so the driver, not
+    #     just the local checker, re-verifies the new behavior.
+    #
+    # -- rule 2: changed in round 5 --
+    "embedding_quantize",     # ArrayType output → md5 scalar (gate fix)
+    "pack_sequences",         # oracle: BIGINT cast on windowed SUM
+    "corpus_stats",           # avg_size → avg_size_milli; pXX dtype cast
+    "quality_topk_per_lang",  # two-phase salted top-k plan
+    "dedup_spans",            # winner groupBy on (xxhash64, crc32)
+    # -- rule 1: no r4 CORRECTNESS row --
+    "join_interval_left",
+    "join_interval_outer",
+    "join_table_table",
+    "join_table_table_outer",
+    "join_global_enrich",
+    "promo_revenue_share",
+    "supplier_nation_volume",
+    "skew_salted_join",
+    "skew_salted_distinct",
+    "yahoo_pipeline",
+    "table_group_aggregate",
+    "smt_chain",
+    "scan_from_timestamp",
+    "ts_policy_skip",
+    "ts_policy_previous",
+    "map_rekey_count",
+    "flat_map_rekey_ledger",
+    "table_to_stream_count",
+    "session_reduce",
+    "table_tombstones",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_verified_pairs",
+    "text_stats",
+    "text_langid",
 ]
 
 
