@@ -69,6 +69,12 @@ def main() -> None:
         "similarity_topk": QUERIES["similarity_topk"],
         "decontaminate": QUERIES["decontaminate"],
         "corpus_curation": QUERIES["corpus_curation"],
+        # relational shapes (TPC-H Q3/Q10-like, rollup) — recorded so a
+        # plan change (lost broadcast, global sort) trips the per-suite
+        # plan-count diff, not just the wall clock
+        "shipping_priority": QUERIES["shipping_priority"],
+        "returned_item_report": QUERIES["returned_item_report"],
+        "revenue_rollup": QUERIES["revenue_rollup"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -29,6 +29,12 @@ _PROMOTED = [
     "corpus_stats",           # avg_size → avg_size_milli; pXX dtype cast
     "quality_topk_per_lang",  # two-phase salted top-k plan
     "dedup_spans",            # winner groupBy on (xxhash64, crc32)
+    # -- new in round 5 (no driver row yet by construction) --
+    "local_supplier_volume",
+    "forecast_revenue",
+    "large_order_customers",
+    "priority_returned_orders",
+    "asof_enrich_forward",
     # -- rule 1: no r4 CORRECTNESS row --
     "join_interval_left",
     "join_interval_outer",

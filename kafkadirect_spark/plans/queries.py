@@ -1490,3 +1490,210 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    supplier share a nation, per nation of one region — the classic
+    multiway star join with a non-key equality (c_nationkey =
+    s_nationkey) riding the fact join.  All four dimensions broadcast;
+    the only shuffles are the fact⋈fact orders⋈lineitem hash join and
+    the final nation aggregate.  Beyond the reference's surface
+    (SURVEY.md §2.3 — no multiway join primitive; users chain 2-way
+    joins through repartition topics, one shuffle EACH)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >=
+                  F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") <
+                    F.lit("1997-01-01").cast("timestamp"))))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA"))
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s),
+              (l["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(disc_cents).cast("double") / F.lit(100.0))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount*100 AS BIGINT)) AS DOUBLE) / 100.0
+             AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue increase from dropping
+    small-quantity discounts — a pure scan-filter-aggregate with NO
+    join and NO groupBy key (one partial-agg exchange of a single
+    row).  All three predicates push to the parquet scan
+    (PushedFilters gated in the plan sweep); the shape is the
+    pushdown/pruning litmus test at 100 TB — a full-column scan here
+    would read the whole fact table for a two-column answer."""
+    l = (load_table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >=
+                  F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") <
+                    F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24)))
+    promo_cents = _dec("l_extendedprice") * \
+        (F.col("l_discount") * 100).cast("bigint")
+    return l.agg(
+        (F.sum(promo_cents).cast("double") / F.lit(100.0))
+        .alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding the largest orders by total
+    quantity — a fact self-aggregation (HAVING) feeding a join back to
+    orders/customer, top 100 on a total order.  The aggregate shrinks
+    the fact side BEFORE any join (sf-proportional rows → a few
+    hundred), so the joins are small-side; the top-k compiles to
+    TakeOrderedAndProject, never a global sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "priority_returned_orders",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def priority_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority among orders with at
+    least one returned line — an EXISTS correlation expressed as a
+    LEFT SEMI join (the reference's closest primitive is an inner
+    join that would DUPLICATE orders per matching line and need a
+    re-distinct; semi-join short-circuits at first match and never
+    amplifies).  The returnflag filter pushes to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    l = (load_table(spark, sf_dir, "lineitem")
+         .filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey"))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "asof_enrich_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+    purchases AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id, ts)
+    SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.click_ts <= p.ts
+    """,
+)
+def asof_enrich_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click picks the user's EARLIEST purchase at
+    or after its timestamp (time-to-conversion attribution) — the
+    direction='forward' path of operators/asof.py, oracle'd by
+    DuckDB's native forward ASOF (c.click_ts <= p.ts).  Same
+    union + single key-shuffle plan as the backward join; the scan
+    runs from the future backwards via desc ordering, no second
+    sort."""
+    from kafkadirect_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter((F.col("event_type") == "click")
+                        & F.col("user_id").isNotNull())
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter((F.col("event_type") == "purchase")
+                           & F.col("user_id").isNotNull())
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("purchase_id")))
+    return asof_join(clicks, purchases, "user_id", "user_id",
+                     "click_ts", "ts", value_cols=["purchase_id"],
+                     direction="forward")

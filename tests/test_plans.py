@@ -278,3 +278,40 @@ def test_multiway_dim_chain_broadcasts_both_dims(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", txt)) == 2, txt[:2000]
     assert "SortMergeJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_forecast_revenue_pushes_filters_to_scan(spark):
+    """Q6 shape is the pushdown litmus test: all three predicates must
+    reach the parquet scan as PushedFilters and the read schema must
+    be the four referenced columns, not the whole fact row."""
+    from kafkadirect_spark.plans import QUERIES
+    txt = _formatted(QUERIES["forecast_revenue"](spark, SF))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt)
+    assert pushed and "l_shipdate" in pushed.group(1) \
+        and "l_discount" in pushed.group(1) \
+        and "l_quantity" in pushed.group(1), txt[:1500]
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert schema and set(
+        c.split(":")[0] for c in schema.group(1).split(",")) == {
+            "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+        }, schema and schema.group(1)
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark):
+    """Q5 shape: four broadcast dimension joins around ONE fact-fact
+    hash join — never a sort-merge on a dimension."""
+    from kafkadirect_spark.plans import QUERIES
+    txt = _formatted(QUERIES["local_supplier_volume"](spark, SF))
+    # ≥4: the four dims always broadcast; at tiny SF Catalyst may
+    # additionally broadcast the filtered orders side of the fact join
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", txt)) >= 4, txt[:2000]
+    assert "CartesianProduct" not in txt
+
+
+def test_large_order_customers_distributed_topk(spark):
+    """Q18 shape: the HAVING aggregate shrinks the fact before any
+    join, and the top-100 compiles to TakeOrderedAndProject."""
+    from kafkadirect_spark.plans import QUERIES
+    txt = _formatted(QUERIES["large_order_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in txt
+    assert "rangepartitioning" not in txt.lower()
