@@ -1,17 +1,25 @@
 """Scale probe — measure how the heavy operators grow with corpus
 size, reproducibly.
 
-Replicates the documents corpus 1x/4x/16x by unioning id-shifted
-copies (distinct doc_ids per replica, same text distribution — note
-this also replicates every duplicate relationship, so candidate
-counts grow faster than organic corpora; see SCALE.md for the
-interpretation caveats), then times each probed operator through the
-noop sink.
+Two growth modes:
+
+- **replicate** (default): union id-shifted copies of the corpus
+  (distinct doc_ids, same text).  Every duplicate relationship is
+  replicated too, so cross-replica duplicate/contamination pairs grow
+  ~k² — faster than any organic corpus; see SCALE.md for the
+  interpretation caveats.
+- **organic** (``--organic``): replicas beyond the first get every
+  word suffixed with a per-replica tag, making their text (and all
+  its shingles) globally fresh while preserving the length/word-count
+  distribution and each replica's INTERNAL duplicate structure.  The
+  corpus-wide duplicate rate stays fixed as the corpus grows — the
+  growth curve a real corpus shows — so near-linear scaling here is
+  meaningful, not an artifact.
 
 Prints one JSON line per (operator, replication):
-  {"op": "...", "repl": N, "docs": M, "sec": T}
+  {"op": "...", "mode": "...", "repl": N, "docs": M, "sec": T}
 
-Usage:  python tools/scale_probe.py [sf_dir] [max_repl]
+Usage:  python tools/scale_probe.py [--organic] [sf_dir] [max_repl]
 """
 
 from __future__ import annotations
@@ -26,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16) -> None:
+def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
+         organic: bool = False) -> None:
     from kafkadirect_spark.functions import curation, dedup
     from kafkadirect_spark.functions.dedup import release_caches
     from kafkadirect_spark.session import get_spark
@@ -40,9 +49,19 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16) -> None:
     def replicate(k: int):
         df = base
         for i in range(1, k):
-            df = df.unionByName(
-                base.withColumn("doc_id",
-                                F.col("doc_id") + F.lit(i * 10_000_000)))
+            copy = base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            if organic:
+                # suffix every word with the replica tag: all shingles
+                # of this replica are fresh (no cross-replica dups),
+                # length/word-count distribution unchanged
+                tag = F.lit(f"~{i}")
+                copy = copy.withColumn(
+                    "text",
+                    F.concat_ws(" ", F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, tag))))
+            df = df.unionByName(copy)
         return df
 
     def probe_minhash(docs):
@@ -69,8 +88,9 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16) -> None:
             fn(docs).write.format("noop").mode("overwrite").save()
             sec = round(time.perf_counter() - t0, 2)
             release_caches()
-            print(json.dumps({"op": op, "repl": repl, "docs": n,
-                              "sec": sec}), flush=True)
+            print(json.dumps(
+                {"op": op, "mode": "organic" if organic else "replicate",
+                 "repl": repl, "docs": n, "sec": sec}), flush=True)
         docs.unpersist()
         repl *= 4
     spark.stop()
@@ -78,5 +98,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16) -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    organic = "--organic" in args
+    args = [a for a in args if a != "--organic"]
     main(args[0] if args else "/root/testdata/sf0.1",
-         int(args[1]) if len(args) > 1 else 16)
+         int(args[1]) if len(args) > 1 else 16,
+         organic=organic)
