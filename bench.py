@@ -75,6 +75,14 @@ def main() -> None:
         "shipping_priority": QUERIES["shipping_priority"],
         "returned_item_report": QUERIES["returned_item_report"],
         "revenue_rollup": QUERIES["revenue_rollup"],
+        # round-5 shapes: bilateral star join (Q7), fact self-agg +
+        # top-k (Q21), outer-join histogram (Q13), inverted-index
+        # importance scores, pure chunk explode
+        "volume_shipping": QUERIES["volume_shipping"],
+        "lonely_returns": QUERIES["lonely_returns"],
+        "customer_order_distribution": QUERIES["customer_order_distribution"],
+        "importance_weights": QUERIES["importance_weights"],
+        "doc_chunks": QUERIES["doc_chunks"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

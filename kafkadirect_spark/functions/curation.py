@@ -322,3 +322,91 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
     return (src.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .withColumn("rank", F.col("rank").cast("long")))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    step between "curated corpus" and "training sequences" when
+    documents exceed the model context (every pretraining pipeline
+    chunks; the reference has no analogue — its records are opaque
+    values, SURVEY.md §1.1).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens − overlap``; the chunk count is
+    ``1 + ceil(max(0, n − chunk_tokens) / stride)`` — every token is
+    covered, the tail chunk may be short, and no chunk is ever fully
+    contained in its predecessor (the naive "while start < n" rule
+    emits redundant tail windows that duplicate training data).  A
+    document shorter than ``chunk_tokens`` yields exactly one chunk;
+    zero-token documents yield none.
+
+    Scale: chunking is a pure per-row explode — no shuffle, no state;
+    output order is irrelevant (each chunk carries its own id).  The
+    chunk text is surfaced as a full md5 (hashable scalar per the
+    gate-output rule), alongside the chunk token count.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (F.greatest(
+        F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)),
+        F.lit(0)).cast("int") + 1)
+
+    def mk_chunk(i):
+        chunk = F.slice(toks, i * stride + 1, chunk_tokens)
+        return F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+
+    chunks = F.when(
+        n >= 1, F.transform(F.sequence(F.lit(0), n_chunks - 1), mk_chunk))
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+          .select(id_col, "__c.chunk_id", "__c.chunk_len", "__c.chunk_hash")
+    )
+
+
+def importance_scores(df: DataFrame, id_col: str, text_col: str,
+                      target: Column, ngram: int = 2,
+                      scale: int = 1_000_000) -> DataFrame:
+    """DSIR-style data-selection scores: rank corpus documents by how
+    much their n-gram features look like a TARGET domain (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023 — public).  The classic formulation sums
+    log-likelihood ratios of hashed n-gram counts; logs differ in the
+    last ulp across libm builds, so this keeps the ratio in exact
+    integer arithmetic instead: each distinct n-gram ``s`` in a
+    document contributes ``(scale · df_target(s)) // df_corpus(s)``
+    (document frequencies), and the document's score is the BIGINT sum
+    — cross-engine reproducible, order-free.
+
+    ``target`` is a boolean Column over ``df``'s rows (e.g.
+    ``F.col("lang") == "en"``) marking the in-domain subset.
+
+    Scale ledger: distinct (doc, ngram) explode → one groupBy(ngram)
+    for the two document frequencies → join back on ngram (the df
+    table is corpus-vocabulary-sized, hash join) → one groupBy(doc).
+    An inverted-index shape, never all-pairs; identical skeleton to
+    ngram-Jaccard dedup (dedup.py) which holds at 100 TB.
+    """
+    pairs = (
+        df.select(F.col(id_col), target.alias("__t"),
+                  F.explode(F.array_distinct(
+                      shingles(tokens(text_col), ngram))).alias("__s"))
+    )
+    freqs = (pairs.groupBy("__s")
+             .agg(F.count(F.lit(1)).alias("__df_c"),
+                  F.sum(F.col("__t").cast("long")).alias("__df_t")))
+    # exact BIGINT division (div), never a double floor — a double
+    # round-trip loses integer exactness past 2^53 at corpus scale
+    contrib = F.expr(f"CAST({scale} AS BIGINT) * __df_t DIV __df_c")
+    return (
+        pairs.join(freqs, "__s")
+        .groupBy(id_col)
+        .agg(F.sum(contrib).cast("long").alias("score"))
+    )

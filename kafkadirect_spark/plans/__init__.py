@@ -29,12 +29,33 @@ _PROMOTED = [
     "corpus_stats",           # avg_size → avg_size_milli; pXX dtype cast
     "quality_topk_per_lang",  # two-phase salted top-k plan
     "dedup_spans",            # winner groupBy on (xxhash64, crc32)
-    # -- new in round 5 (no driver row yet by construction) --
-    "local_supplier_volume",
-    "forecast_revenue",
-    "large_order_customers",
-    "priority_returned_orders",
+    # -- new in round 5 (no driver row yet by construction).  20 new
+    # queries compete for 16 free slots (the 34 above are mandatory:
+    # VERDICT r4 #2).  The four plain aggregate shapes
+    # (local_supplier_volume/forecast_revenue/large_order_customers/
+    # priority_returned_orders — Q5/Q6/Q18/Q4) wait for r6: their
+    # close cousins Q1/Q3/Q10 are already driver-green, and all four
+    # pass tools/check_oracle.py --exact locally (recorded in
+    # COVERAGE.md).  The novel machinery — semi/anti/correlated TPC-H
+    # shapes, chunking, salted domain cap, importance weights, the
+    # forward as-of direction — takes the driver slots. --
     "asof_enrich_forward",
+    "doc_chunks",
+    "domain_cap",
+    "ngram_topk",
+    "importance_weights",
+    # -- new in round 5, batch 2: the remaining TPC-H shapes --
+    "volume_shipping",
+    "market_share",
+    "product_type_profit",
+    "customer_order_distribution",
+    "top_supplier",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "lonely_returns",
+    "idle_rich_customers",
+    "cheapest_supplier",
     # -- rule 1: no r4 CORRECTNESS row --
     "join_interval_left",
     "join_interval_outer",

@@ -321,3 +321,128 @@ def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.bpe_token_count("text").cast("long").alias("bpe_tokens"))
     return curation.topk_per_group(
         scored, "pred_lang", "bpe_tokens", k=5, tiebreak_col="doc_id")
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+               0, CAST(greatest((len(w) - 64 + 47)//48, 0) AS INT)))
+               AS chunk_id
+      FROM t WHERE len(w) >= 1)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(w[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+             AS chunk_len,
+           md5(array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap → stride 48): the corpus→training-sequence explode.  Pure
+    per-row codegen, zero shuffles; the oracle replays the identical
+    slicing with DuckDB 1-based inclusive list slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, "doc_id", "text",
+                                    chunk_tokens=64, overlap=16)
+
+
+@query(
+    "domain_cap",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT
+              % 2147483647) AS ord
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ord ASC, doc_id ASC) AS rn
+      FROM h)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (CommonCrawl-style source balancing):
+    keep at most 10 docs per source, chosen by deterministic portable
+    hash so the kept set is stable under corpus growth.  Routed through
+    the two-phase salted topk_per_group — source is low-cardinality, so
+    the naive single window would funnel the corpus through ~20
+    reducers at 100 TB; the salted plan passes the rank-window lint."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    text.portable_hash(F.col("doc_id").cast("string"))
+                    .alias("__ord")))
+    return (curation.topk_per_group(docs, "source", "__ord", k=10,
+                                    tiebreak_col="doc_id", ascending=True)
+            .select("doc_id", "source", "rank"))
+
+
+@query(
+    "ngram_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    bi AS (
+      SELECT w[g] || ' ' || w[g+1] AS bigram
+      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS g
+            FROM tok WHERE len(w) >= 2))
+    SELECT bigram, COUNT(*) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams — the vocabulary/statistics pass of
+    a data-quality audit.  Explode to bigrams (reusing the shingle
+    expression, n=2), one hash aggregate, TakeOrderedAndProject on the
+    (count desc, bigram asc) total order — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(F.explode(
+        text.shingles(text.tokens("text"), 2)).alias("bigram"))
+    return (bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(50))
+
+
+@query(
+    "importance_weights",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK} AS w FROM documents),
+    pairs AS (
+      SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] AS s
+      FROM (SELECT doc_id, lang, w,
+                   unnest(generate_series(1, len(w)-1)) AS g
+            FROM tok WHERE len(w) >= 2)),
+    freqs AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df_c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_t
+      FROM pairs GROUP BY s)
+    SELECT p.doc_id,
+           CAST(SUM(1000000 * f.df_t // f.df_c) AS BIGINT) AS score
+    FROM pairs p JOIN freqs f ON p.s = f.s
+    GROUP BY p.doc_id
+    ORDER BY score DESC, p.doc_id ASC
+    LIMIT 100
+    """,
+)
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores against the English subset as the
+    target domain: every distinct bigram contributes its exact integer
+    likelihood ratio (scale·df_target // df_corpus) and documents are
+    ranked by the summed score — data selection for LM pretraining in
+    one inverted-index pass (functions/curation.py importance_scores).
+    Integer arithmetic end-to-end: no log, no float, no drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = curation.importance_scores(
+        docs, "doc_id", "text", target=F.col("lang") == "en", ngram=2)
+    return (scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(100))

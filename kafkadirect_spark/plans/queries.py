@@ -1697,3 +1697,576 @@ def asof_enrich_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, "user_id", "user_id",
                      "click_ts", "ts", value_cols=["purchase_id"],
                      direction="forward")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 relational additions: the remaining TPC-H query shapes this
+# schema can express (Q2/Q7/Q8/Q9/Q13/Q15/Q16/Q17/Q19/Q21/Q22 adapted
+# to the driver's columns — no partsupp/shipmode/receiptdate).  Each
+# exercises a planner capability the reference lacks outright
+# (SURVEY.md §2.3/§2.4: Kafka Streams has only binary equi-joins and
+# per-key folds — no semi/anti joins, no scalar subqueries, no count
+# distinct, no disjunctive predicate pushdown, no argmin join-back).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year.  The nation filter is pushed INTO both dimension sides
+    before the fact join (supplier⋈nation and customer⋈nation each
+    broadcast pre-filtered to the two nations), so the fact join drops
+    ~92% of lines at the probe; the disjunctive nation-pair predicate
+    collapses to supp_nation != cust_nation once both sides are
+    restricted to the pair."""
+    pair = ("NATION_1", "NATION_2")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (load_table(spark, sf_dir, "customer")
+         .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    joined = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg((F.sum(disc_cents).cast("double") / F.lit(100.0))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (100 - CAST(l.l_discount*100 AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                         THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE) AS mkt_share,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM j GROUP BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold
+    into one region, per order year — a conditional aggregate (the
+    share numerator rides the SAME hash aggregate as the denominator;
+    one pass, one shuffle).  The share is a single IEEE division of
+    two exactly-agreed decimal-cents sums, so it hash-matches
+    bit-for-bit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    n = load_table(spark, sf_dir, "nation")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "EUROPE"))
+    c = (load_table(spark, sf_dir, "customer")
+         .join(F.broadcast(
+             n.join(F.broadcast(r),
+                    n["n_regionkey"] == r["r_regionkey"])),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    joined = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                "supp_nation", cents.alias("cents"))
+    )
+    nat_cents = F.when(F.col("supp_nation") == "NATION_7",
+                       F.col("cents")).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        joined.groupBy("o_year")
+        .agg((F.sum(nat_cents).cast("double")
+              / F.sum("cents").cast("double")).alias("mkt_share"),
+             (F.sum("cents").cast("double") / F.lit(100.0))
+             .alias("revenue"))
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS profit,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on one product
+    line, selected by a LIKE substring filter on the part name.  The
+    contains() predicate evaluates inside the broadcast part build
+    side — the fact scan is never widened by the pattern match — and
+    the only shuffles are the orders hash join and the final (nation,
+    year) aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").contains("widget"))
+         .select("p_partkey"))
+    n = load_table(spark, sf_dir, "nation")
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("nation")))
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    joined = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        joined.groupBy("nation",
+                       F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((F.sum(disc_cents).cast("double") / F.lit(100.0))
+             .alias("profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the histogram of customers by how many
+    non-urgent orders they placed, INCLUDING zero-order customers —
+    which forces a LEFT OUTER join (the reference's stream⋈table join
+    drops unmatched rows unless spelled leftJoin, and its KTable has
+    no outer-join-then-reaggregate idiom at all).  Two cascaded
+    aggregations: the first counts per customer on the join key
+    already shuffled by the join, the second is a near-trivial
+    histogram shuffle over ≤ a few hundred distinct counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (100 - CAST(l_discount*100 AS BIGINT))) AS cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.cents = (SELECT MAX(cents) FROM rev)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue — a scalar subquery (global MAX) rewritten as a broadcast
+    of the one-row max cross-joined back onto the per-supplier
+    aggregate.  The equality compare runs on exact decimal cents, so
+    ties are found exactly (the double-rounded spelling could merge
+    or split ties).  The revenue aggregate is computed ONCE and
+    reused for both the max and the final filter."""
+    l = (load_table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >=
+                  F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") <
+                    F.lit("1996-04-01").cast("timestamp"))))
+    s = load_table(spark, sf_dir, "supplier")
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    rev = (l.groupBy("l_suppkey")
+           .agg(F.sum(disc_cents).alias("cents")))
+    best = rev.agg(F.max("cents").alias("best_cents"))
+    return (
+        rev.join(F.broadcast(best), rev["cents"] == best["best_cents"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name",
+                (F.col("cents").cast("double") / F.lit(100.0))
+                .alias("total_revenue"))
+    )
+
+
+@query(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 14, 23, 45)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct qualifying suppliers stock
+    each (brand, size) — COUNT DISTINCT plus a NOT IN anti-join
+    (complaint-supplier exclusion), neither of which the reference
+    can express (SURVEY.md §2.4: per-key folds only — a distinct
+    count needs a set-valued accumulator; NOT IN needs an anti-join).
+    The excluded-supplier set broadcasts (LEFT ANTI, build side ~a
+    handful of rows); count distinct expands to a two-level partial
+    aggregate, still one logical shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#5")
+                 & F.col("p_size").isin(1, 14, 23, 45))
+         .select("p_partkey", "p_brand", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"],
+              "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l2.l_partkey, AVG(l2.l_quantity) AS avg_qty
+      FROM lineitem l2
+      JOIN part p2 ON p2.p_partkey = l2.l_partkey
+      WHERE p2.p_brand = 'Brand#3'
+      GROUP BY l2.l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in below-half-average-quantity
+    orders of one brand — the classic CORRELATED scalar subquery
+    (avg quantity of the same part) decorrelated into a per-part
+    aggregate joined back onto the fact.  The brand filter broadcasts
+    into BOTH the fact restriction and the average's population, so
+    the per-part aggregate runs over the ~4% of lines that survive,
+    not the whole table.  The avg is exact (integral quantities sum
+    exactly in doubles; one correctly-rounded division), so the
+    comparison never flips on a last ulp."""
+    part_b = (load_table(spark, sf_dir, "part")
+              .filter(F.col("p_brand") == "Brand#3")
+              .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part_b),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    pa = (li.groupBy("l_partkey")
+          .agg(F.avg("l_quantity").alias("avg_qty"))
+          .withColumnRenamed("l_partkey", "pa_partkey"))
+    return (
+        li.join(F.broadcast(pa),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (100 - CAST(l.l_discount*100 AS BIGINT))) AS DOUBLE)
+             / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three disjunctive
+    (brand × size × quantity) branches.  The single-table residue of
+    the OR — brand ∈ {12,23,4} on part, quantity ∈ [1,30] on
+    lineitem — is factored OUT of the join predicate by hand (the
+    same rewrite Catalyst's pushdown does for CNF-convertible
+    disjuncts), so both scans prune before the broadcast join; the
+    full three-way OR then evaluates residually on the joined row."""
+    l = (load_table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#4")
+                 & (F.col("p_size") >= 1) & (F.col("p_size") <= 15))
+         .select("p_partkey", "p_brand", "p_size"))
+    disc_cents = _dec("l_extendedprice") * (
+        F.lit(100) - (F.col("l_discount") * 100).cast("bigint"))
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(branch)
+        .agg((F.sum(disc_cents).cast("double") / F.lit(100.0))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "lonely_returns",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_ret,
+             MAX(CASE WHEN l_returnflag = 'R'
+                      THEN l_suppkey END) AS ret_supp
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per_order po
+    JOIN supplier s ON po.ret_supp = s.s_suppkey
+    WHERE po.n_supp > 1 AND po.n_ret = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def lonely_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returning supplier
+    on multi-supplier orders.  Q21's EXISTS / NOT EXISTS double
+    correlation is algebraized into ONE per-order aggregate (distinct
+    suppliers, distinct returning suppliers, the returning supplier
+    itself) — one shuffle instead of two correlated re-joins of the
+    fact against itself; the n_ret = 1 guard makes MAX(CASE) exactly
+    'the' lone returner.  Supplier names broadcast; top-20 compiles
+    to TakeOrderedAndProject."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+             F.countDistinct(ret_supp).alias("n_ret"),
+             F.max(ret_supp).alias("ret_supp"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s),
+                       F.col("ret_supp") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS sum_cents,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n.n_name AS nation, COUNT(*) AS numcust,
+           CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            * (SELECT n FROM pos) > (SELECT sum_cents FROM pos)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    recent orders, totalled per nation — a global-average scalar
+    subquery plus a NOT EXISTS anti-join.  The average comparison is
+    cross-multiplied into pure BIGINT arithmetic (cents·count >
+    sum_cents) so no division ever happens and the threshold can't
+    drift by an ulp between engines.  The one-row aggregate
+    broadcasts as a literal cross join; recent orders broadcast into
+    a LEFT ANTI."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    recent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >=
+                      F.lit("1999-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    pos = (c.filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(cents).alias("sum_cents"),
+                F.count(F.lit(1)).alias("n")))
+    return (
+        c.select("c_custkey", "c_nationkey", cents.alias("cents"))
+        .join(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+        .join(F.broadcast(recent),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n),
+              F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             (F.sum("cents").cast("double") / F.lit(100.0))
+             .alias("totacctbal"))
+    )
+
+
+@query(
+    "cheapest_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size <= 15 AND p.p_type = 'SMALL'),
+    ranked AS (
+      SELECT ps.l_partkey, ps.l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
+                                ORDER BY s.s_acctbal ASC,
+                                         ps.l_suppkey ASC) AS rn
+      FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey)
+    SELECT r.l_partkey AS p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM ranked r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN part p     ON r.l_partkey = p.p_partkey
+    WHERE r.rn = 1
+    ORDER BY s.s_acctbal ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the observed supplier with
+    the lowest account balance — the correlated MIN subquery as an
+    argmin JOIN-BACK: distinct (part, supplier) pairs from the fact,
+    a row_number window partitioned by partkey (high-cardinality —
+    passes the low-cardinality rank-window lint) with a total
+    (acctbal, suppkey) order so ties break deterministically, rank-1
+    survivors only.  Supplier and part dims broadcast on the way out."""
+    from pyspark.sql import Window as W
+
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+         .select("p_partkey", "p_brand"))
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    w = (W.partitionBy("l_partkey")
+         .orderBy(F.col("s_acctbal").asc(), F.col("l_suppkey").asc()))
+    ranked = (
+        pairs.join(F.broadcast(s.select("s_suppkey", "s_acctbal", "s_name")),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_partkey").alias("p_partkey"), "p_brand",
+                "s_suppkey", "s_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy(F.col("s_acctbal").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )

@@ -221,3 +221,70 @@ def test_redact_pii(spark):
     assert out[2] == ("ssn <SSN> stays hidden", 1)
     assert out[3] == ("no sensitive content here", 0)
     assert out[4] == ("two mails <EMAIL> and <EMAIL> plus <PHONE>", 3)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunk boundaries: stride = chunk−overlap, tail chunk short,
+    short doc → one chunk, empty doc → none."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks
+        (2, "a b c"),                                 # 3 toks < chunk
+        (3, ""),                                      # 0 toks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.chunk_documents(df, "doc_id", "text",
+                                   chunk_tokens=4, overlap=2)
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk_len"]
+           for r in out.collect()}
+    # doc 1: 1 + ceil((10-4)/2) = 4 chunks at starts 0,2,4,6 — the
+    # would-be start-8 window is fully inside the start-6 chunk and
+    # must NOT be emitted
+    assert {k: v for k, v in got.items() if k[0] == 1} == {
+        (1, 0): 4, (1, 1): 4, (1, 2): 4, (1, 3): 4}
+    # doc 2: one short chunk
+    assert {k: v for k, v in got.items() if k[0] == 2} == {(2, 0): 3}
+    # doc 3: no chunks
+    assert not [k for k in got if k[0] == 3]
+
+
+def test_chunk_documents_overlap_reconstructs_text(spark):
+    """Consecutive chunks share exactly `overlap` tokens — verified via
+    hashes of hand-sliced windows."""
+    words = [f"t{i}" for i in range(8)]
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    out = (curation.chunk_documents(df, "doc_id", "text",
+                                    chunk_tokens=4, overlap=1)
+           .orderBy("chunk_id").collect())
+    import hashlib
+    expect = [words[s:s + 4] for s in range(0, 8, 3)]
+    assert [r["chunk_hash"] for r in out] == [
+        hashlib.md5(" ".join(c).encode()).hexdigest() for c in expect]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, "doc_id", "text",
+                                 chunk_tokens=4, overlap=4)
+
+
+def test_importance_scores_prefers_target_like_docs(spark):
+    """Docs sharing bigrams with the target subset outscore docs whose
+    bigrams only occur off-target; the score matches the hand-computed
+    integer ratio sum."""
+    rows = [
+        (1, "the quick fox", True),     # target
+        (2, "the quick dog", False),    # shares 'the quick' with target
+        (3, "lazy grey cat", False),    # no target bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {r["doc_id"]: r["score"]
+           for r in curation.importance_scores(
+               df, "doc_id", "text", target=F.col("tgt")).collect()}
+    # bigram dfs: 'the quick' df_c=2 df_t=1; 'quick fox' 1/1;
+    # 'quick dog' 1/0; 'lazy grey' 1/0; 'grey cat' 1/0
+    assert out[1] == 1_000_000 // 2 + 1_000_000          # own doc counts
+    assert out[2] == 1_000_000 // 2
+    assert out[3] == 0
+    assert out[1] > out[2] > out[3]

@@ -199,7 +199,13 @@ def _lowcard_rank_windows(df):
 # Queries allowed a BroadcastNestedLoopJoin: IVF-family scoring rides
 # the (tiny, literal) centroid set to the data by construction — the
 # broadcast IS the design (test_ivf_centroids_broadcast... above).
-_BNLJ_OK = {"similarity_ann_ivf"}
+_BNLJ_OK = {
+    "similarity_ann_ivf",
+    # Q22 shape: the global (sum_cents, n) one-ROW aggregate is
+    # cross-joined onto customer as a broadcast literal — the scalar
+    # subquery pattern the allowlist exists for.
+    "idle_rich_customers",
+}
 
 
 def test_lowcard_rank_lint_catches_naive_window(spark):
