@@ -470,3 +470,43 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     q = F.when(scale == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
         F.transform(x, lambda v: F.floor(v * 127 / scale).cast("int")))
     return df.select(F.col(id_col), scale.alias("scale"), q.alias("qvec"))
+
+
+def assign_clusters(df: DataFrame, id_col: str, vec_col: str,
+                    k: int = 8) -> DataFrame:
+    """SemDeDup-style semantic cluster assignment (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public): partition the corpus by nearest
+    centroid in embedding space so near-duplicate detection can run
+    WITHIN clusters instead of all-pairs.
+
+    Centroids are the ``k`` vectors with the smallest ids — a
+    deterministic seeding (kmeans++ needs RNG state and iterations;
+    the downstream dedup only needs a stable space partition, not an
+    optimal one).  The k centroid vectors are collected to the driver
+    (bounded by construction: k rows, NOT data-sized) and embedded as
+    literal arrays, so assignment is a pure per-row projection —
+    argmax over k cosine expressions, ZERO shuffles, no join.  At
+    100 TB this is the only shape that works: a cross-join against a
+    centroid table would shuffle n·k rows for no reason.
+
+    Ties break toward the lower centroid id.  Returns
+    (id_col, cluster_id, cluster_rank ≡ 1..k preference order ranks
+    are not emitted — just the argmax winner).
+    """
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    cents = [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    e = F.col(vec_col)
+    # struct(cos, -cid) lexicographic max ≡ (cos desc, cid asc) argmax
+    best = F.greatest(*[
+        F.struct(cosine(e, lit_vec(v)).alias("c"),
+                 F.lit(-cid).cast("long").alias("nid"))
+        for cid, v in cents
+    ])
+    return df.select(
+        F.col(id_col),
+        (-best["nid"]).cast("long").alias("cluster_id"))

@@ -795,3 +795,35 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(
             ",", F.transform(F.col("qvec"), lambda v: v.cast("string")))
         ).alias("qvec_md5"))
+
+
+@query(
+    "semantic_clusters",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8),
+    scored AS (
+      SELECT v.vec_id, cents.cid,
+             list_dot_product(v.e, cents.c)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cents.c, cents.c))) AS cos
+      FROM v CROSS JOIN cents),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM scored)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic cluster assignment
+    (functions/similarity.py:assign_clusters): every vector labeled
+    with its nearest of k=8 deterministic centroids by cosine.  The
+    centroids are embedded as literal arrays so the assignment is a
+    zero-shuffle per-row argmax projection; the oracle replays the
+    identical sequential-sum cosine with an explicit cross join (the
+    oracle may cross join — the ENGINE must not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.assign_clusters(emb, "vec_id", "embedding", k=8)

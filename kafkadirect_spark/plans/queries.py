@@ -2270,3 +2270,93 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").asc(), F.col("p_partkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each purchase event
+    becomes a versioned row valid from its own timestamp until the
+    user's next purchase (NULL = still current) — the
+    changelog→dimension-history build every warehouse needs and the
+    reference cannot express (its KTable keeps only latest-per-key;
+    SURVEY.md §1.1 compaction discards history).  One lead() window
+    partitioned on high-cardinality user_id; no join, one shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & (F.col("event_type") == "purchase")))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id IS NOT NULL),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level sessionization by gaps-and-islands: a session break
+    is a >30 min silence; the running SUM of break flags numbers each
+    user's sessions 1..n, then sessions aggregate to (count, span).
+    This assigns a JOINABLE session id to every event — which
+    F.session_window (and the reference's SessionWindows, able only
+    to aggregate into merged windows) cannot do.  Both windows and
+    the final aggregate partition on high-cardinality user_id: one
+    shuffle total, reused across all three operators."""
+    from pyspark.sql import Window as W
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()))
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    prev = F.lag("ts").over(order)
+    is_new = (prev.isNull()
+              | ((us(F.col("ts")) - us(prev)) > 1_800_000_000)) \
+        .cast("long")
+    seq = F.sum(is_new).over(
+        order.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.select("user_id", "ts",
+                  seq.alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("start_ts"),
+             F.max("ts").alias("end_ts"))
+    )

@@ -1255,3 +1255,74 @@ def test_interval_ms_grammar():
     for bad in ("1.5 hours", "10 fortnights", "seconds", ""):
         with pytest.raises(ValueError):
             interval_ms(bad)
+
+
+def test_streaming_windowed_topk_final_ranks(spark, tmpdir):
+    """Per-window top-k: each closed window emits its k best keys
+    exactly once, ranked by (count desc, key asc); a window is only
+    ranked after the watermark passes its end."""
+    from kafkadirect_spark.streaming.topk import streaming_windowed_topk
+
+    # 10:00 window: a×3, b×2, c×1 → top2 = a(1), b(2)
+    _write_batch(spark, tmpdir, [
+        ("a", 1, t("10:00:05")), ("a", 1, t("10:00:10")),
+        ("a", 1, t("10:00:15")), ("b", 1, t("10:00:20")),
+        ("b", 1, t("10:00:25")), ("c", 1, t("10:00:30")),
+    ], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    got: list[tuple] = []
+
+    def sink(df, batch_id):
+        got.extend((r.window_start, r.key, r.n, r.rank)
+                   for r in df.collect())
+
+    q = streaming_windowed_topk(
+        src.df, "key", "ts", "1 minute", k=2, sink=sink,
+        checkpoint=f"{tmpdir}/ckpt", salt_parts=4)
+    try:
+        q.processAllAvailable()
+        assert got == []        # watermark still at epoch: nothing closed
+        # 11:00 window: d×2, e×1 — advances watermark past 10:01
+        _write_batch(spark, tmpdir, [
+            ("d", 1, t("11:00:05")), ("d", 1, t("11:00:10")),
+            ("e", 1, t("11:00:15")),
+        ], 1)
+        q.processAllAvailable()
+        assert sorted(got) == [
+            (t("10:00:00"), "a", 3, 1), (t("10:00:00"), "b", 2, 2)]
+        # push the watermark past 11:01 → the 11:00 window closes;
+        # the 10:00 window must NOT re-emit
+        _write_batch(spark, tmpdir, [("z", 1, t("12:00:00"))], 2)
+        q.processAllAvailable()
+        assert sorted(got) == [
+            (t("10:00:00"), "a", 3, 1), (t("10:00:00"), "b", 2, 2),
+            (t("11:00:00"), "d", 2, 1), (t("11:00:00"), "e", 1, 2)]
+    finally:
+        q.stop()
+
+
+def test_streaming_windowed_topk_tie_break_deterministic(spark, tmpdir):
+    """Equal counts rank by key ascending — the deterministic tiebreak
+    that makes replays idempotent."""
+    from kafkadirect_spark.streaming.topk import streaming_windowed_topk
+
+    _write_batch(spark, tmpdir, [
+        ("x", 1, t("10:00:05")), ("y", 1, t("10:00:10")),
+        ("w", 1, t("10:00:15")),
+    ], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", KV, key="key", ts="ts")
+    got = []
+
+    def sink(df, batch_id):
+        got.extend((r.key, r.rank) for r in df.collect())
+
+    q = streaming_windowed_topk(
+        src.df, "key", "ts", "1 minute", k=2, sink=sink,
+        checkpoint=f"{tmpdir}/ckpt2", salt_parts=4)
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, tmpdir, [("z", 1, t("12:00:00"))], 1)
+        q.processAllAvailable()
+        assert sorted(got) == [("w", 1), ("x", 2)]
+    finally:
+        q.stop()
