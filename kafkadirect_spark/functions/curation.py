@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafkadirect_spark.functions.dedup import _widen
+from kafkadirect_spark.functions.dedup import _persist, _widen
 from kafkadirect_spark.functions.text import portable_hash, shingles, tokens
 
 # Buckets for split/sampling decisions: fractions are expressed in
@@ -373,40 +373,45 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
 
 def importance_scores(df: DataFrame, id_col: str, text_col: str,
                       target: Column, ngram: int = 2,
-                      scale: int = 1_000_000) -> DataFrame:
+                      scale: int = 1_000_000,
+                      n_buckets: int = 10_000) -> DataFrame:
     """DSIR-style data-selection scores: rank corpus documents by how
     much their n-gram features look like a TARGET domain (Xie et al.,
     "Data Selection for Language Models via Importance Resampling",
-    NeurIPS 2023 — public).  The classic formulation sums
-    log-likelihood ratios of hashed n-gram counts; logs differ in the
-    last ulp across libm builds, so this keeps the ratio in exact
-    integer arithmetic instead: each distinct n-gram ``s`` in a
-    document contributes ``(scale · df_target(s)) // df_corpus(s)``
-    (document frequencies), and the document's score is the BIGINT sum
-    — cross-engine reproducible, order-free.
+    NeurIPS 2023 — public).  Faithful to the paper's feature space,
+    n-grams are HASHED into ``n_buckets`` buckets (DSIR uses 10^4);
+    each distinct bucket in a document contributes the exact integer
+    likelihood ratio ``(scale · df_target(b)) // df_corpus(b)``
+    (document frequencies), and the document's score is the BIGINT
+    sum.  The classic formulation uses log ratios; logs differ in the
+    last ulp across libm builds, so the ratio stays in integer
+    arithmetic — cross-engine reproducible, order-free.
 
     ``target`` is a boolean Column over ``df``'s rows (e.g.
     ``F.col("lang") == "en"``) marking the in-domain subset.
 
-    Scale ledger: distinct (doc, ngram) explode → one groupBy(ngram)
-    for the two document frequencies → join back on ngram (the df
-    table is corpus-vocabulary-sized, hash join) → one groupBy(doc).
-    An inverted-index shape, never all-pairs; identical skeleton to
-    ngram-Jaccard dedup (dedup.py) which holds at 100 TB.
+    Scale ledger: the bucket space is BOUNDED, so the frequency table
+    is at most ``n_buckets`` rows → broadcast; the exploded
+    (doc, bucket) pairs are never shuffled by bucket (the groupBy's
+    partial aggregation emits ≤ n_buckets rows per task).  The only
+    data-sized exchange is the final groupBy(doc), which map-side
+    combines to one row per document.  Strictly better than the
+    string-keyed inverted index at any scale.
     """
-    pairs = (
+    buckets = F.array_distinct(F.transform(
+        shingles(tokens(text_col), ngram),
+        lambda s: portable_hash(s) % n_buckets))
+    pairs = _persist(
         df.select(F.col(id_col), target.alias("__t"),
-                  F.explode(F.array_distinct(
-                      shingles(tokens(text_col), ngram))).alias("__s"))
-    )
-    freqs = (pairs.groupBy("__s")
+                  F.explode(buckets).alias("__b")))
+    freqs = (pairs.groupBy("__b")
              .agg(F.count(F.lit(1)).alias("__df_c"),
                   F.sum(F.col("__t").cast("long")).alias("__df_t")))
     # exact BIGINT division (div), never a double floor — a double
     # round-trip loses integer exactness past 2^53 at corpus scale
     contrib = F.expr(f"CAST({scale} AS BIGINT) * __df_t DIV __df_c")
     return (
-        pairs.join(freqs, "__s")
+        pairs.join(F.broadcast(freqs), "__b")
         .groupBy(id_col)
         .agg(F.sum(contrib).cast("long").alias("score"))
     )

@@ -417,18 +417,20 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (SELECT doc_id, lang, {_TOK} AS w FROM documents),
     pairs AS (
-      SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] AS s
+      SELECT DISTINCT doc_id, lang,
+             ((('0x' || substr(md5(w[g] || ' ' || w[g+1]), 1, 14))::BIGINT
+               % 2147483647) % 10000) AS b
       FROM (SELECT doc_id, lang, w,
                    unnest(generate_series(1, len(w)-1)) AS g
             FROM tok WHERE len(w) >= 2)),
     freqs AS (
-      SELECT s, CAST(COUNT(*) AS BIGINT) AS df_c,
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS df_c,
              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
                AS df_t
-      FROM pairs GROUP BY s)
+      FROM pairs GROUP BY b)
     SELECT p.doc_id,
            CAST(SUM(1000000 * f.df_t // f.df_c) AS BIGINT) AS score
-    FROM pairs p JOIN freqs f ON p.s = f.s
+    FROM pairs p JOIN freqs f ON p.b = f.b
     GROUP BY p.doc_id
     ORDER BY score DESC, p.doc_id ASC
     LIMIT 100
@@ -436,11 +438,13 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores against the English subset as the
-    target domain: every distinct bigram contributes its exact integer
-    likelihood ratio (scale·df_target // df_corpus) and documents are
-    ranked by the summed score — data selection for LM pretraining in
-    one inverted-index pass (functions/curation.py importance_scores).
-    Integer arithmetic end-to-end: no log, no float, no drift."""
+    target domain: bigrams hash into 10^4 buckets (the paper's feature
+    space) and every distinct bucket contributes its exact integer
+    likelihood ratio (scale·df_target // df_corpus); documents are
+    ranked by the summed score (functions/curation.py
+    importance_scores).  The bounded bucket space makes the frequency
+    table broadcastable — the exploded pairs are never shuffled by
+    feature.  Integer arithmetic end-to-end: no log, no float."""
     docs = load_table(spark, sf_dir, "documents")
     scores = curation.importance_scores(
         docs, "doc_id", "text", target=F.col("lang") == "en", ngram=2)
