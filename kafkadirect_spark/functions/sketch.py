@@ -1,0 +1,209 @@
+"""Distributed cardinality sketches — deterministic HyperLogLog.
+
+The reference engine has no sketch surface at all (Kafka Streams
+aggregations are exact; SURVEY.md §2.4), but a 100 TB pipeline needs
+approximate distinct counts that do NOT shuffle the raw keys: HLL
+reduces any input to ``m = 2^p`` integer registers that merge with a
+per-bucket ``min`` — partial aggregation does the heavy lifting
+map-side, the exchange carries at most ``m`` rows per task, and
+sketches built on disjoint partitions (or days, or topics) combine
+without touching the raw data again.
+
+Unlike Spark's ``approx_count_distinct`` (whose HLL++ register layout
+is engine-internal and not reproducible elsewhere), this sketch is
+**portably deterministic**: the hash is the repo-wide 56-bit md5
+prefix (functions/text.py portable-hash contract) and the estimator is
+pure integer arithmetic, so DuckDB replays the registers AND the
+estimate bit-for-bit — an approximate algorithm with an exact oracle.
+
+Layout (p=10, W=32 by default):
+  h56    = first 14 md5 hex chars as BIGINT          (56 bits)
+  bucket = h56 % m                                   (p bits)
+  w      = (h56 // m) % 2^W                          (W bits)
+  rho    = W + 1 - bitlen(w)   where bitlen(0) = 0   (1..W+1)
+Register per bucket = max(rho) ≡ W + 1 - min(bitlen).  The harmonic
+denominator sum(2^-rho) is scaled by 2^(W+1) into the integer
+  sum_pow = sum(2^(W+1-rho)) = sum(2^min_bitlen)  (+ 2^(W+1) per
+empty bucket), and the estimate is
+  est = A * 2^(W+1) // sum_pow,
+with A = floor(alpha_m * m^2) as the exact rational
+  A = 7213 * m^3 // (10000*m + 10790)        (alpha_m = .7213/(1+1.079/m)).
+Overflow audit (int64): sum_pow <= m * 2^(W+1) = 2^43; A < .722*m^2;
+A * 2^33 ~ 6.5e15 at p=10 (p<=14 stays < 2^63).  W=32 supports
+per-bucket cardinalities ~2^32, i.e. >10^12 total distincts at p=10 —
+the 100 TB envelope — while keeping every quantity in BIGINT range for
+both engines.
+
+No range corrections are applied in the gated integer path: classic
+linear counting needs ln() (transcendental, not integer-exact).
+``hll_estimate_corrected`` provides the float LinearCounting variant
+for small cardinalities, tested against exact counts, but the oracle
+contract stays on the raw estimator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_DEFAULT = 10
+W_FIELD = 32
+
+
+def _m(p: int) -> int:
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14] (int64 overflow audit)")
+    return 1 << p
+
+
+def alpha_m2(p: int) -> int:
+    """floor(alpha_m * m^2) as an exact integer — embedded verbatim in
+    the DuckDB oracles so both engines divide the same numerator."""
+    m = _m(p)
+    return 7213 * m * m * m // (10000 * m + 10790)
+
+
+def _h56(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 14), 16, 10) \
+            .cast("long")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
+    """Sketch ``col`` into HLL registers: one row per *present* bucket,
+    columns ``(bucket, min_bitlen)``.  Null keys are skipped (the
+    engine-wide null-key contract, SURVEY.md §1.3).
+
+    This is the ONLY shuffle in the sketch path, and it is a partial
+    aggregate: each task pre-mins its buckets, so the exchange carries
+    at most ``m`` rows per task regardless of input size.
+    """
+    m = _m(p)
+    h = _h56(F.col(col))
+    # shiftright/bitwiseAND, never `/`: Spark's `/` is DOUBLE division
+    # and h56 exceeds the 53-bit mantissa — integer ops stay exact.
+    w = F.shiftright(h, p).bitwiseAND(F.lit((1 << W_FIELD) - 1))
+    # bin() emits no leading zeros in Spark or DuckDB; stripping '0'
+    # makes bitlen(0) = 0 identically in both (bin(0) = '0').
+    bitlen = F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+                bitlen.cast("int").alias("bitlen"))
+        .groupBy("bucket")
+        .agg(F.min("bitlen").alias("min_bitlen"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge sketches built on disjoint (or overlapping) inputs —
+    elementwise register max ≡ per-bucket ``min(min_bitlen)``.  The
+    mergeability is what makes the sketch a 100 TB primitive: partial
+    sketches per partition/day/source combine without re-reading data.
+    """
+    out, rest = register_dfs[0], register_dfs[1:]
+    for r in rest:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.min("min_bitlen").alias("min_bitlen"))
+
+
+def hll_estimate(registers: DataFrame, p: int = P_DEFAULT) -> DataFrame:
+    """Single-row estimate from a register table: ``(m,
+    nonzero_buckets, sum_pow, est_distinct)`` — every column BIGINT,
+    every step integer, so the result is hash-exact across engines."""
+    m = _m(p)
+    a = alpha_m2(p)
+    empty_pow = 1 << (W_FIELD + 1)
+    agg = registers.agg(
+        F.count("*").cast("long").alias("nonzero_buckets"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), min_bitlen)"))
+         .cast("long").alias("present_pow"))
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("nonzero_buckets"),
+        (F.col("present_pow")
+         + (F.lit(m) - F.col("nonzero_buckets")) * F.lit(empty_pow))
+        .cast("long").alias("sum_pow"),
+    ).select(
+        "m", "nonzero_buckets", "sum_pow",
+        # integer DIV, not `/`: the numerator (~2^53 at p=10) and the
+        # quotient must match DuckDB's exact // to the last bit
+        F.expr(f"CAST({a * empty_pow} DIV sum_pow AS LONG)")
+         .alias("est_distinct"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
+    """Sketch + estimate in one call (single-row DataFrame)."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirror — the streaming fold (windowed distinct) and the
+# tests replay the identical arithmetic row-by-row.
+# ---------------------------------------------------------------------------
+
+def py_bucket_bitlen(value, p: int = P_DEFAULT) -> tuple[int, int]:
+    """(bucket, bitlen) of one key — mirrors ``hll_registers``."""
+    import hashlib
+
+    m = _m(p)
+    h56 = int(hashlib.md5(str(value).encode()).hexdigest()[:14], 16)
+    w = (h56 // m) % (1 << W_FIELD)
+    return h56 % m, w.bit_length()
+
+
+def py_estimate(registers: dict[int, int], p: int = P_DEFAULT) -> dict:
+    """Estimate from {bucket: min_bitlen} — mirrors ``hll_estimate``."""
+    m = _m(p)
+    empty_pow = 1 << (W_FIELD + 1)
+    sum_pow = (sum(1 << b for b in registers.values())
+               + (m - len(registers)) * empty_pow)
+    return {"m": m, "nonzero_buckets": len(registers), "sum_pow": sum_pow,
+            "est_distinct": alpha_m2(p) * empty_pow // sum_pow}
+
+
+def hll_estimate_corrected(registers: dict[int, int],
+                           p: int = P_DEFAULT) -> float:
+    """Float estimate with the standard LinearCounting small-range
+    correction (est < 2.5m and empty buckets exist → m*ln(m/V)).
+    NOT gate-exact (ln is transcendental) — analysis/monitoring use."""
+    import math
+
+    m = _m(p)
+    est = py_estimate(registers, p)["est_distinct"]
+    zeros = m - len(registers)
+    if est <= 5 * m // 2 and zeros:
+        return m * math.log(m / zeros)
+    return float(est)
+
+
+def oracle_sql(table: str, col: str, p: int = P_DEFAULT,
+               where: str = "TRUE") -> str:
+    """The DuckDB replay of ``hll_distinct`` — kept beside the engine
+    code so the layout constants can never drift from the oracle."""
+    m = _m(p)
+    a = alpha_m2(p)
+    empty_pow = 1 << (W_FIELD + 1)
+    wmask = 1 << W_FIELD
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT AS h56
+      FROM {table} WHERE {col} IS NOT NULL AND ({where})),
+    b AS (
+      SELECT h56 % {m} AS bucket,
+             length(ltrim(bin((h56 // {m}) % {wmask}), '0')) AS bitlen
+      FROM h),
+    reg AS (
+      SELECT bucket, MIN(bitlen) AS min_bitlen FROM b GROUP BY bucket),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+             CAST(SUM(1::BIGINT << min_bitlen) AS BIGINT) AS present_pow
+      FROM reg)
+    SELECT CAST({m} AS BIGINT) AS m, nonzero_buckets,
+           CAST(present_pow + ({m} - nonzero_buckets) * {empty_pow}::BIGINT
+                AS BIGINT) AS sum_pow,
+           CAST({a * empty_pow}::BIGINT
+                // (present_pow + ({m} - nonzero_buckets) * {empty_pow}::BIGINT)
+                AS BIGINT) AS est_distinct
+    FROM s
+    """

@@ -1,0 +1,148 @@
+"""HyperLogLog sketch: Spark ≡ Python mirror ≡ estimate formula,
+mergeability, accuracy envelope, and the streaming windowed fold.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafkadirect_spark.functions import sketch
+
+
+def _py_sketch(values, p=sketch.P_DEFAULT):
+    regs: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        b, bl = sketch.py_bucket_bitlen(v, p)
+        if b not in regs or bl < regs[b]:
+            regs[b] = bl
+    return regs
+
+
+def test_registers_match_python_mirror(spark):
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    got = {r.bucket: r.min_bitlen
+           for r in sketch.hll_registers(df, "k").collect()}
+    want = _py_sketch(f"k{i}" for i in range(1000))
+    assert got == want
+
+
+def test_estimate_matches_python_formula(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    row = sketch.hll_distinct(df, "k").collect()[0]
+    want = sketch.py_estimate(_py_sketch(range(5000)))
+    assert row.asDict() == want
+
+
+def test_null_keys_skipped(spark):
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("k"))
+    got = {r.bucket: r.min_bitlen
+           for r in sketch.hll_registers(df, "k").collect()}
+    assert got == _py_sketch(range(0, 100, 2))
+
+
+def test_accuracy_envelope(spark):
+    """Raw-estimator error for n >> m is ~1.04/sqrt(m) ≈ 3.3% at
+    p=10; assert a loose 3-sigma envelope (10%)."""
+    n = 200_000
+    df = spark.range(0, n).select(F.col("id").alias("k"))
+    est = sketch.hll_distinct(df, "k").collect()[0].est_distinct
+    assert abs(est - n) / n < 0.10
+
+
+def test_duplicates_do_not_move_estimate(spark):
+    base = spark.range(0, 3000).select(F.col("id").alias("k"))
+    dup = base.union(base).union(base)
+    assert (sketch.hll_distinct(base, "k").collect()
+            == sketch.hll_distinct(dup, "k").collect())
+
+
+def test_merge_equals_whole(spark):
+    """Register merge over disjoint halves ≡ sketch of the union —
+    the property that makes per-partition/per-day sketches combinable
+    without re-reading data."""
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1500, 4000).select(F.col("id").alias("k"))  # overlap
+    merged = sketch.hll_merge(
+        sketch.hll_registers(a, "k"), sketch.hll_registers(b, "k"))
+    whole = sketch.hll_registers(a.union(b), "k")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+    assert (sketch.hll_estimate(merged).collect()
+            == sketch.hll_estimate(whole).collect())
+
+
+def test_small_range_corrected_estimate():
+    """LinearCounting correction holds at n << m where the raw
+    estimator is biased high."""
+    regs = _py_sketch(range(150))
+    raw = sketch.py_estimate(regs)["est_distinct"]
+    corrected = sketch.hll_estimate_corrected(regs)
+    assert abs(corrected - 150) / 150 < 0.10
+    assert abs(raw - 150) / 150 > 0.10  # raw is biased here — documented
+
+
+def test_p_bounds_rejected():
+    with pytest.raises(ValueError):
+        sketch.alpha_m2(3)
+    with pytest.raises(ValueError):
+        sketch.alpha_m2(15)
+
+
+def test_int64_overflow_audit():
+    """Worst-case numerator and sum_pow stay in int64 for every
+    supported p (the docstring's overflow audit, executed)."""
+    for p in range(4, 15):
+        m = 1 << p
+        a = sketch.alpha_m2(p)
+        assert a * (1 << (sketch.W_FIELD + 1)) < 2**63
+        assert m * (1 << (sketch.W_FIELD + 1)) < 2**63
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed distinct (streaming/sketch.py)
+# ---------------------------------------------------------------------------
+
+def test_streaming_windowed_distinct_hll(spark, tmp_path):
+    """Tumbling windowed distinct-count: final-on-close emission whose
+    estimate equals the batch sketch over the same window's rows
+    bit-for-bit; duplicates within the window don't move it."""
+    from datetime import datetime
+
+    from kafkadirect_spark.sources.stream import stream_from_dir
+    from kafkadirect_spark.streaming.sketch import windowed_distinct_hll
+
+    KV = "key string, value int, ts timestamp"
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+
+    def write(rows, n):
+        spark.createDataFrame(rows, KV).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmp_path}/in/b{n}")
+
+    # window 10:00: values 1,2,2,3 → 3 distinct; duplicate 2 across
+    # chunks must not move the register.
+    write([("a", 1, t("10:00:05")), ("a", 2, t("10:00:15")),
+           ("a", 2, t("10:00:25")), ("a", 3, t("10:00:55"))], 0)
+    src = stream_from_dir(spark, f"{tmp_path}/in/*", KV, key="key", ts="ts")
+    out = windowed_distinct_hll(
+        src.df, key_cols=["key"], ts_col="ts", value_col="value",
+        size="1 minute")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("hll_win")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM hll_win").count() == 0  # open
+        write([("a", 9, t("10:02:00"))], 1)  # watermark past 10:01
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hll_win").collect()
+        assert len(rows) == 1
+        want = sketch.py_estimate(_py_sketch([1, 2, 3]))
+        assert rows[0].est_distinct == want["est_distinct"]
+        assert rows[0].nonzero_buckets == 3
+    finally:
+        q.stop()
