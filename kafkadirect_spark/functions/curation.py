@@ -35,7 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafkadirect_spark.functions.dedup import _persist, _widen
-from kafkadirect_spark.functions.text import portable_hash, shingles, tokens
+from kafkadirect_spark.functions.text import (HASH_P, portable_hash,
+                                              shingles, tokens)
 
 # Buckets for split/sampling decisions: fractions are expressed in
 # 1/10000ths so oracles compare integers, never floats.
@@ -415,3 +416,95 @@ def importance_scores(df: DataFrame, id_col: str, text_col: str,
         .groupBy(id_col)
         .agg(F.sum(contrib).cast("long").alias("score"))
     )
+
+
+def shuffle_positions(df: DataFrame, id_col: str, seed: str = "shuffle",
+                      shards: int = 1024) -> DataFrame:
+    """Deterministic global training-shuffle order: every row gets a
+    contiguous position ``pos ∈ [1, N]`` in hash order — stable under
+    re-runs and executor counts (no RNG state, no zipWithIndex
+    partition dependence), reshuffled by changing ``seed``.
+
+    Distributed enumerate, no global sort: rows hash into ``shards``
+    uniform shards; each shard ranks locally (the rank window
+    partitions on the shard — no single-reducer ORDER BY); shard row
+    counts (≤ ``shards`` rows, bounded by construction) become
+    cumulative offsets via a tiny window, broadcast back, and
+    ``pos = offset(shard) + local rank``.  The induced total order is
+    (shard, hash, id) — exactly ``ROW_NUMBER() OVER (ORDER BY shard,
+    h, id)``, which the DuckDB oracle replays."""
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.concat(F.lit(seed), F.col(id_col).cast("string")),
+                    n_buckets=HASH_P)
+    rows = df.select(F.col(id_col), h.alias("__h"),
+                     (h % shards).alias("__shard"))
+    counts = rows.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    # ≤ `shards` rows: the single-partition running sum is bounded by
+    # construction (the same contract as pack_sequences' shard cumsum)
+    off = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__shard")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    w = Window.partitionBy("__shard").orderBy(F.col("__h").asc(),
+                                              F.col(id_col).asc())
+    return (rows.withColumn("__r", F.row_number().over(w))
+            .join(F.broadcast(off.select("__shard", "__off")), "__shard")
+            .select(id_col,
+                    (F.col("__off") + F.col("__r")).cast("long").alias("pos")))
+
+
+def sample_exact_n(df: DataFrame, id_col: str, n: int,
+                   seed: str = "sample") -> DataFrame:
+    """Exactly-``n`` uniform sample, deterministic under re-runs and
+    data layout: the ``n`` smallest rows in salted-hash order.  Plans
+    as a distributed top-n (TakeOrdered: per-partition heaps of ``n``,
+    merged on the driver) — no global sort, no sampleByFraction
+    variance, no RNG state.  Changing ``seed`` redraws the sample."""
+    h = hash_bucket(F.concat(F.lit(seed), F.col(id_col).cast("string")),
+                    n_buckets=HASH_P)
+    return (df.select(F.col(id_col), h.alias("__h"))
+            .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+            .limit(n)
+            .select(id_col))
+
+
+def term_relevance(df: DataFrame, id_col: str, text_col: str, k: int = 3,
+                   scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` most distinguishing terms per document by the exact
+    integer relevance ratio ``score_ppm = tf · scale · N // df`` (term
+    frequency × inverse document frequency, linear form) — keyword
+    extraction / topic tagging over a corpus.  The classic log-idf
+    weight is transcendental and drifts across libm builds; the linear
+    ratio keeps the entire computation in BIGINT so results are
+    hash-exact cross-engine, and idf-monotonicity (rarer term ⇒ higher
+    weight at equal tf) is preserved.
+
+    Scale ledger: one explode → groupBy(doc, term) for tf (map-side
+    combined), one groupBy(term) over distinct (doc, term) for df
+    (vocabulary-sized output), a broadcast one-row N, a hash join
+    tf⋈df on term (inverted-index shape, as ngram-Jaccard), and a
+    rank window partitioned by doc — high-cardinality, skew-free."""
+    from pyspark.sql import Window
+
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
+                      .alias("__t")))
+    tf = (toks.groupBy(id_col, "__t")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    dfreq = (tf.groupBy("__t")
+             .agg(F.count(F.lit(1)).alias("__df")))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (tf.join(dfreq, "__t")
+              .join(F.broadcast(n_docs))
+              .withColumn("score_ppm",
+                          F.expr(f"CAST({scale} AS BIGINT) * __tf * __n"
+                                 " DIV __df")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("__t").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col(id_col), F.col("__t").alias("term"),
+                    F.col("score_ppm"), F.col("rk").cast("long").alias("rk")))

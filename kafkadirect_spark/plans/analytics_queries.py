@@ -36,3 +36,90 @@ def distinct_orders_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of every key."""
     li = load_table(spark, sf_dir, "lineitem")
     return sketch.hll_distinct(li, "l_orderkey")
+
+
+_H = ("(('0x' || substr(md5('{seed}' || doc_id::VARCHAR), 1, 14))::BIGINT"
+      " % 2147483647)")
+
+
+@query(
+    "global_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_H.format(seed='shuffle')} AS h FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY h % 1024, h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle positions
+    (functions/curation.py shuffle_positions): contiguous pos ∈ [1, N]
+    in salted-hash order with NO single-reducer global sort — shards
+    rank locally, shard counts (≤1024 rows, bounded by construction)
+    become broadcast offsets.  The oracle replays the induced total
+    order as one ROW_NUMBER."""
+    from kafkadirect_spark.functions import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.shuffle_positions(docs, "doc_id", seed="shuffle")
+
+
+@query(
+    "sample_exact_count",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    ORDER BY {_H.format(seed='sample')}, doc_id
+    LIMIT 200
+    """,
+)
+def sample_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-200 uniform document sample, rerun-stable
+    (functions/curation.py sample_exact_n): the 200 smallest rows in
+    salted-hash order, planned as distributed TakeOrdered (per-task
+    heaps of n) — exact size without sampleByFraction variance or a
+    global sort."""
+    from kafkadirect_spark.functions import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.sample_exact_n(docs, "doc_id", 200, seed="sample")
+
+
+_TOK_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+
+
+@query(
+    "term_relevance_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, t),
+    dfreq AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             CAST(1000000::BIGINT * tf.tf * n.n // dfreq.df AS BIGINT)
+               AS score_ppm
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, t AS term, score_ppm,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score_ppm DESC, t ASC) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, term, score_ppm, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by the exact integer
+    tf·idf ratio (functions/curation.py term_relevance) — keyword
+    extraction with a hash-exact cross-engine score (linear idf in
+    BIGINT ppm; log-idf drifts across libm builds)."""
+    from kafkadirect_spark.functions import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.term_relevance(docs, "doc_id", "text", k=3)

@@ -288,3 +288,45 @@ def test_importance_scores_prefers_target_like_docs(spark):
     assert out[2] == 1_000_000 // 2
     assert out[3] == 0
     assert out[1] > out[2] > out[3]
+
+
+def test_shuffle_positions_is_a_permutation(docs):
+    out = curation.shuffle_positions(docs, "doc_id", shards=16).collect()
+    assert sorted(r.pos for r in out) == list(range(1, len(out) + 1))
+    # rerun-stable and seed-sensitive
+    again = curation.shuffle_positions(docs, "doc_id", shards=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = curation.shuffle_positions(docs, "doc_id", seed="x",
+                                       shards=16).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_shuffle_positions_layout_independent(docs):
+    """Positions are a pure function of (seed, id) — repartitioning the
+    input cannot move anyone (the property zipWithIndex loses)."""
+    a = curation.shuffle_positions(docs, "doc_id", shards=8).collect()
+    b = curation.shuffle_positions(docs.repartition(7), "doc_id",
+                                   shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sample_exact_n_prefix_property(docs):
+    """|sample| is exactly n, rerun-stable, and a larger draw CONTAINS
+    every smaller draw (hash order is a fixed total order) — growing a
+    sample never resamples what you already processed."""
+    s50 = {r.doc_id for r in curation.sample_exact_n(docs, "doc_id", 50).collect()}
+    s100 = {r.doc_id for r in curation.sample_exact_n(docs, "doc_id", 100).collect()}
+    assert len(s50) == 50 and len(s100) == 100
+    assert s50 < s100
+
+
+def test_term_relevance_idf_monotone(spark):
+    """At equal tf, the rarer term outranks the common one; scores
+    match the integer formula."""
+    rows = [(1, "apple banana"), (2, "banana cherry"), (3, "banana date")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.term_relevance(df, "doc_id", "text", k=2).collect()
+    d1 = {r.term: (r.score_ppm, r.rk) for r in out if r.doc_id == 1}
+    # apple: tf=1 df=1 → 1e6*3; banana: tf=1 df=3 → 1e6*3//3
+    assert d1["apple"] == (3_000_000, 1)
+    assert d1["banana"] == (1_000_000, 2)
