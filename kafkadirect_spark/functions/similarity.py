@@ -510,3 +510,80 @@ def assign_clusters(df: DataFrame, id_col: str, vec_col: str,
     return df.select(
         F.col(id_col),
         (-best["nid"]).cast("long").alias("cluster_id"))
+
+
+def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 4, iters: int = 2,
+                     scale: int = 10_000) -> DataFrame:
+    """Distributed Lloyd's k-means over GLOBALLY quantized embeddings —
+    iterative clustering whose every step is integer arithmetic, so the
+    final assignment is hash-exact across engines (the float version
+    cannot be: centroid means are order-of-summation dependent).
+
+    Quantization is one deterministic float op per element
+    (``floor(v·scale)`` — a single IEEE multiply, no summation), after
+    which distances are integer L2² (``Σ(q−c)²``, fits int64 up to
+    ~10^11 rows/cluster at scale=10^4) and centroid updates are
+    elementwise ``sum // count`` floor division.  Seeding follows
+    ``assign_clusters``: the k smallest ids (deterministic, no RNG).
+    An emptied cluster keeps its previous centroid.
+
+    Scale ledger per iteration: assignment is a pure per-row
+    projection against LITERAL centroids (zero shuffles, no join —
+    the only shape that survives 100 TB); the update is one
+    posexplode + groupBy(cluster, pos) whose output is exactly k·dim
+    rows — collected to the driver (bounded by construction, the
+    MLlib pattern) to become the next iteration's literals.
+
+    Returns ``(id_col, cluster_id, dist_sq)`` for the final
+    assignment.  Reference analogue: none — Kafka Streams has no
+    iterative compute at all (SURVEY.md §2.4); this is the Spark-side
+    primitive SemDeDup-style pipelines need above
+    ``assign_clusters``'s fixed seeding.
+    """
+    q = _persist(df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col),
+                    lambda v: F.floor(v.cast("double") * scale)
+                    .cast("long")).alias("__qv")))
+
+    seed_rows = q.orderBy(id_col).limit(k).collect()
+    cents: dict[int, list[int]] = {
+        i: list(r["__qv"]) for i, r in enumerate(seed_rows)}
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+    def dist_sq(cv):
+        return F.aggregate(
+            F.zip_with(F.col("__qv"), lit_vec(cv),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def best_expr():
+        # struct(d, cid) lexicographic min ≡ (dist asc, cid asc) argmin
+        return F.least(*[
+            F.struct(dist_sq(cv).alias("d"),
+                     F.lit(cid).cast("long").alias("cid"))
+            for cid, cv in sorted(cents.items())])
+
+    for _ in range(max(0, iters - 1)):
+        assigned = q.withColumn("__c", best_expr()["cid"])
+        upd = (assigned
+               .select("__c", F.posexplode("__qv").alias("__p", "__x"))
+               .groupBy("__c", "__p")
+               .agg(F.expr("CAST(SUM(__x) DIV COUNT(*) AS LONG)")
+                    .alias("__v"))
+               .collect())  # exactly k·dim rows — bounded by construction
+        new_cents: dict[int, list[int]] = {}
+        for r in upd:
+            new_cents.setdefault(int(r["__c"]),
+                                 [0] * len(cents[0]))[int(r["__p"])] = \
+                int(r["__v"])
+        cents = {cid: new_cents.get(cid, cv) for cid, cv in cents.items()}
+
+    best = best_expr()
+    return q.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["d"].alias("dist_sq"))

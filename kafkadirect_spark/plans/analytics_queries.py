@@ -123,3 +123,62 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation.term_relevance(docs, "doc_id", "text", k=3)
+
+
+_KM_DIST = """
+  SELECT q.vec_id, s.cid,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])))
+              AS BIGINT) AS d
+  FROM q CROSS JOIN {cents} s
+"""
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      FROM embeddings),
+    seed AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+      FROM q ORDER BY vec_id LIMIT 4),
+    d1 AS ({_KM_DIST.format(cents='seed')}),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+    u1 AS (
+      SELECT a.cid, p.p, CAST(SUM(q.qv[p.p]) // COUNT(*) AS BIGINT) AS v
+      FROM a1 a JOIN q USING (vec_id) CROSS JOIN pos p
+      GROUP BY a.cid, p.p),
+    c1 AS (
+      SELECT s.cid,
+             CASE WHEN COUNT(u.v) = 0 THEN ANY_VALUE(s.cv)
+                  ELSE list(u.v ORDER BY u.p) END AS cv
+      FROM seed s LEFT JOIN u1 u ON u.cid = s.cid
+      GROUP BY s.cid),
+    d2 AS ({_KM_DIST.format(cents='c1')})
+    SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM (
+      SELECT vec_id, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM d2) WHERE rn = 1
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer-exact Lloyd's k-means (k=4, 2 iterations)
+    over globally-quantized embeddings — an ITERATIVE algorithm with a
+    bit-exact SQL oracle (functions/similarity.py kmeans_quantized):
+    quantize → literal-centroid argmin → integer centroid means →
+    reassign, every step replayed unrolled in DuckDB.  Assignment is a
+    zero-shuffle projection; the per-iteration update collects exactly
+    k·dim rows (bounded by construction)."""
+    from kafkadirect_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_quantized(emb, "vec_id", "embedding",
+                                       k=4, iters=2)

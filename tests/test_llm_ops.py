@@ -364,3 +364,62 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
         orig = {1: [0.5, -1.0, 0.25], 2: [0.0, 0.0], 3: [2.0]}[vid]
         for o, qi in zip(orig, q):
             assert abs(o - qi * scale / 127) <= scale / 127 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means (similarity.kmeans_quantized)
+# ---------------------------------------------------------------------------
+
+def _blob_df(spark):
+    # three well-separated 2-D blobs; seeds (ids 0,1,2) land one per blob
+    pts = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [-10.0, 10.0]),
+           (3, [0.1, 0.2]), (4, [0.2, -0.1]),
+           (5, [10.2, 9.9]), (6, [9.8, 10.1]),
+           (7, [-9.9, 9.8]), (8, [-10.1, 10.2])]
+    return spark.createDataFrame(pts, "vec_id long, v array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    out = similarity.kmeans_quantized(
+        _blob_df(spark), "vec_id", "v", k=3, iters=3).collect()
+    by_id = {r.vec_id: r.cluster_id for r in out}
+    assert by_id[0] == by_id[3] == by_id[4]
+    assert by_id[1] == by_id[5] == by_id[6]
+    assert by_id[2] == by_id[7] == by_id[8]
+    assert len({by_id[0], by_id[1], by_id[2]}) == 3
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    """Lloyd's invariant: total within-cluster distance never rises
+    with more iterations."""
+    df = _blob_df(spark)
+    inertia = []
+    for iters in (1, 2, 3, 4):
+        rows = similarity.kmeans_quantized(
+            df, "vec_id", "v", k=3, iters=iters).collect()
+        inertia.append(sum(r.dist_sq for r in rows))
+    assert all(a >= b for a, b in zip(inertia, inertia[1:]))
+
+
+def test_kmeans_deterministic_under_layout(spark):
+    df = _blob_df(spark)
+    a = similarity.kmeans_quantized(df, "vec_id", "v", k=3, iters=2).collect()
+    b = similarity.kmeans_quantized(df.repartition(5), "vec_id", "v",
+                                    k=3, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A seed that captures nothing (duplicate of another seed) keeps
+    its centroid instead of crashing or collapsing k — and can
+    re-acquire points once the winning centroid drifts away."""
+    pts = [(0, [0.0, 0.0]), (1, [0.0, 0.0]),  # identical seeds 0,1
+           (2, [5.0, 5.0]), (3, [5.1, 5.0])]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    out = similarity.kmeans_quantized(df, "vec_id", "v", k=2, iters=3).collect()
+    by_id = {r.vec_id: r.cluster_id for r in out}
+    # iter 1: every tie breaks to cid 0, cluster 1 empties but RETAINS
+    # [0,0]; cluster 0's mean drifts toward the blob — so the origin
+    # points migrate to cluster 1.  k stays 2, both clusters populated.
+    assert by_id[0] == by_id[1] == 1
+    assert by_id[2] == by_id[3] == 0
