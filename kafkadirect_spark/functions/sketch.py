@@ -207,3 +207,82 @@ def oracle_sql(table: str, col: str, p: int = P_DEFAULT,
                 AS BIGINT) AS est_distinct
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — approximate frequencies with one-sided error.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024
+CMS_D = 3
+
+
+def _cms_hash(c: Column, i: int, w: int) -> Column:
+    """Row-``i`` bucket of a key: the portable 56-bit md5 prefix of the
+    salted key, mod 2^31−1, mod ``w`` — replayable in DuckDB via the
+    repo-wide hash contract (functions/text.py)."""
+    salted = F.concat(F.lit(f"cms{i}:"), c.cast("string"))
+    h = F.conv(F.substring(F.md5(salted), 1, 14), 16, 10).cast("long")
+    return (h % F.lit(2_147_483_647)) % F.lit(w)
+
+
+def cms_sketch(df: DataFrame, col: str, w: int = CMS_W,
+               d: int = CMS_D) -> DataFrame:
+    """Count-min registers over the OCCURRENCES of ``col``: exactly
+    ``d · w`` rows ``(row, bucket, cnt)``.  ``est(x) = min_i
+    cnt[i][h_i(x)]`` never underestimates, and overestimates by more
+    than ``2N/w`` with probability < 2^-d (Cormode & Muthukrishnan
+    2005 — public).  Same 100 TB contract as the HLL: the groupBy's
+    partial aggregation bounds the exchange at d·w rows per task, and
+    sketches MERGE by elementwise addition (``cms_merge``) without
+    re-reading data.  Null keys are skipped."""
+    rows = df.filter(F.col(col).isNotNull()).select(
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _cms_hash(F.col(col), i, w).alias("bucket"))
+            for i in range(d)])).alias("rb"))
+    return (rows.select("rb.row", "rb.bucket")
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge CMS sketches: elementwise register addition."""
+    out, rest = register_dfs[0], register_dfs[1:]
+    for r in rest:
+        out = out.unionByName(r)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(registers: DataFrame, probes: DataFrame, col: str,
+               w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Estimated count per probe row: min over the d register rows.
+    The register table is d·w rows — broadcast, so probing any number
+    of keys is shuffle-free on the probe side."""
+    est = None
+    reg = F.broadcast(registers)
+    out = probes
+    for i in range(d):
+        ri = reg.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"__b{i}"), F.col("cnt").alias(f"__c{i}"))
+        out = (out.withColumn(f"__b{i}", _cms_hash(F.col(col), i, w))
+               .join(ri, f"__b{i}", "left"))
+        ci = F.coalesce(F.col(f"__c{i}"), F.lit(0))
+        est = ci if est is None else F.least(est, ci)
+    return (out.withColumn("cms_est", est.cast("long"))
+            .drop(*[f"__b{i}" for i in range(d)],
+                  *[f"__c{i}" for i in range(d)]))
+
+
+def cms_oracle_registers_sql(source_sql: str, key: str = "t",
+                             w: int = CMS_W, d: int = CMS_D) -> str:
+    """DuckDB replay of ``cms_sketch`` registers over ``source_sql``
+    (a relation exposing one occurrence per row in column ``key``)."""
+    parts = [
+        f"""SELECT {i} AS row,
+              ((('0x' || substr(md5('cms{i}:' || {key}), 1, 14))::BIGINT
+                % 2147483647) % {w}) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({source_sql}) GROUP BY 2"""
+        for i in range(d)]
+    return " UNION ALL ".join(parts)

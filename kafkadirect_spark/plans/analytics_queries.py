@@ -182,3 +182,143 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_quantized(emb, "vec_id", "embedding",
                                        k=4, iters=2)
+
+
+_CMS_B = ("((('0x' || substr(md5('cms{i}:' || e.t), 1, 14))::BIGINT"
+          " % 2147483647) % 1024)")
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK_SQL}) AS t FROM documents),
+    reg AS ({sketch.cms_oracle_registers_sql("SELECT t FROM tok")}),
+    exact AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY t ORDER BY exact_cnt DESC, t LIMIT 20)
+    SELECT e.t AS term, e.exact_cnt,
+           CAST(LEAST(r0.cnt, r1.cnt, r2.cnt) AS BIGINT) AS cms_est,
+           CAST(LEAST(r0.cnt, r1.cnt, r2.cnt) - e.exact_cnt AS BIGINT)
+             AS over_est
+    FROM exact e
+    JOIN reg r0 ON r0.row = 0 AND r0.bucket = {_CMS_B.format(i=0)}
+    JOIN reg r1 ON r1.row = 1 AND r1.bucket = {_CMS_B.format(i=1)}
+    JOIN reg r2 ON r2.row = 2 AND r2.bucket = {_CMS_B.format(i=2)}
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation for the corpus's heavy hitters:
+    registers over every token occurrence (exactly d·w = 3072 rows —
+    mergeable by addition, broadcastable), probed with the exact
+    top-20 terms so the one-sided error is visible in the output
+    (``over_est ≥ 0`` always; functions/sketch.py cms_sketch).
+    Approximate counting with an exact cross-engine oracle."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch, text
+    from kafkadirect_spark.functions.dedup import _persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _persist(docs.select(
+        F.explode(text.tokens("text")).alias("t")))
+    reg = sketch.cms_sketch(toks, "t")
+    exact = (toks.groupBy("t")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.col("exact_cnt").desc(), F.col("t").asc())
+             .limit(20))
+    return (sketch.cms_lookup(reg, exact, "t")
+            .select(F.col("t").alias("term"), "exact_cnt", "cms_est",
+                    (F.col("cms_est") - F.col("exact_cnt"))
+                    .cast("long").alias("over_est")))
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(v.t1) AS t1, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+        AND e.ts <= v.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        AND e.ts <= c.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.t1, c.t2, p.t3,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase within 7 days
+    of the first view: per user, the earliest timestamp of each stage
+    reached IN ORDER (a click before the first view doesn't count).
+    Kafka Streams cannot express this without a custom processor; here
+    it is three min-aggregations chained by user-keyed hash joins —
+    no window over event history, no per-user sort, skew-free at any
+    scale."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter((F.col("ts") >= F.col("t1"))
+                 & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS")))
+         .groupBy("user_id")
+         .agg(F.min("t1").alias("t1"), F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") >= F.col("t2"))
+                 & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS")))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (v.join(c.select("user_id", "t2"), "user_id", "left")
+            .join(p, "user_id", "left")
+            .select("user_id", "t1", "t2", "t3",
+                    F.when(F.col("t3").isNotNull(), 3)
+                    .when(F.col("t2").isNotNull(), 2)
+                    .otherwise(1).cast("long").alias("stage")))
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT f.cw AS cohort_week,
+           CAST(date_diff('day', f.cw, a.w) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in every later week they return — the cohort triangle
+    every growth dashboard starts from.  Two user-keyed aggregations
+    and one join; the distinct (user, week) pre-aggregation bounds the
+    final COUNT DISTINCT's input."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    f = (ev.groupBy("user_id")
+         .agg(F.date_trunc("week", F.min("ts")).alias("cw")))
+    a = (ev.select("user_id", F.date_trunc("week", "ts").alias("w"))
+         .distinct())
+    return (f.join(a, "user_id")
+            .groupBy(F.col("cw").alias("cohort_week"),
+                     F.expr("CAST(datediff(w, cw) DIV 7 AS LONG)")
+                     .alias("week_offset"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users")))

@@ -146,3 +146,43 @@ def test_streaming_windowed_distinct_hll(spark, tmp_path):
         assert rows[0].nonzero_buckets == 3
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates(spark):
+    """One-sided error: est(x) >= true count for every key."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 100).cast("string").alias("k"))  # 100 keys × 50
+    reg = sketch.cms_sketch(df, "k", w=64, d=3)  # tight w → collisions
+    probes = df.distinct()
+    out = sketch.cms_lookup(reg, probes, "k", w=64, d=3).collect()
+    assert len(out) == 100
+    assert all(r.cms_est >= 50 for r in out)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, "k string")
+    reg = sketch.cms_sketch(df, "k")
+    out = {r.k: r.cms_est
+           for r in sketch.cms_lookup(reg, df.distinct(), "k").collect()}
+    assert out == {"a": 7, "b": 3}
+
+
+def test_cms_merge_is_additive(spark):
+    import pyspark.sql.functions as F
+
+    a = spark.range(0, 1000).select((F.col("id") % 10).cast("string").alias("k"))
+    b = spark.range(0, 500).select((F.col("id") % 7).cast("string").alias("k"))
+    merged = sketch.cms_merge(sketch.cms_sketch(a, "k"),
+                              sketch.cms_sketch(b, "k"))
+    whole = sketch.cms_sketch(a.union(b), "k")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
