@@ -286,3 +286,70 @@ def cms_oracle_registers_sql(source_sql: str, key: str = "t",
             FROM ({source_sql}) GROUP BY 2"""
         for i in range(d)]
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — mergeable quantile estimation.
+# ---------------------------------------------------------------------------
+
+def hist_registers(df: DataFrame, col: str, lo: int, hi: int,
+                   bins: int = 1000) -> DataFrame:
+    """Equi-width histogram over an INTEGER column: ≤ ``bins`` rows
+    ``(bin, cnt)``; values outside [lo, hi) clamp into the edge bins.
+    Same merge-by-addition / bounded-exchange contract as the CMS.
+    Overflow constraint: ``(hi − lo) · bins < 2^63`` (checked).
+    Quantile error from ``hist_quantiles`` is one bin width —
+    ``(hi−lo)/bins`` — by construction."""
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
+    if (hi - lo) * bins >= 2**63:
+        raise ValueError("(hi-lo)*bins overflows int64")
+    x = F.col(col).cast("long")
+    b = F.expr(f"CAST(({col} - {lo}) * {bins} DIV {hi - lo} AS LONG)")
+    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (df.filter(x.isNotNull())
+            .select(bin_.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge histograms: per-bin count addition."""
+    out, rest = register_dfs[0], register_dfs[1:]
+    for r in rest:
+        out = out.unionByName(r)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(registers: DataFrame, qs_permille: list[int],
+                   lo: int, hi: int, bins: int = 1000) -> DataFrame:
+    """Quantile estimates from a histogram: for each q (in permille),
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ``ceil(q·N/1000)``.  Integer-exact end to end.
+
+    The running-sum window is over the register table — ≤ ``bins``
+    rows, bounded by construction (the _GLOBAL_WINDOW_OK contract),
+    never the data."""
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    c = registers.withColumn("cum", F.sum("cnt").over(w_cum)) \
+                 .withColumn("n", F.sum("cnt").over(w_all))
+    # one aggregate row with a min-bin per q, then unpivoted — no
+    # non-equi join, no BNLJ
+    aggs = [
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"CAST(({q} * n + 999) DIV 1000 AS LONG)"),
+            F.col("bin"))).alias(f"__q{q}")
+        for q in qs_permille]
+    one = c.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(q).cast("long").alias("q_permille"),
+                 (F.lit(lo) + F.expr(
+                     f"CAST(__q{q} * {hi - lo} DIV {bins} AS LONG)"))
+                 .cast("long").alias("est_value"))
+        for q in qs_permille])
+    return (one.select(F.explode(pairs).alias("r"))
+            .select("r.q_permille", "r.est_value"))

@@ -322,3 +322,52 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("CAST(datediff(w, cw) DIV 7 AS LONG)")
                      .alias("week_offset"))
             .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
+
+
+@query(
+    "value_quantiles_hist",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 1000) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT LEAST(GREATEST((x - 0) * 1000 // 1000000, 0), 999) AS bin
+      FROM v),
+    reg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+    c AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM reg)
+    SELECT CAST(q AS BIGINT) AS q_permille,
+           CAST(0 + MIN(CASE WHEN cum >= (q * n + 999) // 1000
+                             THEN bin END) * 1000000 // 1000
+                AS BIGINT) AS est_value
+    FROM c CROSS JOIN (SELECT unnest([250, 500, 900, 990]) AS q) qs
+    GROUP BY q
+    """,
+)
+def value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of the event value distribution via the mergeable
+    equi-width histogram sketch (functions/sketch.py hist_registers):
+    values quantized to integer milli-units (one deterministic float
+    multiply), 1000 bins over [0, 1000) units, p25/p50/p90/p99
+    estimated as first-covering-bin lower edges — integer arithmetic
+    end to end, one-bin-width error by construction.  Unlike Spark's
+    approx_percentile (engine-internal layout, not replayable), the
+    registers AND the estimates are bit-exact in DuckDB.  The sketch
+    completes the family: HLL (distinct), CMS (frequency), histogram
+    (quantiles) — all bounded-register, all merge without re-reading
+    data."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull())
+         .select(F.floor(F.col("value") * 1000).cast("long")
+                 .alias("v_milli")))
+    reg = sketch.hist_registers(v, "v_milli", lo=0, hi=1_000_000,
+                                bins=1000)
+    return sketch.hist_quantiles(reg, [250, 500, 900, 990],
+                                 lo=0, hi=1_000_000, bins=1000)

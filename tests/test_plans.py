@@ -219,6 +219,10 @@ _GLOBAL_WINDOW_OK = {
     # 1024) that converts shard ranks into contiguous global positions
     # — the distributed-enumerate offset table, not a data sort.
     "global_shuffle",
+    # running-sum + total over the HISTOGRAM REGISTER table (≤ `bins`
+    # rows, default 1000) — quantile estimation over a sketch, not a
+    # data sort.
+    "value_quantiles_hist",
 }
 
 

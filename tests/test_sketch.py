@@ -186,3 +186,48 @@ def test_cms_merge_is_additive(spark):
     whole = sketch.cms_sketch(a.union(b), "k")
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, whole.collect())))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+def test_hist_quantiles_within_one_bin(spark):
+    """Estimates are the covering bin's lower edge: within one bin
+    width below the exact quantile, never above it."""
+    n, lo, hi, bins = 10_000, 0, 10_000, 100
+    width = (hi - lo) // bins
+    df = spark.range(0, n).select(F.col("id").alias("x"))  # uniform
+    reg = sketch.hist_registers(df, "x", lo, hi, bins)
+    out = {r.q_permille: r.est_value
+           for r in sketch.hist_quantiles(
+               reg, [250, 500, 900], lo, hi, bins).collect()}
+    for q, est in out.items():
+        exact = q * n // 1000  # uniform 0..n-1
+        assert exact - width <= est <= exact
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5,), (0,), (99,), (250,)], "x long")
+    reg = {r.bin: r.cnt
+           for r in sketch.hist_registers(df, "x", 0, 100, 10).collect()}
+    assert reg[0] == 2      # -5 clamps into bin 0
+    assert reg[9] == 2      # 99 in last bin; 250 clamps into it
+
+
+def test_hist_merge_is_additive(spark):
+    a = spark.range(0, 500).select(F.col("id").alias("x"))
+    b = spark.range(200, 900).select(F.col("id").alias("x"))
+    merged = sketch.hist_merge(sketch.hist_registers(a, "x", 0, 1000, 50),
+                               sketch.hist_registers(b, "x", 0, 1000, 50))
+    whole = sketch.hist_registers(a.union(b), "x", 0, 1000, 50)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+
+
+def test_hist_rejects_bad_ranges(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        sketch.hist_registers(df, "x", 10, 10)
+    with pytest.raises(ValueError):
+        sketch.hist_registers(df, "x", 0, 2**40, bins=2**25)
