@@ -83,6 +83,14 @@ def main() -> None:
         "customer_order_distribution": QUERIES["customer_order_distribution"],
         "importance_weights": QUERIES["importance_weights"],
         "doc_chunks": QUERIES["doc_chunks"],
+        # batch-4: the sketch family and the iterative k-means — the
+        # sketches' wall clock is the proof their bounded-register
+        # design works (register exchange, not a data exchange);
+        # k-means times the full quantize → 2×(assign, update) loop
+        "distinct_orders_hll": QUERIES["distinct_orders_hll"],
+        "heavy_hitters_cms": QUERIES["heavy_hitters_cms"],
+        "kmeans_clusters": QUERIES["kmeans_clusters"],
+        "global_shuffle": QUERIES["global_shuffle"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -1,6 +1,7 @@
 """Column-function library: Connect-SMT equivalents (smt) and the
 large-scale training-data-pipeline operators (text, dedup, similarity,
-multimodal).
+multimodal, curation) and the deterministic sketch family (sketch:
+HLL distinct, count-min frequency, histogram quantiles).
 
 Everything here returns Column expressions or DataFrame transforms
 built from pyspark.sql.functions — JVM-side, whole-stage-codegen'd —
@@ -9,5 +10,5 @@ which are Arrow-batched.  No row-at-a-time Python UDFs anywhere.
 """
 
 from kafkadirect_spark.functions import (  # noqa: F401
-    curation, dedup, multimodal, similarity, smt, text,
+    curation, dedup, multimodal, similarity, sketch, smt, text,
 )

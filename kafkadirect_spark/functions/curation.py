@@ -508,3 +508,74 @@ def term_relevance(df: DataFrame, id_col: str, text_col: str, k: int = 3,
             .filter(F.col("rk") <= k)
             .select(F.col(id_col), F.col("__t").alias("term"),
                     F.col("score_ppm"), F.col("rk").cast("long").alias("rk")))
+
+
+BLOOM_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def bloom_bits(df: DataFrame, text_col: str, n: int = 8,
+               m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Bloom filter of a corpus's word ``n``-grams as a DataFrame of
+    set bit positions: ≤ ``m_bits`` rows ``(i, bit)`` over ``k`` salted
+    portable hashes.  Deterministic (no RNG) and replayable in SQL, so
+    membership tests are oracle-checkable — unlike an opaque bitmap.
+
+    The point at 100 TB: ``decontaminate`` broadcasts the eval
+    shingle-hash set, whose size grows with the eval corpus; the Bloom
+    form is CAPPED at m_bits·k rows no matter how big the reference
+    set gets, with a known one-sided error (false POSITIVES only —
+    flagged-clean docs never slip through, some clean docs are
+    over-flagged; the conservative direction for decontamination).
+    """
+    grams = (df.select(F.explode(shingles(tokens(text_col), n)).alias("g"))
+             .select(F.explode(F.array(*[
+                 F.struct(F.lit(i).alias("i"),
+                          (portable_hash(
+                              F.concat(F.lit(f"bloom{i}:"), F.col("g")))
+                           % m_bits).alias("bit"))
+                 for i in range(k)])).alias("ib")))
+    return grams.select("ib.i", "ib.bit").distinct()
+
+
+def decontaminate_bloom(train: DataFrame, eval_df: DataFrame,
+                        text_col: str, id_col: str, n: int = 8,
+                        m_bits: int = BLOOM_BITS,
+                        k: int = BLOOM_K) -> DataFrame:
+    """Benchmark decontamination through a FIXED-SIZE Bloom filter:
+    flag training docs having any word n-gram whose ``k`` bloom bits
+    are all set by the eval corpus.  Supersets ``decontaminate``'s
+    exact flags (never misses a true overlap; may over-flag at the
+    filter's false-positive rate — (1−e^{−kn/m})^k, ≈1e-5 per distinct
+    gram at the defaults for MB-scale eval sets).
+
+    Scale ledger: the broadcast side is ≤ m_bits·k rows REGARDLESS of
+    eval-corpus size.  The k bit probes of a gram stay in ONE row (no
+    probe explode), tested by k successive broadcast left-joins — the
+    train side is never shuffled before the final per-doc distinct,
+    the same envelope as ``decontaminate``.
+    """
+    bits = bloom_bits(eval_df, text_col, n, m_bits, k)
+    probes = (
+        _widen(train.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col),
+                F.explode(shingles(tokens(text_col), n)).alias("g"))
+        .select(id_col, *[
+            (portable_hash(F.concat(F.lit(f"bloom{i}:"), F.col("g")))
+             % m_bits).alias(f"__b{i}")
+            for i in range(k)]))
+    member = None
+    for i in range(k):
+        bi = F.broadcast(
+            bits.filter(F.col("i") == i)
+                .select(F.col("bit").alias(f"__b{i}"),
+                        F.lit(True).alias(f"__m{i}")))
+        probes = probes.join(bi, f"__b{i}", "left")
+        mi = F.col(f"__m{i}").isNotNull()
+        member = mi if member is None else member & mi
+    hits = (probes.filter(member)
+            .select(id_col).distinct()
+            .withColumn("contaminated", F.lit(True)))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(id_col, F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated")))

@@ -450,3 +450,50 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", target=F.col("lang") == "en", ngram=2)
     return (scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(100))
+
+
+_BLOOM_BIT = ("((('0x' || substr(md5('bloom' || CAST({i} AS VARCHAR) || ':' "
+              "|| {g}), 1, 14))::BIGINT % 2147483647) % 1048576)")
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g8 AS (
+      SELECT doc_id,
+             w[g]   || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] || ' ' ||
+             w[g+4] || ' ' || w[g+5] || ' ' || w[g+6] || ' ' || w[g+7] AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS g
+            FROM tok WHERE len(w) >= 8)
+    ),
+    ii AS (SELECT unnest([0, 1, 2]) AS i),
+    bits AS (
+      SELECT DISTINCT ii.i, {_BLOOM_BIT.format(i='ii.i', g='g8.g')} AS bit
+      FROM g8 CROSS JOIN ii WHERE g8.doc_id % 10 = 0),
+    grams AS (
+      SELECT doc_id, g, ii.i,
+             {_BLOOM_BIT.format(i='ii.i', g='g')} AS bit
+      FROM g8 CROSS JOIN ii WHERE g8.doc_id % 10 <> 0),
+    full_hits AS (
+      SELECT doc_id, g FROM grams JOIN bits USING (i, bit)
+      GROUP BY doc_id, g HAVING COUNT(*) = 3),
+    hits AS (SELECT DISTINCT doc_id FROM full_hits)
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a FIXED-SIZE Bloom filter of the eval
+    slice's 8-grams (functions/curation.py decontaminate_bloom): the
+    broadcast side is capped at m_bits·k rows no matter how large the
+    reference set grows, errs only toward over-flagging (one-sided —
+    the conservative direction), and every bit position is replayed in
+    the oracle — a probabilistic data structure with an exact
+    cross-engine check."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return curation.decontaminate_bloom(train, eval_df, "text", "doc_id",
+                                        n=8)

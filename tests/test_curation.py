@@ -330,3 +330,25 @@ def test_term_relevance_idf_monotone(spark):
     # apple: tf=1 df=1 → 1e6*3; banana: tf=1 df=3 → 1e6*3//3
     assert d1["apple"] == (3_000_000, 1)
     assert d1["banana"] == (1_000_000, 2)
+
+
+def test_decontaminate_bloom_supersets_exact(spark):
+    """Bloom flags ⊇ exact flags (one-sided error), and on this tiny
+    input (no collisions plausible at 2^20 bits) they coincide."""
+    base = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame(
+        [(1, base + " extra tail words here"),
+         (2, "totally different content with no overlapping phrases at all"),
+         (3, "short doc")],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "prefix words then " + base)], "doc_id long, text string")
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in curation.decontaminate(
+                 train, eval_df, "text", "doc_id", n=8).collect()}
+    bloom = {r["doc_id"]: r["contaminated"]
+             for r in curation.decontaminate_bloom(
+                 train, eval_df, "text", "doc_id", n=8).collect()}
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] or not exact[d] for d in exact)  # superset
+    assert bloom == exact  # no FPs at this size
