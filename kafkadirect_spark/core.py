@@ -243,6 +243,30 @@ class Stream:
             return self._with(self.df.repartition(num_partitions, F.col(self.key)))
         return self._with(self.df.repartition(F.col(self.key)))
 
+    def through_bucketed(self, table: str, num_buckets: int = 32) -> "Stream":
+        """KStream.through with the intermediate topic made DURABLE —
+        the closest Spark analogue of what KStream.java:431 actually
+        does: materialize the stream partitioned by key, so EVERY
+        downstream key-partitioned consumer (join, aggregation, or a
+        different job entirely) starts from co-located data.
+
+        Writes a parquet table bucketed (and sorted) by the key and
+        reads it back.  Joins and groupBys on the key between two
+        tables bucketed the same way run with NO Exchange — the
+        shuffle was paid once at write time, exactly the economics of
+        Kafka's repartition topics (plan-gated in
+        tests/test_plans.py::test_bucketed_join_skips_exchange).
+        Prefer ``through()`` when only this job's lineage needs the
+        partitioning; prefer this when the partitioned form is reused
+        across jobs — at 100 TB, re-shuffling a fact table per job is
+        the single largest avoidable cost."""
+        if self.key is None:
+            raise ValueError("through_bucketed() requires a key column")
+        (self.df.write.mode("overwrite").format("parquet")
+         .bucketBy(num_buckets, self.key).sortBy(self.key)
+         .saveAsTable(table))
+        return self._with(self.df.sparkSession.table(table))
+
     def deduplicate(self, *cols: ColumnOrName, within: str | None = None) -> "Stream":
         """Event deduplication — the Kafka Streams EventDeduplication
         pattern (a windowed-store Transformer that drops records whose

@@ -340,3 +340,34 @@ def test_large_order_customers_distributed_topk(spark):
     txt = _formatted(QUERIES["large_order_customers"](spark, SF))
     assert "TakeOrderedAndProject" in txt
     assert "rangepartitioning" not in txt.lower()
+
+
+def test_bucketed_join_skips_exchange(spark):
+    """`through_bucketed` is the durable repartition topic: two tables
+    bucketed the same way join with NO Exchange on either side — the
+    shuffle was paid once at write time.  The unbucketed control plan
+    must show Exchanges, or this test proves nothing."""
+    from kafkadirect_spark.core import Stream
+
+    ev = load_table(spark, SF, "events").select("user_id", "value")
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name")
+    spark.sql("DROP TABLE IF EXISTS bt_events")
+    spark.sql("DROP TABLE IF EXISTS bt_cust")
+    try:
+        b_ev = Stream(ev, key="user_id").through_bucketed("bt_events", 4)
+        b_cu = Stream(cust, key="user_id").through_bucketed("bt_cust", 4)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed = _formatted(b_ev.df.join(b_cu.df, "user_id"))
+            control = _formatted(ev.join(cust, "user_id"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Exchange" not in bucketed, bucketed[:1500]
+        assert "Exchange" in control
+        # rows survive the round-trip
+        assert b_ev.df.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_events")
+        spark.sql("DROP TABLE IF EXISTS bt_cust")
