@@ -58,3 +58,64 @@ def windowed_distinct_hll(
         initializer=dict, aggregator=aggregator, finisher=finisher,
         agg_fields="est_distinct long, nonzero_buckets long",
         advance=advance, grace=grace)
+
+
+def windowed_heavy_hitters(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    size: str,
+    capacity: int = 64,
+    k: int = 10,
+    advance: str | None = None,
+    grace: str = "0 seconds",
+) -> DataFrame:
+    """Approximate per-window top-k frequent values via the
+    space-saving algorithm (Metwally et al. 2005 — public): at most
+    ``capacity`` counters per open window, independent of stream
+    volume.  Any value with true frequency > N/capacity is guaranteed
+    present; each reported count overestimates by at most its
+    ``max_err`` companion (inherited from the counter it evicted).
+
+    Emits one row per closed window with parallel arrays
+    ``top_values / top_counts / top_errs`` ranked by (count desc,
+    value asc).  Eviction is deterministic: the minimum (count, value)
+    counter is replaced; records fold in event-time order (the
+    window-fold contract), so goldens are stable.
+
+    Contrast with ``streaming/topk.py`` (exact per-window top-k
+    through a full windowed count): that path's state is O(distinct
+    values per window); this one is O(capacity) — the 100 TB knob.
+    """
+
+    def aggregator(state: dict, row: dict) -> dict:
+        v = row[value_col]
+        if v is None:
+            return state
+        v = str(v)
+        c = state.setdefault("c", {})
+        if v in c:
+            c[v][0] += 1
+        elif len(c) < capacity:
+            c[v] = [1, 0]
+        else:
+            ev = min(c.items(), key=lambda kv: (kv[1][0], kv[0]))
+            cnt = ev[1][0]
+            del c[ev[0]]
+            c[v] = [cnt + 1, cnt]
+        return state
+
+    def finisher(state: dict) -> dict:
+        c = state.get("c", {})
+        top = sorted(c.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        return {"top_values": [v for v, _ in top],
+                "top_counts": [n for _, (n, _e) in top],
+                "top_errs": [e for _, (_n, e) in top]}
+
+    return streaming_windowed_aggregate(
+        stream_df, key_cols, ts_col, size,
+        initializer=dict, aggregator=aggregator, finisher=finisher,
+        agg_fields=("top_values array<string>, top_counts array<long>, "
+                    "top_errs array<long>"),
+        advance=advance, grace=grace)

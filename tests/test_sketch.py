@@ -231,3 +231,45 @@ def test_hist_rejects_bad_ranges(spark):
         sketch.hist_registers(df, "x", 10, 10)
     with pytest.raises(ValueError):
         sketch.hist_registers(df, "x", 0, 2**40, bins=2**25)
+
+
+def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
+    """Space-saving fold: capacity-bounded counters, deterministic
+    eviction, count-with-error accounting matching the hand-run of
+    the algorithm; the frequent item survives eviction pressure."""
+    from datetime import datetime
+
+    from kafkadirect_spark.sources.stream import stream_from_dir
+    from kafkadirect_spark.streaming.sketch import windowed_heavy_hitters
+
+    KV = "key string, value int, ts timestamp"
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+
+    def write(rows, n):
+        spark.createDataFrame(rows, KV).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmp_path}/in/b{n}")
+
+    # capacity 2: stream 7,7,8,9 in one window.
+    #  7 → {7:(1,0)}; 7 → {7:(2,0)}; 8 → {7:(2,0), 8:(1,0)};
+    #  9 evicts min (count,value) = 8 → {7:(2,0), 9:(2,1)}
+    write([("a", 7, t("10:00:01")), ("a", 7, t("10:00:02")),
+           ("a", 8, t("10:00:03")), ("a", 9, t("10:00:04"))], 0)
+    src = stream_from_dir(spark, f"{tmp_path}/in/*", KV, key="key", ts="ts")
+    out = windowed_heavy_hitters(
+        src.df, key_cols=["key"], ts_col="ts", value_col="value",
+        size="1 minute", capacity=2, k=2)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("hh_win")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        write([("a", 1, t("10:02:00"))], 1)  # close the window
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_win").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert list(r.top_values) == ["7", "9"]
+        assert list(r.top_counts) == [2, 2]
+        assert list(r.top_errs) == [0, 1]   # 9 inherited 8's count
+    finally:
+        q.stop()
