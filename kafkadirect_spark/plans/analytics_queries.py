@@ -371,3 +371,51 @@ def value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 bins=1000)
     return sketch.hist_quantiles(reg, [250, 500, 900, 990],
                                  lo=0, hi=1_000_000, bins=1000)
+
+
+@query(
+    "value_quantiles_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT event_type,
+             LEAST(GREATEST((x - 0) * 1000 // 1000000, 0), 999) AS bin
+      FROM v),
+    reg AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY event_type, bin),
+    c AS (
+      SELECT event_type, bin, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM reg)
+    SELECT event_type, CAST(q AS BIGINT) AS q_permille,
+           CAST(0 + MIN(CASE WHEN cum >= (q * n + 999) // 1000
+                             THEN bin END) * 1000000 // 1000
+                AS BIGINT) AS est_value
+    FROM c CROSS JOIN (SELECT unnest([500, 990]) AS q) qs
+    GROUP BY event_type, q
+    """,
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p99 via the GROUPED histogram sketch
+    (functions/sketch.py hist_registers_grouped): register frames
+    partition on the group, so quantile extraction parallelizes across
+    groups with no unpartitioned window anywhere — grouped SLA/latency
+    dashboards from a mergeable sketch, integer-exact cross-engine."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 1000).cast("long")
+                 .alias("v_milli")))
+    reg = sketch.hist_registers_grouped(v, ["event_type"], "v_milli",
+                                        lo=0, hi=1_000_000, bins=1000)
+    return sketch.hist_quantiles_grouped(reg, ["event_type"], [500, 990],
+                                         lo=0, hi=1_000_000, bins=1000)
