@@ -458,3 +458,63 @@ def test_jaccard_verify_equals_full_jaccard_on_candidates(spark, texts):
                                       n=2, threshold=0.1).collect()}
     expected = {p: j for p, j in full.items() if p in set(pairs)}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Sketch-family properties (pure-Python mirrors — no Spark needed)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 10_000), max_size=300),
+       st.lists(st.integers(0, 10_000), max_size=300))
+@settings(deadline=None, max_examples=50)
+def test_hll_merge_commutes_and_is_idempotent(xs, ys):
+    from kafkadirect_spark.functions import sketch
+
+    def regs(vals):
+        r = {}
+        for v in vals:
+            b, bl = sketch.py_bucket_bitlen(v)
+            r[b] = min(r.get(b, 99), bl)
+        return r
+
+    def merge(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = min(out.get(k, 99), v)
+        return out
+
+    ra, rb = regs(xs), regs(ys)
+    assert merge(ra, rb) == merge(rb, ra) == regs(xs + ys)
+    assert merge(ra, ra) == ra  # idempotent: double-counting impossible
+    assert (sketch.py_estimate(merge(ra, rb))
+            == sketch.py_estimate(regs(xs + ys)))
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=400),
+       st.integers(4, 12))
+@settings(deadline=None, max_examples=50)
+def test_space_saving_guarantee(stream, capacity):
+    """Any value with true frequency > N/capacity is in the counter
+    set, and every estimate bounds the true count from above by at
+    most its recorded error — the Metwally invariants, fuzzed."""
+    from collections import Counter
+
+    c = {}
+    for v in map(str, stream):
+        if v in c:
+            c[v][0] += 1
+        elif len(c) < capacity:
+            c[v] = [1, 0]
+        else:
+            ev = min(c.items(), key=lambda kv: (kv[1][0], kv[0]))
+            cnt = ev[1][0]
+            del c[ev[0]]
+            c[v] = [cnt + 1, cnt]
+    true = Counter(map(str, stream))
+    n = len(stream)
+    for v, t in true.items():
+        if t > n / capacity:
+            assert v in c, (v, t, n, capacity)
+    for v, (est, err) in c.items():
+        assert est >= true[v]          # never underestimates
+        assert est - err <= true[v]    # error bound is honest
