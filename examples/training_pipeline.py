@@ -7,9 +7,12 @@ the workload this engine exists for at 100 TB:
   4. near-dup removal (MinHash-LSH candidates → exact Jaccard verify
                        → drop the higher doc_id of each confirmed pair)
   5. benchmark decontamination (broadcast 8-gram overlap vs eval slice)
+     + DSIR domain targeting with a sketch-derived score cutoff
   6. train/val/test split (deterministic hash-keyed)
   7. sequence packing (1024-token budgets in hash shards)
-  8. emit the clean corpus + a survivorship report
+     + deterministic global shuffle order for the packed train set
+  8. emit the clean corpus + a survivorship + sketch report
+     (HLL source cardinality, histogram length quantiles)
 
 Every stage is a DataFrame transform: one scan, the dedup shuffles are
 bounded by the inverted index / band buckets, never |docs|².
@@ -78,6 +81,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
              .drop("contaminated"))
     n4 = clean.count()
 
+    # 5b: DSIR-style domain targeting — score every survivor against
+    # the English subset as the target domain (hashed bigram features,
+    # broadcast frequency table), then drop the bottom ~20% by score.
+    # The cutoff comes from the HISTOGRAM SKETCH of the score
+    # distribution (p20 of bounded integer registers) — a global
+    # "top 80%" via sort-the-corpus would be a single-reducer killer.
+    from kafkadirect_spark.functions import sketch
+    scores = curation.importance_scores(
+        clean, "doc_id", "text", target=F.col("lang") == "en")
+    sreg = sketch.hist_registers(scores, "score", lo=0, hi=10_000_000,
+                                 bins=1000)
+    cut = sketch.hist_quantiles(sreg, [200], 0, 10_000_000,
+                                1000).collect()[0].est_value
+    clean = (clean.join(scores, "doc_id")
+             .filter(F.col("score") >= cut).drop("score"))
+    n4b = clean.count()
+
     # 6-7: deterministic split, then pack the train split into
     # 1024-token sequences (8 hash shards; one Exchange)
     split = curation.split_assign(
@@ -89,13 +109,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     n5 = packed.count()
     n_seqs = packed.select("shard", "seq_id").distinct().count()
 
+    # 7b: deterministic training order — every packed doc gets a
+    # contiguous global shuffle position (rerun- and layout-stable)
+    order = curation.shuffle_positions(packed, "doc_id", seed="epoch0")
+
+    # 8b: corpus report from the sketch family — distinct sources via
+    # HLL, token heavy hitters via CMS, doc-length quantiles via the
+    # histogram; registers are bounded, mergeable, and cheap enough to
+    # run on every pipeline increment
+    regs = {r.bucket: r.min_bitlen
+            for r in sketch.hll_registers(clean, "source").collect()}
+    n_sources = round(sketch.hll_estimate_corrected(regs))
+    lens = clean.select(F.length("text").cast("long").alias("n"))
+    hist = sketch.hist_registers(lens, "n", lo=0, hi=20_000, bins=200)
+    quants = {r.q_permille: r.est_value
+              for r in sketch.hist_quantiles(
+                  hist, [500, 990], 0, 20_000, 200).collect()}
+
     print(f"corpus:        {n0}")
     print(f"quality+lang:  {n1}  (-{n0 - n1})")
     print(f"exact dedup:   {n2}  (-{n1 - n2})")
     print(f"near-dup:      {n3}  (-{n2 - n3})")
     print(f"span dedup:    {n3b}  (-{n3 - n3b})")
     print(f"decontam:      {n4}  (-{n3b - n4})")
-    print(f"train packed:  {n5} docs into {n_seqs} sequences")
+    print(f"DSIR select:   {n4b}  (-{n4 - n4b})")
+    print(f"train packed:  {n5} docs into {n_seqs} sequences; "
+          f"shuffle order rows: {order.count()}")
+    print(f"report: ~{n_sources} distinct sources "
+          f"(p50 len {quants[500]}, p99 len {quants[990]})")
     clean.select("doc_id", "source", F.substring("text", 1, 60).alias("text")) \
         .show(5, truncate=False)
 
