@@ -75,9 +75,29 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         ev = base.filter(F.col("doc_id") % 10 == 0)  # fixed eval set
         return curation.decontaminate(docs, ev, "text", "doc_id", n=8)
 
+    def probe_importance(docs):
+        return curation.importance_scores(
+            docs, "doc_id", "text", target=F.col("lang") == "en")
+
+    def probe_sketches(docs):
+        # the full report: HLL distinct + histogram quantiles — both
+        # should be scan-bound (register exchanges are constant-size)
+        from kafkadirect_spark.functions import sketch
+        reg = sketch.hll_registers(docs, "doc_id")
+        lens = docs.select(F.length("text").cast("long").alias("n"))
+        h = sketch.hist_registers(lens, "n", 0, 20_000, 200)
+        return sketch.hll_estimate(reg).unionByName(
+            sketch.hist_quantiles(h, [500, 990], 0, 20_000, 200)
+            .select(F.lit(0).cast("long").alias("m"),
+                    F.lit(0).cast("long").alias("nonzero_buckets"),
+                    F.col("q_permille").alias("sum_pow"),
+                    F.col("est_value").alias("est_distinct")))
+
     probes = {"minhash_lsh": probe_minhash,
               "span_dedup": probe_span_dedup,
-              "decontaminate": probe_decontaminate}
+              "decontaminate": probe_decontaminate,
+              "importance": probe_importance,
+              "sketches": probe_sketches}
 
     repl = 1
     while repl <= max_repl:
