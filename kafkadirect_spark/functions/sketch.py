@@ -115,7 +115,10 @@ def hll_estimate(registers: DataFrame, p: int = P_DEFAULT) -> DataFrame:
     empty_pow = 1 << (W_FIELD + 1)
     agg = registers.agg(
         F.count("*").cast("long").alias("nonzero_buckets"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), min_bitlen)"))
+        # coalesce: SUM over zero rows is NULL, and an empty sketch
+        # must estimate 0, not NULL (or the raw estimator's alpha·m)
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), min_bitlen)")), F.lit(0))
          .cast("long").alias("present_pow"))
     return agg.select(
         F.lit(m).cast("long").alias("m"),
@@ -127,7 +130,8 @@ def hll_estimate(registers: DataFrame, p: int = P_DEFAULT) -> DataFrame:
         "m", "nonzero_buckets", "sum_pow",
         # integer DIV, not `/`: the numerator (~2^53 at p=10) and the
         # quotient must match DuckDB's exact // to the last bit
-        F.expr(f"CAST({a * empty_pow} DIV sum_pow AS LONG)")
+        F.when(F.col("nonzero_buckets") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr(f"CAST({a * empty_pow} DIV sum_pow AS LONG)"))
          .alias("est_distinct"),
     )
 
@@ -158,8 +162,9 @@ def py_estimate(registers: dict[int, int], p: int = P_DEFAULT) -> dict:
     empty_pow = 1 << (W_FIELD + 1)
     sum_pow = (sum(1 << b for b in registers.values())
                + (m - len(registers)) * empty_pow)
+    est = alpha_m2(p) * empty_pow // sum_pow if registers else 0
     return {"m": m, "nonzero_buckets": len(registers), "sum_pow": sum_pow,
-            "est_distinct": alpha_m2(p) * empty_pow // sum_pow}
+            "est_distinct": est}
 
 
 def hll_estimate_corrected(registers: dict[int, int],
@@ -197,14 +202,16 @@ def oracle_sql(table: str, col: str, p: int = P_DEFAULT,
       SELECT bucket, MIN(bitlen) AS min_bitlen FROM b GROUP BY bucket),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
-             CAST(SUM(1::BIGINT << min_bitlen) AS BIGINT) AS present_pow
+             CAST(COALESCE(SUM(1::BIGINT << min_bitlen), 0) AS BIGINT)
+               AS present_pow
       FROM reg)
     SELECT CAST({m} AS BIGINT) AS m, nonzero_buckets,
            CAST(present_pow + ({m} - nonzero_buckets) * {empty_pow}::BIGINT
                 AS BIGINT) AS sum_pow,
-           CAST({a * empty_pow}::BIGINT
-                // (present_pow + ({m} - nonzero_buckets) * {empty_pow}::BIGINT)
-                AS BIGINT) AS est_distinct
+           CAST(CASE WHEN nonzero_buckets = 0 THEN 0
+                ELSE {a * empty_pow}::BIGINT
+                  // (present_pow + ({m} - nonzero_buckets) * {empty_pow}::BIGINT)
+                END AS BIGINT) AS est_distinct
     FROM s
     """
 

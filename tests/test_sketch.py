@@ -293,3 +293,13 @@ def test_hist_grouped_matches_global_per_group(spark):
                     reg, [500, 900], 0, 2000, 100).collect()}
         for q, v in want.items():
             assert got[(gval, q)] == v
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    """An empty sketch must estimate 0 — not NULL (empty SUM) and not
+    the raw estimator's alpha·m bias."""
+    df = spark.range(0).select(F.col("id").alias("k"))
+    row = sketch.hll_distinct(df, "k").collect()[0]
+    assert (row.nonzero_buckets, row.est_distinct) == (0, 0)
+    assert row.sum_pow == 1024 * (1 << 33)
+    assert sketch.py_estimate({})["est_distinct"] == 0
