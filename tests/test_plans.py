@@ -371,3 +371,19 @@ def test_bucketed_join_skips_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_events")
         spark.sql("DROP TABLE IF EXISTS bt_cust")
+
+
+def test_bucketed_groupby_skips_exchange(spark):
+    """Aggregations keyed on the bucket column also reuse the write-
+    time partitioning — not just joins."""
+    from kafkadirect_spark.core import Stream
+
+    ev = load_table(spark, SF, "events").select("user_id", "value")
+    spark.sql("DROP TABLE IF EXISTS bt_ev_agg")
+    try:
+        b = Stream(ev, key="user_id").through_bucketed("bt_ev_agg", 4)
+        agg = b.df.groupBy("user_id").count()
+        assert "Exchange" not in _formatted(agg)
+        assert agg.count() == ev.select("user_id").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_ev_agg")

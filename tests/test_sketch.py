@@ -303,3 +303,45 @@ def test_hll_empty_input_estimates_zero(spark):
     assert (row.nonzero_buckets, row.est_distinct) == (0, 0)
     assert row.sum_pow == 1024 * (1 << 33)
     assert sketch.py_estimate({})["est_distinct"] == 0
+
+
+def test_streaming_windowed_distinct_hll_hopping(spark, tmp_path):
+    """Hopping windows: a record folds into every covering window and
+    each closed window's estimate matches the batch sketch of exactly
+    the rows it covers."""
+    from datetime import datetime
+
+    from kafkadirect_spark.sources.stream import stream_from_dir
+    from kafkadirect_spark.streaming.sketch import windowed_distinct_hll
+
+    KV = "key string, value int, ts timestamp"
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+
+    def write(rows, n):
+        spark.createDataFrame(rows, KV).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmp_path}/in/b{n}")
+
+    # size 2min, advance 1min: 10:01:30 covers windows 10:00 and 10:01
+    write([("a", 1, t("10:00:30")), ("a", 2, t("10:01:30"))], 0)
+    src = stream_from_dir(spark, f"{tmp_path}/in/*", KV, key="key", ts="ts")
+    out = windowed_distinct_hll(
+        src.df, key_cols=["key"], ts_col="ts", value_col="value",
+        size="2 minutes", advance="1 minute")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("hll_hop")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        write([("a", 9, t("10:06:00"))], 1)  # close all early windows
+        q.processAllAvailable()
+        rows = {r.window_start.time().isoformat(): r.est_distinct
+                for r in spark.sql("SELECT * FROM hll_hop").collect()}
+        exp = {
+            "09:59:00": _py_sketch([1]),        # covers 09:59-10:01
+            "10:00:00": _py_sketch([1, 2]),     # covers 10:00-10:02
+            "10:01:00": _py_sketch([2]),        # covers 10:01-10:03
+        }
+        for ws, vals in exp.items():
+            assert rows[ws] == sketch.py_estimate(vals)["est_distinct"], ws
+    finally:
+        q.stop()
