@@ -410,3 +410,70 @@ def hist_quantiles_grouped(registers: DataFrame, group_cols: list[str],
         for q in qs_permille])
     return (one.select(*group_cols, F.explode(pairs).alias("r"))
             .select(*group_cols, "r.q_permille", "r.est_value"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) — distinct counts AND set overlap estimation.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+# 48-bit hash space (12 md5 hex chars): (k−1)·2^48 stays far inside
+# int64 for any k ≤ 2^15, which the 56-bit space would not.
+KMV_BITS = 48
+
+
+def _h48(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10) \
+            .cast("long")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """The ``k`` smallest 48-bit hashes of the DISTINCT values of
+    ``col`` — one ``(h)`` row each.  Plans as hash-distinct +
+    TakeOrdered (per-partition heaps of k, no global sort).  Unlike
+    HLL, a KMV sketch supports INTERSECTION estimation: the k smallest
+    of a union, intersected with both input sketches, is an unbiased
+    Jaccard sample (``kmv_jaccard``) — membership against a sketch is
+    exact for union-minima, since any union-minimum belonging to A is
+    necessarily among A's own k minima."""
+    return (df.filter(F.col(col).isNotNull())
+            .select(_h48(F.col(col)).alias("h")).distinct()
+            .orderBy("h").limit(k))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch of the union from two sketches: the k smallest of their
+    combined (distinct) hashes — no raw data needed."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_est_distinct(sketch_df: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Single-row ``(n_sketch, est_distinct)``: exact when the set had
+    fewer than k distinct values (the sketch IS the set), else the
+    classic ``(k−1)·2^48 // h_k`` — all BIGINT."""
+    space = 1 << KMV_BITS
+    return (sketch_df.agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h").alias("__hk"))
+        .select("n_sketch",
+                F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+                 .otherwise(F.expr(
+                     f"CAST({(k - 1) * space} DIV __hk AS LONG)"))
+                 .cast("long").alias("est_distinct")))
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Single-row Jaccard estimate between the sets behind two
+    sketches: ``(m, n_both, jaccard_permille)`` where ``m`` is the
+    union-sketch size and ``n_both`` counts union-minima present in
+    BOTH sketches.  Integer-exact, replayable in SQL."""
+    m = kmv_merge(a, b, k)
+    both = (m.join(a.select(F.col("h").alias("__ha")),
+                   F.col("h") == F.col("__ha"), "left_semi")
+            .join(b.select(F.col("h").alias("__hb")),
+                  F.col("h") == F.col("__hb"), "left_semi"))
+    return (m.agg(F.count("*").cast("long").alias("m"))
+            .join(both.agg(F.count("*").cast("long").alias("n_both")))
+            .select("m", "n_both",
+                    F.expr("CAST(1000 * n_both DIV m AS LONG)")
+                    .alias("jaccard_permille")))

@@ -419,3 +419,62 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         lo=0, hi=1_000_000, bins=1000)
     return sketch.hist_quantiles_grouped(reg, ["event_type"], [500, 990],
                                          lo=0, hi=1_000_000, bins=1000)
+
+
+_KMV_H = "('0x' || substr(md5(t), 1, 12))::BIGINT"
+
+
+@query(
+    "vocab_overlap_kmv",
+    oracle=f"""
+    WITH ta AS (
+      SELECT DISTINCT {_KMV_H} AS h FROM (
+        SELECT unnest({_TOK_SQL}) AS t FROM documents WHERE lang = 'en')),
+    tb AS (
+      SELECT DISTINCT {_KMV_H} AS h FROM (
+        SELECT unnest({_TOK_SQL}) AS t FROM documents WHERE lang <> 'en')),
+    sa AS (SELECT h FROM ta ORDER BY h LIMIT 256),
+    sb AS (SELECT h FROM tb ORDER BY h LIMIT 256),
+    mu AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+           ORDER BY h LIMIT 256),
+    bth AS (SELECT mu.h FROM mu JOIN sa USING (h) JOIN sb USING (h)),
+    ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM sa),
+    eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM sb)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM mu) AS m,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bth) AS n_both,
+      CAST(1000 * (SELECT COUNT(*) FROM bth)
+           // (SELECT COUNT(*) FROM mu) AS BIGINT) AS jaccard_permille,
+      (SELECT CAST(CASE WHEN n < 256 THEN n
+                        ELSE {255 * (1 << 48)} // hk END AS BIGINT)
+       FROM ea) AS est_distinct_en,
+      (SELECT CAST(CASE WHEN n < 256 THEN n
+                        ELSE {255 * (1 << 48)} // hk END AS BIGINT)
+       FROM eb) AS est_distinct_other
+    """,
+)
+def vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between English and non-English documents via
+    KMV sketches (functions/sketch.py kmv_sketch): per-set distinct
+    estimates AND an unbiased Jaccard estimate from the union-minima
+    sample — the set-INTERSECTION capability HLL lacks.  Each sketch
+    is k=256 rows (TakeOrdered over hash-distinct vocab, per-partition
+    heaps); everything downstream operates on ≤256-row frames.
+    Integer arithmetic end to end — an approximate set-similarity
+    estimator with an exact cross-engine oracle."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch, text
+    from kafkadirect_spark.functions.dedup import _persist
+
+    docs = _persist(load_table(spark, sf_dir, "documents")
+                    .select("lang", F.explode(text.tokens("text"))
+                            .alias("t")))
+    a = sketch.kmv_sketch(docs.filter(F.col("lang") == "en"), "t")
+    b = sketch.kmv_sketch(docs.filter(F.col("lang") != "en"), "t")
+    jac = sketch.kmv_jaccard(a, b)
+    ea = (sketch.kmv_est_distinct(a)
+          .select(F.col("est_distinct").alias("est_distinct_en")))
+    eb = (sketch.kmv_est_distinct(b)
+          .select(F.col("est_distinct").alias("est_distinct_other")))
+    return jac.join(ea).join(eb)

@@ -208,6 +208,10 @@ _BNLJ_OK = {
     # same scalar-subquery pattern: the one-ROW corpus doc count rides
     # to the (doc, term) tf table as a broadcast literal.
     "term_relevance_topk",
+    # KMV overlap: the final row is assembled by cross-joining four
+    # SINGLE-ROW aggregates (jaccard, two distinct estimates) — every
+    # input frame is ≤ k=256 rows by construction.
+    "vocab_overlap_kmv",
 }
 
 # Queries allowed ONE unpartitioned window over an input that is

@@ -345,3 +345,45 @@ def test_streaming_windowed_distinct_hll_hopping(spark, tmp_path):
             assert rows[ws] == sketch.py_estimate(vals)["est_distinct"], ws
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("x"))
+    sk = sketch.kmv_sketch(df, "x", k=256)
+    row = sketch.kmv_est_distinct(sk, k=256).collect()[0]
+    assert (row.n_sketch, row.est_distinct) == (100, 100)
+
+
+def test_kmv_distinct_accuracy(spark):
+    """Above k the estimator's relative error is ~1/sqrt(k) ≈ 6% at
+    k=256; assert a loose 3-sigma envelope."""
+    n = 50_000
+    df = spark.range(0, n).select(F.col("id").alias("x"))
+    sk = sketch.kmv_sketch(df, "x", k=256)
+    est = sketch.kmv_est_distinct(sk, k=256).collect()[0].est_distinct
+    assert abs(est - n) / n < 0.20
+
+
+def test_kmv_jaccard_accuracy(spark):
+    """Half-overlapping ranges: true J = |∩|/|∪| = 1/3; the KMV
+    estimate must land within the sampling envelope."""
+    a = spark.range(0, 20_000).select(F.col("id").alias("x"))
+    b = spark.range(10_000, 30_000).select(F.col("id").alias("x"))
+    jac = sketch.kmv_jaccard(
+        sketch.kmv_sketch(a, "x"), sketch.kmv_sketch(b, "x")).collect()[0]
+    assert jac.m == 256
+    assert abs(jac.jaccard_permille - 333) < 100
+
+
+def test_kmv_merge_equals_whole(spark):
+    a = spark.range(0, 5000).select(F.col("x") if False else F.col("id").alias("x"))
+    b = spark.range(3000, 8000).select(F.col("id").alias("x"))
+    merged = sketch.kmv_merge(sketch.kmv_sketch(a, "x"),
+                              sketch.kmv_sketch(b, "x"))
+    whole = sketch.kmv_sketch(a.union(b), "x")
+    assert (sorted(r.h for r in merged.collect())
+            == sorted(r.h for r in whole.collect()))
