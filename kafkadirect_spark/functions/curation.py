@@ -579,3 +579,19 @@ def decontaminate_bloom(train: DataFrame, eval_df: DataFrame,
     return (train.select(id_col).join(hits, id_col, "left")
             .select(id_col, F.coalesce("contaminated", F.lit(False))
                     .alias("contaminated")))
+
+
+def weighted_keep(df: DataFrame, id_col: str, weight: Column,
+                  salt: str = "wkeep") -> DataFrame:
+    """Per-ROW weighted sampling: keep each row with probability
+    ``min(1, weight)`` — soft quality filtering (keep probability
+    proportional to a quality/importance score) as the generalization
+    of ``stratified_sample``'s per-stratum rates.
+
+    Deterministic: the decision is ``hash_bucket(id ∥ salt) <
+    floor(weight·10000)`` — id-keyed, rerun-stable, shuffle-free (a
+    pure Column filter on the scan).  ``floor`` is explicit on both
+    engines: Spark's long-cast truncates but DuckDB's ROUNDS, so the
+    oracle contract pins floor."""
+    thr = F.floor(F.least(weight, F.lit(1.0)) * SPLIT_BUCKETS).cast("long")
+    return df.filter(hash_bucket(id_col, salt=salt) < thr)

@@ -497,3 +497,23 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
     return curation.decontaminate_bloom(train, eval_df, "text", "doc_id",
                                         n=8)
+
+
+@query(
+    "length_weighted_sample",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE {_BUCKET.format(salt='wkeep', n=SPLIT_BUCKETS)} <
+          CAST(floor(LEAST(n_chars / 500.0, 1.0) * {SPLIT_BUCKETS})
+               AS BIGINT)
+    """,
+)
+def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weighted sampling (functions/curation.py weighted_keep):
+    keep probability grows with document length, capped at 1 — the
+    soft-filtering primitive (probability ∝ quality score) that hard
+    thresholds can't express.  Deterministic per id, zero shuffles,
+    every keep decision replayed by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_keep(
+        docs, "doc_id", F.col("n_chars") / 500.0).select("doc_id")

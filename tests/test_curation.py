@@ -352,3 +352,16 @@ def test_decontaminate_bloom_supersets_exact(spark):
     assert set(bloom) == set(exact)
     assert all(bloom[d] or not exact[d] for d in exact)  # superset
     assert bloom == exact  # no FPs at this size
+
+
+def test_weighted_keep_rates_and_cap(spark):
+    """Keep rate tracks the weight (±2% at 10k rows) and weights ≥ 1
+    keep everything; decisions are id-deterministic."""
+    df = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    for w, expect in ((0.3, 0.3), (0.7, 0.7), (1.5, 1.0)):
+        kept = curation.weighted_keep(df, "doc_id", F.lit(w)).count()
+        assert abs(kept / 10_000 - expect) < 0.02, (w, kept)
+    a = curation.weighted_keep(df, "doc_id", F.lit(0.5)).collect()
+    b = curation.weighted_keep(df.repartition(7), "doc_id",
+                               F.lit(0.5)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
