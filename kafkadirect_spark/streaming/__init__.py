@@ -8,11 +8,12 @@ machinery (SURVEY.md §2.6):
 - ``window_fold``  TimeWindowedKStream.aggregate custom fold
 - ``interactive``  queryable state (KafkaStreams.store)
 - ``asof``         time-correct stream⋈stream as-of enrichment
-- ``sketch``       windowed distinct-count via HLL registers
+- ``sketch``       windowed distinct-count (HLL) + space-saving heavy hitters
+- ``dedup``        streaming MinHash-LSH near-duplicate candidates
 - ``topk``         per-window top-k (salted two-phase rank)
 """
 
 from kafkadirect_spark.streaming import (  # noqa: F401
-    asof, interactive, retraction, sessions, sketch, suppress, topk,
-    transform, window_fold,
+    asof, dedup, interactive, retraction, sessions, sketch, suppress,
+    topk, transform, window_fold,
 )

@@ -1326,3 +1326,69 @@ def test_streaming_windowed_topk_tie_break_deterministic(spark, tmpdir):
         assert sorted(got) == [("w", 1), ("x", 2)]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate detection (streaming/dedup.py)
+# ---------------------------------------------------------------------------
+
+def test_row_signatures_match_batch_minhash(spark):
+    """The per-row array-expression signature equals the batch
+    groupBy signature for every document — the contract that makes
+    streaming candidates ≡ batch candidates."""
+    from kafkadirect_spark.functions import dedup as bdedup
+    from kafkadirect_spark.streaming.dedup import row_signature_cols
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(32))
+             for r in bdedup.minhash_signatures(
+                 docs, "text", "doc_id").collect()}
+    row = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(32))
+           for r in docs.select("doc_id", *row_signature_cols("text"))
+           .filter(F.col("sig_0").isNotNull()).collect()}
+    assert row == batch
+
+
+def test_streaming_lsh_candidates_golden(spark, tmpdir):
+    """Cross-batch near-dup detection: a copy arriving later pairs
+    with the original; a copy beyond the horizon does not (state
+    pruned); unrelated text never pairs."""
+    from kafkadirect_spark.streaming.dedup import streaming_lsh_candidates
+
+    DOC = "doc_id long, text string, ts timestamp"
+    a = ("the quick brown fox jumps over the lazy dog again and again "
+         "while the cat watches from the fence")
+    b = "completely unrelated content about database query planners"
+
+    def write(rows, n):
+        spark.createDataFrame(rows, DOC).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmpdir}/in/b{n}")
+
+    write([(1, a, t("10:00:00")), (2, b, t("10:00:01"))], 0)
+    src = stream_from_dir(spark, f"{tmpdir}/in/*", DOC, key="doc_id", ts="ts")
+    out = streaming_lsh_candidates(
+        src.df, "doc_id", "text", "ts", horizon="10 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("lsh_cand")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_lsh").start())
+    try:
+        q.processAllAvailable()
+        # batch 1: a copy of doc 1 within the horizon → candidate pair
+        write([(3, a, t("10:05:00"))], 1)
+        q.processAllAvailable()
+        pairs = {(r.id_new, r.id_prior) for r in
+                 spark.sql("SELECT * FROM lsh_cand").collect()}
+        assert pairs == {(3, 1)}
+        # batch 2: another copy, but far beyond the horizon of 1 and 3
+        # (watermark advances past their ts + horizon, pruning state)
+        write([(4, a, t("11:00:00"))], 2)
+        q.processAllAvailable()
+        write([(5, a, t("12:00:00"))], 3)
+        q.processAllAvailable()
+        pairs = {(r.id_new, r.id_prior) for r in
+                 spark.sql("SELECT * FROM lsh_cand").collect()}
+        # 4 paired with nobody (1,3 expired); 5 paired with nobody
+        # (4 expired once the watermark reached 11:00+10min)
+        assert pairs == {(3, 1)}
+    finally:
+        q.stop()
