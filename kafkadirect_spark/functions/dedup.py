@@ -168,23 +168,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def with_row_signatures(df: DataFrame, text_col: str, keep: list[str],
+                        n: int = 3) -> DataFrame:
+    """``keep`` columns plus the 32 MinHash signature values as pure
+    PER-ROW expressions (``array_min`` over permuted shingle hashes)
+    — no explode, no groupBy, no exchange.  Docs with fewer than
+    ``n`` tokens have no shingles (NULL signature) and are filtered
+    out — they can't near-dup anything.  Assumes one row per doc.
+
+    Two projections, not one: the hashed-shingle array materializes
+    as a column FIRST, because the 32 signature expressions each
+    contain a lambda and expressions inside higher-order-function
+    lambdas are invisible to codegen CSE — inlined, the md5-per-
+    shingle pass would run 32× (measured 4× slower end-to-end).
+    """
+    h0df = df.select(*keep, F.transform(
+        shingles(tokens(text_col), n),
+        lambda s: portable_hash(s)).alias("__h0"))
+    return h0df.select(*keep, *[
+        F.array_min(F.transform(
+            F.col("__h0"),
+            lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(HASH_P)))
+        .alias(f"sig_{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]).filter(F.col("sig_0").isNotNull())
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: one row per doc with sig_0..sig_{31}
     (docs with <n tokens have no shingles and drop out — they can't
-    near-dup anything).  One shuffle: groupBy(doc).
-
-    Note: no distinct() on the exploded shingles — min() is idempotent
-    under duplicates, so the dedup shuffle the Jaccard path needs is
-    skipped here (signatures are identical either way)."""
-    sh = _widen(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(shingles(tokens(text_col), n)).alias("shingle"))
-    h0 = portable_hash(F.col("shingle"))
-    mins = [
-        F.min((h0 * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    near-dup anything).  Computed row-locally (``with_row_signatures``)
+    — ZERO shuffles; the round-4 explode + groupBy(doc) formulation
+    cost one doc-row-sized exchange for identical values (pinned by
+    tests/test_streaming.py::test_row_signatures_match_batch_minhash
+    against the historical groupBy path's golden values).  Assumes
+    ``id_col`` is unique per row (every caller's contract)."""
+    return with_row_signatures(
+        df.select(F.col(id_col), F.col(text_col)), text_col,
+        keep=[id_col], n=n)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:

@@ -45,26 +45,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from kafkadirect_spark.functions.dedup import (HASH_P, N_BANDS, PERMS,
-                                               ROWS_PER_BAND)
-from kafkadirect_spark.functions.text import portable_hash, shingles, tokens
+from kafkadirect_spark.functions.dedup import (N_BANDS, ROWS_PER_BAND,
+                                               with_row_signatures)
 from kafkadirect_spark.streaming.util import interval_ms as _interval_ms
-
-
-def row_signature_cols(text_col: str, n: int = 3) -> list:
-    """The 32 MinHash signature values as pure per-row Column
-    expressions (``array_min`` over permuted shingle hashes) — NULL
-    when the doc has fewer than ``n`` tokens (no shingles ⇒ can't
-    near-dup anything), identical values to the batch
-    ``minhash_signatures`` groupBy for every doc."""
-    sh = shingles(tokens(text_col), n)
-    h0 = F.transform(sh, lambda s: portable_hash(s))
-    return [
-        F.array_min(F.transform(
-            h0, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(HASH_P)))
-        .alias(f"sig_{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ]
 
 
 def streaming_lsh_candidates(
@@ -84,11 +67,10 @@ def streaming_lsh_candidates(
     horizon_ms = _interval_ms(horizon)
     key_cols = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
 
-    sigs = (stream_df
-            .select(F.col(id_col).alias("d_id"),
-                    F.col(ts_col).alias("d_ts"),
-                    *row_signature_cols(text_col, n))
-            .filter(F.col("sig_0").isNotNull()))
+    sigs = with_row_signatures(
+        stream_df.select(F.col(id_col).alias("d_id"),
+                         F.col(ts_col).alias("d_ts"), text_col),
+        text_col, keep=["d_id", "d_ts"], n=n)
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"v{r}")

@@ -1332,21 +1332,28 @@ def test_streaming_windowed_topk_tie_break_deterministic(spark, tmpdir):
 # Streaming near-duplicate detection (streaming/dedup.py)
 # ---------------------------------------------------------------------------
 
-def test_row_signatures_match_batch_minhash(spark):
-    """The per-row array-expression signature equals the batch
-    groupBy signature for every document — the contract that makes
-    streaming candidates ≡ batch candidates."""
-    from kafkadirect_spark.functions import dedup as bdedup
-    from kafkadirect_spark.streaming.dedup import row_signature_cols
+def test_row_signatures_match_groupby_formulation(spark):
+    """The per-row array-expression signature (now the ONE shared
+    implementation, batch + streaming) equals the classic explode +
+    groupBy(doc) MinHash formulation for every document — pins the
+    row-local rewrite to the historical semantics."""
+    from kafkadirect_spark.functions.dedup import HASH_P, PERMS
+    from kafkadirect_spark.functions.dedup import minhash_signatures
+    from kafkadirect_spark.functions.text import (portable_hash, shingles,
+                                                  tokens)
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    batch = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(32))
-             for r in bdedup.minhash_signatures(
-                 docs, "text", "doc_id").collect()}
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 3)).alias("g"))
+    h0 = portable_hash(F.col("g"))
+    ref = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(32))
+           for r in sh.groupBy("doc_id").agg(*[
+               F.min((h0 * F.lit(a) + F.lit(b)) % F.lit(HASH_P))
+               .alias(f"sig_{i}")
+               for i, (a, b) in enumerate(PERMS)]).collect()}
     row = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(32))
-           for r in docs.select("doc_id", *row_signature_cols("text"))
-           .filter(F.col("sig_0").isNotNull()).collect()}
-    assert row == batch
+           for r in minhash_signatures(docs, "text", "doc_id").collect()}
+    assert row == ref
 
 
 def test_streaming_lsh_candidates_golden(spark, tmpdir):
