@@ -238,25 +238,34 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct tokens: bit j of the signature is
-    the sign of Σ_tokens (±1 by bit j of the token hash).  One
-    explode + one groupBy(doc); Hamming-near signatures ⇒ near-dup."""
-    tok = (
-        _widen(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("h", portable_hash(F.col("tok")))
-    )
+    the sign of Σ_tokens (±1 by bit j of the token hash); Hamming-near
+    signatures ⇒ near-dup.
+
+    Computed row-locally like ``with_row_signatures`` — the hashed
+    distinct-token array materializes as a column, then ``bits``
+    fold expressions over that attribute (CSE-safe: the md5 pass runs
+    once per row, not per bit) — ZERO shuffles; the round-4 explode +
+    distinct + groupBy(doc) formulation produced identical signatures
+    through two exchanges (pinned by test_llm_ops.py parity test).
+    Token-less docs drop out, as the explode formulation's did."""
+    h0df = (_widen(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    F.transform(F.array_distinct(tokens(text_col)),
+                                lambda t: portable_hash(t)).alias("__h"))
+            .filter(F.size("__h") > 0))
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s_{j}")
+        F.aggregate(
+            F.col("__h"), F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
         for j in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
     sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    for j, s_j in enumerate(bit_sums):
+        term = F.when(s_j > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return h0df.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

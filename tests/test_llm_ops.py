@@ -423,3 +423,26 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     # points migrate to cluster 1.  k stays 2, both clusters populated.
     assert by_id[0] == by_id[1] == 1
     assert by_id[2] == by_id[3] == 0
+
+
+def test_simhash_row_local_matches_groupby_formulation(spark):
+    """The row-local SimHash equals the classic explode + distinct +
+    groupBy sign-sum for every document — pins the rewrite."""
+    from kafkadirect_spark.functions.text import portable_hash, tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = (docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+           .distinct().withColumn("h", portable_hash(F.col("tok"))))
+    sums = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s_{j}")
+        for j in range(32)])
+    sig = None
+    for j in range(32):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    ref = {r.doc_id: r.sig for r in sums.select(
+        "doc_id", sig.cast("long").alias("sig")).collect()}
+    got = {r.doc_id: r.simhash for r in
+           dedup.simhash(docs, "text", "doc_id").collect()}
+    assert got == ref
