@@ -477,3 +477,27 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
             .select("m", "n_both",
                     F.expr("CAST(1000 * n_both DIV m AS LONG)")
                     .alias("jaccard_permille")))
+
+
+def py_hist_bin(x: int, lo: int, hi: int, bins: int) -> int:
+    """Bin of one integer value — mirrors ``hist_registers``."""
+    b = (x - lo) * bins // (hi - lo)
+    return min(max(b, 0), bins - 1)
+
+
+def py_hist_quantiles(counts: dict[int, int], qs_permille: list[int],
+                      lo: int, hi: int, bins: int) -> dict[int, int]:
+    """{q → estimate} from {bin → cnt} — mirrors ``hist_quantiles``
+    (first-covering-bin lower edge, integer arithmetic)."""
+    n = sum(counts.values())
+    out = {}
+    for q in qs_permille:
+        thr = (q * n + 999) // 1000
+        cum, best = 0, None
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= thr:
+                best = b
+                break
+        out[q] = None if best is None else lo + best * (hi - lo) // bins
+    return out

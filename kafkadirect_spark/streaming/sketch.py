@@ -119,3 +119,44 @@ def windowed_heavy_hitters(
         agg_fields=("top_values array<string>, top_counts array<long>, "
                     "top_errs array<long>"),
         advance=advance, grace=grace)
+
+
+def windowed_quantiles_hist(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    size: str,
+    lo: int,
+    hi: int,
+    bins: int = 1000,
+    qs_permille: tuple[int, ...] = (500, 990),
+    advance: str | None = None,
+    grace: str = "0 seconds",
+) -> DataFrame:
+    """Per-window quantile estimates from the equi-width histogram
+    fold: state is at most ``bins`` integer counters per open window,
+    the fold (bin increment) is commutative, and each closed window's
+    estimates equal the batch ``hist_quantiles`` over exactly its rows
+    (shared arithmetic via the sketch module's Python mirror).  Emits
+    ``(*key_cols, window_start, window_end, q_permille_i, est_i...)``
+    as one column pair per requested quantile."""
+
+    def aggregator(counts: dict, row: dict) -> dict:
+        v = row[value_col]
+        if v is not None:
+            b = str(sketch.py_hist_bin(int(v), lo, hi, bins))
+            counts[b] = counts.get(b, 0) + 1
+        return counts
+
+    def finisher(counts: dict) -> dict:
+        ests = sketch.py_hist_quantiles(
+            {int(k): v for k, v in counts.items()}, list(qs_permille),
+            lo, hi, bins)
+        return {f"est_p{q}": ests[q] for q in qs_permille}
+
+    fields = ", ".join(f"est_p{q} long" for q in qs_permille)
+    return streaming_windowed_aggregate(
+        stream_df, key_cols, ts_col, size,
+        initializer=dict, aggregator=aggregator, finisher=finisher,
+        agg_fields=fields, advance=advance, grace=grace)

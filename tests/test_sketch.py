@@ -387,3 +387,67 @@ def test_kmv_merge_equals_whole(spark):
     whole = sketch.kmv_sketch(a.union(b), "x")
     assert (sorted(r.h for r in merged.collect())
             == sorted(r.h for r in whole.collect()))
+
+
+def test_py_hist_mirror_matches_dataframe(spark):
+    """The Python mirror (used by the streaming fold) equals the
+    DataFrame implementation bin-for-bin and estimate-for-estimate."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 5000) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    reg = {r.bin: r.cnt
+           for r in sketch.hist_registers(df, "x", 0, 5000, 100).collect()}
+    py_reg = {}
+    for v in vals:
+        b = sketch.py_hist_bin(v, 0, 5000, 100)
+        py_reg[b] = py_reg.get(b, 0) + 1
+    assert reg == py_reg
+    want = {r.q_permille: r.est_value
+            for r in sketch.hist_quantiles(
+                sketch.hist_registers(df, "x", 0, 5000, 100),
+                [250, 500, 990], 0, 5000, 100).collect()}
+    got = sketch.py_hist_quantiles(py_reg, [250, 500, 990], 0, 5000, 100)
+    assert got == want
+
+
+def test_streaming_windowed_quantiles(spark, tmp_path):
+    """Closed-window quantile estimates equal the batch histogram over
+    exactly that window's rows."""
+    from datetime import datetime
+
+    from kafkadirect_spark.sources.stream import stream_from_dir
+    from kafkadirect_spark.streaming.sketch import windowed_quantiles_hist
+
+    KV = "key string, value int, ts timestamp"
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+
+    def write(rows, n):
+        spark.createDataFrame(rows, KV).coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmp_path}/in/b{n}")
+
+    vals = [10, 250, 480, 480, 900]
+    write([("a", v, t(f"10:00:0{i}")) for i, v in enumerate(vals)], 0)
+    src = stream_from_dir(spark, f"{tmp_path}/in/*", KV, key="key", ts="ts")
+    out = windowed_quantiles_hist(
+        src.df, key_cols=["key"], ts_col="ts", value_col="value",
+        size="1 minute", lo=0, hi=1000, bins=100, qs_permille=(500, 990))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("hq_win")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        write([("a", 1, t("10:02:00"))], 1)  # close the window
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hq_win").collect()
+        assert len(rows) == 1
+        counts = {}
+        for v in vals:
+            b = sketch.py_hist_bin(v, 0, 1000, 100)
+            counts[b] = counts.get(b, 0) + 1
+        want = sketch.py_hist_quantiles(counts, [500, 990], 0, 1000, 100)
+        assert rows[0].est_p500 == want[500]
+        assert rows[0].est_p990 == want[990]
+    finally:
+        q.stop()
