@@ -14,9 +14,9 @@ Scale design (the 100 TB contract):
   degenerating toward all-pairs on common text.
 - **minhash_signatures / lsh_candidate_pairs** — the sub-quadratic
   scale path: 32 portable min-hashes per doc, banded 8×4; candidate
-  pair ⇔ equal 4-row signature in ≥1 band.  The only shuffles are
-  groupBy(doc) for signatures and groupBy(band, band_sig) for buckets —
-  never an all-pairs join.  Feed candidates to ngram_jaccard_pairs
+  pair ⇔ equal 4-row signature in ≥1 band.  Signatures are row-local
+  array expressions (zero shuffles); the only exchange is
+  groupBy(band, band_sig) for buckets — never an all-pairs join.  Feed candidates to ngram_jaccard_pairs
   (restricted to the candidate set) for exact verification.
 - **simhash** — one 32-bit signature per doc in a single aggregation
   pass; near-dup ⇔ small Hamming distance; bucket by signature (or
@@ -283,7 +283,7 @@ def simhash_pairs(
     signatures within ``n_bands − 1`` differing bits agree on ≥ 1
     band, so candidate recall is EXACT for ``max_hamming <
     n_bands``; exact ``bit_count(xor)`` verification then filters the
-    band collisions.  Shuffles: groupBy(doc) for signatures, one
+    band collisions.  Shuffles: none for signatures (row-local), one
     (band, byte) bucket join — never all-pairs.
     """
     if max_hamming >= n_bands:
