@@ -478,3 +478,50 @@ def vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (sketch.kmv_est_distinct(b)
           .select(F.col("est_distinct").alias("est_distinct_other")))
     return jac.join(ea).join(eb)
+
+
+@query(
+    "user_moving_avg",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT user_id, event_id, cents,
+             CAST(SUM(cents) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c
+      FROM v)
+    SELECT user_id, event_id, cents,
+           CAST(s // c AS BIGINT) AS avg_cents_4
+    FROM w
+    """,
+)
+def user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average over the last 4 events (ROWS frame) —
+    the trailing-window smoothing every monitoring dashboard computes,
+    inexpressible in the reference's merged-window model.  Value is
+    quantized to integer cents FIRST (one deterministic float op), so
+    the windowed SUM and the floor-divided average are hash-exact
+    across engines — a float running mean would drift in the last ulp.
+    The window partitions on high-cardinality user_id: one shuffle,
+    skew-free."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    v = (ev.filter(F.col("value").isNotNull())
+         .select("user_id", "event_id", "ts",
+                 F.floor(F.col("value") * 100).cast("long").alias("cents")))
+    return (v.withColumn("__s", F.sum("cents").over(w))
+            .withColumn("__c", F.count(F.lit(1)).over(w))
+            .select("user_id", "event_id", "cents",
+                    F.expr("CAST(__s DIV __c AS LONG)").alias("avg_cents_4")))
