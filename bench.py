@@ -80,6 +80,11 @@ def main() -> None:
         # importance scores, pure chunk explode
         "volume_shipping": QUERIES["volume_shipping"],
         "lonely_returns": QUERIES["lonely_returns"],
+        # Q12 shape: the one fact⋈fact order-key join in the suite —
+        # the only extras entry whose correct 100 TB plan is a
+        # shuffle join on both sides, so its plan counts pin that
+        # shape against an accidental broadcast-dependence
+        "late_shipment_priority": QUERIES["late_shipment_priority"],
         "customer_order_distribution": QUERIES["customer_order_distribution"],
         "importance_weights": QUERIES["importance_weights"],
         "doc_chunks": QUERIES["doc_chunks"],

@@ -37,7 +37,10 @@ _PROMOTED = [
     # priority_returned_orders — Q5/Q6/Q18/Q4) wait for r6: their
     # close cousins Q1/Q3/Q10 are already driver-green, and all four
     # pass tools/check_oracle.py --exact locally (recorded in
-    # COVERAGE.md).  The novel machinery — semi/anti/correlated TPC-H
+    # COVERAGE.md).  The late batch-5 sweep completers
+    # (important_part_stock/late_shipment_priority/
+    # promotable_suppliers — Q11/Q12/Q20) likewise wait for r6 with
+    # local --exact passes on record.  The novel machinery — semi/anti/correlated TPC-H
     # shapes, chunking, salted domain cap, importance weights, the
     # forward as-of direction — takes the driver slots. --
     "asof_enrich_forward",

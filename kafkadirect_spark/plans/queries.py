@@ -2360,3 +2360,166 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("ts").alias("start_ts"),
              F.max("ts").alias("end_ts"))
     )
+
+
+@query(
+    "important_part_stock",
+    oracle="""
+    WITH natsupp AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'),
+    val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS value_cents
+      FROM lineitem l
+      JOIN natsupp ns ON l.l_suppkey = ns.s_suppkey
+      GROUP BY l.l_partkey)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(v.value_cents AS DOUBLE) / 100.0 AS stock_value
+    FROM val v
+    WHERE v.value_cents * 1000 > (SELECT SUM(value_cents) FROM val)
+    """,
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one nation's
+    suppliers exceeds a FRACTION of that nation's total — the
+    group-vs-global scalar-subquery HAVING (Q11's signature; the
+    reference has no subqueries at all, SURVEY.md §2.4).  Adapted to
+    the driver's schema (no partsupp table): "stock value" is
+    lineitem value (price·qty) through the nation's suppliers.  The
+    threshold compare is cross-multiplied into pure BIGINT cents
+    (value·1000 > total) so no float division can flip a boundary
+    row.  Nation and its ≤ a-few suppliers broadcast into the fact
+    scan; the per-part aggregate shuffles once; the one-row total
+    rides back as a broadcast literal (BNLJ-allowlisted)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = (load_table(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_7"))
+    ns = (s.join(F.broadcast(n),
+                 s["s_nationkey"] == n["n_nationkey"])
+          .select("s_suppkey"))
+    cents = ((F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+             .cast("bigint") * F.col("l_quantity").cast("bigint"))
+    val = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(ns), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                (F.col("value_cents").cast("double") / F.lit(100.0))
+                .alias("stock_value"))
+    )
+
+
+@query(
+    "late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping-speed bucket, how many lines
+    belonged to urgent vs non-urgent orders — the conditional
+    SUM(CASE) pivot over a fact⋈fact join.  Adapted to the driver's
+    schema (no l_shipmode/receiptdate): the bucket is derived from
+    the order→ship delay itself.  Both sides shuffle on the order key
+    (orders is a fact, not a dimension — at 100 TB neither side
+    broadcasts); the ship-date year filter pushes to the lineitem
+    scan, and the two-bucket aggregate collapses map-side before the
+    final near-trivial exchange."""
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = (load_table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >=
+                  F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") <
+                    F.lit("1997-01-01").cast("timestamp")))
+         .select("l_orderkey", "l_shipdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date")) > 90,
+        "SLOW").otherwise("FAST")
+    joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+    return (
+        joined
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(F.sum(high.cast("long")).alias("high_line_count"),
+             F.sum((~high).cast("long")).alias("low_line_count"))
+    )
+
+
+@query(
+    "promotable_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red %'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey),
+    q AS (
+      SELECT l_suppkey, supp_qty,
+             SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM shipped)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    WHERE q.supp_qty * 2 > q.part_qty
+    """,
+)
+def promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped the MAJORITY of some
+    red-named part's yearly volume — Q20's nested IN-subquery chain
+    (part-name prefix → per-(supp, part) aggregate → correlated
+    half-of-total threshold → semi-join up to supplier) decorrelated
+    the Spark way.  Adapted to the driver's schema (no partsupp
+    availability): the correlated threshold compares a supplier's
+    shipped quantity against the part's total.  The name-filtered
+    part keys broadcast into the scan; one shuffle builds the
+    (supp, part) partials; the part total is a sum window over the
+    high-cardinality part key (not a rank — lint-clean); quantities
+    stay integral BIGINT so the majority compare is exact."""
+    from pyspark.sql import Window as W
+
+    pr = (load_table(spark, sf_dir, "part")
+          .filter(F.col("p_name").like("red %"))
+          .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >=
+                   F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") <
+                     F.lit("1997-01-01").cast("timestamp")))
+          .join(F.broadcast(pr),
+                F.col("l_partkey") == F.col("p_partkey")))
+    shipped = (li.groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                    .alias("supp_qty")))
+    part_qty = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+    winners = (shipped
+               .withColumn("part_qty", part_qty)
+               .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+               .select("l_suppkey").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    return (winners.join(F.broadcast(s),
+                         F.col("l_suppkey") == s["s_suppkey"])
+            .select("s_suppkey", "s_name"))

@@ -212,6 +212,9 @@ _BNLJ_OK = {
     # SINGLE-ROW aggregates (jaccard, two distinct estimates) — every
     # input frame is ≤ k=256 rows by construction.
     "vocab_overlap_kmv",
+    # Q11 shape: the one-ROW national stock total is cross-joined onto
+    # the per-part aggregate as a broadcast literal (scalar subquery).
+    "important_part_stock",
 }
 
 # Queries allowed ONE unpartitioned window over an input that is
