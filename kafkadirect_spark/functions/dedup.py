@@ -201,8 +201,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, n: int = 3) ->
     — ZERO shuffles at scale; the round-4 explode + groupBy(doc)
     formulation cost one doc-row-sized exchange for identical values
     (pinned by tests/test_streaming.py::
-    test_row_signatures_match_batch_minhash against the historical
-    groupBy path's golden values).  Assumes ``id_col`` is unique per
+    test_row_signatures_match_groupby_formulation against the
+    historical groupBy path's golden values).  Assumes ``id_col`` is unique per
     row (every caller's contract).
 
     ``_widen`` first: the 32 per-row hash folds are the expensive

@@ -19,7 +19,13 @@ Two growth modes:
 Prints one JSON line per (operator, replication):
   {"op": "...", "mode": "...", "repl": N, "docs": M, "sec": T}
 
-Usage:  python tools/scale_probe.py [--organic] [sf_dir] [max_repl]
+Usage:  python tools/scale_probe.py [--organic] [--ops a,b,c]
+            [--start N] [sf_dir] [max_repl]
+
+``--ops`` restricts to a comma-separated probe subset; ``--start``
+skips replication factors below N (e.g. ``--start 64 ... 256`` runs
+just the 64× and 256× points, giving a same-session step ratio
+without re-measuring the small points).
 """
 
 from __future__ import annotations
@@ -35,7 +41,8 @@ from pyspark.sql import functions as F
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
-         organic: bool = False) -> None:
+         organic: bool = False, ops: list[str] | None = None,
+         start: int = 1) -> None:
     from kafkadirect_spark.functions import curation, dedup
     from kafkadirect_spark.functions.dedup import release_caches
     from kafkadirect_spark.session import get_spark
@@ -98,8 +105,16 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "decontaminate": probe_decontaminate,
               "importance": probe_importance,
               "sketches": probe_sketches}
+    if ops:
+        unknown = set(ops) - set(probes)
+        if unknown:
+            raise SystemExit(f"unknown --ops {sorted(unknown)}; "
+                             f"choose from {sorted(probes)}")
+        probes = {k: v for k, v in probes.items() if k in ops}
 
     repl = 1
+    while repl < start:
+        repl *= 4
     while repl <= max_repl:
         docs = replicate(repl).persist()
         n = docs.count()
@@ -120,6 +135,16 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
+    ops: list[str] | None = None
+    if "--ops" in args:
+        i = args.index("--ops")
+        ops = args[i + 1].split(",")
+        del args[i:i + 2]
+    start = 1
+    if "--start" in args:
+        i = args.index("--start")
+        start = int(args[i + 1])
+        del args[i:i + 2]
     main(args[0] if args else "/root/testdata/sf0.1",
          int(args[1]) if len(args) > 1 else 16,
-         organic=organic)
+         organic=organic, ops=ops, start=start)
