@@ -514,7 +514,8 @@ def assign_clusters(df: DataFrame, id_col: str, vec_col: str,
 
 def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
                      k: int = 4, iters: int = 2,
-                     scale: int = 10_000) -> DataFrame:
+                     scale: int = 10_000,
+                     keep_qvec: bool = False) -> DataFrame:
     """Distributed Lloyd's k-means over GLOBALLY quantized embeddings —
     iterative clustering whose every step is integer arithmetic, so the
     final assignment is hash-exact across engines (the float version
@@ -536,10 +537,12 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
     MLlib pattern) to become the next iteration's literals.
 
     Returns ``(id_col, cluster_id, dist_sq)`` for the final
-    assignment.  Reference analogue: none — Kafka Streams has no
-    iterative compute at all (SURVEY.md §2.4); this is the Spark-side
-    primitive SemDeDup-style pipelines need above
-    ``assign_clusters``'s fixed seeding.
+    assignment (plus the quantized vector as ``qvec`` when
+    ``keep_qvec`` — ``semdedup_prune`` reuses it so the within-cluster
+    similarity pass needs no join back to the embeddings).  Reference
+    analogue: none — Kafka Streams has no iterative compute at all
+    (SURVEY.md §2.4); this is the Spark-side primitive SemDeDup-style
+    pipelines need above ``assign_clusters``'s fixed seeding.
     """
     q = _persist(df.select(
         F.col(id_col),
@@ -583,7 +586,96 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
         cents = {cid: new_cents.get(cid, cv) for cid, cv in cents.items()}
 
     best = best_expr()
+    extra = [F.col("__qv").alias("qvec")] if keep_qvec else []
     return q.select(
         F.col(id_col),
         best["cid"].alias("cluster_id"),
-        best["d"].alias("dist_sq"))
+        best["d"].alias("dist_sq"),
+        *extra)
+
+
+def semdedup_prune(df: DataFrame, id_col: str, vec_col: str, dim: int = 64,
+                   k: int = 4, iters: int = 2, scale: int = 10_000,
+                   tau_num: int = 9, tau_den: int = 20) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): k-means the embedding
+    space, then mark as semantic duplicates the vectors that have a
+    LOWER-id cluster-mate with cosine ≥ tau (tau = tau_num/tau_den) —
+    keep-lowest-id, the paper's cluster-then-prune recipe that replaces
+    corpus-wide all-pairs with within-cluster pairs.
+
+    Every comparison is integer-exact on the globally-quantized
+    vectors (``kmeans_quantized``'s ``floor(v·scale)`` longs):
+    ``cos(a,b) >= tau  ≡  dot > 0  AND
+    tau_den²·dot² >= tau_num²·|a|²·|b|²``, evaluated in DECIMAL(38,0)
+    (DuckDB HUGEINT) — dot ≤ dim·(scale·|v|max)² ≈ 6e8 here, so the
+    squared products peak ~1e20: far above int64, far below 10^38.
+
+    Scale ledger: assignment is the zero-shuffle literal-centroid
+    projection; the prune is ONE self-join shuffled on cluster_id.
+    Within-cluster work is quadratic in cluster size BY DESIGN — that
+    is SemDeDup's own cost model, and k is the knob: the paper runs
+    k≈100k on 5B embeddings to keep clusters ~10^4.  When k is SMALLER
+    than the cluster's core count (the k=4 demo configuration), a
+    plain cluster-keyed join would strand the pair work on k tasks, so
+    the join key is salted ``(cluster, id-hash bucket)`` with the b
+    side replicated S = ~2·parallelism/k ways — S collapses to 1 (no
+    replication, no extra cost) once k exceeds the core count, which
+    is every realistic deployment.
+
+    Returns ``(id_col, cluster_id, is_dup)`` for every input row.
+    """
+    # norms are computed ONCE per row here — recomputing |v|² per PAIR
+    # would fold two interpreted dim-element array aggregates into
+    # every candidate (measured 14.9 s → 7.3 s at sf0.1 before the
+    # unrolled-dot rewrite below took the pair stage to ~1.6 s)
+    nsq = F.aggregate(
+        F.transform(F.col("qvec"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    assigned = _persist(kmeans_quantized(
+        df, id_col, vec_col, k=k, iters=iters, scale=scale,
+        keep_qvec=True).drop("dist_sq").withColumn("__n2", nsq))
+    spread = max(1, (2 * df.sparkSession.sparkContext.defaultParallelism)
+                 // max(1, k))
+    a = assigned.select(F.col(id_col).alias("__ida"),
+                        F.col("cluster_id").alias("__ca"),
+                        F.col("qvec").alias("__qa"),
+                        F.col("__n2").alias("__na2"),
+                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(spread))
+                        .alias("__sa"))
+    b = assigned.select(F.col(id_col).alias("__idb"),
+                        F.col("cluster_id").alias("__cb"),
+                        F.col("qvec").alias("__qb"),
+                        F.col("__n2").alias("__nb2"))
+    if spread > 1:
+        b = b.withColumn(
+            "__sb", F.explode(F.array(*[F.lit(i) for i in range(spread)])))
+    else:
+        b = b.withColumn("__sb", F.lit(0))
+    # UNROLLED dot product: Spark evaluates higher-order array
+    # functions (aggregate/zip_with) interpreted, outside whole-stage
+    # codegen — at 500k candidate pairs the interpreted fold cost
+    # ~2.5 s at sf0.1 vs ~1.6 s unrolled (filter included).  A
+    # fixed-width element_at chain codegens like any arithmetic — the
+    # same row-local-fold lesson as the round-5 MinHash rewrite.
+    terms = [F.element_at("__qa", i + 1) * F.element_at("__qb", i + 1)
+             for i in range(dim)]
+    dot = terms[0]
+    for t in terms[1:]:
+        dot = dot + t
+    dec = "decimal(38,0)"
+    is_near = (F.col("__dot") > 0) & (
+        F.lit(tau_den * tau_den).cast(dec)
+        * F.col("__dot").cast(dec) * F.col("__dot").cast(dec)
+        >= F.lit(tau_num * tau_num).cast(dec)
+        * F.col("__na2").cast(dec) * F.col("__nb2").cast(dec))
+    dup_ids = (a.join(b, (F.col("__ca") == F.col("__cb"))
+                      & (F.col("__sa") == F.col("__sb"))
+                      & (F.col("__idb") < F.col("__ida")))
+               .withColumn("__dot", dot)
+               .filter(is_near)
+               .select(F.col("__ida").alias(id_col)).distinct())
+    return (assigned.join(dup_ids.withColumn("__dup", F.lit(True)),
+                          [id_col], "left")
+            .select(F.col(id_col), F.col("cluster_id"),
+                    F.coalesce(F.col("__dup"), F.lit(False))
+                    .alias("is_dup")))

@@ -68,14 +68,20 @@ def _h56(c: Column) -> Column:
             .cast("long")
 
 
-def hll_registers(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
+def hll_registers(df: DataFrame, col: str, p: int = P_DEFAULT,
+                  by: tuple[str, ...] = ()) -> DataFrame:
     """Sketch ``col`` into HLL registers: one row per *present* bucket,
-    columns ``(bucket, min_bitlen)``.  Null keys are skipped (the
+    columns ``(*by, bucket, min_bitlen)``.  Null keys are skipped (the
     engine-wide null-key contract, SURVEY.md §1.3).
+
+    ``by`` builds one independent sketch per group (per day, per
+    source, …) in the same pass — the mergeable-partials shape: group
+    sketches later combine via ``hll_merge``/register min without
+    re-reading data.
 
     This is the ONLY shuffle in the sketch path, and it is a partial
     aggregate: each task pre-mins its buckets, so the exchange carries
-    at most ``m`` rows per task regardless of input size.
+    at most ``m`` rows per task per group regardless of input size.
     """
     m = _m(p)
     h = _h56(F.col(col))
@@ -87,9 +93,10 @@ def hll_registers(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
     bitlen = F.length(F.regexp_replace(F.bin(w), "^0+", ""))
     return (
         df.filter(F.col(col).isNotNull())
-        .select(h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        .select(*[F.col(g) for g in by],
+                h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
                 bitlen.cast("int").alias("bitlen"))
-        .groupBy("bucket")
+        .groupBy(*by, "bucket")
         .agg(F.min("bitlen").alias("min_bitlen"))
     )
 
@@ -106,28 +113,32 @@ def hll_merge(*register_dfs: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.min("min_bitlen").alias("min_bitlen"))
 
 
-def hll_estimate(registers: DataFrame, p: int = P_DEFAULT) -> DataFrame:
-    """Single-row estimate from a register table: ``(m,
-    nonzero_buckets, sum_pow, est_distinct)`` — every column BIGINT,
-    every step integer, so the result is hash-exact across engines."""
+def hll_estimate(registers: DataFrame, p: int = P_DEFAULT,
+                 by: tuple[str, ...] = ()) -> DataFrame:
+    """Estimate from a register table: ``(*by, m, nonzero_buckets,
+    sum_pow, est_distinct)`` — one row per group (a single row without
+    ``by``) — every column BIGINT, every step integer, so the result
+    is hash-exact across engines."""
     m = _m(p)
     a = alpha_m2(p)
     empty_pow = 1 << (W_FIELD + 1)
-    agg = registers.agg(
+    aggs = [
         F.count("*").cast("long").alias("nonzero_buckets"),
         # coalesce: SUM over zero rows is NULL, and an empty sketch
         # must estimate 0, not NULL (or the raw estimator's alpha·m)
         F.coalesce(
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), min_bitlen)")), F.lit(0))
-         .cast("long").alias("present_pow"))
+         .cast("long").alias("present_pow")]
+    agg = registers.groupBy(*by).agg(*aggs) if by else registers.agg(*aggs)
     return agg.select(
+        *by,
         F.lit(m).cast("long").alias("m"),
         F.col("nonzero_buckets"),
         (F.col("present_pow")
          + (F.lit(m) - F.col("nonzero_buckets")) * F.lit(empty_pow))
         .cast("long").alias("sum_pow"),
     ).select(
-        "m", "nonzero_buckets", "sum_pow",
+        *by, "m", "nonzero_buckets", "sum_pow",
         # integer DIV, not `/`: the numerator (~2^53 at p=10) and the
         # quotient must match DuckDB's exact // to the last bit
         F.when(F.col("nonzero_buckets") == 0, F.lit(0).cast("long"))

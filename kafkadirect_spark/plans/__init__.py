@@ -17,79 +17,82 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # Round-5 window.  Two admission rules (VERDICT r4 + ADVICE r4):
-    # (1) every query without an r4 driver row — the 29 below were all
-    #     r3-green but must not go two rounds unchecked;
+    # Round-6 window.  Two admission rules (VERDICT r4, standing):
+    # (1) every query whose newest driver CORRECTNESS row would
+    #     otherwise fall more than 2 rounds stale — enforced by
+    #     tests/test_plans.py's rotation-staleness sweep;
     # (2) every query whose implementation or oracle CHANGED this
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 2: changed in round 5 --
-    "embedding_quantize",     # ArrayType output → md5 scalar (gate fix)
-    "pack_sequences",         # oracle: BIGINT cast on windowed SUM
-    "corpus_stats",           # avg_size → avg_size_milli; pXX dtype cast
-    "quality_topk_per_lang",  # two-phase salted top-k plan
-    "dedup_spans",            # winner groupBy on (xxhash64, crc32)
-    # -- new in round 5 (no driver row yet by construction).  20 new
-    # queries compete for 16 free slots (the 34 above are mandatory:
-    # VERDICT r4 #2).  The four plain aggregate shapes
-    # (local_supplier_volume/forecast_revenue/large_order_customers/
-    # priority_returned_orders — Q5/Q6/Q18/Q4) wait for r6: their
-    # close cousins Q1/Q3/Q10 are already driver-green, and all four
-    # pass tools/check_oracle.py --exact locally (recorded in
-    # COVERAGE.md).  The late batch-5 sweep completers
-    # (important_part_stock/late_shipment_priority/
-    # promotable_suppliers — Q11/Q12/Q20) likewise wait for r6 with
-    # local --exact passes on record.  The novel machinery — semi/anti/correlated TPC-H
-    # shapes, chunking, salted domain cap, importance weights, the
-    # forward as-of direction — takes the driver slots. --
-    "asof_enrich_forward",
-    "doc_chunks",
-    "domain_cap",
-    "ngram_topk",
-    "importance_weights",
-    # -- new in round 5, batch 2: the remaining TPC-H shapes --
-    "volume_shipping",
-    "market_share",
-    "product_type_profit",
-    "customer_order_distribution",
-    "top_supplier",
-    "supplier_part_variety",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
-    "lonely_returns",
-    "idle_rich_customers",
-    "cheapest_supplier",
-    # -- rule 1: no r4 CORRECTNESS row --
-    "join_interval_left",
-    "join_interval_outer",
-    "join_table_table",
-    "join_table_table_outer",
-    "join_global_enrich",
-    "promo_revenue_share",
-    "supplier_nation_volume",
-    "skew_salted_join",
-    "skew_salted_distinct",
-    "yahoo_pipeline",
-    "table_group_aggregate",
-    "smt_chain",
-    "scan_from_timestamp",
-    "ts_policy_skip",
-    "ts_policy_previous",
-    "map_rekey_count",
-    "flat_map_rekey_ledger",
-    "table_to_stream_count",
-    "session_reduce",
-    "table_tombstones",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_verified_pairs",
-    "text_stats",
-    "text_langid",
+    # -- rule 1, mandatory: the 24 round-5 queries that have never had
+    #    a driver row (VERDICT r5 item #2; all pass
+    #    tools/check_oracle.py --exact locally) --
+    "local_supplier_volume",
+    "forecast_revenue",
+    "large_order_customers",
+    "priority_returned_orders",
+    "scd2_history",
+    "sessionize_events",
+    "important_part_stock",
+    "late_shipment_priority",
+    "promotable_suppliers",
+    "semantic_clusters",
+    "decontaminate_bloom",
+    "length_weighted_sample",
+    "distinct_orders_hll",
+    "global_shuffle",
+    "sample_exact_count",
+    "term_relevance_topk",
+    "kmeans_clusters",
+    "heavy_hitters_cms",
+    "event_funnel",
+    "retention_cohorts",
+    "value_quantiles_hist",
+    "value_quantiles_by_type",
+    "vocab_overlap_kmv",
+    "user_moving_avg",
+    # -- new in round 6 (no driver row by construction; all pass
+    #    tools/check_oracle.py --exact locally): the bucketed range
+    #    join, SemDeDup prune, mergeable rolling HLL, integer z-score
+    #    outliers, SCD2 point-in-time snapshot --
+    "range_bucket_join",
+    "semdedup_prune",
+    "rolling_distinct_hll",
+    "value_outliers",
+    "scd2_asof_snapshot",
+    # -- rule 2 is also satisfied for the two changed-in-r6 queries
+    #    (kmeans_clusters: oracle refactor + keep_qvec;
+    #    retention_cohorts: oracle TIMESTAMP cast) — both are above.
+    # -- remaining slots: the r4-green queries most at risk of drift
+    #    (complex similarity / curation / winnowing / streaming-policy
+    #    shapes first).  The 24 r4-green remainder (the trivial core
+    #    operators — filter/map/branch/windowed counts, stream↔table
+    #    joins — plus the driver-stable TPC-H Q1/Q3/Q10/rollup shapes
+    #    and join_interval_inner) keep their r4 rows — exactly 2
+    #    rounds old after r6, the staleness bound — and rotate in
+    #    round 7. --
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_multiprobe",
+    "dedup_embedding_cosine",
+    "multimodal_meta",
+    "corpus_curation",
+    "decontaminate",
+    "sample_split",
+    "sample_stratified",
+    "corpus_mix_upsample",
+    "vocab_topk",
+    "boilerplate_flag",
+    "pii_redaction",
+    "text_quality",
+    "text_repetition",
+    "doc_fingerprint",
+    "doc_winnow",
+    "winnow_overlap_pairs",
+    "event_gaps",
+    "asof_enrich",
 ]
 
 

@@ -134,10 +134,13 @@ _KM_DIST = """
 """
 
 
-@query(
-    "kmeans_clusters",
-    oracle=f"""
-    WITH q AS (
+# The full 2-iteration integer k-means replay, factored so both
+# kmeans_clusters and semdedup_prune share one oracle formulation:
+# quantize → seed on the 4 smallest ids → assign → integer centroid
+# means → reassign.  Exposes ``q(vec_id, qv)`` and
+# ``a2(vec_id, cluster_id, dist_sq)``.
+_KM_CTES = f"""
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -162,11 +165,20 @@ _KM_DIST = """
                   ELSE list(u.v ORDER BY u.p) END AS cv
       FROM seed s LEFT JOIN u1 u ON u.cid = s.cid
       GROUP BY s.cid),
-    d2 AS ({_KM_DIST.format(cents='c1')})
-    SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM (
-      SELECT vec_id, cid, d,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      FROM d2) WHERE rn = 1
+    d2 AS ({_KM_DIST.format(cents='c1')}),
+    a2 AS (
+      SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1)
+"""
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH {_KM_CTES}
+    SELECT vec_id, cluster_id, dist_sq FROM a2
     """,
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,10 +305,15 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_cohorts",
     oracle="""
     WITH f AS (
-      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      -- TIMESTAMP cast: DuckDB's date_trunc('week') yields DATE while
+      -- Spark's yields TIMESTAMP; the driver's pandas canonicalization
+      -- absorbs that (both become datetime64), but the cast keeps the
+      -- tolerant row-compare in tools/check_oracle.py exact too.
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cw
       FROM events GROUP BY user_id),
     a AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events)
     SELECT f.cw AS cohort_week,
            CAST(date_diff('day', f.cw, a.w) // 7 AS BIGINT) AS week_offset,
            CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
@@ -525,3 +542,245 @@ def user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("__c", F.count(F.lit(1)).over(w))
             .select("user_id", "event_id", "cents",
                     F.expr("CAST(__s DIV __c AS LONG)").alias("avg_cents_4")))
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH {_KM_CTES},
+    pairs AS (
+      SELECT a.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> qa.qv[i] * qb.qv[i])) AS HUGEINT) AS dot,
+             CAST(list_sum(list_transform(qa.qv, x -> x * x)) AS HUGEINT)
+               AS na2,
+             CAST(list_sum(list_transform(qb.qv, x -> x * x)) AS HUGEINT)
+               AS nb2
+      FROM a2 a
+      JOIN a2 b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id),
+    dup AS (
+      SELECT DISTINCT vec_id FROM pairs
+      WHERE dot > 0 AND 400::HUGEINT * dot * dot >= 81::HUGEINT * na2 * nb2)
+    SELECT a2.vec_id, a2.cluster_id,
+           (dup.vec_id IS NOT NULL) AS is_dup
+    FROM a2 LEFT JOIN dup ON dup.vec_id = a2.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune (Abbas et al. 2023): integer k-means
+    partitions the embedding space, then each vector is flagged as a
+    semantic duplicate if a LOWER-id cluster-mate has cosine >= 0.45 —
+    the within-cluster pass that replaces corpus-wide all-pairs.  Every
+    comparison is integer arithmetic over the globally-quantized
+    vectors, evaluated in DECIMAL(38,0)/HUGEINT (the squared products
+    exceed int64), so the APPROXIMATE pipeline has an EXACT oracle.
+    Scale: zero-shuffle assignment + one self-join on cluster_id
+    (functions/similarity.py semdedup_prune)."""
+    from kafkadirect_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(emb, "vec_id", "embedding",
+                                     dim=64, k=4, iters=2)
+
+
+# -- rolling cumulative HLL: the merge path, exercised as a query --
+
+_HLL_P, _HLL_M = 10, 1024
+_HLL_WMASK = 1 << sketch.W_FIELD
+_HLL_EMPTY = 1 << (sketch.W_FIELD + 1)
+_HLL_NUM = sketch.alpha_m2(_HLL_P) * _HLL_EMPTY
+
+
+@query(
+    "rolling_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+      -- TIMESTAMP cast: DuckDB date_trunc('day') yields DATE, Spark's
+      -- yields TIMESTAMP (same alignment as retention_cohorts)
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS as_of,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+               AS h56
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT as_of, h56 % {_HLL_M} AS bucket,
+             length(ltrim(bin((h56 // {_HLL_M}) % {_HLL_WMASK}), '0'))
+               AS bitlen
+      FROM h),
+    reg AS (
+      SELECT as_of, bucket, MIN(bitlen) AS min_bitlen
+      FROM b GROUP BY as_of, bucket),
+    days AS (SELECT DISTINCT as_of FROM reg),
+    cum AS (
+      SELECT d.as_of, r.bucket, MIN(r.min_bitlen) AS min_bitlen
+      FROM days d JOIN reg r ON r.as_of <= d.as_of
+      GROUP BY d.as_of, r.bucket),
+    s AS (
+      SELECT as_of, CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+             CAST(COALESCE(SUM(1::BIGINT << min_bitlen), 0) AS BIGINT)
+               AS present_pow
+      FROM cum GROUP BY as_of)
+    SELECT as_of, CAST({_HLL_M} AS BIGINT) AS m, nonzero_buckets,
+           CAST(present_pow
+                + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT
+                AS BIGINT) AS sum_pow,
+           CAST(CASE WHEN nonzero_buckets = 0 THEN 0
+                ELSE {_HLL_NUM}::BIGINT
+                  // (present_pow
+                      + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM s
+    """,
+)
+def rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via MERGED daily HLL sketches —
+    the mergeability demo: one pass builds per-day registers (grouped
+    partial-aggregated, <= m rows per day), then every as-of day's
+    estimate is a register-min MERGE of the days before it, never a
+    re-read of raw events.  The day x day register expansion is
+    register-space (days^2 x m rows at most), independent of data
+    volume — a COUNT(DISTINCT) formulation would rescan and reshuffle
+    the raw keys once per as-of day.  Integer-exact end to end."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketch.hll_registers(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        "user_id", p=_HLL_P, by=("day",))
+    days = regs.select(F.col("day").alias("as_of")).distinct()
+    cum = (regs.join(F.broadcast(days), F.col("day") <= F.col("as_of"))
+           .groupBy("as_of", "bucket")
+           .agg(F.min("min_bitlen").alias("min_bitlen")))
+    return sketch.hll_estimate(cum, p=_HLL_P, by=("as_of",))
+
+
+@query(
+    "range_bucket_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents
+      FROM customer),
+    s AS (
+      SELECT s_suppkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS lo
+      FROM supplier)
+    SELECT s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c.c_cents) AS BIGINT) AS sum_cents
+    FROM c JOIN s ON c.c_cents >= s.lo AND c.c_cents < s.lo + 100000
+    GROUP BY s.s_suppkey
+    """,
+)
+def range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join WITHOUT a nested loop
+    (operators/rangejoin.py): each supplier opens the balance interval
+    [s_acctbal, s_acctbal + $1000); customers landing inside are
+    matched through fixed-width bucket quantization — intervals explode
+    to <= 3 bucket rows, points map to one, and an ordinary shuffled
+    equi-join on the bucket id replaces the BroadcastNestedLoopJoin /
+    cartesian Spark would otherwise plan for the bare inequality.
+    Both sides stay shuffle-partitioned (either may be fact-sized);
+    money is integer cents so the containment check is exact.  The
+    oracle is the naive inequality join — same semantics, scale-naive
+    plan."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.operators import rangejoin
+
+    cents = lambda c: F.floor(F.col(c) * 100).cast("long")  # noqa: E731
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", cents("c_acctbal").alias("c_cents")))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", cents("s_acctbal").alias("lo"),
+                    (cents("s_acctbal") + 100000).alias("hi")))
+    joined = rangejoin.point_in_interval_join(
+        cust, supp, "c_cents", "lo", "hi", bucket_width=50_000)
+    return (joined.groupBy("s_suppkey")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("c_cents").cast("long").alias("sum_cents")))
+
+
+@query(
+    "value_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE value IS NOT NULL),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(value_cents) AS HUGEINT) AS s,
+             CAST(SUM(value_cents * value_cents) AS HUGEINT) AS q
+      FROM b GROUP BY event_type)
+    SELECT b.event_id, b.event_type, b.value_cents
+    FROM b JOIN st USING (event_type)
+    WHERE (st.n * b.value_cents - st.s) * (st.n * b.value_cents - st.s)
+          > 9::HUGEINT * (st.n * st.q - st.s * st.s)
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|v - mean| > 3 sigma) with NO
+    float statistics: since var = (n*Q - S^2)/n^2, the test
+    |v - S/n| > 3*sigma algebraizes to
+    (n*v - S)^2 > 9*(n*Q - S^2) over integer cents, evaluated in
+    DECIMAL(38,0)/HUGEINT — mean and variance never materialize as
+    floats, so the flag set is hash-exact across engines (a float
+    sigma would flip borderline rows in the last ulp).  Bounds: with
+    cents <= 1e5 the comparison peaks ~1e28 at 1e9 rows/group — inside
+    DECIMAL(38,0).  Scale: one groupBy(event_type) partial-aggregated
+    stats pass (3 longs per type), broadcast back — the raw events are
+    scanned twice but never reshuffled."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    base = ev.select("event_id", "event_type",
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("value_cents"))
+    dec = "decimal(38,0)"
+    stats = (base.groupBy("event_type")
+             .agg(F.count("*").cast(dec).alias("__n"),
+                  F.sum("value_cents").cast(dec).alias("__s"),
+                  F.sum(F.col("value_cents") * F.col("value_cents"))
+                  .cast(dec).alias("__q")))
+    j = base.join(F.broadcast(stats), "event_type")
+    dev = (F.col("__n") * F.col("value_cents").cast(dec) - F.col("__s"))
+    rhs = (F.lit(9).cast(dec)
+           * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")))
+    return (j.filter(dev * dev > rhs)
+            .select("event_id", "event_type", "value_cents"))
+
+
+@query(
+    "scd2_asof_snapshot",
+    oracle="""
+    SELECT user_id, value, ts AS valid_from
+    FROM (
+      SELECT user_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        AND ts <= TIMESTAMP '2024-01-16 00:00:00')
+    WHERE rn = 1
+    """,
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read over the scd2_history changelog:
+    the state of every user's purchase dimension AS OF 2024-01-16 —
+    latest version with valid_from <= T.  Planned as one max_by
+    (struct-max last-wins, the Table.from_changelog pattern — no sort,
+    no window, one shuffle with map-side partials); the time-travel
+    filter prunes at the scan.  Companion to scd2_history, which
+    materializes the full validity-interval history."""
+    from pyspark.sql import functions as F
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & (F.col("event_type") == "purchase")
+                  & (F.col("ts") <= F.lit("2024-01-16 00:00:00")
+                     .cast("timestamp"))))
+    return (ev.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("__s"))
+            .select("user_id", F.col("__s.value").alias("value"),
+                    F.col("__s.ts").alias("valid_from")))

@@ -446,3 +446,55 @@ def test_simhash_row_local_matches_groupby_formulation(spark):
     got = {r.doc_id: r.simhash for r in
            dedup.simhash(docs, "text", "doc_id").collect()}
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cluster-then-prune (similarity.semdedup_prune)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_flags_within_cluster_near_dups_only(spark):
+    # blob A: 0 (keeper), 3 near-identical followers; blob B: distinct
+    # directions (low mutual cosine) — nothing should be flagged there.
+    pts = [(0, [1.0, 0.0]), (1, [-1.0, 8.0]),
+           (2, [0.99, 0.01]), (3, [1.01, -0.02]), (4, [0.98, 0.0]),
+           (5, [1.0, 9.0]), (6, [-8.0, 1.0])]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    out = {r.vec_id: r for r in similarity.semdedup_prune(
+        df, "vec_id", "v", dim=2, k=2, iters=2).collect()}
+    assert len(out) == len(pts)  # every row present, flagged or not
+    # followers of 0 are dups; 0 itself (lowest id) is kept
+    assert not out[0].is_dup
+    assert out[2].is_dup and out[3].is_dup and out[4].is_dup
+    # the lowest id in EVERY cluster is never flagged
+    by_cluster: dict[int, list] = {}
+    for r in out.values():
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for rows in by_cluster.values():
+        keeper = min(rows, key=lambda r: r.vec_id)
+        assert not keeper.is_dup
+
+
+def test_semdedup_matches_brute_force_within_clusters(spark):
+    """The integer DECIMAL(38) comparison equals a brute-force float
+    check on the same quantized vectors (tau = 0.45)."""
+    import itertools
+
+    vals = [(i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(8)])
+            for i in range(24)]
+    df = spark.createDataFrame(vals, "vec_id long, v array<double>")
+    out = similarity.semdedup_prune(df, "vec_id", "v", dim=8, k=3, iters=2)
+    got = {r.vec_id: (r.cluster_id, r.is_dup) for r in out.collect()}
+
+    import math
+    # floor (not trunc) quantization, exactly as kmeans_quantized
+    q = {i: [math.floor(x * 10_000) for x in v] for i, v in vals}
+    want_dup = set()
+    for a, b in itertools.combinations(sorted(q), 2):
+        if got[a][0] != got[b][0]:
+            continue
+        dot = sum(x * y for x, y in zip(q[a], q[b]))
+        na2 = sum(x * x for x in q[a])
+        nb2 = sum(x * x for x in q[b])
+        if dot > 0 and 400 * dot * dot >= 81 * na2 * nb2:
+            want_dup.add(max(a, b))
+    assert {i for i, (_, d) in got.items() if d} == want_dup

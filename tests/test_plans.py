@@ -215,6 +215,11 @@ _BNLJ_OK = {
     # Q11 shape: the one-ROW national stock total is cross-joined onto
     # the per-part aggregate as a broadcast literal (scalar subquery).
     "important_part_stock",
+    # cumulative HLL merge: the day-dimension (≤366 rows) rides the
+    # REGISTER table (≤ days·m rows) through an inequality join — both
+    # sides are register-space, bounded by construction regardless of
+    # data volume; the raw events never enter this join.
+    "rolling_distinct_hll",
 }
 
 # Queries allowed ONE unpartitioned window over an input that is
@@ -394,3 +399,46 @@ def test_bucketed_groupby_skips_exchange(spark):
         assert agg.count() == ev.select("user_id").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_ev_agg")
+
+
+def test_rotation_keeps_driver_rows_fresh():
+    """Rotation-staleness sweep (VERDICT r5 item #3).  The driver's
+    correctness gate samples only the first 50 registered queries per
+    round, so with 100+ registered queries full driver coverage needs a
+    multi-round rotation.  This pins the rotation policy: once the
+    UPCOMING round's window is recorded, no registered query's newest
+    driver CORRECTNESS row may be more than 2 rounds old.  Concretely:
+    a query outside the current first-50 window must have a driver row
+    from one of the last two recorded rounds — otherwise staleness
+    fails loudly here instead of silently accumulating."""
+    import glob
+    import json
+    import os
+
+    from kafkadirect_spark.plans import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        with open(path) as fh:
+            for q in json.load(fh):
+                newest[q] = max(newest.get(q, 0), rnd)
+    if not rounds:
+        pytest.skip("no driver CORRECTNESS artifacts in repo root")
+    upcoming = max(rounds) + 1  # the round whose window is registered now
+    window = set(list(QUERIES)[:50])
+    stale = sorted(
+        (q, newest.get(q)) for q in QUERIES
+        if q not in window and newest.get(q, -(10 ** 9)) < upcoming - 2
+    )
+    assert not stale, (
+        f"{len(stale)} queries are outside the upcoming r{upcoming} window "
+        f"with no driver row newer than r{upcoming - 3}: {stale} — "
+        "promote them in kafkadirect_spark/plans/__init__.py _PROMOTED"
+    )

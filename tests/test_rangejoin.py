@@ -1,0 +1,97 @@
+"""Bucketed range join: exact point-in-interval semantics vs a naive
+inequality join, left-join row preservation, degenerate intervals,
+and the plan contract (equi-join on buckets, never a nested loop).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.operators.rangejoin import point_in_interval_join
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate([-75, -1, 0, 3, 7, 10, 49, 50, 99,
+                                       150, 1000])],
+        "pid long, v long")
+
+
+def _intervals(spark):
+    return spark.createDataFrame(
+        [(0, 0, 10),       # [0, 10)
+         (1, 5, 5),        # empty
+         (2, 7, 8),        # single value
+         (3, -100, 1),     # negative lo crossing zero
+         (4, 40, 260),     # spans many buckets
+         (5, 95, 105)],    # straddles a bucket boundary
+        "iid long, lo long, hi long")
+
+
+def _naive(points, intervals):
+    return points.join(
+        intervals,
+        (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")), "inner")
+
+
+@pytest.mark.parametrize("width", [1, 7, 50, 1000])
+def test_inner_matches_naive_inequality_join(spark, width):
+    got = point_in_interval_join(
+        _points(spark), _intervals(spark), "v", "lo", "hi",
+        bucket_width=width)
+    want = _naive(_points(spark), _intervals(spark))
+    key = lambda r: (r.pid, r.iid)  # noqa: E731
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, want.collect()))
+    # the empty interval matched nothing
+    assert got.filter(F.col("iid") == 1).count() == 0
+
+
+def test_left_join_keeps_unmatched_points(spark):
+    got = point_in_interval_join(
+        _points(spark), _intervals(spark), "v", "lo", "hi",
+        bucket_width=50, how="left")
+    rows = got.collect()
+    # every point appears; unmatched points exactly once with null iid
+    matched = {r.pid for r in _naive(_points(spark),
+                                     _intervals(spark)).collect()}
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert set(by_pid) == {r.pid for r in _points(spark).collect()}
+    for pid, iids in by_pid.items():
+        if pid not in matched:
+            assert iids == [None]
+        else:
+            assert None not in iids
+    # matched multiplicity agrees with the naive join
+    want = sorted((r.pid, r.iid) for r in _naive(
+        _points(spark), _intervals(spark)).collect())
+    assert sorted((r.pid, r.iid) for r in rows if r.iid is not None) == want
+
+
+def test_no_nested_loop_in_plan(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = point_in_interval_join(
+            _points(spark), _intervals(spark), "v", "lo", "hi",
+            bucket_width=50)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+    assert "Join" in plan
+
+
+def test_validation_errors(spark):
+    pts, ivs = _points(spark), _intervals(spark)
+    with pytest.raises(ValueError, match="bucket_width"):
+        point_in_interval_join(pts, ivs, "v", "lo", "hi", bucket_width=0)
+    with pytest.raises(ValueError, match="join type"):
+        point_in_interval_join(pts, ivs, "v", "lo", "hi", 10, how="outer")
+    with pytest.raises(ValueError, match="collision"):
+        point_in_interval_join(
+            pts, ivs.withColumnRenamed("iid", "pid"), "v", "lo", "hi", 10)

@@ -451,3 +451,44 @@ def test_streaming_windowed_quantiles(spark, tmp_path):
         assert rows[0].est_p990 == want[990]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Grouped sketches (by=...): per-group registers ≡ independent sketches
+# ---------------------------------------------------------------------------
+
+def test_grouped_registers_match_independent_sketches(spark):
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("k"), (F.col("id") % 97)).alias("k"))
+    got = sketch.hll_registers(df, "k", by=("g",)).collect()
+    by_g: dict[int, dict[int, int]] = {}
+    for r in got:
+        by_g.setdefault(r.g, {})[r.bucket] = r.min_bitlen
+    for g in (0, 1, 2):
+        sub = df.filter(F.col("g") == g)
+        want = {r.bucket: r.min_bitlen
+                for r in sketch.hll_registers(sub, "k").collect()}
+        assert by_g[g] == want
+
+
+def test_grouped_estimate_matches_single_group_path(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") % 2).alias("g"),
+        F.concat(F.lit("u"), F.col("id")).alias("k"))
+    regs = sketch.hll_registers(df, "k", by=("g",))
+    got = {r.g: (r.m, r.nonzero_buckets, r.sum_pow, r.est_distinct)
+           for r in sketch.hll_estimate(regs, by=("g",)).collect()}
+    for g in (0, 1):
+        sub = df.filter(F.col("g") == g)
+        want = sketch.hll_distinct(sub, "k").collect()[0]
+        assert got[g] == (want.m, want.nonzero_buckets, want.sum_pow,
+                          want.est_distinct)
+    # grouped merge ≡ whole-input sketch: min registers across groups
+    merged = sketch.hll_merge(
+        regs.filter(F.col("g") == 0).drop("g"),
+        regs.filter(F.col("g") == 1).drop("g"))
+    whole = sketch.hll_distinct(df, "k").collect()[0]
+    est = sketch.hll_estimate(merged).collect()[0]
+    assert (est.m, est.nonzero_buckets, est.sum_pow, est.est_distinct) == \
+        (whole.m, whole.nonzero_buckets, whole.sum_pow, whole.est_distinct)
