@@ -181,7 +181,7 @@ def main() -> None:
 
     # Compact timings-only JSON as the FINAL stdout line (the driver
     # parses the tail of stdout; keep this well under its window).
-    print(json.dumps({
+    line = json.dumps({
         "metric": "reference_suites_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -189,7 +189,15 @@ def main() -> None:
         "extras": extras,
         "extras_wall_sec": round(sum(extras.values()), 3),
         "sf": sf_dir,
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
+    # Hard guard on the output contract: if suite growth ever pushes
+    # the line toward the driver's tail-capture window again, fail
+    # LOUDLY here instead of shipping a truncated, unparseable tail
+    # (the silent round-5 failure mode).  ~0.9 kB today; 8 kB bound.
+    assert len(line) < 8192, (
+        f"bench summary line grew to {len(line)} bytes — move detail "
+        "into BENCH_PLANS.json, the driver tail window will truncate it")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,25 @@ HEADLINERS = {
                           "shuffle only for the final per-doc agg",
     "event_funnel": "three min-aggregations chained by user-keyed "
                     "hash joins; no window over event history",
+    "range_bucket_join": "interval bucket explode + shuffled equi-join "
+                         "on the bucket id with exact containment "
+                         "re-check — NO BroadcastNestedLoopJoin, no "
+                         "cartesian (both sides may be fact-sized)",
+    "semdedup_prune": "zero-shuffle literal-centroid assignment feeds a "
+                      "salted cluster self-join; pair dots are unrolled "
+                      "codegen arithmetic (no interpreted array folds); "
+                      "DECIMAL(38,0) threshold compare",
+    "rolling_distinct_hll": "per-day register sketches (grouped partial "
+                            "min) → days-dim inequality join in "
+                            "REGISTER space (the one allowlisted BNLJ) "
+                            "→ per-as-of estimate; raw events scanned "
+                            "once",
+    "value_outliers": "one partial-aggregated stats pass broadcast back "
+                      "(BroadcastHashJoin); integer DECIMAL(38,0) "
+                      "3-sigma predicate, no float mean/stddev",
+    "scd2_asof_snapshot": "struct-max last-wins hash aggregate with "
+                          "map-side partials — no sort, no window; "
+                          "as-of bound pushed to the scan",
 }
 
 
