@@ -565,10 +565,12 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
 
     def best_expr():
         # struct(d, cid) lexicographic min ≡ (dist asc, cid asc) argmin
-        return F.least(*[
+        structs = [
             F.struct(dist_sq(cv).alias("d"),
                      F.lit(cid).cast("long").alias("cid"))
-            for cid, cv in sorted(cents.items())])
+            for cid, cv in sorted(cents.items())]
+        # F.least demands ≥2 args; k=1 is a legal degenerate call
+        return structs[0] if len(structs) == 1 else F.least(*structs)
 
     for _ in range(max(0, iters - 1)):
         assigned = q.withColumn("__c", best_expr()["cid"])
@@ -594,9 +596,10 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
         *extra)
 
 
-def semdedup_prune(df: DataFrame, id_col: str, vec_col: str, dim: int = 64,
+def semdedup_prune(df: DataFrame, id_col: str, vec_col: str,
                    k: int = 4, iters: int = 2, scale: int = 10_000,
-                   tau_num: int = 9, tau_den: int = 20) -> DataFrame:
+                   tau_num: int = 9, tau_den: int = 20,
+                   block_rows: int = 2048) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): k-means the embedding
     space, then mark as semantic duplicates the vectors that have a
     LOWER-id cluster-mate with cosine ≥ tau (tau = tau_num/tau_den) —
@@ -606,76 +609,71 @@ def semdedup_prune(df: DataFrame, id_col: str, vec_col: str, dim: int = 64,
     Every comparison is integer-exact on the globally-quantized
     vectors (``kmeans_quantized``'s ``floor(v·scale)`` longs):
     ``cos(a,b) >= tau  ≡  dot > 0  AND
-    tau_den²·dot² >= tau_num²·|a|²·|b|²``, evaluated in DECIMAL(38,0)
-    (DuckDB HUGEINT) — dot ≤ dim·(scale·|v|max)² ≈ 6e8 here, so the
-    squared products peak ~1e20: far above int64, far below 10^38.
+    tau_den²·dot² >= tau_num²·|a|²·|b|²`` — dot and the norms fit
+    int64 (≤ dim·(scale·|v|max)² ≈ 6e8 here) but their squared
+    products peak ~1e20, above int64.  The prune evaluates the
+    comparison in float64 with a relative margin of 1e-6 and
+    re-checks every inside-margin pair in arbitrary-precision Python
+    ints: float64's error on ~1e20 operands is ~2e4, nine orders
+    below the margin, so no pair can be misclassified — the float
+    path is a screen, the exact path is the authority (the DuckDB
+    oracle runs the same inequality in HUGEINT end-to-end).
 
-    Scale ledger: assignment is the zero-shuffle literal-centroid
-    projection; the prune is ONE self-join shuffled on cluster_id.
-    Within-cluster work is quadratic in cluster size BY DESIGN — that
-    is SemDeDup's own cost model, and k is the knob: the paper runs
-    k≈100k on 5B embeddings to keep clusters ~10^4.  When k is SMALLER
-    than the cluster's core count (the k=4 demo configuration), a
-    plain cluster-keyed join would strand the pair work on k tasks, so
-    the join key is salted ``(cluster, id-hash bucket)`` with the b
-    side replicated S = ~2·parallelism/k ways — S collapses to 1 (no
-    replication, no extra cost) once k exceeds the core count, which
-    is every realistic deployment.
+    Execution is the paper's own shape: ONE shuffle groups each
+    cluster onto an executor, then a vectorized Arrow/BLAS pass
+    (``applyInPandas``) computes the within-cluster Gram matrix in
+    ``block_rows``-row blocks — memory per task is bounded by
+    cluster_rows·dim·8 B plus block_rows·cluster_rows·8 B, the
+    SemDeDup working-set model (k is the knob that bounds cluster
+    size; the paper runs k≈100k on 5B embeddings for ~10^4-row
+    clusters).  A join-based JVM formulation was 3-4× slower at
+    sf0.1 (500k pairs through a salted self-join + per-pair
+    expression dots) — pairwise dense arithmetic is BLAS's home turf,
+    the same trade ``cosine_topk_blas`` measured at ~100×.
 
     Returns ``(id_col, cluster_id, is_dup)`` for every input row.
     """
-    # norms are computed ONCE per row here — recomputing |v|² per PAIR
-    # would fold two interpreted dim-element array aggregates into
-    # every candidate (measured 14.9 s → 7.3 s at sf0.1 before the
-    # unrolled-dot rewrite below took the pair stage to ~1.6 s)
-    nsq = F.aggregate(
-        F.transform(F.col("qvec"), lambda x: x * x),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    assigned = _persist(kmeans_quantized(
+    import pandas as pd
+
+    assigned = kmeans_quantized(
         df, id_col, vec_col, k=k, iters=iters, scale=scale,
-        keep_qvec=True).drop("dist_sq").withColumn("__n2", nsq))
-    spread = max(1, (2 * df.sparkSession.sparkContext.defaultParallelism)
-                 // max(1, k))
-    a = assigned.select(F.col(id_col).alias("__ida"),
-                        F.col("cluster_id").alias("__ca"),
-                        F.col("qvec").alias("__qa"),
-                        F.col("__n2").alias("__na2"),
-                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(spread))
-                        .alias("__sa"))
-    b = assigned.select(F.col(id_col).alias("__idb"),
-                        F.col("cluster_id").alias("__cb"),
-                        F.col("qvec").alias("__qb"),
-                        F.col("__n2").alias("__nb2"))
-    if spread > 1:
-        b = b.withColumn(
-            "__sb", F.explode(F.array(*[F.lit(i) for i in range(spread)])))
-    else:
-        b = b.withColumn("__sb", F.lit(0))
-    # UNROLLED dot product: Spark evaluates higher-order array
-    # functions (aggregate/zip_with) interpreted, outside whole-stage
-    # codegen — at 500k candidate pairs the interpreted fold cost
-    # ~2.5 s at sf0.1 vs ~1.6 s unrolled (filter included).  A
-    # fixed-width element_at chain codegens like any arithmetic — the
-    # same row-local-fold lesson as the round-5 MinHash rewrite.
-    terms = [F.element_at("__qa", i + 1) * F.element_at("__qb", i + 1)
-             for i in range(dim)]
-    dot = terms[0]
-    for t in terms[1:]:
-        dot = dot + t
-    dec = "decimal(38,0)"
-    is_near = (F.col("__dot") > 0) & (
-        F.lit(tau_den * tau_den).cast(dec)
-        * F.col("__dot").cast(dec) * F.col("__dot").cast(dec)
-        >= F.lit(tau_num * tau_num).cast(dec)
-        * F.col("__na2").cast(dec) * F.col("__nb2").cast(dec))
-    dup_ids = (a.join(b, (F.col("__ca") == F.col("__cb"))
-                      & (F.col("__sa") == F.col("__sb"))
-                      & (F.col("__idb") < F.col("__ida")))
-               .withColumn("__dot", dot)
-               .filter(is_near)
-               .select(F.col("__ida").alias(id_col)).distinct())
-    return (assigned.join(dup_ids.withColumn("__dup", F.lit(True)),
-                          [id_col], "left")
-            .select(F.col(id_col), F.col("cluster_id"),
-                    F.coalesce(F.col("__dup"), F.lit(False))
-                    .alias("is_dup")))
+        keep_qvec=True).drop("dist_sq")
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        q = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        q, ids = q[order], ids[order]
+        n = len(ids)
+        n2 = np.einsum("ij,ij->i", q, q)  # int64-exact row norms²
+        n2f = n2.astype(np.float64)
+        dup = np.zeros(n, dtype=bool)
+        cols = np.arange(n)
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            g = q[s:e] @ q.T  # int64-exact block Gram
+            gf = g.astype(np.float64)
+            lhs = td2 * gf * gf
+            rhs = tn2 * np.outer(n2f[s:e], n2f)
+            margin = 1e-6 * np.maximum(lhs, rhs) + 1.0
+            lower = cols[None, :] < np.arange(s, e)[:, None]  # j < i only
+            pos = (g > 0) & lower
+            sure = pos & (lhs >= rhs + margin)
+            border = pos & ~sure & (lhs >= rhs - margin)
+            for bi, bj in zip(*np.nonzero(border)):
+                d = int(g[bi, bj])
+                if td2 * d * d >= tn2 * int(n2[s + bi]) * int(n2[bj]):
+                    sure[bi, bj] = True
+            dup[s:e] |= sure.any(axis=1)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": pdf["cluster_id"].iloc[0],
+            "is_dup": dup,
+        })
+
+    out_schema = f"{id_col} long, cluster_id long, is_dup boolean"
+    return (assigned.groupBy("cluster_id")
+            .applyInPandas(prune, schema=out_schema))

@@ -582,7 +582,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semdedup_prune(emb, "vec_id", "embedding",
-                                     dim=64, k=4, iters=2)
+                                     k=4, iters=2)
 
 
 # -- rolling cumulative HLL: the merge path, exercised as a query --

@@ -460,7 +460,7 @@ def test_semdedup_flags_within_cluster_near_dups_only(spark):
            (5, [1.0, 9.0]), (6, [-8.0, 1.0])]
     df = spark.createDataFrame(pts, "vec_id long, v array<double>")
     out = {r.vec_id: r for r in similarity.semdedup_prune(
-        df, "vec_id", "v", dim=2, k=2, iters=2).collect()}
+        df, "vec_id", "v", k=2, iters=2).collect()}
     assert len(out) == len(pts)  # every row present, flagged or not
     # followers of 0 are dups; 0 itself (lowest id) is kept
     assert not out[0].is_dup
@@ -482,7 +482,7 @@ def test_semdedup_matches_brute_force_within_clusters(spark):
     vals = [(i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(8)])
             for i in range(24)]
     df = spark.createDataFrame(vals, "vec_id long, v array<double>")
-    out = similarity.semdedup_prune(df, "vec_id", "v", dim=8, k=3, iters=2)
+    out = similarity.semdedup_prune(df, "vec_id", "v", k=3, iters=2)
     got = {r.vec_id: (r.cluster_id, r.is_dup) for r in out.collect()}
 
     import math
@@ -498,3 +498,20 @@ def test_semdedup_matches_brute_force_within_clusters(spark):
         if dot > 0 and 400 * dot * dot >= 81 * na2 * nb2:
             want_dup.add(max(a, b))
     assert {i for i, (_, d) in got.items() if d} == want_dup
+
+
+def test_semdedup_exact_at_threshold_boundary(spark):
+    """cos((3,4),(4,3)) = 24/25 EXACTLY — with tau = 24/25 the float
+    screen lands on lhs == rhs, inside the recheck margin, so the
+    arbitrary-precision path decides: >= means dup.  One notch
+    tighter (tau = 97/100) and the same pair must survive."""
+    pts = [(0, [3.0, 4.0]), (1, [4.0, 3.0]), (2, [-5.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    at = {r.vec_id: r.is_dup for r in similarity.semdedup_prune(
+        df, "vec_id", "v", k=1, iters=1,
+        tau_num=24, tau_den=25).collect()}
+    assert at == {0: False, 1: True, 2: False}
+    above = {r.vec_id: r.is_dup for r in similarity.semdedup_prune(
+        df, "vec_id", "v", k=1, iters=1,
+        tau_num=97, tau_den=100).collect()}
+    assert above == {0: False, 1: False, 2: False}

@@ -72,10 +72,10 @@ HEADLINERS = {
                          "on the bucket id with exact containment "
                          "re-check — NO BroadcastNestedLoopJoin, no "
                          "cartesian (both sides may be fact-sized)",
-    "semdedup_prune": "zero-shuffle literal-centroid assignment feeds a "
-                      "salted cluster self-join; pair dots are unrolled "
-                      "codegen arithmetic (no interpreted array folds); "
-                      "DECIMAL(38,0) threshold compare",
+    "semdedup_prune": "zero-shuffle literal-centroid assignment, then "
+                      "ONE shuffle groups clusters for the Arrow/BLAS "
+                      "applyInPandas Gram pass — no pair self-join, no "
+                      "per-pair expression dots",
     "rolling_distinct_hll": "per-day register sketches (grouped partial "
                             "min) → days-dim inequality join in "
                             "REGISTER space (the one allowlisted BNLJ) "
