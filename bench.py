@@ -194,9 +194,10 @@ def main() -> None:
     # the line toward the driver's tail-capture window again, fail
     # LOUDLY here instead of shipping a truncated, unparseable tail
     # (the silent round-5 failure mode).  ~0.9 kB today; 8 kB bound.
-    assert len(line) < 8192, (
-        f"bench summary line grew to {len(line)} bytes — move detail "
-        "into BENCH_PLANS.json, the driver tail window will truncate it")
+    if len(line) >= 8192:  # not an assert: must survive python -O
+        raise RuntimeError(
+            f"bench summary line grew to {len(line)} bytes — move detail "
+            "into BENCH_PLANS.json, the driver tail window will truncate it")
     print(line)
 
 

@@ -31,8 +31,21 @@ this is beyond-parity machinery for the analytics surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _floor_div(expr_sql: str, w: int) -> Column:
+    """Exact integer floor division of a BIGINT SQL expression by w.
+
+    Spark's ``/`` on longs is DOUBLE division — above 2^53 the
+    interval-side and point-side bucket ids could round to DIFFERENT
+    buckets and silently drop matches.  ``pmod`` makes the numerator
+    the exact largest multiple of ``w`` that is <= the value (for any
+    sign), and integral ``div`` of an exact multiple equals floor —
+    no float touches the bucket id.
+    """
+    return F.expr(f"(({expr_sql}) - pmod(({expr_sql}), {w})) div ({w})")
 
 
 def point_in_interval_join(
@@ -43,6 +56,7 @@ def point_in_interval_join(
     hi_col: str,
     bucket_width: int,
     how: str = "inner",
+    max_span_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``lo <= point < hi`` (half-open, integer bounds).
@@ -56,25 +70,42 @@ def point_in_interval_join(
     Empty intervals (``hi <= lo``) match nothing, as the half-open
     semantics demand: their bucket explode still emits rows, but the
     exact containment predicate rejects every point.
+
+    ``max_span_buckets`` bounds the per-interval explode: an interval
+    covering more buckets than this (e.g. an open-ended sentinel
+    ``hi``) raises a clear error at runtime instead of blowing up the
+    interval side or tripping Spark's sequence element limit mid-job.
+    Widen ``bucket_width`` (or raise the cap) for legitimately huge
+    spans.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if max_span_buckets <= 0:
+        raise ValueError("max_span_buckets must be positive")
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
     dup = set(points.columns) & set(intervals.columns)
     if dup:
         raise ValueError(f"column collision between sides: {sorted(dup)}")
 
-    w = F.lit(bucket_width).cast("long")
     lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
-    # floor division on longs is exact and matches DuckDB's // for the
-    # non-negative bucket ids used here; pmod keeps negative domains
-    # consistent between both floor spellings.
-    first = F.floor(lo / w).cast("long")
-    last = F.floor((F.greatest(hi, lo + 1) - 1) / w).cast("long")
-    iv = intervals.withColumn("__bucket", F.explode(F.sequence(first, last)))
+    w = bucket_width
+    lo_sql = f"CAST(`{lo_col}` AS BIGINT)"
+    last_sql = f"greatest(CAST(`{hi_col}` AS BIGINT), {lo_sql} + 1) - 1"
+    first = _floor_div(lo_sql, w)
+    last = _floor_div(last_sql, w)
+    # runtime explode bound: fail loudly on pathological spans rather
+    # than emit span/W rows (or exceed the sequence element limit)
+    last_guarded = F.when(last - first < F.lit(max_span_buckets), last) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"interval spans >= {max_span_buckets} buckets of "
+                  f"width {bucket_width}: ["),
+            lo.cast("string"), F.lit(", "), hi.cast("string"),
+            F.lit(") — widen bucket_width or raise max_span_buckets"))))
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(first, last_guarded)))
     pt = points.withColumn(
-        "__bucket", F.floor(F.col(point_col).cast("long") / w).cast("long"))
+        "__bucket", _floor_div(f"CAST(`{point_col}` AS BIGINT)", w))
 
     contains = (F.col(point_col).cast("long") >= lo) & \
                (F.col(point_col).cast("long") < hi)

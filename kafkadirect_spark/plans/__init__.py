@@ -17,7 +17,7 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # Round-6 window.  Two admission rules (VERDICT r4, standing):
+    # Round-7 window.  Two admission rules (VERDICT r4, standing):
     # (1) every query whose newest driver CORRECTNESS row would
     #     otherwise fall more than 2 rounds stale — enforced by
     #     tests/test_plans.py's rotation-staleness sweep;
@@ -25,74 +25,69 @@ _PROMOTED = [
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 1, mandatory: the 24 round-5 queries that have never had
-    #    a driver row (VERDICT r5 item #2; all pass
+    # -- rule 1, mandatory: the 24 queries whose newest driver row is
+    #    r4 (named by the r6 tripwire failure; all pass
     #    tools/check_oracle.py --exact locally) --
-    "local_supplier_volume",
-    "forecast_revenue",
-    "large_order_customers",
-    "priority_returned_orders",
-    "scd2_history",
-    "sessionize_events",
-    "important_part_stock",
-    "late_shipment_priority",
-    "promotable_suppliers",
-    "semantic_clusters",
-    "decontaminate_bloom",
-    "length_weighted_sample",
-    "distinct_orders_hll",
-    "global_shuffle",
-    "sample_exact_count",
-    "term_relevance_topk",
-    "kmeans_clusters",
-    "heavy_hitters_cms",
-    "event_funnel",
-    "retention_cohorts",
-    "value_quantiles_hist",
-    "value_quantiles_by_type",
-    "vocab_overlap_kmv",
-    "user_moving_avg",
-    # -- new in round 6 (no driver row by construction; all pass
-    #    tools/check_oracle.py --exact locally): the bucketed range
-    #    join, SemDeDup prune, mergeable rolling HLL, integer z-score
-    #    outliers, SCD2 point-in-time snapshot --
-    "range_bucket_join",
-    "semdedup_prune",
-    "rolling_distinct_hll",
+    "pricing_summary",
+    "filter_project",
+    "flat_map_word_count",
+    "branch_counts",
+    "merge_streams",
+    "stream_count",
+    "stream_reduce",
+    "stream_aggregate",
+    "windowed_count_tumbling",
+    "windowed_count_hopping",
+    "windowed_sum_tumbling",
+    "windowed_avg_hopping",
+    "session_count",
+    "session_aggregate",
+    "unlimited_window_count",
+    "ktable_filter",
+    "select_key_regroup",
+    "table_map_values",
+    "join_stream_table",
+    "join_stream_table_left",
+    "join_interval_inner",
+    "shipping_priority",
+    "revenue_rollup",
+    "returned_item_report",
+    # -- rule 2: changed in round 7 (value_outliers: decimal-safe
+    #    S/Q accumulation; range_bucket_join: exact pmod+div bucket
+    #    ids + span guard in operators/rangejoin.py) — the driver,
+    #    not just the local checker, must re-verify the new behavior --
     "value_outliers",
-    "scd2_asof_snapshot",
-    # -- rule 2 is also satisfied for the two changed-in-r6 queries
-    #    (kmeans_clusters: oracle refactor + keep_qvec;
-    #    retention_cohorts: oracle TIMESTAMP cast) — both are above.
-    # -- remaining slots: the r4-green queries most at risk of drift
-    #    (complex similarity / curation / winnowing / streaming-policy
-    #    shapes first).  The 24 r4-green remainder (the trivial core
-    #    operators — filter/map/branch/windowed counts, stream↔table
-    #    joins — plus the driver-stable TPC-H Q1/Q3/Q10/rollup shapes
-    #    and join_interval_inner) keep their r4 rows — exactly 2
-    #    rounds old after r6, the staleness bound — and rotate in
-    #    round 7. --
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_multiprobe",
-    "dedup_embedding_cosine",
-    "multimodal_meta",
-    "corpus_curation",
-    "decontaminate",
-    "sample_split",
-    "sample_stratified",
-    "corpus_mix_upsample",
-    "vocab_topk",
-    "boilerplate_flag",
-    "pii_redaction",
-    "text_quality",
-    "text_repetition",
-    "doc_fingerprint",
-    "doc_winnow",
-    "winnow_overlap_pairs",
-    "event_gaps",
-    "asof_enrich",
+    "range_bucket_join",
+    # -- new in round 7 (no driver row by construction) --
+    "interval_overlap_join",
+    "trailing_distinct_hll",
+    # -- remaining slots: r5-dated queries most at risk of drift
+    #    (join/skew/streaming-policy/dedup machinery first).  The r5
+    #    remainder (TPC-H analytics shapes + text/curation tail) keeps
+    #    its r5 rows — exactly 2 rounds old after r7, the staleness
+    #    bound — and rotates in round 8. --
+    "join_interval_left",
+    "join_interval_outer",
+    "join_table_table",
+    "join_table_table_outer",
+    "join_global_enrich",
+    "yahoo_pipeline",
+    "skew_salted_join",
+    "skew_salted_distinct",
+    "table_group_aggregate",
+    "smt_chain",
+    "scan_from_timestamp",
+    "ts_policy_skip",
+    "ts_policy_previous",
+    "table_tombstones",
+    "asof_enrich_forward",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_spans",
+    "pack_sequences",
+    "supplier_nation_volume",
 ]
 
 

@@ -725,11 +725,15 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*v - S)^2 > 9*(n*Q - S^2) over integer cents, evaluated in
     DECIMAL(38,0)/HUGEINT — mean and variance never materialize as
     floats, so the flag set is hash-exact across engines (a float
-    sigma would flip borderline rows in the last ulp).  Bounds: with
-    cents <= 1e5 the comparison peaks ~1e28 at 1e9 rows/group — inside
-    DECIMAL(38,0).  Scale: one groupBy(event_type) partial-aggregated
-    stats pass (3 longs per type), broadcast back — the raw events are
-    scanned twice but never reshuffled."""
+    sigma would flip borderline rows in the last ulp).  S and Q are
+    accumulated IN decimal (cents cast to decimal(19,0) before the
+    square/sum), never in long: a long sum-of-squares wraps silently
+    past ~9e8 rows/group at cents <= 1e5 while DuckDB's HUGEINT does
+    not, diverging the engines.  Bounds: Q <= n*1e10, so the
+    comparison peaks ~1e28 at 1e9 rows/group and stays inside
+    DECIMAL(38,0) to ~1e13 rows/group.  Scale: one groupBy(event_type)
+    partial-aggregated stats pass (3 decimals per type), broadcast
+    back — the raw events are scanned twice but never reshuffled."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -738,11 +742,11 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.floor(F.col("value") * 100).cast("long")
                      .alias("value_cents"))
     dec = "decimal(38,0)"
+    vdec = F.col("value_cents").cast("decimal(19,0)")
     stats = (base.groupBy("event_type")
              .agg(F.count("*").cast(dec).alias("__n"),
-                  F.sum("value_cents").cast(dec).alias("__s"),
-                  F.sum(F.col("value_cents") * F.col("value_cents"))
-                  .cast(dec).alias("__q")))
+                  F.sum(vdec).cast(dec).alias("__s"),
+                  F.sum(vdec * vdec).cast(dec).alias("__q")))
     j = base.join(F.broadcast(stats), "event_type")
     dev = (F.col("__n") * F.col("value_cents").cast(dec) - F.col("__s"))
     rhs = (F.lit(9).cast(dec)

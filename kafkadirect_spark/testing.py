@@ -26,6 +26,23 @@ from kafkadirect_spark.core import Stream
 from kafkadirect_spark.sources.stream import stream_from_dir
 
 
+def explain_formatted(df: DataFrame) -> str:
+    """Return ``df.explain("formatted")`` output as a string.
+
+    The public explain() prints driver-side, so redirect_stdout
+    captures it — unlike the private ``_jvm.PythonSQLUtils`` API,
+    which breaks under Spark Connect.  Shared by the plan-contract
+    tests, ``tools/dump_plans.py`` and ``bench.py``'s fingerprints.
+    """
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 class PipeDriver:
     """Synchronous golden-test harness for streaming topologies."""
 

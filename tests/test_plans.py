@@ -8,13 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafkadirect_spark.sources.batch import load_table, scan_table_from
+from kafkadirect_spark.testing import explain_formatted as _formatted
 
 SF = "/root/testdata/sf0.001"
-
-
-def _formatted(df):
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
 
 
 def _pushed(df):

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafkadirect_spark.operators.rangejoin import point_in_interval_join
+from kafkadirect_spark.testing import explain_formatted
 
 
 def _points(spark):
@@ -78,8 +79,7 @@ def test_no_nested_loop_in_plan(spark):
         df = point_in_interval_join(
             _points(spark), _intervals(spark), "v", "lo", "hi",
             bucket_width=50)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        plan = explain_formatted(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
@@ -95,3 +95,35 @@ def test_validation_errors(spark):
     with pytest.raises(ValueError, match="collision"):
         point_in_interval_join(
             pts, ivs.withColumnRenamed("iid", "pid"), "v", "lo", "hi", 10)
+
+
+def test_bucket_ids_exact_above_2_53(spark):
+    """Double division rounds above 2^53 — the bug the exact pmod+div
+    floor replaced: these magnitudes must still meet in one bucket."""
+    big = 1 << 60
+    pts = spark.createDataFrame(
+        [(0, big + 3), (1, big - 1), (2, -big + 3)], "pid long, v long")
+    ivs = spark.createDataFrame(
+        [(0, big, big + 10), (1, -big, -big + 10)], "iid long, lo long, hi long")
+    got = sorted((r.pid, r.iid) for r in point_in_interval_join(
+        pts, ivs, "v", "lo", "hi", bucket_width=7).collect())
+    assert got == [(0, 0), (2, 1)]
+
+
+def test_span_guard_raises_on_pathological_interval(spark):
+    pts = spark.createDataFrame([(0, 5)], "pid long, v long")
+    # open-ended sentinel hi: would explode to ~9e17 bucket rows
+    ivs = spark.createDataFrame(
+        [(0, 0, (1 << 62))], "iid long, lo long, hi long")
+    with pytest.raises(Exception) as exc:
+        point_in_interval_join(
+            pts, ivs, "v", "lo", "hi", bucket_width=5,
+            max_span_buckets=1000).collect()
+    assert "max_span_buckets" in str(exc.value)
+    # same data passes once the cap admits the span
+    ivs_ok = spark.createDataFrame(
+        [(0, 0, 4999)], "iid long, lo long, hi long")
+    got = point_in_interval_join(
+        pts, ivs_ok, "v", "lo", "hi", bucket_width=5,
+        max_span_buckets=1000).collect()
+    assert [(r.pid, r.iid) for r in got] == [(0, 0)]

@@ -103,10 +103,11 @@ def main() -> None:
            "Generated by `python tools/dump_plans.py`. What to check per",
            "plan is noted above it; regenerate after plan-affecting changes.",
            ""]
+    from kafkadirect_spark.testing import explain_formatted
+
     for name, note in HEADLINERS.items():
         df = QUERIES[name](spark, sf)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        plan = explain_formatted(df)
         out += [f"## {name}", "", f"*Check:* {note}", "", "```",
                 plan.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(
