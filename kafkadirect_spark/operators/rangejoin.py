@@ -121,3 +121,78 @@ def point_in_interval_join(
     return joined.select(
         *[pt[c] for c in points.columns],
         *[iv[c] for c in intervals.columns])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    max_span_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Inner-join every left interval to every right interval it
+    OVERLAPS (half-open, integer bounds: ``a.lo < b.hi AND b.lo <
+    a.hi``, both intervals non-empty) — without a nested loop.
+
+    Same quantization as :func:`point_in_interval_join`, but BOTH
+    sides explode to the buckets they cover, so an overlapping pair
+    can share several buckets.  Each pair is emitted exactly once by
+    pinning the meeting point to one canonical bucket — the max of
+    the two intervals' first buckets, which every overlapping pair
+    covers on both sides (the later-starting interval's first bucket
+    lies inside the other interval's bucket range whenever they
+    overlap).  No DISTINCT pass, no dedup shuffle: the canonical-
+    bucket predicate filters inside the join.
+
+    Both sides stay hash-partitioned on bucket ids — either may be
+    fact-sized; skewed bucket ranges are ordinary skewed join keys
+    (AQE / operators/skew.py).  Empty intervals (``hi <= lo``) match
+    nothing on either side.  ``max_span_buckets`` bounds each side's
+    explode exactly as in :func:`point_in_interval_join`.
+
+    Output: all left columns then all right columns (names must not
+    collide).  Only ``inner`` is supported: a left/outer variant
+    needs a caller-provided unique row key to collapse the exploded
+    unmatched side, which the bucket model cannot supply itself.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    if max_span_buckets <= 0:
+        raise ValueError("max_span_buckets must be positive")
+    dup = set(left.columns) & set(right.columns)
+    if dup:
+        raise ValueError(f"column collision between sides: {sorted(dup)}")
+
+    w = bucket_width
+
+    def explode_side(df, lo_col, hi_col, bucket, first):
+        lo = F.col(lo_col).cast("long")
+        hi = F.col(hi_col).cast("long")
+        lo_sql = f"CAST(`{lo_col}` AS BIGINT)"
+        last_sql = f"greatest(CAST(`{hi_col}` AS BIGINT), {lo_sql} + 1) - 1"
+        fst = _floor_div(lo_sql, w)
+        lst = _floor_div(last_sql, w)
+        last_guarded = F.when(lst - fst < F.lit(max_span_buckets), lst) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"interval spans >= {max_span_buckets} buckets of "
+                      f"width {bucket_width}: ["),
+                lo.cast("string"), F.lit(", "), hi.cast("string"),
+                F.lit(") — widen bucket_width or raise max_span_buckets"))))
+        return (df.withColumn(first, fst)
+                .withColumn(bucket,
+                            F.explode(F.sequence(F.col(first), last_guarded))))
+
+    lhs = explode_side(left, left_lo, left_hi, "__bucket", "__lfirst")
+    rhs = explode_side(right, right_lo, right_hi, "__rbucket", "__rfirst")
+
+    a_lo, a_hi = F.col(left_lo).cast("long"), F.col(left_hi).cast("long")
+    b_lo, b_hi = F.col(right_lo).cast("long"), F.col(right_hi).cast("long")
+    overlaps = (a_lo < b_hi) & (b_lo < a_hi) & (a_lo < a_hi) & (b_lo < b_hi)
+    canonical = F.col("__bucket") == F.greatest(F.col("__lfirst"),
+                                                F.col("__rfirst"))
+    return (lhs.join(rhs, F.col("__bucket") == F.col("__rbucket"), "inner")
+            .filter(canonical & overlaps)
+            .drop("__bucket", "__rbucket", "__lfirst", "__rfirst"))

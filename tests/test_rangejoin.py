@@ -8,7 +8,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kafkadirect_spark.operators.rangejoin import point_in_interval_join
+from kafkadirect_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
 from kafkadirect_spark.testing import explain_formatted
 
 
@@ -127,3 +130,67 @@ def test_span_guard_raises_on_pathological_interval(spark):
         pts, ivs_ok, "v", "lo", "hi", bucket_width=5,
         max_span_buckets=1000).collect()
     assert [(r.pid, r.iid) for r in got] == [(0, 0)]
+
+
+# -- interval ⋈ interval overlap --
+
+def _ivs_a(spark):
+    return spark.createDataFrame(
+        [(0, 0, 10), (1, 5, 5), (2, -30, -20), (3, 40, 260),
+         (4, 95, 105), (5, 7, 8), (6, 1 << 60, (1 << 60) + 10)],
+        "aid long, a_lo long, a_hi long")
+
+
+def _ivs_b(spark):
+    return spark.createDataFrame(
+        [(0, 9, 12), (1, 5, 6), (2, -25, -24), (3, 100, 101),
+         (4, 0, 300), (5, 10, 20), (6, (1 << 60) + 9, (1 << 60) + 50)],
+        "bid long, b_lo long, b_hi long")
+
+
+def _naive_overlap(a, b):
+    return a.join(
+        b,
+        (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+        & (F.col("a_lo") < F.col("a_hi")) & (F.col("b_lo") < F.col("b_hi")),
+        "inner")
+
+
+@pytest.mark.parametrize("width", [1, 7, 50, 1000])
+def test_overlap_matches_naive_and_dedups(spark, width):
+    got = interval_overlap_join(
+        _ivs_a(spark), _ivs_b(spark), "a_lo", "a_hi", "b_lo", "b_hi",
+        bucket_width=width).collect()
+    want = _naive_overlap(_ivs_a(spark), _ivs_b(spark)).collect()
+    key = lambda r: (r.aid, r.bid)  # noqa: E731
+    got_keys = sorted(map(key, got))
+    assert got_keys == sorted(map(key, want))
+    # each overlapping pair emitted exactly once, even when the pair
+    # shares many buckets (aid=3 × bid=4 share up to 220/width buckets)
+    assert len(got_keys) == len(set(got_keys))
+    # the empty interval (aid=1) matched nothing
+    assert not [k for k in got_keys if k[0] == 1]
+
+
+def test_overlap_no_nested_loop_in_plan(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = interval_overlap_join(
+            _ivs_a(spark), _ivs_b(spark), "a_lo", "a_hi", "b_lo", "b_hi",
+            bucket_width=50)
+        plan = explain_formatted(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+    assert "Join" in plan
+
+
+def test_overlap_validation_errors(spark):
+    a, b = _ivs_a(spark), _ivs_b(spark)
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 0)
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(
+            a, b.withColumnRenamed("bid", "aid"),
+            "a_lo", "a_hi", "b_lo", "aid", 10)
