@@ -17,7 +17,7 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # Round-7 window.  Two admission rules (VERDICT r4, standing):
+    # Round-8 window.  Two admission rules (VERDICT r4, standing):
     # (1) every query whose newest driver CORRECTNESS row would
     #     otherwise fall more than 2 rounds stale — enforced by
     #     tests/test_plans.py's rotation-staleness sweep;
@@ -25,69 +25,69 @@ _PROMOTED = [
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 1, mandatory: the 24 queries whose newest driver row is
-    #    r4 (named by the r6 tripwire failure; all pass
+    # -- rule 1, mandatory: the 26 queries whose newest driver row is
+    #    r5 (named by the r7 tripwire failure; all pass
     #    tools/check_oracle.py --exact locally) --
-    "pricing_summary",
-    "filter_project",
-    "flat_map_word_count",
-    "branch_counts",
-    "merge_streams",
-    "stream_count",
-    "stream_reduce",
-    "stream_aggregate",
-    "windowed_count_tumbling",
-    "windowed_count_hopping",
-    "windowed_sum_tumbling",
-    "windowed_avg_hopping",
-    "session_count",
-    "session_aggregate",
-    "unlimited_window_count",
-    "ktable_filter",
-    "select_key_regroup",
-    "table_map_values",
-    "join_stream_table",
-    "join_stream_table_left",
-    "join_interval_inner",
-    "shipping_priority",
-    "revenue_rollup",
-    "returned_item_report",
-    # -- rule 2: changed in round 7 (value_outliers: decimal-safe
-    #    S/Q accumulation; range_bucket_join: exact pmod+div bucket
-    #    ids + span guard in operators/rangejoin.py) — the driver,
-    #    not just the local checker, must re-verify the new behavior --
-    "value_outliers",
-    "range_bucket_join",
-    # -- new in round 7 (no driver row by construction) --
-    "interval_overlap_join",
+    "cheapest_supplier",
+    "corpus_stats",
+    "customer_order_distribution",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_verified_pairs",
+    "disjunctive_revenue",
+    "doc_chunks",
+    "domain_cap",
+    "embedding_quantize",
+    "flat_map_rekey_ledger",
+    "idle_rich_customers",
+    "importance_weights",
+    "lonely_returns",
+    "market_share",
+    "ngram_topk",
+    "product_type_profit",
+    "quality_topk_per_lang",
+    "session_reduce",
+    "small_quantity_revenue",
+    "supplier_part_variety",
+    "table_to_stream_count",
+    "text_langid",
+    "text_stats",
+    "top_supplier",
+    "volume_shipping",
+    # -- rule 2 / new in round 8 (no driver row by construction):
+    #    trailing_distinct_hll (trailing 7-day register-merge HLL) and
+    #    interval_overlap_join (bucketed interval×interval overlap,
+    #    operators/rangejoin.py) — both registered THIS round; the r7
+    #    _PROMOTED listed them before they existed and _rotate_front
+    #    silently dropped them (now a hard error, see below) --
     "trailing_distinct_hll",
-    # -- remaining slots: r5-dated queries most at risk of drift
-    #    (join/skew/streaming-policy/dedup machinery first).  The r5
-    #    remainder (TPC-H analytics shapes + text/curation tail) keeps
-    #    its r5 rows — exactly 2 rounds old after r7, the staleness
-    #    bound — and rotates in round 8. --
-    "join_interval_left",
-    "join_interval_outer",
-    "join_table_table",
-    "join_table_table_outer",
-    "join_global_enrich",
-    "yahoo_pipeline",
-    "skew_salted_join",
-    "skew_salted_distinct",
-    "table_group_aggregate",
-    "smt_chain",
-    "scan_from_timestamp",
-    "ts_policy_skip",
-    "ts_policy_previous",
-    "table_tombstones",
-    "asof_enrich_forward",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_spans",
-    "pack_sequences",
-    "supplier_nation_volume",
+    "interval_overlap_join",
+    # -- remaining 22 slots: r6-dated queries refreshed a round early
+    #    (heaviest machinery first: curation/similarity/sketch
+    #    pipelines), so the r9 mandatory rotation shrinks to the r6
+    #    remainder (26 queries) and everything stays ≤2 rounds stale --
+    "corpus_curation",
+    "decontaminate",
+    "decontaminate_bloom",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_multiprobe",
+    "semdedup_prune",
+    "kmeans_clusters",
+    "semantic_clusters",
+    "rolling_distinct_hll",
+    "distinct_orders_hll",
+    "heavy_hitters_cms",
+    "vocab_overlap_kmv",
+    "value_quantiles_hist",
+    "value_quantiles_by_type",
+    "global_shuffle",
+    "sample_exact_count",
+    "user_moving_avg",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 
@@ -98,6 +98,24 @@ def _rotate_front(d: dict, front: list[str]) -> None:
     d.update(items)
 
 
+def _check_promoted_registered(front: list[str], registered) -> None:
+    """Every promoted name must resolve to a REGISTERED query: r7's
+    window silently lost two entries ("new" queries that were never
+    registered) because _rotate_front's `if k in d` filter tolerated
+    phantoms — a typo here would leave the intended query outside the
+    driver's hard-evidence window while the comment claims it's in.
+    Fail loudly at import instead.  (ORACLE_SQL is allowed to be a
+    subset: queries without a SQL-expressible oracle get the driver's
+    rows-only check.)"""
+    unknown = set(front) - set(registered)
+    if unknown:
+        raise LookupError(
+            f"_PROMOTED names not registered in QUERIES: "
+            f"{sorted(unknown)} — register the query or remove the "
+            "rotation entry")
+
+
+_check_promoted_registered(_PROMOTED, QUERIES)
 _rotate_front(QUERIES, _PROMOTED)
 _rotate_front(ORACLE_SQL, _PROMOTED)
 

@@ -656,6 +656,125 @@ def rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trailing_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS as_of,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+               AS h56
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT as_of, h56 % {_HLL_M} AS bucket,
+             length(ltrim(bin((h56 // {_HLL_M}) % {_HLL_WMASK}), '0'))
+               AS bitlen
+      FROM h),
+    reg AS (
+      SELECT as_of, bucket, MIN(bitlen) AS min_bitlen
+      FROM b GROUP BY as_of, bucket),
+    days AS (SELECT DISTINCT as_of FROM reg),
+    trail AS (
+      SELECT d.as_of, r.bucket, MIN(r.min_bitlen) AS min_bitlen
+      FROM days d JOIN reg r
+        ON r.as_of <= d.as_of AND r.as_of >= d.as_of - INTERVAL 6 DAY
+      GROUP BY d.as_of, r.bucket),
+    s AS (
+      SELECT as_of, CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+             CAST(COALESCE(SUM(1::BIGINT << min_bitlen), 0) AS BIGINT)
+               AS present_pow
+      FROM trail GROUP BY as_of)
+    SELECT as_of, CAST({_HLL_M} AS BIGINT) AS m, nonzero_buckets,
+           CAST(present_pow
+                + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT
+                AS BIGINT) AS sum_pow,
+           CAST(CASE WHEN nonzero_buckets = 0 THEN 0
+                ELSE {_HLL_NUM}::BIGINT
+                  // (present_pow
+                      + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM s
+    """,
+)
+def trailing_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (the rolling-retention /
+    WAU-style window) via bounded HLL register merge — the sibling of
+    ``rolling_distinct_hll`` with a band-bounded merge instead of a
+    cumulative one: each as-of day min-merges the registers of days
+    ``[d-6, d]`` only.  The day×day expansion is therefore ≤ 7·m rows
+    per as-of day — CONSTANT in history length, where the cumulative
+    variant's expansion grows linearly with the number of days — and
+    raw events are still scanned exactly once (one grouped register
+    pass).  The trailing window is inexpressible as a watermark-bound
+    streaming agg over raw keys without retaining every key for 7
+    days; register merge retains 7·m ints per day instead.
+    Integer-exact end to end (same estimator contract as
+    functions/sketch.py)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketch.hll_registers(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        "user_id", p=_HLL_P, by=("day",))
+    days = regs.select(F.col("day").alias("as_of")).distinct()
+    trail = (regs.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("as_of"))
+        & (F.col("day") >= F.col("as_of") - F.expr("INTERVAL 6 DAYS")))
+        .groupBy("as_of", "bucket")
+        .agg(F.min("min_bitlen").alias("min_bitlen")))
+    return sketch.hll_estimate(trail, p=_HLL_P, by=("as_of",))
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             CAST(floor(s_acctbal * 100) AS BIGINT) AS a_lo,
+             CAST(floor(s_acctbal * 100) AS BIGINT) + 50000 AS a_hi
+      FROM supplier),
+    c AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS b_lo,
+             CAST(floor(c_acctbal * 100) AS BIGINT) + 30000 AS b_hi
+      FROM customer)
+    SELECT s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(SUM(c.c_custkey) AS BIGINT) AS sum_custkey
+    FROM s JOIN c ON s.a_lo < c.b_hi AND c.b_lo < s.a_hi
+    GROUP BY s.s_suppkey
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join WITHOUT a nested loop
+    (operators/rangejoin.py interval_overlap_join): each supplier
+    opens the balance band [s_acctbal, +$500), each customer
+    [c_acctbal, +$300); bands that overlap are matched through the
+    same fixed-width bucket quantization as the point-in-interval
+    join, with BOTH sides exploding to their covered buckets and each
+    overlapping pair emitted exactly once at its canonical bucket (max
+    of the two first-buckets) — no DISTINCT pass, no dedup shuffle.
+    Both sides stay hash-partitioned on bucket ids (either may be
+    fact-sized); the oracle is the naive inequality join — same
+    semantics, scale-naive plan."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.operators import rangejoin
+
+    cents = lambda c: F.floor(F.col(c) * 100).cast("long")  # noqa: E731
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", cents("s_acctbal").alias("a_lo"),
+                    (cents("s_acctbal") + 50000).alias("a_hi")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", cents("c_acctbal").alias("b_lo"),
+                    (cents("c_acctbal") + 30000).alias("b_hi")))
+    joined = rangejoin.interval_overlap_join(
+        supp, cust, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=40_000)
+    return (joined.groupBy("s_suppkey")
+            .agg(F.count("*").cast("long").alias("n_overlap"),
+                 F.sum("c_custkey").cast("long").alias("sum_custkey")))
+
+
+@query(
     "range_bucket_join",
     oracle="""
     WITH c AS (

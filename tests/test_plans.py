@@ -216,6 +216,11 @@ _BNLJ_OK = {
     # sides are register-space, bounded by construction regardless of
     # data volume; the raw events never enter this join.
     "rolling_distinct_hll",
+    # trailing-window variant of the same shape: the band bound
+    # (as_of-6 ≤ day ≤ as_of) is a non-equi join of the day dimension
+    # against the register table — both register-space, ≤ 7·m rows
+    # per as-of day by construction.
+    "trailing_distinct_hll",
 }
 
 # Queries allowed ONE unpartitioned window over an input that is
@@ -438,3 +443,17 @@ def test_rotation_keeps_driver_rows_fresh():
         f"with no driver row newer than r{upcoming - 3}: {stale} — "
         "promote them in kafkadirect_spark/plans/__init__.py _PROMOTED"
     )
+
+
+def test_promoted_names_all_registered():
+    """Phantom-rotation guard (VERDICT r7 item #1): every _PROMOTED
+    name must resolve to a registered query.  The import-time guard in
+    plans/__init__.py already raises on violations (so importing at
+    all proves the current list); this pins the guard function itself
+    against regression to the silent `if k in d` filter."""
+    from kafkadirect_spark import plans
+    from kafkadirect_spark.plans import QUERIES
+
+    assert not set(plans._PROMOTED) - set(QUERIES)
+    with pytest.raises(LookupError, match="no_such_query"):
+        plans._check_promoted_registered(["no_such_query"], QUERIES)
