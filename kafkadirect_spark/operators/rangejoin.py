@@ -44,8 +44,40 @@ def _floor_div(expr_sql: str, w: int) -> Column:
     the exact largest multiple of ``w`` that is <= the value (for any
     sign), and integral ``div`` of an exact multiple equals floor —
     no float touches the bucket id.
+
+    Domain: values within ``w`` of Long.MIN (x < -2^63 + w) would
+    make the ``x - pmod(x, w)`` numerator wrap silently (Spark long
+    arithmetic is non-ANSI by default), yielding a wrong bucket id —
+    so that sliver is rejected with a runtime raise_error instead of
+    dropping matches.  No real quantized domain (cents, nanos, token
+    counts) lives at -2^63; rescale if yours does.
     """
-    return F.expr(f"(({expr_sql}) - pmod(({expr_sql}), {w})) div ({w})")
+    guarded = (
+        f"CASE WHEN ({expr_sql}) >= {LONG_MIN + w} THEN ({expr_sql}) "
+        f"ELSE raise_error('range-join bound within {w} of Long.MIN "
+        f"— bucket ids would wrap; rescale the domain') END")
+    return F.expr(f"(({guarded}) - pmod(({guarded}), {w})) div ({w})")
+
+
+LONG_MIN = -(1 << 63)
+
+
+def _check_names(*sides: DataFrame) -> None:
+    """Reject reserved ``__``-prefixed input columns (the operators'
+    internal working columns — ``__bucket``, ``__lfirst``, … — would
+    silently overwrite a same-named user column via withColumn) and
+    cross-side collisions."""
+    reserved = sorted({c for df in sides for c in df.columns
+                       if c.startswith("__")})
+    if reserved:
+        raise ValueError(
+            f"reserved column names (double-underscore prefix): "
+            f"{reserved} — rename them before the range join")
+    if len(sides) == 2:
+        dup = set(sides[0].columns) & set(sides[1].columns)
+        if dup:
+            raise ValueError(
+                f"column collision between sides: {sorted(dup)}")
 
 
 def point_in_interval_join(
@@ -84,9 +116,7 @@ def point_in_interval_join(
         raise ValueError("max_span_buckets must be positive")
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
-    dup = set(points.columns) & set(intervals.columns)
-    if dup:
-        raise ValueError(f"column collision between sides: {sorted(dup)}")
+    _check_names(points, intervals)
 
     lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
     w = bucket_width
@@ -132,10 +162,12 @@ def interval_overlap_join(
     right_hi: str,
     bucket_width: int,
     max_span_buckets: int = 1_000_000,
+    how: str = "inner",
+    left_key: str | None = None,
 ) -> DataFrame:
-    """Inner-join every left interval to every right interval it
-    OVERLAPS (half-open, integer bounds: ``a.lo < b.hi AND b.lo <
-    a.hi``, both intervals non-empty) — without a nested loop.
+    """Join every left interval to every right interval it OVERLAPS
+    (half-open, integer bounds: ``a.lo < b.hi AND b.lo < a.hi``, both
+    intervals non-empty) — without a nested loop.
 
     Same quantization as :func:`point_in_interval_join`, but BOTH
     sides explode to the buckets they cover, so an overlapping pair
@@ -154,17 +186,32 @@ def interval_overlap_join(
     explode exactly as in :func:`point_in_interval_join`.
 
     Output: all left columns then all right columns (names must not
-    collide).  Only ``inner`` is supported: a left/outer variant
-    needs a caller-provided unique row key to collapse the exploded
-    unmatched side, which the bucket model cannot supply itself.
+    collide, and neither side may use the reserved ``__`` prefix).
+
+    ``how="left"`` keeps every left interval: unmatched ones (empty
+    intervals included) survive exactly once with null right columns.
+    It requires ``left_key`` — a column UNIQUE per left row — because
+    the bucket model explodes each left interval across its covered
+    buckets and a pair's canonical emission bucket is data-dependent,
+    so "unmatched" can only be decided per left ROW, not per exploded
+    bucket row: matched keys are collected by the inner pass and the
+    remainder re-enters via an anti-join (one extra key-only shuffle;
+    the inner subtree is evaluated twice unless the caller persists
+    the inputs — still never a nested loop, never a cartesian).
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     if max_span_buckets <= 0:
         raise ValueError("max_span_buckets must be positive")
-    dup = set(left.columns) & set(right.columns)
-    if dup:
-        raise ValueError(f"column collision between sides: {sorted(dup)}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
+    if how == "left" and not left_key:
+        raise ValueError(
+            "how='left' requires left_key (a column unique per left "
+            "row) to collapse the exploded unmatched side")
+    if how == "left" and left_key not in left.columns:
+        raise ValueError(f"left_key {left_key!r} not in left columns")
+    _check_names(left, right)
 
     w = bucket_width
 
@@ -193,6 +240,17 @@ def interval_overlap_join(
     overlaps = (a_lo < b_hi) & (b_lo < a_hi) & (a_lo < a_hi) & (b_lo < b_hi)
     canonical = F.col("__bucket") == F.greatest(F.col("__lfirst"),
                                                 F.col("__rfirst"))
-    return (lhs.join(rhs, F.col("__bucket") == F.col("__rbucket"), "inner")
-            .filter(canonical & overlaps)
-            .drop("__bucket", "__rbucket", "__lfirst", "__rfirst"))
+    inner = (lhs.join(rhs, F.col("__bucket") == F.col("__rbucket"), "inner")
+             .filter(canonical & overlaps)
+             .drop("__bucket", "__rbucket", "__lfirst", "__rfirst"))
+    if how == "inner":
+        return inner
+    # left: the inner pass already emitted every matched pair exactly
+    # once; left rows whose key never appears in it re-enter with null
+    # right columns via an anti-join on the caller's unique key.
+    unmatched = left.join(inner.select(left_key), left_key, "left_anti")
+    null_right = unmatched.select(
+        *left.columns,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right.columns])
+    return inner.unionByName(null_right)

@@ -62,7 +62,11 @@ _PROMOTED = [
     #    silently dropped them (now a hard error, see below) --
     "trailing_distinct_hll",
     "interval_overlap_join",
-    # -- remaining 22 slots: r6-dated queries refreshed a round early
+    # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
+    # guard in the bucket floor + reserved-name checks) — the driver
+    # must re-verify the point-in-interval query on the new expression
+    "range_bucket_join",
+    # -- remaining 21 slots: r6-dated queries refreshed a round early
     #    (heaviest machinery first: curation/similarity/sketch
     #    pipelines), so the r9 mandatory rotation shrinks to the r6
     #    remainder (26 queries) and everything stays ≤2 rounds stale --
@@ -87,7 +91,6 @@ _PROMOTED = [
     "sample_exact_count",
     "user_moving_avg",
     "event_funnel",
-    "retention_cohorts",
 ]
 
 

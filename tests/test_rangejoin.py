@@ -194,3 +194,78 @@ def test_overlap_validation_errors(spark):
         interval_overlap_join(
             a, b.withColumnRenamed("bid", "aid"),
             "a_lo", "a_hi", "b_lo", "aid", 10)
+
+
+def test_overlap_left_matches_naive_left_join(spark):
+    """how='left' golden: matched pairs identical to the naive left
+    overlap join, unmatched left intervals (empty ones included)
+    exactly once with null bid — including the >2^53 domain rows."""
+    a, b = _ivs_a(spark), _ivs_b(spark)
+    got = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucket_width=50, how="left", left_key="aid").collect()
+    want = a.join(
+        b,
+        (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+        & (F.col("a_lo") < F.col("a_hi")) & (F.col("b_lo") < F.col("b_hi")),
+        "left").collect()
+    key = lambda r: (r.aid, r.bid)  # noqa: E731
+    assert sorted(map(key, got), key=str) == sorted(map(key, want), key=str)
+    # the empty interval (aid=1) survives exactly once, unmatched
+    assert [k for k in map(key, got) if k[0] == 1] == [(1, None)]
+
+
+def test_overlap_left_no_nested_loop_in_plan(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = interval_overlap_join(
+            _ivs_a(spark), _ivs_b(spark), "a_lo", "a_hi", "b_lo", "b_hi",
+            bucket_width=50, how="left", left_key="aid")
+        plan = explain_formatted(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+
+
+def test_overlap_left_validation(spark):
+    a, b = _ivs_a(spark), _ivs_b(spark)
+    with pytest.raises(ValueError, match="left_key"):
+        interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                              50, how="left")
+    with pytest.raises(ValueError, match="not in left columns"):
+        interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                              50, how="left", left_key="nope")
+    with pytest.raises(ValueError, match="join type"):
+        interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                              50, how="outer")
+
+
+def test_reserved_names_rejected(spark):
+    """ADVICE r7: internal __-prefixed working columns must not
+    silently overwrite same-named user columns — both operators
+    reject them up front."""
+    pts, ivs = _points(spark), _intervals(spark)
+    with pytest.raises(ValueError, match="__bucket"):
+        point_in_interval_join(
+            pts.withColumn("__bucket", F.lit(1)), ivs, "v", "lo", "hi", 10)
+    a, b = _ivs_a(spark), _ivs_b(spark)
+    with pytest.raises(ValueError, match="__lfirst"):
+        interval_overlap_join(
+            a.withColumn("__lfirst", F.lit(1)), b,
+            "a_lo", "a_hi", "b_lo", "b_hi", 10)
+
+
+def test_long_min_domain_guard_raises(spark):
+    """Bounds within bucket_width of Long.MIN would wrap the pmod
+    floor silently (ADVICE r7) — they raise instead."""
+    long_min = -(1 << 63)
+    pts = spark.createDataFrame([(0, long_min + 3)], "pid long, v long")
+    ivs = spark.createDataFrame([(0, 0, 10)], "iid long, lo long, hi long")
+    with pytest.raises(Exception, match="Long.MIN"):
+        point_in_interval_join(
+            pts, ivs, "v", "lo", "hi", bucket_width=7).collect()
+    # just outside the sliver: floors exactly, no raise
+    pts_ok = spark.createDataFrame([(0, long_min + 7)], "pid long, v long")
+    assert point_in_interval_join(
+        pts_ok, ivs, "v", "lo", "hi", bucket_width=7).count() == 0
