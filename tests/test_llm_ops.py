@@ -515,3 +515,48 @@ def test_semdedup_exact_at_threshold_boundary(spark):
         df, "vec_id", "v", k=1, iters=1,
         tau_num=97, tau_den=100).collect()}
     assert above == {0: False, 1: False, 2: False}
+
+
+def test_kmeans_blas_assignment_bit_identical(spark):
+    """The broadcast-matmul assignment path ('blas', auto-selected at
+    k > 32 — the SemDeDup-scale form; the literal-expression path's
+    per-row cost is linear in k) must be BIT-IDENTICAL to the
+    expression path: same integer distances, same (dist, lowest-cid)
+    tie-break, through the full iterate-update loop."""
+    from kafkadirect_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for k, iters in ((5, 2), (8, 1)):
+        a = similarity.kmeans_quantized(
+            emb, "vec_id", "embedding", k=k, iters=iters,
+            assign="expr").collect()
+        b = similarity.kmeans_quantized(
+            emb, "vec_id", "embedding", k=k, iters=iters,
+            assign="blas").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ties: identical seed vectors must break to the lowest cid in
+    # both paths (the empty-cluster scenario exercises this)
+    pts = [(0, [0.0, 0.0]), (1, [0.0, 0.0]),
+           (2, [5.0, 5.0]), (3, [5.1, 5.0])]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+    a = similarity.kmeans_quantized(df, "vec_id", "v", k=2, iters=3,
+                                    assign="expr").collect()
+    b = similarity.kmeans_quantized(df, "vec_id", "v", k=2, iters=3,
+                                    assign="blas").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="assign mode"):
+        similarity.kmeans_quantized(df, "vec_id", "v", k=2,
+                                    assign="nope").collect()
+
+
+def test_semdedup_blas_assignment_matches(spark):
+    """semdedup_prune's full output is invariant to the assignment
+    path choice."""
+    from kafkadirect_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = similarity.semdedup_prune(emb, "vec_id", "embedding",
+                                  k=4, iters=2, assign="expr").collect()
+    b = similarity.semdedup_prune(emb, "vec_id", "embedding",
+                                  k=4, iters=2, assign="blas").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

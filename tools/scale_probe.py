@@ -40,6 +40,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def semdedup_probe(sf_dir: str = "/root/testdata/sf0.1",
+                   steps: tuple[int, ...] = (1, 4, 16),
+                   base_k: int = 8) -> None:
+    """SemDeDup scale-k probe (VERDICT r6 #5 / r7 #4): replicate the
+    embeddings 1×/4×/16× with direction-perturbed copies (a shifted
+    dimension per replica, so copies are near- but not exact
+    duplicates and clusters stay balanced), and run the prune twice
+    per size:
+
+    - **scaled k** (k ∝ data, the paper's operating recipe): cluster
+      size stays ~constant, so total prune work Σ n_c² ≈ cluster·N is
+      LINEAR in corpus size — wall time should track the ~4× data
+      step, not 16×;
+    - **fixed k** (the contrast cell): cluster size grows with the
+      corpus, Σ n_c² ≈ N²/k — wall time should grow ~quadratically,
+      demonstrating that k, not corpus size, is the knob that bounds
+      the cost (cost model at functions/similarity.py semdedup_prune).
+    """
+    from kafkadirect_spark.functions import similarity
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("semdedup-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "embeddings")
+
+    def replicate(repl: int):
+        df = base
+        for i in range(1, repl):
+            # shift one dimension per replica: changes the DIRECTION
+            # (cosine) — a uniform scale would not — while keeping the
+            # cluster geometry balanced
+            copy = (base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+                .withColumn("embedding", F.transform(
+                    "embedding",
+                    lambda x, j: F.when(j == F.lit(i % 64),
+                                        x + 0.05 * ((i % 7) + 1))
+                                  .otherwise(x))))
+            df = df.unionByName(copy)
+        return df
+
+    for repl in steps:
+        emb = replicate(repl).persist()
+        n = emb.count()
+        for mode, k in (("scaled_k", base_k * repl), ("fixed_k", base_k)):
+            t0 = time.perf_counter()
+            similarity.semdedup_prune(emb, "vec_id", "embedding",
+                                      k=k, iters=2) \
+                .write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 2)
+            print(json.dumps({"op": "semdedup_prune", "mode": mode,
+                              "repl": repl, "rows": n, "k": k,
+                              "sec": sec}), flush=True)
+        emb.unpersist()
+    spark.stop()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
          organic: bool = False, ops: list[str] | None = None,
          start: int = 1) -> None:
@@ -133,6 +191,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if "--semdedup" in args:
+        args.remove("--semdedup")
+        semdedup_probe(args[0] if args else "/root/testdata/sf0.1")
+        sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
     ops: list[str] | None = None
