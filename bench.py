@@ -110,6 +110,11 @@ def main() -> None:
         "range_bucket_join": QUERIES["range_bucket_join"],
         "rolling_distinct_hll": QUERIES["rolling_distinct_hll"],
         "value_outliers": QUERIES["value_outliers"],
+        # round-8 shapes: the interval×interval overlap join (same
+        # no-nested-loop pin as range_bucket_join, both sides
+        # exploded) and the trailing-window register-merge HLL
+        "interval_overlap_join": QUERIES["interval_overlap_join"],
+        "trailing_distinct_hll": QUERIES["trailing_distinct_hll"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
@@ -175,8 +180,33 @@ def main() -> None:
     # Plan fingerprints go to a sidecar artifact, NOT the stdout line:
     # inlining them pushed round 5's single output line past the
     # driver's tail-capture window and left BENCH_r05 unparsed.
+    # Before overwriting, diff against the previous run's fingerprints
+    # so plan drift is SELF-reporting in the summary line: a timing
+    # that moved with an unchanged fingerprint is machine noise; a
+    # changed fingerprint names the suite to re-audit.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_PLANS.json"), "w") as fh:
+    plans_path = os.path.join(here, "BENCH_PLANS.json")
+    plan_diff = {"changed": 0, "unchanged": 0, "new": 0}
+    try:
+        with open(plans_path) as fh:
+            prev = json.load(fh)
+        prev_plans = prev.get("plans", {}) if prev.get("sf") == sf_dir else {}
+    except (OSError, ValueError):
+        prev_plans = {}
+    changed_names = []
+    for name, stats in plans.items():
+        if name not in prev_plans:
+            plan_diff["new"] += 1
+        elif prev_plans[name] != stats:
+            plan_diff["changed"] += 1
+            changed_names.append(name)
+        else:
+            plan_diff["unchanged"] += 1
+    # name at most 5 changed suites (bounded — the 8 kB guard below
+    # protects the stdout contract; full detail stays in the sidecar)
+    if changed_names:
+        plan_diff["changed_names"] = sorted(changed_names)[:5]
+    with open(plans_path, "w") as fh:
         json.dump({"sf": sf_dir, "plans": plans}, fh, indent=1, sort_keys=True)
 
     # Compact timings-only JSON as the FINAL stdout line (the driver
@@ -188,6 +218,7 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "extras_wall_sec": round(sum(extras.values()), 3),
+        "plan_diff": plan_diff,
         "sf": sf_dir,
     }, separators=(",", ":"))
     # Hard guard on the output contract: if suite growth ever pushes
