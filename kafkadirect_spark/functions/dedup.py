@@ -168,6 +168,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (id_a < id_b, J >= tau) via PREFIX
+    FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW 2007; Xiao et al. PPJoin — public) — provably
+    lossless, NO hot-shingle cap needed.
+
+    ``ngram_jaccard_pairs`` keeps the inverted-index join sub-quadratic
+    only by dropping shingles hotter than ``max_doc_freq`` — an
+    approximation (boilerplate-only pairs vanish).  Prefix filtering
+    keeps EXACT semantics at scale: order every document's shingle set
+    by global document frequency ascending (rarest first, ties by
+    shingle value), and index only each set's PREFIX.  Candidates are
+    pairs sharing >= 1 prefix shingle; everything else provably cannot
+    reach tau.
+
+    Prefix length (two-sided-safe): ``p = |x| - ceil(|x|*t/(1+t)) + 1``
+    with ``t = tau_num/tau_den``, computed in integer ceil-division.
+    Proof of losslessness: let ``s_x = |x| - p_x = ceil(f*|x|) - 1``
+    with ``f = t/(1+t)``.  If two prefixes are disjoint, every common
+    shingle lies in a suffix, so ``O <= s_A + s_B < f*(|A|+|B|)``;
+    but ``J >= t`` forces ``O >= t*(|A|+|B|)/(1+t) = f*(|A|+|B|)``
+    — contradiction, so any qualifying pair shares a prefix shingle.
+
+    Scale ledger: the index self-join keys on PREFIX shingles only —
+    and a globally hot shingle has maximal df, so it sorts LAST and
+    almost never enters a prefix: the boilerplate-gram skew that
+    forces ``max_doc_freq`` elsewhere structurally cannot form hot
+    join buckets here.  A length filter (``t <= min/max``, integer
+    cross-multiplication) prunes candidates before the distinct;
+    verification joins each surviving pair to its two shingle ARRAYS
+    (row-local ``array_intersect``, no second inverted-index pass)
+    and applies the threshold as the integer comparison
+    ``c*tau_den >= tau_num*(na+nb-c)`` — no float decides membership.
+    Output jaccard is one double division of exact ints (engine-
+    bit-identical).  Reference analogue: none (SURVEY.md S2.4 has no
+    similarity surface) — beyond-parity curation machinery.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
+    frac_den = tau_num + tau_den  # t/(1+t) = tau_num/(tau_num+tau_den)
+
+    sh = _persist(_shingle_index(df, text_col, id_col, n))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    docs = _persist(
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "shingle")))
+             .alias("__ts"))
+        .select(F.col(id_col),
+                F.expr("transform(__ts, t -> t.shingle)").alias("__toks"),
+                F.size("__ts").alias("__n")))
+    # p = n - ceil(n * tau_num / (tau_num+tau_den)) + 1, integer-exact
+    pfx = docs.select(
+        F.col(id_col), F.col("__n"),
+        F.explode(F.expr(
+            f"slice(__toks, 1, __n - CAST((__n * {tau_num} + {frac_den} - 1) "
+            f"DIV {frac_den} AS INT) + 1)")).alias("__t"))
+    a = pfx.select(F.col(id_col).alias("id_a"),
+                   F.col("__n").alias("__na"), "__t")
+    b = pfx.select(F.col(id_col).alias("id_b"),
+                   F.col("__n").alias("__nb"), "__t")
+    cand = (a.join(b, "__t")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    # length filter: t <= min/max, both orientations
+                    & (F.col("__na") * tau_num <= F.col("__nb") * tau_den)
+                    & (F.col("__nb") * tau_num <= F.col("__na") * tau_den))
+            .select("id_a", "id_b").distinct())
+    ta = docs.select(F.col(id_col).alias("id_a"),
+                     F.col("__toks").alias("__ta"), F.col("__n").alias("__sa"))
+    tb = docs.select(F.col(id_col).alias("id_b"),
+                     F.col("__toks").alias("__tb"), F.col("__n").alias("__sb"))
+    c = F.size(F.array_intersect("__ta", "__tb"))
+    union_sz = F.col("__sa") + F.col("__sb") - F.col("__c")
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("__c", c)
+            .filter(F.col("__c") * tau_den >= tau_num * union_sz)
+            .select("id_a", "id_b",
+                    (F.col("__c").cast("double") / union_sz)
+                    .alias("jaccard")))
+
+
 def with_row_signatures(df: DataFrame, text_col: str, keep: list[str],
                         n: int = 3) -> DataFrame:
     """``keep`` columns plus the 32 MinHash signature values as pure

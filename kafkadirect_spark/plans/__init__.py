@@ -62,6 +62,7 @@ _PROMOTED = [
     #    silently dropped them (now a hard error, see below) --
     "trailing_distinct_hll",
     "interval_overlap_join",
+    "dedup_jaccard_prefix",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -90,7 +91,6 @@ _PROMOTED = [
     "global_shuffle",
     "sample_exact_count",
     "user_moving_avg",
-    "event_funnel",
 ]
 
 

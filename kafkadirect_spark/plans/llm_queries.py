@@ -81,6 +81,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      threshold=0.5, max_doc_freq=50)
 
 
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE common * 2 >= (sa.n + sb.n - common)
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard pairs >= 0.5 via prefix filtering (Bayardo
+    2007 / PPJoin) — UNLIKE dedup_ngram_jaccard, no hot-shingle cap
+    and no approximation: the index self-join keys on each set's
+    df-ascending PREFIX only (a provably lossless filter — see
+    functions/dedup.py jaccard_prefix_pairs), so the oracle here is
+    the full UNCAPPED pairwise formulation, scale-naive but
+    semantically identical.  Hot boilerplate shingles sort last by
+    document frequency and structurally stay out of prefixes — the
+    skew the cap existed for can't form join buckets here."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", n=3,
+                                      tau_num=1, tau_den=2)
+
+
 # CTE chain ending in the banded signatures — shared by the LSH-pairs
 # oracle and the duplicate-cluster oracle built on top of them.
 _MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},

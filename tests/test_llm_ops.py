@@ -560,3 +560,60 @@ def test_semdedup_blas_assignment_matches(spark):
     b = similarity.semdedup_prune(emb, "vec_id", "embedding",
                                   k=4, iters=2, assign="blas").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (dedup.jaccard_prefix_pairs)
+# ---------------------------------------------------------------------------
+
+def _pfx_naive(spark, docs, tau):
+    from kafkadirect_spark.functions import dedup as d
+    return sorted(map(tuple, d.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=tau).collect()))
+
+
+@pytest.mark.parametrize("tau_num,tau_den", [(1, 2), (4, 5), (3, 10)])
+def test_jaccard_prefix_matches_uncapped_naive(spark, tau_num, tau_den):
+    """Losslessness of the prefix filter at several thresholds: the
+    candidate restriction must not drop a single qualifying pair vs
+    the full (uncapped) inverted-index formulation."""
+    from kafkadirect_spark.functions import dedup as d
+    from kafkadirect_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(map(tuple, d.jaccard_prefix_pairs(
+        docs, "text", "doc_id", n=3,
+        tau_num=tau_num, tau_den=tau_den).collect()))
+    assert got == _pfx_naive(spark, docs, tau_num / tau_den)
+
+
+def test_jaccard_prefix_boilerplate_skew(spark):
+    """A boilerplate prefix shared by EVERY doc (the hot-shingle case
+    that forces max_doc_freq on the inverted-index path) must neither
+    lose pairs nor admit sub-threshold ones."""
+    from kafkadirect_spark.functions import dedup as d
+
+    boiler = "terms of service apply to all content here "
+    rows = [(i, boiler + f"unique tail {i} " + ("shared middle part " * 3
+                                                if i % 2 == 0 else ""))
+            for i in range(20)]
+    # two exact near-dups on top
+    rows += [(100, boiler + "alpha beta gamma delta epsilon zeta"),
+             (101, boiler + "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, d.jaccard_prefix_pairs(
+        docs, "text", "doc_id", n=3).collect()))
+    want = _pfx_naive(spark, docs, 0.5)
+    assert got == want
+    assert (100, 101) in {(a, b) for a, b, _ in got}
+
+
+def test_jaccard_prefix_validation(spark):
+    from kafkadirect_spark.functions import dedup as d
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="tau"):
+        d.jaccard_prefix_pairs(docs, "text", "doc_id", tau_num=0)
+    with pytest.raises(ValueError, match="tau"):
+        d.jaccard_prefix_pairs(docs, "text", "doc_id",
+                               tau_num=3, tau_den=2)
