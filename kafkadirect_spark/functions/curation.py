@@ -283,13 +283,14 @@ def corpus_stats(df: DataFrame, group_col: str, size_col: Column | str,
     return d.groupBy(group_col).agg(*aggs)
 
 
-def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
+def topk_per_group(df: DataFrame, group_col: str | list[str],
+                   order_col: str, k: int,
                    tiebreak_col: str | None = None,
                    ascending: bool = False,
                    salt_parts: int = 32) -> DataFrame:
     """Top-``k`` rows per group by ``order_col`` (desc by default),
     deterministic via ``tiebreak_col`` — per-language / per-source
-    quality selection.
+    quality selection.  ``group_col`` may be one column or a list.
 
     Two-phase when ``salt_parts`` > 1: rows are salted into
     ``(group, salt)`` sub-partitions by a deterministic hash, ranked
@@ -304,6 +305,7 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
     per group.  ``salt_parts=1`` recovers the single-window plan."""
     from pyspark.sql import Window
 
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     keys = [order] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
     src = df
@@ -312,14 +314,14 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
         # unique → balanced), else the whole row
         salt_on = (F.col(tiebreak_col) if tiebreak_col
                    else F.struct(*[F.col(c) for c in df.columns]))
-        w1 = Window.partitionBy(group_col, "__salt").orderBy(*keys)
+        w1 = Window.partitionBy(*groups, "__salt").orderBy(*keys)
         src = (df.withColumn(
                    "__salt",
                    F.pmod(F.xxhash64(salt_on), F.lit(salt_parts)))
                  .withColumn("__r1", F.row_number().over(w1))
                  .filter(F.col("__r1") <= k)
                  .drop("__salt", "__r1"))
-    w = Window.partitionBy(group_col).orderBy(*keys)
+    w = Window.partitionBy(*groups).orderBy(*keys)
     return (src.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .withColumn("rank", F.col("rank").cast("long")))
@@ -470,6 +472,37 @@ def sample_exact_n(df: DataFrame, id_col: str, n: int,
             .orderBy(F.col("__h").asc(), F.col(id_col).asc())
             .limit(n)
             .select(id_col))
+
+
+def sample_exact_n_per_group(df: DataFrame, group_cols: list[str],
+                             id_col: str, n: int,
+                             seed: str = "sample") -> DataFrame:
+    """Exactly-``n`` uniform sample PER GROUP (stratum), deterministic
+    under re-runs and data layout: each group's ``n`` smallest rows in
+    salted-hash order — the exact-count sibling of
+    ``stratified_sample`` (whose per-stratum size is binomial) and the
+    grouped sibling of ``sample_exact_n``.  Groups smaller than ``n``
+    are returned whole.
+
+    Scale: delegates to the salted two-phase ``topk_per_group``
+    (ascending on the sample hash) — rows rank first inside
+    ``(stratum, salt)`` sub-partitions (no task sorts more than
+    ~1/salt_parts of a stratum, even a corpus-sized one), and only
+    the ≤ n survivors per sub-partition re-rank per stratum
+    (≤ n·salt_parts rows per group, bounded by construction).  The
+    plan-lint suite rejects the naive low-cardinality rank window
+    this replaces.  No RNG state, no count-dependent boundaries:
+    membership depends only on (seed, id), so the sample is stable as
+    the corpus grows — a row enters/leaves only when the group's n-th
+    hash boundary moves."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = hash_bucket(F.concat(F.lit(seed), F.col(id_col).cast("string")),
+                    n_buckets=HASH_P)
+    return (topk_per_group(
+        df.select(*group_cols, F.col(id_col), h.alias("__h")),
+        group_cols, "__h", k=n, tiebreak_col=id_col, ascending=True)
+        .select(*group_cols, id_col))
 
 
 def term_relevance(df: DataFrame, id_col: str, text_col: str, k: int = 3,

@@ -54,20 +54,22 @@ _PROMOTED = [
     "text_stats",
     "top_supplier",
     "volume_shipping",
-    # -- rule 2 / new in round 8 (no driver row by construction):
-    #    trailing_distinct_hll (trailing 7-day register-merge HLL) and
-    #    interval_overlap_join (bucketed interval×interval overlap,
-    #    operators/rangejoin.py) — both registered THIS round; the r7
-    #    _PROMOTED listed them before they existed and _rotate_front
-    #    silently dropped them (now a hard error, see below) --
+    # -- new in round 8 (no driver row by construction):
+    #    trailing_distinct_hll (trailing 7-day register-merge HLL),
+    #    interval_overlap_join (bucketed interval×interval overlap —
+    #    the r7 _PROMOTED listed these two before they existed and
+    #    _rotate_front silently dropped them; now a hard error, see
+    #    below), dedup_jaccard_prefix (lossless prefix-filtered
+    #    Jaccard join), sample_exact_per_group (exact-n per stratum) --
     "trailing_distinct_hll",
     "interval_overlap_join",
     "dedup_jaccard_prefix",
+    "sample_exact_per_group",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
     "range_bucket_join",
-    # -- remaining 21 slots: r6-dated queries refreshed a round early
+    # -- remaining 19 slots: r6-dated queries refreshed a round early
     #    (heaviest machinery first: curation/similarity/sketch
     #    pipelines), so the r9 mandatory rotation shrinks to the r6
     #    remainder (26 queries) and everything stays ≤2 rounds stale --
@@ -90,7 +92,6 @@ _PROMOTED = [
     "value_quantiles_by_type",
     "global_shuffle",
     "sample_exact_count",
-    "user_moving_avg",
 ]
 
 

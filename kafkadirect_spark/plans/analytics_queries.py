@@ -86,6 +86,32 @@ def sample_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.sample_exact_n(docs, "doc_id", 200, seed="sample")
 
 
+@query(
+    "sample_exact_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id, {_H.format(seed='strat')} AS h FROM documents)
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM h)
+    WHERE rn <= 20
+    """,
+)
+def sample_exact_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20 documents per language, rerun-stable (functions/
+    curation.py sample_exact_n_per_group): each stratum's 20 smallest
+    rows in salted-hash order via a stratum-partitioned rank window —
+    one shuffle on the stratum key, per-task sort bounded by stratum
+    size, no RNG state.  The exact-count sampling `stratified_sample`
+    (binomial per-stratum sizes) cannot provide."""
+    from kafkadirect_spark.functions import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.sample_exact_n_per_group(
+        docs, ["lang"], "doc_id", 20, seed="strat")
+
+
 _TOK_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
             "x -> x <> '')")
 

@@ -365,3 +365,32 @@ def test_weighted_keep_rates_and_cap(spark):
     b = curation.weighted_keep(df.repartition(7), "doc_id",
                                F.lit(0.5)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sample_exact_n_per_group(spark):
+    """Exact-n per stratum: every group returns min(n, group size)
+    rows, membership is layout-invariant and seed-redrawable."""
+    from kafkadirect_spark.functions import curation
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.sample_exact_n_per_group(
+        df, ["lang"], "doc_id", 10, seed="s1").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+    # groups smaller than n come back whole
+    tiny = curation.sample_exact_n_per_group(
+        df.filter("doc_id < 4"), ["lang"], "doc_id", 10).collect()
+    assert len(tiny) == 4
+    # layout-invariant
+    out2 = curation.sample_exact_n_per_group(
+        df.repartition(13), ["lang"], "doc_id", 10, seed="s1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a different seed redraws
+    out3 = curation.sample_exact_n_per_group(
+        df, ["lang"], "doc_id", 10, seed="s2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+    with pytest.raises(ValueError, match="n must be"):
+        curation.sample_exact_n_per_group(df, ["lang"], "doc_id", 0)
