@@ -65,11 +65,12 @@ _PROMOTED = [
     "interval_overlap_join",
     "dedup_jaccard_prefix",
     "sample_exact_per_group",
+    "zorder_events",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
     "range_bucket_join",
-    # -- remaining 19 slots: r6-dated queries refreshed a round early
+    # -- remaining slots: r6-dated queries refreshed a round early
     #    (heaviest machinery first: curation/similarity/sketch
     #    pipelines), so the r9 mandatory rotation shrinks to the r6
     #    remainder (26 queries) and everything stays ≤2 rounds stale --
@@ -91,7 +92,6 @@ _PROMOTED = [
     "value_quantiles_hist",
     "value_quantiles_by_type",
     "global_shuffle",
-    "sample_exact_count",
 ]
 
 

@@ -900,6 +900,48 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value_cents"))
 
 
+def _zorder_oracle() -> str:
+    from kafkadirect_spark.functions import layout
+
+    qx = layout.quantize_dim_sql("user_id", 0, 10_000, 8)
+    qy = layout.quantize_dim_sql("floor(value * 100)", 0, 100_000, 8)
+    z = layout.zorder_sql([qx, qy], bits=8)
+    return f"""
+    SELECT event_id,
+           CAST({qx} AS BIGINT) AS qx,
+           CAST({qy} AS BIGINT) AS qy,
+           CAST({z} AS BIGINT) AS z
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    """
+
+
+@query("zorder_events", oracle=_zorder_oracle())
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering index over two event dimensions
+    (functions/layout.py): user_id and value-cents each quantize to an
+    8-bit cell (integer clamp + DIV, no double division), and the
+    cells' bits interleave into one long — the key whose range-
+    partitioned sorted layout gives every file a small bounding box
+    in BOTH dimensions, making parquet min-max pruning effective for
+    predicates on either (the Delta OPTIMIZE ZORDER BY technique).
+    Pure bit arithmetic, replayed bit-for-bit by the DuckDB oracle;
+    the layout win itself is pinned by tests/test_layout.py's
+    bounding-box comparison."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import layout
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("value").isNotNull()))
+    qx = layout.quantize_dim("user_id", 0, 10_000, 8)
+    qy = layout.quantize_dim("floor(value * 100)", 0, 100_000, 8)
+    return ev.select(
+        "event_id", qx.alias("qx"), qy.alias("qy"),
+        layout.zorder_index([qx, qy], bits=8).alias("z"))
+
+
 @query(
     "scd2_asof_snapshot",
     oracle="""
