@@ -115,6 +115,8 @@ def main() -> None:
         # exploded) and the trailing-window register-merge HLL
         "interval_overlap_join": QUERIES["interval_overlap_join"],
         "trailing_distinct_hll": QUERIES["trailing_distinct_hll"],
+        # lossless prefix-filtered Jaccard (the uncapped exact path)
+        "dedup_jaccard_prefix": QUERIES["dedup_jaccard_prefix"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -60,12 +60,15 @@ _PROMOTED = [
     #    the r7 _PROMOTED listed these two before they existed and
     #    _rotate_front silently dropped them; now a hard error, see
     #    below), dedup_jaccard_prefix (lossless prefix-filtered
-    #    Jaccard join), sample_exact_per_group (exact-n per stratum) --
+    #    Jaccard join), sample_exact_per_group (exact-n per stratum),
+    #    zorder_events (Morton layout index), and
+    #    distinct_users_by_type_hll (grouped HLL estimate) --
     "trailing_distinct_hll",
     "interval_overlap_join",
     "dedup_jaccard_prefix",
     "sample_exact_per_group",
     "zorder_events",
+    "distinct_users_by_type_hll",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -91,7 +94,6 @@ _PROMOTED = [
     "vocab_overlap_kmv",
     "value_quantiles_hist",
     "value_quantiles_by_type",
-    "global_shuffle",
 ]
 
 

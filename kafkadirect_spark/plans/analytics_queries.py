@@ -682,6 +682,56 @@ def rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "distinct_users_by_type_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+               AS h56
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT event_type, h56 % {_HLL_M} AS bucket,
+             length(ltrim(bin((h56 // {_HLL_M}) % {_HLL_WMASK}), '0'))
+               AS bitlen
+      FROM h),
+    reg AS (
+      SELECT event_type, bucket, MIN(bitlen) AS min_bitlen
+      FROM b GROUP BY event_type, bucket),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+             CAST(COALESCE(SUM(1::BIGINT << min_bitlen), 0) AS BIGINT)
+               AS present_pow
+      FROM reg GROUP BY event_type)
+    SELECT event_type, CAST({_HLL_M} AS BIGINT) AS m, nonzero_buckets,
+           CAST(present_pow
+                + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT
+                AS BIGINT) AS sum_pow,
+           CAST(CASE WHEN nonzero_buckets = 0 THEN 0
+                ELSE {_HLL_NUM}::BIGINT
+                  // (present_pow
+                      + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM s
+    """,
+)
+def distinct_users_by_type_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates from ONE grouped HLL
+    register pass (functions/sketch.py ``by=`` groups) — the
+    grouped-dashboard shape: the exchange carries ≤ groups·m register
+    rows via map-side partial min, never the raw keys, and each
+    group's sketch later merges with other days/sources through
+    ``hll_merge`` without re-reading events.  Integer-exact end to
+    end (same estimator contract as distinct_orders_hll)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketch.hll_registers(
+        ev.select("event_type", "user_id"), "user_id",
+        p=_HLL_P, by=("event_type",))
+    return sketch.hll_estimate(regs, p=_HLL_P, by=("event_type",))
+
+
+@query(
     "trailing_distinct_hll",
     oracle=f"""
     WITH h AS (

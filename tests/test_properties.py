@@ -518,3 +518,48 @@ def test_space_saving_guarantee(stream, capacity):
     for v, (est, err) in c.items():
         assert est >= true[v]          # never underestimates
         assert est - err <= true[v]    # error bound is honest
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard join vs an in-Python all-pairs model
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+     "theta", "iota", "kappa"])
+_docs = st.lists(st.lists(_words, min_size=0, max_size=12),
+                 min_size=2, max_size=12)
+
+
+def _model_jaccard_pairs(texts, n, tau_num, tau_den):
+    """All-pairs exact n-gram Jaccard over distinct shingle sets."""
+    def sh(words):
+        return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+    sets = {i: sh(w) for i, w in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                c = len(sets[a] & sets[b])
+                if c * tau_den >= tau_num * (len(sets[a]) + len(sets[b]) - c):
+                    out.add((a, b))
+    return out
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_docs, st.sampled_from([(1, 2), (4, 5), (1, 4)]))
+def test_jaccard_prefix_join_matches_model(spark, texts, tau):
+    """The prefix filter's losslessness over adversarial tiny corpora:
+    duplicated docs, empty docs, heavy token overlap — the pair set
+    must equal the in-Python all-pairs model exactly."""
+    from kafkadirect_spark.functions import dedup
+
+    tau_num, tau_den = tau
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(texts)],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in dedup.jaccard_prefix_pairs(
+        df, "text", "doc_id", n=3,
+        tau_num=tau_num, tau_den=tau_den).collect()}
+    assert got == _model_jaccard_pairs(texts, 3, tau_num, tau_den)
