@@ -493,6 +493,15 @@ def assign_clusters(df: DataFrame, id_col: str, vec_col: str,
     Ties break toward the lower centroid id.  Returns
     (id_col, cluster_id, cluster_rank ≡ 1..k preference order ranks
     are not emitted — just the argmax winner).
+
+    k-scaling note: the literal-expression argmax costs O(k·dim)
+    expression ops per row, and — unlike ``kmeans_quantized`` — this
+    FLOAT cosine cannot get a bit-identical BLAS fallback (matmul
+    reorders the double summation; near-tie assignments would flip
+    against the sequential-sum oracle).  For large-k space partition
+    use ``kmeans_quantized`` (integer distances are exact under any
+    summation order, so its ``assign="blas"`` path stays
+    bit-identical) — the SemDeDup pipeline already does.
     """
     rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
     cents = [(r[0], [float(x) for x in r[1]]) for r in rows]
