@@ -137,6 +137,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
           f"shuffle order rows: {order.count()}")
     print(f"report: ~{n_sources} distinct sources "
           f"(p50 len {quants[500]}, p99 len {quants[990]})")
+    # 8c: emit layout — Z-order the clean corpus on (source, length)
+    # cells so parquet min-max pruning works for downstream scans
+    # filtering on EITHER dimension (one range exchange, sorted write)
+    from kafkadirect_spark.functions import layout
+    q_src = layout.quantize_dim("pmod(xxhash64(source), 256)", 0, 256, 8)
+    q_len = layout.quantize_dim("length(text)", 0, 20_000, 8)
+    laid = layout.cluster_by_zorder(
+        clean.withColumn("__qs", q_src).withColumn("__ql", q_len),
+        ["__qs", "__ql"], bits=8, partitions=8).drop("__qs", "__ql")
+    print(f"z-layout:      {laid.rdd.getNumPartitions()} range "
+          "partitions, both dims bounded per file")
+
     clean.select("doc_id", "source", F.substring("text", 1, 60).alias("text")) \
         .show(5, truncate=False)
 
