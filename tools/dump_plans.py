@@ -87,6 +87,24 @@ HEADLINERS = {
     "scd2_asof_snapshot": "struct-max last-wins hash aggregate with "
                           "map-side partials — no sort, no window; "
                           "as-of bound pushed to the scan",
+    "interval_overlap_join": "both interval sides explode to covered "
+                             "buckets → shuffled equi-join on the "
+                             "bucket id with the canonical-bucket + "
+                             "overlap predicate inside — no nested "
+                             "loop, no DISTINCT dedup pass",
+    "trailing_distinct_hll": "grouped register pass (≤ m rows/day) → "
+                             "7-day band join in register space → "
+                             "per-as-of estimate; expansion constant "
+                             "in history length (vs cumulative days²)",
+    "dedup_jaccard_prefix": "df-ascending prefix explode → equi-join "
+                            "on prefix shingles only (hot grams sort "
+                            "last, never enter prefixes) → length "
+                            "filter → row-local array_intersect "
+                            "verify; lossless, no doc-freq cap",
+    "zorder_events": "pure bit-arithmetic projection (quantize cells "
+                     "+ Morton interleave) fused into the scan — "
+                     "zero shuffles; the layout write adds one range "
+                     "exchange",
 }
 
 
