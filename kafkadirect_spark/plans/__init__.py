@@ -65,6 +65,7 @@ _PROMOTED = [
     #    distinct_users_by_type_hll (grouped HLL estimate) --
     "trailing_distinct_hll",
     "interval_overlap_join",
+    "interval_overlap_left",
     "dedup_jaccard_prefix",
     "sample_exact_per_group",
     "zorder_events",
@@ -93,7 +94,6 @@ _PROMOTED = [
     "heavy_hitters_cms",
     "vocab_overlap_kmv",
     "value_quantiles_hist",
-    "value_quantiles_by_type",
 ]
 
 

@@ -851,6 +851,58 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_overlap_left",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             CAST(floor(s_acctbal * 100) AS BIGINT) AS a_lo,
+             CAST(floor(s_acctbal * 100) AS BIGINT) + 20000 AS a_hi
+      FROM supplier),
+    c AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS b_lo,
+             CAST(floor(c_acctbal * 100) AS BIGINT) + 10000 AS b_hi
+      FROM customer WHERE c_acctbal < 5000),
+    j AS (
+      SELECT s.s_suppkey, c.c_custkey
+      FROM s LEFT JOIN c ON s.a_lo < c.b_hi AND c.b_lo < s.a_hi)
+    SELECT s_suppkey,
+           CAST(COUNT(c_custkey) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS sum_custkey
+    FROM j GROUP BY s_suppkey
+    """,
+)
+def interval_overlap_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT interval-overlap join (operators/rangejoin.py
+    interval_overlap_join how='left'): every supplier band appears —
+    high-balance suppliers whose [s_acctbal, +$200) band overlaps no
+    sub-$5000 customer band [c_acctbal, +$100) survive with zero
+    matches.  The unmatched side re-enters via an anti-join on the
+    caller-supplied unique key (s_suppkey) after the canonical-bucket
+    inner pass — no nested loop, no cartesian (plan-linted like every
+    registered query)."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.operators import rangejoin
+
+    cents = lambda c: F.floor(F.col(c) * 100).cast("long")  # noqa: E731
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", cents("s_acctbal").alias("a_lo"),
+                    (cents("s_acctbal") + 20000).alias("a_hi")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") < 5000)
+            .select("c_custkey", cents("c_acctbal").alias("b_lo"),
+                    (cents("c_acctbal") + 10000).alias("b_hi")))
+    joined = rangejoin.interval_overlap_join(
+        supp, cust, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucket_width=15_000, how="left", left_key="s_suppkey")
+    return (joined.groupBy("s_suppkey")
+            .agg(F.count("c_custkey").cast("long").alias("n_overlap"),
+                 F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long")
+                 .alias("sum_custkey")))
+
+
+@query(
     "range_bucket_join",
     oracle="""
     WITH c AS (
