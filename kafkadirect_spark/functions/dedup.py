@@ -218,11 +218,33 @@ def jaccard_prefix_pairs(
     bit-identical).  Reference analogue: none (SURVEY.md S2.4 has no
     similarity surface) — beyond-parity curation machinery.
     """
+    sh = _shingle_index(df, text_col, id_col, n)
+    return set_jaccard_prefix_pairs(sh, id_col, "shingle",
+                                    tau_num=tau_num, tau_den=tau_den)
+
+
+def set_jaccard_prefix_pairs(
+    sets: DataFrame,
+    id_col: str,
+    token_col: str,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """The generic core of :func:`jaccard_prefix_pairs`: exact
+    Jaccard >= tau pairs over ARBITRARY sets given as distinct
+    ``(id, token)`` rows — tag sets, URL tokens, LSH signatures, any
+    set-valued feature; the text entry point just feeds it the
+    shingle index.  Same prefix/length/position filters, same
+    integer-decided threshold, same losslessness (see the wrapper's
+    docstring for the proofs and the scale ledger).  ``sets`` must be
+    duplicate-free per (id, token); ids with zero tokens simply never
+    pair."""
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
     frac_den = tau_num + tau_den  # t/(1+t) = tau_num/(tau_num+tau_den)
 
-    sh = _persist(_shingle_index(df, text_col, id_col, n))
+    sh = _persist(sets.select(F.col(id_col),
+                              F.col(token_col).alias("shingle")))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     docs = _persist(
         sh.join(dfreq, "shingle")

@@ -617,3 +617,26 @@ def test_jaccard_prefix_validation(spark):
     with pytest.raises(ValueError, match="tau"):
         d.jaccard_prefix_pairs(docs, "text", "doc_id",
                                tau_num=3, tau_den=2)
+
+
+def test_set_jaccard_prefix_on_non_text_sets(spark):
+    """The generic set-similarity core over arbitrary (id, token)
+    rows — integer tag sets, no text anywhere."""
+    from kafkadirect_spark.functions import dedup as d
+
+    sets = {1: {10, 20, 30, 40}, 2: {10, 20, 30, 50},
+            3: {10, 20}, 4: {99}, 5: {10, 20, 30, 40}}
+    rows = [(i, t) for i, ts in sets.items() for t in ts]
+    df = spark.createDataFrame(rows, "sid long, tag long")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in d.set_jaccard_prefix_pairs(
+               df, "sid", "tag", tau_num=1, tau_den=2).collect()}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                c = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if 2 * c >= u:
+                    want[(a, b)] = c / u
+    assert got == want  # {(1,2): 0.6, (1,5): 1.0, (2,5): 0.6, (3, ...)}
