@@ -563,3 +563,38 @@ def test_jaccard_prefix_join_matches_model(spark, texts, tau):
         df, "text", "doc_id", n=3,
         tau_num=tau_num, tau_den=tau_den).collect()}
     assert got == _model_jaccard_pairs(texts, 3, tau_num, tau_den)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join vs an in-Python all-pairs model
+# ---------------------------------------------------------------------------
+
+_ivals = st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=250),
+              st.integers(min_value=0, max_value=80)),  # (lo, span)
+    min_size=1, max_size=15)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_ivals, _ivals, st.sampled_from([1, 7, 64]))
+def test_interval_overlap_join_matches_model(spark, la, lb, width):
+    """Canonical-bucket dedup over random interval sets: every
+    overlapping pair exactly once, empty intervals never match, at
+    several bucket widths."""
+    from kafkadirect_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(i, lo, lo + sp) for i, (lo, sp) in enumerate(la)],
+        "aid long, a_lo long, a_hi long")
+    b = spark.createDataFrame(
+        [(i, lo, lo + sp) for i, (lo, sp) in enumerate(lb)],
+        "bid long, b_lo long, b_hi long")
+    got = sorted((r.aid, r.bid) for r in interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=width).collect())
+    want = sorted(
+        (i, j)
+        for i, (alo, asp) in enumerate(la)
+        for j, (blo, bsp) in enumerate(lb)
+        if asp > 0 and bsp > 0 and alo < blo + bsp and blo < alo + asp)
+    assert got == want
