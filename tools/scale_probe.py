@@ -158,11 +158,15 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
                     F.col("q_permille").alias("sum_pow"),
                     F.col("est_value").alias("est_distinct")))
 
+    def probe_jaccard_prefix(docs):
+        return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", n=3)
+
     probes = {"minhash_lsh": probe_minhash,
               "span_dedup": probe_span_dedup,
               "decontaminate": probe_decontaminate,
               "importance": probe_importance,
-              "sketches": probe_sketches}
+              "sketches": probe_sketches,
+              "jaccard_prefix": probe_jaccard_prefix}
     if ops:
         unknown = set(ops) - set(probes)
         if unknown:
