@@ -130,3 +130,36 @@ def timestamp_router(ts: Column | str, topic_format: str = "route-{}",
 def value_to_key(df: DataFrame, fields: list[str], key_name: str = "key") -> DataFrame:
     """ValueToKey — build the record key from value fields."""
     return df.withColumn(key_name, F.struct(*[F.col(f) for f in fields]))
+
+
+def route_errors(df: DataFrame, error_cond: Column,
+                 context: dict[str, Column] | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Connect ``errors.tolerance=all`` + dead-letter-queue routing
+    (connect/runtime DeadLetterQueueReporter semantics — public
+    surface of every Connect deployment, adjacent to the §2.7 SMTs):
+    split a frame into (ok, dlq) on a caller-supplied error
+    condition — e.g. a failed ``try_cast`` yielding null (under
+    Spark's ANSI mode the ``try_*`` function family is the idiom
+    that converts per-record failures into observable nulls instead
+    of job aborts), a regex mismatch, a schema check — instead of
+    failing the pipeline.
+
+    Single-scan: both outputs filter one tagged projection (the
+    ``branch`` economics — Spark caches/reuses the scan; no second
+    read of the source).  The DLQ side carries the full original
+    record plus an ``error_context`` struct (caller-supplied
+    diagnostic columns, e.g. the raw value and a reason literal),
+    mirroring the DLQ headers Connect attaches.  Null error
+    conditions count as errors (a predicate that cannot evaluate is
+    itself an error, matching Connect's tolerance model).
+    """
+    tagged = df.withColumn(
+        "__is_err", F.coalesce(error_cond.cast("boolean"), F.lit(True)))
+    ok = tagged.filter(~F.col("__is_err")).drop("__is_err")
+    ctx = context or {}
+    dlq = (tagged.filter(F.col("__is_err")).drop("__is_err")
+           .withColumn("error_context", F.struct(
+               *[c.alias(n) for n, c in ctx.items()]) if ctx
+               else F.struct(F.lit("unspecified").alias("reason"))))
+    return ok, dlq

@@ -85,3 +85,28 @@ def test_value_to_key(spark):
     out = smt.value_to_key(_df(spark), ["id", "topic"])
     k = out.first().key
     assert (k.id, k.topic) == (1, "topic-a")
+
+
+def test_route_errors_dlq(spark):
+    """errors.tolerance=all semantics: bad rows route to the DLQ with
+    context instead of failing the pipeline; null predicates count as
+    errors; the split is lossless."""
+    from kafkadirect_spark.functions import smt
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("x", "b"), (None, "c"), ("42", "d")],
+        "raw string, payload string")
+    parsed = df.withColumn("n", F.col("raw").try_cast("long"))
+    ok, dlq = smt.route_errors(
+        parsed, F.col("n").isNull(),
+        context={"reason": F.lit("cast_failed"), "raw": F.col("raw")})
+    ok_rows = ok.collect()
+    dlq_rows = dlq.collect()
+    assert sorted(r.payload for r in ok_rows) == ["a", "d"]
+    assert sorted(r.payload for r in dlq_rows) == ["b", "c"]
+    assert all(r.error_context.reason == "cast_failed" for r in dlq_rows)
+    assert {r.error_context.raw for r in dlq_rows} == {"x", None}
+    assert len(ok_rows) + len(dlq_rows) == 4
+    # null error condition -> error side
+    ok2, dlq2 = smt.route_errors(df, F.lit(None).cast("boolean"))
+    assert ok2.count() == 0 and dlq2.count() == 4
