@@ -241,6 +241,10 @@ def set_jaccard_prefix_pairs(
     pair."""
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
+    if id_col == "shingle" or id_col.startswith("__"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with internal working columns "
+            "('shingle', '__'-prefixed) — rename it first")
     frac_den = tau_num + tau_den  # t/(1+t) = tau_num/(tau_num+tau_den)
 
     sh = _persist(sets.select(F.col(id_col),

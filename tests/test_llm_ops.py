@@ -640,3 +640,14 @@ def test_set_jaccard_prefix_on_non_text_sets(spark):
                 if 2 * c >= u:
                     want[(a, b)] = c / u
     assert got == want  # {(1,2): 0.6, (1,5): 1.0, (2,5): 0.6, (3, ...)}
+
+
+def test_set_jaccard_prefix_reserved_id_names(spark):
+    from kafkadirect_spark.functions import dedup as d
+
+    df = spark.createDataFrame([(1, 2)], "shingle long, tag long")
+    with pytest.raises(ValueError, match="collides"):
+        d.set_jaccard_prefix_pairs(df, "shingle", "tag")
+    df2 = spark.createDataFrame([(1, 2)], "__x long, tag long")
+    with pytest.raises(ValueError, match="collides"):
+        d.set_jaccard_prefix_pairs(df2, "__x", "tag")
