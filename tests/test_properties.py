@@ -598,3 +598,28 @@ def test_interval_overlap_join_matches_model(spark, la, lb, width):
         for j, (blo, bsp) in enumerate(lb)
         if asp > 0 and bsp > 0 and alo < blo + bsp and blo < alo + asp)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=-100, max_value=300),
+                min_size=1, max_size=20),
+       _ivals, st.sampled_from([1, 7, 64]))
+def test_point_in_interval_join_matches_model(spark, pts, ivs, width):
+    """Bucketed point-in-interval join over random data at several
+    widths: multiplicity-exact vs the all-pairs model, empty
+    intervals never match."""
+    from kafkadirect_spark.operators.rangejoin import point_in_interval_join
+
+    p = spark.createDataFrame(list(enumerate(pts)), "pid long, v long")
+    iv = spark.createDataFrame(
+        [(i, lo, lo + sp) for i, (lo, sp) in enumerate(ivs)],
+        "iid long, lo long, hi long")
+    got = sorted((r.pid, r.iid) for r in point_in_interval_join(
+        p, iv, "v", "lo", "hi", bucket_width=width).collect())
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(pts)
+        for j, (lo, sp) in enumerate(ivs)
+        if sp > 0 and lo <= v < lo + sp)
+    assert got == want
