@@ -121,3 +121,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so spark.sql() can be used."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_table_any(spark: SparkSession, path: str, fmt: str | None = None,
+                   schema=None, **options) -> DataFrame:
+    """Format-generic bounded scan: ``parquet`` / ``json`` (lines) /
+    ``csv`` / ``orc`` — the connector surface for corpora that arrive
+    as raw export files rather than parquet (the reference's serde
+    layer accepts JSON/CSV wire formats the same way;
+    ``sources/kafka.py parse_records`` is the streaming sibling).
+
+    ``fmt`` defaults from the path suffix.  For json/csv an explicit
+    ``schema`` is strongly recommended: schema inference costs an
+    extra full pass at 100 TB and infers types non-deterministically
+    across samples — pass the target schema and Spark parses in one
+    scan (malformed rows follow ``mode``/``columnNameOfCorruptRecord``
+    options; combine with ``smt.route_errors`` for DLQ routing).
+    Parquet/orc keep full min-max row-group pruning; json/csv scans
+    prune columns but not row groups — convert to parquet (or write
+    through ``cluster_by_zorder``) for the scan-bound path.
+
+    The same UTC session contract as ``load_table`` is enforced.
+    """
+    if fmt is None:
+        suffix = path.rsplit(".", 1)[-1].lower()
+        fmt = {"jsonl": "json"}.get(suffix, suffix)
+    if fmt not in ("parquet", "json", "csv", "orc"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    return reader.options(**options).format(fmt).load(path)
