@@ -146,7 +146,7 @@ def load_table_any(spark: SparkSession, path: str, fmt: str | None = None,
     if fmt is None:
         suffix = path.rsplit(".", 1)[-1].lower()
         fmt = {"jsonl": "json"}.get(suffix, suffix)
-    if fmt not in ("parquet", "json", "csv", "orc"):
+    if fmt not in ("parquet", "json", "csv", "orc", "avro"):
         raise ValueError(f"unsupported format {fmt!r}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.read
@@ -154,4 +154,15 @@ def load_table_any(spark: SparkSession, path: str, fmt: str | None = None,
         reader = reader.schema(schema)
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"
-    return reader.options(**options).format(fmt).load(path)
+    try:
+        return reader.options(**options).format(fmt).load(path)
+    except Exception as ex:
+        if fmt == "avro" and "Failed to find data source" in str(ex):
+            raise RuntimeError(
+                "avro needs the external spark-avro module on the "
+                "classpath (org.apache.spark:spark-avro_2.13 matching "
+                "this Spark version) — absent in this environment, the "
+                "same env-block as the Kafka connector jar "
+                "(COVERAGE.md §2.1); json/csv/orc/parquet work without "
+                "it") from ex
+        raise

@@ -71,3 +71,11 @@ def test_corrupt_json_routes_to_dlq(spark, tmp_path):
     bad = dlq.collect()
     assert len(bad) == 1
     assert bad[0].error_context.raw == "this is not json"
+
+
+def test_avro_env_blocked_message(spark, tmp_path):
+    """Avro is accepted but env-blocked here (no spark-avro module
+    jar, installs forbidden) — the error names the unblock recipe
+    instead of Spark's bare ClassNotFound."""
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        load_table_any(spark, f"{tmp_path}/x.avro")
