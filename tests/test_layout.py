@@ -101,3 +101,61 @@ def test_cluster_by_zorder_bounds_both_dimensions(spark):
     assert ex_z <= 32 and ey_z <= 32
     # and the clustered frame still holds exactly the same rows
     assert z.count() == 64 * 64
+
+
+def test_zorder_write_produces_tight_file_stats(spark, tmp_path):
+    """The artifact that matters: after a Z-clustered parquet WRITE,
+    each file's footer min-max stats (what scan pruning actually
+    reads) cover a small range in BOTH dimensions; a one-dimension
+    sort leaves qy's per-file range at ~full domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import itertools
+
+    rows = [(a, b) for a, b in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "qx long, qy long")
+
+    def file_extents(path):
+        exts = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"qx": 1 << 62, "qy": 1 << 62}
+            maxs = {"qx": -(1 << 62), "qy": -(1 << 62)}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    mins[name] = min(mins[name], st.min)
+                    maxs[name] = max(maxs[name], st.max)
+            exts.append((maxs["qx"] - mins["qx"], maxs["qy"] - mins["qy"]))
+        return exts
+
+    from kafkadirect_spark.functions import layout
+
+    zp = f"{tmp_path}/z"
+    layout.cluster_by_zorder(df, ["qx", "qy"], bits=6, partitions=16) \
+        .write.mode("overwrite").parquet(zp)
+    z_ext = file_extents(zp)
+    assert len(z_ext) >= 8
+    # every file's bounding box bounded in BOTH dims (16th of a 64x64
+    # Morton curve covers a 16x16 tile; 2x slack for range sampling)
+    assert all(ex <= 32 and ey <= 32 for ex, ey in z_ext), z_ext
+
+    op = f"{tmp_path}/one"
+    df.repartitionByRange(16, "qx").sortWithinPartitions("qx") \
+        .write.mode("overwrite").parquet(op)
+    one_ext = file_extents(op)
+    # the one-dim layout's qy stats span ~the whole domain per file —
+    # min-max pruning on qy would skip nothing
+    assert all(ey > 55 for _, ey in one_ext), one_ext
+
+
+def test_quantize_dim_negative_range(spark):
+    df = spark.createDataFrame([(-200,), (-100,), (-1,), (0,), (99,)],
+                               "x long")
+    got = [r.q for r in df.select(
+        layout.quantize_dim("x", -100, 100, 4).alias("q")).collect()]
+    # [-100, 100) in 16 cells of width 12.5; -200 clamps to cell 0
+    assert got == [0, 0, 7, 8, 15]
