@@ -254,3 +254,29 @@ def interval_overlap_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(c)
           for c in right.columns])
     return inner.unionByName(null_right)
+
+
+def suggest_bucket_width(intervals: DataFrame, lo_col: str, hi_col: str,
+                         quantile: float = 0.5) -> int:
+    """Data-driven ``bucket_width``: the given quantile (default
+    median) of the interval spans, floored to ≥ 1.  The docstring
+    advice "choose W near the median span" as one cheap aggregate —
+    ``approx_percentile`` (t-digest, map-side partial, no sort), a
+    PLANNING helper whose output feeds the join, not an oracle-gated
+    result (engine-internal sketch layouts are fine here, unlike the
+    exact-oracle sketch family in functions/sketch.py).
+
+    With W at the median span the interval side's explode multiplier
+    stays ~2× (half the intervals cover ≤ 1 bucket boundary) while a
+    point meets only the intervals sharing its bucket.  Callers with
+    adversarial span distributions (a few huge sentinels) should
+    still set ``max_span_buckets`` — the guard raises loudly rather
+    than exploding.
+    """
+    if not 0 < quantile < 1:
+        raise ValueError("quantile must be in (0, 1)")
+    span = (F.col(hi_col).cast("long") - F.col(lo_col).cast("long"))
+    row = intervals.filter(span > 0).agg(
+        F.expr(f"approx_percentile({hi_col} - {lo_col}, {quantile})")
+        .cast("long").alias("w")).collect()[0]
+    return max(int(row["w"] or 1), 1)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from kafkadirect_spark.operators.rangejoin import (
     interval_overlap_join,
     point_in_interval_join,
+    suggest_bucket_width,
 )
 from kafkadirect_spark.testing import explain_formatted
 
@@ -269,3 +270,23 @@ def test_long_min_domain_guard_raises(spark):
     pts_ok = spark.createDataFrame([(0, long_min + 7)], "pid long, v long")
     assert point_in_interval_join(
         pts_ok, ivs, "v", "lo", "hi", bucket_width=7).count() == 0
+
+
+def test_suggest_bucket_width(spark):
+    ivs = spark.createDataFrame(
+        [(i, 0, s) for i, s in enumerate([10, 10, 10, 100, 1000])]
+        + [(9, 5, 5)],  # empty interval excluded from the estimate
+        "iid long, lo long, hi long")
+    w = suggest_bucket_width(ivs, "lo", "hi")
+    assert 10 <= w <= 100  # median of {10,10,10,100,1000}
+    # degenerate: all empty intervals -> floor of 1
+    empty = spark.createDataFrame([(0, 5, 5)], "iid long, lo long, hi long")
+    assert suggest_bucket_width(empty, "lo", "hi") == 1
+    with pytest.raises(ValueError, match="quantile"):
+        suggest_bucket_width(ivs, "lo", "hi", quantile=1.5)
+    # the suggested width actually drives a correct join
+    pts = spark.createDataFrame([(0, 5), (1, 500)], "pid long, v long")
+    got = sorted((r.pid, r.iid) for r in point_in_interval_join(
+        pts, ivs, "v", "lo", "hi", bucket_width=w).collect())
+    naive = sorted((r.pid, r.iid) for r in _naive(pts, ivs).collect())
+    assert got == naive
