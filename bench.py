@@ -117,6 +117,13 @@ def main() -> None:
         "trailing_distinct_hll": QUERIES["trailing_distinct_hll"],
         # lossless prefix-filtered Jaccard (the uncapped exact path)
         "dedup_jaccard_prefix": QUERIES["dedup_jaccard_prefix"],
+        # late-r8 shapes: directed containment (inverted-index pair
+        # agg), incremental new-batch-vs-index LSH (band-keyed join,
+        # corpus quadrant excluded), and the integer unigram-surprisal
+        # scorer (occurrence collapse → vocab join → doc agg)
+        "dedup_containment": QUERIES["dedup_containment"],
+        "dedup_incremental_lsh": QUERIES["dedup_incremental_lsh"],
+        "doc_surprisal": QUERIES["doc_surprisal"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

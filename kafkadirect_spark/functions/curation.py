@@ -628,3 +628,93 @@ def weighted_keep(df: DataFrame, id_col: str, weight: Column,
     oracle contract pins floor."""
     thr = F.floor(F.least(weight, F.lit(1.0)) * SPLIT_BUCKETS).cast("long")
     return df.filter(hash_bucket(id_col, salt=salt) < thr)
+
+
+def surprisal_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram-LM surprisal quality scores, integer-exact.
+
+    The CCNet/Gopher-style quality gate scores each document by its
+    per-token negative log-likelihood under a language model trained on
+    the corpus itself — rare-token-heavy gibberish scores high, common
+    prose scores low.  This is the unigram version with the logs
+    integerized: a token occurring ``c`` times in an ``N``-token corpus
+    contributes ``floor(log2 N) − floor(log2 c)`` bits, and
+    ``floor(log2 n) = length(bin(n)) − 1`` EXACTLY in integer
+    arithmetic (both Spark and DuckDB ship ``bin``), so the score never
+    touches libm and replays bit-for-bit in the oracle.  Emits
+    ``(id, n_tokens, surprisal_bits)``; rank descending by
+    ``surprisal_bits / n_tokens`` to find outliers.
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity curation machinery.
+
+    Scale ledger: occurrences are collapsed to distinct (doc, token)
+    with a count BEFORE the frequency join (map-side combine bounds the
+    exchange by distinct pairs, not raw tokens); the vocabulary
+    frequency table aggregates to ≤|vocab| rows (heavy-tail hot tokens
+    absorbed map-side) and joins back by token — AQE broadcasts it when
+    it fits, which a real vocabulary (~10⁷ rows) does.  The corpus
+    total ``N`` is a 1-row aggregate joined by broadcast, never a
+    driver collect.  Final groupBy(doc) is the only data-sized
+    exchange.
+    """
+    occ = (
+        _widen(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    occ = _persist(occ)
+    cnt = occ.groupBy("__tok").agg(F.sum("__k").alias("__c"))
+    total = cnt.agg(F.sum("__c").alias("__n"))
+    bits = (F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("__c"))))
+    return (
+        occ.join(cnt, "__tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.sum("__k").cast("long").alias("n_tokens"),
+             F.sum(F.col("__k") * bits).cast("long").alias("surprisal_bits"))
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass per-column data-quality profile: for each named column
+    emit ``(col_name, n_rows, n_null, n_distinct, max_len)`` — the
+    ingest-validation summary a pipeline checks before committing a new
+    corpus drop (distinct exact, null accounting exact, ``max_len`` on
+    the string form).
+
+    Reference analogue: none (SURVEY.md §2) — beyond-parity
+    data-quality machinery.
+
+    Scale shape: the columns are unpivoted to (col_name, value) rows —
+    a |cols|× generate amplification BEFORE the first partial
+    aggregate, which immediately collapses each task's output to its
+    distinct (col, value) pairs, so the one data-sized exchange carries
+    distinct values, never raw rows (the same map-side-dedup shape as
+    the Q21 stacked-aggregate rewrite).  A second ≤|distinct|-row
+    exchange on col_name finishes.  Running several COUNT(DISTINCT)s
+    in one groupBy instead would compile to an Expand with NO partial
+    dedup — |cols|× the raw rows through the shuffle.
+
+    Values are compared in string form: exact for integers/strings;
+    callers profile float columns at their own risk (engine float
+    formatting differs).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("need at least one column")
+    exprs: list[Column] = []
+    for c in cols:
+        exprs += [F.lit(c), F.col(c).cast("string")]
+    pairs = df.select(F.stack(F.lit(n), *exprs).alias("col_name", "__val"))
+    lvl1 = (pairs.groupBy("col_name", "__val")
+            .agg(F.count(F.lit(1)).alias("__cnt")))
+    return (lvl1.groupBy("col_name").agg(
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__val").isNull(), F.col("__cnt"))),
+            F.lit(0)).cast("long").alias("n_null"),
+        F.count("__val").cast("long").alias("n_distinct"),
+        F.max(F.length("__val")).cast("long").alias("max_len"),
+    ))

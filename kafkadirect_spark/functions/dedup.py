@@ -698,3 +698,123 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
                      " ", F.transform(ordered, lambda x: x["span"])
                  ).alias("text_dedup"),
                  F.count(F.lit(1)).alias("n_spans")))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Directed containment near-dup: (contained, container) pairs
+    where |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold.
+
+    Jaccard is symmetric and misses the practical case where a short
+    document (a quote, a syndicated paragraph, boilerplate) sits
+    INSIDE a much longer one — the union term drowns the overlap.
+    Containment is the asymmetric measure the C4/RefinedWeb-style
+    recipes use for that case; emitting (contained → container) lets
+    the curation step drop the subsumed copy and keep the superset.
+
+    Reference analogue: none (Kafka Streams has no document model,
+    SURVEY.md §2) — beyond-parity curation machinery beside
+    ``ngram_jaccard_pairs``.
+
+    Scale shape: identical to the Jaccard path — one persisted
+    inverted index, the hot-shingle cap bounds the self-join fan-out
+    (the cap is part of the operator's spec and is replayed verbatim
+    in the oracle), one groupBy(pair) exchange.  Both directions are
+    decided from the SAME intersection row (array-explode of the two
+    directed candidates), so the join never runs twice.
+    """
+    sh = _persist(_shingle_index(df, text_col, id_col, n))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    directed = F.array(
+        F.struct(F.col("id_a").alias("contained"),
+                 F.col("id_b").alias("container"),
+                 F.col("na").alias("n_contained")),
+        F.struct(F.col("id_b").alias("contained"),
+                 F.col("id_a").alias("container"),
+                 F.col("nb").alias("n_contained")),
+    )
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select(F.col("common"), F.explode(directed).alias("d"))
+        .select("d.contained", "d.container", "common", "d.n_contained")
+        .withColumn(
+            "containment",
+            F.col("common").cast("double") / F.col("n_contained"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def incremental_lsh_candidates(
+    new_sigs: DataFrame, index_sigs: DataFrame, id_col: str,
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs for a NEW ingest batch
+    against an EXISTING signature index, plus new-vs-new — without
+    re-signing or re-pairing the corpus.
+
+    The 100 TB reality is not one batch job: a pipeline lands a daily
+    drop (GBs) against a corpus whose MinHash signatures (ints, ~100
+    bytes/doc) are already materialized.  Re-running the full
+    ``lsh_candidate_pairs`` self-join would re-pair corpus-vs-corpus —
+    O(corpus) shuffle for pairs already known.  Here the corpus side
+    contributes only its band buckets to a join whose OUTPUT is
+    bounded by the new batch's collisions, and the corpus-vs-corpus
+    quadrant is excluded by construction.
+
+    Both inputs are signature tables (``minhash_signatures`` /
+    ``with_row_signatures`` output: id + sig_0..sig_{N-1}); ids must
+    be unique across the union (the caller's ingest contract).  Emits
+    (id_a, id_b) with id_a < id_b where at least one side is new —
+    exactly ``lsh_candidate_pairs(union)`` minus ``lsh_candidate_
+    pairs(index)``, pinned by tests/test_llm_ops.py.
+
+    Scale ledger: one exchange keyed (band, band-signature) — the
+    corpus side ships band rows once (in a real deployment those are
+    bucketed-by-band parquet, making even that exchange-free via
+    through_bucketed's layout); the join is bucket-local; no
+    corpus-sized groupBy anywhere.
+    """
+    def buckets(sigs: DataFrame, flag: int) -> DataFrame:
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"v{r}")
+                  for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ])
+        return (sigs.select(F.col(id_col), F.explode(bands).alias("bk"))
+                .select(id_col, "bk.*")
+                .withColumn("__new", F.lit(flag)))
+
+    both = _persist(buckets(new_sigs, 1).unionByName(buckets(index_sigs, 0)))
+    key = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
+    a = both.select(*key, F.col(id_col).alias("id_a"),
+                    F.col("__new").alias("__na"))
+    b = both.select(*key, F.col(id_col).alias("id_b"),
+                    F.col("__new").alias("__nb"))
+    return (
+        a.join(b, key)
+        .filter((F.col("id_a") < F.col("id_b"))
+                & ((F.col("__na") == 1) | (F.col("__nb") == 1)))
+        .select("id_a", "id_b")
+        .distinct()
+    )

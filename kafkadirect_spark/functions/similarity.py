@@ -755,3 +755,59 @@ def semdedup_prune(df: DataFrame, id_col: str, vec_col: str,
     out_schema = f"{id_col} long, cluster_id long, is_dup boolean"
     return (assigned.groupBy("cluster_id")
             .applyInPandas(prune, schema=out_schema))
+
+
+def rademacher_matrix(out_dim: int, in_dim: int, seed: int = 11) -> list[list[int]]:
+    """Frozen ±1 projection matrix (Rademacher rows), deterministic in
+    ``seed`` — embedded as literals on BOTH the Spark side and the
+    DuckDB oracle so the projection replays bit-for-bit."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(in_dim)]
+            for _ in range(out_dim)]
+
+
+def random_project(df: DataFrame, id_col: str, vec_col: str,
+                   out_dim: int = 16, seed: int = 11) -> DataFrame:
+    """Signed random projection (Achlioptas'01 / Johnson-Lindenstrauss
+    with ±1 entries — public): reduce ``vec_col`` to ``out_dim``
+    integer components ``y_j = Σ_i sign[j][i] · q_i`` over the int8-
+    quantized vector.  The JL lemma preserves pairwise distances to
+    1±ε at out_dim = O(log n / ε²); with ±1 entries the arithmetic is
+    INTEGER-exact end to end (|y_j| ≤ 127·in_dim — far inside int64),
+    so the reduced vectors are cross-engine reproducible, unlike any
+    float Gaussian matrix.
+
+    At 100 TB this is the standard pre-ANN shrink: 64-dim float32 →
+    16-dim int64 cuts the vector bytes the ANN index shuffles/stores
+    ~4× while keeping neighbor ranks (the brute-force / IVF / LSH
+    paths all accept the projected column as-is).  Row-local codegen
+    (one zip_with dot per output component), zero shuffles, zero UDFs.
+
+    Reference analogue: none (SURVEY.md §2 has no vector surface) —
+    beyond-parity machinery beside quantize_int8.
+
+    Returns (id, scale, yvec: array<long>).
+    """
+    q = quantize_int8(df, id_col, vec_col)
+    signs = rademacher_matrix(out_dim, _vec_dim(df, vec_col), seed)
+    comps = [
+        F.aggregate(
+            F.zip_with(F.col("qvec"),
+                       F.array(*[F.lit(s) for s in row]),
+                       lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for row in signs
+    ]
+    return q.select(F.col(id_col), F.col("scale"),
+                    F.array(*comps).alias("yvec"))
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the first row — metadata-sized action (one
+    row), used only to size the frozen literal matrix."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("empty input — cannot infer vector dim")
+    return row["d"]

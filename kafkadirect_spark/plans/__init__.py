@@ -61,8 +61,12 @@ _PROMOTED = [
     #    _rotate_front silently dropped them; now a hard error, see
     #    below), dedup_jaccard_prefix (lossless prefix-filtered
     #    Jaccard join), sample_exact_per_group (exact-n per stratum),
-    #    zorder_events (Morton layout index), and
-    #    distinct_users_by_type_hll (grouped HLL estimate) --
+    #    zorder_events (Morton layout index),
+    #    distinct_users_by_type_hll (grouped HLL estimate), and the
+    #    late-r8 five: dedup_containment (directed containment pairs),
+    #    dedup_incremental_lsh (new-batch-vs-index candidates),
+    #    embedding_random_projection (±1 JL projection), doc_surprisal
+    #    (integer unigram-LM bits), corpus_profile (column profiler) --
     "trailing_distinct_hll",
     "interval_overlap_join",
     "interval_overlap_left",
@@ -70,14 +74,19 @@ _PROMOTED = [
     "sample_exact_per_group",
     "zorder_events",
     "distinct_users_by_type_hll",
+    "dedup_containment",
+    "dedup_incremental_lsh",
+    "embedding_random_projection",
+    "doc_surprisal",
+    "corpus_profile",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
     "range_bucket_join",
     # -- remaining slots: r6-dated queries refreshed a round early
-    #    (heaviest machinery first: curation/similarity/sketch
-    #    pipelines), so the r9 mandatory rotation shrinks to the r6
-    #    remainder (26 queries) and everything stays ≤2 rounds stale --
+    #    (heaviest machinery first: curation/similarity pipelines), so
+    #    the r9 mandatory rotation is the r6 remainder and everything
+    #    stays ≤2 rounds stale --
     "corpus_curation",
     "decontaminate",
     "decontaminate_bloom",
@@ -89,11 +98,6 @@ _PROMOTED = [
     "semdedup_prune",
     "kmeans_clusters",
     "semantic_clusters",
-    "rolling_distinct_hll",
-    "distinct_orders_hll",
-    "heavy_hitters_cms",
-    "vocab_overlap_kmv",
-    "value_quantiles_hist",
 ]
 
 

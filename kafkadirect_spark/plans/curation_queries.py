@@ -517,3 +517,52 @@ def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.weighted_keep(
         docs, "doc_id", F.col("n_chars") / 500.0).select("doc_id")
+
+
+@query(
+    "doc_surprisal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    occ AS (SELECT doc_id, tok, COUNT(*) AS k FROM tok GROUP BY 1, 2),
+    cnt AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS c FROM occ GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
+    SELECT occ.doc_id, CAST(SUM(occ.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(occ.k * (length(bin(tot.n)) - length(bin(cnt.c))))
+                AS BIGINT) AS surprisal_bits
+    FROM occ JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY occ.doc_id
+    """,
+)
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality scores (functions/curation.py:
+    surprisal_scores) — CCNet-style perplexity filtering with the logs
+    integerized: floor(log2 n) = length(bin(n)) − 1 exactly, so the
+    bits replay engine-for-engine with zero libm involvement."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.surprisal_scores(docs, "doc_id", "text")
+
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            CAST(MAX(LENGTH(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len
+        FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("corpus_profile", oracle=_profile_oracle())
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-validation column profile (functions/curation.py:
+    profile_columns): exact per-column n_rows / n_null / n_distinct /
+    max_len in one unpivot + two-level aggregate — the exchange
+    carries distinct (col, value) pairs after map-side dedup, never an
+    Expand of raw rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.profile_columns(docs, _PROFILE_COLS)

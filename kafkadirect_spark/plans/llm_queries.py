@@ -860,3 +860,121 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle may cross join — the ENGINE must not)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.assign_clusters(emb, "vec_id", "embedding", k=8)
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM shf a JOIN shf b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    dir AS (
+      SELECT id_a AS contained, id_b AS container, c AS common,
+             sa.n AS n_contained
+      FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+      UNION ALL
+      SELECT id_b, id_a, c, sb.n
+      FROM pairs JOIN sizes sb ON sb.doc_id = pairs.id_b
+    )
+    SELECT contained, container, CAST(common AS BIGINT) AS common,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           CAST(common AS DOUBLE) / n_contained AS containment
+    FROM dir WHERE CAST(common AS DOUBLE) / n_contained >= 0.3
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup (functions/dedup.py:
+    containment_pairs): short documents subsumed by longer ones —
+    the asymmetric overlap Jaccard's union term drowns.  Same
+    inverted-index shape as dedup_ngram_jaccard; both directions
+    decided from one intersection row."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.containment_pairs(docs, "text", "doc_id",
+                                  n=3, threshold=0.3, max_doc_freq=50)
+    return out.select(
+        "contained", "container",
+        F.col("common").cast("long").alias("common"),
+        F.col("n_contained").cast("long").alias("n_contained"),
+        "containment")
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+    WHERE a.doc_id < b.doc_id
+      AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (functions/dedup.py:
+    incremental_lsh_candidates): docs with doc_id % 5 == 0 play the
+    daily drop, the rest the already-signed corpus index; candidates
+    where at least one side is new — the corpus-vs-corpus quadrant is
+    never re-paired.  Equals lsh_candidate_pairs(all) minus
+    lsh_candidate_pairs(index), which is what the oracle replays."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    new = sigs.filter(F.col("doc_id") % 5 == 0)
+    index = sigs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_lsh_candidates(new, index, "doc_id")
+
+
+@query(
+    "embedding_random_projection",
+    oracle=None,  # filled below — the sign matrix is generated
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (functions/similarity.py:
+    random_project): 64-dim float embeddings → 16 integer components
+    over the int8-quantized vector — the JL-preserving pre-ANN shrink.
+    Row-local codegen, zero shuffles; the ±1 matrix is frozen by seed
+    and embedded as literals in both engines.  Gate emits the md5 of
+    the projected vector's CSV form (repo rule: scalar columns only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.random_project(emb, "vec_id", "embedding",
+                                    out_dim=16, seed=11)
+    return out.select(
+        "vec_id", "scale",
+        F.md5(F.concat_ws(
+            ",", F.transform(F.col("yvec"), lambda v: v.cast("string")))
+        ).alias("yvec_md5"))
+
+
+def _random_projection_oracle() -> str:
+    signs = similarity.rademacher_matrix(16, 64, seed=11)
+    comps = ", ".join(
+        f"CAST(list_dot_product(qvec, {row}) AS BIGINT)" for row in signs)
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS scale
+      FROM d),
+    q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+                  ELSE list_transform(
+                    x, v -> CAST(floor(v * 127 / scale) AS INT))
+             END AS qvec
+      FROM s)
+    SELECT vec_id, scale,
+           md5(array_to_string([{comps}], ',')) AS yvec_md5
+    FROM q
+    """
+
+
+from kafkadirect_spark.plans.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+_ORACLE_SQL["embedding_random_projection"] = _random_projection_oracle()

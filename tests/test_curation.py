@@ -394,3 +394,50 @@ def test_sample_exact_n_per_group(spark):
     assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
     with pytest.raises(ValueError, match="n must be"):
         curation.sample_exact_n_per_group(df, ["lang"], "doc_id", 0)
+
+
+def test_surprisal_scores_match_python_model(spark):
+    import math
+    rows = [(1, "the the the cat"), (2, "quasar the"), (3, "the the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.surprisal_bits)
+           for r in curation.surprisal_scores(df, "doc_id", "text").collect()}
+    from collections import Counter
+    cnt = Counter(t for _, txt in rows for t in txt.split())
+    n = sum(cnt.values())
+    model = {}
+    for d, txt in rows:
+        toks = txt.split()
+        bits = sum(int(math.log2(n)) - int(math.log2(cnt[t])) for t in toks)
+        model[d] = (len(toks), bits)
+    assert out == model
+    # the rare-token doc scores strictly higher per token
+    per_tok = {d: b / k for d, (k, b) in out.items()}
+    assert per_tok[2] > per_tok[1] > per_tok[3]
+
+
+def test_surprisal_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "---")], "doc_id long, text string")
+    ids = {r.doc_id for r in
+           curation.surprisal_scores(df, "doc_id", "text").collect()}
+    assert ids == {1}
+
+
+def test_profile_columns_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", 5), (3, None, 5), (3, "yyy", None)],
+        "id long, s string, v int")
+    out = {r.col_name: (r.n_rows, r.n_null, r.n_distinct, r.max_len)
+           for r in curation.profile_columns(df, ["id", "s", "v"]).collect()}
+    assert out == {
+        "id": (4, 0, 3, 1),
+        "s": (4, 1, 2, 3),
+        "v": (4, 2, 1, 1),
+    }
+
+
+def test_profile_columns_rejects_empty_list(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        curation.profile_columns(df, [])

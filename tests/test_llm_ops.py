@@ -651,3 +651,120 @@ def test_set_jaccard_prefix_reserved_id_names(spark):
     df2 = spark.createDataFrame([(1, 2)], "__x long, tag long")
     with pytest.raises(ValueError, match="collides"):
         d.set_jaccard_prefix_pairs(df2, "__x", "tag")
+
+
+def test_containment_pairs_matches_python_model(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # doc 2 = a strict sub-span of doc 1 (fully contained)
+        (2, "beta gamma delta epsilon"),
+        # doc 3 shares nothing
+        (3, "one two three four five six seven"),
+        # doc 4 contains doc 3 plus extra
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.contained, r.container): (r.common, r.n_contained)
+           for r in dedup.containment_pairs(
+               df, "text", "doc_id", n=3, threshold=0.9,
+               max_doc_freq=None).collect()}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    model = {}
+    for a, ta in rows:
+        for b, tb in rows:
+            if a == b:
+                continue
+            c = len(sh(ta) & sh(tb))
+            if sh(ta) and c / len(sh(ta)) >= 0.9:
+                model[(a, b)] = (c, len(sh(ta)))
+    assert out == model
+    assert (2, 1) in out and (3, 4) in out and (1, 2) not in out
+
+
+def test_containment_directions_independent(spark):
+    # overlap is 50% of the small doc, 25% of the big one: only the
+    # small→big direction passes a 0.4 threshold
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),          # shingles: 4
+         (2, "c d e f g h i j k l")],  # shingles: 8, common: c d e f -> 2
+        "doc_id long, text string")
+    out = dedup.containment_pairs(df, "text", "doc_id", n=3,
+                                  threshold=0.4, max_doc_freq=None).collect()
+    assert [(r.contained, r.container) for r in out] == [(1, 2)]
+
+
+def test_incremental_lsh_equals_full_minus_index(docs):
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    new = sigs.filter(F.col("doc_id") % 5 == 0)
+    index = sigs.filter(F.col("doc_id") % 5 != 0)
+    inc = {(r.id_a, r.id_b) for r in dedup.incremental_lsh_candidates(
+        new, index, "doc_id").collect()}
+    full = {(r.id_a, r.id_b) for r in
+            dedup.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    idx_only = {(r.id_a, r.id_b) for r in
+                dedup.lsh_candidate_pairs(index, "doc_id").collect()}
+    assert inc == full - idx_only
+    assert inc, "fixture should produce at least one new-side candidate"
+
+
+def test_random_project_preserves_planted_neighbors(spark):
+    # JL property check on data WITH structure: 50 base vectors plus a
+    # 5%-noise copy of each.  Each copy's nearest neighbor is its base
+    # (cos ≈ 0.995 vs ≈ 0 to everything else); after projecting 64 →
+    # 16 dims that pairing must survive for nearly all pairs.  (The
+    # driver's near-uniform synthetic embeddings can't test this —
+    # with all cosines ≈ 0 the top-1 neighbor is noise even at full
+    # precision; arithmetic exactness is the oracle's job.)
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 64))
+    noisy = base + 0.05 * rng.normal(size=(50, 64))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + \
+           [(100 + i, v.tolist()) for i, v in enumerate(noisy)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = (similarity.random_project(df, "vec_id", "embedding",
+                                      out_dim=16, seed=11)
+            .toPandas().sort_values("vec_id").reset_index(drop=True))
+    Y = np.stack(proj["yvec"].map(np.asarray)).astype("float64")
+    Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    S = Yn @ Yn.T
+    np.fill_diagonal(S, -2)
+    top1 = S.argmax(axis=1)
+    # row i (base) should pick 50+i (its noisy copy) and vice versa
+    agree = ((top1[:50] == np.arange(50) + 50).mean()
+             + (top1[50:] == np.arange(50)).mean()) / 2
+    assert agree >= 0.9, f"planted-pair agreement too low: {agree}"
+
+
+def test_random_project_norm_preservation(emb):
+    # E[(s·q)^2] = ||q||^2 for Rademacher rows: per-vector, the mean
+    # squared projected component should track the quantized norm
+    import numpy as np
+    q = similarity.quantize_int8(emb, "vec_id", "embedding") \
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    proj = (similarity.random_project(emb, "vec_id", "embedding",
+                                      out_dim=16, seed=11)
+            .toPandas().sort_values("vec_id").reset_index(drop=True))
+    qn = np.array([np.square(np.asarray(v, dtype="float64")).sum()
+                   for v in q["qvec"]])
+    yn = np.array([np.square(np.asarray(v, dtype="float64")).mean()
+                   for v in proj["yvec"]])
+    ratio = yn / qn
+    frac_ok = ((ratio > 0.3) & (ratio < 3.0)).mean()
+    assert frac_ok >= 0.9, f"norm preservation off: {frac_ok}"
+
+
+def test_random_project_deterministic_and_bounded(emb):
+    a = similarity.random_project(emb, "vec_id", "embedding",
+                                  out_dim=8, seed=3)
+    b = similarity.random_project(emb, "vec_id", "embedding",
+                                  out_dim=8, seed=3)
+    ra = sorted(map(tuple, a.select("vec_id", "yvec").collect()))
+    rb = sorted(map(tuple, b.select("vec_id", "yvec").collect()))
+    assert [(i, tuple(v)) for i, v in ra] == [(i, tuple(v)) for i, v in rb]
+    dim = 64
+    assert all(abs(x) <= 127 * dim for _, v in ra for x in v)

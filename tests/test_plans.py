@@ -204,6 +204,9 @@ _BNLJ_OK = {
     # same scalar-subquery pattern: the one-ROW corpus doc count rides
     # to the (doc, term) tf table as a broadcast literal.
     "term_relevance_topk",
+    # same scalar-subquery pattern: the one-ROW corpus token total
+    # broadcasts onto the (doc, token) occurrence table.
+    "doc_surprisal",
     # KMV overlap: the final row is assembled by cross-joining four
     # SINGLE-ROW aggregates (jaccard, two distinct estimates) — every
     # input frame is ≤ k=256 rows by construction.

@@ -161,12 +161,32 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
     def probe_jaccard_prefix(docs):
         return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", n=3)
 
+    def probe_containment(docs):
+        return dedup.containment_pairs(docs, "text", "doc_id", n=3,
+                                       threshold=0.3, max_doc_freq=50)
+
+    def probe_incremental(docs):
+        # fixed 5% "daily drop" fraction — the index side grows with
+        # the corpus, the new side with the drop; at scale the cost
+        # should track the index's band rows (one exchange), never
+        # pairs within the index
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+        new = sigs.filter(F.col("doc_id") % 20 == 0)
+        index = sigs.filter(F.col("doc_id") % 20 != 0)
+        return dedup.incremental_lsh_candidates(new, index, "doc_id")
+
+    def probe_surprisal(docs):
+        return curation.surprisal_scores(docs, "doc_id", "text")
+
     probes = {"minhash_lsh": probe_minhash,
               "span_dedup": probe_span_dedup,
               "decontaminate": probe_decontaminate,
               "importance": probe_importance,
               "sketches": probe_sketches,
-              "jaccard_prefix": probe_jaccard_prefix}
+              "jaccard_prefix": probe_jaccard_prefix,
+              "containment": probe_containment,
+              "incremental_lsh": probe_incremental,
+              "surprisal": probe_surprisal}
     if ops:
         unknown = set(ops) - set(probes)
         if unknown:
