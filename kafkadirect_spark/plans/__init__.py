@@ -79,6 +79,7 @@ _PROMOTED = [
     "embedding_random_projection",
     "doc_surprisal",
     "corpus_profile",
+    "supplier_pagerank",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -97,7 +98,6 @@ _PROMOTED = [
     "similarity_ann_multiprobe",
     "semdedup_prune",
     "kmeans_clusters",
-    "semantic_clusters",
 ]
 
 

@@ -1077,3 +1077,56 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct("ts", "event_id", "value")).alias("__s"))
             .select("user_id", F.col("__s.value").alias("value"),
                     F.col("__s.ts").alias("valid_from")))
+
+
+@query(
+    "supplier_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src,
+             l.l_suppkey + 10000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, SUM((85 * (r0.rank // deg.d)) // 100) AS s
+      FROM edges e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+      GROUP BY 1),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000000 + COALESCE(c1.s, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c1 USING (node)),
+    c2 AS (
+      SELECT e.dst AS node, SUM((85 * (r1.rank // deg.d)) // 100) AS s
+      FROM edges e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+      GROUP BY 1),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000000 + COALESCE(c2.s, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c2 USING (node))
+    SELECT node, rank FROM r2
+    """,
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality prior (functions/graph.py:
+    pagerank_scaled): 2 unrolled PageRank iterations over the
+    customer→supplier purchase graph (suppliers offset by 1e7 so the
+    id spaces are disjoint), ranks in exact scaled-integer arithmetic
+    — the CommonCrawl-style quality prior a web corpus gates on,
+    replayed iteration-for-iteration by the oracle's CTE chain.
+    Per iteration: one rank-onto-edges join + one dst-keyed exchange
+    with map-side partial sums; the rank table stays nodes-sized."""
+    from kafkadirect_spark.functions.graph import pagerank_scaled
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(orders["o_custkey"].alias("src"),
+                (lineitem["l_suppkey"] + 10_000_000).alias("dst"))
+        .distinct()
+    )
+    return pagerank_scaled(edges, "src", "dst", iters=2)
