@@ -124,6 +124,9 @@ def main() -> None:
         "dedup_containment": QUERIES["dedup_containment"],
         "dedup_incremental_lsh": QUERIES["dedup_incremental_lsh"],
         "doc_surprisal": QUERIES["doc_surprisal"],
+        # iterative graph shape: 2 unrolled PageRank rounds — one
+        # join + one exchange each — over the purchase graph
+        "supplier_pagerank": QUERIES["supplier_pagerank"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -718,3 +718,38 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count("__val").cast("long").alias("n_distinct"),
         F.max(F.length("__val")).cast("long").alias("max_len"),
     ))
+
+
+def temperature_mix(df: DataFrame, strata_col: str, id_col: str,
+                    scale: int = SPLIT_BUCKETS,
+                    salt: str = "tempmix") -> DataFrame:
+    """Temperature-sampled corpus rebalancing at α = 0.5: downsample
+    each stratum to a keep fraction ``sqrt(n_min / n_s)`` so effective
+    sizes follow ``n_s^0.5`` — the exponential-smoothing rebalance the
+    multilingual-pretraining recipes apply so head languages/sources
+    stop drowning the tail (public technique: the XLM/mBERT α-smoothed
+    sampling, here materialized as a deterministic row filter).
+
+    α is fixed at 1/2 deliberately: ``pow()`` is libm (last-ulp drift
+    across engines flips rows at the threshold), but IEEE-754 ``sqrt``
+    is CORRECTLY ROUNDED everywhere, so ``floor(scale · sqrt(n_min /
+    n_s))`` is bit-identical in Spark and DuckDB and every keep/drop
+    decision replays exactly.  The keep rule is the usual salted hash
+    bucket (< threshold), so re-runs and corpus growth keep existing
+    decisions stable per id.
+
+    Scale ledger: one strata-sized aggregate (map-side combined), a
+    1-row min cross-joined onto the strata frame (scalar-subquery
+    shape, strata-sized), and the threshold table broadcast back onto
+    the corpus — the corpus itself is never shuffled.
+    """
+    sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    ref = sizes.agg(F.min("__n").alias("__nmin"))
+    thr = (sizes.join(F.broadcast(ref))
+           .select(F.col(strata_col),
+                   F.floor(F.lit(scale) * F.sqrt(
+                       F.col("__nmin").cast("double") / F.col("__n")))
+                   .alias("__thr")))
+    return (df.join(F.broadcast(thr), strata_col)
+            .filter(hash_bucket(id_col, scale, salt) < F.col("__thr"))
+            .drop("__thr"))

@@ -195,3 +195,30 @@ def winnow(text: Column | str, k: int = 5, w: int = 4) -> Column:
         n_win >= 1,
         F.array_distinct(F.transform(idx, lambda i: F.array_min(F.slice(hs, i, w)))),
     ).otherwise(F.array().cast("array<long>"))
+
+
+# Normalization rules — RE2-safe and identical in Java regex and RE2
+# (simple character classes only, replace-all in both engines).  Kept
+# as data so the DuckDB oracle replays the exact same chain.
+NORMALIZE_RULES = (
+    ("[‘’`´]", "'"),   # curly/grave/acute quotes
+    ("[“”]", "\""),              # curly double quotes
+    ("[–—]", "-"),               # en/em dashes
+    ("[   ]", " "),         # nbsp & thin spaces
+    ("[ \t\r\n]+", " "),                   # collapse whitespace runs
+)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for exact-dedup and hashing: lowercase,
+    typographic quotes/dashes straightened, unicode spaces mapped to
+    ASCII space, whitespace runs collapsed, ends trimmed.  The
+    standard pre-pass before content-hash dedup — raw exact dedup
+    misses the case/whitespace/typography variants a crawl is full of.
+    Pure codegen regexp chain (no shuffle); rules are RE2-safe so the
+    SQL oracle replays them verbatim."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    for pat, rep in NORMALIZE_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)

@@ -80,6 +80,8 @@ _PROMOTED = [
     "doc_surprisal",
     "corpus_profile",
     "supplier_pagerank",
+    "temperature_mix",
+    "dedup_exact_normalized",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -96,8 +98,6 @@ _PROMOTED = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_ann_multiprobe",
-    "semdedup_prune",
-    "kmeans_clusters",
 ]
 
 

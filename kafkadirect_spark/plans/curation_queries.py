@@ -566,3 +566,28 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand of raw rows."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.profile_columns(docs, _PROFILE_COLS)
+
+
+@query(
+    "temperature_mix",
+    oracle=f"""
+    WITH sizes AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    ref AS (SELECT MIN(n) AS nmin FROM sizes),
+    thr AS (
+      SELECT source, FLOOR(10000 * sqrt(CAST(nmin AS DOUBLE) / n)) AS t
+      FROM sizes CROSS JOIN ref)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE {_BUCKET.format(salt='tempmix', n=10000)} < thr.t
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-sampled corpus rebalancing
+    (functions/curation.py:temperature_mix): per-source keep fraction
+    sqrt(n_min/n_s) — IEEE sqrt is correctly rounded in both engines,
+    so every threshold (and therefore every keep/drop) replays
+    bit-for-bit; the corpus is filtered via broadcast thresholds,
+    never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.temperature_mix(docs, "source", "doc_id")
+    return out.select("doc_id", "source")

@@ -978,3 +978,36 @@ def _random_projection_oracle() -> str:
 from kafkadirect_spark.plans.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 _ORACLE_SQL["embedding_random_projection"] = _random_projection_oracle()
+
+
+def _normalize_sql(expr: str) -> str:
+    """DuckDB replay of text.normalize_text, generated FROM the rule
+    table so the chain can never drift from the engine side."""
+    s = f"lower({expr})"
+    for pat, rep in text.NORMALIZE_RULES:
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{r}', 'g')"
+    return f"trim({s})"
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    SELECT md5({_normalize_sql('text')}) AS content_hash,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the CANONICAL text form
+    (functions/text.py:normalize_text): lowercase, typographic
+    quotes/dashes straightened, unicode spaces → ASCII, whitespace
+    collapsed — the pre-pass that catches the case/whitespace/
+    typography duplicate variants raw content-hash dedup misses.
+    Same one-shuffle shape as dedup_exact; normalization is a
+    row-local codegen regexp chain replayed verbatim by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(text.normalize_text("text")).alias("content_hash")
+    return (docs.groupBy(h)
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count(F.lit(1)).alias("n_docs")))

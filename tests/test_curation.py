@@ -441,3 +441,39 @@ def test_profile_columns_rejects_empty_list(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         curation.profile_columns(df, [])
+
+
+def test_temperature_mix_keep_fractions(spark):
+    import math
+    # head source 10x the tail: keep fraction must be ~sqrt(1/10)
+    rows = [(i, "head") for i in range(2000)] + \
+           [(10_000 + i, "tail") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.temperature_mix(df, "source", "doc_id").collect()
+    kept = {"head": 0, "tail": 0}
+    for r in out:
+        kept[r.source] += 1
+    assert kept["tail"] == 200  # smallest stratum keeps everything
+    expect = 2000 * math.sqrt(200 / 2000)
+    assert abs(kept["head"] - expect) / expect < 0.15
+    # deterministic: same ids survive a re-run
+    again = {r.doc_id for r in
+             curation.temperature_mix(df, "source", "doc_id").collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from kafkadirect_spark.functions.text import normalize_text
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),
+        (3, "hello\tworld\n"),
+        (4, "hello world"),
+        (5, "HELLO “WORLD”"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dict((r.doc_id, r.norm) for r in
+               df.select("doc_id",
+                         normalize_text("text").alias("norm")).collect())
+    assert out[1] == out[2] == out[3] == out[4] == "hello world"
+    assert out[5] == 'hello "world"'

@@ -207,6 +207,9 @@ _BNLJ_OK = {
     # same scalar-subquery pattern: the one-ROW corpus token total
     # broadcasts onto the (doc, token) occurrence table.
     "doc_surprisal",
+    # same: the one-ROW min stratum size rides onto the strata-sized
+    # threshold frame; the corpus itself joins by broadcast hash.
+    "temperature_mix",
     # KMV overlap: the final row is assembled by cross-joining four
     # SINGLE-ROW aggregates (jaccard, two distinct estimates) — every
     # input frame is ≤ k=256 rows by construction.
