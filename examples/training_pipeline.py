@@ -1,13 +1,16 @@
 """End-to-end training-data pipeline over the documents corpus —
 the workload this engine exists for at 100 TB:
 
+  0. ingest validation (exact column profile)
   1. quality filter   (text stats: length + stopword ratio)
   2. language filter  (lang-ID heuristic)
-  3. exact dedup      (content-hash keeper)
+     + unigram-surprisal gate (integer CCNet-style LM filter)
+  3. exact dedup      (content-hash keeper over the normalized form)
   4. near-dup removal (MinHash-LSH candidates → exact Jaccard verify
                        → drop the higher doc_id of each confirmed pair)
   5. benchmark decontamination (broadcast 8-gram overlap vs eval slice)
      + DSIR domain targeting with a sketch-derived score cutoff
+     + α=0.5 temperature rebalance of head sources
   6. train/val/test split (deterministic hash-keyed)
   7. sequence packing (1024-token budgets in hash shards)
      + deterministic global shuffle order for the packed train set
@@ -36,20 +39,46 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1-2: quality + language gate (pure column expressions, one scan)
+    # 0: ingest validation — exact per-column profile before anything
+    # trusts this drop (nulls where none belong, distinct collapse,
+    # truncated strings all show here first)
+    profile = {r.col_name: (r.n_null, r.n_distinct) for r in
+               curation.profile_columns(
+                   docs, ["doc_id", "lang", "source", "text"]).collect()}
+
+    # 1-2: quality + language gate (pure column expressions, one scan).
+    # Each stage below checkpoints its survivor set before handing it
+    # on: several stages derive a statistics table FROM the survivors
+    # and join it BACK (surprisal LM, dedup keepers, DSIR cutoff,
+    # temperature thresholds), so the logical plan DOUBLES per stage —
+    # ten stages of un-truncated lineage is a 2^10-leaf tree that hangs
+    # the analyzer long before any task runs.  localCheckpoint()
+    # truncates lineage (persist() alone would not); at 100 TB the same
+    # boundaries are parquet checkpoints between pipeline increments.
     toks = text.tokens("text")
     survivors = (
         docs.withColumn("n_tokens", F.size(toks))
         .withColumn("lang_pred", text.lang_guess(toks))
         .filter((F.col("n_tokens") >= 10) & (F.col("lang_pred") == "en"))
         .drop("n_tokens", "lang_pred")
-    )
+    ).localCheckpoint()
     n1 = survivors.count()
 
-    # 3: exact dedup — keep the lowest doc_id per content hash
-    keepers = dedup.exact_dedup(survivors, "text", "doc_id") \
+    # 2b: unigram-surprisal gate — drop gibberish scoring > 14 bits
+    # per token under the corpus's own unigram LM (integer-exact, the
+    # CCNet-style perplexity filter)
+    sup = curation.surprisal_scores(survivors, "doc_id", "text")
+    survivors = (survivors.join(sup, "doc_id")
+                 .filter(F.col("surprisal_bits") <= 14 * F.col("n_tokens"))
+                 .drop("n_tokens", "surprisal_bits")).localCheckpoint()
+    n1b = survivors.count()
+
+    # 3: exact dedup over the CANONICAL text form — normalize first so
+    # case/whitespace/typography variants hash together
+    normed = survivors.withColumn("__norm", text.normalize_text("text"))
+    keepers = dedup.exact_dedup(normed, "__norm", "doc_id") \
         .select(F.col("keeper").alias("doc_id"))
-    survivors = survivors.join(keepers, "doc_id")
+    survivors = survivors.join(keepers, "doc_id").localCheckpoint()
     n2 = survivors.count()
 
     # 4: near-dup removal — LSH candidates, exact-Jaccard confirm ≥0.8,
@@ -63,14 +92,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
                                      threshold=0.8)
     clusters = dedup.dedup_cluster_assign(survivors, confirmed, "doc_id")
     clean = (survivors.join(clusters, "doc_id")
-             .filter(F.col("doc_id") == F.col("cluster")).drop("cluster"))
+             .filter(F.col("doc_id") == F.col("cluster")).drop("cluster")
+             ).localCheckpoint()
     n3 = clean.count()
 
     # 4b: span-level dedup (C4 recipe) — strip copied 8-word spans
     # from otherwise-unique survivors, rebuilding their text
     spans = dedup.span_dedup(clean, "text", "doc_id")
     clean = (clean.drop("text")
-             .join(spans.withColumnRenamed("text_dedup", "text"), "doc_id"))
+             .join(spans.withColumnRenamed("text_dedup", "text"), "doc_id")
+             ).localCheckpoint()
     n3b = clean.count()
 
     # 5: decontamination against a held-out eval slice (ids ≡ 0 mod 10
@@ -78,7 +109,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     eval_slice = docs.filter(F.col("doc_id") % 10 == 0)
     flags = curation.decontaminate(clean, eval_slice, "text", "doc_id", n=8)
     clean = (clean.join(flags.filter(~F.col("contaminated")), "doc_id")
-             .drop("contaminated"))
+             .drop("contaminated")).localCheckpoint()
     n4 = clean.count()
 
     # 5b: DSIR-style domain targeting — score every survivor against
@@ -95,8 +126,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     cut = sketch.hist_quantiles(sreg, [200], 0, 10_000_000,
                                 1000).collect()[0].est_value
     clean = (clean.join(scores, "doc_id")
-             .filter(F.col("score") >= cut).drop("score"))
+             .filter(F.col("score") >= cut).drop("score")).localCheckpoint()
     n4b = clean.count()
+
+    # 5c: temperature rebalance (α=0.5) — head sources downsampled to
+    # sqrt-smoothed shares so they stop drowning the tail; broadcast
+    # thresholds, the corpus is never shuffled
+    clean = curation.temperature_mix(clean, "source", "doc_id").localCheckpoint()
+    n4c = clean.count()
 
     # 6-7: deterministic split, then pack the train split into
     # 1024-token sequences (8 hash shards; one Exchange)
@@ -126,13 +163,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
               for r in sketch.hist_quantiles(
                   hist, [500, 990], 0, 20_000, 200).collect()}
 
-    print(f"corpus:        {n0}")
+    print(f"corpus:        {n0}  profile: " + ", ".join(
+        f"{c} null={v[0]} distinct={v[1]}" for c, v in sorted(profile.items())))
     print(f"quality+lang:  {n1}  (-{n0 - n1})")
-    print(f"exact dedup:   {n2}  (-{n1 - n2})")
+    print(f"surprisal:     {n1b}  (-{n1 - n1b})")
+    print(f"exact dedup:   {n2}  (-{n1b - n2})")
     print(f"near-dup:      {n3}  (-{n2 - n3})")
     print(f"span dedup:    {n3b}  (-{n3 - n3b})")
     print(f"decontam:      {n4}  (-{n3b - n4})")
     print(f"DSIR select:   {n4b}  (-{n4 - n4b})")
+    print(f"temp rebal:    {n4c}  (-{n4b - n4c})")
     print(f"train packed:  {n5} docs into {n_seqs} sequences; "
           f"shuffle order rows: {order.count()}")
     print(f"report: ~{n_sources} distinct sources "
