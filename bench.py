@@ -127,6 +127,11 @@ def main() -> None:
         # iterative graph shape: 2 unrolled PageRank rounds — one
         # join + one exchange each — over the purchase graph
         "supplier_pagerank": QUERIES["supplier_pagerank"],
+        # final-r8 shapes: the Gopher rule scan (two explode→agg gram
+        # paths rejoined on doc id) and the held-out bigram LM with
+        # backoff (bigram-table joins + one data-sized doc agg)
+        "quality_gopher": QUERIES["quality_gopher"],
+        "surprisal_bigram": QUERIES["surprisal_bigram"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

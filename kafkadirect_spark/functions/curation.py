@@ -753,3 +753,223 @@ def temperature_mix(df: DataFrame, strata_col: str, id_col: str,
     return (df.join(F.broadcast(thr), strata_col)
             .filter(hash_bucket(id_col, scale, salt) < F.col("__thr"))
             .drop("__thr"))
+
+
+def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       fractions: dict[str, float],
+                       salt: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test split: every near-dup CLUSTER is
+    assigned whole, so no near-duplicate of a training document can
+    land in val/test (the contamination mode a plain id-keyed split
+    cannot prevent — MinHash-verified near-dups straddling the
+    boundary leak training text into evaluation).
+
+    ``pairs`` is any (id_a, id_b) near-dup edge set (LSH candidates,
+    verified Jaccard pairs, SimHash pairs); components are labeled
+    with their min id and the split decision hashes the CLUSTER id,
+    not the row id.  Emits ``(id, cluster, split)`` for every row.
+
+    Scale ledger: connected components over the pair set (bounded by
+    near-dup edges, not corpus size) + one corpus-sized left join on
+    id; the split itself stays a pure Column expression.  Reference
+    analogue: none (SURVEY.md §2) — beyond-parity curation.
+    """
+    from kafkadirect_spark.functions.dedup import dedup_cluster_assign
+
+    labeled = dedup_cluster_assign(df, pairs, id_col)
+    return split_assign(labeled, "cluster", fractions, salt=salt) \
+        .select(id_col, "cluster", "split")
+
+
+def bigram_surprisal_scores(df: DataFrame, id_col: str, text_col: str,
+                            lm_df: DataFrame | None = None,
+                            backoff_bits: int = 4) -> DataFrame:
+    """Bigram-LM surprisal with unigram backoff, integer-exact.
+
+    Extends :func:`surprisal_scores` to first-order context: each
+    bigram (w1, w2) in a document contributes its conditional bits
+    ``floor(log2 c1) − floor(log2 c2)`` where ``c2`` is the corpus
+    count of the bigram and ``c1`` the count of bigrams starting with
+    ``w1``.  Bigrams unseen in the LM corpus back off to the unigram
+    bits of ``w2`` (``floor(log2 N) − floor(log2 c)``; unseen unigrams
+    count as c = 1) plus a fixed ``backoff_bits`` penalty — the
+    integerized stupid-backoff (Brants et al. 2007, α = 2^-penalty).
+    As with the unigram scorer, ``floor(log2 n) = length(bin(n)) − 1``
+    keeps everything in BIGINT; no libm, bit-exact cross-engine.
+
+    ``lm_df`` is the corpus the LM is counted from (default: ``df``
+    itself).  Held-out scoring — train the LM on one slice, score
+    everything — is how the backoff path is actually exercised; when
+    ``lm_df is df`` every scored bigram is by construction seen.
+
+    Emits ``(id, n_bigrams, surprisal_bits)``; documents with < 2
+    tokens have no bigrams and are absent (left-join + coalesce on the
+    caller side if zero rows are needed).
+
+    Scale ledger: per-doc bigrams collapse to distinct (doc, w1, w2)
+    counts before any join (map-side combine bounds the exchange);
+    the LM bigram table aggregates to ≤ |observed bigrams| rows and
+    joins back by (w1, w2) — a plain hash join, AQE-broadcast when it
+    fits; prefix counts derive from the bigram table (one more
+    vocabulary-sized aggregate, no second corpus pass); the unigram
+    backoff table is an ordinary vocabulary-sized join (AQE broadcasts
+    it when it fits; a 100 TB corpus's ~10^7-row vocabulary may not)
+    and the 1-row total is broadcast.  Final
+    groupBy(doc) is the only data-sized exchange.  Reference
+    analogue: none (SURVEY.md §2 — no document model).
+    """
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.expr(
+                "transform(sequence(2, size({t}), 1),"
+                " i -> struct({t}[i-2] AS w1, {t}[i-1] AS w2))"
+                .format(t="__w")),
+        ).otherwise(F.array())
+        return (_widen(frame.select(F.col(id_col), F.col(text_col)))
+                .withColumn("__w", toks)
+                .select(F.col(id_col), F.explode(bi).alias("__b"))
+                .select(id_col, "__b.w1", "__b.w2"))
+
+    doc_bi = (_bigrams(df)
+              .groupBy(id_col, "w1", "w2")
+              .agg(F.count(F.lit(1)).alias("__k")))
+    lm_src = _bigrams(lm_df if lm_df is not None else df)
+    lm2 = _persist(lm_src.groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).alias("__c2")))
+    lm1 = lm2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
+    lm_frame = lm_df if lm_df is not None else df
+    uni = (_widen(lm_frame.select(F.col(text_col)))
+           .select(F.explode(tokens(text_col)).alias("__u"))
+           .groupBy("__u").agg(F.count(F.lit(1)).alias("__c")))
+    uni = _persist(uni)
+    tot = uni.agg(F.sum("__c").alias("__n"))
+
+    blog = lambda c: F.length(F.bin(c))  # noqa: E731  floor(log2)+1, exact
+    bits = F.when(
+        F.col("__c2").isNotNull(), blog(F.col("__c1")) - blog(F.col("__c2"))
+    ).otherwise(
+        blog(F.col("__n")) - blog(F.coalesce(F.col("__c"), F.lit(1)))
+        + F.lit(backoff_bits))
+    return (
+        doc_bi
+        .join(lm2, ["w1", "w2"], "left")
+        .join(lm1, "w1", "left")
+        .join(uni.withColumnRenamed("__u", "w2"), "w2", "left")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.sum("__k").cast("long").alias("n_bigrams"),
+             F.sum(F.col("__k") * bits).cast("long").alias("surprisal_bits"))
+    )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021 §A1.1, public), in
+# exact integer form: fractions as parts-per-million, mean word length
+# ×100.  One place so the oracle SQL and any caller share the numbers.
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len_x100": 300,
+    "max_mean_word_len_x100": 1_000,
+    "max_dup_2gram_ppm": 200_000,
+    "max_dup_3gram_ppm": 180_000,
+    "max_top_2gram_ppm": 200_000,
+    "min_alpha_word_ppm": 800_000,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str,
+                   rules: dict[str, int] = GOPHER_RULES) -> DataFrame:
+    """Gopher-style repetition/quality rules, integer-exact.
+
+    The composite document filter of the Gopher pipeline (Rae et al.
+    2021 §A1.1, public): word-count bounds, mean-word-length bounds,
+    duplicate-2/3-gram fraction caps, top-2-gram coverage cap, minimum
+    alphabetic-word fraction, minimum distinct-stopword hits.  All
+    signals are BIGINT — fractions as parts-per-million via exact
+    integer division, mean word length ×100 — so every pass/fail
+    decision replays bit-for-bit in the oracle; no float thresholds.
+    Emits one row per document: every signal plus ``pass_gopher``.
+
+    Scale ledger: the word-level signals are pure Column expressions
+    on the scan (zero exchanges); the n-gram repetition signals
+    explode to (doc, gram) and aggregate twice — count-per-gram with
+    map-side combine, then per-doc max/sum/count — instead of a
+    row-local O(|doc|²) array scan, so a 10k-token document costs 10k
+    exploded rows, not 10^8 comparisons.  Both aggregates partition
+    on doc-dominated keys: skew-free.  Reference analogue: none
+    (SURVEY.md §2) — beyond-parity curation.
+    """
+    from kafkadirect_spark.functions.text import STOPWORDS
+
+    def idiv(num: Column, den: Column) -> Column:
+        # exact BIGINT floor division for non-negative operands:
+        # (num - num % den) is exactly divisible, quotients here are
+        # ≤ 1e6 and numerators ≤ ~1e11 — both far inside 2^53, so the
+        # double division is exact; result cast back to long.
+        return F.when(den > 0, ((num - num % den) / den).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+
+    def gram_stats(n: int, pfx: str) -> DataFrame:
+        g = (_widen(df.select(F.col(id_col), F.col(text_col)))
+             .select(F.col(id_col),
+                     F.explode(shingles(tokens(text_col), n)).alias("__g"))
+             .groupBy(id_col, "__g")
+             .agg(F.count(F.lit(1)).alias("__k")))
+        return g.groupBy(id_col).agg(
+            F.sum("__k").cast("long").alias(f"__{pfx}_total"),
+            F.count(F.lit(1)).cast("long").alias(f"__{pfx}_distinct"),
+            F.max("__k").cast("long").alias(f"__{pfx}_max"))
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(F.transform(toks, F.length),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("__sum_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("long").alias("__n_alpha"),
+        F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in STOPWORDS])))
+        .cast("long").alias("stopword_hits"),
+    )
+    out = (base
+           .join(gram_stats(2, "g2"), id_col, "left")
+           .join(gram_stats(3, "g3"), id_col, "left")
+           .na.fill(0))
+
+    m = F.lit(1_000_000)
+    out = (out
+           .withColumn("mean_word_len_x100",
+                       idiv(F.lit(100) * F.col("__sum_len"),
+                            F.col("n_words")))
+           .withColumn("dup_2gram_ppm",
+                       idiv(m * (F.col("__g2_total") - F.col("__g2_distinct")),
+                            F.col("__g2_total")))
+           .withColumn("dup_3gram_ppm",
+                       idiv(m * (F.col("__g3_total") - F.col("__g3_distinct")),
+                            F.col("__g3_total")))
+           .withColumn("top_2gram_ppm",
+                       idiv(m * F.col("__g2_max"), F.col("__g2_total")))
+           .withColumn("alpha_word_ppm",
+                       idiv(m * F.col("__n_alpha"), F.col("n_words"))))
+
+    r = rules
+    passed = (
+        (F.col("n_words") >= r["min_words"])
+        & (F.col("n_words") <= r["max_words"])
+        & (F.col("mean_word_len_x100") >= r["min_mean_word_len_x100"])
+        & (F.col("mean_word_len_x100") <= r["max_mean_word_len_x100"])
+        & (F.col("dup_2gram_ppm") <= r["max_dup_2gram_ppm"])
+        & (F.col("dup_3gram_ppm") <= r["max_dup_3gram_ppm"])
+        & (F.col("top_2gram_ppm") <= r["max_top_2gram_ppm"])
+        & (F.col("alpha_word_ppm") >= r["min_alpha_word_ppm"])
+        & (F.col("stopword_hits") >= r["min_stopword_hits"])
+    )
+    return out.select(
+        id_col, "n_words", "mean_word_len_x100", "dup_2gram_ppm",
+        "dup_3gram_ppm", "top_2gram_ppm", "alpha_word_ppm",
+        "stopword_hits", passed.alias("pass_gopher"))

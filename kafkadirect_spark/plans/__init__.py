@@ -82,6 +82,13 @@ _PROMOTED = [
     "supplier_pagerank",
     "temperature_mix",
     "dedup_exact_normalized",
+    #    ... and the final-r8 three: quality_gopher (integer Gopher
+    #    repetition rules), surprisal_bigram (bigram LM + stupid
+    #    backoff, held-out), cluster_split (leakage-safe cluster-keyed
+    #    split) --
+    "quality_gopher",
+    "surprisal_bigram",
+    "cluster_split",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -89,15 +96,14 @@ _PROMOTED = [
     # -- remaining slots: r6-dated queries refreshed a round early
     #    (heaviest machinery first: curation/similarity pipelines), so
     #    the r9 mandatory rotation is the r6 remainder and everything
-    #    stays ≤2 rounds stale --
+    #    stays ≤2 rounds stale.  (The three ANN variants that fronted
+    #    here before the final-r8 queries displaced them are r6-dated
+    #    and covered by r9's mandatory rotation.) --
     "corpus_curation",
     "decontaminate",
     "decontaminate_bloom",
     "dedup_embedding_cosine",
     "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_multiprobe",
 ]
 
 

@@ -591,3 +591,191 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = curation.temperature_mix(docs, "source", "doc_id")
     return out.select("doc_id", "source")
+
+
+from kafkadirect_spark.functions.curation import GOPHER_RULES
+from kafkadirect_spark.functions.dedup import (lsh_candidate_pairs,
+                                               minhash_signatures)
+from kafkadirect_spark.plans.llm_queries import _MINHASH_BANDS_CTES
+
+_R = GOPHER_RULES
+
+
+@query(
+    "quality_gopher",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(list_distinct(w),
+                  x -> list_contains({_STOPWORDS_SQL}, x)))
+                  AS BIGINT) AS stopword_hits
+      FROM tok
+    ),
+    g2 AS (
+      SELECT doc_id, w[g] || ' ' || w[g+1] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS g
+            FROM tok WHERE len(w) >= 2)
+    ),
+    g2c AS (SELECT doc_id, gram, COUNT(*) AS k FROM g2 GROUP BY 1, 2),
+    g2s AS (SELECT doc_id, SUM(k) AS t2, COUNT(*) AS d2, MAX(k) AS m2
+            FROM g2c GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS g
+            FROM tok WHERE len(w) >= 3)
+    ),
+    g3c AS (SELECT doc_id, gram, COUNT(*) AS k FROM g3 GROUP BY 1, 2),
+    g3s AS (SELECT doc_id, SUM(k) AS t3, COUNT(*) AS d3
+            FROM g3c GROUP BY doc_id),
+    sig AS (
+      SELECT b.doc_id, b.n_words,
+             CASE WHEN b.n_words > 0
+                  THEN 100 * b.sum_len // b.n_words ELSE 0 END
+               AS mean_word_len_x100,
+             CASE WHEN COALESCE(t2, 0) > 0
+                  THEN 1000000 * (t2 - d2) // t2 ELSE 0 END
+               AS dup_2gram_ppm,
+             CASE WHEN COALESCE(t3, 0) > 0
+                  THEN 1000000 * (t3 - d3) // t3 ELSE 0 END
+               AS dup_3gram_ppm,
+             CASE WHEN COALESCE(t2, 0) > 0
+                  THEN 1000000 * m2 // t2 ELSE 0 END
+               AS top_2gram_ppm,
+             CASE WHEN b.n_words > 0
+                  THEN 1000000 * b.n_alpha // b.n_words ELSE 0 END
+               AS alpha_word_ppm,
+             b.stopword_hits
+      FROM base b LEFT JOIN g2s USING (doc_id) LEFT JOIN g3s USING (doc_id)
+    )
+    SELECT doc_id, n_words,
+           CAST(mean_word_len_x100 AS BIGINT) AS mean_word_len_x100,
+           CAST(dup_2gram_ppm AS BIGINT) AS dup_2gram_ppm,
+           CAST(dup_3gram_ppm AS BIGINT) AS dup_3gram_ppm,
+           CAST(top_2gram_ppm AS BIGINT) AS top_2gram_ppm,
+           CAST(alpha_word_ppm AS BIGINT) AS alpha_word_ppm,
+           stopword_hits,
+           (n_words >= {_R['min_words']} AND n_words <= {_R['max_words']}
+            AND mean_word_len_x100 >= {_R['min_mean_word_len_x100']}
+            AND mean_word_len_x100 <= {_R['max_mean_word_len_x100']}
+            AND dup_2gram_ppm <= {_R['max_dup_2gram_ppm']}
+            AND dup_3gram_ppm <= {_R['max_dup_3gram_ppm']}
+            AND top_2gram_ppm <= {_R['max_top_2gram_ppm']}
+            AND alpha_word_ppm >= {_R['min_alpha_word_ppm']}
+            AND stopword_hits >= {_R['min_stopword_hits']}) AS pass_gopher
+    FROM sig
+    """,
+)
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality rules (functions/curation.py:
+    gopher_quality) — the public Rae et al. 2021 §A1.1 composite
+    document filter with every signal integerized (ppm fractions,
+    ×100 mean length) so pass/fail replays bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.gopher_quality(docs, "doc_id", "text")
+
+
+@query(
+    "surprisal_bigram",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[i-1] AS w1, w[i] AS w2
+      FROM (SELECT doc_id, w, unnest(generate_series(2, len(w))) AS i
+            FROM tok WHERE len(w) >= 2)
+    ),
+    dk AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+    lm2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    lm1 AS (SELECT w1, SUM(c2) AS c1 FROM lm2 GROUP BY w1),
+    uni AS (SELECT u, COUNT(*) AS c FROM
+              (SELECT unnest(w) AS u FROM tok WHERE doc_id % 2 = 0)
+            GROUP BY u),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bits AS (
+      SELECT dk.doc_id, dk.k,
+             CASE WHEN lm2.c2 IS NOT NULL
+                  THEN length(bin(lm1.c1)) - length(bin(lm2.c2))
+                  ELSE length(bin(tot.n))
+                       - length(bin(COALESCE(uni.c, 1))) + 4 END AS b
+      FROM dk
+      LEFT JOIN lm2 USING (w1, w2)
+      LEFT JOIN lm1 USING (w1)
+      LEFT JOIN uni ON dk.w2 = uni.u
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * b) AS BIGINT) AS surprisal_bits
+    FROM bits GROUP BY doc_id
+    """,
+)
+def surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal with integer stupid-backoff
+    (functions/curation.py: bigram_surprisal_scores), held-out form:
+    the LM is counted from the even-doc_id half and scores the whole
+    corpus, so the unigram-backoff branch (unseen bigrams, +4 bits)
+    is actually exercised — the CCNet-style perplexity gate one
+    context order up from doc_surprisal."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    return curation.bigram_surprisal_scores(docs, "doc_id", "text",
+                                            lm_df=lm, backoff_bits=4)
+
+
+@query(
+    "cluster_split",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_BANDS_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    ),
+    cl AS (
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    bkt AS (
+      SELECT doc_id, cluster,
+             ((('0x' || substr(md5(cluster::VARCHAR || 'split'), 1, 14))::BIGINT
+               % 2147483647) % {SPLIT_BUCKETS}) AS b
+      FROM cl
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt
+    """,
+)
+def cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (functions/curation.py: cluster_safe_split):
+    MinHash-LSH near-dup components are split as a unit — the hash is
+    keyed on the CLUSTER id, so no near-duplicate of a train document
+    can reach val/test.  Oracle replays the LSH bands, the
+    recursive-CTE component closure, and the salted split hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return curation.cluster_safe_split(
+        docs, "doc_id", pairs, {"train": 0.90, "val": 0.05, "test": 0.05})

@@ -477,3 +477,118 @@ def test_normalize_text_canonicalizes_variants(spark):
                          normalize_text("text").alias("norm")).collect())
     assert out[1] == out[2] == out[3] == out[4] == "hello world"
     assert out[5] == 'hello "world"'
+
+
+def test_bigram_surprisal_matches_python_model(spark):
+    import math
+    from collections import Counter
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "quasar pulsar the cat"),
+            (3, "on the mat"),
+            (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm_rows = [r for r in rows if r[0] % 2 == 0]
+    lm = df.filter(F.col("doc_id") % 2 == 0)
+    out = {r.doc_id: (r.n_bigrams, r.surprisal_bits)
+           for r in curation.bigram_surprisal_scores(
+               df, "doc_id", "text", lm_df=lm, backoff_bits=4).collect()}
+
+    big = Counter()
+    uni = Counter()
+    for _, txt in lm_rows:
+        w = txt.split()
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    pre = Counter()
+    for (w1, _), c in big.items():
+        pre[w1] += c
+    n = sum(uni.values())
+    model = {}
+    for d, txt in rows:
+        w = txt.split()
+        if len(w) < 2:
+            continue
+        bits = 0
+        for w1, w2 in zip(w, w[1:]):
+            if (w1, w2) in big:
+                bits += int(math.log2(pre[w1])) - int(math.log2(big[w1, w2]))
+            else:
+                bits += int(math.log2(n)) - int(math.log2(uni.get(w2, 1))) + 4
+        model[d] = (len(w) - 1, bits)
+    assert out == model
+    # doc 1 contains the LM-unseen bigram (cat, ran): the backoff
+    # penalty must have fired (strictly positive bits)
+    assert out[1][1] > 0
+
+
+def test_bigram_surprisal_self_lm_never_backs_off(spark):
+    rows = [(1, "a b a b"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # scoring the corpus under its own LM: every bigram is seen, so
+    # bits are bounded by log2(total bigrams) per bigram — far below
+    # what any backoff penalty path would produce for these counts
+    out = {r.doc_id: r.surprisal_bits
+           for r in curation.bigram_surprisal_scores(
+               df, "doc_id", "text", backoff_bits=100).collect()}
+    assert all(v < 100 for v in out.values())
+
+
+def test_gopher_quality_signals_and_rules(spark):
+    good = ("the cat sat on the mat and then the dog ran to the house "
+            "with a ball and they played in the sun for hours until "
+            "it was time to go home and eat some food with the family "
+            "then sleep well all night long under one warm red roof")
+    looping = "the cat " * 40            # dup 2-grams ≫ 20%
+    short = "tiny doc"                   # < 50 words
+    symbols = " ".join(["x9z7q"] * 60)   # no stopwords, monotone
+    rows = [(1, good), (2, looping.strip()), (3, short), (4, symbols)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict()
+           for r in curation.gopher_quality(df, "doc_id", "text").collect()}
+
+    assert out[1]["pass_gopher"] is True
+    assert out[2]["pass_gopher"] is False
+    assert out[2]["dup_2gram_ppm"] > 200_000
+    assert out[2]["top_2gram_ppm"] > 200_000
+    assert out[3]["pass_gopher"] is False
+    assert out[3]["n_words"] < 50
+    assert out[4]["pass_gopher"] is False
+    assert out[4]["stopword_hits"] < 2
+
+    # exact integer check of one signal against a hand model
+    w = good.split()
+    grams = list(zip(w, w[1:]))
+    total, distinct = len(grams), len(set(grams))
+    assert out[1]["dup_2gram_ppm"] == 1_000_000 * (total - distinct) // total
+    assert out[1]["mean_word_len_x100"] == \
+        100 * sum(len(t) for t in w) // len(w)
+
+
+def test_gopher_quality_empty_doc_row_present(spark):
+    df = spark.createDataFrame([(1, ""), (2, "the a of " * 30)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r.asDict()
+           for r in curation.gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 0 and out[1]["pass_gopher"] is False
+    assert set(out) == {1, 2}
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                                 "doc_id long, text string")
+    # chain 0-1-2 plus pair (10, 11): components {0,1,2}, {10,11}
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (10, 11)],
+                                  "id_a long, id_b long")
+    out = curation.cluster_safe_split(
+        docs, "doc_id", pairs, {"train": 0.6, "val": 0.2, "test": 0.2})
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 100
+    assert rows[0].cluster == rows[1].cluster == rows[2].cluster == 0
+    assert rows[10].cluster == rows[11].cluster == 10
+    # the leakage guarantee: same cluster => same split
+    assert rows[0].split == rows[1].split == rows[2].split
+    assert rows[10].split == rows[11].split
+    # singletons are their own cluster and all splits are populated
+    assert rows[50].cluster == 50
+    assert {r.split for r in rows.values()} == {"train", "val", "test"}

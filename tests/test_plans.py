@@ -207,6 +207,9 @@ _BNLJ_OK = {
     # same scalar-subquery pattern: the one-ROW corpus token total
     # broadcasts onto the (doc, token) occurrence table.
     "doc_surprisal",
+    # same: the one-ROW LM token total rides onto the (doc, w1, w2)
+    # bigram table for the unigram-backoff bits.
+    "surprisal_bigram",
     # same: the one-ROW min stratum size rides onto the strata-sized
     # threshold frame; the corpus itself joins by broadcast hash.
     "temperature_mix",
