@@ -132,6 +132,10 @@ def main() -> None:
         # backoff (bigram-table joins + one data-sized doc agg)
         "quality_gopher": QUERIES["quality_gopher"],
         "surprisal_bigram": QUERIES["surprisal_bigram"],
+        # exact global token-budget prefix: the plan pin is the
+        # distributed-enumerate shape (per-shard window + broadcast
+        # offset table), never a single-reducer global sort
+        "token_budget_select": QUERIES["token_budget_select"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -973,3 +973,58 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
         id_col, "n_words", "mean_word_len_x100", "dup_2gram_ppm",
         "dup_3gram_ppm", "top_2gram_ppm", "alpha_word_ppm",
         "stopword_hits", passed.alias("pass_gopher"))
+
+
+def select_token_budget(df: DataFrame, id_col: str, tokens_col: Column | str,
+                        budget: int, seed: str = "budget",
+                        shards: int = 1024) -> DataFrame:
+    """Exact token-budget selection: the maximal prefix of the corpus
+    in deterministic salted-hash order whose cumulative token count
+    stays ≤ ``budget`` — "give me 500B tokens of this corpus" as a
+    reproducible row filter instead of a rate guess.  Because token
+    counts are non-negative the prefix property is exact: every kept
+    row's cumulative sum fits, every dropped row's would not.  Stable
+    under re-runs and executor counts (no RNG, no zipWithIndex);
+    changing ``seed`` redraws the ordering.
+
+    Returns ``(id, n_tokens, cum_tokens)`` for the selected rows —
+    ``cum_tokens`` is the row's inclusive running total in the global
+    order, so callers (and the oracle) can verify the prefix bound.
+
+    Distributed exact global prefix sum, no single-reducer sort: rows
+    hash into ``shards`` uniform shards; per-shard token sums (≤
+    ``shards`` rows, bounded by construction) become exclusive offsets
+    via a tiny window and broadcast back; each shard then runs a local
+    cumulative-sum window.  The induced total order is (shard, hash,
+    id) — exactly ``SUM(t) OVER (ORDER BY shard, h, id)``, which the
+    DuckDB oracle replays.  Same ledger as shuffle_positions: one
+    data-sized exchange (the shard window), one bounded aggregate.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    t = (F.col(tokens_col) if isinstance(tokens_col, str)
+         else tokens_col).cast("long")
+    h = hash_bucket(F.concat(F.lit(seed), F.col(id_col).cast("string")),
+                    n_buckets=HASH_P)
+    rows = df.select(F.col(id_col), t.alias("__t"), h.alias("__h"),
+                     (h % shards).alias("__shard"))
+    sums = rows.groupBy("__shard").agg(F.sum("__t").alias("__n"))
+    off = sums.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__shard")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    w = (Window.partitionBy("__shard")
+         .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (rows
+            .join(F.broadcast(off.select("__shard", "__off")), "__shard")
+            .withColumn("cum_tokens",
+                        (F.col("__off") + F.sum("__t").over(w))
+                        .cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+            .select(id_col, F.col("__t").alias("n_tokens"), "cum_tokens"))

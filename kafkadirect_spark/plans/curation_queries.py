@@ -779,3 +779,38 @@ def cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     return curation.cluster_safe_split(
         docs, "doc_id", pairs, {"train": 0.90, "val": 0.05, "test": 0.05})
+
+
+_H_DOC = ("(('0x' || substr(md5('{seed}' || doc_id::VARCHAR), 1, 14))::BIGINT"
+          " % 2147483647)")
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             {_H_DOC.format(seed='budget')} AS hh
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                  ORDER BY hh % 1024, hh, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM h)
+    SELECT doc_id, n_tokens, cum_tokens FROM cum
+    WHERE cum_tokens <= 15000
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget corpus selection (functions/curation.py:
+    select_token_budget): the maximal salted-hash-order prefix with
+    ≤ 15k cumulative tokens — "N tokens of this corpus" as an exact,
+    reproducible filter.  The engine computes the global prefix sum
+    with per-shard windows + broadcast shard offsets (no
+    single-reducer sort); the oracle replays the induced order as one
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.select_token_budget(
+        docs, "doc_id", F.size(text.tokens("text")), budget=15_000)

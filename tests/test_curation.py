@@ -592,3 +592,51 @@ def test_cluster_safe_split_never_straddles(spark):
     # singletons are their own cluster and all splits are populated
     assert rows[50].cluster == 50
     assert {r.split for r in rows.values()} == {"train", "val", "test"}
+
+
+def test_select_token_budget_exact_prefix(spark):
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(300)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               "doc_id long, text string")
+    from kafkadirect_spark.functions.text import tokens
+    budget = 400
+    out = curation.select_token_budget(
+        df, "doc_id", F.size(tokens("text")), budget=budget).collect()
+    assert out, "budget selects something"
+    # prefix bound holds for every kept row; total is maximal
+    assert max(r.cum_tokens for r in out) <= budget
+    # replay the induced order in python and check exact equality
+    import hashlib
+    def h(i):
+        return int(hashlib.md5(f"budget{i}".encode()).hexdigest()[:14],
+                   16) % 2147483647
+    order = sorted(((h(i) % 1024, h(i), i) for i, _ in rows))
+    cum, want = 0, {}
+    for _, _, i in order:
+        n = i % 7 + 1
+        if cum + n > budget:
+            break
+        cum += n
+        want[i] = (n, cum)
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in out}
+    assert got == want
+
+
+def test_select_token_budget_deterministic_and_seeded(spark):
+    df = spark.createDataFrame([(i, "a b c") for i in range(200)],
+                               "doc_id long, text string")
+    a = {r.doc_id for r in curation.select_token_budget(
+        df, "doc_id", F.lit(3), budget=150).collect()}
+    b = {r.doc_id for r in curation.select_token_budget(
+        df, "doc_id", F.lit(3), budget=150).collect()}
+    c = {r.doc_id for r in curation.select_token_budget(
+        df, "doc_id", F.lit(3), budget=150, seed="other").collect()}
+    assert a == b          # reproducible
+    assert len(a) == 50    # 150 // 3 — exact, not approximate
+    assert a != c          # reseeding redraws the prefix
+
+
+def test_select_token_budget_rejects_negative(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.select_token_budget(df, "doc_id", F.lit(1), budget=-1)

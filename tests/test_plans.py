@@ -241,6 +241,9 @@ _GLOBAL_WINDOW_OK = {
     # 1024) that converts shard ranks into contiguous global positions
     # — the distributed-enumerate offset table, not a data sort.
     "global_shuffle",
+    # same offset-table shape over per-shard TOKEN SUMS (≤ `shards`
+    # rows) — the exact global token-budget prefix, not a data sort.
+    "token_budget_select",
     # running-sum + total over the HISTOGRAM REGISTER table (≤ `bins`
     # rows, default 1000) — quantile estimation over a sketch, not a
     # data sort.

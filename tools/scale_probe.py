@@ -178,6 +178,23 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
     def probe_surprisal(docs):
         return curation.surprisal_scores(docs, "doc_id", "text")
 
+    def probe_gopher(docs):
+        return curation.gopher_quality(docs, "doc_id", "text")
+
+    def probe_bigram_surprisal(docs):
+        # held-out form, as registered: LM from the even-id half —
+        # both sides grow with the corpus, the realistic worst case
+        lm = docs.filter(F.col("doc_id") % 2 == 0)
+        return curation.bigram_surprisal_scores(docs, "doc_id", "text",
+                                                lm_df=lm)
+
+    def probe_cluster_split(docs):
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+        pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+        return curation.cluster_safe_split(
+            docs, "doc_id", pairs,
+            {"train": 0.90, "val": 0.05, "test": 0.05})
+
     probes = {"minhash_lsh": probe_minhash,
               "span_dedup": probe_span_dedup,
               "decontaminate": probe_decontaminate,
@@ -186,7 +203,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "jaccard_prefix": probe_jaccard_prefix,
               "containment": probe_containment,
               "incremental_lsh": probe_incremental,
-              "surprisal": probe_surprisal}
+              "surprisal": probe_surprisal,
+              "gopher": probe_gopher,
+              "bigram_surprisal": probe_bigram_surprisal,
+              "cluster_split": probe_cluster_split}
     if ops:
         unknown = set(ops) - set(probes)
         if unknown:
