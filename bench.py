@@ -136,6 +136,10 @@ def main() -> None:
         # distributed-enumerate shape (per-shard window + broadcast
         # offset table), never a single-reducer global sort
         "token_budget_select": QUERIES["token_budget_select"],
+        # exact order statistics via iterative histogram narrowing —
+        # the work happens eagerly inside fn (bounded register
+        # collects per round); the returned frame is the tiny result
+        "exact_value_quantiles": QUERIES["exact_value_quantiles"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

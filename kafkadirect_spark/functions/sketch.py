@@ -512,3 +512,102 @@ def py_hist_quantiles(counts: dict[int, int], qs_permille: list[int],
                 break
         out[q] = None if best is None else lo + best * (hi - lo) // bins
     return out
+
+
+def exact_quantiles(df: DataFrame, col: Column | str,
+                    qs_permille: list[int], bins: int = 1024,
+                    max_rounds: int = 8) -> DataFrame:
+    """EXACT quantiles of an integer column at any scale — no sort, no
+    data collect, no approximation.  Where ``hist_quantiles`` returns
+    a fixed-grid estimate, this returns the true order statistic: the
+    q-permille value is the element of exact rank ``ceil(q·n/1000)``
+    (1-based, ties included — ``min v : count(≤ v) ≥ k``), identical
+    to ``ORDER BY v OFFSET k-1 LIMIT 1``.
+
+    Algorithm: iterative histogram narrowing (the classic
+    distributed-selection recursion).  Each round histograms the
+    current candidate range into ``bins`` buckets (one filtered
+    column scan, register-sized exchange, ≤ ``bins`` rows collected),
+    walks the cumulative counts to the bucket containing the target
+    rank, and recurses into it.  The range shrinks ×``bins`` per
+    round, so an s-bit integer domain needs ⌈s / log2 bins⌉ rounds
+    (64-bit worst case: 7 with the default 1024); when the range
+    itself fits in ``bins`` buckets the histogram is per-value and
+    the walk reads off the exact answer.  Driver state is O(bins)
+    per round — never data-sized.
+
+    All requested quantiles share each round's histogram until their
+    candidate ranges diverge (they start identical), so the common
+    case (a few permilles over a moderate value domain) is 2–3 scans
+    total, not 2–3 per quantile.
+
+    Returns ``(q_permille, value)``.  Nulls are excluded.  The
+    column must be integral (cast upstream — for doubles use the
+    repo's ``floor(value·1000)`` milli convention); ranges within
+    2^62 of Long extrema are rejected to keep in-plan ``v − lo``
+    arithmetic overflow-free.
+
+    Reference analogue: none (SURVEY.md §2 — the reference has no
+    order statistics at all); beyond-parity analytics.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    vals = df.select(c.alias("__v")).filter(F.col("__v").isNotNull())
+    vals = vals.persist()
+    try:
+        agg = vals.agg(F.count(F.lit(1)).alias("n"),
+                       F.min("__v").alias("lo"),
+                       F.max("__v").alias("hi")).collect()[0]
+        n, glo, ghi = agg["n"], agg["lo"], agg["hi"]
+        rows = []
+        if n:
+            if ghi - glo > (1 << 62):
+                raise ValueError(
+                    f"value range [{glo}, {ghi}] spans more than 2^62; "
+                    "narrow the domain (in-plan bucket arithmetic "
+                    "would overflow)")
+            # state per quantile: (remaining rank k, lo, hi); group
+            # quantiles with identical ranges to share histograms
+            state = {q: [max((q * n + 999) // 1000, 1), glo, ghi]
+                     for q in qs_permille}
+            done: dict[int, int] = {}
+            for _ in range(max_rounds):
+                pend = {q: s for q, s in state.items() if q not in done}
+                if not pend:
+                    break
+                ranges: dict[tuple[int, int], list[int]] = {}
+                for q, (_, lo, hi) in pend.items():
+                    ranges.setdefault((lo, hi), []).append(q)
+                for (lo, hi), group in ranges.items():
+                    width = hi - lo + 1
+                    w = max(1, -(-width // bins))  # ceil
+                    hist = {r["b"]: r["cnt"] for r in
+                            vals.filter(F.col("__v").between(lo, hi))
+                            .groupBy(F.expr(f"(__v - {lo}) DIV {w}")
+                                     .alias("b"))
+                            .agg(F.count(F.lit(1)).alias("cnt"))
+                            .collect()}
+                    cum_at = sorted(hist)
+                    for q in group:
+                        k = state[q][0]
+                        cum = 0
+                        for b in cum_at:
+                            if cum + hist[b] >= k:
+                                blo = lo + b * w
+                                if w == 1:
+                                    done[q] = blo
+                                else:
+                                    state[q] = [k - cum, blo,
+                                                min(blo + w - 1, hi)]
+                                break
+                            cum += hist[b]
+            missing = [q for q in qs_permille if q not in done]
+            if missing:
+                raise RuntimeError(
+                    f"exact_quantiles did not converge in {max_rounds} "
+                    f"rounds for q={missing} (range [{glo}, {ghi}], "
+                    f"bins={bins}) — raise max_rounds or bins")
+            rows = [(int(q), int(done[q])) for q in qs_permille]
+        spark = df.sparkSession
+        return spark.createDataFrame(rows, "q_permille int, value long")
+    finally:
+        vals.unpersist()

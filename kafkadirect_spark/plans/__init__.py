@@ -82,15 +82,17 @@ _PROMOTED = [
     "supplier_pagerank",
     "temperature_mix",
     "dedup_exact_normalized",
-    #    ... and the final-r8 four: quality_gopher (integer Gopher
+    #    ... and the final-r8 five: quality_gopher (integer Gopher
     #    repetition rules), surprisal_bigram (bigram LM + stupid
     #    backoff, held-out), cluster_split (leakage-safe cluster-keyed
     #    split), token_budget_select (exact global token-budget
-    #    prefix) --
+    #    prefix), exact_value_quantiles (true order statistics via
+    #    iterative histogram narrowing) --
     "quality_gopher",
     "surprisal_bigram",
     "cluster_split",
     "token_budget_select",
+    "exact_value_quantiles",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -103,7 +105,6 @@ _PROMOTED = [
     #    and covered by r9's mandatory rotation.) --
     "corpus_curation",
     "decontaminate",
-    "decontaminate_bloom",
     "dedup_embedding_cosine",
 ]
 

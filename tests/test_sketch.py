@@ -492,3 +492,49 @@ def test_grouped_estimate_matches_single_group_path(spark):
     est = sketch.hll_estimate(merged).collect()[0]
     assert (est.m, est.nonzero_buckets, est.sum_pow, est.est_distinct) == \
         (whole.m, whole.nonzero_buckets, whole.sum_pow, whole.est_distinct)
+
+
+def _kth_model(values, q):
+    """min v : count(<= v) >= ceil(q*n/1000) — the oracle's spec."""
+    s = sorted(values)
+    k = max((q * len(s) + 999) // 1000, 1)
+    return s[k - 1]
+
+
+def test_exact_quantiles_match_sorted_model(spark):
+    import random
+    rng = random.Random(7)
+    values = ([rng.randint(-50_000, 50_000) for _ in range(5000)]
+              + [0] * 500 + [42] * 300)        # heavy ties
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    qs = [1, 250, 500, 990, 1000]
+    out = {r.q_permille: r.value for r in
+           sketch.exact_quantiles(df, "x", qs, bins=64).collect()}
+    assert out == {q: _kth_model(values, q) for q in qs}
+
+
+def test_exact_quantiles_wide_range_converges(spark):
+    # 40-bit spread with bins=16 forces many narrowing rounds
+    values = [(i * 2_654_435_761) % (1 << 40) - (1 << 39)
+              for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    out = {r.q_permille: r.value for r in
+           sketch.exact_quantiles(df, "x", [500], bins=16,
+                                  max_rounds=16).collect()}
+    assert out == {500: _kth_model(values, 500)}
+
+
+def test_exact_quantiles_nulls_and_empty(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "x long")
+    out = {r.q_permille: r.value for r in
+           sketch.exact_quantiles(df, "x", [500, 1000]).collect()}
+    assert out == {500: 1, 1000: 3}
+    empty = spark.createDataFrame([], "x long")
+    assert sketch.exact_quantiles(empty, "x", [500]).collect() == []
+
+
+def test_exact_quantiles_rejects_overflowing_range(spark):
+    df = spark.createDataFrame(
+        [(-(1 << 62),), ((1 << 62),)], "x long")
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles(df, "x", [500])
