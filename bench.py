@@ -140,6 +140,9 @@ def main() -> None:
         # the work happens eagerly inside fn (bounded register
         # collects per round); the returned frame is the tiny result
         "exact_value_quantiles": QUERIES["exact_value_quantiles"],
+        # product quantization: per-subspace integer k-means training
+        # (one scan per iteration for all subspaces) + code projection
+        "embedding_pq_codes": QUERIES["embedding_pq_codes"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

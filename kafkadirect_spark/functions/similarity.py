@@ -811,3 +811,221 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     if row is None:
         raise ValueError("empty input — cannot infer vector dim")
     return row["d"]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public): split each embedding into m
+# subvectors, k-means each subspace independently, store each vector as m
+# small codes.  The memory-bounded ANN compression: a dim-64 float vector
+# becomes m=4 bytes, and query scoring needs only the codes plus an m×k
+# distance table per probe.  Everything below rides the repo's integer
+# k-means (floor(v·scale) quantization, integer L2², floor-division
+# centroid means), so codes and ADC scores are hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _pq_train(q: DataFrame, id_col: str, m: int, sub: int, k: int,
+              iters: int) -> dict[int, dict[int, list[int]]]:
+    """Per-subspace integer k-means codebooks over the pre-quantized
+    ``__qv`` frame.  Seeding mirrors ``kmeans_quantized``: the k
+    smallest ids seed every subspace (one bounded k-row collect total).
+    Each refinement iteration is ONE corpus scan: all m subspace
+    assignments are literal-centroid argmin expressions in a single
+    projection (zero joins, zero pre-agg shuffles), and the centroid
+    update explodes (subspace, code, position) with map-side partial
+    sums — exactly m·k·sub rows collected (bounded by construction).
+    Empty clusters keep their previous centroid."""
+    seed_rows = q.orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows to seed codebooks")
+    cents: dict[int, dict[int, list[int]]] = {
+        j: {c: list(seed_rows[c]["__qv"])[j * sub:(j + 1) * sub]
+            for c in range(k)}
+        for j in range(m)}
+
+    def subv(j: int) -> Column:
+        return F.slice(F.col("__qv"), j * sub + 1, sub)
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+    def dist_sq(j: int, cv: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(subv(j), lit_vec(cv),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def best(j: int) -> Column:
+        structs = [
+            F.struct(dist_sq(j, cv).alias("d"),
+                     F.lit(cid).cast("long").alias("cid"))
+            for cid, cv in sorted(cents[j].items())]
+        return structs[0] if len(structs) == 1 else F.least(*structs)
+
+    for _ in range(max(0, iters - 1)):
+        assigned = q.select(
+            "__qv", *[best(j)["cid"].alias(f"__c{j}") for j in range(m)])
+        entries = F.array(*[
+            F.struct(F.lit(j).alias("j"), F.col(f"__c{j}").alias("c"),
+                     subv(j).alias("sv"))
+            for j in range(m)])
+        upd = (assigned
+               .select(F.explode(entries).alias("e"))
+               .select("e.j", "e.c", F.posexplode("e.sv")
+                       .alias("p", "x"))
+               .groupBy("j", "c", "p")
+               .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS LONG)")
+                    .alias("v"))
+               .collect())  # ≤ m·k·sub rows — bounded by construction
+        new: dict[int, dict[int, list[int]]] = {}
+        for r in upd:
+            new.setdefault(int(r["j"]), {}).setdefault(
+                int(r["c"]), [0] * sub)[int(r["p"])] = int(r["v"])
+        cents = {j: {c: new.get(j, {}).get(c, cv)
+                     for c, cv in cents[j].items()}
+                 for j in range(m)}
+    return cents
+
+
+def _pq_quantize(df: DataFrame, id_col: str, vec_col: str,
+                 scale: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col),
+                    lambda v: F.floor(v.cast("double") * scale)
+                    .cast("long")).alias("__qv"))
+
+
+def _pq_codes_frame(q: DataFrame, id_col: str,
+                    cents: dict[int, dict[int, list[int]]],
+                    m: int, sub: int) -> DataFrame:
+    """(id, codes array<int>) from trained codebooks — a pure
+    projection (literal-centroid argmin per subspace, zero joins)."""
+    def subv(j):
+        return F.slice(F.col("__qv"), j * sub + 1, sub)
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+    def best(j):
+        structs = [
+            F.struct(F.aggregate(
+                F.zip_with(subv(j), lit_vec(cv),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda a, x: a + x).alias("d"),
+                F.lit(cid).cast("long").alias("cid"))
+            for cid, cv in sorted(cents[j].items())]
+        return structs[0] if len(structs) == 1 else F.least(*structs)
+
+    return q.select(
+        F.col(id_col),
+        F.array(*[best(j)["cid"].cast("int") for j in range(m)])
+        .alias("codes"))
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              m: int = 4, k: int = 4, iters: int = 2,
+              scale: int = 10_000) -> DataFrame:
+    """PQ-encode embeddings: ``(id, codes array<int> of length m)``.
+
+    Classic product quantization (Jégou et al. 2011) on the repo's
+    integer k-means: quantize once globally (``floor(v·scale)``),
+    train an independent k-centroid codebook per dim/m-wide subspace
+    (``_pq_train`` — one scan per iteration for ALL subspaces), then
+    emit each vector's per-subspace argmin code.  A dim-64 float
+    vector compresses to m codes — the 100 TB ANN store: scoring
+    needs the codes and an m×k table per probe, never the vectors.
+
+    Integer arithmetic end to end ⇒ codes replay bit-exactly in the
+    SQL oracle (the float version cannot: centroid means are
+    summation-order dependent).  ``k`` is bounded to the literal-
+    expression regime (≤ 64 — per-row cost is O(m·k·sub) codegen
+    ops ≡ O(k·dim)); PQ-typical k=256 needs a broadcast-matrix
+    assignment pass like ``kmeans_quantized(assign='blas')`` — out
+    of scope here, raise instead of degrading silently.
+
+    Reference analogue: none (SURVEY.md §2 — no vector compute);
+    beyond-parity ANN machinery.
+    """
+    dim = _vec_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k > 64:
+        raise ValueError(
+            f"k={k} exceeds the literal-expression regime (64); "
+            "extend with a BLAS assignment pass before raising this")
+    sub = dim // m
+    q = _persist(_pq_quantize(df, id_col, vec_col, scale))
+    cents = _pq_train(q, id_col, m, sub, k, iters)
+    return _pq_codes_frame(q, id_col, cents, m, sub)
+
+
+def pq_topk(df: DataFrame, id_col: str, vec_col: str,
+            probes: DataFrame, n: int = 3,
+            m: int = 4, k: int = 4, iters: int = 2,
+            scale: int = 10_000,
+            max_probes: int = 64) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``n`` over PQ codes: for each
+    probe, score every vector as ``Σ_j T_j[code_j]`` where ``T_j`` is
+    the probe's integer distance table to subspace ``j``'s codebook —
+    the vectors themselves are never touched at query time, only the
+    m-byte codes.  Output ``(id, neighbor_id, rank, adc_dist)``; ties
+    break toward the lower neighbor id; the probe itself is excluded.
+
+    The probe set is bounded (``max_probes`` guard, same contract as
+    the BLAS paths): each probe's m×k table is computed driver-side
+    in exact integer arithmetic and embedded as literal arrays, so
+    scoring is a pure row-local projection over the codes frame —
+    zero joins before the per-probe top-n window.
+
+    ADC is an approximation of true distance (quantization error);
+    the pytest pins exact agreement with a python PQ model (probes
+    excluded before ranking, as in cosine_topk, so ranks 1..n are
+    contiguous).  Unlike the BLAS paths' 100k probe cap, each probe
+    here adds an m×k LITERAL table to the plan — the cap is small.
+    """
+    dim = _vec_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    q = _persist(_pq_quantize(df, id_col, vec_col, scale))
+    cents = _pq_train(q, id_col, m, sub, k, iters)
+    codes = _pq_codes_frame(q, id_col, cents, m, sub)
+
+    probe_pdf = (probes.select(id_col, vec_col)
+                 .limit(max_probes + 1).toPandas())
+    if len(probe_pdf) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}: ADC embeds "
+            "one m×k literal table per probe; bound the probe frame")
+    import math
+    tables = []  # (probe_id, [m][k] int table)
+    for _, prow in probe_pdf.iterrows():
+        qv = [math.floor(float(v) * scale) for v in prow[vec_col]]
+        t = [[sum((qv[j * sub + p] - cv[p]) ** 2 for p in range(sub))
+              for _, cv in sorted(cents[j].items())]
+             for j in range(m)]
+        tables.append((prow[id_col], t))
+
+    def adc(t) -> Column:
+        return sum(
+            (F.element_at(F.array(*[F.lit(int(x)).cast("long")
+                                    for x in t[j]]),
+                          F.element_at("codes", j + 1) + 1)
+             for j in range(m)),
+            start=F.lit(0).cast("long"))
+
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(pid).alias("pid"), adc(t).alias("d"))
+            for pid, t in tables])).alias("e"))
+    w = Window.partitionBy("e.pid").orderBy(
+        F.col("e.d").asc(), F.col("neighbor_id").asc())
+    return (scored
+            .filter(F.col("e.pid") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select(F.col("e.pid").alias(id_col), "neighbor_id",
+                    "rank", F.col("e.d").alias("adc_dist")))

@@ -82,17 +82,21 @@ _PROMOTED = [
     "supplier_pagerank",
     "temperature_mix",
     "dedup_exact_normalized",
-    #    ... and the final-r8 five: quality_gopher (integer Gopher
+    #    ... and the final-r8 batch: quality_gopher (integer Gopher
     #    repetition rules), surprisal_bigram (bigram LM + stupid
     #    backoff, held-out), cluster_split (leakage-safe cluster-keyed
     #    split), token_budget_select (exact global token-budget
     #    prefix), exact_value_quantiles (true order statistics via
-    #    iterative histogram narrowing) --
+    #    iterative histogram narrowing), embedding_pq_codes /
+    #    similarity_pq_adc (product quantization + asymmetric-distance
+    #    search) --
     "quality_gopher",
     "surprisal_bigram",
     "cluster_split",
     "token_budget_select",
     "exact_value_quantiles",
+    "embedding_pq_codes",
+    "similarity_pq_adc",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
@@ -104,8 +108,6 @@ _PROMOTED = [
     #    here before the final-r8 queries displaced them are r6-dated
     #    and covered by r9's mandatory rotation.) --
     "corpus_curation",
-    "decontaminate",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -1170,3 +1170,159 @@ def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("value").isNotNull()) \
         .select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
     return sketch.exact_quantiles(v, "v", _EXQ)
+
+
+def _pq_ctes(m: int = 4, k: int = 4, sub: int = 16) -> str:
+    """Generated per-subspace replay of the PQ codebook training
+    (quantize → seed → assign → truncating-integer centroid means →
+    reassign), one CTE chain per subspace — the same unrolled shape
+    as ``_KM_CTES`` sliced to ``qv[j·sub+1 : (j+1)·sub]``.  Exposes
+    ``a2_{j}(vec_id, cid)`` (final codes) and ``c1_{j}(cid, cv)``
+    (final codebooks) for each subspace j."""
+    dist = ("CAST(list_sum(list_transform(generate_series(1, {sub}), "
+            "i -> (x.sv[i] - s.cv[i]) * (x.sv[i] - s.cv[i]))) "
+            "AS BIGINT)")
+    parts = [f"""
+    q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      FROM embeddings),
+    pos AS (SELECT unnest(generate_series(1, {sub})) AS p)"""]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        d = dist.format(sub=sub)
+        parts.append(f"""
+    q_{j} AS (SELECT vec_id, qv[{lo}:{hi}] AS sv FROM q),
+    seed_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
+      FROM q_{j} ORDER BY vec_id LIMIT {k}),
+    d1_{j} AS (
+      SELECT x.vec_id, s.cid, {d} AS d
+      FROM q_{j} x CROSS JOIN seed_{j} s),
+    a1_{j} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d1_{j}) WHERE rn = 1),
+    u1_{j} AS (
+      SELECT a.cid, p.p, CAST(SUM(x.sv[p.p]) // COUNT(*) AS BIGINT) AS v
+      FROM a1_{j} a JOIN q_{j} x USING (vec_id) CROSS JOIN pos p
+      GROUP BY a.cid, p.p),
+    c1_{j} AS MATERIALIZED (
+      SELECT s.cid,
+             CASE WHEN COUNT(u.v) = 0 THEN ANY_VALUE(s.cv)
+                  ELSE list(u.v ORDER BY u.p) END AS cv
+      FROM seed_{j} s LEFT JOIN u1_{j} u ON u.cid = s.cid
+      GROUP BY s.cid),
+    d2_{j} AS (
+      SELECT x.vec_id, s.cid, {d} AS d
+      FROM q_{j} x CROSS JOIN c1_{j} s),
+    a2_{j} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d2_{j}) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_pq_ctes()}
+    SELECT q.vec_id,
+           [CAST(a2_0.cid AS INTEGER), CAST(a2_1.cid AS INTEGER),
+            CAST(a2_2.cid AS INTEGER), CAST(a2_3.cid AS INTEGER)] AS codes
+    FROM q
+    JOIN a2_0 ON a2_0.vec_id = q.vec_id
+    JOIN a2_1 ON a2_1.vec_id = q.vec_id
+    JOIN a2_2 ON a2_2.vec_id = q.vec_id
+    JOIN a2_3 ON a2_3.vec_id = q.vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (functions/similarity.py pq_encode,
+    Jégou et al. 2011): each dim-64 embedding compressed to 4
+    per-subspace integer k-means codes — the memory-bounded ANN
+    store.  All-integer training (truncating-division centroid
+    means) makes the codes hash-exact; the oracle replays all four
+    subspace chains unrolled.  Engine side: one scan per training
+    iteration for ALL subspaces (single projection of literal-
+    centroid argmins, zero joins; update collects ≤ m·k·sub rows)."""
+    from kafkadirect_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, "vec_id", "embedding",
+                                m=4, k=4, iters=2)
+
+
+@query(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    pt_0 AS (
+      SELECT pr.vec_id AS pid, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
+                  AS BIGINT) AS t
+      FROM (SELECT vec_id, sv FROM q_0 WHERE vec_id < 3) pr
+      CROSS JOIN c1_0 c),
+    pt_1 AS (
+      SELECT pr.vec_id AS pid, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
+                  AS BIGINT) AS t
+      FROM (SELECT vec_id, sv FROM q_1 WHERE vec_id < 3) pr
+      CROSS JOIN c1_1 c),
+    pt_2 AS (
+      SELECT pr.vec_id AS pid, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
+                  AS BIGINT) AS t
+      FROM (SELECT vec_id, sv FROM q_2 WHERE vec_id < 3) pr
+      CROSS JOIN c1_2 c),
+    pt_3 AS (
+      SELECT pr.vec_id AS pid, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
+                  AS BIGINT) AS t
+      FROM (SELECT vec_id, sv FROM q_3 WHERE vec_id < 3) pr
+      CROSS JOIN c1_3 c),
+    sc AS (
+      SELECT p0.pid, a2_0.vec_id AS neighbor_id,
+             p0.t + p1.t + p2.t + p3.t AS d
+      FROM a2_0
+      JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
+      JOIN a2_3 USING (vec_id)
+      JOIN pt_0 p0 ON p0.cid = a2_0.cid
+      JOIN pt_1 p1 ON p1.cid = a2_1.cid AND p1.pid = p0.pid
+      JOIN pt_2 p2 ON p2.cid = a2_2.cid AND p2.pid = p0.pid
+      JOIN pt_3 p3 ON p3.cid = a2_3.cid AND p3.pid = p0.pid
+      WHERE a2_0.vec_id <> p0.pid)
+    SELECT pid AS vec_id, neighbor_id,
+           CAST(rn AS INTEGER) AS rank, CAST(d AS BIGINT) AS adc_dist
+    FROM (SELECT pid, neighbor_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY d, neighbor_id) AS rn
+          FROM sc)
+    WHERE rn <= 3
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (functions/similarity.py
+    pq_topk): top-3 neighbors for 3 probes scored as Σ_j T_j[code_j]
+    over the compressed codes — the vectors are never touched at
+    query time.  Probe distance tables are exact-integer, computed
+    driver-side (bounded) and embedded as literals; scoring is a
+    row-local projection, one rank window per probe.  The oracle
+    rebuilds codebooks, codes, and tables entirely in SQL."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return similarity.pq_topk(emb, "vec_id", "embedding", probes,
+                              n=3, m=4, k=4, iters=2)

@@ -768,3 +768,110 @@ def test_random_project_deterministic_and_bounded(emb):
     assert [(i, tuple(v)) for i, v in ra] == [(i, tuple(v)) for i, v in rb]
     dim = 64
     assert all(abs(x) <= 127 * dim for _, v in ra for x in v)
+
+
+def _pq_python_model(rows, dim, m, k, iters, scale):
+    """In-Python PQ: quantize, seed on k smallest ids, assign,
+    truncating-division centroid means, reassign — the exact spec of
+    similarity.pq_encode."""
+    import math
+
+    def tdiv(a, b):  # truncation toward zero ≡ Spark DIV / DuckDB //
+        return a // b if a >= 0 else -((-a) // b)
+
+    sub = dim // m
+    qv = {i: [math.floor(float(v) * scale) for v in vec]
+          for i, vec in rows}
+    seeds = sorted(qv)[:k]
+    cents = {j: {c: qv[seeds[c]][j * sub:(j + 1) * sub]
+                 for c in range(k)} for j in range(m)}
+
+    def assign(j, v):
+        return min((sum((v[p] - cv[p]) ** 2 for p in range(sub)), cid)
+                   for cid, cv in cents[j].items())[1]
+
+    for _ in range(iters - 1):
+        grp = {j: {} for j in range(m)}
+        for i in qv:
+            for j in range(m):
+                sv = qv[i][j * sub:(j + 1) * sub]
+                grp[j].setdefault(assign(j, sv), []).append(sv)
+        for j in range(m):
+            for c in range(k):
+                mem = grp[j].get(c)
+                if mem:
+                    cents[j][c] = [tdiv(sum(v[p] for v in mem), len(mem))
+                                   for p in range(sub)]
+    codes = {i: [assign(j, qv[i][j * sub:(j + 1) * sub])
+                 for j in range(m)] for i in qv}
+    return qv, cents, codes
+
+
+def test_pq_encode_matches_python_model(spark):
+    import random
+    rng = random.Random(3)
+    DIM, M, K, IT, SC = 8, 4, 3, 2, 1000
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(DIM)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.codes) for r in
+           similarity.pq_encode(df, "vec_id", "embedding",
+                                m=M, k=K, iters=IT, scale=SC).collect()}
+    _, _, want = _pq_python_model(rows, DIM, M, K, IT, SC)
+    assert got == want
+
+
+def test_pq_topk_adc_matches_python_model(spark):
+    import random
+    rng = random.Random(5)
+    DIM, M, K, IT, SC = 8, 2, 3, 2, 1000
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(DIM)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") < 2)
+    out = similarity.pq_topk(df, "vec_id", "embedding", probes,
+                             n=3, m=M, k=K, iters=IT, scale=SC).collect()
+    qv, cents, codes = _pq_python_model(rows, DIM, M, K, IT, SC)
+    sub = DIM // M
+
+    def adc(pid, i):
+        return sum(sum((qv[pid][j * sub + p]
+                        - cents[j][codes[i][j]][p]) ** 2
+                       for p in range(sub)) for j in range(M))
+
+    for pid in (0, 1):
+        want = sorted(((adc(pid, i), i) for i in qv if i != pid))[:3]
+        got = sorted((r.adc_dist, r.neighbor_id)
+                     for r in out if r.vec_id == pid)
+        assert got == want, pid
+        ranks = sorted(r.rank for r in out if r.vec_id == pid)
+        assert ranks == [1, 2, 3]
+
+
+def test_pq_rejects_bad_shapes(spark):
+    df = spark.createDataFrame([(1, [0.1] * 10)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        similarity.pq_encode(df, "vec_id", "embedding", m=4)  # 10 % 4
+    with pytest.raises(ValueError):
+        similarity.pq_encode(df, "vec_id", "embedding", m=2, k=65)
+    big = spark.createDataFrame([(i, [0.1] * 8) for i in range(80)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        similarity.pq_topk(big, "vec_id", "embedding", big, m=2, k=2,
+                           max_probes=8)
+
+
+def test_pq_identical_vectors_share_codes(spark):
+    # exact duplicates must get identical codes at any m/k — the
+    # compression-dedup composition guarantee
+    base = [0.5, -0.25, 0.75, -1.0, 0.1, 0.2, -0.3, 0.4]
+    rows = [(i, base) for i in range(10)] + \
+           [(i, [-v for v in base]) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: tuple(r.codes) for r in
+           similarity.pq_encode(df, "vec_id", "embedding",
+                                m=2, k=2, iters=2).collect()}
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[i] for i in range(10, 20)}) == 1
+    assert got[0] != got[10]
