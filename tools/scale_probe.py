@@ -98,6 +98,50 @@ def semdedup_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.stop()
 
 
+def pq_probe(sf_dir: str = "/root/testdata/sf0.1",
+             steps: tuple[int, ...] = (1, 4, 16)) -> None:
+    """PQ scale probe: replicate the embeddings with direction-
+    perturbed copies (same scheme as the semdedup probe) and time the
+    full pq_encode (codebook training + code projection).  Cost model:
+    each training iteration is one scan with O(m·k·sub) ≡ O(k·dim)
+    expression ops per row plus a bounded m·k·sub-row collect — wall
+    time should track the data factor linearly, with no growth in
+    driver state."""
+    from kafkadirect_spark.functions import similarity
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("pq-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "embeddings")
+
+    def replicate(repl: int):
+        df = base
+        for i in range(1, repl):
+            copy = (base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+                .withColumn("embedding", F.transform(
+                    "embedding",
+                    lambda x, j: F.when(j == F.lit(i % 64),
+                                        x + 0.05 * ((i % 7) + 1))
+                                  .otherwise(x))))
+            df = df.unionByName(copy)
+        return df
+
+    for repl in steps:
+        emb = replicate(repl).persist()
+        n = emb.count()
+        t0 = time.perf_counter()
+        similarity.pq_encode(emb, "vec_id", "embedding",
+                             m=4, k=16, iters=2) \
+            .write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "pq_encode", "repl": repl, "rows": n,
+                          "m": 4, "k": 16, "sec": sec}), flush=True)
+        emb.unpersist()
+    spark.stop()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
          organic: bool = False, ops: list[str] | None = None,
          start: int = 1) -> None:
@@ -238,6 +282,10 @@ if __name__ == "__main__":
     if "--semdedup" in args:
         args.remove("--semdedup")
         semdedup_probe(args[0] if args else "/root/testdata/sf0.1")
+        sys.exit(0)
+    if "--pq" in args:
+        args.remove("--pq")
+        pq_probe(args[0] if args else "/root/testdata/sf0.1")
         sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
