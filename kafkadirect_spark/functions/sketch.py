@@ -611,3 +611,109 @@ def exact_quantiles(df: DataFrame, col: Column | str,
         return spark.createDataFrame(rows, "q_permille int, value long")
     finally:
         vals.unpersist()
+
+
+def exact_quantiles_grouped(df: DataFrame, group_col: str,
+                            col: Column | str, qs_permille: list[int],
+                            bins: int = 1024,
+                            max_rounds: int = 8,
+                            max_groups: int = 100_000) -> DataFrame:
+    """Per-group EXACT quantiles — :func:`exact_quantiles` generalized
+    to one true order statistic per (group, q): the per-segment p50 /
+    p99 report (latency by event type, doc length by language) with
+    no sort and no data-sized collect.
+
+    Same iterative histogram narrowing, run for all groups at once:
+    each round broadcasts the per-group candidate range [lo, w] onto
+    the scan, histograms (group, bucket) with map-side combine, and
+    collects ≤ |pending groups|·bins register rows.  Groups converge
+    independently (a group whose range reaches width 1 drops out of
+    later rounds' broadcast table), so the round count is driven by
+    the widest group's domain, ≤ ⌈64 / log2 bins⌉.  Driver state is
+    O(groups·bins) per round — ``max_groups`` guards the driver the
+    way MAX_PROBES guards the BLAS paths: beyond it, raise, don't
+    OOM.  Null group keys and null values are excluded.
+
+    Returns ``(group_col, q_permille, value)``.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    g = F.col(group_col)
+    vals = df.select(g.alias("__g"), c.alias("__v")) \
+        .filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    vals = vals.persist()
+    try:
+        stats = (vals.groupBy("__g")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.min("__v").alias("lo"),
+                      F.max("__v").alias("hi"))
+                 .limit(max_groups + 1).collect())
+        if len(stats) > max_groups:
+            raise ValueError(
+                f"more than max_groups={max_groups} groups: per-round "
+                "driver state is O(groups·bins); aggregate to coarser "
+                "segments or raise the cap consciously")
+        for r in stats:
+            if r["hi"] - r["lo"] > (1 << 62):
+                raise ValueError(
+                    f"group {r['__g']!r} value range spans more than "
+                    "2^62 (in-plan bucket arithmetic would overflow)")
+        # state[(gkey, q)] = [remaining rank, lo, hi]
+        state: dict[tuple, list[int]] = {}
+        for r in stats:
+            for q in qs_permille:
+                state[(r["__g"], q)] = [
+                    max((q * r["n"] + 999) // 1000, 1), r["lo"], r["hi"]]
+        done: dict[tuple, int] = {}
+        spark = df.sparkSession
+        for _ in range(max_rounds):
+            pend = {key: s for key, s in state.items() if key not in done}
+            if not pend:
+                break
+            # one (group, lo, w) range table per distinct pending range
+            ranges: dict[tuple, list] = {}
+            for (gkey, q), (_, lo, hi) in pend.items():
+                width = hi - lo + 1
+                w = max(1, -(-width // bins))
+                ranges.setdefault((gkey, lo, hi, w), []).append(q)
+            rng_rows = [(gk, lo, hi, w) for (gk, lo, hi, w) in ranges]
+            gtype = dict(vals.dtypes)["__g"]
+            rng = spark.createDataFrame(
+                rng_rows, f"__g {gtype}, __lo long, __hi long, __w long")
+            hist = (vals.join(F.broadcast(rng), "__g")
+                    .filter(F.col("__v").between(F.col("__lo"),
+                                                 F.col("__hi")))
+                    .groupBy("__g", "__lo", "__w",
+                             F.expr("(__v - __lo) DIV __w").alias("b"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect())
+            by_range: dict[tuple, dict[int, int]] = {}
+            for r in hist:
+                by_range.setdefault((r["__g"], r["__lo"], r["__w"]),
+                                    {})[r["b"]] = r["cnt"]
+            for (gkey, lo, hi, w), group_qs in ranges.items():
+                h = by_range.get((gkey, lo, w), {})
+                for q in group_qs:
+                    k = state[(gkey, q)][0]
+                    cum = 0
+                    for b in sorted(h):
+                        if cum + h[b] >= k:
+                            blo = lo + b * w
+                            if w == 1:
+                                done[(gkey, q)] = blo
+                            else:
+                                state[(gkey, q)] = [
+                                    k - cum, blo, min(blo + w - 1, hi)]
+                            break
+                        cum += h[b]
+        missing = sorted(key for key in state if key not in done)
+        if missing:
+            raise RuntimeError(
+                f"exact_quantiles_grouped did not converge in "
+                f"{max_rounds} rounds for {missing[:5]} — raise "
+                "max_rounds or bins")
+        gtype = dict(vals.dtypes)["__g"]
+        rows = [(gkey, int(q), int(v)) for (gkey, q), v in done.items()]
+        return spark.createDataFrame(
+            rows, f"{group_col} {gtype}, q_permille int, value long")
+    finally:
+        vals.unpersist()

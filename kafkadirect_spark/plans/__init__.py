@@ -97,17 +97,14 @@ _PROMOTED = [
     "exact_value_quantiles",
     "embedding_pq_codes",
     "similarity_pq_adc",
+    "exact_quantiles_by_type",
     # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
     # guard in the bucket floor + reserved-name checks) — the driver
     # must re-verify the point-in-interval query on the new expression
     "range_bucket_join",
-    # -- remaining slots: r6-dated queries refreshed a round early
-    #    (heaviest machinery first: curation/similarity pipelines), so
-    #    the r9 mandatory rotation is the r6 remainder and everything
-    #    stays ≤2 rounds stale.  (The three ANN variants that fronted
-    #    here before the final-r8 queries displaced them are r6-dated
-    #    and covered by r9's mandatory rotation.) --
-    "corpus_curation",
+    # (no early-refresh slots remain: the final-r8 additions filled
+    # the window; every r6-dated query is covered by r9's mandatory
+    # rotation, which keeps it ≤2 rounds stale)
 ]
 
 

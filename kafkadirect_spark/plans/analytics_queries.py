@@ -1326,3 +1326,46 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 3)
     return similarity.pq_topk(emb, "vec_id", "embedding", probes,
                               n=3, m=4, k=4, iters=2)
+
+
+_EXQG = [500, 990]
+_EXQG_ARMS = "\n    UNION ALL\n".join(
+    f"""    SELECT r.event_type, CAST({q} AS INTEGER) AS q_permille,
+           CAST(MIN(r.v) AS BIGINT) AS value
+    FROM r JOIN n USING (event_type)
+    WHERE r.rn >= ({q} * n.c + 999) // 1000
+    GROUP BY r.event_type"""
+    for q in _EXQG)
+
+
+@query(
+    "exact_quantiles_by_type",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    n AS (SELECT event_type, COUNT(*) AS c FROM s GROUP BY event_type),
+    r AS (SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY v) AS rn
+          FROM s)
+{_EXQG_ARMS}
+    """,
+)
+def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment TRUE order statistics (functions/sketch.py
+    exact_quantiles_grouped): exact p50/p99 of event milli-values per
+    event type — the per-segment latency/size report, computed by the
+    same iterative histogram narrowing run for all groups at once
+    (per round: one scan with the per-group candidate ranges
+    broadcast on, a (group, bucket) register aggregate, and a
+    ≤groups·bins-row collect; converged groups drop out)."""
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 1000).cast("long").alias("v")))
+    return sketch.exact_quantiles_grouped(v, "event_type", "v", _EXQG)

@@ -538,3 +538,33 @@ def test_exact_quantiles_rejects_overflowing_range(spark):
         [(-(1 << 62),), ((1 << 62),)], "x long")
     with pytest.raises(ValueError):
         sketch.exact_quantiles(df, "x", [500])
+
+
+def test_exact_quantiles_grouped_matches_model(spark):
+    import random
+    rng = random.Random(11)
+    rows = [("a", rng.randint(-1000, 1000)) for _ in range(800)] \
+         + [("b", rng.randint(0, 10)) for _ in range(300)] \
+         + [("wide", rng.randint(-(1 << 39), 1 << 39)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    qs = [250, 500, 990]
+    out = {(r.g, r.q_permille): r.value for r in
+           sketch.exact_quantiles_grouped(df, "g", "x", qs,
+                                          bins=32).collect()}
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for g, x in rows:
+        groups[g].append(x)
+    want = {(g, q): _kth_model(v, q)
+            for g, v in groups.items() for q in qs}
+    assert out == want
+
+
+def test_exact_quantiles_grouped_null_and_caps(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 5), ("b", 7)], "g string, x long")
+    out = {(r.g, r.q_permille): r.value for r in
+           sketch.exact_quantiles_grouped(df, "g", "x", [1000]).collect()}
+    assert out == {("a", 1000): 1, ("b", 1000): 7}
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles_grouped(df, "g", "x", [500], max_groups=1)
