@@ -1028,3 +1028,42 @@ def select_token_budget(df: DataFrame, id_col: str, tokens_col: Column | str,
                         .cast("long"))
             .filter(F.col("cum_tokens") <= budget)
             .select(id_col, F.col("__t").alias("n_tokens"), "cum_tokens"))
+
+
+FINGERPRINT_MOD = (1 << 61) - 1  # Mersenne; keeps the folded sum in BIGINT
+
+
+def partition_fingerprint(df: DataFrame, cols: list[str],
+                          by: list[str] | None = None) -> DataFrame:
+    """Order-independent content fingerprint per partition — the data-
+    versioning primitive: re-run it after an ingest and any partition
+    whose ``(n_rows, fingerprint)`` changed has different CONTENT
+    (row order, file layout, and task scheduling cannot move it).
+
+    Each row contributes ``portable_hash(c1 ∥ 0x1f ∥ c2 ∥ …)`` with an
+    explicit null marker (so NULL ≠ '' ≠ 'null'); row hashes are
+    summed exactly in decimal(38,0) — commutative, so partial sums
+    from any partitioning merge — and folded mod 2^61−1 into a
+    BIGINT.  Emits ``(*by, n_rows, fingerprint)``; one global row when
+    ``by`` is empty.
+
+    Scale ledger: one scan, one map-side-combined aggregate whose
+    exchange carries a partial (sum, count) per group per task —
+    register-sized, never data-sized.  Collision note: 2^-61 per
+    pair under the md5-prefix hash — fine for change DETECTION, not
+    an integrity proof.  Reference analogue: none (SURVEY.md §2);
+    beyond-parity pipeline operations.
+    """
+    if not cols:
+        raise ValueError("need at least one column to fingerprint")
+    by = list(by or [])
+    marked = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+              for c in cols]
+    row_h = portable_hash(F.concat_ws("\x1f", *marked))
+    agg = (df.groupBy(*by) if by else df.groupBy())
+    return (agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(row_h.cast("decimal(38,0)")).alias("__s"))
+        .select(*by, "n_rows",
+                (F.col("__s") % FINGERPRINT_MOD)
+                .cast("long").alias("fingerprint")))

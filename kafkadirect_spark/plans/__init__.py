@@ -98,13 +98,16 @@ _PROMOTED = [
     "embedding_pq_codes",
     "similarity_pq_adc",
     "exact_quantiles_by_type",
-    # rule 2: operators/rangejoin.py changed in r8 (Long.MIN domain
-    # guard in the bucket floor + reserved-name checks) — the driver
-    # must re-verify the point-in-interval query on the new expression
-    "range_bucket_join",
-    # (no early-refresh slots remain: the final-r8 additions filled
-    # the window; every r6-dated query is covered by r9's mandatory
-    # rotation, which keeps it ≤2 rounds stale)
+    "partition_fingerprints",
+    # (no early-refresh slots remain: 26 mandatory rotations + 24 new
+    # r8 queries fill all 50 slots.  Two notes for r9: every r6-dated
+    # query is covered by r9's mandatory rotation, and the rule-2
+    # re-check of range_bucket_join was DISPLACED by the never-
+    # verified partition_fingerprints — range_bucket_join holds a
+    # green r7 driver row, its r8 change is guard-only (Long.MIN
+    # raise + reserved-name checks, behavior on in-domain data
+    # unchanged) and passes check_oracle locally; r9 should front it
+    # anyway.)
 ]
 
 

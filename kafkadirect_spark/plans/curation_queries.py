@@ -814,3 +814,35 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.select_token_budget(
         docs, "doc_id", F.size(text.tokens("text")), budget=15_000)
+
+
+@query(
+    "partition_fingerprints",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(
+                 ('0x' || substr(md5(
+                    concat_ws(chr(31),
+                      COALESCE(event_id::VARCHAR, chr(0) || 'null'),
+                      COALESCE(user_id::VARCHAR, chr(0) || 'null'),
+                      COALESCE(event_type, chr(0) || 'null'))
+                  ), 1, 14))::BIGINT % 2147483647
+               AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS fingerprint
+    FROM events
+    GROUP BY 1
+    """,
+)
+def partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day content fingerprints of the event log
+    (functions/curation.py partition_fingerprint) — the
+    data-versioning primitive: any day partition whose (n_rows,
+    fingerprint) moved between ingests has different content,
+    independent of row order or file layout.  One scan, register-
+    sized exchange (partial sum+count per day per task)."""
+    from kafkadirect_spark.sources.batch import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    day = ev.withColumn("day", F.to_date("ts").cast("string"))
+    return curation.partition_fingerprint(
+        day, ["event_id", "user_id", "event_type"], by=["day"])

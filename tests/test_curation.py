@@ -640,3 +640,38 @@ def test_select_token_budget_rejects_negative(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         curation.select_token_budget(df, "doc_id", F.lit(1), budget=-1)
+
+
+def test_partition_fingerprint_order_independent(spark):
+    rows = [(i, f"t{i % 5}", i % 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, t string, g int")
+    a = curation.partition_fingerprint(df, ["id", "t"], by=["g"]).collect()
+    # reversed row order, different partitioning — identical result
+    rev = spark.createDataFrame(list(reversed(rows)),
+                                "id long, t string, g int").repartition(7)
+    b = curation.partition_fingerprint(rev, ["id", "t"], by=["g"]).collect()
+    key = lambda r: r.g  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_partition_fingerprint_detects_content_change(spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "c")], "id long, t string")
+    f1 = curation.partition_fingerprint(df1, ["id", "t"]).collect()[0]
+    f2 = curation.partition_fingerprint(df2, ["id", "t"]).collect()[0]
+    assert f1.n_rows == f2.n_rows == 2
+    assert f1.fingerprint != f2.fingerprint
+    # null is distinct from the strings '' and 'null'
+    variants = [[(1, None)], [(1, "")], [(1, "null")]]
+    prints = set()
+    for v in variants:
+        d = spark.createDataFrame(v, "id long, t string")
+        prints.add(curation.partition_fingerprint(
+            d, ["id", "t"]).collect()[0].fingerprint)
+    assert len(prints) == 3
+
+
+def test_partition_fingerprint_rejects_no_cols(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        curation.partition_fingerprint(df, [])
