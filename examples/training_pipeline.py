@@ -73,6 +73,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
                  .drop("n_tokens", "surprisal_bits")).localCheckpoint()
     n1b = survivors.count()
 
+    # 2c: Gopher repetition/quality rules — the integerized Rae et
+    # al. composite filter (word-count/mean-length bounds, dup-gram
+    # caps, stopword floor); signals are one explode→agg pass
+    gq = curation.gopher_quality(survivors, "doc_id", "text")
+    survivors = (survivors.join(
+        gq.filter(F.col("pass_gopher")).select("doc_id"), "doc_id")
+    ).localCheckpoint()
+    n1c = survivors.count()
+
     # 3: exact dedup over the CANONICAL text form — normalize first so
     # case/whitespace/typography variants hash together
     normed = survivors.withColumn("__norm", text.normalize_text("text"))
@@ -135,12 +144,28 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     clean = curation.temperature_mix(clean, "source", "doc_id").localCheckpoint()
     n4c = clean.count()
 
-    # 6-7: deterministic split, then pack the train split into
-    # 1024-token sequences (8 hash shards; one Exchange)
-    split = curation.split_assign(
-        clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    # 6-7: LEAKAGE-SAFE split — keyed on the near-dup CLUSTER id over
+    # the broad LSH candidate pairs (wider than the >=0.8 dedup
+    # threshold), so nothing LSH-similar to a train doc reaches
+    # val/test — then pack the train split into 1024-token sequences
+    # (8 hash shards; one Exchange)
+    split = clean.join(
+        curation.cluster_safe_split(
+            clean, "doc_id", cands,
+            {"train": 0.9, "val": 0.05, "test": 0.05}).select(
+                "doc_id", "split"), "doc_id")
     train = split.filter(F.col("split") == "train") \
         .withColumn("bpe", text.bpe_token_count("text").cast("long"))
+
+    # 6b: exact token budget — cap the train split at 4k BPE tokens
+    # as the maximal hash-order prefix (reproducible, never a rate
+    # guess); the global prefix sum is per-shard windows + broadcast
+    # offsets, no single-reducer sort
+    budgeted = curation.select_token_budget(
+        train, "doc_id", F.col("bpe"), budget=4_000)
+    train = train.join(budgeted.select("doc_id"), "doc_id")
+    n_budget = budgeted.count()
+
     packed = curation.pack_sequences(train, "doc_id", "bpe",
                                      budget=1024, n_shards=8)
     n5 = packed.count()
@@ -167,14 +192,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"{c} null={v[0]} distinct={v[1]}" for c, v in sorted(profile.items())))
     print(f"quality+lang:  {n1}  (-{n0 - n1})")
     print(f"surprisal:     {n1b}  (-{n1 - n1b})")
-    print(f"exact dedup:   {n2}  (-{n1b - n2})")
+    print(f"gopher rules:  {n1c}  (-{n1b - n1c})")
+    print(f"exact dedup:   {n2}  (-{n1c - n2})")
     print(f"near-dup:      {n3}  (-{n2 - n3})")
     print(f"span dedup:    {n3b}  (-{n3 - n3b})")
     print(f"decontam:      {n4}  (-{n3b - n4})")
     print(f"DSIR select:   {n4b}  (-{n4 - n4b})")
     print(f"temp rebal:    {n4c}  (-{n4b - n4c})")
-    print(f"train packed:  {n5} docs into {n_seqs} sequences; "
+    print(f"train packed:  {n5} docs into {n_seqs} sequences "
+          f"(token budget kept {n_budget}); "
           f"shuffle order rows: {order.count()}")
+    # per-split content fingerprints — the data-versioning record a
+    # real pipeline persists next to each increment
+    fps = {r.split: (r.n_rows, r.fingerprint)
+           for r in curation.partition_fingerprint(
+               split, ["doc_id", "source"], by=["split"]).collect()}
+    print("fingerprints:  " + ", ".join(
+        f"{k}={v[1]} ({v[0]} rows)" for k, v in sorted(fps.items())))
     print(f"report: ~{n_sources} distinct sources "
           f"(p50 len {quants[500]}, p99 len {quants[990]})")
     # 8c: emit layout — Z-order the clean corpus on (source, length)
