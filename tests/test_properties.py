@@ -623,3 +623,97 @@ def test_point_in_interval_join_matches_model(spark, pts, ivs, width):
         for j, (lo, sp) in enumerate(ivs)
         if sp > 0 and lo <= v < lo + sp)
     assert got == want
+
+
+int_lists = st.lists(
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(int_lists, st.sampled_from([1, 250, 500, 990, 1000]))
+def test_exact_quantiles_match_sorted_model(spark, values, q):
+    """exact_quantiles ≡ the rank-⌈q·n/1000⌉ element of the sorted
+    list, for arbitrary signed 41-bit values incl. duplicates — the
+    histogram-narrowing recursion against the one-line spec."""
+    from kafkadirect_spark.functions import sketch
+
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    out = {r.q_permille: r.value for r in
+           sketch.exact_quantiles(df, "x", [q], bins=16,
+                                  max_rounds=16).collect()}
+    s = sorted(values)
+    k = max((q * len(s) + 999) // 1000, 1)
+    assert out == {q: s[k - 1]}
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=1, max_size=60),
+       st.integers(min_value=0, max_value=600))
+def test_token_budget_is_maximal_hash_prefix(spark, counts, budget):
+    """select_token_budget keeps EXACTLY the maximal prefix of the
+    salted-hash order whose running total fits — replayed against an
+    in-Python md5 model over arbitrary token counts and budgets."""
+    import hashlib
+
+    from kafkadirect_spark.functions import curation
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, t long")
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in
+           curation.select_token_budget(df, "doc_id", F.col("t"),
+                                        budget=budget).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"budget{i}".encode()).hexdigest()[:14],
+                   16) % 2147483647
+
+    order = sorted(((h(i) % 1024, h(i), i) for i, _ in rows))
+    cum, want = 0, {}
+    for _, _, i in order:
+        if cum + counts[i] > budget:
+            break
+        cum += counts[i]
+        want[i] = (counts[i], cum)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=9),
+                          st.integers(min_value=0, max_value=9)),
+                min_size=0, max_size=30))
+def test_cluster_safe_split_components_never_straddle(spark, edges):
+    """For ANY random edge set, cluster_safe_split puts every
+    connected component wholly inside one split."""
+    from kafkadirect_spark.functions import curation
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "id_a long, id_b long")
+    out = {r.doc_id: r for r in curation.cluster_safe_split(
+        docs, "doc_id", pairs,
+        {"train": 0.6, "val": 0.2, "test": 0.2}).collect()}
+    assert len(out) == 10
+    # union-find model
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    for i in range(10):
+        assert out[i].split == out[find(i)].split
+        assert out[i].cluster == find(i)
