@@ -1067,3 +1067,62 @@ def partition_fingerprint(df: DataFrame, cols: list[str],
         .select(*by, "n_rows",
                 (F.col("__s") % FINGERPRINT_MOD)
                 .cast("long").alias("fingerprint")))
+
+
+def collocations(df: DataFrame, id_col: str, text_col: str,
+                 min_count: int = 5, k: int = 20,
+                 scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` collocations (bigrams whose words co-occur far more
+    than chance) by the exact integer PMI ratio ``score = scale · c₂ ·
+    N DIV (c_a · c_b)`` — the corpus-analysis primitive behind
+    tokenizer-vocabulary merges and phrase mining.  The classic PMI is
+    ``log`` of that ratio; dropping the log preserves the ranking
+    exactly (log is monotone) while keeping every value integral, so
+    the result is hash-exact cross-engine (the repo's linear-idf
+    argument, ``term_relevance``).  ``min_count`` suppresses the
+    rare-pair degeneracy PMI is known for (a hapax pair scores N).
+
+    Emits ``(w1, w2, pair_count, score)``, score-descending top-k
+    (ties broken by (w1, w2) ascending).
+
+    Scale ledger: one corpus scan explodes to bigrams, collapsed by
+    map-side combine to the distinct-bigram table; unigram counts
+    derive from the bigram table's two marginals (no second scan —
+    summing both slots counts every word occurrence except the two
+    ends of each document, the standard bigram-marginal estimator,
+    applied identically in the oracle); the 1-row N broadcasts; the
+    final top-k is a TakeOrdered over the bigram table, never a
+    global sort of the corpus.  The multiply runs in decimal(38,0) —
+    c₂·N·scale overflows int64 at web scale.
+    """
+    toks = tokens(text_col)
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(2, size({t}), 1),"
+            " i -> struct({t}[i-2] AS w1, {t}[i-1] AS w2))"
+            .format(t="__w")),
+    ).otherwise(F.array())
+    pairs = (_widen(df.select(F.col(id_col), F.col(text_col)))
+             .withColumn("__w", toks)
+             .select(F.explode(bi).alias("__b"))
+             .select("__b.w1", "__b.w2")
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("pair_count")))
+    pairs = _persist(pairs)
+    ua = pairs.groupBy("w1").agg(F.sum("pair_count").alias("__ca"))
+    ub = pairs.groupBy("w2").agg(F.sum("pair_count").alias("__cb"))
+    tot = pairs.agg(F.sum("pair_count").alias("__n"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (pairs.filter(F.col("pair_count") >= min_count)
+            .join(ua, "w1").join(ub, "w2")
+            .join(F.broadcast(tot))
+            .select("w1", "w2",
+                    F.col("pair_count").cast("long").alias("pair_count"),
+                    F.floor(d(F.lit(scale) * F.col("pair_count"))
+                            * d(F.col("__n"))
+                            / (d(F.col("__ca")) * d(F.col("__cb"))))
+                    .cast("long").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(k))

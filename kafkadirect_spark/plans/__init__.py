@@ -110,6 +110,18 @@ _PROMOTED = [
     # anyway.)
 ]
 
+# New-this-round queries that did NOT fit the saturated 50-slot window
+# (26 mandatory rotations + 24 new queries already fill it).  Deferral
+# is the honest bookkeeping for an over-subscribed round, and the
+# rotation tripwire (tests/test_plans.py) keeps it strict: a name may
+# sit here ONLY while it is registered, has no driver row yet, and
+# every window slot is occupied by a mandatory rotation or another
+# never-verified query — the moment a slot frees up, the test fails
+# until the deferred query is fronted.  r9 MUST promote these first.
+_DEFERRED_NEW = [
+    "collocations_topk",
+]
+
 
 def _rotate_front(d: dict, front: list[str]) -> None:
     ordered = [k for k in front if k in d] + [k for k in d if k not in front]
@@ -136,6 +148,7 @@ def _check_promoted_registered(front: list[str], registered) -> None:
 
 
 _check_promoted_registered(_PROMOTED, QUERIES)
+_check_promoted_registered(_DEFERRED_NEW, QUERIES)
 _rotate_front(QUERIES, _PROMOTED)
 _rotate_front(ORACLE_SQL, _PROMOTED)
 

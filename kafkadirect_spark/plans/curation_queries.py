@@ -846,3 +846,40 @@ def partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = ev.withColumn("day", F.to_date("ts").cast("string"))
     return curation.partition_fingerprint(
         day, ["event_id", "user_id", "event_type"], by=["day"])
+
+
+@query(
+    "collocations_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    bg AS (
+      SELECT w[i-1] AS w1, w[i] AS w2
+      FROM (SELECT w, unnest(generate_series(2, len(w))) AS i
+            FROM tok WHERE len(w) >= 2)
+    ),
+    p AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
+    ua AS (SELECT w1, SUM(pair_count) AS ca FROM p GROUP BY w1),
+    ub AS (SELECT w2, SUM(pair_count) AS cb FROM p GROUP BY w2),
+    n AS (SELECT SUM(pair_count) AS nn FROM p),
+    scored AS (
+      SELECT p.w1, p.w2, CAST(p.pair_count AS BIGINT) AS pair_count,
+             CAST((1000000::HUGEINT * p.pair_count * n.nn)
+                  // (ua.ca::HUGEINT * ub.cb) AS BIGINT) AS score
+      FROM p JOIN ua USING (w1) JOIN ub USING (w2) CROSS JOIN n
+      WHERE p.pair_count >= 5)
+    SELECT w1, w2, pair_count, score FROM scored
+    ORDER BY score DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by exact integer PMI ratio
+    (functions/curation.py collocations): bigrams co-occurring far
+    above chance, min pair count 5 — the phrase-mining / tokenizer-
+    vocabulary primitive.  Dropping PMI's log keeps the ranking (log
+    is monotone) and every value integral; unigram marginals derive
+    from the bigram table (no second corpus scan); the top-k is a
+    TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.collocations(docs, "doc_id", "text",
+                                 min_count=5, k=20)

@@ -675,3 +675,41 @@ def test_partition_fingerprint_rejects_no_cols(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         curation.partition_fingerprint(df, [])
+
+
+def test_collocations_match_python_model(spark):
+    from collections import Counter
+    texts = ["the big cat", "the big dog", "big cat runs", "a big cat",
+             "the red fish", "red fish swim", "the red fish"] * 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r.w1, r.w2, r.pair_count, r.score) for r in
+           curation.collocations(df, "doc_id", "text",
+                                 min_count=2, k=10).collect()]
+    big = Counter()
+    for _, t in rows:
+        w = t.split()
+        big.update(zip(w, w[1:]))
+    ca, cb = Counter(), Counter()
+    for (a, b), c in big.items():
+        ca[a] += c
+        cb[b] += c
+    n = sum(big.values())
+    scored = [(a, b, c, 1_000_000 * c * n // (ca[a] * cb[b]))
+              for (a, b), c in big.items() if c >= 2]
+    want = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:10]
+    assert out == want
+    # "red fish" (always together) must outrank "the big" (the also
+    # precedes red): chance-corrected, not raw frequency
+    top_pairs = [(a, b) for a, b, _, _ in out]
+    assert top_pairs.index(("red", "fish")) < top_pairs.index(("the", "big"))
+
+
+def test_collocations_min_count_suppresses_hapax(spark):
+    df = spark.createDataFrame(
+        [(1, "unique pairing here"), (2, "common word common word")],
+        "doc_id long, text string")
+    out = curation.collocations(df, "doc_id", "text",
+                                min_count=2, k=10).collect()
+    assert all(r.pair_count >= 2 for r in out)
+    assert ("unique", "pairing") not in {(r.w1, r.w2) for r in out}

@@ -210,6 +210,9 @@ _BNLJ_OK = {
     # same: the one-ROW LM token total rides onto the (doc, w1, w2)
     # bigram table for the unigram-backoff bits.
     "surprisal_bigram",
+    # same: the one-ROW corpus bigram total rides onto the scored
+    # pair table for the PMI ratio.
+    "collocations_topk",
     # same: the one-ROW min stratum size rides onto the strata-sized
     # threshold frame; the corpus itself joins by broadcast hash.
     "temperature_mix",
@@ -446,9 +449,38 @@ def test_rotation_keeps_driver_rows_fresh():
         pytest.skip("no driver CORRECTNESS artifacts in repo root")
     upcoming = max(rounds) + 1  # the round whose window is registered now
     window = set(list(QUERIES)[:50])
+
+    # Over-subscription deferral (round 8): a round can register more
+    # never-verified queries than the window has free slots.  Deferral
+    # via plans._DEFERRED_NEW is legal ONLY under strict conditions —
+    # otherwise it would become a loophole around this very test:
+    from kafkadirect_spark import plans
+    deferred = set(getattr(plans, "_DEFERRED_NEW", ()))
+    if deferred:
+        # (a) every deferred name is registered and truly has no
+        #     driver row yet (it is new, not stale);
+        assert not deferred - set(QUERIES), "deferred phantom"
+        assert not [q for q in deferred if q in newest], (
+            f"deferred queries already have driver rows — front them: "
+            f"{sorted(q for q in deferred if q in newest)}")
+        # (b) no deferred query actually sits in the window (else the
+        #     list is stale bookkeeping);
+        assert not deferred & window, "deferred query IS in the window"
+        # (c) the window is saturated: every slot holds a mandatory
+        #     rotation (stale row) or another never-verified query.
+        #     A slot holding a fresh-row query could have been given
+        #     to the deferred query instead — fail until it is.
+        wasted = sorted(
+            q for q in window
+            if q in newest and newest[q] >= upcoming - 2)
+        assert not wasted, (
+            f"window slots hold fresh-row queries while {sorted(deferred)} "
+            f"defer: {wasted} — swap them")
+
     stale = sorted(
         (q, newest.get(q)) for q in QUERIES
-        if q not in window and newest.get(q, -(10 ** 9)) < upcoming - 2
+        if q not in window and q not in deferred
+        and newest.get(q, -(10 ** 9)) < upcoming - 2
     )
     assert not stale, (
         f"{len(stale)} queries are outside the upcoming r{upcoming} window "
