@@ -825,17 +825,92 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _pq_subv(j: int, sub: int) -> Column:
+    return F.slice(F.col("__qv"), j * sub + 1, sub)
+
+
+def _pq_assigned(q: DataFrame, id_col: str,
+                 cents: dict[int, dict[int, list[int]]],
+                 m: int, sub: int, mode: str) -> DataFrame:
+    """``(id, __qv, __c0..__c{m-1})`` — every subspace's argmin code
+    in ONE pass over the quantized frame, by either engine:
+
+    - ``expr``: literal-centroid argmin expressions (whole-stage
+      codegen, zero Python) — O(m·k·sub) ≡ O(k·dim) expression ops
+      per row, the right trade for small k;
+    - ``blas``: the m centroid matrices go out as one Spark broadcast
+      into a ``mapInPandas`` pass computing every subspace's distances
+      per Arrow batch with int64 matmuls (|q|² − 2·q·C + |c|², each
+      term exact) and vectorized argmins — per-row cost amortized by
+      BLAS, the only regime that works at PQ-typical k=256.  Sorted
+      centroid order + argmin-first-occurrence reproduces the expr
+      path's (dist, lowest-cid) tie-break, so the two modes are
+      bit-identical (pytest-pinned).
+    """
+    if mode == "expr":
+        def lit_vec(vals):
+            return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+        def dist_sq(j, cv):
+            return F.aggregate(
+                F.zip_with(_pq_subv(j, sub), lit_vec(cv),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+        def best(j):
+            structs = [
+                F.struct(dist_sq(j, cv).alias("d"),
+                         F.lit(cid).cast("long").alias("cid"))
+                for cid, cv in sorted(cents[j].items())]
+            return structs[0] if len(structs) == 1 else F.least(*structs)
+
+        return q.select(
+            F.col(id_col), "__qv",
+            *[best(j)["cid"].alias(f"__c{j}") for j in range(m)])
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(q.dtypes)[id_col]
+    mats = []
+    for j in range(m):
+        cids = sorted(cents[j])
+        mats.append((np.array(cids, dtype=np.int64),
+                     np.array([cents[j][c] for c in cids],
+                              dtype=np.int64)))
+    bc = q.sparkSession.sparkContext.broadcast(mats)
+
+    def part(batches):
+        tabs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["__qv"].tolist(), dtype=np.int64)
+            out = {id_col: pdf[id_col], "__qv": pdf["__qv"]}
+            for j, (cid_arr, C) in enumerate(tabs):
+                Qj = Q[:, j * sub:(j + 1) * sub]
+                d = (np.einsum("ij,ij->i", Qj, Qj)[:, None]
+                     - 2 * (Qj @ C.T)
+                     + np.einsum("ij,ij->i", C, C)[None, :])
+                out[f"__c{j}"] = cid_arr[np.argmin(d, axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = (f"{id_col} {id_type}, __qv array<bigint>, "
+              + ", ".join(f"__c{j} bigint" for j in range(m)))
+    return q.mapInPandas(part, schema=schema)
+
+
 def _pq_train(q: DataFrame, id_col: str, m: int, sub: int, k: int,
-              iters: int) -> dict[int, dict[int, list[int]]]:
+              iters: int, mode: str) -> dict[int, dict[int, list[int]]]:
     """Per-subspace integer k-means codebooks over the pre-quantized
     ``__qv`` frame.  Seeding mirrors ``kmeans_quantized``: the k
     smallest ids seed every subspace (one bounded k-row collect total).
     Each refinement iteration is ONE corpus scan: all m subspace
-    assignments are literal-centroid argmin expressions in a single
-    projection (zero joins, zero pre-agg shuffles), and the centroid
-    update explodes (subspace, code, position) with map-side partial
-    sums — exactly m·k·sub rows collected (bounded by construction).
-    Empty clusters keep their previous centroid."""
+    assignments come from ``_pq_assigned`` (zero joins, zero pre-agg
+    shuffles), and the centroid update explodes (subspace, code,
+    position) with map-side partial sums — exactly m·k·sub rows
+    collected (bounded by construction).  Empty clusters keep their
+    previous centroid."""
     seed_rows = q.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} rows to seed codebooks")
@@ -844,31 +919,11 @@ def _pq_train(q: DataFrame, id_col: str, m: int, sub: int, k: int,
             for c in range(k)}
         for j in range(m)}
 
-    def subv(j: int) -> Column:
-        return F.slice(F.col("__qv"), j * sub + 1, sub)
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
-
-    def dist_sq(j: int, cv: list[int]) -> Column:
-        return F.aggregate(
-            F.zip_with(subv(j), lit_vec(cv),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-    def best(j: int) -> Column:
-        structs = [
-            F.struct(dist_sq(j, cv).alias("d"),
-                     F.lit(cid).cast("long").alias("cid"))
-            for cid, cv in sorted(cents[j].items())]
-        return structs[0] if len(structs) == 1 else F.least(*structs)
-
     for _ in range(max(0, iters - 1)):
-        assigned = q.select(
-            "__qv", *[best(j)["cid"].alias(f"__c{j}") for j in range(m)])
+        assigned = _pq_assigned(q, id_col, cents, m, sub, mode)
         entries = F.array(*[
             F.struct(F.lit(j).alias("j"), F.col(f"__c{j}").alias("c"),
-                     subv(j).alias("sv"))
+                     _pq_subv(j, sub).alias("sv"))
             for j in range(m)])
         upd = (assigned
                .select(F.explode(entries).alias("e"))
@@ -897,36 +952,31 @@ def _pq_quantize(df: DataFrame, id_col: str, vec_col: str,
                     .cast("long")).alias("__qv"))
 
 
+def _pq_mode(k: int, assign: str) -> str:
+    mode = ("blas" if k > 16 else "expr") if assign == "auto" else assign
+    if mode not in ("expr", "blas"):
+        raise ValueError(f"unsupported assign mode {assign!r}")
+    if mode == "expr" and k > 64:
+        raise ValueError(
+            f"k={k} exceeds the literal-expression regime (64); use "
+            "assign='blas' (or 'auto')")
+    return mode
+
+
 def _pq_codes_frame(q: DataFrame, id_col: str,
                     cents: dict[int, dict[int, list[int]]],
-                    m: int, sub: int) -> DataFrame:
-    """(id, codes array<int>) from trained codebooks — a pure
-    projection (literal-centroid argmin per subspace, zero joins)."""
-    def subv(j):
-        return F.slice(F.col("__qv"), j * sub + 1, sub)
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
-
-    def best(j):
-        structs = [
-            F.struct(F.aggregate(
-                F.zip_with(subv(j), lit_vec(cv),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"), lambda a, x: a + x).alias("d"),
-                F.lit(cid).cast("long").alias("cid"))
-            for cid, cv in sorted(cents[j].items())]
-        return structs[0] if len(structs) == 1 else F.least(*structs)
-
-    return q.select(
+                    m: int, sub: int, mode: str) -> DataFrame:
+    """(id, codes array<int>) from trained codebooks."""
+    a = _pq_assigned(q, id_col, cents, m, sub, mode)
+    return a.select(
         F.col(id_col),
-        F.array(*[best(j)["cid"].cast("int") for j in range(m)])
+        F.array(*[F.col(f"__c{j}").cast("int") for j in range(m)])
         .alias("codes"))
 
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
               m: int = 4, k: int = 4, iters: int = 2,
-              scale: int = 10_000) -> DataFrame:
+              scale: int = 10_000, assign: str = "auto") -> DataFrame:
     """PQ-encode embeddings: ``(id, codes array<int> of length m)``.
 
     Classic product quantization (Jégou et al. 2011) on the repo's
@@ -939,11 +989,11 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
 
     Integer arithmetic end to end ⇒ codes replay bit-exactly in the
     SQL oracle (the float version cannot: centroid means are
-    summation-order dependent).  ``k`` is bounded to the literal-
-    expression regime (≤ 64 — per-row cost is O(m·k·sub) codegen
-    ops ≡ O(k·dim)); PQ-typical k=256 needs a broadcast-matrix
-    assignment pass like ``kmeans_quantized(assign='blas')`` — out
-    of scope here, raise instead of degrading silently.
+    summation-order dependent).  ``assign`` picks the per-row argmin
+    engine — ``expr`` literal expressions (small k, whole-stage
+    codegen) or ``blas`` broadcast int64 matmuls per Arrow batch
+    (PQ-typical k=256; bit-identical tie-breaks, pytest-pinned);
+    ``auto`` switches at k > 16.
 
     Reference analogue: none (SURVEY.md §2 — no vector compute);
     beyond-parity ANN machinery.
@@ -951,21 +1001,18 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     dim = _vec_dim(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    if k > 64:
-        raise ValueError(
-            f"k={k} exceeds the literal-expression regime (64); "
-            "extend with a BLAS assignment pass before raising this")
     sub = dim // m
+    mode = _pq_mode(k, assign)
     q = _persist(_pq_quantize(df, id_col, vec_col, scale))
-    cents = _pq_train(q, id_col, m, sub, k, iters)
-    return _pq_codes_frame(q, id_col, cents, m, sub)
+    cents = _pq_train(q, id_col, m, sub, k, iters, mode)
+    return _pq_codes_frame(q, id_col, cents, m, sub, mode)
 
 
 def pq_topk(df: DataFrame, id_col: str, vec_col: str,
             probes: DataFrame, n: int = 3,
             m: int = 4, k: int = 4, iters: int = 2,
             scale: int = 10_000,
-            max_probes: int = 64) -> DataFrame:
+            max_probes: int = 64, assign: str = "auto") -> DataFrame:
     """Asymmetric-distance (ADC) top-``n`` over PQ codes: for each
     probe, score every vector as ``Σ_j T_j[code_j]`` where ``T_j`` is
     the probe's integer distance table to subspace ``j``'s codebook —
@@ -989,9 +1036,10 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    mode = _pq_mode(k, assign)
     q = _persist(_pq_quantize(df, id_col, vec_col, scale))
-    cents = _pq_train(q, id_col, m, sub, k, iters)
-    codes = _pq_codes_frame(q, id_col, cents, m, sub)
+    cents = _pq_train(q, id_col, m, sub, k, iters, mode)
+    codes = _pq_codes_frame(q, id_col, cents, m, sub, mode)
 
     probe_pdf = (probes.select(id_col, vec_col)
                  .limit(max_probes + 1).toPandas())

@@ -875,3 +875,40 @@ def test_pq_identical_vectors_share_codes(spark):
     assert len({got[i] for i in range(10)}) == 1
     assert len({got[i] for i in range(10, 20)}) == 1
     assert got[0] != got[10]
+
+
+def test_pq_blas_assignment_bit_identical(spark):
+    import random
+    rng = random.Random(9)
+    DIM, M, K, IT, SC = 8, 4, 5, 3, 1000
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(DIM)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ex = {r.vec_id: list(r.codes) for r in
+          similarity.pq_encode(df, "vec_id", "embedding", m=M, k=K,
+                               iters=IT, scale=SC,
+                               assign="expr").collect()}
+    bl = {r.vec_id: list(r.codes) for r in
+          similarity.pq_encode(df, "vec_id", "embedding", m=M, k=K,
+                               iters=IT, scale=SC,
+                               assign="blas").collect()}
+    assert ex == bl  # same (dist, lowest-cid) tie-break, both engines
+
+
+def test_pq_large_k_uses_blas(spark):
+    import random
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=128 is far beyond the literal-expression regime: auto must
+    # route to blas and produce a full valid encoding
+    out = similarity.pq_encode(df, "vec_id", "embedding",
+                               m=2, k=128, iters=2).collect()
+    assert len(out) == 300
+    assert all(len(r.codes) == 2 and all(0 <= c < 128 for c in r.codes)
+               for r in out)
+    # explicit expr at large k refuses instead of degrading
+    with pytest.raises(ValueError):
+        similarity.pq_encode(df, "vec_id", "embedding",
+                             m=2, k=128, assign="expr")
