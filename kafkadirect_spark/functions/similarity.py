@@ -952,8 +952,13 @@ def _pq_quantize(df: DataFrame, id_col: str, vec_col: str,
                     .cast("long")).alias("__qv"))
 
 
-def _pq_mode(k: int, assign: str) -> str:
-    mode = ("blas" if k > 16 else "expr") if assign == "auto" else assign
+def _pq_mode(k: int, assign: str, m: int = 4) -> str:
+    # auto: the expr path compiles m·k argmin struct expressions, so
+    # the switch is on the PRODUCT, not k alone — measured at sf0.1
+    # (2k rows, dim 64, m=4, iters=2): expr 8.3/10.2/18.8 s at
+    # k=8/16/32 (linear in m·k, codegen-compile dominated) vs blas
+    # 2.6/0.9/0.9 s — blas wins from m·k ≈ 32 everywhere tested.
+    mode = ("blas" if m * k > 32 else "expr") if assign == "auto" else assign
     if mode not in ("expr", "blas"):
         raise ValueError(f"unsupported assign mode {assign!r}")
     if mode == "expr" and k > 64:
@@ -993,7 +998,8 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     engine — ``expr`` literal expressions (small k, whole-stage
     codegen) or ``blas`` broadcast int64 matmuls per Arrow batch
     (PQ-typical k=256; bit-identical tie-breaks, pytest-pinned);
-    ``auto`` switches at k > 16.
+    ``auto`` switches at m·k > 32 (the expr path compiles m·k argmin
+    structs — the product, not k, is the cost).
 
     Reference analogue: none (SURVEY.md §2 — no vector compute);
     beyond-parity ANN machinery.
@@ -1002,7 +1008,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    mode = _pq_mode(k, assign)
+    mode = _pq_mode(k, assign, m)
     q = _persist(_pq_quantize(df, id_col, vec_col, scale))
     cents = _pq_train(q, id_col, m, sub, k, iters, mode)
     return _pq_codes_frame(q, id_col, cents, m, sub, mode)
@@ -1036,7 +1042,7 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    mode = _pq_mode(k, assign)
+    mode = _pq_mode(k, assign, m)
     q = _persist(_pq_quantize(df, id_col, vec_col, scale))
     cents = _pq_train(q, id_col, m, sub, k, iters, mode)
     codes = _pq_codes_frame(q, id_col, cents, m, sub, mode)
