@@ -713,3 +713,59 @@ def test_collocations_min_count_suppresses_hapax(spark):
                                 min_count=2, k=10).collect()
     assert all(r.pair_count >= 2 for r in out)
     assert ("unique", "pairing") not in {(r.w1, r.w2) for r in out}
+
+
+def test_pack_bestfit_valid_and_beats_greedy(spark):
+    import random
+    rng = random.Random(17)
+    rows = [(i, rng.randint(50, 900)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    budget = 1024
+    bfd = curation.pack_sequences_bestfit(df, "doc_id", "n",
+                                          budget=budget, n_shards=4)
+    out = bfd.collect()
+    assert len(out) == 400
+    # validity: no (shard, seq) exceeds the budget (all docs fit here)
+    from collections import defaultdict
+    fill = defaultdict(int)
+    for r in out:
+        fill[(r.shard, r.seq_id)] += r.n_tokens
+    assert all(v <= budget for v in fill.values())
+    # utilization: BFD uses no more sequences than a whole-doc
+    # sequential fill (the no-split baseline — pack_sequences itself
+    # SPLITS docs across boundaries, a different contract), and at
+    # least the theoretical lower bound ceil(tokens/budget) per shard
+    from collections import defaultdict as dd
+    by_shard = dd(list)
+    for r in out:
+        by_shard[r.shard].append((r.doc_id, r.n_tokens))
+    n_seq_fill, lower = 0, 0
+    for docs in by_shard.values():
+        cum = 0
+        bins = 0
+        for _, n in sorted(docs):
+            if bins == 0 or cum + n > budget:
+                bins += 1
+                cum = n
+            else:
+                cum += n
+        n_seq_fill += bins
+        lower += -(-sum(n for _, n in docs) // budget)
+    n_bfd = len(fill)
+    assert lower <= n_bfd <= n_seq_fill
+    # determinism
+    again = curation.pack_sequences_bestfit(df, "doc_id", "n",
+                                            budget=budget, n_shards=4)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_bestfit_oversized_doc_isolated(spark):
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 400), (3, 500), (4, 600)], "doc_id long, n long")
+    out = {r.doc_id: r for r in curation.pack_sequences_bestfit(
+        df, "doc_id", "n", budget=1024, n_shards=1).collect()}
+    # the oversized doc owns its sequence; others pack around it
+    big_seq = out[1].seq_id
+    assert all(r.seq_id != big_seq for i, r in out.items() if i != 1)
+    with pytest.raises(ValueError):
+        curation.pack_sequences_bestfit(df, "doc_id", "n", budget=0)
