@@ -1070,10 +1070,12 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str,
              for j in range(m)),
             start=F.lit(0).cast("long"))
 
+    id_type = dict(df.dtypes)[id_col]
     scored = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(F.array(*[
-            F.struct(F.lit(pid).alias("pid"), adc(t).alias("d"))
+            F.struct(F.lit(pid).cast(id_type).alias("pid"),
+                     adc(t).alias("d"))
             for pid, t in tables])).alias("e"))
     w = Window.partitionBy("e.pid").orderBy(
         F.col("e.d").asc(), F.col("neighbor_id").asc())

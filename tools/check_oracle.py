@@ -57,6 +57,14 @@ def canon_pandas(df):
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            # array cells arrive as numpy.ndarray (Spark) / list
+            # (DuckDB): tupleize both so sorting and hashing work and
+            # the two representations compare equal
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist())
+                if type(v).__name__ == "ndarray"
+                else tuple(v) if isinstance(v, list) else v)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
