@@ -105,6 +105,24 @@ HEADLINERS = {
                      "+ Morton interleave) fused into the scan — "
                      "zero shuffles; the layout write adds one range "
                      "exchange",
+    "quality_gopher": "word-level signals fused into the scan; each "
+                      "n-gram repetition path is explode → map-side-"
+                      "combined (doc, gram) agg → per-doc agg, "
+                      "rejoined on the high-cardinality doc id",
+    "surprisal_bigram": "distinct-bigram collapse before any join; LM "
+                        "bigram/prefix tables are ordinary hash joins "
+                        "(AQE broadcasts when they fit); the 1-row "
+                        "token total is the only BNLJ (allowlisted "
+                        "scalar-subquery shape)",
+    "token_budget_select": "shard-partitioned cumulative windows + "
+                           "broadcast ≤shards-row offset table — the "
+                           "exact global prefix sum with NO range "
+                           "partitioning and no single-reducer sort",
+    "embedding_pq_codes": "codebook training collects only m·k·sub "
+                          "register rows per iteration; the code "
+                          "projection is literal-argmin expressions "
+                          "(or one broadcast int64-matmul Arrow pass "
+                          "at large m·k) — zero joins either way",
 }
 
 
