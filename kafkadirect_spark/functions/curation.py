@@ -746,13 +746,18 @@ def temperature_mix(df: DataFrame, strata_col: str, id_col: str,
     sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     ref = sizes.agg(F.min("__n").alias("__nmin"))
     thr = (sizes.join(F.broadcast(ref))
-           .select(F.col(strata_col),
+           .select(F.col(strata_col).alias("__stratum"),
                    F.floor(F.lit(scale) * F.sqrt(
                        F.col("__nmin").cast("double") / F.col("__n")))
                    .alias("__thr")))
-    return (df.join(F.broadcast(thr), strata_col)
+    # eqNullSafe, not an equi-join: groupBy counts NULL as a stratum,
+    # so the threshold join must match it too — a plain join would
+    # silently DELETE every NULL-stratum row instead of sampling it
+    # (round-8 self-review finding)
+    return (df.join(F.broadcast(thr),
+                    F.col(strata_col).eqNullSafe(F.col("__stratum")))
             .filter(hash_bucket(id_col, scale, salt) < F.col("__thr"))
-            .drop("__thr"))
+            .drop("__stratum", "__thr"))
 
 
 def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
@@ -819,17 +824,11 @@ def bigram_surprisal_scores(df: DataFrame, id_col: str, text_col: str,
     analogue: none (SURVEY.md §2 — no document model).
     """
     def _bigrams(frame: DataFrame) -> DataFrame:
-        toks = tokens(text_col)
-        bi = F.when(
-            F.size(toks) >= 2,
-            F.expr(
-                "transform(sequence(2, size({t}), 1),"
-                " i -> struct({t}[i-2] AS w1, {t}[i-1] AS w2))"
-                .format(t="__w")),
-        ).otherwise(F.array())
+        from kafkadirect_spark.functions.text import bigram_structs
         return (_widen(frame.select(F.col(id_col), F.col(text_col)))
-                .withColumn("__w", toks)
-                .select(F.col(id_col), F.explode(bi).alias("__b"))
+                .withColumn("__w", tokens(text_col))
+                .select(F.col(id_col),
+                        F.explode(bigram_structs("__w")).alias("__b"))
                 .select(id_col, "__b.w1", "__b.w2"))
 
     doc_bi = (_bigrams(df)
@@ -1095,17 +1094,10 @@ def collocations(df: DataFrame, id_col: str, text_col: str,
     global sort of the corpus.  The multiply runs in decimal(38,0) —
     c₂·N·scale overflows int64 at web scale.
     """
-    toks = tokens(text_col)
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            "transform(sequence(2, size({t}), 1),"
-            " i -> struct({t}[i-2] AS w1, {t}[i-1] AS w2))"
-            .format(t="__w")),
-    ).otherwise(F.array())
+    from kafkadirect_spark.functions.text import bigram_structs
     pairs = (_widen(df.select(F.col(id_col), F.col(text_col)))
-             .withColumn("__w", toks)
-             .select(F.explode(bi).alias("__b"))
+             .withColumn("__w", tokens(text_col))
+             .select(F.explode(bigram_structs("__w")).alias("__b"))
              .select("__b.w1", "__b.w2")
              .groupBy("w1", "w2")
              .agg(F.count(F.lit(1)).alias("pair_count")))
@@ -1114,15 +1106,20 @@ def collocations(df: DataFrame, id_col: str, text_col: str,
     ub = pairs.groupBy("w2").agg(F.sum("pair_count").alias("__cb"))
     tot = pairs.agg(F.sum("pair_count").alias("__n"))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # `div` (integral division), NOT `/`+floor: Spark decimal `/`
+    # HALF_UP-rounds to scale 6 BEFORE the floor, so a quotient with
+    # fractional part ≥ .9999995 floors one too high — diverging from
+    # the oracle's exact HUGEINT `//` (caught by round-8 self-review;
+    # decimal `div` is exact integral division in both engines)
     return (pairs.filter(F.col("pair_count") >= min_count)
             .join(ua, "w1").join(ub, "w2")
             .join(F.broadcast(tot))
+            .withColumn("__num", d(F.lit(scale) * F.col("pair_count"))
+                        * d(F.col("__n")))
+            .withColumn("__den", d(F.col("__ca")) * d(F.col("__cb")))
             .select("w1", "w2",
                     F.col("pair_count").cast("long").alias("pair_count"),
-                    F.floor(d(F.lit(scale) * F.col("pair_count"))
-                            * d(F.col("__n"))
-                            / (d(F.col("__ca")) * d(F.col("__cb"))))
-                    .cast("long").alias("score"))
+                    F.expr("__num div __den").cast("long").alias("score"))
             .orderBy(F.col("score").desc(), F.col("w1").asc(),
                      F.col("w2").asc())
             .limit(k))

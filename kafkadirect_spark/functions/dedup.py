@@ -350,10 +350,12 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, n: int = 3) ->
         keep=[id_col], n=n)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Banded-LSH candidates: docs agreeing on all ROWS_PER_BAND sig
-    values of ≥1 band.  Shuffle key is (band, band signature) — bucket
-    sizes are the only skew concern, never |docs|²."""
+def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, v0..v{ROWS_PER_BAND-1}) — one row per band per doc,
+    the banded-LSH bucket key.  The single definition of the band
+    layout: lsh_candidate_pairs and incremental_lsh_candidates MUST
+    share it or a banding change silently breaks the incremental
+    path's compatibility with batch-built indexes."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -362,11 +364,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ])
+    return (sigs.select(F.col(id_col), F.explode(bands).alias("bk"))
+            .select(id_col, "bk.*"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Banded-LSH candidates: docs agreeing on all ROWS_PER_BAND sig
+    values of ≥1 band.  Shuffle key is (band, band signature) — bucket
+    sizes are the only skew concern, never |docs|²."""
     # Tiny table (n_docs × N_BANDS rows of ints); persist so the
     # upstream shingle→signature pipeline isn't recomputed for both
     # sides of the self-join.
-    buckets = _persist(sigs.select(
-        F.col(id_col), F.explode(bands).alias("bk")).select(id_col, "bk.*"))
+    buckets = _persist(_band_buckets(sigs, id_col))
     key = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
     a = buckets.select(*key, F.col(id_col).alias("id_a"))
     b = buckets.select(*key, F.col(id_col).alias("id_b"))
@@ -793,17 +802,7 @@ def incremental_lsh_candidates(
     corpus-sized groupBy anywhere.
     """
     def buckets(sigs: DataFrame, flag: int) -> DataFrame:
-        bands = F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"v{r}")
-                  for r in range(ROWS_PER_BAND)],
-            )
-            for b in range(N_BANDS)
-        ])
-        return (sigs.select(F.col(id_col), F.explode(bands).alias("bk"))
-                .select(id_col, "bk.*")
-                .withColumn("__new", F.lit(flag)))
+        return _band_buckets(sigs, id_col).withColumn("__new", F.lit(flag))
 
     both = _persist(buckets(new_sigs, 1).unionByName(buckets(index_sigs, 0)))
     key = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]

@@ -50,9 +50,13 @@ def quantize_dim(expr_sql: str, lo: int, hi: int, bits: int) -> Column:
 
 def quantize_dim_sql(expr_sql: str, lo: int, hi: int, bits: int) -> str:
     """DuckDB replay of ``quantize_dim`` (kept adjacent so the cell
-    arithmetic cannot drift from the oracle)."""
+    arithmetic cannot drift from the oracle — including the overflow
+    guard: a domain the engine side rejects must fail here too, at
+    construction, not at DuckDB runtime)."""
     if hi <= lo:
         raise ValueError("hi must be > lo")
+    if (hi - lo) * (1 << bits) >= 2 ** 63:
+        raise ValueError("(hi-lo)*2^bits overflows int64")
     cells = 1 << bits
     x = f"LEAST(GREATEST(CAST(({expr_sql}) AS BIGINT), {lo}), {hi - 1})"
     return f"((({x}) - {lo}) * {cells} // {hi - lo})"

@@ -589,10 +589,16 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
 
     id_type = dict(q.dtypes)[id_col]
 
-    def blas_assigned(cur_cents: dict[int, list[int]]) -> DataFrame:
+    def blas_assigned(cur_cents: dict[int, list[int]],
+                      bc_out: list | None = None) -> DataFrame:
         """(id, __qv, __c, __d) via one broadcast int64 matmul per
         Arrow batch — integer-exact, ties to the lowest cid (sorted
-        centroid order + argmin-first-occurrence)."""
+        centroid order + argmin-first-occurrence).  The broadcast
+        handle is appended to ``bc_out`` so training iterations can
+        release it after their action — at SemDeDup-scale k the
+        centroid matrix is ~50 MB and an unreleased copy per
+        iteration would pin memory for the application lifetime
+        (round-8 self-review finding)."""
         import numpy as np
         import pandas as pd
 
@@ -600,6 +606,8 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
         bc = q.sparkSession.sparkContext.broadcast(
             (np.array(cids, dtype=np.int64),
              np.array([cur_cents[c] for c in cids], dtype=np.int64)))
+        if bc_out is not None:
+            bc_out.append(bc)
 
         def part(batches):
             cid_arr, C = bc.value
@@ -641,7 +649,8 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
         return structs[0] if len(structs) == 1 else F.least(*structs)
 
     for _ in range(max(0, iters - 1)):
-        assigned = (blas_assigned(cents) if mode == "blas"
+        bcs: list = []
+        assigned = (blas_assigned(cents, bcs) if mode == "blas"
                     else q.withColumn("__c", best_expr()["cid"]))
         upd = (assigned
                .select("__c", F.posexplode("__qv").alias("__p", "__x"))
@@ -649,6 +658,8 @@ def kmeans_quantized(df: DataFrame, id_col: str, vec_col: str,
                .agg(F.expr("CAST(SUM(__x) DIV COUNT(*) AS LONG)")
                     .alias("__v"))
                .collect())  # exactly k·dim rows — bounded by construction
+        for b in bcs:  # iteration's centroid copy is consumed — release
+            b.unpersist(blocking=False)
         new_cents: dict[int, list[int]] = {}
         for r in upd:
             new_cents.setdefault(int(r["__c"]),
@@ -831,7 +842,8 @@ def _pq_subv(j: int, sub: int) -> Column:
 
 def _pq_assigned(q: DataFrame, id_col: str,
                  cents: dict[int, dict[int, list[int]]],
-                 m: int, sub: int, mode: str) -> DataFrame:
+                 m: int, sub: int, mode: str,
+                 bc_out: list | None = None) -> DataFrame:
     """``(id, __qv, __c0..__c{m-1})`` — every subspace's argmin code
     in ONE pass over the quantized frame, by either engine:
 
@@ -879,6 +891,8 @@ def _pq_assigned(q: DataFrame, id_col: str,
                      np.array([cents[j][c] for c in cids],
                               dtype=np.int64)))
     bc = q.sparkSession.sparkContext.broadcast(mats)
+    if bc_out is not None:
+        bc_out.append(bc)
 
     def part(batches):
         tabs = bc.value
@@ -920,7 +934,8 @@ def _pq_train(q: DataFrame, id_col: str, m: int, sub: int, k: int,
         for j in range(m)}
 
     for _ in range(max(0, iters - 1)):
-        assigned = _pq_assigned(q, id_col, cents, m, sub, mode)
+        bcs: list = []
+        assigned = _pq_assigned(q, id_col, cents, m, sub, mode, bcs)
         entries = F.array(*[
             F.struct(F.lit(j).alias("j"), F.col(f"__c{j}").alias("c"),
                      _pq_subv(j, sub).alias("sv"))
@@ -933,6 +948,8 @@ def _pq_train(q: DataFrame, id_col: str, m: int, sub: int, k: int,
                .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS LONG)")
                     .alias("v"))
                .collect())  # ≤ m·k·sub rows — bounded by construction
+        for b in bcs:  # iteration's codebook copy is consumed — release
+            b.unpersist(blocking=False)
         new: dict[int, dict[int, list[int]]] = {}
         for r in upd:
             new.setdefault(int(r["j"]), {}).setdefault(

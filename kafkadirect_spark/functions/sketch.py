@@ -550,6 +550,9 @@ def exact_quantiles(df: DataFrame, col: Column | str,
     Reference analogue: none (SURVEY.md §2 — the reference has no
     order statistics at all); beyond-parity analytics.
     """
+    bad_q = [q for q in qs_permille if not 0 < q <= 1000]
+    if bad_q:
+        raise ValueError(f"q_permille out of (0, 1000]: {bad_q}")
     c = (F.col(col) if isinstance(col, str) else col).cast("long")
     vals = df.select(c.alias("__v")).filter(F.col("__v").isNotNull())
     vals = vals.persist()
@@ -636,6 +639,9 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str,
 
     Returns ``(group_col, q_permille, value)``.
     """
+    bad_q = [q for q in qs_permille if not 0 < q <= 1000]
+    if bad_q:
+        raise ValueError(f"q_permille out of (0, 1000]: {bad_q}")
     c = (F.col(col) if isinstance(col, str) else col).cast("long")
     g = F.col(group_col)
     vals = df.select(g.alias("__g"), c.alias("__v")) \

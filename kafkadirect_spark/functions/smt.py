@@ -145,17 +145,28 @@ def route_errors(df: DataFrame, error_cond: Column,
     of job aborts), a regex mismatch, a schema check — instead of
     failing the pipeline.
 
-    Single-scan: both outputs filter one tagged projection (the
-    ``branch`` economics — Spark caches/reuses the scan; no second
-    read of the source).  The DLQ side carries the full original
+    Both outputs filter one tagged projection, which is persisted
+    (MEMORY_AND_DISK) so consuming ok THEN dlq evaluates the source
+    and ``error_cond`` once — without the persist each side would
+    re-scan and re-evaluate, and a non-deterministic condition could
+    even route a record to both or neither side (round-8 self-review;
+    the earlier docstring claimed caching that lazy frames alone do
+    not provide).  Call ``.unpersist()`` on either returned frame's
+    lineage when done, or let Spark's LRU evict it.  The DLQ side
+    carries the full original
     record plus an ``error_context`` struct (caller-supplied
     diagnostic columns, e.g. the raw value and a reason literal),
     mirroring the DLQ headers Connect attaches.  Null error
     conditions count as errors (a predicate that cannot evaluate is
     itself an error, matching Connect's tolerance model).
     """
+    if "__is_err" in df.columns or "error_context" in df.columns:
+        raise ValueError(
+            "input already has a reserved column (__is_err / "
+            "error_context) — rename it first")
     tagged = df.withColumn(
         "__is_err", F.coalesce(error_cond.cast("boolean"), F.lit(True)))
+    tagged = tagged.persist()
     ok = tagged.filter(~F.col("__is_err")).drop("__is_err")
     ctx = context or {}
     dlq = (tagged.filter(F.col("__is_err")).drop("__is_err")

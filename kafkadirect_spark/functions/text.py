@@ -80,6 +80,23 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
+def bigram_structs(col_name: str) -> Column:
+    """``array<struct<w1,w2>>`` of ADJACENT token pairs from a
+    materialized token-array column (pass the column NAME — the
+    expression references it by name so codegen CSE computes the
+    tokenization once; empty array under 2 tokens).  The single
+    definition of the bigram surface: the LM scorer
+    (curation.bigram_surprisal_scores) and the PMI miner
+    (curation.collocations) both build on it."""
+    return F.when(
+        F.size(F.col(col_name)) >= 2,
+        F.expr(
+            "transform(sequence(2, size({t}), 1),"
+            " i -> struct({t}[i-2] AS w1, {t}[i-1] AS w2))"
+            .format(t=col_name)),
+    ).otherwise(F.array())
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace+punct token count — the cheap BPE-proxy 'how many
     tokens will the tokenizer emit' estimate."""

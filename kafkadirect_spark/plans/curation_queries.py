@@ -577,7 +577,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, FLOOR(10000 * sqrt(CAST(nmin AS DOUBLE) / n)) AS t
       FROM sizes CROSS JOIN ref)
     SELECT d.doc_id, d.source
-    FROM documents d JOIN thr USING (source)
+    FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
     WHERE {_BUCKET.format(salt='tempmix', n=10000)} < thr.t
     """,
 )

@@ -769,3 +769,20 @@ def test_pack_bestfit_oversized_doc_isolated(spark):
     assert all(r.seq_id != big_seq for i, r in out.items() if i != 1)
     with pytest.raises(ValueError):
         curation.pack_sequences_bestfit(df, "doc_id", "n", budget=0)
+
+
+def test_temperature_mix_samples_null_stratum(spark):
+    rows = [(i, "big") for i in range(400)] \
+         + [(i, None) for i in range(400, 440)] \
+         + [(i, "small") for i in range(440, 480)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.temperature_mix(df, "source", "doc_id").collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.source, 0)
+        kept[r.source] += 1
+    # the NULL stratum is SAMPLED like any other (it ties the min
+    # size, so its keep fraction is ~100%), never silently deleted
+    assert kept.get(None, 0) > 30
+    assert kept["small"] > 30
+    assert kept["big"] < 200  # sqrt(40/400) ≈ 31% of 400

@@ -568,3 +568,12 @@ def test_exact_quantiles_grouped_null_and_caps(spark):
     assert out == {("a", 1000): 1, ("b", 1000): 7}
     with pytest.raises(ValueError):
         sketch.exact_quantiles_grouped(df, "g", "x", [500], max_groups=1)
+
+
+def test_exact_quantiles_rejects_bad_permille(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles(df, "x", [1500])
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles_grouped(
+            df.withColumn("g", F.lit("a")), "g", "x", [0])

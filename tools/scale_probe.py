@@ -40,6 +40,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def _replicate_embeddings(base, repl: int):
+    """Union direction-perturbed copies: one shifted dimension per
+    replica changes the cosine DIRECTION (a uniform scale would not)
+    while keeping cluster geometry balanced.  Shared by every
+    embedding probe so the perturbation scheme cannot drift between
+    probes."""
+    df = base
+    for i in range(1, repl):
+        copy = (base.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            .withColumn("embedding", F.transform(
+                "embedding",
+                lambda x, j: F.when(j == F.lit(i % 64),
+                                    x + 0.05 * ((i % 7) + 1))
+                              .otherwise(x))))
+        df = df.unionByName(copy)
+    return df
+
+
 def semdedup_probe(sf_dir: str = "/root/testdata/sf0.1",
                    steps: tuple[int, ...] = (1, 4, 16),
                    base_k: int = 8) -> None:
@@ -66,24 +85,8 @@ def semdedup_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, sf_dir, "embeddings")
 
-    def replicate(repl: int):
-        df = base
-        for i in range(1, repl):
-            # shift one dimension per replica: changes the DIRECTION
-            # (cosine) — a uniform scale would not — while keeping the
-            # cluster geometry balanced
-            copy = (base.withColumn(
-                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
-                .withColumn("embedding", F.transform(
-                    "embedding",
-                    lambda x, j: F.when(j == F.lit(i % 64),
-                                        x + 0.05 * ((i % 7) + 1))
-                                  .otherwise(x))))
-            df = df.unionByName(copy)
-        return df
-
     for repl in steps:
-        emb = replicate(repl).persist()
+        emb = _replicate_embeddings(base, repl).persist()
         n = emb.count()
         for mode, k in (("scaled_k", base_k * repl), ("fixed_k", base_k)):
             t0 = time.perf_counter()
@@ -115,21 +118,8 @@ def pq_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, sf_dir, "embeddings")
 
-    def replicate(repl: int):
-        df = base
-        for i in range(1, repl):
-            copy = (base.withColumn(
-                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
-                .withColumn("embedding", F.transform(
-                    "embedding",
-                    lambda x, j: F.when(j == F.lit(i % 64),
-                                        x + 0.05 * ((i % 7) + 1))
-                                  .otherwise(x))))
-            df = df.unionByName(copy)
-        return df
-
     for repl in steps:
-        emb = replicate(repl).persist()
+        emb = _replicate_embeddings(base, repl).persist()
         n = emb.count()
         t0 = time.perf_counter()
         similarity.pq_encode(emb, "vec_id", "embedding",
