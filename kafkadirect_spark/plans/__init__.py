@@ -120,6 +120,8 @@ _PROMOTED = [
 # until the deferred query is fronted.  r9 MUST promote these first.
 _DEFERRED_NEW = [
     "collocations_topk",
+    "bpe_merges",
+    "bpe_token_lengths",
 ]
 
 

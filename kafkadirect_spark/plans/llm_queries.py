@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkadirect_spark.functions import dedup, multimodal, similarity, text
+from kafkadirect_spark.functions import bpe, dedup, multimodal, similarity, text
 from kafkadirect_spark.functions.dedup import HASH_P, PERMS, ROWS_PER_BAND
 from kafkadirect_spark.plans.queries import query
 from kafkadirect_spark.sources.batch import load_table
@@ -1011,3 +1011,47 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.groupBy(h)
             .agg(F.min("doc_id").alias("keeper"),
                  F.count(F.lit(1)).alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (functions/bpe.py) — the "train a tokenizer
+# on the corpus" step.  Params small enough that the oracle's
+# unrolled recursive-CTE replay stays sub-second at sf0.01.
+# ---------------------------------------------------------------------------
+
+_BPE_PARAMS = dict(n_merges=12, min_count=2, max_word_types=4096)
+
+
+@query(
+    "bpe_merges",
+    oracle=bpe.merges_oracle_sql(**_BPE_PARAMS),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 12-merge BPE vocabulary from the documents corpus —
+    distributed word-type counting (the corpus-scale pass: one
+    explode→groupBy with map-side combine, then a TakeOrdered cap),
+    exact greedy merge learning over the bounded type table.  The
+    oracle replays every round (pair counts → argmax → recursive-CTE
+    rewrite) in DuckDB; ties break (count DESC, lhs ASC, rhs ASC)
+    in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.learn_bpe(docs, "text", **_BPE_PARAMS)
+
+
+@query(
+    "bpe_token_lengths",
+    oracle=bpe.encode_lengths_oracle_sql(**_BPE_PARAMS),
+)
+def bpe_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count under the LEARNED tokenizer — the
+    exact "how many tokens is my corpus under this vocab" pass (the
+    real form of text.bpe_token_count's regex guess).  Train, then
+    one mapInPandas encode pass with the merge list in the task
+    closure and a per-task word→segmentation memo; inference covers
+    out-of-vocabulary words (the cap/min_count floor excludes them
+    from training, not from encoding), which the oracle mirrors with
+    a full-type-table rewrite chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, "text", **_BPE_PARAMS)
+    return (bpe.bpe_encode(docs, "doc_id", "text", merges)
+            .select("doc_id", "n_bpe"))

@@ -1,0 +1,209 @@
+"""BPE tokenizer training/encoding (functions/bpe.py).
+
+Model-equivalence strategy: an INDEPENDENT in-test BPE (Counter-based
+pair statistics, regex-free list rewrite written differently from the
+module's fold) pins `learn_bpe`; the distributed regime is pinned
+bit-identical to the driver regime; the generated DuckDB oracle SQL
+is pinned against the engine on a synthetic corpus (the sf0.01 gate
+re-checks it on real data).
+"""
+
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kafkadirect_spark.functions import bpe
+
+
+# --- independent reference implementation (deliberately different
+# structure from bpe._py_learn: Counter stats, index-scan rewrite) ---
+
+def _ref_pairs(segs, counts):
+    pc = Counter()
+    for w, seg in segs.items():
+        for a, b in zip(seg, seg[1:]):
+            pc[(a, b)] += counts[w]
+    return pc
+
+
+def _ref_rewrite(seg, pair):
+    out, i = [], 0
+    while i < len(seg):
+        if tuple(seg[i:i + 2]) == pair:
+            out.append(pair[0] + pair[1])
+            i += 2
+        else:
+            out.append(seg[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(word_counts: dict, n_merges: int):
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = _ref_pairs(segs, word_counts)
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), c = best
+        merges.append((rank, a, b, c))
+        segs = {w: _ref_rewrite(s, (a, b)) for w, s in segs.items()}
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_learn_matches_independent_model(spark):
+    texts = ["the cat sat on the mat", "the bat and the cat",
+             "mats and bats and cats", "on and on and on the mat sat"]
+    df = _docs(spark, texts)
+    words = Counter(w for t in texts for w in t.split())
+    expect = _ref_bpe(dict(words), 8)
+    got = [tuple(r) for r in
+           bpe.learn_bpe(df, "text", 8, min_count=1).collect()]
+    assert got == expect
+
+
+def test_distributed_equals_driver(spark):
+    texts = ["lower lowest newer newest wider widest",
+             "low new wide lower newer wider",
+             "the newest of the new, the widest of the wide"]
+    df = _docs(spark, texts)
+    drv = [tuple(r) for r in
+           bpe.learn_bpe(df, "text", 6, min_count=1).collect()]
+    dist = [tuple(r) for r in
+            bpe.learn_bpe(df, "text", 6, min_count=1,
+                          mode="distributed").collect()]
+    assert dist == drv
+    assert len(drv) == 6
+
+
+def test_overlapping_pairs_count_per_position(spark):
+    # 'aaaa' has THREE adjacent (a,a) positions per occurrence —
+    # Sennrich's statistics count positions, application merges
+    # left-to-right non-overlapping: aaaa -> (aa, aa)
+    df = _docs(spark, ["aaaa aaaa"])
+    out = bpe.learn_bpe(df, "text", 2, min_count=1).collect()
+    assert (out[0].lhs, out[0].rhs, out[0].pair_count) == ("a", "a", 6)
+    # round 2 operates on (aa, aa): one adjacent pair per word
+    assert (out[1].lhs, out[1].rhs, out[1].pair_count) == ("aa", "aa", 2)
+
+
+def test_tie_breaks_lexicographic(spark):
+    # 'zx' and 'ab' each appear twice -> pair counts tie at 2;
+    # ('a','b') < ('z','x') lexicographically
+    df = _docs(spark, ["zx ab", "ab zx"])
+    out = bpe.learn_bpe(df, "text", 1, min_count=1).collect()
+    assert (out[0].lhs, out[0].rhs) == ("a", "b")
+
+
+def test_early_exhaustion_emits_fewer(spark):
+    df = _docs(spark, ["ab ab ab"])
+    for mode in ("driver", "distributed"):
+        out = bpe.learn_bpe(df, "text", 5, min_count=1,
+                            mode=mode).collect()
+        assert [(r.lhs, r.rhs) for r in out] == [("a", "b")]
+
+
+def test_encode_matches_training_segmentation(spark):
+    texts = ["hugging tugging mugging", "hug tug mug jug",
+             "jugging and lugging"]
+    df = _docs(spark, texts)
+    merges = bpe.learn_bpe(df, "text", 6, min_count=1)
+    enc = bpe.bpe_encode(df, "doc_id", "text", merges)
+    rows = {r.doc_id: (list(r.bpe), r.n_bpe) for r in enc.collect()}
+    # rebuild expected segmentations with the reference rewriter
+    pairs = [(r.lhs, r.rhs) for r in
+             sorted(merges.collect(), key=lambda r: r.merge_rank)]
+
+    def ref_enc(word):
+        seg = list(word)
+        for p in pairs:
+            seg = _ref_rewrite(seg, p)
+        return seg
+
+    for i, t in enumerate(texts):
+        expect = [s for w in t.split() for s in ref_enc(w)]
+        assert rows[i] == (expect, len(expect))
+    # concatenating the segments reproduces the tokens exactly
+    assert "".join(rows[0][0]) == "huggingtuggingmugging"
+
+
+def test_encode_covers_oov_and_null(spark):
+    train = _docs(spark, ["abc abc abd abd"])
+    merges = bpe.learn_bpe(train, "text", 2, min_count=2)
+    test_df = spark.createDataFrame(
+        [(1, "abz"), (2, None), (3, "  ;; ")],
+        "doc_id long, text string")
+    rows = {r.doc_id: (list(r.bpe), r.n_bpe)
+            for r in bpe.bpe_encode(test_df, "doc_id", "text",
+                                    merges).collect()}
+    # 'abz' never seen in training, but the learned ('a','b') merge
+    # still applies at inference
+    assert rows[1][0][0] == "ab"
+    assert rows[2] == ([], 0)
+    assert rows[3] == ([], 0)
+
+
+def test_min_count_excludes_from_training_not_encoding(spark):
+    # 'qq' appears once -> below min_count=2, so its pairs never vote;
+    # but encode still processes it
+    df = _docs(spark, ["ab ab ab qq"])
+    merges = bpe.learn_bpe(df, "text", 1, min_count=2)
+    out = merges.collect()
+    assert (out[0].lhs, out[0].rhs) == ("a", "b")
+    enc = {r.doc_id: list(r.bpe)
+           for r in bpe.bpe_encode(df, "doc_id", "text",
+                                   merges).collect()}
+    assert enc[0] == ["ab", "ab", "ab", "q", "q"]
+
+
+def test_word_type_cap_is_deterministic(spark):
+    # cap=2 keeps the 2 most frequent types, ties broken by word ASC
+    df = _docs(spark, ["bb bb cc cc aa"])
+    wt = bpe.word_type_counts(df, "text", min_count=1, max_word_types=2)
+    assert [(r.word, r.n) for r in wt.collect()] == [("bb", 2), ("cc", 2)]
+
+
+def test_guards(spark):
+    df = _docs(spark, ["ab"])
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(df, "text", 0)
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(df, "text", 1, mode="magic")
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(df, "text", 1,
+                      max_word_types=bpe.MAX_DRIVER_TYPES + 1)
+    with pytest.raises(ValueError):
+        bpe.word_type_counts(df, "text", min_count=0)
+    # the same cap in distributed mode is legal
+    assert bpe.learn_bpe(df, "text", 1, min_count=1,
+                         max_word_types=bpe.MAX_DRIVER_TYPES + 1,
+                         mode="distributed").count() == 1
+
+
+def test_oracle_sql_matches_engine_on_synthetic(spark):
+    texts = ["streaming streams stream streamer",
+             "dream dreams dreaming dreamer",
+             "beam beams beaming screaming"]
+    df = _docs(spark, texts)
+    drv = [tuple(r) for r in
+           bpe.learn_bpe(df, "text", 5, min_count=1).collect()]
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)),
+                               "text": texts}))
+    assert con.sql(
+        bpe.merges_oracle_sql(5, 1, 1 << 16)).fetchall() == drv
+    enc = {r.doc_id: r.n_bpe
+           for r in bpe.bpe_encode(df, "doc_id", "text",
+                                   drv and [(a, b) for _, a, b, _ in drv]
+                                   ).collect()}
+    assert dict(con.sql(
+        bpe.encode_lengths_oracle_sql(5, 1, 1 << 16)).fetchall()) == enc
