@@ -143,6 +143,10 @@ def main() -> None:
         # product quantization: per-subspace integer k-means training
         # (one scan per iteration for all subspaces) + code projection
         "embedding_pq_codes": QUERIES["embedding_pq_codes"],
+        # BPE training: the wall clock is dominated by the single
+        # corpus-scale word-count pass — merge learning runs on the
+        # Heaps-law-bounded type table and is corpus-size-independent
+        "bpe_merges": QUERIES["bpe_merges"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

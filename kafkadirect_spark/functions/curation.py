@@ -543,6 +543,122 @@ def term_relevance(df: DataFrame, id_col: str, text_col: str, k: int = 3,
                     F.col("score_ppm"), F.col("rk").cast("long").alias("rk")))
 
 
+def bm25_rank(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 10,
+              k1_ppm: int = 1_200_000, b_ppm: int = 750_000,
+              scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` documents for a term query by an integer-exact BM25
+    variant — ranked retrieval over the corpus (find the canonical
+    source of a memorized string, audit benchmark leakage by query,
+    build seed sets for targeted curation).
+
+    Okapi BM25 with two integerization choices so every value is a
+    BIGINT/decimal and hash-exact cross-engine (the same policy as
+    ``term_relevance`` / ``collocations``):
+
+    - idf is the linear rarity ratio ``scale·N DIV df`` (monotone in
+      the classic log idf; the log is dropped, not approximated),
+    - the tf-saturation fraction ``tf·(k1+1) / (tf + k1·(1−b+b·dl/
+      avgdl))`` runs in ppm fixed point with truncating division —
+      ``k1`` and ``b`` are supplied as ppm integers (defaults: the
+      textbook k1=1.2, b=0.75), and ``dl/avgdl`` is computed as the
+      exact ratio ``scale·dl·N DIV Σdl`` so no intermediate average
+      is ever rounded.
+
+    Scale ledger: the corpus is scanned ONCE through a row-local
+    projection (doc length + the query-term subset of its tokens —
+    the filter runs BEFORE the explode, so only matching occurrences
+    are ever exploded); the (doc, term) exchange is ∝ matches, never
+    corpus tokens; term stats (|Q| rows) and the corpus stats row
+    broadcast back; the final top-k is a TakeOrdered, not a global
+    sort.  All products run in decimal(38,0) — idf·sat reaches ~1e23
+    at web scale (N=1e11, df=1), past int64.
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity retrieval beside ``term_relevance``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokens(text_col)
+    base = _persist(df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.filter(toks, lambda x: F.array_contains(qlit, x)).alias("__q")))
+    stats = base.agg(F.count(F.lit(1)).alias("__n"),
+                     F.sum("__dl").alias("__sumdl"))
+    tf = (base.select(F.col(id_col), "__dl",
+                      F.explode("__q").alias("__t"))
+          .groupBy(id_col, "__dl", "__t")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    d = "CAST({} AS DECIMAL(38,0))"
+    expr = (
+        "CAST(("
+        f"  ({d.format(scale)} * __n div __df)"          # idf_ppm
+        f"  * ({d.format(scale)} * (__tf * {scale + k1_ppm})"
+        f"     div (__tf * {scale}"
+        f"         + ({d.format(k1_ppm)}"
+        f"            * ({scale - b_ppm}"
+        f"               + {d.format(b_ppm)}"
+        f"                 * ({d.format(scale)} * __dl * __n div __sumdl)"
+        f"                 div {scale})"
+        f"            div {scale})))"                    # sat_ppm
+        f"  div {scale}"
+        ") AS DECIMAL(38,0))")
+    scored = (tf.join(F.broadcast(dfreq), "__t")
+              .join(F.broadcast(stats))
+              .withColumn("__s", F.expr(expr)))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("__s").cast("long").alias("score"),
+                 F.count(F.lit(1)).alias("n_terms"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def bm25_rank_sql(query_terms: list[str], k: int = 10,
+                  k1_ppm: int = 1_200_000, b_ppm: int = 750_000,
+                  scale: int = 1_000_000,
+                  id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``bm25_rank`` over the ``documents`` view —
+    HUGEINT ``//`` mirrors decimal ``div`` exactly (all values
+    positive, both truncate)."""
+    terms = "[" + ", ".join(f"'{t}'" for t in query_terms) + "]"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, len(w) AS dl,
+             list_filter(w, x -> list_contains({terms}, x)) AS q
+      FROM (SELECT {id_col},
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM documents)),
+    stats AS (SELECT COUNT(*)::HUGEINT AS n,
+                     SUM(dl)::HUGEINT AS sumdl FROM base),
+    tf AS (SELECT {id_col}, dl, term, COUNT(*)::HUGEINT AS tf
+           FROM (SELECT {id_col}, dl, unnest(q) AS term FROM base)
+           GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(*)::HUGEINT AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT {id_col},
+        (({scale}::HUGEINT * n // df)
+         * ({scale}::HUGEINT * (tf * {scale + k1_ppm})
+            // (tf * {scale}
+                + ({k1_ppm}::HUGEINT
+                   * ({scale - b_ppm}
+                      + {b_ppm}::HUGEINT
+                        * ({scale}::HUGEINT * dl * n // sumdl)
+                        // {scale})
+                   // {scale})))
+         // {scale}) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT {id_col}, SUM(s)::BIGINT AS score,
+           COUNT(*)::BIGINT AS n_terms
+    FROM scored GROUP BY 1
+    ORDER BY score DESC, {id_col} ASC LIMIT {k}"""
+
+
 BLOOM_BITS = 1 << 20
 BLOOM_K = 3
 

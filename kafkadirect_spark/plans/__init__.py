@@ -122,6 +122,7 @@ _DEFERRED_NEW = [
     "collocations_topk",
     "bpe_merges",
     "bpe_token_lengths",
+    "bm25_search",
 ]
 
 

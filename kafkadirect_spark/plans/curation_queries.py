@@ -883,3 +883,21 @@ def collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.collocations(docs, "doc_id", "text",
                                  min_count=5, k=20)
+
+
+_BM25_TERMS = ["spark", "dup", "window"]
+
+
+@query(
+    "bm25_search",
+    oracle=curation.bm25_rank_sql(_BM25_TERMS, k=15),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 ranked retrieval (curation.bm25_rank): one
+    row-local corpus projection (filter-before-explode keeps the
+    exchange ∝ matches), broadcast term/corpus stats, TakeOrdered
+    top-k.  The query mixes a rare term ('dup', df≈25) with common
+    ones so the idf contrast is actually exercised — the rare-term
+    docs must outrank pure tf."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bm25_rank(docs, "doc_id", "text", _BM25_TERMS, k=15)

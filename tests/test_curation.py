@@ -786,3 +786,73 @@ def test_temperature_mix_samples_null_stratum(spark):
     assert kept.get(None, 0) > 30
     assert kept["small"] > 30
     assert kept["big"] < 200  # sqrt(40/400) ≈ 31% of 400
+
+
+def test_bm25_matches_float_model_ranking(spark):
+    import math
+
+    texts = {
+        1: "apple banana cherry apple apple",
+        2: "apple apple apple apple apple apple apple apple",
+        3: "banana cherry durian elderberry fig",
+        4: "durian durian banana apple cherry grape",
+        5: "grape fig elderberry durian cherry banana apple",
+        6: "apple banana",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    q = ["apple", "durian"]
+    got = curation.bm25_rank(df, "doc_id", "text", q, k=6).collect()
+    # independent float BM25 with the same linear-idf surrogate
+    n = len(texts)
+    toks = {i: t.split() for i, t in texts.items()}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(t in v for v in toks.values()) for t in q}
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for t in q:
+            tf = toks[i].count(t)
+            if not tf:
+                continue
+            idf = n / dfreq[t]
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return s
+
+    expect = sorted(texts, key=lambda i: (-score(i), i))
+    assert [r.doc_id for r in got] == expect
+    # integer scores are monotone with the float model here
+    int_scores = [r.score for r in got]
+    assert int_scores == sorted(int_scores, reverse=True)
+
+
+def test_bm25_rare_term_outranks_pure_tf(spark):
+    rows = [(i, "common common common common") for i in range(20)]
+    rows += [(100, "rare common"), (101, "common " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = curation.bm25_rank(df, "doc_id", "text",
+                             ["rare", "common"], k=3).collect()
+    assert got[0].doc_id == 100  # idf of 'rare' (df=1) dominates
+
+
+def test_bm25_oracle_parity_and_guards(spark):
+    import duckdb
+    import pandas as pd
+
+    texts = ["stream table join", "join join join table",
+             "window agg stream", "table scan filter join stream"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    q = ["join", "window"]
+    got = [tuple(r) for r in
+           curation.bm25_rank(df, "doc_id", "text", q, k=4).collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    assert con.sql(curation.bm25_rank_sql(q, k=4)).fetchall() == got
+    with pytest.raises(ValueError):
+        curation.bm25_rank(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        curation.bm25_rank(df, "doc_id", "text", ["a", "a"])

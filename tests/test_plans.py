@@ -204,6 +204,9 @@ _BNLJ_OK = {
     # same scalar-subquery pattern: the one-ROW corpus doc count rides
     # to the (doc, term) tf table as a broadcast literal.
     "term_relevance_topk",
+    # same: the one-ROW (N, Σdl) corpus stats ride onto the
+    # (doc, query-term) tf table — ∝ matches, never corpus tokens.
+    "bm25_search",
     # same scalar-subquery pattern: the one-ROW corpus token total
     # broadcasts onto the (doc, token) occurrence table.
     "doc_surprisal",

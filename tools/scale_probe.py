@@ -132,6 +132,65 @@ def pq_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.stop()
 
 
+def bpe_probe(sf_dir: str = "/root/testdata/sf0.1",
+              steps: tuple[int, ...] = (1, 16, 64)) -> None:
+    """BPE training scale probe, two growth regimes per step:
+
+    - ``replicated``: copies share the word types — the type table is
+      CONSTANT while token occurrences grow ×k.  Claim under test:
+      only the word-count pass (one map-side-combined exchange)
+      tracks corpus size; merge learning is corpus-size-independent.
+    - ``organic``: every replica's words are suffix-tagged (fresh
+      types, same distribution) — the type table grows ×k.  Claim:
+      learning cost tracks the TYPE table (the `max_word_types` cap
+      is the knob that bounds it at any corpus size).
+    """
+    from kafkadirect_spark.functions import bpe
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("bpe-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def replicate(k: int, organic: bool):
+        df = base
+        for i in range(1, k):
+            copy = base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            if organic:
+                # alphanumeric tag — it must SURVIVE tokenization to
+                # mint fresh word types (a '~i' tag splits off)
+                tag = F.lit(f"q{i}")
+                copy = copy.withColumn(
+                    "text",
+                    F.concat_ws(" ", F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, tag))))
+            df = df.unionByName(copy)
+        return df
+
+    for repl in steps:
+        for variant in ("replicated", "organic"):
+            docs = replicate(repl, variant == "organic").persist()
+            docs.count()
+            t0 = time.perf_counter()
+            wt = bpe.word_type_counts(docs, "text", min_count=2,
+                                      max_word_types=1 << 16).collect()
+            count_sec = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            merges = bpe._py_learn(
+                [(r["word"], int(r["n"])) for r in wt], 12)
+            learn_sec = round(time.perf_counter() - t0, 3)
+            print(json.dumps({"op": "learn_bpe", "variant": variant,
+                              "repl": repl, "types": len(wt),
+                              "n_merges": len(merges),
+                              "count_sec": count_sec,
+                              "learn_sec": learn_sec}), flush=True)
+            docs.unpersist()
+    spark.stop()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
          organic: bool = False, ops: list[str] | None = None,
          start: int = 1) -> None:
@@ -276,6 +335,10 @@ if __name__ == "__main__":
     if "--pq" in args:
         args.remove("--pq")
         pq_probe(args[0] if args else "/root/testdata/sf0.1")
+        sys.exit(0)
+    if "--bpe" in args:
+        args.remove("--bpe")
+        bpe_probe(args[0] if args else "/root/testdata/sf0.1")
         sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
