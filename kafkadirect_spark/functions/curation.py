@@ -618,6 +618,102 @@ def bm25_rank(df: DataFrame, id_col: str, text_col: str,
             .limit(k))
 
 
+def vocab_drift(df: DataFrame, text_col: str, slice_col: str,
+                slice_a: str, slice_b: str, k: int = 20,
+                min_count: int = 5,
+                scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` terms whose usage RATE differs most between two
+    corpus slices — the distribution-shift audit between crawls,
+    snapshot versions, or sources ("which vocabulary moved between
+    last month's ingest and this one?").
+
+    Integer drift statistic (exact cross-engine, house policy): with
+    per-slice rates ``r = scale·c DIV N`` (ppm), a term scores
+    ``((r_a−r_b)² DIV scale) · (c_a+c_b)`` — the squared rate gap
+    weighted by pooled evidence, a monotone surrogate for the
+    2-sample chi-square (whose exact form needs c·N products that
+    overflow decimal(38,0) at web scale: (c·N)² reaches ~1e52).
+    ``min_count`` floors pooled counts so hapaxes can't top the list
+    on rounding noise.
+
+    Scale ledger: one scan (slice filter pushed to the parquet scan,
+    explode only the two slices' tokens), one vocabulary-keyed
+    exchange with map-side partial sums, a register-sized totals agg
+    broadcast back, TakeOrdered top-k.  No corpus-sized shuffle.
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity corpus QA beside ``corpus_profile``.
+    """
+    if slice_a == slice_b:
+        raise ValueError("slice_a and slice_b must differ")
+    sl = F.col(slice_col)
+    terms = (df.filter(sl.isin([slice_a, slice_b]))
+             .select(sl.alias("__sl"),
+                     F.explode(tokens(text_col)).alias("term"))
+             .groupBy("term")
+             .agg(F.sum(F.when(F.col("__sl") == slice_a, 1)
+                        .otherwise(0)).alias("count_a"),
+                  F.sum(F.when(F.col("__sl") == slice_b, 1)
+                        .otherwise(0)).alias("count_b")))
+    totals = terms.agg(F.sum("count_a").alias("__na"),
+                       F.sum("count_b").alias("__nb"))
+    d = "CAST({} AS DECIMAL(38,0))"
+    rate = (f"CAST({d.format(scale)} * {{c}} div __n{{s}} "
+            "AS DECIMAL(38,0))")
+    return (terms.filter(F.col("count_a") + F.col("count_b")
+                         >= min_count)
+            .join(F.broadcast(totals))
+            .withColumn("rate_a_ppm", F.expr(rate.format(c="count_a",
+                                                         s="a")))
+            .withColumn("rate_b_ppm", F.expr(rate.format(c="count_b",
+                                                         s="b")))
+            .withColumn(
+                "drift_score",
+                F.expr("CAST(((rate_a_ppm - rate_b_ppm)"
+                       "      * (rate_a_ppm - rate_b_ppm)"
+                       f"     div {scale})"
+                       "     * (count_a + count_b) AS DECIMAL(38,0))"))
+            .select("term", "count_a", "count_b",
+                    F.col("rate_a_ppm").cast("long").alias("rate_a_ppm"),
+                    F.col("rate_b_ppm").cast("long").alias("rate_b_ppm"),
+                    F.col("drift_score").cast("long").alias("drift_score"))
+            .orderBy(F.col("drift_score").desc(), F.col("term").asc())
+            .limit(k))
+
+
+def vocab_drift_sql(slice_col: str, slice_a: str, slice_b: str,
+                    k: int = 20, min_count: int = 5,
+                    scale: int = 1_000_000) -> str:
+    """DuckDB replay of ``vocab_drift`` over the ``documents`` view."""
+    return f"""
+    WITH occ AS (
+      SELECT {slice_col} AS sl, unnest(
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS term
+      FROM documents WHERE {slice_col} IN ('{slice_a}', '{slice_b}')),
+    terms AS (
+      SELECT term,
+             SUM(CASE WHEN sl = '{slice_a}' THEN 1 ELSE 0 END)::BIGINT
+               AS count_a,
+             SUM(CASE WHEN sl = '{slice_b}' THEN 1 ELSE 0 END)::BIGINT
+               AS count_b
+      FROM occ GROUP BY 1),
+    totals AS (SELECT SUM(count_a)::HUGEINT AS na,
+                      SUM(count_b)::HUGEINT AS nb FROM terms),
+    scored AS (
+      SELECT term, count_a, count_b,
+             ({scale}::HUGEINT * count_a // na) AS ra,
+             ({scale}::HUGEINT * count_b // nb) AS rb
+      FROM terms CROSS JOIN totals
+      WHERE count_a + count_b >= {min_count})
+    SELECT term, count_a, count_b,
+           ra::BIGINT AS rate_a_ppm, rb::BIGINT AS rate_b_ppm,
+           (((ra - rb) * (ra - rb) // {scale})
+            * (count_a + count_b))::BIGINT AS drift_score
+    FROM scored
+    ORDER BY drift_score DESC, term ASC LIMIT {k}"""
+
+
 def bm25_rank_sql(query_terms: list[str], k: int = 10,
                   k1_ppm: int = 1_200_000, b_ppm: int = 750_000,
                   scale: int = 1_000_000,

@@ -123,6 +123,7 @@ _DEFERRED_NEW = [
     "bpe_merges",
     "bpe_token_lengths",
     "bm25_search",
+    "vocab_drift",
 ]
 
 

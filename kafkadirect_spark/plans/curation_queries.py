@@ -901,3 +901,19 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs must outrank pure tf."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.bm25_rank(docs, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+@query(
+    "vocab_drift",
+    oracle=curation.vocab_drift_sql("lang", "en", "de", k=20),
+)
+def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus slices
+    (curation.vocab_drift): the distribution-shift audit — squared
+    ppm rate gap weighted by pooled count, all integer (the exact
+    chi-square's c·N products overflow decimal(38,0) at web scale;
+    this surrogate is monotone in the same evidence).  One
+    slice-filtered scan, one vocabulary exchange, broadcast totals,
+    TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.vocab_drift(docs, "text", "lang", "en", "de", k=20)

@@ -856,3 +856,51 @@ def test_bm25_oracle_parity_and_guards(spark):
         curation.bm25_rank(df, "doc_id", "text", [])
     with pytest.raises(ValueError):
         curation.bm25_rank(df, "doc_id", "text", ["a", "a"])
+
+
+def test_vocab_drift_model_and_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [(1, "alpha beta beta gamma", "a"),
+            (2, "alpha alpha beta", "a"),
+            (3, "gamma gamma gamma delta", "b"),
+            (4, "beta gamma delta delta", "b"),
+            (5, "noise words here", "c")]  # slice c must be ignored
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = [tuple(r) for r in
+           curation.vocab_drift(df, "text", "src", "a", "b",
+                                k=10, min_count=1).collect()]
+    # independent model
+    from collections import Counter
+    ca = Counter("alpha beta beta gamma alpha alpha beta".split())
+    cb = Counter("gamma gamma gamma delta beta gamma delta delta".split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    expect = []
+    for t in sorted(set(ca) | set(cb)):
+        a, b = ca.get(t, 0), cb.get(t, 0)
+        ra, rb = 10**6 * a // na, 10**6 * b // nb
+        expect.append((t, a, b, ra, rb,
+                       (ra - rb) ** 2 // 10**6 * (a + b)))
+    expect.sort(key=lambda r: (-r[5], r[0]))
+    assert got == expect
+    # 'alpha' is a-only, 'gamma'/'delta' b-heavy: both directions rank
+    assert {got[0][0], got[1][0]} <= {"alpha", "gamma", "delta"}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": [r[0] for r in rows],
+         "text": [r[1] for r in rows],
+         "src": [r[2] for r in rows]}))
+    assert con.sql(curation.vocab_drift_sql(
+        "src", "a", "b", k=10, min_count=1)).fetchall() == got
+    with pytest.raises(ValueError):
+        curation.vocab_drift(df, "text", "src", "a", "a")
+
+
+def test_vocab_drift_min_count_floors_hapaxes(spark):
+    df = spark.createDataFrame(
+        [(1, "word word word rare", "a"), (2, "word word other", "b")],
+        "doc_id long, text string, src string")
+    out = curation.vocab_drift(df, "text", "src", "a", "b",
+                               k=10, min_count=2).collect()
+    assert {r.term for r in out} == {"word"}  # hapaxes floored

@@ -207,6 +207,9 @@ _BNLJ_OK = {
     # same: the one-ROW (N, Σdl) corpus stats ride onto the
     # (doc, query-term) tf table — ∝ matches, never corpus tokens.
     "bm25_search",
+    # same: the one-ROW (Na, Nb) slice totals ride onto the
+    # vocabulary-sized term table.
+    "vocab_drift",
     # same scalar-subquery pattern: the one-ROW corpus token total
     # broadcasts onto the (doc, token) occurrence table.
     "doc_surprisal",
