@@ -12,6 +12,8 @@ the workload this engine exists for at 100 TB:
      + DSIR domain targeting with a sketch-derived score cutoff
      + α=0.5 temperature rebalance of head sources
   6. train/val/test split (deterministic hash-keyed)
+     + BPE tokenizer trained on the train split; every document
+       re-counted in LEARNED tokens (not a regex guess)
   7. sequence packing (1024-token budgets in hash shards)
      + deterministic global shuffle order for the packed train set
   8. emit the clean corpus + a survivorship + sketch report
@@ -154,8 +156,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
             clean, "doc_id", cands,
             {"train": 0.9, "val": 0.05, "test": 0.05}).select(
                 "doc_id", "split"), "doc_id")
-    train = split.filter(F.col("split") == "train") \
-        .withColumn("bpe", text.bpe_token_count("text").cast("long"))
+
+    # 6a: train the REAL tokenizer on the train split (never val/test
+    # — vocabulary is a model artifact, learning it on held-out text
+    # is leakage) and account every document in learned-BPE tokens:
+    # word-type counting is the only corpus-scale pass, the merge
+    # loop runs on the bounded type table, encode is one mapInPandas
+    from kafkadirect_spark.functions import bpe
+    train = split.filter(F.col("split") == "train").localCheckpoint()
+    merges = bpe.learn_bpe(train, "text", n_merges=32,
+                           min_count=2, max_word_types=1 << 16)
+    train = train.join(
+        bpe.bpe_encode(train, "doc_id", "text", merges)
+        .select("doc_id", F.col("n_bpe").alias("bpe")), "doc_id")
 
     # 6b: exact token budget — cap the train split at 4k BPE tokens
     # as the maximal hash-order prefix (reproducible, never a rate
@@ -199,6 +212,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"decontam:      {n4}  (-{n3b - n4})")
     print(f"DSIR select:   {n4b}  (-{n4 - n4b})")
     print(f"temp rebal:    {n4c}  (-{n4b - n4c})")
+    print(f"tokenizer:     {merges.count()} BPE merges learned on the "
+          "train split")
     print(f"train packed:  {n5} docs into {n_seqs} sequences "
           f"(token budget kept {n_budget}); "
           f"shuffle order rows: {order.count()}")
