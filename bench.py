@@ -147,6 +147,12 @@ def main() -> None:
         # corpus-scale word-count pass — merge learning runs on the
         # Heaps-law-bounded type table and is corpus-size-independent
         "bpe_merges": QUERIES["bpe_merges"],
+        # retrieval + corpus QA: both are one-scan + small-exchange
+        # shapes (filter-before-explode / vocabulary-keyed partials) —
+        # their plan fingerprints pin that no corpus-sized shuffle
+        # sneaks in
+        "bm25_search": QUERIES["bm25_search"],
+        "vocab_drift": QUERIES["vocab_drift"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -1280,6 +1280,57 @@ def partition_fingerprint(df: DataFrame, cols: list[str],
                 .cast("long").alias("fingerprint")))
 
 
+def fingerprint_diff(old: DataFrame, new: DataFrame,
+                     by: list[str],
+                     include_unchanged: bool = False) -> DataFrame:
+    """Compare two ``partition_fingerprint`` snapshots — the
+    incremental-ingest detector: which partitions were ``added``,
+    ``removed``, or ``changed`` between two pipeline runs (and so
+    which downstream increments must recompute).  ``unchanged``
+    partitions are dropped unless ``include_unchanged``.
+
+    Pure composition over two register-sized frames (one row per
+    partition each): an eqNullSafe full-outer join on the partition
+    keys — NULL is a real partition value and must match itself, the
+    same trap ``temperature_mix`` hit — then a status case.  Output:
+    ``(*by, status, n_rows_old, n_rows_new, fingerprint_old,
+    fingerprint_new)``.
+
+    Reference analogue: none (SURVEY.md §2); beyond-parity
+    data-versioning beside ``partition_fingerprint``.
+    """
+    if not by:
+        raise ValueError("need at least one partition key column")
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in by],
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("fingerprint").alias("fingerprint_old"))
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in by],
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("fingerprint").alias("fingerprint_new"))
+    cond = F.lit(True)
+    for c in by:
+        cond = cond & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (F.when(F.col("n_rows_old").isNull(), F.lit("added"))
+              .when(F.col("n_rows_new").isNull(), F.lit("removed"))
+              .when((F.col("n_rows_old") != F.col("n_rows_new"))
+                    | (F.col("fingerprint_old")
+                       != F.col("fingerprint_new")),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    out = (o.join(n, cond, "full_outer")
+           .select(*[F.coalesce(F.col(f"__o_{c}"),
+                                F.col(f"__n_{c}")).alias(c)
+                     for c in by],
+                   status.alias("status"),
+                   "n_rows_old", "n_rows_new",
+                   "fingerprint_old", "fingerprint_new"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
 def collocations(df: DataFrame, id_col: str, text_col: str,
                  min_count: int = 5, k: int = 20,
                  scale: int = 1_000_000) -> DataFrame:

@@ -124,6 +124,7 @@ _DEFERRED_NEW = [
     "bpe_token_lengths",
     "bm25_search",
     "vocab_drift",
+    "partition_diff",
 ]
 
 

@@ -917,3 +917,69 @@ def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-k."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.vocab_drift(docs, "text", "lang", "en", "de", k=20)
+
+
+_FP_EVENTS = """
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(
+                   ('0x' || substr(md5(
+                      concat_ws(chr(31),
+                        COALESCE(event_id::VARCHAR, chr(0) || 'null'),
+                        COALESCE(user_id::VARCHAR, chr(0) || 'null'),
+                        COALESCE(event_type, chr(0) || 'null'))
+                    ), 1, 14))::BIGINT % 2147483647
+                 AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+               AS fingerprint
+      FROM {src} GROUP BY 1"""
+
+
+@query(
+    "partition_diff",
+    oracle=f"""
+    WITH old_fp AS ({_FP_EVENTS.format(
+        src="(SELECT * FROM events "
+            "WHERE CAST(ts AS DATE) > DATE '2024-01-01')")}),
+    new_fp AS ({_FP_EVENTS.format(
+        src="(SELECT event_id, ts, user_id, "
+            "CASE WHEN event_id % 101 = 0 THEN 'corrected' "
+            "ELSE event_type END AS event_type FROM events "
+            "WHERE CAST(ts AS DATE) < DATE '2024-01-30')")})
+    SELECT * FROM (
+      SELECT COALESCE(o.day, n.day) AS day,
+             CASE WHEN o.day IS NULL THEN 'added'
+                  WHEN n.day IS NULL THEN 'removed'
+                  WHEN o.n_rows <> n.n_rows
+                       OR o.fingerprint <> n.fingerprint THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+             o.fingerprint AS fingerprint_old,
+             n.fingerprint AS fingerprint_new
+      FROM old_fp o FULL OUTER JOIN new_fp n
+        ON o.day IS NOT DISTINCT FROM n.day)
+    WHERE status <> 'unchanged'
+    """,
+)
+def partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two ingests (curation.fingerprint_diff
+    over partition_fingerprint frames): the old snapshot misses the
+    first day (→ 'added'), the new one misses the last (→ 'removed')
+    and carries a targeted correction (event_id ≡ 0 mod 101 re-typed
+    → those days 'changed' with IDENTICAL row counts, so the
+    fingerprint — not the count — is what detects them).  Both
+    fingerprint passes are register-sized aggregates; the diff joins
+    two ≤30-row frames."""
+    from kafkadirect_spark.sources.batch import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    cols = ["event_id", "user_id", "event_type"]
+    old = curation.partition_fingerprint(
+        ev.filter(F.col("day") > "2024-01-01"), cols, by=["day"])
+    mutated = (ev.filter(F.col("day") < "2024-01-30")
+               .withColumn("event_type",
+                           F.when(F.col("event_id") % 101 == 0,
+                                  "corrected")
+                           .otherwise(F.col("event_type"))))
+    new = curation.partition_fingerprint(mutated, cols, by=["day"])
+    return curation.fingerprint_diff(old, new, ["day"])

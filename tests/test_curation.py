@@ -904,3 +904,43 @@ def test_vocab_drift_min_count_floors_hapaxes(spark):
     out = curation.vocab_drift(df, "text", "src", "a", "b",
                                k=10, min_count=2).collect()
     assert {r.term for r in out} == {"word"}  # hapaxes floored
+
+
+def test_fingerprint_diff_statuses_and_null_key(spark):
+    old_src = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"),
+         (4, "d", None), (5, "e", "gone")],
+        "id long, v string, part string")
+    new_src = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"),        # p1 unchanged
+         (3, "CHANGED", "p2"),                  # p2 changed (same count)
+         (4, "d", None), (6, "f", None),        # NULL partition changed
+         (7, "g", "fresh")],                    # fresh added
+        "id long, v string, part string")
+    fp = lambda d: curation.partition_fingerprint(  # noqa: E731
+        d, ["id", "v"], by=["part"])
+    out = {r.part: r.status for r in
+           curation.fingerprint_diff(fp(old_src), fp(new_src),
+                                     ["part"]).collect()}
+    # NULL partition keys must MATCH each other (eqNullSafe), so the
+    # null stratum reads 'changed', never added+removed
+    assert out == {"p2": "changed", None: "changed",
+                   "gone": "removed", "fresh": "added"}
+    full = curation.fingerprint_diff(fp(old_src), fp(new_src),
+                                     ["part"], include_unchanged=True)
+    assert {r.part: r.status for r in full.collect()}["p1"] == "unchanged"
+    with pytest.raises(ValueError):
+        curation.fingerprint_diff(fp(old_src), fp(new_src), [])
+
+
+def test_fingerprint_diff_detects_content_not_count(spark):
+    # same row count, one cell different -> 'changed' via fingerprint
+    a = spark.createDataFrame([(1, "x", "p"), (2, "y", "p")],
+                              "id long, v string, part string")
+    b = spark.createDataFrame([(1, "x", "p"), (2, "z", "p")],
+                              "id long, v string, part string")
+    fp = lambda d: curation.partition_fingerprint(  # noqa: E731
+        d, ["id", "v"], by=["part"])
+    row = curation.fingerprint_diff(fp(a), fp(b), ["part"]).collect()
+    assert len(row) == 1 and row[0].status == "changed"
+    assert row[0].n_rows_old == row[0].n_rows_new == 2
