@@ -207,3 +207,48 @@ def test_oracle_sql_matches_engine_on_synthetic(spark):
                                    ).collect()}
     assert dict(con.sql(
         bpe.encode_lengths_oracle_sql(5, 1, 1 << 16)).fetchall()) == enc
+
+
+# --- property tests: the distributed fold is the subtle piece -------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_sym = st.text(alphabet="ab", min_size=1, max_size=2)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_sym, min_size=1, max_size=8),
+                min_size=1, max_size=6),
+       _sym, _sym)
+def test_fold_rewrite_matches_python_model(spark, arrays, lhs, rhs):
+    """bpe._apply_merge (the aggregate fold with the skip flag) must
+    agree with _py_apply on arbitrary symbol arrays — including
+    overlapping runs like [a,a,a] and pair-at-the-end shapes."""
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrays)],
+                               "i long, s array<string>")
+    got = {r.i: tuple(r.o) for r in
+           df.select("i", bpe._apply_merge("s", lhs, rhs).alias("o"))
+           .collect()}
+    assert got == {i: bpe._py_apply(tuple(a), lhs, rhs)
+                   for i, a in enumerate(arrays)}
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=5))
+def test_learn_bpe_matches_model_on_random_corpora(spark, words,
+                                                   n_merges):
+    """Randomized end-to-end pin of the driver regime against the
+    independent reference learner (tie-heavy tiny alphabets are
+    exactly where a tie-break bug would hide)."""
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    from collections import Counter
+    expect = _ref_bpe(dict(Counter(words)), n_merges)
+    got = [tuple(r) for r in
+           bpe.learn_bpe(df, "text", n_merges, min_count=1).collect()]
+    assert got == expect
