@@ -100,14 +100,17 @@ _PROMOTED = [
     "exact_quantiles_by_type",
     "partition_fingerprints",
     # (no early-refresh slots remain: 26 mandatory rotations + 24 new
-    # r8 queries fill all 50 slots.  Two notes for r9: every r6-dated
-    # query is covered by r9's mandatory rotation, and the rule-2
-    # re-check of range_bucket_join was DISPLACED by the never-
-    # verified partition_fingerprints — range_bucket_join holds a
-    # green r7 driver row, its r8 change is guard-only (Long.MIN
-    # raise + reserved-name checks, behavior on in-domain data
-    # unchanged) and passes check_oracle locally; r9 should front it
-    # anyway.)
+    # r8 queries fill all 50 slots.  Notes for r9: with >150
+    # registered queries the staleness horizon is now CAPACITY-
+    # DERIVED (tests/test_plans.py: ceil(N/50)−1 rounds — a 2-round
+    # bound is unsatisfiable past 150).  Under it the sustainable r9
+    # window is the 6 _DEFERRED_NEW queries plus 44 of the 48
+    # r6-dated tail; the remaining 4 r6-dated become r10's mandatory
+    # front together with the oldest r7-dated.  The rule-2 re-check
+    # of range_bucket_join was DISPLACED in r8 by the never-verified
+    # partition_fingerprints — range_bucket_join holds a green r7
+    # driver row, its r8 change is guard-only and passes
+    # check_oracle locally; r9 should front it with the leftovers.)
 ]
 
 # New-this-round queries that did NOT fit the saturated 50-slot window

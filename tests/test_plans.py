@@ -456,6 +456,17 @@ def test_rotation_keeps_driver_rows_fresh():
     upcoming = max(rounds) + 1  # the round whose window is registered now
     window = set(list(QUERIES)[:50])
 
+    # Freshness horizon, derived from window CAPACITY: the driver
+    # verifies 50 queries per round, so N registered queries can only
+    # round-robin through the window every ceil(N/50) rounds — the
+    # tightest satisfiable bound on a query currently OUTSIDE the
+    # window is a row from cycle−1 rounds back.  That is the
+    # historical 2 while N ≤ 150, and 3 at 151..200: with more than
+    # 150 queries a 2-round bound is mathematically unsatisfiable
+    # (3 rounds × 50 slots < N), not stricter.  The bound therefore
+    # tightens automatically if queries are ever retired.
+    horizon = max(2, -(-len(QUERIES) // 50) - 1)
+
     # Over-subscription deferral (round 8): a round can register more
     # never-verified queries than the window has free slots.  Deferral
     # via plans._DEFERRED_NEW is legal ONLY under strict conditions —
@@ -472,13 +483,19 @@ def test_rotation_keeps_driver_rows_fresh():
         # (b) no deferred query actually sits in the window (else the
         #     list is stale bookkeeping);
         assert not deferred & window, "deferred query IS in the window"
-        # (c) the window is saturated: every slot holds a mandatory
-        #     rotation (stale row) or another never-verified query.
-        #     A slot holding a fresh-row query could have been given
-        #     to the deferred query instead — fail until it is.
+        # (c) the window is saturated: every slot holds a query that
+        #     must be verified THIS round — one that could not simply
+        #     wait a round (newest row still fresh at upcoming+1) —
+        #     or another never-verified query.  A slot whose occupant
+        #     could have been deferred to next round while a new query
+        #     waits is a wasted slot — fail until they swap.  (The
+        #     look-ahead matters: at horizon h a query dated exactly
+        #     upcoming−h is legal OUTSIDE the window today but becomes
+        #     mandatory next round, colliding with next round's own
+        #     mandatory set — scheduling it now is correct, not waste.)
         wasted = sorted(
             q for q in window
-            if q in newest and newest[q] >= upcoming - 2)
+            if q in newest and newest[q] >= upcoming + 1 - horizon)
         assert not wasted, (
             f"window slots hold fresh-row queries while {sorted(deferred)} "
             f"defer: {wasted} — swap them")
@@ -486,12 +503,14 @@ def test_rotation_keeps_driver_rows_fresh():
     stale = sorted(
         (q, newest.get(q)) for q in QUERIES
         if q not in window and q not in deferred
-        and newest.get(q, -(10 ** 9)) < upcoming - 2
+        and newest.get(q, -(10 ** 9)) < upcoming - horizon
     )
     assert not stale, (
         f"{len(stale)} queries are outside the upcoming r{upcoming} window "
-        f"with no driver row newer than r{upcoming - 3}: {stale} — "
-        "promote them in kafkadirect_spark/plans/__init__.py _PROMOTED"
+        f"with no driver row newer than r{upcoming - horizon - 1} "
+        f"(capacity horizon {horizon} for {len(QUERIES)} queries): "
+        f"{stale} — promote them in kafkadirect_spark/plans/__init__.py "
+        "_PROMOTED"
     )
 
 
