@@ -104,9 +104,9 @@ _PROMOTED = [
     # registered queries the staleness horizon is now CAPACITY-
     # DERIVED (tests/test_plans.py: ceil(N/50)−1 rounds — a 2-round
     # bound is unsatisfiable past 150).  Under it the sustainable r9
-    # window is the 6 _DEFERRED_NEW queries plus 44 of the 48
-    # r6-dated tail; the remaining 4 r6-dated become r10's mandatory
-    # front together with the oldest r7-dated.  The rule-2 re-check
+    # window is the _DEFERRED_NEW queries plus the oldest of the 48
+    # r6-dated tail; r6-dated leftovers become r10's mandatory front
+    # together with the oldest r7-dated.  The rule-2 re-check
     # of range_bucket_join was DISPLACED in r8 by the never-verified
     # partition_fingerprints — range_bucket_join holds a green r7
     # driver row, its r8 change is guard-only and passes
@@ -128,6 +128,7 @@ _DEFERRED_NEW = [
     "bm25_search",
     "vocab_drift",
     "partition_diff",
+    "events_skew_report",
 ]
 
 

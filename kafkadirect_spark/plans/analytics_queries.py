@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafkadirect_spark.functions import sketch
+from kafkadirect_spark.functions import diagnostics, sketch
 from kafkadirect_spark.plans.queries import query
 from kafkadirect_spark.sources.batch import load_table
 
@@ -253,7 +253,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate counting with an exact cross-engine oracle."""
     from pyspark.sql import functions as F
 
-    from kafkadirect_spark.functions import sketch, text
+    from kafkadirect_spark.functions import diagnostics, sketch, text
     from kafkadirect_spark.functions.dedup import _persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -404,7 +404,7 @@ def value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     data."""
     from pyspark.sql import functions as F
 
-    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions import diagnostics, sketch
 
     ev = load_table(spark, sf_dir, "events")
     v = (ev.filter(F.col("value").isNotNull())
@@ -451,7 +451,7 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards from a mergeable sketch, integer-exact cross-engine."""
     from pyspark.sql import functions as F
 
-    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions import diagnostics, sketch
 
     ev = load_table(spark, sf_dir, "events")
     v = (ev.filter(F.col("value").isNotNull())
@@ -507,7 +507,7 @@ def vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator with an exact cross-engine oracle."""
     from pyspark.sql import functions as F
 
-    from kafkadirect_spark.functions import sketch, text
+    from kafkadirect_spark.functions import diagnostics, sketch, text
     from kafkadirect_spark.functions.dedup import _persist
 
     docs = _persist(load_table(spark, sf_dir, "documents")
@@ -1164,7 +1164,7 @@ def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     target."""
     from pyspark.sql import functions as F
 
-    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions import diagnostics, sketch
 
     ev = load_table(spark, sf_dir, "events")
     v = ev.filter(F.col("value").isNotNull()) \
@@ -1362,10 +1362,28 @@ def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤groups·bins-row collect; converged groups drop out)."""
     from pyspark.sql import functions as F
 
-    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions import diagnostics, sketch
 
     ev = load_table(spark, sf_dir, "events")
     v = (ev.filter(F.col("value").isNotNull())
          .select("event_type",
                  F.floor(F.col("value") * 1000).cast("long").alias("v")))
     return sketch.exact_quantiles_grouped(v, "event_type", "v", _EXQG)
+
+
+@query(
+    "events_skew_report",
+    oracle=diagnostics.skew_report_sql("events", "event_type",
+                                       parts=64, top_k=5),
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (functions/diagnostics.py
+    skew_report) over the 5-value event_type key — the worst-case
+    low-cardinality shuffle key: exact count distribution (max /
+    p50 / p99 via histogram-narrowing selection, never a sort of the
+    counts frame), heaviest keys, hottest-key share, and the salt
+    factor the salted two-phase shapes would need at 64 partitions.
+    One data exchange (the per-key count), register-sized everything
+    after."""
+    ev = load_table(spark, sf_dir, "events")
+    return diagnostics.skew_report(ev, "event_type", parts=64, top_k=5)

@@ -1,0 +1,75 @@
+"""Skew diagnostics (functions/diagnostics.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kafkadirect_spark.functions import diagnostics
+
+
+def _skewed(spark):
+    # 'hot' 60 rows, 'warm' 30, eight cold keys 1-2 rows each
+    rows = [(i, "hot") for i in range(60)]
+    rows += [(i, "warm") for i in range(60, 90)]
+    rows += [(90 + i, f"c{i % 8}") for i in range(12)]
+    return spark.createDataFrame(rows, "id long, k string")
+
+
+def test_skew_report_values(spark):
+    out = {(r.stat, r.key): r.value for r in
+           diagnostics.skew_report(_skewed(spark), "k", parts=10,
+                                   top_k=3).collect()}
+    assert out[("total_rows", None)] == 102
+    assert out[("distinct_keys", None)] == 10
+    assert out[("max_key_rows", None)] == 60
+    # counts sorted: [1,1,1,1,2,2,2,2,30,60]; ceil-rank cover:
+    # p50 -> rank 5 -> 2; p99 -> rank 10 -> 60
+    assert out[("p50_key_rows", None)] == 2
+    assert out[("p99_key_rows", None)] == 60
+    assert out[("top1_share_ppm", None)] == 1_000_000 * 60 // 102
+    # hot key needs ceil(60*10/102) = 6 sub-keys to level out
+    assert out[("suggested_salt", None)] == 6
+    assert out[("heavy_key", "hot")] == 60
+    assert out[("heavy_key", "warm")] == 30
+    assert len([k for k in out if k[0] == "heavy_key"]) == 3
+
+
+def test_skew_report_uniform_needs_no_salt(spark):
+    df = spark.createDataFrame([(i, f"k{i % 8}") for i in range(80)],
+                               "id long, k string")
+    out = {r.stat: r.value for r in
+           diagnostics.skew_report(df, "k", parts=8).collect()
+           if r.key is None}
+    assert out["suggested_salt"] == 1
+    assert out["max_key_rows"] == out["p50_key_rows"] == 10
+
+
+def test_skew_report_oracle_parity_and_guards(spark):
+    df = _skewed(spark)
+    got = sorted(tuple(r) for r in
+                 diagnostics.skew_report(df, "k", parts=10,
+                                         top_k=4).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(
+        diagnostics.skew_report_sql("t", "k", parts=10,
+                                    top_k=4)).fetchall())
+    assert got == want
+    with pytest.raises(ValueError):
+        diagnostics.skew_report(df, "k", parts=0)
+    with pytest.raises(ValueError):
+        diagnostics.skew_report(df, "k", top_k=0)
+
+
+def test_skew_report_null_key_counted(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, None)],
+        "id long, k string")
+    out = diagnostics.skew_report(df, "k", parts=4, top_k=2).collect()
+    stats = {r.stat: r.value for r in out if r.key is None
+             and r.stat != "heavy_key"}
+    heavy = [(r.key, r.value) for r in out if r.stat == "heavy_key"]
+    assert stats["distinct_keys"] == 2
+    assert stats["max_key_rows"] == 3
+    # NULL is a real key and may appear in the heavy list
+    assert (None, 3) in heavy
