@@ -80,6 +80,81 @@ def skew_report(df: DataFrame, key_col: str, parts: int = 200,
         counts.unpersist()
 
 
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 3, max_groups: int = 10_000) -> DataFrame:
+    """Robust per-group outliers: flag rows where
+    ``|v − median| > k · MAD`` (MAD = median absolute deviation) —
+    the estimator a heavy-tailed column needs where ``value_outliers``'
+    mean/σ rule breaks (one extreme value inflates σ enough to hide
+    every other outlier; the median and MAD have a 50% breakdown
+    point).  All integer: ``value_col`` must be integral (use the
+    repo's cents/milli convention upstream), medians are TRUE order
+    statistics with the ``min v : count(≤v) ≥ ⌈n/2⌉`` cover, and the
+    flag compares ``abs_dev > k·mad`` exactly — no float sigma to
+    flip borderline rows in the last ulp.  When MAD = 0 (over half
+    the group shares one value), any deviation flags — the standard
+    degenerate-MAD behavior, deterministic in both engines.
+
+    Scale ledger: two grouped histogram-narrowing selection passes
+    (``sketch.exact_quantiles_grouped`` — register-sized exchanges
+    and ≤ groups·bins collects, never a sort), each broadcast-joined
+    back; the data itself is scanned, never reshuffled.  Returns the
+    input columns plus ``(med, abs_dev, mad)``.
+    """
+    from kafkadirect_spark.functions.sketch import exact_quantiles_grouped
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.filter(F.col(value_col).isNotNull())
+    med = (exact_quantiles_grouped(base, group_col, value_col, [500],
+                                   max_groups=max_groups)
+           .select(F.col(group_col), F.col("value").alias("med")))
+    dev = (base.join(F.broadcast(med), group_col)
+           .withColumn("abs_dev",
+                       F.abs(F.col(value_col) - F.col("med"))))
+    mad = (exact_quantiles_grouped(dev, group_col, "abs_dev", [500],
+                                   max_groups=max_groups)
+           .select(F.col(group_col), F.col("value").alias("mad")))
+    return (dev.join(F.broadcast(mad), group_col)
+            .filter(F.col("abs_dev") > F.lit(k) * F.col("mad")))
+
+
+def mad_outliers_sql(table: str, id_cols: str, group_col: str,
+                     value_expr: str, value_alias: str,
+                     k: int = 3) -> str:
+    """DuckDB replay of ``mad_outliers`` — the same ⌈n/2⌉ rank cover
+    for both medians (``value_expr`` must already be the integral
+    form, e.g. ``CAST(FLOOR(value*100) AS BIGINT)``, and
+    ``value_alias`` the engine side's column name)."""
+    v = value_alias
+    return f"""
+    WITH base AS (
+      SELECT {id_cols}, {group_col}, {value_expr} AS {v}
+      FROM {table} WHERE {value_expr} IS NOT NULL),
+    r1 AS (SELECT {group_col}, {v},
+                  ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                     ORDER BY {v}) AS rk,
+                  COUNT(*) OVER (PARTITION BY {group_col}) AS n
+           FROM base),
+    med AS (SELECT {group_col},
+                   MIN(CASE WHEN rk >= (500 * n + 999) // 1000
+                            THEN {v} END) AS med
+            FROM r1 GROUP BY 1),
+    dev AS (SELECT base.*, med, ABS({v} - med) AS abs_dev
+            FROM base JOIN med USING ({group_col})),
+    r2 AS (SELECT {group_col}, abs_dev,
+                  ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                     ORDER BY abs_dev) AS rk,
+                  COUNT(*) OVER (PARTITION BY {group_col}) AS n
+           FROM dev),
+    mad AS (SELECT {group_col},
+                   MIN(CASE WHEN rk >= (500 * n + 999) // 1000
+                            THEN abs_dev END) AS mad
+            FROM r2 GROUP BY 1)
+    SELECT dev.*, mad FROM dev JOIN mad USING ({group_col})
+    WHERE abs_dev > {k} * mad"""
+
+
 def skew_report_sql(table: str, key_expr: str, parts: int = 200,
                     top_k: int = 5) -> str:
     """DuckDB replay of ``skew_report``.  The quantile rank is the

@@ -129,6 +129,7 @@ _DEFERRED_NEW = [
     "vocab_drift",
     "partition_diff",
     "events_skew_report",
+    "value_outliers_mad",
 ]
 
 

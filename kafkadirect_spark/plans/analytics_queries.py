@@ -1387,3 +1387,28 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     after."""
     ev = load_table(spark, sf_dir, "events")
     return diagnostics.skew_report(ev, "event_type", parts=64, top_k=5)
+
+
+@query(
+    "value_outliers_mad",
+    oracle=diagnostics.mad_outliers_sql(
+        "events", "event_id", "event_type",
+        "CAST(FLOOR(value * 100) AS BIGINT)", "value_cents", k=3),
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers (functions/diagnostics.py
+    mad_outliers): |v − median| > 3·MAD over integer cents — the
+    heavy-tail companion to value_outliers' mean/σ rule (σ has a 0%
+    breakdown point: one extreme value hides every other outlier;
+    median/MAD break down at 50%).  Medians are true order
+    statistics via the grouped histogram-narrowing selection — the
+    data is scanned, never reshuffled, and no per-group sort
+    exists at any scale."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type",
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("value_cents"))
+    return diagnostics.mad_outliers(base, "event_type", "value_cents",
+                                    k=3)

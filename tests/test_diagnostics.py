@@ -73,3 +73,53 @@ def test_skew_report_null_key_counted(spark):
     assert stats["max_key_rows"] == 3
     # NULL is a real key and may appear in the heavy list
     assert (None, 3) in heavy
+
+
+def test_mad_outliers_model(spark):
+    # group 'a': values 1..9 plus a 1000 spike; med=5 (ceil-rank of
+    # 10 values -> rank 5), abs devs sorted: [0,1,1,2,2,3,3,4,4,995]
+    # -> MAD=2; flag |v-5| > 6 -> only the spike.
+    # group 'b': all equal -> MAD 0 -> any deviation flags.
+    rows = [(i, "a", v) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    rows += [(100 + i, "b", 7) for i in range(5)] + [(200, "b", 8)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = diagnostics.mad_outliers(df, "g", "v", k=3).collect()
+    got = {(r.g, r.id): (r.med, r.abs_dev, r.mad) for r in out}
+    assert got == {("a", 9): (5, 995, 2), ("b", 200): (7, 1, 0)}
+
+
+def test_mad_outliers_sigma_blindspot(spark):
+    # the case the mean/sigma rule misses: one huge spike inflates
+    # sigma so a second, smaller-but-real outlier hides under 3-sigma;
+    # MAD flags both
+    vals = [10] * 40 + [11] * 40 + [9] * 18 + [500, 100_000]
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)],
+                               "id long, g string, v long")
+    import statistics
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    sigma_flags = {i for i, v in enumerate(vals) if abs(v - mu) > 3 * sd}
+    mad_flags = {r.id for r in
+                 diagnostics.mad_outliers(df, "g", "v", k=3).collect()}
+    assert {len(vals) - 2, len(vals) - 1} <= mad_flags  # MAD gets both
+    assert len(vals) - 2 not in sigma_flags  # sigma hides the 500
+
+
+def test_mad_outliers_oracle_parity(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.choice("xy"), rng.randrange(-50, 50) ** 3)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = sorted(tuple(r) for r in
+                 diagnostics.mad_outliers(df, "g", "v", k=3)
+                 .select("id", "g", "v", "med", "abs_dev", "mad")
+                 .collect())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "g", "v"]))
+    want = sorted(tuple(r) for r in con.sql(
+        diagnostics.mad_outliers_sql("t", "id", "g", "v", "v",
+                                     k=3)).fetchall())
+    assert got == want
+    with pytest.raises(ValueError):
+        diagnostics.mad_outliers(df, "g", "v", k=0)
