@@ -723,3 +723,53 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str,
             rows, f"{group_col} {gtype}, q_permille int, value long")
     finally:
         vals.unpersist()
+
+
+def bucketize_by_quantiles(df: DataFrame, col: Column | str,
+                           n_buckets: int = 10,
+                           out_col: str = "bucket") -> DataFrame:
+    """Exact equi-depth bucketing: every non-null row gets the
+    0-based quantile bucket its value falls in — the stratification
+    primitive (balance a sample across value strata, bin scores for
+    DSIR-style mixing, build equi-depth histograms for range-join
+    width selection).  Buckets are TRUE quantile cells, not a fixed
+    grid: cut c_i is the exact rank-⌈i·n/n_buckets⌉ element
+    (``exact_quantiles``' cover), and a row's bucket is simply the
+    number of cuts strictly below its value — ties share one bucket
+    by construction, so heavy repeated values never straddle.
+
+    Scale ledger: the cuts come from the histogram-narrowing
+    selection (register-sized exchanges, ≤ n_buckets−1 collected
+    values); assignment is a row-local codegen expression over the
+    broadcast cut literals — the data itself is scanned once and
+    never shuffled.  Null values get a null bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    qs = [i * 1000 // n_buckets for i in range(1, n_buckets)]
+    cuts = [int(r["value"]) for r in
+            exact_quantiles(df, c, sorted(set(qs))).collect()]
+    bucket = None
+    for cut in cuts:
+        term = (c > F.lit(cut)).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn(
+        out_col, F.when(c.isNotNull(), bucket.cast("long")))
+
+
+def bucketize_sql_cuts(table: str, value_expr: str,
+                       n_buckets: int = 10) -> str:
+    """DuckDB fragment: the same exact-rank cuts as a scalar-ready
+    CTE body — ``SELECT list_sort(list(v)) ...`` is not needed; the
+    rank cover mirrors ``exact_quantiles``."""
+    qs = sorted(set(i * 1000 // n_buckets for i in range(1, n_buckets)))
+    cases = ", ".join(
+        f"MIN(CASE WHEN rk >= ({q} * n + 999) // 1000 THEN v END) AS c{q}"
+        for q in qs)
+    return f"""(
+      SELECT {cases}
+      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM (SELECT {value_expr} AS v FROM {table}
+                  WHERE {value_expr} IS NOT NULL)))"""

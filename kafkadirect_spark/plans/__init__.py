@@ -130,6 +130,7 @@ _DEFERRED_NEW = [
     "partition_diff",
     "events_skew_report",
     "value_outliers_mad",
+    "value_decile_buckets",
 ]
 
 

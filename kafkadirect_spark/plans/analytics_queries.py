@@ -1412,3 +1412,42 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("value_cents"))
     return diagnostics.mad_outliers(base, "event_type", "value_cents",
                                     k=3)
+
+
+_DECILE_QS = [i * 100 for i in range(1, 10)]
+
+
+@query(
+    "value_decile_buckets",
+    oracle=f"""
+    WITH cuts AS {sketch.bucketize_sql_cuts(
+        "events", "CAST(FLOOR(value * 100) AS BIGINT)", 10)},
+    base AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v
+             FROM events WHERE value IS NOT NULL),
+    b AS (SELECT v,
+                 ({" + ".join(f"(v > c{q})::INT" for q in _DECILE_QS)})
+                   AS bucket
+          FROM base CROSS JOIN cuts)
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*)::BIGINT AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM b GROUP BY 1
+    """,
+)
+def value_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of the event value
+    (sketch.bucketize_by_quantiles): cuts are true order statistics
+    from the histogram-narrowing selection, assignment is a
+    row-local expression over the broadcast cut literals (the data
+    is never shuffled for the cuts), and the per-bucket report pins
+    the equi-depth property — ~n/10 rows per bucket up to ties."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    base = ev.select(F.floor(F.col("value") * 100).cast("long")
+                     .alias("v"))
+    bk = sketch.bucketize_by_quantiles(base, "v", 10)
+    return (bk.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v")))

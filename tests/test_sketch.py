@@ -577,3 +577,44 @@ def test_exact_quantiles_rejects_bad_permille(spark):
     with pytest.raises(ValueError):
         sketch.exact_quantiles_grouped(
             df.withColumn("g", F.lit("a")), "g", "x", [0])
+
+
+def test_bucketize_by_quantiles_model(spark):
+    # 100 distinct values 0..99 -> deciles are exactly 10 wide
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    out = sketch.bucketize_by_quantiles(df, "v", 10).collect()
+    got = {r.v: r.bucket for r in out}
+    # cut_q = rank-ceil(q*100/1000) element = value (10q/100)*... :
+    # cuts are 9,19,...,89; bucket = #cuts strictly below v
+    for v in range(100):
+        assert got[v] == min(v // 10, 9), (v, got[v])
+
+
+def test_bucketize_ties_share_a_bucket_and_nulls(spark):
+    rows = [(1,)] * 7 + [(2,)] * 2 + [(50,)] + [(None,)]
+    df = spark.createDataFrame(rows, "v long")
+    out = sketch.bucketize_by_quantiles(df, "v", 4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.v, set()).add(r.bucket)
+    # all ties of the majority value land in ONE bucket (never split)
+    assert got[1] == {0}
+    assert got[None] == {None}
+    assert max(b for bs in got.values() for b in bs if b is not None) <= 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sketch.bucketize_by_quantiles(df, "v", 1)
+
+
+def test_bucketize_equidepth_on_random(spark):
+    import random
+    rng = random.Random(3)
+    vals = [rng.randrange(0, 10**9) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = sketch.bucketize_by_quantiles(df, "v", 10)
+    sizes = {r.bucket: r.n for r in
+             out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert set(sizes) == set(range(10))
+    # distinct random values -> every bucket within 1 of n/10
+    assert all(abs(n - 200) <= 1 for n in sizes.values()), sizes
