@@ -123,6 +123,21 @@ HEADLINERS = {
                           "projection is literal-argmin expressions "
                           "(or one broadcast int64-matmul Arrow pass "
                           "at large m·k) — zero joins either way",
+    "bm25_search": "query-term filter BEFORE the explode (the "
+                   "(doc, term) exchange is ∝ matches, never corpus "
+                   "tokens); one-row corpus stats broadcast "
+                   "(allowlisted scalar-subquery BNLJ); TakeOrdered "
+                   "top-k",
+    "vocab_drift": "slice filter pushed to the parquet scan; one "
+                   "vocabulary-keyed exchange with map-side partial "
+                   "sums; broadcast totals; TakeOrdered",
+    "value_decile_buckets": "bucket assignment is a row-local "
+                            "expression over broadcast cut literals "
+                            "— the only exchange is the 10-group "
+                            "report aggregate",
+    "events_skew_report": "one per-key count exchange; stats/"
+                          "quantiles collected register-sized; "
+                          "heavy keys via TakeOrdered",
 }
 
 
