@@ -543,6 +543,19 @@ def term_relevance(df: DataFrame, id_col: str, text_col: str, k: int = 3,
                     F.col("score_ppm"), F.col("rk").cast("long").alias("rk")))
 
 
+def _check_query_terms(terms: list[str]) -> None:
+    """Terms outside the tokenizer alphabet [a-z0-9]+ can never match
+    a token (tokens() lowercases and splits on everything else), and
+    a quote would corrupt the generated oracle SQL — reject both at
+    the API edge, in the engine AND the SQL generator."""
+    import re as _re
+
+    bad = [t for t in terms if not _re.fullmatch(r"[a-z0-9]+", t or "")]
+    if bad:
+        raise ValueError(
+            f"terms outside the tokenizer alphabet [a-z0-9]+: {bad}")
+
+
 def bm25_rank(df: DataFrame, id_col: str, text_col: str,
               query_terms: list[str], k: int = 10,
               k1_ppm: int = 1_200_000, b_ppm: int = 750_000,
@@ -581,6 +594,7 @@ def bm25_rank(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
+    _check_query_terms(query_terms)
     qlit = F.array(*[F.lit(t) for t in query_terms])
     toks = tokens(text_col)
     base = _persist(df.select(
@@ -646,6 +660,9 @@ def vocab_drift(df: DataFrame, text_col: str, slice_col: str,
     """
     if slice_a == slice_b:
         raise ValueError("slice_a and slice_b must differ")
+    if "'" in slice_a or "'" in slice_b:
+        raise ValueError("slice values must not contain quotes "
+                         "(they are embedded in the oracle SQL)")
     sl = F.col(slice_col)
     terms = (df.filter(sl.isin([slice_a, slice_b]))
              .select(sl.alias("__sl"),
@@ -685,6 +702,8 @@ def vocab_drift_sql(slice_col: str, slice_a: str, slice_b: str,
                     k: int = 20, min_count: int = 5,
                     scale: int = 1_000_000) -> str:
     """DuckDB replay of ``vocab_drift`` over the ``documents`` view."""
+    if "'" in slice_a or "'" in slice_b:
+        raise ValueError("slice values must not contain quotes")
     return f"""
     WITH occ AS (
       SELECT {slice_col} AS sl, unnest(
@@ -721,6 +740,7 @@ def bm25_rank_sql(query_terms: list[str], k: int = 10,
     """DuckDB replay of ``bm25_rank`` over the ``documents`` view —
     HUGEINT ``//`` mirrors decimal ``div`` exactly (all values
     positive, both truncate)."""
+    _check_query_terms(query_terms)
     terms = "[" + ", ".join(f"'{t}'" for t in query_terms) + "]"
     return f"""
     WITH base AS (

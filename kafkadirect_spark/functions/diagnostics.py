@@ -51,6 +51,8 @@ def skew_report(df: DataFrame, key_col: str, parts: int = 200,
         s = counts.agg(F.sum("__cnt").alias("total"),
                        F.count(F.lit(1)).alias("n_keys"),
                        F.max("__cnt").alias("mx")).collect()[0]
+        if s["total"] is None:
+            raise ValueError("skew_report: input has no rows")
         total, n_keys, mx = int(s["total"]), int(s["n_keys"]), int(s["mx"])
         qs = {r["q_permille"]: int(r["value"]) for r in
               exact_quantiles(counts, "__cnt", [500, 990]).collect()}

@@ -750,10 +750,11 @@ def bucketize_by_quantiles(df: DataFrame, col: Column | str,
     qs = [i * 1000 // n_buckets for i in range(1, n_buckets)]
     cuts = [int(r["value"]) for r in
             exact_quantiles(df, c, sorted(set(qs))).collect()]
-    bucket = None
+    # empty / all-null input yields no cuts: every (nonexistent or
+    # future) non-null value belongs to bucket 0
+    bucket = F.lit(0)
     for cut in cuts:
-        term = (c > F.lit(cut)).cast("int")
-        bucket = term if bucket is None else bucket + term
+        bucket = bucket + (c > F.lit(cut)).cast("int")
     return df.withColumn(
         out_col, F.when(c.isNotNull(), bucket.cast("long")))
 

@@ -944,3 +944,18 @@ def test_fingerprint_diff_detects_content_not_count(spark):
     row = curation.fingerprint_diff(fp(a), fp(b), ["part"]).collect()
     assert len(row) == 1 and row[0].status == "changed"
     assert row[0].n_rows_old == row[0].n_rows_new == 2
+
+
+def test_bm25_and_drift_reject_sql_hostile_inputs(spark):
+    df = spark.createDataFrame([(1, "a b", "x")],
+                               "doc_id long, text string, src string")
+    # outside the tokenizer alphabet: can never match AND would break
+    # the quoted oracle SQL -> rejected at the API edge
+    with pytest.raises(ValueError, match="alphabet"):
+        curation.bm25_rank(df, "doc_id", "text", ["O'Brien"])
+    with pytest.raises(ValueError, match="alphabet"):
+        curation.bm25_rank_sql(["Upper"])
+    with pytest.raises(ValueError, match="quote"):
+        curation.vocab_drift(df, "text", "src", "a'b", "c")
+    with pytest.raises(ValueError, match="quote"):
+        curation.vocab_drift_sql("src", "a", "b'c")

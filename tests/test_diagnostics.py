@@ -123,3 +123,17 @@ def test_mad_outliers_oracle_parity(spark):
     assert got == want
     with pytest.raises(ValueError):
         diagnostics.mad_outliers(df, "g", "v", k=0)
+
+
+def test_empty_inputs_fail_or_degrade_cleanly(spark):
+    from kafkadirect_spark.functions import sketch
+
+    empty = spark.createDataFrame([], "id long, k string, v long")
+    with pytest.raises(ValueError, match="no rows"):
+        diagnostics.skew_report(empty, "k")
+    # bucketize on empty/all-null input: no cuts -> bucket 0 for any
+    # (nonexistent) non-null value; no crash
+    assert sketch.bucketize_by_quantiles(empty, "v", 4).count() == 0
+    nulls = spark.createDataFrame([(1, None)], "id long, v long")
+    out = sketch.bucketize_by_quantiles(nulls, "v", 4).collect()
+    assert out[0].bucket is None
