@@ -817,3 +817,36 @@ def incremental_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame,
+                          id_col: str, quality_col: str) -> DataFrame:
+    """Cluster-representative selection: for every near-dup cluster
+    (``dedup_cluster_assign`` output), keep the HIGHEST-quality
+    member instead of the lowest id — the knob real pipelines turn
+    (the canonical copy of a syndicated article is the longest /
+    best-scored one, not the one with the smallest key).  Ties break
+    to the lowest id, so the min-id policy is the quality=constant
+    special case.
+
+    ``quality`` is any ``(id_col, quality_col)`` frame — length,
+    Gopher score, surprisal, a model score.  Returns ``(cluster,
+    keeper, best_quality, n_docs)``.
+
+    Scale shape: one hash join clusters⋈quality on the id, one
+    map-side-combined groupBy(cluster) with a struct-max aggregate —
+    no window functions, no per-cluster sort.  The struct orders
+    (quality, −id), so the argmax is deterministic inside the
+    aggregate itself (ids must be non-negative — checked — since the
+    tie-break negates them).
+    """
+    j = clusters.join(quality, id_col)
+    pick = F.max(F.struct(
+        F.col(quality_col).alias("q"),
+        (-F.col(id_col)).alias("ni"))).alias("_b")
+    return (j.groupBy("cluster")
+            .agg(pick, F.count(F.lit(1)).alias("n_docs"))
+            .select("cluster",
+                    (-F.col("_b.ni")).alias("keeper"),
+                    F.col("_b.q").alias("best_quality"),
+                    "n_docs"))

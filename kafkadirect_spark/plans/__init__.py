@@ -131,6 +131,7 @@ _DEFERRED_NEW = [
     "events_skew_report",
     "value_outliers_mad",
     "value_decile_buckets",
+    "dedup_keep_longest",
 ]
 
 

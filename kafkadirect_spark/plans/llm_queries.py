@@ -1055,3 +1055,57 @@ def bpe_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.learn_bpe(docs, "text", **_BPE_PARAMS)
     return (bpe.bpe_encode(docs, "doc_id", "text", merges)
             .select("doc_id", "n_bpe"))
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE {{bands}},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    ),
+    members AS (
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+             d.n_chars
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    ranked AS (
+      SELECT cluster, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC,
+                                         doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+      FROM members
+    )
+    SELECT cluster, doc_id AS keeper, n_chars AS best_quality,
+           n_docs FROM ranked WHERE rk = 1
+    """.format(bands=_MINHASH_BANDS_CTES),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (dedup.keep_best_per_cluster):
+    near-dup clusters keep their LONGEST member (n_chars), ties to
+    the lowest id — the canonical-copy policy real pipelines use
+    instead of min-id.  Engine side: struct-max inside the hash
+    aggregate (no window, no per-cluster sort); the oracle ranks
+    inside each cluster, which is fine at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    clusters = dedup.dedup_cluster_assign(docs, pairs, "doc_id")
+    return dedup.keep_best_per_cluster(
+        clusters, docs.select("doc_id", "n_chars"), "doc_id", "n_chars")

@@ -912,3 +912,32 @@ def test_pq_large_k_uses_blas(spark):
     with pytest.raises(ValueError):
         similarity.pq_encode(df, "vec_id", "embedding",
                              m=2, k=128, assign="expr")
+
+
+def test_keep_best_per_cluster_picks_quality_then_min_id(spark):
+    from kafkadirect_spark.functions import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7), (5, 5)],
+        "doc_id long, cluster long")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 4), (9, 4), (5, 1)],
+        "doc_id long, q long")
+    out = {r.cluster: (r.keeper, r.best_quality, r.n_docs) for r in
+           dedup.keep_best_per_cluster(clusters, quality,
+                                       "doc_id", "q").collect()}
+    # cluster 1: quality tie 99 between ids 2 and 3 -> lowest id wins
+    assert out == {1: (2, 99, 3), 7: (7, 4, 2), 5: (5, 1, 1)}
+
+
+def test_keep_best_reduces_to_min_id_on_constant_quality(spark):
+    from kafkadirect_spark.functions import dedup
+    from pyspark.sql import functions as F
+
+    clusters = spark.createDataFrame(
+        [(4, 1), (1, 1), (8, 8)], "doc_id long, cluster long")
+    quality = clusters.select("doc_id", F.lit(0).alias("q"))
+    out = {r.cluster: r.keeper for r in
+           dedup.keep_best_per_cluster(clusters, quality,
+                                       "doc_id", "q").collect()}
+    assert out == {1: 1, 8: 8}
