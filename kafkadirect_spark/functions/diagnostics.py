@@ -188,3 +188,90 @@ def skew_report_sql(table: str, key_expr: str, parts: int = 200,
       UNION ALL SELECT * FROM (
         SELECT 'heavy_key', k, cnt FROM c
         ORDER BY cnt DESC, k ASC NULLS FIRST LIMIT {top_k}))"""
+
+
+def embedding_profile(df: DataFrame, vec_col: str,
+                      norm_scale: int = 1000) -> DataFrame:
+    """Vector-column QA in one row: count, null vectors, dimension
+    range (a ragged embedding column silently breaks every matmul
+    path downstream), zero vectors (cosine against them is NaN), and
+    exact norm quantiles in scaled-integer form — the ingest check
+    to run before any similarity/ANN/PQ stage trusts the column.
+
+    Norms follow the repo's float-determinism contract (the one the
+    cosine oracles already rely on): the squared sum is a sequential
+    double fold in array order — bit-identical in Spark's
+    higher-order aggregate and DuckDB's list fold — and
+    ``floor(norm_scale·√x)`` lands it in BIGINT for hash-exact
+    comparison.  Quantiles are true order statistics over those
+    integers (histogram-narrowing selection; no sort).
+
+    One scan; every aggregate is register-sized.
+    """
+    from kafkadirect_spark.functions.sketch import exact_quantiles
+
+    v = F.col(vec_col)
+    sumsq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    base = df.select(
+        v.isNull().cast("int").alias("__isnull"),
+        F.size(v).alias("__dim"),
+        F.when(v.isNotNull(),
+               F.floor(F.lit(norm_scale) * F.sqrt(sumsq))
+               .cast("long")).alias("__norm"))
+    s = base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("__isnull").alias("null_vectors"),
+        F.min(F.when(F.col("__isnull") == 0, F.col("__dim")))
+        .alias("dim_min"),
+        F.max(F.when(F.col("__isnull") == 0, F.col("__dim")))
+        .alias("dim_max"),
+        F.sum(F.when(F.col("__norm") == 0, 1).otherwise(0))
+        .alias("zero_vectors")).collect()[0]
+    qs = {r["q_permille"]: int(r["value"]) for r in
+          exact_quantiles(base.filter(F.col("__isnull") == 0),
+                          "__norm", [500, 990]).collect()}
+    row = [(int(s["n_vectors"]), int(s["null_vectors"]),
+            int(s["dim_min"]), int(s["dim_max"]),
+            int(s["zero_vectors"]), qs.get(500), qs.get(990))]
+    return df.sparkSession.createDataFrame(
+        row, "n_vectors long, null_vectors long, dim_min long, "
+             "dim_max long, zero_vectors long, norm_p50 long, "
+             "norm_p99 long")
+
+
+def embedding_profile_sql(table: str, vec_col: str,
+                          norm_scale: int = 1000) -> str:
+    """DuckDB replay of ``embedding_profile`` — the same sequential
+    double fold (list_aggregate sum is in-order) and the same
+    ⌈q·n/1000⌉ rank cover."""
+    nrm = (f"CAST(FLOOR({norm_scale} * SQRT(list_aggregate("
+           f"list_transform({vec_col}, x -> CAST(x AS DOUBLE) * "
+           f"CAST(x AS DOUBLE)), 'sum'))) AS BIGINT)")
+    return f"""
+    WITH base AS (
+      SELECT CASE WHEN {vec_col} IS NULL THEN 1 ELSE 0 END AS is_null,
+             len({vec_col}) AS dim,
+             CASE WHEN {vec_col} IS NOT NULL
+                  THEN COALESCE({nrm}, 0) END AS nrm
+      FROM {table}),
+    s AS (SELECT COUNT(*)::BIGINT AS n_vectors,
+                 SUM(is_null)::BIGINT AS null_vectors,
+                 MIN(CASE WHEN is_null = 0 THEN dim END)::BIGINT
+                   AS dim_min,
+                 MAX(CASE WHEN is_null = 0 THEN dim END)::BIGINT
+                   AS dim_max,
+                 SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS zero_vectors
+          FROM base),
+    r AS (SELECT nrm, ROW_NUMBER() OVER (ORDER BY nrm) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM base WHERE is_null = 0),
+    q AS (SELECT
+      MIN(CASE WHEN rk >= (500 * n + 999) // 1000 THEN nrm END)
+        AS norm_p50,
+      MIN(CASE WHEN rk >= (990 * n + 999) // 1000 THEN nrm END)
+        AS norm_p99
+      FROM r)
+    SELECT s.*, q.norm_p50, q.norm_p99 FROM s CROSS JOIN q"""

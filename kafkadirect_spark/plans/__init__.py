@@ -132,6 +132,7 @@ _DEFERRED_NEW = [
     "value_outliers_mad",
     "value_decile_buckets",
     "dedup_keep_longest",
+    "embedding_profile",
 ]
 
 

@@ -1451,3 +1451,18 @@ def value_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("v").alias("min_v"),
                  F.max("v").alias("max_v")))
+
+
+@query(
+    "embedding_profile",
+    oracle=diagnostics.embedding_profile_sql("embeddings", "embedding"),
+)
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column QA (functions/diagnostics.py embedding_profile):
+    count, null vectors, dimension range (ragged embeddings break
+    every matmul path), zero vectors (NaN cosines), exact norm
+    quantiles in scaled integers (sequential double fold — the same
+    float-determinism contract the cosine oracles rely on).  One
+    scan, register-sized aggregates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return diagnostics.embedding_profile(emb, "embedding")

@@ -137,3 +137,27 @@ def test_empty_inputs_fail_or_degrade_cleanly(spark):
     nulls = spark.createDataFrame([(1, None)], "id long, v long")
     out = sketch.bucketize_by_quantiles(nulls, "v", 4).collect()
     assert out[0].bucket is None
+
+
+def test_embedding_profile_flags_defects(spark):
+    rows = [(1, [3.0, 4.0]),        # norm 5.0 -> 5000
+            (2, [0.0, 0.0]),        # zero vector
+            (3, None),              # null vector
+            (4, [1.0, 0.0, 0.0])]   # ragged dim
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = diagnostics.embedding_profile(df, "v").collect()[0]
+    assert (out.n_vectors, out.null_vectors) == (4, 1)
+    assert (out.dim_min, out.dim_max) == (2, 3)
+    assert out.zero_vectors == 1
+    # norms: [5000, 0, 1000]; ceil-rank p50 -> rank 2 -> 1000
+    assert out.norm_p50 == 1000
+    assert out.norm_p99 == 5000
+    # oracle parity incl. the empty-array and null edge
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(
+        {"id": [1, 2, 3, 4],
+         "v": [[3.0, 4.0], [0.0, 0.0], None, [1.0, 0.0, 0.0]]}))
+    want = con.sql(diagnostics.embedding_profile_sql("e", "v")).fetchall()
+    assert [tuple(out)] == [tuple(r) for r in want]
