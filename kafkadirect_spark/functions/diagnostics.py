@@ -275,3 +275,75 @@ def embedding_profile_sql(table: str, vec_col: str,
         AS norm_p99
       FROM r)
     SELECT s.*, q.norm_p50, q.norm_p99 FROM s CROSS JOIN q"""
+
+
+def join_cardinality(a: DataFrame, b: DataFrame,
+                     key_a: str, key_b: str) -> DataFrame:
+    """EXACT output cardinality of ``a ⋈ b`` on an equi-key, without
+    running the join: Σ over shared keys of cnt_a(k)·cnt_b(k) — the
+    pre-flight explosion check for fact⋈fact joins (a many-to-many
+    key nobody noticed turns a join into a row bomb; this answers
+    "how many rows will come out" from two count tables).  NULL keys
+    are excluded (they never match in an equi-join).
+
+    Output (one row): ``rows_a, rows_b, distinct_keys_a,
+    distinct_keys_b, shared_keys, join_rows, amplification_ppm``
+    (join output per input row of the LARGER side, ×10⁶ — 1_000_000
+    means pass-through, far above means explosion).
+
+    Scale ledger: one per-key count exchange per side (map-side
+    combined, key-cardinality output), a key-keyed join of the two
+    COUNT tables (never the data), one register-sized aggregate.
+    ``join_rows`` accumulates in decimal(38,0): cnt_a·cnt_b alone
+    can exceed int64 (1e10 × 1e10).
+    """
+    ca = (a.filter(F.col(key_a).isNotNull())
+          .groupBy(F.col(key_a).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__na")))
+    cb = (b.filter(F.col(key_b).isNotNull())
+          .groupBy(F.col(key_b).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__nb")))
+    sa = ca.agg(F.sum("__na").alias("ra"),
+                F.count(F.lit(1)).alias("ka")).collect()[0]
+    sb = cb.agg(F.sum("__nb").alias("rb"),
+                F.count(F.lit(1)).alias("kb")).collect()[0]
+    rows_a = int(sa["ra"] or 0)
+    rows_b = int(sb["rb"] or 0)
+    j = (ca.join(cb, "__k")
+         .agg(F.count(F.lit(1)).alias("shared"),
+              F.sum(F.col("__na").cast("decimal(38,0)")
+                    * F.col("__nb").cast("decimal(38,0)"))
+              .alias("jr")).collect()[0])
+    join_rows = int(j["jr"] or 0)
+    bigger = max(rows_a, rows_b)
+    row = [(rows_a, rows_b, int(sa["ka"]), int(sb["kb"]),
+            int(j["shared"]), join_rows,
+            (1_000_000 * join_rows // bigger) if bigger else 0)]
+    return a.sparkSession.createDataFrame(
+        row, "rows_a long, rows_b long, distinct_keys_a long, "
+             "distinct_keys_b long, shared_keys long, join_rows long, "
+             "amplification_ppm long")
+
+
+def join_cardinality_sql(table_a: str, key_a: str,
+                         table_b: str, key_b: str) -> str:
+    """DuckDB replay of ``join_cardinality``."""
+    return f"""
+    WITH ca AS (SELECT {key_a} AS k, COUNT(*)::HUGEINT AS na
+                FROM {table_a} WHERE {key_a} IS NOT NULL GROUP BY 1),
+    cb AS (SELECT {key_b} AS k, COUNT(*)::HUGEINT AS nb
+           FROM {table_b} WHERE {key_b} IS NOT NULL GROUP BY 1),
+    sa AS (SELECT COALESCE(SUM(na), 0)::BIGINT AS rows_a,
+                  COUNT(*)::BIGINT AS distinct_keys_a FROM ca),
+    sb AS (SELECT COALESCE(SUM(nb), 0)::BIGINT AS rows_b,
+                  COUNT(*)::BIGINT AS distinct_keys_b FROM cb),
+    jj AS (SELECT COUNT(*)::BIGINT AS shared_keys,
+                  COALESCE(SUM(na * nb), 0)::HUGEINT AS join_rows
+           FROM ca JOIN cb USING (k))
+    SELECT rows_a, rows_b, distinct_keys_a, distinct_keys_b,
+           shared_keys, join_rows::BIGINT AS join_rows,
+           CASE WHEN GREATEST(rows_a, rows_b) > 0
+                THEN (1000000::HUGEINT * join_rows
+                      // GREATEST(rows_a, rows_b))::BIGINT
+                ELSE 0 END AS amplification_ppm
+    FROM sa CROSS JOIN sb CROSS JOIN jj"""

@@ -133,6 +133,7 @@ _DEFERRED_NEW = [
     "value_decile_buckets",
     "dedup_keep_longest",
     "embedding_profile",
+    "join_explosion_check",
 ]
 
 

@@ -1466,3 +1466,22 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, register-sized aggregates."""
     emb = load_table(spark, sf_dir, "embeddings")
     return diagnostics.embedding_profile(emb, "embedding")
+
+
+@query(
+    "join_explosion_check",
+    oracle=diagnostics.join_cardinality_sql(
+        "events", "user_id", "orders", "o_custkey"),
+)
+def join_explosion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight fact⋈fact join cardinality
+    (functions/diagnostics.py join_cardinality): the EXACT output
+    row count of events⋈orders on the customer key, from the two
+    COUNT tables — Σ cnt_a·cnt_b over shared keys in decimal(38,0)
+    — plus per-side totals and the amplification ratio.  The data
+    itself is never joined; each side pays one map-side-combined
+    count exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return diagnostics.join_cardinality(ev, orders,
+                                        "user_id", "o_custkey")

@@ -161,3 +161,38 @@ def test_embedding_profile_flags_defects(spark):
          "v": [[3.0, 4.0], [0.0, 0.0], None, [1.0, 0.0, 0.0]]}))
     want = con.sql(diagnostics.embedding_profile_sql("e", "v")).fetchall()
     assert [tuple(out)] == [tuple(r) for r in want]
+
+
+def test_join_cardinality_exact_vs_actual_join(spark):
+    a = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (3, "k2"), (4, None), (5, "only_a")],
+        "id long, k string")
+    b = spark.createDataFrame(
+        [(10, "k1"), (11, "k1"), (12, "k1"), (13, "k2"), (14, None),
+         (15, "only_b")],
+        "id long, k string")
+    out = diagnostics.join_cardinality(a, b, "k", "k").collect()[0]
+    actual = a.join(b.withColumnRenamed("id", "id2"), "k").count()
+    assert out.join_rows == actual == 2 * 3 + 1 * 1
+    assert (out.rows_a, out.rows_b) == (4, 5)      # nulls excluded
+    assert (out.distinct_keys_a, out.distinct_keys_b) == (3, 3)
+    assert out.shared_keys == 2
+    assert out.amplification_ppm == 1_000_000 * 7 // 5
+    # oracle parity
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    want = con.sql(diagnostics.join_cardinality_sql(
+        "ta", "k", "tb", "k")).fetchall()
+    assert [tuple(out)] == [tuple(r) for r in want]
+
+
+def test_join_cardinality_disjoint_and_empty(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, k string")
+    b = spark.createDataFrame([(2, "y")], "id long, k string")
+    out = diagnostics.join_cardinality(a, b, "k", "k").collect()[0]
+    assert (out.shared_keys, out.join_rows, out.amplification_ppm) \
+        == (0, 0, 0)
+    empty = spark.createDataFrame([], "id long, k string")
+    out = diagnostics.join_cardinality(a, empty, "k", "k").collect()[0]
+    assert (out.rows_b, out.join_rows) == (0, 0)
