@@ -410,3 +410,34 @@ def encode_lengths_oracle_sql(n_merges: int, min_count: int = 2,
       FROM docw JOIN u{n_merges} USING (word) GROUP BY 1)
     SELECT d.doc_id, COALESCE(p.n_bpe, 0)::BIGINT AS n_bpe
     FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+
+
+def bpe_vocab(df: DataFrame, text_col: str, merges,
+              min_count: int = 2,
+              max_word_types: int = 1 << 16) -> DataFrame:
+    """The vocabulary a merge list induces over a corpus — the
+    artifact a tokenizer ships: every base character observed in the
+    (capped) word-type table plus every merge product, with the rank
+    that introduced it.  ``(token, kind 'char'|'merge', rank)`` —
+    rank 0 for base characters, the merge's 1-based rank otherwise.
+
+    One word-type counting pass (the same capped table training
+    used) exploded to distinct characters — register-sized output —
+    unioned with the ≤ n_merges merge rows."""
+    spark = df.sparkSession
+    if isinstance(merges, DataFrame):
+        rows = sorted(merges.select("merge_rank", "lhs", "rhs").collect(),
+                      key=lambda r: r["merge_rank"])
+        pairs = [(int(r["merge_rank"]), r["lhs"], r["rhs"]) for r in rows]
+    else:
+        pairs = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    chars = (word_type_counts(df, text_col, min_count, max_word_types)
+             .select(F.explode(F.split("word", "")).alias("token"))
+             .filter(F.col("token") != "")
+             .distinct()
+             .select("token", F.lit("char").alias("kind"),
+                     F.lit(0).cast("long").alias("rank")))
+    merged = spark.createDataFrame(
+        [(a + b, "merge", r) for r, a, b in pairs],
+        "token string, kind string, rank long")
+    return chars.unionByName(merged)

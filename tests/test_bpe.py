@@ -252,3 +252,15 @@ def test_learn_bpe_matches_model_on_random_corpora(spark, words,
     got = [tuple(r) for r in
            bpe.learn_bpe(df, "text", n_merges, min_count=1).collect()]
     assert got == expect
+
+
+def test_bpe_vocab_chars_plus_merges(spark):
+    df = _docs(spark, ["abab abab cd"])
+    merges = bpe.learn_bpe(df, "text", 2, min_count=1)
+    vocab = {(r.token, r.kind, r.rank) for r in
+             bpe.bpe_vocab(df, "text", merges, min_count=1).collect()}
+    chars = {t for t, k, _ in vocab if k == "char"}
+    assert chars == {"a", "b", "c", "d"}
+    got_merges = sorted((r, t) for t, k, r in vocab if k == "merge")
+    # merge 1: (a,b) -> 'ab'; merge 2: (ab,ab) -> 'abab'
+    assert got_merges == [(1, "ab"), (2, "abab")]
