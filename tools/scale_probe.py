@@ -288,7 +288,22 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             docs, "doc_id", pairs,
             {"train": 0.90, "val": 0.05, "test": 0.05})
 
+    def probe_bm25(docs):
+        return curation.bm25_rank(docs, "doc_id", "text",
+                                  ["spark", "dup", "window"], k=15)
+
+    def probe_vocab_drift(docs):
+        return curation.vocab_drift(docs, "text", "lang", "en", "de",
+                                    k=20)
+
+    def probe_skew(docs):
+        from kafkadirect_spark.functions import diagnostics
+        return diagnostics.skew_report(docs, "source", parts=64)
+
     probes = {"minhash_lsh": probe_minhash,
+              "bm25": probe_bm25,
+              "vocab_drift": probe_vocab_drift,
+              "skew": probe_skew,
               "span_dedup": probe_span_dedup,
               "decontaminate": probe_decontaminate,
               "importance": probe_importance,
