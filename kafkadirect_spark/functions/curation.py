@@ -664,14 +664,19 @@ def vocab_drift(df: DataFrame, text_col: str, slice_col: str,
         raise ValueError("slice values must not contain quotes "
                          "(they are embedded in the oracle SQL)")
     sl = F.col(slice_col)
-    terms = (df.filter(sl.isin([slice_a, slice_b]))
-             .select(sl.alias("__sl"),
-                     F.explode(tokens(text_col)).alias("term"))
-             .groupBy("term")
-             .agg(F.sum(F.when(F.col("__sl") == slice_a, 1)
-                        .otherwise(0)).alias("count_a"),
-                  F.sum(F.when(F.col("__sl") == slice_b, 1)
-                        .otherwise(0)).alias("count_b")))
+    # persisted: the totals row and the scored output both read this
+    # vocabulary-sized table — without the persist each consumer
+    # re-scans the corpus (self-review: the ledger says one scan,
+    # so make it one scan)
+    terms = _persist(
+        df.filter(sl.isin([slice_a, slice_b]))
+        .select(sl.alias("__sl"),
+                F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.sum(F.when(F.col("__sl") == slice_a, 1)
+                   .otherwise(0)).alias("count_a"),
+             F.sum(F.when(F.col("__sl") == slice_b, 1)
+                   .otherwise(0)).alias("count_b")))
     totals = terms.agg(F.sum("count_a").alias("__na"),
                        F.sum("count_b").alias("__nb"))
     d = "CAST({} AS DECIMAL(38,0))"
