@@ -774,3 +774,49 @@ def bucketize_sql_cuts(table: str, value_expr: str,
                    COUNT(*) OVER () AS n
             FROM (SELECT {value_expr} AS v FROM {table}
                   WHERE {value_expr} IS NOT NULL)))"""
+
+
+def bucketize_by_quantiles_grouped(df: DataFrame, group_col: str,
+                                   col: Column | str,
+                                   n_buckets: int = 10,
+                                   out_col: str = "bucket",
+                                   max_groups: int = 10_000) -> DataFrame:
+    """Per-GROUP exact equi-depth bucketing: every non-null row gets
+    the quantile cell of its value WITHIN its segment — stratify each
+    language/source/event-type by its own distribution, not the
+    global one (a 90th-percentile Chinese document is short by the
+    English corpus's yardstick; per-group cells fix that).
+
+    Same machinery as ``bucketize_by_quantiles``, grouped: the cut
+    table comes from one ``exact_quantiles_grouped`` run (all groups
+    and cut ranks share each round's histogram; driver state bounded
+    by ``max_groups``), lands as a ``(group, cuts array)`` broadcast
+    frame, and assignment counts cuts strictly below the value
+    row-locally.  Rows whose group never produced cuts (null group,
+    all-null values) get a null bucket.  One data-side hash join
+    against the group-cardinality cut frame — the data is never
+    shuffled on value.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    qs = sorted(set(i * 1000 // n_buckets for i in range(1, n_buckets)))
+    qres = exact_quantiles_grouped(df, group_col, c, qs,
+                                   max_groups=max_groups)
+    per_group: dict = {}
+    for r in qres.collect():  # ≤ max_groups·(n_buckets−1), guarded
+        per_group.setdefault(r[group_col], {})[r["q_permille"]] = \
+            int(r["value"])
+    spark = df.sparkSession
+    gtype = dict(df.dtypes)[group_col]
+    cuts = spark.createDataFrame(
+        [(g, [m[q] for q in qs]) for g, m in per_group.items()],
+        f"__g {gtype}, __cuts array<long>")
+    j = df.join(F.broadcast(cuts),
+                F.col(group_col).eqNullSafe(F.col("__g")), "left")
+    bucket = F.size(F.filter("__cuts", lambda x: x < c))
+    return (j.withColumn(
+        out_col,
+        F.when(c.isNotNull() & F.col("__cuts").isNotNull(),
+               bucket.cast("long")))
+        .drop("__g", "__cuts"))

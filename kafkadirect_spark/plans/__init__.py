@@ -134,6 +134,7 @@ _DEFERRED_NEW = [
     "dedup_keep_longest",
     "embedding_profile",
     "join_explosion_check",
+    "value_decile_by_type",
 ]
 
 

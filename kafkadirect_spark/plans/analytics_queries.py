@@ -1485,3 +1485,51 @@ def join_explosion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return diagnostics.join_cardinality(ev, orders,
                                         "user_id", "o_custkey")
+
+
+@query(
+    "value_decile_by_type",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    r AS (SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY v) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM base),
+    cuts AS (SELECT event_type,
+      {", ".join(
+          f"MIN(CASE WHEN rk >= ({q} * n + 999) // 1000 THEN v END)"
+          f" AS c{q}" for q in _DECILE_QS)}
+      FROM r GROUP BY 1),
+    b AS (SELECT base.event_type, v,
+                 ({" + ".join(f"(v > c{q})::INT" for q in _DECILE_QS)})
+                   AS bucket
+          FROM base JOIN cuts USING (event_type))
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS n, MIN(v) AS min_v, MAX(v) AS max_v
+    FROM b GROUP BY 1, 2
+    """,
+)
+def value_decile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact equi-depth deciles
+    (sketch.bucketize_by_quantiles_grouped): every event bucketed by
+    its own type's value distribution — one grouped
+    histogram-narrowing pass for ALL types' cuts, one broadcast join
+    back, row-local assignment; the data is never shuffled on value
+    (the oracle's per-type rank windows are the sf0.01 shortcut, not
+    the engine plan)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    base = ev.select("event_type",
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("v"))
+    bk = sketch.bucketize_by_quantiles_grouped(base, "event_type", "v",
+                                               10)
+    return (bk.groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v")))

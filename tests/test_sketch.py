@@ -618,3 +618,31 @@ def test_bucketize_equidepth_on_random(spark):
     assert set(sizes) == set(range(10))
     # distinct random values -> every bucket within 1 of n/10
     assert all(abs(n - 200) <= 1 for n in sizes.values()), sizes
+
+
+def test_bucketize_grouped_per_segment_cells(spark):
+    # group 'a': 0..99; group 'b': 0..9990 by 10s — same decile LAYOUT
+    # within each group even though the value scales differ 100x
+    rows = [("a", i) for i in range(100)] + [("b", 10 * i)
+                                             for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = sketch.bucketize_by_quantiles_grouped(df, "g", "v", 10)
+    got = {(r.g, r.v): r.bucket for r in out.collect()}
+    for i in range(100):
+        assert got[("a", i)] == min(i // 10, 9)
+    for i in range(1000):
+        assert got[("b", 10 * i)] == min(i // 100, 9)
+
+
+def test_bucketize_grouped_null_group_and_value(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), (None, 5), ("a", None)],
+        "g string, v long")
+    got = [(r.g, r.v, r.bucket) for r in
+           sketch.bucketize_by_quantiles_grouped(df, "g", "v", 2)
+           .collect()]
+    # null group and null value rows survive with a null bucket
+    assert (None, 5, None) in got
+    assert ("a", None, None) in got
+    assert all(b is not None for g, v, b in got
+               if g == "a" and v is not None)
