@@ -441,3 +441,73 @@ def bpe_vocab(df: DataFrame, text_col: str, merges,
         [(a + b, "merge", r) for r, a, b in pairs],
         "token string, kind string, rank long")
     return chars.unionByName(merged)
+
+
+def bpe_chunk(df: DataFrame, id_col: str, text_col: str, merges,
+              budget: int) -> DataFrame:
+    """Split every document into ≤ ``budget``-token chunks UNDER THE
+    LEARNED TOKENIZER — the model-input assembly step where a
+    char/word-proxy budget misallocates (a 512-BPE-token window is
+    not 512 words).  Token-array chunks, not re-glued text: what a
+    training pipeline actually feeds forward.
+
+    One ``bpe_encode`` pass (mapInPandas, per-task memo), then
+    row-local slicing — ``ceil(n/budget)`` chunks per document via a
+    sequence-transform, exploded.  Empty documents emit zero chunks.
+    Returns ``(id_col, chunk_idx, n_tokens, bpe)``.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    enc = bpe_encode(df, id_col, text_col, merges)
+    n_chunks = F.ceil(F.col("n_bpe") / F.lit(budget)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.slice(F.col("bpe"), i * budget + 1, budget)
+            .alias("arr")))
+    return (enc.filter(F.col("n_bpe") > 0)
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col,
+                    F.col("c.idx").alias("chunk_idx"),
+                    F.size("c.arr").cast("long").alias("n_tokens"),
+                    F.col("c.arr").alias("bpe")))
+
+
+def chunk_oracle_sql(n_merges: int, budget: int, min_count: int = 2,
+                     max_word_types: int = 1 << 16) -> str:
+    """DuckDB replay of ``bpe_chunk(documents)``: the full-type
+    rewrite chain (as ``encode_lengths_oracle_sql``), word order
+    restored via positional unnest, per-doc sequences flattened in
+    order, then 1-based inclusive list slices."""
+    parts = [_train_ctes(n_merges, min_count, max_word_types)]
+    parts.append("""
+    u0 AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*)::BIGINT AS n,
+             list_transform(generate_series(1, length(tok)),
+                            g -> substr(tok, g, 1)) AS s
+      FROM (SELECT unnest(""" + _TOK_SQL + """) AS tok FROM documents)
+      GROUP BY 1, tok)""")
+    for r in range(1, n_merges + 1):
+        parts.append(_rewrite_round(f"u{r - 1}", f"u{r}",
+                                    f"best{r}", f"urw{r}"))
+    ctes = ",".join(parts)
+    b = budget
+    return f"""WITH RECURSIVE {ctes},
+    tokq AS (
+      SELECT doc_id, w[i] AS word, i AS ord
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM (SELECT doc_id, {_TOK_SQL} AS w FROM documents))),
+    seqs AS (
+      SELECT doc_id, flatten(list(s ORDER BY ord)) AS toks
+      FROM tokq JOIN u{n_merges} USING (word) GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             toks[(i * {b} + 1):((i + 1) * {b})] AS bpe
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST((len(toks) + {b} - 1) // {b} AS BIGINT)
+                          - 1)) AS i
+            FROM seqs WHERE len(toks) > 0))
+    SELECT doc_id, chunk_idx, len(bpe)::BIGINT AS n_tokens, bpe
+    FROM chunks"""

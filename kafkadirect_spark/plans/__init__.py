@@ -135,6 +135,7 @@ _DEFERRED_NEW = [
     "embedding_profile",
     "join_explosion_check",
     "value_decile_by_type",
+    "bpe_chunks",
 ]
 
 

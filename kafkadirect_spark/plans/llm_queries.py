@@ -1109,3 +1109,20 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup.dedup_cluster_assign(docs, pairs, "doc_id")
     return dedup.keep_best_per_cluster(
         clusters, docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
+
+
+@query(
+    "bpe_chunks",
+    oracle=bpe.chunk_oracle_sql(n_merges=12, budget=40,
+                                min_count=2, max_word_types=4096),
+)
+def bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-input assembly under the LEARNED tokenizer
+    (functions/bpe.py bpe_chunk): train → encode → split into
+    ≤40-token chunks, emitted as token arrays (what actually feeds a
+    model; a char/word budget misallocates).  One mapInPandas encode
+    pass + row-local slicing; the oracle restores word order with
+    positional unnest and replays the slices 1-based inclusive."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, "text", **_BPE_PARAMS)
+    return bpe.bpe_chunk(docs, "doc_id", "text", merges, budget=40)

@@ -264,3 +264,40 @@ def test_bpe_vocab_chars_plus_merges(spark):
     got_merges = sorted((r, t) for t, k, r in vocab if k == "merge")
     # merge 1: (a,b) -> 'ab'; merge 2: (ab,ab) -> 'abab'
     assert got_merges == [(1, "ab"), (2, "abab")]
+
+
+def test_bpe_chunk_slices_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa"), (3, None), (4, ";;")],
+        "doc_id long, text string")
+    merges = bpe.learn_bpe(df, "text", 1, min_count=1)
+    out = {(r.doc_id, r.chunk_idx): (r.n_tokens, list(r.bpe)) for r in
+           bpe.bpe_chunk(df, "doc_id", "text", merges, budget=4)
+           .collect()}
+    # merge ('a','a') learned from 'aa' (count 2+...) — every word is
+    # 2 chars, doc 1 encodes to [aa, bb?]... verify via bpe_encode
+    enc = {r.doc_id: list(r.bpe) for r in
+           bpe.bpe_encode(df, "doc_id", "text", merges).collect()}
+    toks = enc[1]
+    exp = {}
+    for i in range(0, len(toks), 4):
+        exp[(1, i // 4)] = (len(toks[i:i + 4]), toks[i:i + 4])
+    exp[(2, 0)] = (len(enc[2]), enc[2])
+    # docs 3 (null) and 4 (no tokens) emit ZERO chunks
+    assert out == exp
+    with pytest.raises(ValueError):
+        bpe.bpe_chunk(df, "doc_id", "text", merges, budget=0)
+
+
+def test_bpe_chunk_concat_reconstructs_encoding(spark):
+    df = _docs(spark, ["the quick brown fox jumps over the lazy dog "
+                       "the quick brown fox"])
+    merges = bpe.learn_bpe(df, "text", 4, min_count=1)
+    enc = {r.doc_id: list(r.bpe) for r in
+           bpe.bpe_encode(df, "doc_id", "text", merges).collect()}
+    chunks = sorted((r.chunk_idx, list(r.bpe)) for r in
+                    bpe.bpe_chunk(df, "doc_id", "text", merges,
+                                  budget=3).collect())
+    glued = [t for _, arr in chunks for t in arr]
+    assert glued == enc[0]
+    assert all(len(arr) <= 3 for _, arr in chunks)
