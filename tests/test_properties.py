@@ -717,3 +717,49 @@ def test_cluster_safe_split_components_never_straddle(spark, edges):
     for i in range(10):
         assert out[i].split == out[find(i)].split
         assert out[i].cluster == find(i)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["apple", "banana", "cherry",
+                                          "durian", "fig"]),
+                         min_size=1, max_size=12),
+                min_size=2, max_size=8))
+def test_bm25_integer_model_equivalence(spark, docs):
+    """bm25_rank pinned against an independent in-Python replication
+    of the exact integer arithmetic (linear idf, ppm saturation,
+    truncating division) over random small corpora — rank, score and
+    tie-break must match bit-for-bit."""
+    from kafkadirect_spark.functions import curation
+
+    q = ["apple", "durian"]
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    got = [(r.doc_id, r.score, r.n_terms) for r in
+           curation.bm25_rank(df, "doc_id", "text", q,
+                              k=len(docs)).collect()]
+
+    scale, k1, b = 1_000_000, 1_200_000, 750_000
+    n = len(docs)
+    sumdl = sum(len(ws) for ws in docs)
+    tf = {}
+    for i, ws in enumerate(docs):
+        for t in q:
+            c = ws.count(t)
+            if c:
+                tf[(i, t)] = c
+    dfreq = {t: sum(1 for i in range(n) if (i, t) in tf) for t in q}
+    scores = {}
+    for (i, t), c in tf.items():
+        dl = len(docs[i])
+        idf = scale * n // dfreq[t]
+        ratio = scale * dl * n // sumdl
+        inner = (scale - b) + b * ratio // scale
+        denom = c * scale + k1 * inner // scale
+        sat = scale * (c * (scale + k1)) // denom
+        nterms, sc = scores.get(i, (0, 0))
+        scores[i] = (nterms + 1, sc + idf * sat // scale)
+    expect = sorted(((i, sc, nt) for i, (nt, sc) in scores.items()),
+                    key=lambda r: (-r[1], r[0]))
+    assert got == expect
