@@ -301,3 +301,35 @@ def test_bpe_chunk_concat_reconstructs_encoding(spark):
     glued = [t for _, arr in chunks for t in arr]
     assert glued == enc[0]
     assert all(len(arr) <= 3 for _, arr in chunks)
+
+
+def test_bpe_encode_works_on_streams(spark, tmp_path):
+    """bpe_encode is a stateless mapInPandas transform, so it applies
+    unchanged to a Structured Streaming frame — the learned tokenizer
+    runs over an unbounded ingest exactly as over the batch corpus
+    (golden: streamed results == batch results)."""
+    import os
+
+    texts = ["lower lowest newer newest", "low new wide",
+             "the widest of the wide"]
+    batch_df = _docs(spark, texts)
+    merges = bpe.learn_bpe(batch_df, "text", 4, min_count=1)
+    expect = {r.doc_id: (list(r.bpe), r.n_bpe) for r in
+              bpe.bpe_encode(batch_df, "doc_id", "text",
+                             merges).collect()}
+
+    src = os.path.join(str(tmp_path), "src")
+    batch_df.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = bpe.bpe_encode(stream, "doc_id", "text", merges)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("bpe_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: (list(r.bpe), r.n_bpe) for r in
+               spark.sql("SELECT * FROM bpe_stream").collect()}
+    finally:
+        q.stop()
+    assert got == expect
