@@ -138,6 +138,15 @@ HEADLINERS = {
     "events_skew_report": "one per-key count exchange; stats/"
                           "quantiles collected register-sized; "
                           "heavy keys via TakeOrdered",
+    "value_decile_by_type": "per-group cut lists broadcast "
+                            "(BroadcastHashJoin on the group key); "
+                            "row-local bucket assignment; one "
+                            "report aggregate — the data is never "
+                            "shuffled on value",
+    "bpe_chunks": "one mapInPandas encode pass (ArrowEvalPython/"
+                  "MapInPandas node) + row-local sequence-slice "
+                  "explode — no shuffle after the word-count "
+                  "training pass",
 }
 
 
