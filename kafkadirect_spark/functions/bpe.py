@@ -227,7 +227,11 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
             lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
             merges.append((rank, lhs, rhs, c))
             t2 = t.withColumn("s", _apply_merge("s", lhs, rhs)).persist()
-            t2.count()  # materialize before dropping the parent cache
+            try:
+                t2.count()  # materialize before dropping the parent
+            except Exception:
+                t2.unpersist()  # a failed round must not leak a cache
+                raise
             t.unpersist()
             t = t2
     finally:
