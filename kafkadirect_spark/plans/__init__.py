@@ -136,6 +136,7 @@ _DEFERRED_NEW = [
     "join_explosion_check",
     "value_decile_by_type",
     "bpe_chunks",
+    "value_ohlc_daily",
 ]
 
 

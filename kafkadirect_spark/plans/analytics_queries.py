@@ -1533,3 +1533,55 @@ def value_decile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("v").alias("min_v"),
                  F.max("v").alias("max_v")))
+
+
+@query(
+    "value_ohlc_daily",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT day, cents,
+                 ROW_NUMBER() OVER (PARTITION BY day
+                                    ORDER BY ts ASC, event_id ASC)
+                   AS rk_open,
+                 ROW_NUMBER() OVER (PARTITION BY day
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rk_close
+          FROM base)
+    SELECT day,
+           MIN(CASE WHEN rk_open = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           MIN(CASE WHEN rk_close = 1 THEN cents END) AS close_cents,
+           COUNT(*)::BIGINT AS n,
+           SUM(cents)::BIGINT AS sum_cents
+    FROM r GROUP BY 1
+    """,
+)
+def value_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value — the time-series
+    resample recipe (open/close are the values at the bucket's
+    earliest/latest event, ties broken by event id): min_by/max_by
+    struct aggregates inside ONE map-side-combined hash aggregate —
+    no window functions, no per-day sort, the same struct-extremum
+    idiom as the SCD2 snapshot.  Integer cents throughout; the
+    oracle's per-day rank windows are the sf0.01 shortcut, not the
+    engine plan."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull())
+    base = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (base.groupBy("day")
+            .agg(F.min_by("cents", order).alias("open_cents"),
+                 F.max("cents").alias("high_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.max_by("cents", order).alias("close_cents"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents")))

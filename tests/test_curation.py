@@ -959,3 +959,30 @@ def test_bm25_and_drift_reject_sql_hostile_inputs(spark):
         curation.vocab_drift(df, "text", "src", "a'b", "c")
     with pytest.raises(ValueError, match="quote"):
         curation.vocab_drift_sql("src", "a", "b'c")
+
+
+def test_value_ohlc_daily_model(spark, tmp_path):
+    # hand-checkable bars incl. an intra-day tie on ts broken by id
+    import datetime as dt
+    import os
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 10, "x", 5.00, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12), 10, "x", 1.25, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12), 10, "x", 9.75, "{}"),
+        (4, dt.datetime(2024, 1, 2, 8), 10, "x", 2.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = os.path.join(str(tmp_path), "events.parquet")
+    df.write.parquet(src)
+    from kafkadirect_spark.plans import QUERIES
+    out = {r.day: (r.open_cents, r.high_cents, r.low_cents,
+                   r.close_cents, r.n, r.sum_cents)
+           for r in QUERIES["value_ohlc_daily"](
+               spark, str(tmp_path)).collect()}
+    # day 1: open=500 (09:00), close=975 (12:00 tie -> higher id 3),
+    # high=975, low=125
+    assert out["2024-01-01"] == (500, 975, 125, 975, 3, 1600)
+    assert out["2024-01-02"] == (200, 200, 200, 200, 1, 200)
