@@ -153,6 +153,10 @@ def main() -> None:
         # sneaks in
         "bm25_search": QUERIES["bm25_search"],
         "vocab_drift": QUERIES["vocab_drift"],
+        # struct-extremum resample + per-segment selection cuts: both
+        # pin "no window, no per-group sort" shapes
+        "value_ohlc_daily": QUERIES["value_ohlc_daily"],
+        "value_decile_by_type": QUERIES["value_decile_by_type"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
