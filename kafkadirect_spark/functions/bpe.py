@@ -513,5 +513,6 @@ def chunk_oracle_sql(n_merges: int, budget: int, min_count: int = 2,
                        0, CAST((len(toks) + {b} - 1) // {b} AS BIGINT)
                           - 1)) AS i
             FROM seqs WHERE len(toks) > 0))
-    SELECT doc_id, chunk_idx, len(bpe)::BIGINT AS n_tokens, bpe
+    SELECT doc_id, chunk_idx, len(bpe)::BIGINT AS n_tokens,
+           md5(array_to_string(bpe, ',')) AS bpe_md5
     FROM chunks"""

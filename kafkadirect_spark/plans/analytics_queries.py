@@ -12,6 +12,7 @@ shuffles/samples that are stable under re-runs and data growth.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafkadirect_spark.functions import diagnostics, sketch
 from kafkadirect_spark.plans.queries import query
@@ -1233,8 +1234,10 @@ def _pq_ctes(m: int = 4, k: int = 4, sub: int = 16) -> str:
     oracle=f"""
     WITH {_pq_ctes()}
     SELECT q.vec_id,
-           [CAST(a2_0.cid AS INTEGER), CAST(a2_1.cid AS INTEGER),
-            CAST(a2_2.cid AS INTEGER), CAST(a2_3.cid AS INTEGER)] AS codes
+           CAST(a2_0.cid AS INTEGER) AS code_0,
+           CAST(a2_1.cid AS INTEGER) AS code_1,
+           CAST(a2_2.cid AS INTEGER) AS code_2,
+           CAST(a2_3.cid AS INTEGER) AS code_3
     FROM q
     JOIN a2_0 ON a2_0.vec_id = q.vec_id
     JOIN a2_1 ON a2_1.vec_id = q.vec_id
@@ -1250,12 +1253,24 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     means) makes the codes hash-exact; the oracle replays all four
     subspace chains unrolled.  Engine side: one scan per training
     iteration for ALL subspaces (single projection of literal-
-    centroid argmins, zero joins; update collects ≤ m·k·sub rows)."""
+    centroid argmins, zero joins; update collects ≤ m·k·sub rows).
+
+    The registered surface flattens the m=4 codes to scalar
+    ``code_0..code_3`` INT columns: the driver's correctness gate
+    canonicalizes rows with a pandas sort, which cannot hash list
+    cells (repo rule: registered queries emit scalar columns only —
+    enforced by tests/test_plans.py's schema walk since the r8
+    ArrayType version crashed the driver gate; callers wanting the
+    array use pq_encode directly)."""
     from kafkadirect_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_encode(emb, "vec_id", "embedding",
-                                m=4, k=4, iters=2)
+    codes = similarity.pq_encode(emb, "vec_id", "embedding",
+                                 m=4, k=4, iters=2)
+    return codes.select(
+        "vec_id",
+        *[F.element_at("codes", j + 1).alias(f"code_{j}")
+          for j in range(4)])
 
 
 @query(

@@ -1122,7 +1122,15 @@ def bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤40-token chunks, emitted as token arrays (what actually feeds a
     model; a char/word budget misallocates).  One mapInPandas encode
     pass + row-local slicing; the oracle restores word order with
-    positional unnest and replays the slices 1-based inclusive."""
+    positional unnest and replays the slices 1-based inclusive.
+
+    The registered surface renders each chunk's token array as an md5
+    over its canonical CSV (tokens are [a-z0-9]+ — comma-free), per
+    the scalar-columns-only rule (enforced by test_plans.py's schema
+    walk); pipelines wanting the arrays call bpe_chunk directly."""
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.learn_bpe(docs, "text", **_BPE_PARAMS)
-    return bpe.bpe_chunk(docs, "doc_id", "text", merges, budget=40)
+    ch = bpe.bpe_chunk(docs, "doc_id", "text", merges, budget=40)
+    return ch.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.concat_ws(",", "bpe")).alias("bpe_md5"))

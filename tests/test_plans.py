@@ -286,6 +286,44 @@ def test_lowcard_rank_lint_catches_naive_window(spark):
     assert not _lowcard_rank_windows(salted), "lint flagged the salted plan"
 
 
+# Built-once cache of every registered query's DataFrame at sf0.001 —
+# shared by the plan-lint sweep and the scalar-schema walk so queries
+# with construction-time work (PQ training collects, histogram
+# narrowing) run once, not once per sweep.
+_QUERY_DFS: dict = {}
+
+
+def _query_df(spark, name):
+    from kafkadirect_spark.plans import QUERIES
+    if name not in _QUERY_DFS:
+        _QUERY_DFS[name] = QUERIES[name](spark, SF)
+    return _QUERY_DFS[name]
+
+
+def test_registered_queries_emit_scalar_columns(spark):
+    """The driver's correctness gate canonicalizes each query's result
+    with a pandas sort over all columns, which raises on unhashable
+    cells — so a registered query emitting a top-level Array/Map/Struct
+    column crashes the gate (exactly how embedding_pq_codes failed its
+    r8 driver row).  The rule lived only in a docstring
+    (plans/llm_queries.py embedding_quantize) until that crash; this
+    schema walk enforces it for every registered query.  Library
+    functions may return arrays — the registered SURFACE flattens them
+    (scalar projections or the md5-over-canonical-CSV pattern)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from kafkadirect_spark.plans import QUERIES
+    offenders = {}
+    for name in QUERIES:
+        bad = [f.name for f in _query_df(spark, name).schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"registered queries emit non-scalar top-level columns (the "
+        f"driver gate cannot hash these): {offenders}")
+
+
 def test_registered_query_plan_lints(spark):
     """One pass over every registered query's optimized/physical plan,
     asserting the three 100 TB killers are absent:
@@ -299,8 +337,8 @@ def test_registered_query_plan_lints(spark):
     """
     from kafkadirect_spark.plans import QUERIES
     offenders = {}
-    for name, fn in QUERIES.items():
-        df = fn(spark, SF)
+    for name in QUERIES:
+        df = _query_df(spark, name)
         problems = ([] if name in _GLOBAL_WINDOW_OK else
                     [f"unpartitioned window: {w}"
                      for w in _unpartitioned_windows(df)])

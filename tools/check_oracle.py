@@ -57,14 +57,12 @@ def canon_pandas(df):
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
-        elif df[c].dtype == object:
-            # array cells arrive as numpy.ndarray (Spark) / list
-            # (DuckDB): tupleize both so sorting and hashing work and
-            # the two representations compare equal
-            df[c] = df[c].map(
-                lambda v: tuple(v.tolist())
-                if type(v).__name__ == "ndarray"
-                else tuple(v) if isinstance(v, list) else v)
+    # NO array-cell coercion here, deliberately: the driver's gate has
+    # none, so an ArrayType output must crash THIS sort exactly the way
+    # it crashes the driver's (the r8 tupleization patch made this tool
+    # a false-green generator for embedding_pq_codes — VERDICT r8 §1).
+    # Registered queries emit scalar columns only; the schema walk in
+    # tests/test_plans.py enforces it before a query can get this far.
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
