@@ -716,6 +716,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_doc_freq: int | None = 50,
+    how: str = "inner",
 ) -> DataFrame:
     """Directed containment near-dup: (contained, container) pairs
     where |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold.
@@ -727,6 +728,17 @@ def containment_pairs(
     recipes use for that case; emitting (contained → container) lets
     the curation step drop the subsumed copy and keep the superset.
 
+    ``how`` picks the output shape from the SAME intersection frame
+    (VERDICT r8 item 5 — one pass, two consumers):
+
+    - ``"inner"`` (default): the directed pair table
+      ``(contained, container, common, n_contained, containment)``;
+    - ``"anti"``: the SURVIVORS — every input row whose document is
+      NOT contained in any other at ≥ threshold (original columns,
+      one left-anti join against the distinct contained-id set).
+      Documents too short to produce an n-gram shingle have no
+      containment evidence and survive by definition.
+
     Reference analogue: none (Kafka Streams has no document model,
     SURVEY.md §2) — beyond-parity curation machinery beside
     ``ngram_jaccard_pairs``.
@@ -736,8 +748,13 @@ def containment_pairs(
     (the cap is part of the operator's spec and is replayed verbatim
     in the oracle), one groupBy(pair) exchange.  Both directions are
     decided from the SAME intersection row (array-explode of the two
-    directed candidates), so the join never runs twice.
+    directed candidates), so the join never runs twice.  The anti
+    shape adds one hash join keyed on the id — the contained-id side
+    is the (pair-table-sized, already-capped) distinct projection,
+    never a second corpus pass.
     """
+    if how not in ("inner", "anti"):
+        raise ValueError(f"how must be 'inner' or 'anti', got {how!r}")
     sh = _persist(_shingle_index(df, text_col, id_col, n))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -761,7 +778,7 @@ def containment_pairs(
                  F.col("id_a").alias("container"),
                  F.col("nb").alias("n_contained")),
     )
-    return (
+    pairs = (
         common.join(sa, "id_a").join(sb, "id_b")
         .select(F.col("common"), F.explode(directed).alias("d"))
         .select("d.contained", "d.container", "common", "d.n_contained")
@@ -770,6 +787,11 @@ def containment_pairs(
             F.col("common").cast("double") / F.col("n_contained"))
         .filter(F.col("containment") >= threshold)
     )
+    if how == "inner":
+        return pairs
+    contained = pairs.select(
+        F.col("contained").alias(id_col)).distinct()
+    return df.join(contained, id_col, "left_anti")
 
 
 def incremental_lsh_candidates(

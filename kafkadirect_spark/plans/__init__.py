@@ -16,112 +16,34 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # the same order.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# REGISTRATION-BUDGET POLICY (VERDICT r8 item 3, standing).  The driver
+# verifies exactly 50 queries per round, so every registered query costs
+# a recurring slice of that budget forever: at N registered queries the
+# staleness horizon is ceil(N/50)−1 rounds (the tripwire's capacity
+# bound), and past N=200 it degrades to 4 — every window 100% mandatory,
+# zero slack for re-checking changed queries.  Therefore: (a) net
+# registration growth is capped at ~10 queries/round; (b) a new OPERATOR
+# lands under pytest goldens first and is registered only if it earns a
+# driver-verified claim the existing surface doesn't already make;
+# (c) near-duplicate query shapes should be consolidated or retired
+# rather than accumulated.  r9 adds ONE new registered query
+# (dedup_containment_anti — the survivors shape of VERDICT r8 item 5);
+# N = 164, horizon stays 3.
+# ---------------------------------------------------------------------------
+
 _PROMOTED = [
-    # Round-8 window.  Two admission rules (VERDICT r4, standing):
+    # Round-9 window.  Two admission rules (VERDICT r4, standing):
     # (1) every query whose newest driver CORRECTNESS row would
-    #     otherwise fall more than 2 rounds stale — enforced by
+    #     otherwise fall past the capacity horizon — enforced by
     #     tests/test_plans.py's rotation-staleness sweep;
     # (2) every query whose implementation or oracle CHANGED this
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 1, mandatory: the 26 queries whose newest driver row is
-    #    r5 (named by the r7 tripwire failure; all pass
-    #    tools/check_oracle.py --exact locally) --
-    "cheapest_supplier",
-    "corpus_stats",
-    "customer_order_distribution",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_verified_pairs",
-    "disjunctive_revenue",
-    "doc_chunks",
-    "domain_cap",
-    "embedding_quantize",
-    "flat_map_rekey_ledger",
-    "idle_rich_customers",
-    "importance_weights",
-    "lonely_returns",
-    "market_share",
-    "ngram_topk",
-    "product_type_profit",
-    "quality_topk_per_lang",
-    "session_reduce",
-    "small_quantity_revenue",
-    "supplier_part_variety",
-    "table_to_stream_count",
-    "text_langid",
-    "text_stats",
-    "top_supplier",
-    "volume_shipping",
-    # -- new in round 8 (no driver row by construction):
-    #    trailing_distinct_hll (trailing 7-day register-merge HLL),
-    #    interval_overlap_join (bucketed interval×interval overlap —
-    #    the r7 _PROMOTED listed these two before they existed and
-    #    _rotate_front silently dropped them; now a hard error, see
-    #    below), dedup_jaccard_prefix (lossless prefix-filtered
-    #    Jaccard join), sample_exact_per_group (exact-n per stratum),
-    #    zorder_events (Morton layout index),
-    #    distinct_users_by_type_hll (grouped HLL estimate), and the
-    #    late-r8 five: dedup_containment (directed containment pairs),
-    #    dedup_incremental_lsh (new-batch-vs-index candidates),
-    #    embedding_random_projection (±1 JL projection), doc_surprisal
-    #    (integer unigram-LM bits), corpus_profile (column profiler) --
-    "trailing_distinct_hll",
-    "interval_overlap_join",
-    "interval_overlap_left",
-    "dedup_jaccard_prefix",
-    "sample_exact_per_group",
-    "zorder_events",
-    "distinct_users_by_type_hll",
-    "dedup_containment",
-    "dedup_incremental_lsh",
-    "embedding_random_projection",
-    "doc_surprisal",
-    "corpus_profile",
-    "supplier_pagerank",
-    "temperature_mix",
-    "dedup_exact_normalized",
-    #    ... and the final-r8 batch: quality_gopher (integer Gopher
-    #    repetition rules), surprisal_bigram (bigram LM + stupid
-    #    backoff, held-out), cluster_split (leakage-safe cluster-keyed
-    #    split), token_budget_select (exact global token-budget
-    #    prefix), exact_value_quantiles (true order statistics via
-    #    iterative histogram narrowing), embedding_pq_codes /
-    #    similarity_pq_adc (product quantization + asymmetric-distance
-    #    search) --
-    "quality_gopher",
-    "surprisal_bigram",
-    "cluster_split",
-    "token_budget_select",
-    "exact_value_quantiles",
-    "embedding_pq_codes",
-    "similarity_pq_adc",
-    "exact_quantiles_by_type",
-    "partition_fingerprints",
-    # (no early-refresh slots remain: 26 mandatory rotations + 24 new
-    # r8 queries fill all 50 slots.  Notes for r9: with >150
-    # registered queries the staleness horizon is now CAPACITY-
-    # DERIVED (tests/test_plans.py: ceil(N/50)−1 rounds — a 2-round
-    # bound is unsatisfiable past 150).  Under it the sustainable r9
-    # window is the _DEFERRED_NEW queries plus the oldest of the 48
-    # r6-dated tail; r6-dated leftovers become r10's mandatory front
-    # together with the oldest r7-dated.  The rule-2 re-check
-    # of range_bucket_join was DISPLACED in r8 by the never-verified
-    # partition_fingerprints — range_bucket_join holds a green r7
-    # driver row, its r8 change is guard-only and passes
-    # check_oracle locally; r9 should front it with the leftovers.)
-]
-
-# New-this-round queries that did NOT fit the saturated 50-slot window
-# (26 mandatory rotations + 24 new queries already fill it).  Deferral
-# is the honest bookkeeping for an over-subscribed round, and the
-# rotation tripwire (tests/test_plans.py) keeps it strict: a name may
-# sit here ONLY while it is registered, has no driver row yet, and
-# every window slot is occupied by a mandatory rotation or another
-# never-verified query — the moment a slot frees up, the test fails
-# until the deferred query is fronted.  r9 MUST promote these first.
-_DEFERRED_NEW = [
+    # -- rule 1, mandatory: the 15 r8 _DEFERRED_NEW queries (the r8
+    #    window was saturated; the tripwire failed by design until
+    #    these were fronted; all pass check_oracle --exact locally) --
     "collocations_topk",
     "bpe_merges",
     "bpe_token_lengths",
@@ -135,9 +57,65 @@ _DEFERRED_NEW = [
     "embedding_profile",
     "join_explosion_check",
     "value_decile_by_type",
-    "bpe_chunks",
+    "bpe_chunks",  # also rule 2: output reshaped to scalar bpe_md5
     "value_ohlc_daily",
+    # -- rule 2: embedding_pq_codes' output was reshaped this round
+    #    (scalar code_0..code_3 — its r8 driver row crashed the gate
+    #    on the ArrayType column); range_bucket_join's guard-only r8
+    #    change was displaced from the r8 window by never-verified
+    #    queries (r8 note) and gets its driver re-check now --
+    "embedding_pq_codes",
+    "range_bucket_join",
+    # -- new in round 9 (no driver row by construction; the round's
+    #    ONE registration under the budget policy above):
+    #    containment survivors via how='anti' --
+    "dedup_containment_anti",
+    # -- fill: the 32 alphabetically-first of the 48 r6-dated queries
+    #    (newest driver row r6 — legal outside the window this round,
+    #    mandatory at r10; scheduling the oldest now keeps r10's
+    #    mandatory front at 16 instead of 48).  The 16 leftovers
+    #    (semantic_clusters..winnow_overlap_pairs) ARE r10's front. --
+    "asof_enrich",
+    "boilerplate_flag",
+    "corpus_curation",
+    "corpus_mix_upsample",
+    "decontaminate",
+    "decontaminate_bloom",
+    "dedup_embedding_cosine",
+    "distinct_orders_hll",
+    "doc_fingerprint",
+    "doc_winnow",
+    "event_funnel",
+    "event_gaps",
+    "forecast_revenue",
+    "global_shuffle",
+    "heavy_hitters_cms",
+    "important_part_stock",
+    "kmeans_clusters",
+    "large_order_customers",
+    "late_shipment_priority",
+    "length_weighted_sample",
+    "local_supplier_volume",
+    "multimodal_meta",
+    "pii_redaction",
+    "priority_returned_orders",
+    "promotable_suppliers",
+    "retention_cohorts",
+    "rolling_distinct_hll",
+    "sample_exact_count",
+    "sample_split",
+    "sample_stratified",
+    "scd2_asof_snapshot",
+    "scd2_history",
 ]
+
+# No over-subscription this round: the 15 r8 deferrals are fronted
+# above and the window has 32 slots of r6-dated fill besides the
+# mandatory set.  (The tripwire keeps this list honest: a name may sit
+# here ONLY while it is registered, has no driver row yet, and every
+# window slot is occupied by a mandatory rotation or another
+# never-verified query.)
+_DEFERRED_NEW: list[str] = []
 
 
 def _rotate_front(d: dict, front: list[str]) -> None:

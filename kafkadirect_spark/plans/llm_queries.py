@@ -905,6 +905,46 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_anti",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM shf a JOIN shf b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    contained AS (
+      SELECT id_a AS doc_id
+      FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+      WHERE CAST(c AS DOUBLE) / sa.n >= 0.3
+      UNION
+      SELECT id_b
+      FROM pairs JOIN sizes sb ON sb.doc_id = pairs.id_b
+      WHERE CAST(c AS DOUBLE) / sb.n >= 0.3
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contained)
+    """,
+)
+def dedup_containment_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment SURVIVORS (functions/dedup.py containment_pairs,
+    how='anti'): every document NOT subsumed by another at ≥ 0.3
+    containment — the "keep only unsubsumed docs" curation shape
+    (VERDICT r8 item 5), computed from the same capped inverted-index
+    intersection as dedup_containment plus ONE left-anti hash join
+    (the contained-id side is the pair table's distinct projection,
+    never a second corpus pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.containment_pairs(docs, "text", "doc_id",
+                                  n=3, threshold=0.3, max_doc_freq=50,
+                                  how="anti")
+    return out.select("doc_id", "n_chars")
+
+
+@query(
     "dedup_incremental_lsh",
     oracle=f"""
     WITH {_MINHASH_BANDS_CTES}

@@ -697,6 +697,38 @@ def test_containment_directions_independent(spark):
     assert [(r.contained, r.container) for r in out] == [(1, 2)]
 
 
+def test_containment_anti_matches_python_model(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "beta gamma delta epsilon"),            # contained in 1
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven eight nine ten"),  # ⊇ 3
+        (5, "totally unrelated words here friend"),
+        (6, "xx yy"),                                # too short: 0 shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.9,
+        max_doc_freq=None, how="anti")
+    assert out.columns == ["doc_id", "text"]  # original columns survive
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    contained = {a for a, ta in rows for b, tb in rows
+                 if a != b and sh(ta)
+                 and len(sh(ta) & sh(tb)) / len(sh(ta)) >= 0.9}
+    want = {a for a, _ in rows} - contained
+    assert {r.doc_id for r in out.collect()} == want == {1, 4, 5, 6}
+
+
+def test_containment_how_rejects_unknown(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="how must be"):
+        dedup.containment_pairs(df, "text", "doc_id", how="left")
+
+
 def test_incremental_lsh_equals_full_minus_index(docs):
     sigs = dedup.minhash_signatures(docs, "text", "doc_id")
     new = sigs.filter(F.col("doc_id") % 5 == 0)
