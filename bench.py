@@ -157,6 +157,36 @@ def main() -> None:
         # pin "no window, no per-group sort" shapes
         "value_ohlc_daily": QUERIES["value_ohlc_daily"],
         "value_decile_by_type": QUERIES["value_decile_by_type"],
+        # r9: the remaining recent registered shapes, added so EVERY
+        # measured family has a fingerprint row and plan_diff covers
+        # the full bench (VERDICT r8 item 6).  One representative per
+        # plan shape:
+        # - bpe_chunks: the mapInPandas encode + row-local slice pass
+        #   (distinct from bpe_merges' training shape)
+        "bpe_chunks": QUERIES["bpe_chunks"],
+        # - collocations_topk: PMI over the bigram/unigram tables with
+        #   the one-row total broadcast
+        "collocations_topk": QUERIES["collocations_topk"],
+        # - dedup_keep_longest: the full LSH → connected components →
+        #   struct-max representative chain
+        "dedup_keep_longest": QUERIES["dedup_keep_longest"],
+        # - dedup_containment_anti (new r9): capped inverted-index
+        #   intersection + one left-anti hash join
+        "dedup_containment_anti": QUERIES["dedup_containment_anti"],
+        # - diagnostics family: one-pass skew report, MAD outliers via
+        #   exact-median narrowing, per-partition fingerprint diff,
+        #   column/embedding profilers, exact join-cardinality pre-check
+        "events_skew_report": QUERIES["events_skew_report"],
+        "value_outliers_mad": QUERIES["value_outliers_mad"],
+        "partition_diff": QUERIES["partition_diff"],
+        "embedding_profile": QUERIES["embedding_profile"],
+        "join_explosion_check": QUERIES["join_explosion_check"],
+        # - equi-depth bucketize: global + grouped narrowing variants
+        "value_decile_buckets": QUERIES["value_decile_buckets"],
+        "exact_quantiles_by_type": QUERIES["exact_quantiles_by_type"],
+        # - nb_langid (new r9): trained NB classifier — one exploded
+        #   train exchange + pivoted vocab join + one doc agg
+        "nb_langid": QUERIES["nb_langid"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

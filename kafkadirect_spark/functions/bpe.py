@@ -203,39 +203,43 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
         merges = _py_learn(types, n_merges)
         return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
+    # localCheckpoint per round, NOT persist: persist materializes but
+    # does not truncate the logical plan, so round k's analyzed tree
+    # still nests k _apply_merge folds (each a large struct expression)
+    # — analysis/canonicalization cost and driver heap grow O(k²) and
+    # an 8 GB driver OOMs near 25 merges.  Checkpointing cuts the
+    # lineage to a LogicalRDD each round (the connected_components
+    # pattern), making every round's plan one fold — O(n_merges) jobs
+    # AND O(1) plan depth, measured to 200+ merges (SCALE.md).
     t = (wt.withColumn("s", F.expr(_SYMBOLS_EXPR))
-         .select("word", "n", "s").persist())
+         .select("word", "n", "s").localCheckpoint(eager=True))
     merges = []
-    try:
-        for rank in range(1, n_merges + 1):
-            top = (t.filter(F.size("s") >= 2)
-                   .select("n",
-                           F.explode(
-                               F.sequence(F.lit(1), F.size("s") - 1))
-                           .alias("i"),
-                           "s")
-                   .select("n",
-                           F.element_at("s", F.col("i")).alias("lhs"),
-                           F.element_at("s", F.col("i") + 1).alias("rhs"))
-                   .groupBy("lhs", "rhs")
-                   .agg(F.sum("n").alias("c"))
-                   .orderBy(F.col("c").desc(), F.col("lhs").asc(),
-                            F.col("rhs").asc())
-                   .limit(1).collect())  # exactly one row — the argmax
-            if not top:
-                break
-            lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
-            merges.append((rank, lhs, rhs, c))
-            t2 = t.withColumn("s", _apply_merge("s", lhs, rhs)).persist()
-            try:
-                t2.count()  # materialize before dropping the parent
-            except Exception:
-                t2.unpersist()  # a failed round must not leak a cache
-                raise
-            t.unpersist()
-            t = t2
-    finally:
-        t.unpersist()
+    for rank in range(1, n_merges + 1):
+        top = (t.filter(F.size("s") >= 2)
+               .select("n",
+                       F.explode(
+                           F.sequence(F.lit(1), F.size("s") - 1))
+                       .alias("i"),
+                       "s")
+               .select("n",
+                       F.element_at("s", F.col("i")).alias("lhs"),
+                       F.element_at("s", F.col("i") + 1).alias("rhs"))
+               .groupBy("lhs", "rhs")
+               .agg(F.sum("n").alias("c"))
+               .orderBy(F.col("c").desc(), F.col("lhs").asc(),
+                        F.col("rhs").asc())
+               .limit(1).collect())  # exactly one row — the argmax
+        if not top:
+            break
+        lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
+        merges.append((rank, lhs, rhs, c))
+        # eager: materialize the rewrite now; the previous round's
+        # checkpoint blocks are reclaimed by the ContextCleaner once
+        # this rebinding drops the last reference (type-table-sized
+        # blocks — ≤ max_word_types rows — so even the transient
+        # overlap is register-scale, not data-scale)
+        t = (t.withColumn("s", _apply_merge("s", lhs, rhs))
+             .localCheckpoint(eager=True))
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
 

@@ -914,6 +914,163 @@ def surprisal_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def nb_classify(train: DataFrame, score: DataFrame, id_col: str,
+                text_col: str, label_col: str,
+                max_classes: int = 64) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied
+    distributed, integer-exact.
+
+    The trainable-classifier step of a curation pipeline (fastText-
+    style language ID, quality classification from a labeled seed
+    set): learn per-class token statistics from ``train``'s
+    ``label_col``, score every ``score`` document, predict the
+    argmin-bits class.  Laplace(+1)-smoothed multinomial NB with the
+    repo's integerized logs — a token with class count ``c`` costs
+    ``floor(log2(N_c + V)) − floor(log2(c + 1))`` bits
+    (``floor(log2 n) = length(bin(n)) − 1`` exactly, both engines),
+    plus a class-prior term ``floor(log2 N_docs) − floor(log2 n_c)``
+    — so scores never touch libm and replay bit-for-bit in the
+    DuckDB oracle.  Ties break toward the lexicographically smallest
+    class.  Returns ``(id_col, pred_label, best_bits)``; documents
+    with no in-vocabulary tokens fall back to the prior argmin.
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity curation machinery beside the heuristic
+    ``text.lang_guess`` (which this replaces when labels exist).
+
+    Scale ledger: training is ONE exploded exchange over the train
+    corpus collapsed map-side to ``(class, token, count)`` (vocab·C
+    rows) + a label-only doc-count agg; class totals and the vocab
+    size are C-row / 1-row actions (bounded: ``max_classes`` guard).
+    The per-class count table is PIVOTED to one vocab-sized wide
+    frame, so scoring joins the score corpus's collapsed ``(doc,
+    token, count)`` occurrences against it ONCE (AQE broadcasts a
+    real vocabulary) — per-class bits are column expressions over
+    the wide row, never a C-way row explosion — then one
+    groupBy(doc).  Nothing data-sized is collected.
+    """
+    occ_t = (
+        _widen(train.select(F.col(label_col).alias("__cls"),
+                            F.col(text_col)))
+        .select("__cls", F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__cls", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    occ_t = _persist(occ_t)
+    cls_rows = (occ_t.groupBy("__cls").agg(F.sum("__c").alias("__n"))
+                .limit(max_classes + 1).collect())  # ≤ C+1 rows
+    if len(cls_rows) > max_classes:
+        raise ValueError(
+            f"more than max_classes={max_classes} distinct labels — "
+            "NB pivots one column set per class; raise the guard "
+            "only if the label space is genuinely that wide")
+    if not cls_rows:
+        raise ValueError("training frame produced no (class, token) rows")
+    n_tok = {r["__cls"]: int(r["__n"]) for r in cls_rows}
+    classes = sorted(n_tok)
+    bad = [c for c in classes
+           if c is None or c == id_col or c.startswith("__") or "`" in c]
+    if bad:
+        raise ValueError(
+            f"class labels {bad!r} collide with the classifier's "
+            f"internal/pivot column namespace (id column {id_col!r}, "
+            "the __ prefix, backticks, NULL) — rename or filter them")
+    vocab_v = occ_t.select("__tok").distinct().count()
+    nd_rows = (train.groupBy(F.col(label_col).alias("__cls"))
+               .agg(F.count(F.lit(1)).alias("__nd")).collect())
+    n_docs = {r["__cls"]: int(r["__nd"]) for r in nd_rows}
+    total_docs = sum(n_docs.values())
+
+    def flog2(n: int) -> int:
+        return n.bit_length() - 1
+
+    prior = {c: flog2(total_docs) - flog2(n_docs[c]) for c in classes}
+    denom = {c: flog2(n_tok[c] + vocab_v) for c in classes}
+
+    wide = (occ_t.groupBy("__tok")
+            .pivot("__cls", classes).agg(F.first("__c")))
+
+    occ = (
+        _widen(score.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(text_col))
+                .alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+
+    def bits(c: str):
+        cc = F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long")
+        return F.col("__k") * (F.lit(denom[c])
+                               - (F.length(F.bin(cc + 1)) - 1))
+
+    sums = (occ.join(wide, "__tok", "left")
+            .groupBy(id_col)
+            .agg(*[F.sum(bits(c)).cast("long").alias(f"__b{i}")
+                   for i, c in enumerate(classes)]))
+    totals = [
+        (F.coalesce(F.col(f"__b{i}"), F.lit(0)) + F.lit(prior[c]))
+        .cast("long")
+        for i, c in enumerate(classes)]
+    best = F.least(*[F.struct(t.alias("b"), F.lit(c).alias("c"))
+                     for t, c in zip(totals, classes)]) \
+        if len(classes) > 1 else F.struct(
+            totals[0].alias("b"), F.lit(classes[0]).alias("c"))
+    return (score.select(id_col).distinct()
+            .join(sums, id_col, "left")
+            .select(F.col(id_col),
+                    best["c"].alias("pred_label"),
+                    best["b"].alias("best_bits")))
+
+
+def nb_classify_sql(label_col: str = "lang",
+                    train_pred: str = "doc_id % 2 = 0") -> str:
+    """DuckDB replay of ``nb_classify(documents[train_pred],
+    documents, 'doc_id', 'text', label_col)`` — same smoothed integer
+    bits, same (bits ASC, class ASC) argmin."""
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')")
+    return f"""
+    WITH tr AS (SELECT doc_id, {label_col} AS cls, {toks} AS w
+                FROM documents WHERE {train_pred}),
+    tc AS (
+      SELECT cls, tok, COUNT(*)::BIGINT AS c
+      FROM (SELECT cls, unnest(w) AS tok FROM tr) GROUP BY 1, 2),
+    cstat AS (SELECT cls, SUM(c)::BIGINT AS n_tok FROM tc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM tc),
+    cdocs AS (SELECT cls, COUNT(*)::BIGINT AS nd FROM tr GROUP BY 1),
+    tot AS (SELECT COUNT(*)::BIGINT AS ndocs FROM tr),
+    occ AS (
+      SELECT doc_id, tok, COUNT(*)::BIGINT AS k
+      FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT o.doc_id, cs.cls,
+             SUM(o.k * ((length(bin(cs.n_tok + v.v)) - 1)
+                        - (length(bin(COALESCE(tc.c, 0) + 1)) - 1)))
+             ::BIGINT AS bits
+      FROM occ o CROSS JOIN cstat cs CROSS JOIN v
+      LEFT JOIN tc ON tc.cls = cs.cls AND tc.tok = o.tok
+      GROUP BY 1, 2),
+    prior AS (
+      SELECT cd.cls,
+             (length(bin(t.ndocs)) - 1) - (length(bin(cd.nd)) - 1) AS pb
+      FROM cdocs cd CROSS JOIN tot t),
+    scored AS (
+      SELECT d.doc_id, p.cls,
+             COALESCE(c.bits, 0) + p.pb AS bits
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN prior p
+      LEFT JOIN cand c ON c.doc_id = d.doc_id AND c.cls = p.cls),
+    ranked AS (
+      SELECT doc_id, cls, bits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY bits ASC, cls ASC) AS rn
+      FROM scored)
+    SELECT doc_id, cls AS pred_label, CAST(bits AS BIGINT) AS best_bits
+    FROM ranked WHERE rn = 1
+    """
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass per-column data-quality profile: for each named column
     emit ``(col_name, n_rows, n_null, n_distinct, max_len)`` — the

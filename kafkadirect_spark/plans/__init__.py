@@ -27,9 +27,10 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # lands under pytest goldens first and is registered only if it earns a
 # driver-verified claim the existing surface doesn't already make;
 # (c) near-duplicate query shapes should be consolidated or retired
-# rather than accumulated.  r9 adds ONE new registered query
-# (dedup_containment_anti — the survivors shape of VERDICT r8 item 5);
-# N = 164, horizon stays 3.
+# rather than accumulated.  r9 adds TWO new registered queries
+# (dedup_containment_anti — the survivors shape of VERDICT r8 item 5 —
+# and nb_langid, the repo's first TRAINED classifier); N = 165,
+# horizon stays 3.
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
@@ -67,14 +68,17 @@ _PROMOTED = [
     "embedding_pq_codes",
     "range_bucket_join",
     # -- new in round 9 (no driver row by construction; the round's
-    #    ONE registration under the budget policy above):
-    #    containment survivors via how='anti' --
+    #    registrations under the budget policy above): containment
+    #    survivors via how='anti', and the trained integer-exact
+    #    Naive Bayes language classifier --
     "dedup_containment_anti",
-    # -- fill: the 32 alphabetically-first of the 48 r6-dated queries
+    "nb_langid",
+    # -- fill: the 31 alphabetically-first of the 48 r6-dated queries
     #    (newest driver row r6 — legal outside the window this round,
     #    mandatory at r10; scheduling the oldest now keeps r10's
-    #    mandatory front at 16 instead of 48).  The 16 leftovers
-    #    (semantic_clusters..winnow_overlap_pairs) ARE r10's front. --
+    #    mandatory front small).  The 17 leftovers
+    #    (scd2_history, semantic_clusters..winnow_overlap_pairs) ARE
+    #    r10's mandatory front. --
     "asof_enrich",
     "boilerplate_flag",
     "corpus_curation",
@@ -106,11 +110,10 @@ _PROMOTED = [
     "sample_split",
     "sample_stratified",
     "scd2_asof_snapshot",
-    "scd2_history",
 ]
 
 # No over-subscription this round: the 15 r8 deferrals are fronted
-# above and the window has 32 slots of r6-dated fill besides the
+# above and the window has 31 slots of r6-dated fill besides the
 # mandatory set.  (The tripwire keeps this list honest: a name may sit
 # here ONLY while it is registered, has no driver row yet, and every
 # window slot is occupied by a mandatory rotation or another

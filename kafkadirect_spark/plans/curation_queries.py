@@ -983,3 +983,25 @@ def partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .otherwise(F.col("event_type"))))
     new = curation.partition_fingerprint(mutated, cols, by=["day"])
     return curation.fingerprint_diff(old, new, ["day"])
+
+
+@query(
+    "nb_langid",
+    oracle=curation.nb_classify_sql(label_col="lang",
+                                    train_pred="doc_id % 2 = 0"),
+)
+def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes language classifier
+    (curation.nb_classify): learn per-language token statistics from
+    the even-doc_id half's `lang` labels, predict a language for
+    EVERY document — the trainable-classifier curation step (the
+    supervised replacement for the heuristic text.lang_guess).
+    Laplace-smoothed integer-bits scoring (floor-log2 via bin length)
+    replays bit-for-bit in the oracle; ties break to the
+    lexicographically smallest class.  Training is one exploded
+    map-side-combined exchange collapsed to (class, token, count);
+    scoring joins the collapsed score occurrences against the pivoted
+    vocab-sized table once, then one groupBy(doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return curation.nb_classify(train, docs, "doc_id", "text", "lang")

@@ -986,3 +986,100 @@ def test_value_ohlc_daily_model(spark, tmp_path):
     # high=975, low=125
     assert out["2024-01-01"] == (500, 975, 125, 975, 3, 1600)
     assert out["2024-01-02"] == (200, 200, 200, 200, 1, 200)
+
+
+# --- Naive Bayes classifier (nb_classify) ---------------------------------
+
+def test_nb_classify_matches_python_model(spark):
+    rows = [
+        # "english": heavy on the/and; "german": heavy on der/und
+        (1, "the cat and the dog", "en"),
+        (2, "the house and the tree", "en"),
+        (3, "der hund und der baum", "de"),
+        (4, "der mann und die frau", "de"),
+        # score-only docs (odd semantics here: train == all four)
+        (5, "the tree and the frau", None),
+        (6, "der baum und die cat", None),
+        (7, "zz qq xx", None),          # fully out-of-vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter(F.col("lang").isNotNull())
+    out = {r.doc_id: (r.pred_label, r.best_bits)
+           for r in curation.nb_classify(
+               train, df, "doc_id", "text", "lang").collect()}
+
+    # independent python model: same smoothed integer bits
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+
+    tc, nd = {}, Counter()
+    for _, t, lab in rows:
+        if lab is None:
+            continue
+        nd[lab] += 1
+        for w in toks(t):
+            tc[(lab, w)] = tc.get((lab, w), 0) + 1
+    classes = sorted(nd)
+    n_tok = {c: sum(v for (cc, _), v in tc.items() if cc == c)
+             for c in classes}
+    vocab = len({w for (_, w) in tc})
+    total = sum(nd.values())
+
+    def fl2(n):
+        return n.bit_length() - 1
+
+    for doc_id, t, _ in rows:
+        scores = {}
+        for c in classes:
+            bits = fl2(total) - fl2(nd[c])
+            for w in toks(t):
+                bits += (fl2(n_tok[c] + vocab)
+                         - fl2(tc.get((c, w), 0) + 1))
+            scores[c] = bits
+        want = min(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        assert out[doc_id] == (want[0], want[1]), doc_id
+    # sanity on the semantics, not just the replay
+    assert out[5][0] == "en" and out[6][0] == "de"
+    # all-OOV doc falls back to the prior argmin (tie → 'de' asc)
+    assert out[7][0] == "de"
+
+
+def test_nb_classify_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "c d", "y"), (3, "e f", "z")],
+        "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="max_classes"):
+        curation.nb_classify(df, df, "doc_id", "text", "lang",
+                             max_classes=2)
+    empty = df.filter(F.col("doc_id") < 0)
+    with pytest.raises(ValueError, match="no \\(class, token\\)"):
+        curation.nb_classify(empty, df, "doc_id", "text", "lang")
+    # labels colliding with the pivot/internal namespace are rejected
+    evil = spark.createDataFrame(
+        [(1, "a b", "__k"), (2, "c d", "ok")],
+        "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="collide"):
+        curation.nb_classify(evil, evil, "doc_id", "text", "lang")
+    evil2 = spark.createDataFrame(
+        [(1, "a b", "doc_id"), (2, "c d", "ok")],
+        "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="collide"):
+        curation.nb_classify(evil2, evil2, "doc_id", "text", "lang")
+
+
+def test_nb_classify_held_out_accuracy(spark):
+    # 40 docs per language with disjoint vocabularies + shared noise:
+    # a held-out half must classify near-perfectly
+    rows = []
+    for i in range(40):
+        rows.append((i * 2, f"alpha beta gamma noise{i % 7}", "aa"))
+        rows.append((i * 2 + 1, f"delta epsilon zeta noise{i % 7}", "bb"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter(F.col("doc_id") % 4 < 2)
+    out = curation.nb_classify(train, df, "doc_id", "text", "lang")
+    acc = (out.join(df, "doc_id")
+           .filter(F.col("pred_label") == F.col("lang")).count())
+    assert acc == 80

@@ -147,6 +147,17 @@ HEADLINERS = {
                   "MapInPandas node) + row-local sequence-slice "
                   "explode — no shuffle after the word-count "
                   "training pass",
+    "dedup_containment_anti": "capped shingle inverted-index "
+                              "intersection (the dedup_containment "
+                              "pair plan) feeding ONE LeftAnti hash "
+                              "join on the doc id — the survivors "
+                              "set without a second corpus pass",
+    "nb_langid": "one exploded train exchange collapsed map-side to "
+                 "(class, token, count) and pivoted vocab-wide; "
+                 "scoring joins collapsed occurrences against it "
+                 "once (broadcast at this SF) then one doc "
+                 "aggregate — per-class bits are column "
+                 "expressions, never a class-way row explosion",
 }
 
 

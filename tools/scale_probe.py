@@ -191,6 +191,68 @@ def bpe_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.stop()
 
 
+def bpe_dist_probe(sf_dir: str = "/root/testdata/sf0.01",
+                   steps: tuple[int, ...] = (1, 4, 8),
+                   n_merges: int = 200) -> None:
+    """BPE DISTRIBUTED-regime probe at a realistic merge count
+    (VERDICT r8 item 4): ``learn_bpe(mode="distributed")`` end to end
+    — the O(n_merges) job chain (per round: one vocabulary-sized pair
+    count, a 1-row TakeOrdered, a row-local checkpointed rewrite) —
+    over organically-grown type tables.  The claim under test is that
+    per-round cost is flat in the round index (plan depth stays O(1)
+    via the per-round localCheckpoint; without it the nested fold
+    lineage OOMed an 8 GB driver near 25 merges) and tracks only the
+    TYPE table size.  Also cross-checks driver==distributed equality
+    at the full merge count on the 1× corpus."""
+    from kafkadirect_spark.functions import bpe
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("bpe-dist-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def organic(k: int):
+        df = base
+        for i in range(1, k):
+            tag = F.lit(f"q{i}")
+            copy = (base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    .withColumn("text", F.concat_ws(" ", F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, tag)))))
+            df = df.unionByName(copy)
+        return df
+
+    for k in steps:
+        docs = organic(k).persist()
+        docs.count()
+        n_types = bpe.word_type_counts(
+            docs, "text", min_count=2, max_word_types=1 << 16).count()
+        t0 = time.perf_counter()
+        m = bpe.learn_bpe(docs, "text", n_merges=n_merges, min_count=2,
+                          max_word_types=1 << 16,
+                          mode="distributed").collect()
+        print(json.dumps({"op": "learn_bpe_distributed", "repl": k,
+                          "types": n_types, "n_merges": len(m),
+                          "requested": n_merges,
+                          "sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        docs.unpersist()
+
+    docs = organic(1).persist()
+    docs.count()
+    md = bpe.learn_bpe(docs, "text", n_merges=n_merges,
+                       mode="driver").collect()
+    mx = bpe.learn_bpe(docs, "text", n_merges=n_merges,
+                       mode="distributed").collect()
+    print(json.dumps({"op": "learn_bpe_regimes_equal",
+                      "n_merges": n_merges,
+                      "equal": [tuple(r) for r in md]
+                      == [tuple(r) for r in mx]}), flush=True)
+    spark.stop()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
          organic: bool = False, ops: list[str] | None = None,
          start: int = 1) -> None:
@@ -354,6 +416,10 @@ if __name__ == "__main__":
     if "--bpe" in args:
         args.remove("--bpe")
         bpe_probe(args[0] if args else "/root/testdata/sf0.1")
+        sys.exit(0)
+    if "--bpe-dist" in args:
+        args.remove("--bpe-dist")
+        bpe_dist_probe(args[0] if args else "/root/testdata/sf0.01")
         sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
