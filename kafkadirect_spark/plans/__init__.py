@@ -29,8 +29,12 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # (c) near-duplicate query shapes should be consolidated or retired
 # rather than accumulated.  r9 adds TWO new registered queries
 # (dedup_containment_anti — the survivors shape of VERDICT r8 item 5 —
-# and nb_langid, the repo's first TRAINED classifier); N = 165,
-# horizon stays 3.
+# and nb_langid, the repo's first TRAINED classifier) and RETIRES one
+# (value_quantiles_by_type — grouped-sketch quantiles; both its claims
+# are carried by surviving queries: sketch machinery by
+# value_quantiles_hist, grouped quantiles by the strictly-stronger
+# exact_quantiles_by_type; operators + goldens remain in the library,
+# see plans/analytics_queries.py).  N = 164, horizon stays 3.
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
@@ -76,9 +80,10 @@ _PROMOTED = [
     # -- fill: the 31 alphabetically-first of the 48 r6-dated queries
     #    (newest driver row r6 — legal outside the window this round,
     #    mandatory at r10; scheduling the oldest now keeps r10's
-    #    mandatory front small).  The 17 leftovers
-    #    (scd2_history, semantic_clusters..winnow_overlap_pairs) ARE
-    #    r10's mandatory front. --
+    #    mandatory front small).  The 16 r6-dated leftovers
+    #    (scd2_history, semantic_clusters..winnow_overlap_pairs, minus
+    #    the retired value_quantiles_by_type) ARE r10's mandatory
+    #    front. --
     "asof_enrich",
     "boilerplate_flag",
     "corpus_curation",

@@ -417,52 +417,16 @@ def value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  lo=0, hi=1_000_000, bins=1000)
 
 
-@query(
-    "value_quantiles_by_type",
-    oracle="""
-    WITH v AS (
-      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS x
-      FROM events WHERE value IS NOT NULL),
-    b AS (
-      SELECT event_type,
-             LEAST(GREATEST((x - 0) * 1000 // 1000000, 0), 999) AS bin
-      FROM v),
-    reg AS (
-      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM b GROUP BY event_type, bin),
-    c AS (
-      SELECT event_type, bin, cnt,
-             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
-                  AS BIGINT) AS cum,
-             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      FROM reg)
-    SELECT event_type, CAST(q AS BIGINT) AS q_permille,
-           CAST(0 + MIN(CASE WHEN cum >= (q * n + 999) // 1000
-                             THEN bin END) * 1000000 // 1000
-                AS BIGINT) AS est_value
-    FROM c CROSS JOIN (SELECT unnest([500, 990]) AS q) qs
-    GROUP BY event_type, q
-    """,
-)
-def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type p50/p99 via the GROUPED histogram sketch
-    (functions/sketch.py hist_registers_grouped): register frames
-    partition on the group, so quantile extraction parallelizes across
-    groups with no unpartitioned window anywhere — grouped SLA/latency
-    dashboards from a mergeable sketch, integer-exact cross-engine."""
-    from pyspark.sql import functions as F
-
-    from kafkadirect_spark.functions import diagnostics, sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    v = (ev.filter(F.col("value").isNotNull())
-         .select("event_type",
-                 F.floor(F.col("value") * 1000).cast("long")
-                 .alias("v_milli")))
-    reg = sketch.hist_registers_grouped(v, ["event_type"], "v_milli",
-                                        lo=0, hi=1_000_000, bins=1000)
-    return sketch.hist_quantiles_grouped(reg, ["event_type"], [500, 990],
-                                         lo=0, hi=1_000_000, bins=1000)
+# RETIRED r9 (registration-budget policy item c, VERDICT r8 item 3):
+# `value_quantiles_by_type` — per-type p50/p99 via the GROUPED
+# histogram sketch (r6 driver rows green).  Its two claims are each
+# carried by a surviving query: the histogram-sketch machinery by
+# `value_quantiles_hist` (global, same registers/extraction), the
+# grouped-quantile machinery by `exact_quantiles_by_type` (grouped
+# narrowing — strictly stronger: exact, not estimate).  The OPERATORS
+# (`sketch.hist_registers_grouped` / `hist_quantiles_grouped`) remain
+# in the library with their pytest goldens (test_sketch.py) — only the
+# redundant registration slot is reclaimed.
 
 
 _KMV_H = "('0x' || substr(md5(t), 1, 12))::BIGINT"

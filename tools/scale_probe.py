@@ -253,6 +253,50 @@ def bpe_dist_probe(sf_dir: str = "/root/testdata/sf0.01",
     spark.stop()
 
 
+def nb_probe(sf_dir: str = "/root/testdata/sf0.1",
+             steps: tuple[int, ...] = (1, 4, 16)) -> None:
+    """Naive Bayes classifier scale probe (organic growth: suffix-
+    tagged replicas mint fresh word types AND fresh documents, so both
+    the vocabulary pivot table and the scoring exchange grow).  Claims
+    under test: train+score wall tracks corpus size at-or-under
+    linearly (one exploded train exchange, one vocab-wide join, one
+    doc agg — no pair/class row explosion), and the driver never holds
+    more than C+1 class rows."""
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("nb-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def organic(k: int):
+        df = base
+        for i in range(1, k):
+            tag = F.lit(f"q{i}")
+            copy = (base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    .withColumn("text", F.concat_ws(" ", F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, tag)))))
+            df = df.unionByName(copy)
+        return df
+
+    for k in steps:
+        docs = organic(k).persist()
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = curation.nb_classify(
+            docs.filter(F.col("doc_id") % 2 == 0), docs,
+            "doc_id", "text", "lang")
+        out.write.format("noop").mode("overwrite").save()
+        print(json.dumps({"op": "nb_classify", "repl": k, "docs": n,
+                          "sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        docs.unpersist()
+    spark.stop()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
          organic: bool = False, ops: list[str] | None = None,
          start: int = 1) -> None:
@@ -420,6 +464,10 @@ if __name__ == "__main__":
     if "--bpe-dist" in args:
         args.remove("--bpe-dist")
         bpe_dist_probe(args[0] if args else "/root/testdata/sf0.01")
+        sys.exit(0)
+    if "--nb" in args:
+        args.remove("--nb")
+        nb_probe(args[0] if args else "/root/testdata/sf0.1")
         sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
