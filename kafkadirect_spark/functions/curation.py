@@ -1022,6 +1022,122 @@ def nb_classify(train: DataFrame, score: DataFrame, id_col: str,
                     best["b"].alias("best_bits")))
 
 
+def nb_model(train: DataFrame, text_col: str, label_col: str,
+             max_classes: int = 64,
+             max_vocab: int = 1_000_000) -> dict:
+    """Train the NB classifier and COLLECT the model driver-side —
+    the "train offline at corpus scale, freeze, score online" shape.
+
+    ``nb_classify`` keeps the vocabulary distributed (the right call
+    for batch scoring); a model that ships in a task closure is what
+    streaming / row-local scoring needs.  The vocabulary is capped at
+    the ``max_vocab`` highest-total-count tokens via a distributed
+    TakeOrdered (ties to token ASC) — the same deterministic cap
+    contract as ``bpe.word_type_counts``; dropped tail tokens score
+    as out-of-vocabulary (count 0), a graceful degradation.  Raises
+    if the class space exceeds ``max_classes``.
+
+    Returns a plain dict (classes, vocab size, per-class totals,
+    priors/denominators in integer bits, per-class token counts) —
+    JSON-serializable, so a model can be persisted and versioned.
+    Scoring with an UNCAPPED model is bit-identical to
+    ``nb_classify`` (pytest-pinned).
+    """
+    occ_t = (
+        _widen(train.select(F.col(label_col).alias("__cls"),
+                            F.col(text_col)))
+        .select("__cls", F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__cls", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    occ_t = _persist(occ_t)
+    n_cls = occ_t.select("__cls").distinct().limit(max_classes + 1).count()
+    if n_cls > max_classes:
+        raise ValueError(
+            f"more than max_classes={max_classes} distinct labels")
+    if n_cls == 0:
+        raise ValueError("training frame produced no (class, token) rows")
+    # vocabulary BEFORE the cap: V is part of the smoothing denominator
+    # and must match nb_classify's (the cap drops rare-token ROWS from
+    # the shipped table, not from the trained distribution's support)
+    vocab_v = occ_t.select("__tok").distinct().count()
+    tok_tot = (occ_t.groupBy("__tok").agg(F.sum("__c").alias("__t"))
+               .orderBy(F.col("__t").desc(), F.col("__tok").asc())
+               .limit(max_vocab))  # distributed TakeOrdered, never a sort
+    kept = occ_t.join(tok_tot.select("__tok"), "__tok")
+    counts: dict[str, dict[str, int]] = {}
+    for r in kept.collect():  # ≤ max_vocab · C rows — bounded by the cap
+        counts.setdefault(r["__cls"], {})[r["__tok"]] = int(r["__c"])
+    n_tok = {r["__cls"]: int(r["__n"]) for r in
+             occ_t.groupBy("__cls").agg(F.sum("__c").alias("__n"))
+             .collect()}
+    classes = sorted(n_tok)
+    nd = {r["__cls"]: int(r["__nd"]) for r in
+          train.groupBy(F.col(label_col).alias("__cls"))
+          .agg(F.count(F.lit(1)).alias("__nd")).collect()}
+    total_docs = sum(nd.values())
+
+    def flog2(n: int) -> int:
+        return n.bit_length() - 1
+
+    return {
+        "classes": classes,
+        "vocab_v": vocab_v,
+        "prior": {c: flog2(total_docs) - flog2(nd[c]) for c in classes},
+        "denom": {c: flog2(n_tok[c] + vocab_v) for c in classes},
+        "counts": {c: counts.get(c, {}) for c in classes},
+    }
+
+
+def nb_score_rows(df: DataFrame, model: dict, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Score rows with a collected ``nb_model`` — ONE stateless
+    ``mapInPandas`` pass (model in the task closure), so it applies
+    unchanged to a Structured Streaming frame: train offline, score
+    the unbounded ingest online (streamed == batch golden in
+    test_curation.py).  Same tokenizer, same integer bits, same
+    (bits ASC, class ASC) tie-break as ``nb_classify``; returns
+    ``(id_col, pred_label, best_bits)``."""
+    classes = model["classes"]
+    prior, denom = model["prior"], model["denom"]
+    counts = model["counts"]
+    id_field = df.schema[id_col]
+    out_schema = (f"{id_field.name} {id_field.dataType.simpleString()}, "
+                  "pred_label string, best_bits long")
+    cols = df.select(id_col, text_col)
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        tok_re = re.compile("[^a-z0-9]+")
+        fl = int.bit_length
+
+        for pdf in batches:
+            preds, bits_out = [], []
+            for txt in pdf[text_col]:
+                ws = [w for w in
+                      tok_re.split(str(txt or "").lower()) if w]
+                best = None
+                for c in classes:
+                    tc = counts[c]
+                    b = prior[c]
+                    dn = denom[c]
+                    for w in ws:
+                        b += dn - (fl(tc.get(w, 0) + 1) - 1)
+                    if best is None or (b, c) < best:
+                        best = (b, c)
+                bits_out.append(best[0])
+                preds.append(best[1])
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "pred_label": preds,
+                                "best_bits": pd.Series(bits_out,
+                                                       dtype="int64")})
+
+    return cols.mapInPandas(gen, out_schema)
+
+
 def nb_classify_sql(label_col: str = "lang",
                     train_pred: str = "doc_id % 2 = 0") -> str:
     """DuckDB replay of ``nb_classify(documents[train_pred],

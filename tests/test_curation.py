@@ -1083,3 +1083,71 @@ def test_nb_classify_held_out_accuracy(spark):
     acc = (out.join(df, "doc_id")
            .filter(F.col("pred_label") == F.col("lang")).count())
     assert acc == 80
+
+
+def test_nb_model_scores_match_nb_classify(spark):
+    rows = [(i, f"alpha beta {'gamma ' * (i % 3)}noise{i % 5}",
+             "aa" if i % 2 else "bb") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = curation.nb_model(df, "text", "lang")
+    via_model = {r.doc_id: (r.pred_label, r.best_bits) for r in
+                 curation.nb_score_rows(df, model, "doc_id",
+                                        "text").collect()}
+    via_classify = {r.doc_id: (r.pred_label, r.best_bits) for r in
+                    curation.nb_classify(df, df, "doc_id", "text",
+                                         "lang").collect()}
+    assert via_model == via_classify
+    # the model is JSON-round-trippable (persist/version contract)
+    import json
+    assert curation.nb_score_rows(
+        df, json.loads(json.dumps(model)), "doc_id", "text"
+    ).collect() == curation.nb_score_rows(
+        df, model, "doc_id", "text").collect()
+
+
+def test_nb_model_vocab_cap_degrades_to_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana", "aa"), (2, "cherry cherry durian", "bb")],
+        "doc_id long, text string, lang string")
+    full = curation.nb_model(df, "text", "lang")
+    capped = curation.nb_model(df, "text", "lang", max_vocab=2)
+    # smoothing support (V) is the trained distribution's, not the cap's
+    assert capped["vocab_v"] == full["vocab_v"] == 4
+    # only the 2 highest-total tokens survive (ties by token asc)
+    kept = {t for c in capped["counts"].values() for t in c}
+    assert kept == {"apple", "cherry"}
+    # dropped tokens score as OOV — predictions still well-defined
+    out = curation.nb_score_rows(df, capped, "doc_id", "text").collect()
+    assert {r.doc_id for r in out} == {1, 2}
+
+
+def test_nb_score_rows_works_on_streams(spark, tmp_path):
+    """nb_score_rows is a stateless mapInPandas transform over a
+    closure-shipped model, so the batch-trained classifier applies
+    unchanged to a Structured Streaming ingest (streamed == batch)."""
+    import os
+
+    rows = [(i, f"alpha beta noise{i % 4}" if i % 2 else
+             f"delta epsilon noise{i % 4}",
+             "aa" if i % 2 else "bb") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = curation.nb_model(df, "text", "lang")
+    expect = {r.doc_id: (r.pred_label, r.best_bits) for r in
+              curation.nb_score_rows(df, model, "doc_id",
+                                     "text").collect()}
+
+    src = os.path.join(str(tmp_path), "nb_src")
+    df.select("doc_id", "text").repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = curation.nb_score_rows(stream, model, "doc_id", "text")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("nb_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: (r.pred_label, r.best_bits) for r in
+               spark.sql("SELECT * FROM nb_stream").collect()}
+    finally:
+        q.stop()
+    assert got == expect

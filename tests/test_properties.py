@@ -763,3 +763,51 @@ def test_bm25_integer_model_equivalence(spark, docs):
     expect = sorted(((i, sc, nt) for i, (nt, sc) in scores.items()),
                     key=lambda r: (-r[1], r[0]))
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.sampled_from(["aa", "bb"]),
+              st.lists(st.sampled_from(["apple", "banana", "cherry",
+                                        "durian", "fig"]),
+                       min_size=1, max_size=10)),
+    min_size=2, max_size=12).filter(
+        lambda rows: len({lab for lab, _ in rows}) == 2))
+def test_nb_classify_integer_model_equivalence(spark, rows):
+    """nb_classify pinned against an independent in-Python replication
+    of the smoothed integer-bits arithmetic over random two-class
+    corpora — prediction AND bits must match bit-for-bit, including
+    the (bits ASC, class ASC) tie-break."""
+    from kafkadirect_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), lab) for i, (lab, ws) in enumerate(rows)],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.pred_label, r.best_bits) for r in
+           curation.nb_classify(df, df, "doc_id", "text",
+                                "lang").collect()}
+
+    tc, nd = {}, {}
+    for lab, ws in rows:
+        nd[lab] = nd.get(lab, 0) + 1
+        for w in ws:
+            tc[(lab, w)] = tc.get((lab, w), 0) + 1
+    classes = sorted(nd)
+    n_tok = {c: sum(v for (cc, _), v in tc.items() if cc == c)
+             for c in classes}
+    vocab = len({w for (_, w) in tc})
+    total = sum(nd.values())
+
+    def fl2(n):
+        return n.bit_length() - 1
+
+    for i, (_, ws) in enumerate(rows):
+        scores = {}
+        for c in classes:
+            bits = fl2(total) - fl2(nd[c])
+            for w in ws:
+                bits += fl2(n_tok[c] + vocab) - fl2(tc.get((c, w), 0) + 1)
+            scores[c] = bits
+        want = min(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        assert got[i] == want, (i, got[i], want)
