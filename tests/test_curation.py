@@ -1151,3 +1151,26 @@ def test_nb_score_rows_works_on_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+def test_nb_classify_tolerates_null_and_empty_text(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta", "aa"), (2, "gamma delta", "bb"),
+         (3, None, "aa"), (4, "", "bb")],   # null/empty train rows: no tokens
+        "doc_id long, text string, lang string")
+    score = spark.createDataFrame(
+        [(10, "alpha beta"), (11, None), (12, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.pred_label for r in
+           curation.nb_classify(train, score, "doc_id", "text",
+                                "lang").collect()}
+    # every score row gets a prediction; token-less docs fall back to
+    # the prior argmin (both classes have 2 docs -> tie -> 'aa' asc)
+    assert set(out) == {10, 11, 12}
+    assert out[10] == "aa" and out[11] == "aa" and out[12] == "aa"
+    # the model/score path agrees on the same inputs
+    model = curation.nb_model(train, "text", "lang")
+    out2 = {r.doc_id: r.pred_label for r in
+            curation.nb_score_rows(score, model, "doc_id",
+                                   "text").collect()}
+    assert out2 == out
