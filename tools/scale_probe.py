@@ -364,6 +364,11 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         return dedup.containment_pairs(docs, "text", "doc_id", n=3,
                                        threshold=0.3, max_doc_freq=50)
 
+    def probe_containment_anti(docs):
+        return dedup.containment_pairs(docs, "text", "doc_id", n=3,
+                                       threshold=0.3, max_doc_freq=50,
+                                       how="anti")
+
     def probe_incremental(docs):
         # fixed 5% "daily drop" fraction — the index side grows with
         # the corpus, the new side with the drop; at scale the cost
@@ -416,6 +421,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "sketches": probe_sketches,
               "jaccard_prefix": probe_jaccard_prefix,
               "containment": probe_containment,
+              "containment_anti": probe_containment_anti,
               "incremental_lsh": probe_incremental,
               "surprisal": probe_surprisal,
               "gopher": probe_gopher,
