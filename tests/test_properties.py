@@ -811,3 +811,44 @@ def test_nb_classify_integer_model_equivalence(spark, rows):
             scores[c] = bits
         want = min(scores.items(), key=lambda kv: (kv[1], kv[0]))
         assert got[i] == want, (i, got[i], want)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["apple", "banana", "cherry",
+                                          "durian", "fig", "grape"]),
+                         min_size=0, max_size=12),
+                min_size=2, max_size=10))
+def test_containment_both_modes_match_python_model(spark, docs):
+    """containment_pairs (inner AND anti) pinned against a naive
+    python model over random corpora — including empty docs and docs
+    too short to shingle (they must survive the anti mode)."""
+    from kafkadirect_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    thr = 0.5
+    inner = {(r.contained, r.container) for r in
+             dedup.containment_pairs(df, "text", "doc_id", n=3,
+                                     threshold=thr,
+                                     max_doc_freq=None).collect()}
+    anti = {r.doc_id for r in
+            dedup.containment_pairs(df, "text", "doc_id", n=3,
+                                    threshold=thr, max_doc_freq=None,
+                                    how="anti").collect()}
+
+    def sh(ws):
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want_inner = set()
+    for a, wa in enumerate(docs):
+        for b, wb in enumerate(docs):
+            if a != b and sh(wa):
+                c = len(sh(wa) & sh(wb))
+                if c / len(sh(wa)) >= thr:
+                    want_inner.add((a, b))
+    want_anti = {i for i in range(len(docs))
+                 if not any(ca == i for ca, _ in want_inner)}
+    assert inner == want_inner
+    assert anti == want_anti
