@@ -187,6 +187,9 @@ def main() -> None:
         # - nb_langid (new r9): trained NB classifier — one exploded
         #   train exchange + pivoted vocab join + one doc agg
         "nb_langid": QUERIES["nb_langid"],
+        # - value_drift_by_slice (new r9): exact numeric drift — one
+        #   register exchange per slice + a bins-sized outer join
+        "value_drift_by_slice": QUERIES["value_drift_by_slice"],
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

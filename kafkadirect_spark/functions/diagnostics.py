@@ -325,6 +325,90 @@ def join_cardinality(a: DataFrame, b: DataFrame,
              "amplification_ppm long")
 
 
+def histogram_drift(a: DataFrame, b: DataFrame, value_col: str,
+                    lo: int, hi: int, bins: int = 1000) -> DataFrame:
+    """EXACT distribution drift between two frames' values over an
+    equal-width integer histogram — the numeric companion to
+    ``curation.vocab_drift`` (token drift) and ``fingerprint_diff``
+    (content drift): did yesterday's ingest shift the VALUE
+    distribution, per bin, by how much?
+
+    Per bin: counts from both sides and the cross-multiplied drift
+    ``drift_ppm = 10⁶·|c_a·N_b − c_b·N_a| / (N_a·N_b)`` — the exact
+    per-bin |p̂_a − p̂_b| in parts-per-million WITHOUT a float
+    division anywhere before the final truncating integer division
+    (cross-multiplication keeps everything integral; Σ drift_ppm / 2
+    over bins is the total-variation distance in ppm).  Bins
+    nonzero on either side appear (full-outer register join); values
+    outside [lo, hi) clamp into the edge bins (``hist_registers``
+    convention).
+
+    Reference analogue: none (SURVEY.md §2); beyond-parity
+    operations tooling beside skew_report/join_cardinality.
+
+    Scale ledger: ONE map-side-combined count exchange per side
+    (register output, ≤ bins rows each), two 1-row total aggregates
+    (bounded collects, the join_cardinality precedent), one
+    bins-sized full-outer join.  Products accumulate in
+    decimal(38,0): c·N alone exceeds int64 at 1e10×1e10, and the
+    ×10⁶ numerator stays under 10³¹ ≪ 10³⁸.
+    """
+    from kafkadirect_spark.functions import sketch
+
+    ra = sketch.hist_registers(a, value_col, lo, hi, bins)
+    rb = sketch.hist_registers(b, value_col, lo, hi, bins)
+    n_a = int(ra.agg(F.sum("cnt")).collect()[0][0] or 0)  # 1-row agg
+    n_b = int(rb.agg(F.sum("cnt")).collect()[0][0] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError("both sides need at least one non-null value")
+    full = (ra.select("bin", F.col("cnt").alias("c_a"))
+            .join(rb.select("bin", F.col("cnt").alias("c_b")),
+                  "bin", "full_outer")
+            .fillna(0, ["c_a", "c_b"]))
+    dec = "decimal(38,0)"
+    num = F.abs(F.col("c_a").cast(dec) * F.lit(n_b).cast(dec)
+                - F.col("c_b").cast(dec) * F.lit(n_a).cast(dec))
+    denom = F.lit(n_a).cast(dec) * F.lit(n_b).cast(dec)
+    # `div` (integral division) — decimal `/` followed by a cast would
+    # ROUND half-up where DuckDB's `//` truncates
+    return (full
+            .withColumn("__num", num * F.lit(1_000_000).cast(dec))
+            .withColumn("__den", denom)
+            .select("bin", "c_a", "c_b",
+                    F.expr("CAST(__num DIV __den AS LONG)")
+                    .alias("drift_ppm")))
+
+
+def histogram_drift_sql(table: str, pred_a: str, pred_b: str,
+                        value_expr: str, lo: int, hi: int,
+                        bins: int = 1000) -> str:
+    """DuckDB replay of ``histogram_drift(table[pred_a],
+    table[pred_b], value_expr, ...)`` — same clamped binning, same
+    cross-multiplied HUGEINT arithmetic, same truncating ppm."""
+    bin_sql = (f"LEAST(GREATEST(CAST((x - {lo}) * {bins} "
+               f"// ({hi} - {lo}) AS BIGINT), 0), {bins - 1})")
+    return f"""
+    WITH va AS (SELECT {value_expr} AS x FROM {table}
+                WHERE ({pred_a}) AND {value_expr} IS NOT NULL),
+    vb AS (SELECT {value_expr} AS x FROM {table}
+           WHERE ({pred_b}) AND {value_expr} IS NOT NULL),
+    ra AS (SELECT {bin_sql} AS bin, COUNT(*)::BIGINT AS c_a
+           FROM va GROUP BY 1),
+    rb AS (SELECT {bin_sql} AS bin, COUNT(*)::BIGINT AS c_b
+           FROM vb GROUP BY 1),
+    na AS (SELECT COALESCE(SUM(c_a), 0)::HUGEINT AS n FROM ra),
+    nb AS (SELECT COALESCE(SUM(c_b), 0)::HUGEINT AS n FROM rb),
+    f AS (
+      SELECT COALESCE(ra.bin, rb.bin) AS bin,
+             COALESCE(c_a, 0)::BIGINT AS c_a,
+             COALESCE(c_b, 0)::BIGINT AS c_b
+      FROM ra FULL OUTER JOIN rb ON ra.bin = rb.bin)
+    SELECT bin, c_a, c_b,
+           (abs(c_a::HUGEINT * nb.n - c_b::HUGEINT * na.n)
+            * 1000000 // (na.n * nb.n))::BIGINT AS drift_ppm
+    FROM f CROSS JOIN na CROSS JOIN nb"""
+
+
 def join_cardinality_sql(table_a: str, key_a: str,
                          table_b: str, key_b: str) -> str:
     """DuckDB replay of ``join_cardinality``."""

@@ -27,14 +27,15 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # lands under pytest goldens first and is registered only if it earns a
 # driver-verified claim the existing surface doesn't already make;
 # (c) near-duplicate query shapes should be consolidated or retired
-# rather than accumulated.  r9 adds TWO new registered queries
-# (dedup_containment_anti — the survivors shape of VERDICT r8 item 5 —
-# and nb_langid, the repo's first TRAINED classifier) and RETIRES one
-# (value_quantiles_by_type — grouped-sketch quantiles; both its claims
-# are carried by surviving queries: sketch machinery by
+# rather than accumulated.  r9 adds THREE new registered queries
+# (dedup_containment_anti — the survivors shape of VERDICT r8 item 5;
+# nb_langid, the repo's first TRAINED classifier; value_drift_by_slice,
+# completing the drift family with exact numeric-distribution drift)
+# and RETIRES one (value_quantiles_by_type — grouped-sketch quantiles;
+# both its claims are carried by surviving queries: sketch machinery by
 # value_quantiles_hist, grouped quantiles by the strictly-stronger
 # exact_quantiles_by_type; operators + goldens remain in the library,
-# see plans/analytics_queries.py).  N = 164, horizon stays 3.
+# see plans/analytics_queries.py).  N = 165, horizon stays 3.
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
@@ -73,17 +74,19 @@ _PROMOTED = [
     "range_bucket_join",
     # -- new in round 9 (no driver row by construction; the round's
     #    registrations under the budget policy above): containment
-    #    survivors via how='anti', and the trained integer-exact
-    #    Naive Bayes language classifier --
+    #    survivors via how='anti', the trained integer-exact Naive
+    #    Bayes language classifier, and exact numeric-distribution
+    #    drift between ingest slices --
     "dedup_containment_anti",
     "nb_langid",
-    # -- fill: the 31 alphabetically-first of the 48 r6-dated queries
+    "value_drift_by_slice",
+    # -- fill: the 30 alphabetically-first of the 48 r6-dated queries
     #    (newest driver row r6 — legal outside the window this round,
     #    mandatory at r10; scheduling the oldest now keeps r10's
-    #    mandatory front small).  The 16 r6-dated leftovers
-    #    (scd2_history, semantic_clusters..winnow_overlap_pairs, minus
-    #    the retired value_quantiles_by_type) ARE r10's mandatory
-    #    front. --
+    #    mandatory front small).  The 17 r6-dated leftovers
+    #    (scd2_asof_snapshot, scd2_history,
+    #    semantic_clusters..winnow_overlap_pairs, minus the retired
+    #    value_quantiles_by_type) ARE r10's mandatory front. --
     "asof_enrich",
     "boilerplate_flag",
     "corpus_curation",
@@ -114,11 +117,10 @@ _PROMOTED = [
     "sample_exact_count",
     "sample_split",
     "sample_stratified",
-    "scd2_asof_snapshot",
 ]
 
 # No over-subscription this round: the 15 r8 deferrals are fronted
-# above and the window has 31 slots of r6-dated fill besides the
+# above and the window has 30 slots of r6-dated fill besides the
 # mandatory set.  (The tripwire keeps this list honest: a name may sit
 # here ONLY while it is registered, has no driver row yet, and every
 # window slot is occupied by a mandatory rotation or another

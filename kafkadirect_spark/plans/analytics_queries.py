@@ -1393,6 +1393,35 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     k=3)
 
 
+@query(
+    "value_drift_by_slice",
+    oracle=diagnostics.histogram_drift_sql(
+        "events",
+        pred_a="CAST(ts AS DATE) < DATE '2024-01-16'",
+        pred_b="CAST(ts AS DATE) >= DATE '2024-01-16'",
+        value_expr="CAST(FLOOR(value * 1000) AS BIGINT)",
+        lo=0, hi=1_000_000, bins=100),
+)
+def value_drift_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-distribution drift between two ingest slices
+    (functions/diagnostics.py histogram_drift): first half of January
+    vs second half, per value bin — the numeric companion to
+    vocab_drift (tokens) and partition_diff (content fingerprints),
+    completing the drift-detection family.  Exact cross-multiplied
+    integer arithmetic (|c_a·N_b − c_b·N_a|·10⁶ div N_a·N_b in
+    decimal(38,0)): per-bin |p̂_a − p̂_b| in ppm with no float
+    division, replayed by the oracle in HUGEINT.  One register
+    exchange per slice, two 1-row totals, a bins-sized outer join —
+    nothing data-sized moves."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000).cast("long").alias("v")
+    cut = F.to_date(F.col("ts")) < F.lit("2024-01-16").cast("date")
+    a = ev.filter(cut).select(v)
+    b = ev.filter(~cut).select(v)
+    return diagnostics.histogram_drift(a, b, "v",
+                                       lo=0, hi=1_000_000, bins=100)
+
+
 _DECILE_QS = [i * 100 for i in range(1, 10)]
 
 

@@ -196,3 +196,48 @@ def test_join_cardinality_disjoint_and_empty(spark):
     empty = spark.createDataFrame([], "id long, k string")
     out = diagnostics.join_cardinality(a, empty, "k", "k").collect()[0]
     assert (out.rows_b, out.join_rows) == (0, 0)
+
+
+def test_histogram_drift_hand_computed(spark):
+    from kafkadirect_spark.functions import diagnostics
+
+    # A: 4 values in bin 0, 4 in bin 5; B: 2 in bin 0, 6 in bin 5
+    a = spark.createDataFrame([(0,)] * 4 + [(55,)] * 4, "v long")
+    b = spark.createDataFrame([(1,)] * 2 + [(59,)] * 6, "v long")
+    out = {r.bin: (r.c_a, r.c_b, r.drift_ppm) for r in
+           diagnostics.histogram_drift(a, b, "v", lo=0, hi=100,
+                                       bins=10).collect()}
+    # |4·8 − 2·8|·1e6 // 64 = 250000 ; |4·8 − 6·8|·1e6 // 64 = 250000
+    assert out == {0: (4, 2, 250_000), 5: (4, 6, 250_000)}
+    # TVD in ppm = Σ/2 = 250000 — the two distributions differ by 25%
+
+
+def test_histogram_drift_one_sided_bins_and_clamp(spark):
+    from kafkadirect_spark.functions import diagnostics
+
+    a = spark.createDataFrame([(5,), (999,)], "v long")   # 999 clamps to bin 9
+    b = spark.createDataFrame([(5,)], "v long")
+    out = {r.bin: (r.c_a, r.c_b, r.drift_ppm) for r in
+           diagnostics.histogram_drift(a, b, "v", lo=0, hi=100,
+                                       bins=10).collect()}
+    # bin 0: |1·1 − 1·2|·1e6 // 2 = 500000 ; bin 9 absent from B entirely
+    assert out == {0: (1, 1, 500_000), 9: (1, 0, 500_000)}
+
+
+def test_histogram_drift_identical_slices_are_zero(spark):
+    from kafkadirect_spark.functions import diagnostics
+
+    a = spark.createDataFrame([(i % 40,) for i in range(100)], "v long")
+    out = diagnostics.histogram_drift(a, a, "v", lo=0, hi=100, bins=10)
+    assert {r.drift_ppm for r in out.collect()} == {0}
+
+
+def test_histogram_drift_rejects_empty_side(spark):
+    import pytest as _pytest
+
+    from kafkadirect_spark.functions import diagnostics
+
+    a = spark.createDataFrame([(1,)], "v long")
+    empty = a.filter("v < 0")
+    with _pytest.raises(ValueError, match="at least one"):
+        diagnostics.histogram_drift(a, empty, "v", lo=0, hi=100, bins=10)

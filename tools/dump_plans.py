@@ -158,6 +158,11 @@ HEADLINERS = {
                  "once (broadcast at this SF) then one doc "
                  "aggregate — per-class bits are column "
                  "expressions, never a class-way row explosion",
+    "value_drift_by_slice": "one map-side-combined register exchange "
+                            "per slice (≤bins rows out), bins-sized "
+                            "full-outer join, row-local decimal "
+                            "cross-multiplication — nothing "
+                            "data-sized moves after the two scans",
 }
 
 
