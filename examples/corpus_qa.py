@@ -4,7 +4,9 @@ diagnostics toolkit:
 
   1. exact column profile            (nulls, distinct collapse)
   2. snapshot diff vs the previous ingest (which partitions moved)
-  3. vocabulary drift between slices (distribution shift)
+  3. vocabulary drift between slices (token distribution shift)
+  3b. numeric value drift            (exact per-bin |p_a − p_b| in
+                                      ppm between ingest halves)
   4. shuffle-key skew report         (salt factor, heavy keys)
   5. robust value outliers           (median/MAD, 50% breakdown)
   6. equi-depth value deciles        (stratification cells)
@@ -62,6 +64,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print("vocab drift:  " + ", ".join(
         f"{r.term} ({r.rate_a_ppm}ppm vs {r.rate_b_ppm}ppm)"
         for r in drift))
+
+    # 3b: numeric drift — did the value distribution move between the
+    # first and second half of the ingest window?  Exact integer ppm;
+    # the total-variation distance is Σ drift_ppm / 2.
+    v = F.floor(F.col("value") * 1000).cast("long").alias("v")
+    half = F.to_date(F.col("ts")) < F.lit("2024-01-16").cast("date")
+    vd = diagnostics.histogram_drift(
+        ev.filter(half).select(v), ev.filter(~half).select(v),
+        "v", lo=0, hi=1_000_000, bins=100)
+    tvd_ppm = vd.agg(F.sum("drift_ppm")).collect()[0][0] // 2
+    print(f"value drift:  TVD {tvd_ppm / 10_000:.2f}% between ingest "
+          f"halves ({vd.count()} active bins)")
 
     # 4: shuffle-key skew — would a join keyed on event_type need salt?
     skew = {(r.stat, r.key): r.value for r in
