@@ -253,6 +253,52 @@ def bpe_dist_probe(sf_dir: str = "/root/testdata/sf0.01",
     spark.stop()
 
 
+def unigram_probe(sf_dir: str = "/root/testdata/sf0.01",
+                  steps: tuple[int, ...] = (1, 4, 16),
+                  vocab_size: int = 64, rounds: int = 2) -> None:
+    """Unigram-LM trainer scale probe (organic growth: fresh word
+    types per replica, so the type table AND the substring seed space
+    grow ×k).  Claim under test: training wall tracks the TYPE table
+    (the corpus is touched once, in word-type counting); each EM round
+    is one mapInPandas pass over the bounded type table plus an
+    inventory-sized exchange."""
+    from kafkadirect_spark.functions import bpe, unigram
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("unigram-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def organic(k: int):
+        df = base
+        for i in range(1, k):
+            tag = F.lit(f"q{i}")
+            copy = (base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    .withColumn("text", F.concat_ws(" ", F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, tag)))))
+            df = df.unionByName(copy)
+        return df
+
+    for k in steps:
+        docs = organic(k).persist()
+        docs.count()
+        n_types = bpe.word_type_counts(
+            docs, "text", min_count=2, max_word_types=1 << 16).count()
+        t0 = time.perf_counter()
+        inv = unigram.learn_unigram(docs, "text", vocab_size=vocab_size,
+                                    rounds=rounds, min_count=2).count()
+        print(json.dumps({"op": "learn_unigram", "repl": k,
+                          "types": n_types, "inventory": inv,
+                          "vocab_size": vocab_size, "rounds": rounds,
+                          "sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        docs.unpersist()
+    spark.stop()
+
+
 def nb_probe(sf_dir: str = "/root/testdata/sf0.1",
              steps: tuple[int, ...] = (1, 4, 16)) -> None:
     """Naive Bayes classifier scale probe (organic growth: suffix-
@@ -474,6 +520,10 @@ if __name__ == "__main__":
     if "--nb" in args:
         args.remove("--nb")
         nb_probe(args[0] if args else "/root/testdata/sf0.1")
+        sys.exit(0)
+    if "--unigram" in args:
+        args.remove("--unigram")
+        unigram_probe(args[0] if args else "/root/testdata/sf0.01")
         sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
