@@ -208,6 +208,31 @@ def _model_from(pieces) -> tuple:
     return bits, max_len, oov
 
 
+def unigram_chunk(df: DataFrame, id_col: str, text_col: str,
+                  pieces, budget: int) -> DataFrame:
+    """Split every document into ≤ ``budget``-piece chunks under the
+    trained unigram tokenizer — same model-input assembly contract as
+    ``bpe.bpe_chunk`` (one encode pass, row-local sequence slicing,
+    empty documents emit zero chunks).  Returns
+    ``(id_col, chunk_idx, n_pieces, pieces)``."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    enc = unigram_encode(df, id_col, text_col, pieces)
+    n_chunks = F.ceil(F.col("n_pieces") / F.lit(budget)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.slice(F.col("pieces"), i * budget + 1, budget)
+            .alias("arr")))
+    return (enc.filter(F.col("n_pieces") > 0)
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col,
+                    F.col("c.idx").alias("chunk_idx"),
+                    F.size("c.arr").cast("long").alias("n_pieces"),
+                    F.col("c.arr").alias("pieces")))
+
+
 def unigram_encode(df: DataFrame, id_col: str, text_col: str,
                    pieces) -> DataFrame:
     """Encode a text column with a trained piece inventory — one

@@ -158,6 +158,23 @@ def test_learn_unigram_guards(spark):
         unigram.learn_unigram(df, "text", vocab_size=10_000_000)
 
 
+def test_unigram_chunk_reconcatenates_to_encoding(spark):
+    df = _docs(spark, TEXTS)
+    model = unigram.learn_unigram(df, "text", vocab_size=8,
+                                  rounds=2, min_count=1)
+    enc = {r.doc_id: list(r.pieces) for r in
+           unigram.unigram_encode(df, "doc_id", "text", model).collect()}
+    chunks = sorted((r.chunk_idx, list(r.pieces)) for r in
+                    unigram.unigram_chunk(df, "doc_id", "text", model,
+                                          budget=3)
+                    .filter(F.col("doc_id") == 0).collect())
+    glued = [p for _, arr in chunks for p in arr]
+    assert glued == enc[0]
+    assert all(len(arr) <= 3 for _, arr in chunks)
+    with pytest.raises(ValueError, match="budget"):
+        unigram.unigram_chunk(df, "doc_id", "text", model, budget=0)
+
+
 def test_unigram_encode_works_on_streams(spark, tmp_path):
     """unigram_encode is a stateless mapInPandas transform, so the
     trained tokenizer applies unchanged to a Structured Streaming
