@@ -180,11 +180,21 @@ def _apply_merge(sym_col: str, lhs: str, rhs: str) -> Column:
 
 def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
               min_count: int = 2, max_word_types: int = 1 << 16,
-              mode: str = "driver") -> DataFrame:
+              mode: str = "driver",
+              checkpoint_dir: str | None = None) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a text column.  Returns
     ``(merge_rank, lhs, rhs, pair_count)`` ordered by rank — ≤
     ``n_merges`` rows (early exhaustion emits fewer).  See the
-    module docstring for the two regimes; they are bit-identical."""
+    module docstring for the two regimes; they are bit-identical.
+
+    Fault-tolerance tradeoff (distributed mode): the per-round
+    ``localCheckpoint`` stores blocks on executors with TRUNCATED
+    lineage, so losing any executor mid-training fails the job
+    unrecoverably — acceptable for short runs, a real caveat for a
+    long cluster run over a big type table.  Pass ``checkpoint_dir``
+    to use reliable ``checkpoint()`` into that path instead (HDFS/
+    object-store durable; survives executor loss at the cost of one
+    type-table write per round)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if mode not in ("driver", "distributed"):
@@ -203,7 +213,7 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
         merges = _py_learn(types, n_merges)
         return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
-    # localCheckpoint per round, NOT persist: persist materializes but
+    # Checkpoint per round, NOT persist: persist materializes but
     # does not truncate the logical plan, so round k's analyzed tree
     # still nests k _apply_merge folds (each a large struct expression)
     # — analysis/canonicalization cost and driver heap grow O(k²) and
@@ -211,8 +221,18 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
     # lineage to a LogicalRDD each round (the connected_components
     # pattern), making every round's plan one fold — O(n_merges) jobs
     # AND O(1) plan depth, measured to 200+ merges (SCALE.md).
-    t = (wt.withColumn("s", F.expr(_SYMBOLS_EXPR))
-         .select("word", "n", "s").localCheckpoint(eager=True))
+    # localCheckpoint (executor blocks) by default; reliable
+    # checkpoint() when checkpoint_dir is set (see docstring).
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    t = _cut(wt.withColumn("s", F.expr(_SYMBOLS_EXPR))
+             .select("word", "n", "s"))
     merges = []
     for rank in range(1, n_merges + 1):
         top = (t.filter(F.size("s") >= 2)
@@ -238,8 +258,7 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
         # this rebinding drops the last reference (type-table-sized
         # blocks — ≤ max_word_types rows — so even the transient
         # overlap is register-scale, not data-scale)
-        t = (t.withColumn("s", _apply_merge("s", lhs, rhs))
-             .localCheckpoint(eager=True))
+        t = _cut(t.withColumn("s", _apply_merge("s", lhs, rhs)))
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
 

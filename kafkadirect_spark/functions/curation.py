@@ -934,6 +934,14 @@ def nb_classify(train: DataFrame, score: DataFrame, id_col: str,
     class.  Returns ``(id_col, pred_label, best_bits)``; documents
     with no in-vocabulary tokens fall back to the prior argmin.
 
+    Label hygiene: NULL-labeled train rows are unlabeled data, not a
+    class — they are filtered before ANY statistic.  The candidate
+    class set is exactly the labels that produced ≥ 1 (class, token)
+    row, and the prior's ``N_docs`` counts only those classes' docs —
+    a label whose train docs all tokenize empty contributes neither a
+    candidate nor prior mass (it would otherwise score prior-only
+    bits and win most argmins).  The oracle mirrors both rules.
+
     Reference analogue: none (SURVEY.md §2 — no document model);
     beyond-parity curation machinery beside the heuristic
     ``text.lang_guess`` (which this replaces when labels exist).
@@ -949,9 +957,10 @@ def nb_classify(train: DataFrame, score: DataFrame, id_col: str,
     the wide row, never a C-way row explosion — then one
     groupBy(doc).  Nothing data-sized is collected.
     """
+    labeled = train.filter(F.col(label_col).isNotNull())
     occ_t = (
-        _widen(train.select(F.col(label_col).alias("__cls"),
-                            F.col(text_col)))
+        _widen(labeled.select(F.col(label_col).alias("__cls"),
+                              F.col(text_col)))
         .select("__cls", F.explode(tokens(text_col)).alias("__tok"))
         .groupBy("__cls", "__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -976,9 +985,12 @@ def nb_classify(train: DataFrame, score: DataFrame, id_col: str,
             f"internal/pivot column namespace (id column {id_col!r}, "
             "the __ prefix, backticks, NULL) — rename or filter them")
     vocab_v = occ_t.select("__tok").distinct().count()
-    nd_rows = (train.groupBy(F.col(label_col).alias("__cls"))
+    nd_rows = (labeled.groupBy(F.col(label_col).alias("__cls"))
                .agg(F.count(F.lit(1)).alias("__nd")).collect())
-    n_docs = {r["__cls"]: int(r["__nd"]) for r in nd_rows}
+    # restrict doc counts to the candidate classes (labels with ≥ 1
+    # token row) so total_docs covers exactly the classes being scored
+    n_docs = {r["__cls"]: int(r["__nd"]) for r in nd_rows
+              if r["__cls"] in n_tok}
     total_docs = sum(n_docs.values())
 
     def flog2(n: int) -> int:
@@ -1041,11 +1053,14 @@ def nb_model(train: DataFrame, text_col: str, label_col: str,
     priors/denominators in integer bits, per-class token counts) —
     JSON-serializable, so a model can be persisted and versioned.
     Scoring with an UNCAPPED model is bit-identical to
-    ``nb_classify`` (pytest-pinned).
+    ``nb_classify`` (pytest-pinned), including the label-hygiene
+    rules (NULL labels filtered; candidate classes and the prior's
+    doc total restricted to labels with ≥ 1 token row).
     """
+    labeled = train.filter(F.col(label_col).isNotNull())
     occ_t = (
-        _widen(train.select(F.col(label_col).alias("__cls"),
-                            F.col(text_col)))
+        _widen(labeled.select(F.col(label_col).alias("__cls"),
+                              F.col(text_col)))
         .select("__cls", F.explode(tokens(text_col)).alias("__tok"))
         .groupBy("__cls", "__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1073,8 +1088,9 @@ def nb_model(train: DataFrame, text_col: str, label_col: str,
              .collect()}
     classes = sorted(n_tok)
     nd = {r["__cls"]: int(r["__nd"]) for r in
-          train.groupBy(F.col(label_col).alias("__cls"))
-          .agg(F.count(F.lit(1)).alias("__nd")).collect()}
+          labeled.groupBy(F.col(label_col).alias("__cls"))
+          .agg(F.count(F.lit(1)).alias("__nd")).collect()
+          if r["__cls"] in n_tok}
     total_docs = sum(nd.values())
 
     def flog2(n: int) -> int:
@@ -1142,19 +1158,27 @@ def nb_classify_sql(label_col: str = "lang",
                     train_pred: str = "doc_id % 2 = 0") -> str:
     """DuckDB replay of ``nb_classify(documents[train_pred],
     documents, 'doc_id', 'text', label_col)`` — same smoothed integer
-    bits, same (bits ASC, class ASC) argmin."""
+    bits, same (bits ASC, class ASC) argmin, same label hygiene
+    (NULL labels filtered; candidate classes and the prior's doc
+    total restricted to labels present in the (class, token) stats —
+    a token-less class must not become an oracle-only prior-only
+    candidate)."""
     toks = ("list_filter(regexp_split_to_array(lower(text), "
             "'[^a-z0-9]+'), x -> x <> '')")
     return f"""
     WITH tr AS (SELECT doc_id, {label_col} AS cls, {toks} AS w
-                FROM documents WHERE {train_pred}),
+                FROM documents
+                WHERE ({train_pred}) AND {label_col} IS NOT NULL),
     tc AS (
       SELECT cls, tok, COUNT(*)::BIGINT AS c
       FROM (SELECT cls, unnest(w) AS tok FROM tr) GROUP BY 1, 2),
     cstat AS (SELECT cls, SUM(c)::BIGINT AS n_tok FROM tc GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM tc),
-    cdocs AS (SELECT cls, COUNT(*)::BIGINT AS nd FROM tr GROUP BY 1),
-    tot AS (SELECT COUNT(*)::BIGINT AS ndocs FROM tr),
+    cdocs AS (SELECT tr.cls, COUNT(*)::BIGINT AS nd FROM tr
+              JOIN (SELECT DISTINCT cls FROM cstat) cc
+                ON tr.cls = cc.cls
+              GROUP BY 1),
+    tot AS (SELECT SUM(nd)::BIGINT AS ndocs FROM cdocs),
     occ AS (
       SELECT doc_id, tok, COUNT(*)::BIGINT AS k
       FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)

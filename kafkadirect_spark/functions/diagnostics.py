@@ -347,24 +347,30 @@ def histogram_drift(a: DataFrame, b: DataFrame, value_col: str,
     operations tooling beside skew_report/join_cardinality.
 
     Scale ledger: ONE map-side-combined count exchange per side
-    (register output, ≤ bins rows each), two 1-row total aggregates
-    (bounded collects, the join_cardinality precedent), one
-    bins-sized full-outer join.  Products accumulate in
-    decimal(38,0): c·N alone exceeds int64 at 1e10×1e10, and the
-    ×10⁶ numerator stays under 10³¹ ≪ 10³⁸.
+    (register output, ≤ bins rows each) into the bins-sized
+    full-outer join, which is pinned with a ``localCheckpoint`` so
+    the totals (one ≤bins-row aggregate over the JOINED frame — the
+    join_cardinality bounded-collect precedent) and the per-bin
+    drift read the same materialized counts: each input is scanned
+    exactly once and totals are consistent with the joined counts by
+    construction, even under a nondeterministic input.  Products
+    accumulate in decimal(38,0): c·N alone exceeds int64 at
+    1e10×1e10, and the ×10⁶ numerator stays under 10³¹ ≪ 10³⁸.
     """
     from kafkadirect_spark.functions import sketch
 
     ra = sketch.hist_registers(a, value_col, lo, hi, bins)
     rb = sketch.hist_registers(b, value_col, lo, hi, bins)
-    n_a = int(ra.agg(F.sum("cnt")).collect()[0][0] or 0)  # 1-row agg
-    n_b = int(rb.agg(F.sum("cnt")).collect()[0][0] or 0)
-    if n_a == 0 or n_b == 0:
-        raise ValueError("both sides need at least one non-null value")
     full = (ra.select("bin", F.col("cnt").alias("c_a"))
             .join(rb.select("bin", F.col("cnt").alias("c_b")),
                   "bin", "full_outer")
-            .fillna(0, ["c_a", "c_b"]))
+            .fillna(0, ["c_a", "c_b"])
+            .localCheckpoint(eager=True))  # ≤ bins rows
+    tot = full.agg(F.sum("c_a").alias("na"),
+                   F.sum("c_b").alias("nb")).collect()[0]
+    n_a, n_b = int(tot["na"] or 0), int(tot["nb"] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError("both sides need at least one non-null value")
     dec = "decimal(38,0)"
     num = F.abs(F.col("c_a").cast(dec) * F.lit(n_b).cast(dec)
                 - F.col("c_b").cast(dec) * F.lit(n_a).cast(dec))

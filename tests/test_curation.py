@@ -1070,6 +1070,47 @@ def test_nb_classify_guards(spark):
         curation.nb_classify(evil2, evil2, "doc_id", "text", "lang")
 
 
+def test_nb_classify_label_hygiene(spark):
+    """NULL labels are unlabeled data (filtered, not a crash or a
+    class); a label whose train docs all tokenize empty is neither a
+    candidate class nor prior mass — engine, oracle and nb_model all
+    agree (ADVICE r9: a token-less class scoring prior-only bits
+    would win most argmins)."""
+    rows = [
+        (1, "the cat and the dog", "en"),
+        (2, "the house and the tree", "en"),
+        (3, "der hund und der baum", "de"),
+        (4, "der mann und die frau", "de"),
+        (5, "the tree und der cat", None),      # unlabeled, has tokens
+        (6, "!!! ... ???", "xx"),               # label, zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.pred_label, r.best_bits)
+           for r in curation.nb_classify(
+               df, df, "doc_id", "text", "lang").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert not any(p == "xx" for p, _ in out.values())
+    # zero-token doc 6 falls back to the prior argmin over {de, en}
+    # only: total_docs = 4, nd = 2 each -> prior bits = 1 for both,
+    # tie -> 'de'
+    assert out[6] == ("de", 1)
+    # the hygiene filters must match the CLEAN run exactly: dropping
+    # the NULL-label and token-less rows from train changes nothing
+    clean = df.filter(F.col("lang").isin("en", "de"))
+    out_clean = {r.doc_id: (r.pred_label, r.best_bits)
+                 for r in curation.nb_classify(
+                     clean, df, "doc_id", "text", "lang").collect()}
+    assert out == out_clean
+    # nb_model applies the same rules
+    model = curation.nb_model(df, "text", "lang")
+    assert sorted(model["classes"]) == ["de", "en"]
+    assert model["prior"] == {"de": 1, "en": 1}
+    via_model = {r.doc_id: (r.pred_label, r.best_bits) for r in
+                 curation.nb_score_rows(df, model, "doc_id",
+                                        "text").collect()}
+    assert via_model == out
+
+
 def test_nb_classify_held_out_accuracy(spark):
     # 40 docs per language with disjoint vocabularies + shared noise:
     # a held-out half must classify near-perfectly
