@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafkadirect_spark.functions import bpe
+from kafkadirect_spark.functions.bpe import _TOK_SQL
 
 #: piece inventories are collected per round for the task closure —
 #: bounded by seed_factor·vocab_size + |chars|, guarded here.
@@ -279,3 +280,200 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
                                                       dtype="int64")})
 
     return cols.mapInPandas(gen, out_schema)
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators — the hard-EM loop replayed in SQL.  The
+# novel piece vs the BPE oracles is Viterbi-in-SQL: each word walks a
+# recursive CTE one character position per step, CARRYING ITS WHOLE DP
+# TABLE as a list of (bits, np, negj, segs) structs; candidate
+# extensions for position i+1 are a list_transform over the legal
+# split points j, piece costs come from a MAP shipped in a 1-row
+# model CTE, and DuckDB's lexicographic struct list_sort picks the
+# winner — (bits ASC, pieces ASC, j DESC), exactly viterbi_segment's
+# strict-< scan order (negj is unique per candidate set, so the segs
+# field never participates in a comparison).  Constant-size SQL per
+# pass, independent of word length and inventory size.
+# ---------------------------------------------------------------------------
+
+
+def _h(j_plus_1: str, field: str) -> str:
+    """DP-table lookup: hist[j+1].field (1-based list index)."""
+    return (f"struct_extract(list_extract(hist, ({j_plus_1})::INT), "
+            f"'{field}')")
+
+
+_FLOG2 = "(length(format('{{:b}}', {n})) - 1)"  # exact integer log2
+
+
+def _viterbi_pass(src: str, model: str, dp: str, seg: str) -> str:
+    """One Viterbi segmentation pass over ``src`` (word, n) rows with
+    the 1-row ``model`` (bm MAP, maxlen, oov): emits ``seg`` (word,
+    n, segs VARCHAR[]).  Mirrors ``viterbi_segment`` bit-for-bit."""
+    piece = "substr(word, (j + 1)::INT, (i + 1 - j)::INT)"
+    hit = f"len(map_extract(m.bm, {piece})) > 0"
+    cand_hit = (
+        "{'bits': " + _h("j + 1", "bits")
+        + f" + map_extract(m.bm, {piece})[1], "
+        + "'np': " + _h("j + 1", "np") + " + 1, "
+        + "'negj': -j, "
+        + "'segs': list_append(" + _h("j + 1", "segs") + f", {piece})}}")
+    cand_oov = (
+        "{'bits': " + _h("j + 1", "bits") + " + m.oov, "
+        + "'np': " + _h("j + 1", "np") + " + 1, "
+        + "'negj': -j, "
+        + "'segs': list_append(" + _h("j + 1", "segs")
+        + ", substr(word, (j + 1)::INT, 1))}")
+    return f"""
+    {dp} AS (
+      SELECT word, n, 0::BIGINT AS i,
+             [{{'bits': 0::BIGINT, 'np': 0::BIGINT, 'negj': 0::BIGINT,
+                'segs': []::VARCHAR[]}}] AS hist
+      FROM {src}
+      UNION ALL
+      SELECT word, n, i + 1,
+        list_append(hist, list_sort(list_filter(list_transform(
+          generate_series(greatest(0::BIGINT, i + 1 - m.maxlen), i),
+          j -> CASE WHEN {hit} THEN {cand_hit}
+                    WHEN i = j THEN {cand_oov}
+                    ELSE NULL END),
+          x -> x IS NOT NULL))[1])
+      FROM {dp}, {model} m WHERE i < length(word)),
+    {seg} AS MATERIALIZED (
+      SELECT word, n, {_h("length(word) + 1", "segs")} AS segs
+      FROM {dp} WHERE i = length(word))"""
+
+
+def _train_ctes(vocab_size: int, rounds: int, max_piece_len: int,
+                min_count: int, max_word_types: int,
+                seed_factor: int) -> str:
+    """CTE chain ending in ``counts{rounds}`` — the trained
+    inventory's (piece, cnt) — plus ``fmodel`` (the encode-time
+    model: bm, maxlen = longest surviving piece, oov = max bits + 1,
+    exactly ``_model_from``)."""
+    mpl = max_piece_len
+    parts = [f"""
+    wt AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOK_SQL}) AS tok FROM documents)
+      GROUP BY 1 HAVING COUNT(*) >= {min_count}
+      ORDER BY n DESC, word ASC LIMIT {max_word_types}),
+    seeded AS MATERIALIZED (
+      SELECT piece, SUM(n)::BIGINT AS cnt FROM (
+        SELECT unnest(flatten(list_transform(
+          generate_series(1, length(word)),
+          i -> list_transform(
+            generate_series(i, least(length(word)::BIGINT,
+                                     i + {mpl - 1})),
+            j -> substr(word, i::INT, (j - i + 1)::INT))))) AS piece,
+          n
+        FROM wt)
+      GROUP BY 1),
+    chars AS MATERIALIZED (
+      SELECT piece, cnt FROM seeded WHERE length(piece) = 1),
+    counts0 AS MATERIALIZED (
+      -- DISTINCT over UNION ALL, not bare UNION: inside a WITH
+      -- RECURSIVE block DuckDB parses "base UNION step" as a
+      -- recursive-CTE definition and does NOT apply set dedup here
+      SELECT DISTINCT piece, cnt FROM (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM seeded
+          ORDER BY cnt DESC, piece ASC
+          LIMIT {seed_factor * vocab_size})
+        UNION ALL
+        SELECT piece, cnt FROM chars))"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        tb = _FLOG2.format(n=f"SUM(cnt)::BIGINT")
+        cb = _FLOG2.format(n="c.cnt")
+        parts.append(f"""
+    tot{r} AS MATERIALIZED (
+      SELECT ({tb})::BIGINT AS tb FROM counts{p}),
+    model{r} AS MATERIALIZED (
+      SELECT MAP(list(c.piece ORDER BY c.piece),
+                 list((t.tb - {cb})::BIGINT ORDER BY c.piece)) AS bm,
+             {max_piece_len}::BIGINT AS maxlen,
+             (t.tb + 1)::BIGINT AS oov
+      FROM counts{p} c CROSS JOIN tot{r} t GROUP BY t.tb)""")
+        parts.append(_viterbi_pass("wt", f"model{r}", f"dp{r}",
+                                   f"seg{r}"))
+        parts.append(f"""
+    segcnt{r} AS MATERIALIZED (
+      SELECT piece, SUM(n)::BIGINT AS cnt
+      FROM (SELECT unnest(segs) AS piece, n FROM seg{r}) GROUP BY 1),
+    kept{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM segcnt{r}
+      ORDER BY cnt DESC, piece ASC LIMIT {vocab_size}),
+    counts{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM kept{r}
+      UNION ALL
+      SELECT c.piece, greatest(COALESCE(s.cnt, 0), 1)::BIGINT AS cnt
+      FROM chars c LEFT JOIN segcnt{r} s ON c.piece = s.piece
+      WHERE c.piece NOT IN (SELECT piece FROM kept{r}))""")
+    tb = _FLOG2.format(n="SUM(cnt)::BIGINT")
+    cb = _FLOG2.format(n="c.cnt")
+    parts.append(f"""
+    ftot AS MATERIALIZED (
+      SELECT ({tb})::BIGINT AS tb FROM counts{rounds}),
+    fbits AS MATERIALIZED (
+      SELECT c.piece, c.cnt, (t.tb - {cb})::BIGINT AS bits
+      FROM counts{rounds} c CROSS JOIN ftot t),
+    fmodel AS MATERIALIZED (
+      SELECT MAP(list(piece ORDER BY piece),
+                 list(bits ORDER BY piece)) AS bm,
+             MAX(length(piece))::BIGINT AS maxlen,
+             (MAX(bits) + 1)::BIGINT AS oov
+      FROM fbits)""")
+    return ",".join(parts)
+
+
+def vocab_oracle_sql(vocab_size: int, rounds: int = 2,
+                     max_piece_len: int = 8, min_count: int = 2,
+                     max_word_types: int = 1 << 16,
+                     seed_factor: int = 4) -> str:
+    """DuckDB replay of ``learn_unigram`` over the ``documents``
+    view: the trained ``(piece, cnt, bits)`` inventory."""
+    ctes = _train_ctes(vocab_size, rounds, max_piece_len, min_count,
+                       max_word_types, seed_factor)
+    return f"""WITH RECURSIVE {ctes}
+    SELECT piece, cnt, bits FROM fbits"""
+
+
+def chunk_oracle_sql(vocab_size: int, budget: int, rounds: int = 2,
+                     max_piece_len: int = 8, min_count: int = 2,
+                     max_word_types: int = 1 << 16,
+                     seed_factor: int = 4) -> str:
+    """DuckDB replay of train → ``unigram_chunk`` over ``documents``,
+    chunks rendered as md5-over-CSV (the registered scalar surface):
+    the trained model Viterbi-segments EVERY corpus word type (the
+    u-chain — inference covers words the cap/min_count floor excluded
+    from training, plus OOV single chars), word order is restored by
+    positional unnest, per-doc piece sequences flatten in order, then
+    1-based inclusive list slices of ``budget`` pieces."""
+    ctes = _train_ctes(vocab_size, rounds, max_piece_len, min_count,
+                       max_word_types, seed_factor)
+    b = budget
+    return f"""WITH RECURSIVE {ctes},
+    u0 AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOK_SQL}) AS tok FROM documents)
+      GROUP BY 1),
+    {_viterbi_pass("u0", "fmodel", "dpe", "sege").lstrip().lstrip(",")}
+    ,
+    tokq AS (
+      SELECT doc_id, w[i] AS word, i AS ord
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM (SELECT doc_id, {_TOK_SQL} AS w FROM documents))),
+    seqs AS (
+      SELECT doc_id, flatten(list(segs ORDER BY ord)) AS toks
+      FROM tokq JOIN sege USING (word) GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             toks[(i * {b} + 1):((i + 1) * {b})] AS pieces
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST((len(toks) + {b} - 1) // {b} AS BIGINT)
+                          - 1)) AS i
+            FROM seqs WHERE len(toks) > 0))
+    SELECT doc_id, chunk_idx, len(pieces)::BIGINT AS n_pieces,
+           md5(array_to_string(pieces, ',')) AS pieces_md5
+    FROM chunks"""

@@ -1174,3 +1174,44 @@ def bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.select(
         "doc_id", "chunk_idx", "n_tokens",
         F.md5(F.concat_ws(",", "bpe")).alias("bpe_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (functions/unigram.py) — the second tokenizer
+# family's driver-verified claim (VERDICT r9 item 2): train the
+# hard-EM piece inventory, then the same model-input-assembly shape
+# as bpe_chunks.  The oracle replays BOTH Viterbi-EM training rounds
+# and the corpus-wide encode in DuckDB (recursive-CTE Viterbi with
+# the DP table carried per word — unigram.chunk_oracle_sql).
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions import unigram  # noqa: E402
+
+_UNIGRAM_PARAMS = dict(vocab_size=16, rounds=2, max_piece_len=4,
+                       min_count=2, max_word_types=4096, seed_factor=4)
+
+
+@query(
+    "unigram_chunk",
+    oracle=unigram.chunk_oracle_sql(budget=32, **_UNIGRAM_PARAMS),
+)
+def unigram_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-input assembly under the LEARNED unigram-LM tokenizer
+    (Kudo 2018 hard-EM variant): train a 16-piece inventory
+    (max_piece_len=4 forces real sub-word segmentation — whole 5+
+    char words can't survive as single pieces), encode every
+    document, split into ≤32-piece chunks, chunks rendered as
+    md5-over-CSV per the scalar-columns-only rule.
+
+    Engine: ONE corpus scan (word-type counting), two EM rounds over
+    the bounded type table (mapInPandas Viterbi with scores in the
+    task closure + one inventory-sized groupBy each), one stateless
+    mapInPandas encode pass, row-local slicing.  The oracle replays
+    the exact integer bits, Viterbi tie-breaks, pruning and chunk
+    slicing — training AND inference — in pure SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram.learn_unigram(docs, "text", **_UNIGRAM_PARAMS)
+    ch = unigram.unigram_chunk(docs, "doc_id", "text", model, budget=32)
+    return ch.select(
+        "doc_id", "chunk_idx", "n_pieces",
+        F.md5(F.concat_ws(",", "pieces")).alias("pieces_md5"))

@@ -203,3 +203,37 @@ def test_unigram_encode_works_on_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+def test_oracle_sql_matches_engine_on_synthetic(spark):
+    """The DuckDB oracle generators (recursive-CTE Viterbi with the
+    per-word DP table carried as a struct list) replay learn_unigram
+    AND unigram_chunk bit-for-bit — training rounds, pruning,
+    char-floor, encode-time OOV, chunk slicing."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    texts = TEXTS + ["newer lower wider the the zz9 unseen"]
+    df = _docs(spark, texts)
+    params = dict(vocab_size=8, rounds=2, max_piece_len=4,
+                  min_count=1, max_word_types=1 << 16, seed_factor=4)
+    model = unigram.learn_unigram(df, "text", **params)
+    eng = sorted((r.piece, r.cnt, r.bits) for r in model.collect())
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)),
+                               "text": texts}))
+    assert sorted(con.sql(
+        unigram.vocab_oracle_sql(**params)).fetchall()) == eng
+
+    ch = unigram.unigram_chunk(df, "doc_id", "text", model, budget=5)
+    eng_ch = sorted(
+        (r.doc_id, r.chunk_idx, r.n_pieces,
+         hashlib.md5(",".join(r.pieces).encode()).hexdigest())
+        for r in ch.collect())
+    assert sorted(con.sql(
+        unigram.chunk_oracle_sql(budget=5, **params)
+    ).fetchall()) == eng_ch
