@@ -73,7 +73,10 @@ def main() -> None:
         "pricing_summary": QUERIES["pricing_summary"],
         "dedup_minhash_lsh": QUERIES["dedup_minhash_lsh"],
         "similarity_topk": QUERIES["similarity_topk"],
-        "decontaminate": QUERIES["decontaminate"],
+        # r10: the exact-broadcast variant was retired from the
+        # registry; the Bloom variant carries the decontamination
+        # suite (new key — plan_diff reports the swap honestly)
+        "decontaminate_bloom": QUERIES["decontaminate_bloom"],
         "corpus_curation": QUERIES["corpus_curation"],
         # relational shapes (TPC-H Q3/Q10-like, rollup) — recorded so a
         # plan change (lost broadcast, global sort) trips the per-suite
@@ -109,12 +112,9 @@ def main() -> None:
         "semdedup_prune": QUERIES["semdedup_prune"],
         "range_bucket_join": QUERIES["range_bucket_join"],
         "rolling_distinct_hll": QUERIES["rolling_distinct_hll"],
-        "value_outliers": QUERIES["value_outliers"],
-        # round-8 shapes: the interval×interval overlap join (same
-        # no-nested-loop pin as range_bucket_join, both sides
-        # exploded) and the trailing-window register-merge HLL
+        # round-8 shape: the interval×interval overlap join (same
+        # no-nested-loop pin as range_bucket_join, both sides exploded)
         "interval_overlap_join": QUERIES["interval_overlap_join"],
-        "trailing_distinct_hll": QUERIES["trailing_distinct_hll"],
         # lossless prefix-filtered Jaccard (the uncapped exact path)
         "dedup_jaccard_prefix": QUERIES["dedup_jaccard_prefix"],
         # late-r8 shapes: directed containment (inverted-index pair
@@ -136,10 +136,6 @@ def main() -> None:
         # distributed-enumerate shape (per-shard window + broadcast
         # offset table), never a single-reducer global sort
         "token_budget_select": QUERIES["token_budget_select"],
-        # exact order statistics via iterative histogram narrowing —
-        # the work happens eagerly inside fn (bounded register
-        # collects per round); the returned frame is the tiny result
-        "exact_value_quantiles": QUERIES["exact_value_quantiles"],
         # product quantization: per-subspace integer k-means training
         # (one scan per iteration for all subspaces) + code projection
         "embedding_pq_codes": QUERIES["embedding_pq_codes"],

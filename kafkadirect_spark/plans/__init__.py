@@ -27,19 +27,23 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # lands under pytest goldens first and is registered only if it earns a
 # driver-verified claim the existing surface doesn't already make;
 # (c) near-duplicate query shapes should be consolidated or retired
-# rather than accumulated.  r9 adds THREE new registered queries
-# (dedup_containment_anti — the survivors shape of VERDICT r8 item 5;
-# nb_langid, the repo's first TRAINED classifier; value_drift_by_slice,
-# completing the drift family with exact numeric-distribution drift)
-# and RETIRES one (value_quantiles_by_type — grouped-sketch quantiles;
-# both its claims are carried by surviving queries: sketch machinery by
-# value_quantiles_hist, grouped quantiles by the strictly-stronger
-# exact_quantiles_by_type; operators + goldens remain in the library,
-# see plans/analytics_queries.py).  N = 165, horizon stays 3.
+# rather than accumulated.  r10 adds ONE new registered query
+# (unigram_chunk — the unigram tokenizer family's driver claim,
+# VERDICT r9 item 2) and RETIRES SIX near-duplicate shapes under
+# item c, each with a carried-claim note at its old registration
+# site: value_outliers (→ value_outliers_mad), exact_value_quantiles
+# (→ exact_quantiles_by_type), trailing_distinct_hll
+# (→ rolling_distinct_hll), dedup_simhash (→ dedup_simhash_pairs),
+# dedup_ngram_jaccard (→ dedup_jaccard_prefix + dedup_verified_pairs),
+# decontaminate (→ decontaminate_bloom).  Every retired OPERATOR
+# stays in the library with its pytest goldens.  N = 160; horizon
+# stays 3 (deliberately NOT retired below 151 this round: at N ≤ 150
+# the horizon tightens to 2, which the 47-query r7-dated pool cannot
+# satisfy in one 50-slot window — pay down further as pools drain).
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # Round-9 window.  Two admission rules (VERDICT r4, standing):
+    # Round-10 window.  Two admission rules (VERDICT r4, standing):
     # (1) every query whose newest driver CORRECTNESS row would
     #     otherwise fall past the capacity horizon — enforced by
     #     tests/test_plans.py's rotation-staleness sweep;
@@ -47,84 +51,83 @@ _PROMOTED = [
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 1, mandatory: the 15 r8 _DEFERRED_NEW queries (the r8
-    #    window was saturated; the tripwire failed by design until
-    #    these were fronted; all pass check_oracle --exact locally) --
-    "collocations_topk",
-    "bpe_merges",
-    "bpe_token_lengths",
-    "bm25_search",
-    "vocab_drift",
-    "partition_diff",
-    "events_skew_report",
-    "value_outliers_mad",
-    "value_decile_buckets",
-    "dedup_keep_longest",
-    "embedding_profile",
-    "join_explosion_check",
-    "value_decile_by_type",
-    "bpe_chunks",  # also rule 2: output reshaped to scalar bpe_md5
-    "value_ohlc_daily",
-    # -- rule 2: embedding_pq_codes' output was reshaped this round
-    #    (scalar code_0..code_3 — its r8 driver row crashed the gate
-    #    on the ArrayType column); range_bucket_join's guard-only r8
-    #    change was displaced from the r8 window by never-verified
-    #    queries (r8 note) and gets its driver re-check now --
-    "embedding_pq_codes",
-    "range_bucket_join",
-    # -- new in round 9 (no driver row by construction; the round's
-    #    registrations under the budget policy above): containment
-    #    survivors via how='anti', the trained integer-exact Naive
-    #    Bayes language classifier, and exact numeric-distribution
-    #    drift between ingest slices --
-    "dedup_containment_anti",
+    # -- rule 1, mandatory: the 17 r6-dated queries the r9 tripwire
+    #    named verbatim (newest driver row r6 — at horizon 3 they
+    #    must front now; all pass check_oracle --exact locally) --
+    "scd2_asof_snapshot",
+    "scd2_history",
+    "semantic_clusters",
+    "semdedup_prune",
+    "sessionize_events",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_ann_multiprobe",
+    "similarity_topk",
+    "term_relevance_topk",
+    "text_quality",
+    "text_repetition",
+    "user_moving_avg",
+    "value_quantiles_hist",
+    "vocab_overlap_kmv",
+    "vocab_topk",
+    "winnow_overlap_pairs",
+    # -- rule 2: the r9-ADVICE fixes changed nb_classify's label
+    #    hygiene + its oracle's candidate-class CTEs (nb_langid) and
+    #    histogram_drift's totals-from-joined-frame plan
+    #    (value_drift_by_slice) — the driver re-verifies both.
+    #    (learn_bpe also changed, but only its DISTRIBUTED branch —
+    #    the registered BPE queries run the driver regime, whose
+    #    executed path is byte-identical; the distributed branch is
+    #    covered by test_bpe.py's regime-equivalence goldens.) --
     "nb_langid",
     "value_drift_by_slice",
-    # -- fill: the 30 alphabetically-first of the 48 r6-dated queries
-    #    (newest driver row r6 — legal outside the window this round,
-    #    mandatory at r10; scheduling the oldest now keeps r10's
-    #    mandatory front small).  The 17 r6-dated leftovers
-    #    (scd2_asof_snapshot, scd2_history,
-    #    semantic_clusters..winnow_overlap_pairs, minus the retired
-    #    value_quantiles_by_type) ARE r10's mandatory front. --
-    "asof_enrich",
-    "boilerplate_flag",
-    "corpus_curation",
-    "corpus_mix_upsample",
-    "decontaminate",
-    "decontaminate_bloom",
-    "dedup_embedding_cosine",
-    "distinct_orders_hll",
-    "doc_fingerprint",
-    "doc_winnow",
-    "event_funnel",
-    "event_gaps",
-    "forecast_revenue",
-    "global_shuffle",
-    "heavy_hitters_cms",
-    "important_part_stock",
-    "kmeans_clusters",
-    "large_order_customers",
-    "late_shipment_priority",
-    "length_weighted_sample",
-    "local_supplier_volume",
-    "multimodal_meta",
-    "pii_redaction",
-    "priority_returned_orders",
-    "promotable_suppliers",
-    "retention_cohorts",
-    "rolling_distinct_hll",
-    "sample_exact_count",
-    "sample_split",
-    "sample_stratified",
+    # -- new in round 10 (the round's ONE registration under the
+    #    budget policy): the unigram-LM tokenizer family's driver
+    #    claim — train + encode + chunk with the full Viterbi-EM
+    #    replay oracle (VERDICT r9 item 2) --
+    "unigram_chunk",
+    # -- fill: the 30 alphabetically-first of the 47 r7-dated
+    #    queries (newest driver row r7 — legal outside the window
+    #    this round, mandatory at r11; scheduling the oldest now
+    #    keeps r11's mandatory front to the 17 leftovers
+    #    skew_salted_join..yahoo_pipeline) --
+    "asof_enrich_forward",
+    "branch_counts",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_spans",
+    "filter_project",
+    "flat_map_word_count",
+    "join_global_enrich",
+    "join_interval_inner",
+    "join_interval_left",
+    "join_interval_outer",
+    "join_stream_table",
+    "join_stream_table_left",
+    "join_table_table",
+    "join_table_table_outer",
+    "ktable_filter",
+    "map_rekey_count",
+    "merge_streams",
+    "pack_sequences",
+    "pricing_summary",
+    "promo_revenue_share",
+    "returned_item_report",
+    "revenue_rollup",
+    "scan_from_timestamp",
+    "select_key_regroup",
+    "session_aggregate",
+    "session_count",
+    "shipping_priority",
+    "skew_salted_distinct",
 ]
 
-# No over-subscription this round: the 15 r8 deferrals are fronted
-# above and the window has 30 slots of r6-dated fill besides the
-# mandatory set.  (The tripwire keeps this list honest: a name may sit
-# here ONLY while it is registered, has no driver row yet, and every
-# window slot is occupied by a mandatory rotation or another
-# never-verified query.)
+# No over-subscription this round: one new registration, and the
+# window's 30 fill slots all hold r7-dated rotation.  (The tripwire
+# keeps this list honest: a name may sit here ONLY while it is
+# registered, has no driver row yet, and every window slot is
+# occupied by a mandatory rotation or another never-verified query.)
 _DEFERRED_NEW: list[str] = []
 
 

@@ -696,73 +696,14 @@ def distinct_users_by_type_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_estimate(regs, p=_HLL_P, by=("event_type",))
 
 
-@query(
-    "trailing_distinct_hll",
-    oracle=f"""
-    WITH h AS (
-      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS as_of,
-             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
-               AS h56
-      FROM events WHERE user_id IS NOT NULL),
-    b AS (
-      SELECT as_of, h56 % {_HLL_M} AS bucket,
-             length(ltrim(bin((h56 // {_HLL_M}) % {_HLL_WMASK}), '0'))
-               AS bitlen
-      FROM h),
-    reg AS (
-      SELECT as_of, bucket, MIN(bitlen) AS min_bitlen
-      FROM b GROUP BY as_of, bucket),
-    days AS (SELECT DISTINCT as_of FROM reg),
-    trail AS (
-      SELECT d.as_of, r.bucket, MIN(r.min_bitlen) AS min_bitlen
-      FROM days d JOIN reg r
-        ON r.as_of <= d.as_of AND r.as_of >= d.as_of - INTERVAL 6 DAY
-      GROUP BY d.as_of, r.bucket),
-    s AS (
-      SELECT as_of, CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
-             CAST(COALESCE(SUM(1::BIGINT << min_bitlen), 0) AS BIGINT)
-               AS present_pow
-      FROM trail GROUP BY as_of)
-    SELECT as_of, CAST({_HLL_M} AS BIGINT) AS m, nonzero_buckets,
-           CAST(present_pow
-                + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT
-                AS BIGINT) AS sum_pow,
-           CAST(CASE WHEN nonzero_buckets = 0 THEN 0
-                ELSE {_HLL_NUM}::BIGINT
-                  // (present_pow
-                      + ({_HLL_M} - nonzero_buckets) * {_HLL_EMPTY}::BIGINT)
-                END AS BIGINT) AS est_distinct
-    FROM s
-    """,
-)
-def trailing_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day distinct users per day (the rolling-retention /
-    WAU-style window) via bounded HLL register merge — the sibling of
-    ``rolling_distinct_hll`` with a band-bounded merge instead of a
-    cumulative one: each as-of day min-merges the registers of days
-    ``[d-6, d]`` only.  The day×day expansion is therefore ≤ 7·m rows
-    per as-of day — CONSTANT in history length, where the cumulative
-    variant's expansion grows linearly with the number of days — and
-    raw events are still scanned exactly once (one grouped register
-    pass).  The trailing window is inexpressible as a watermark-bound
-    streaming agg over raw keys without retaining every key for 7
-    days; register merge retains 7·m ints per day instead.
-    Integer-exact end to end (same estimator contract as
-    functions/sketch.py)."""
-    from pyspark.sql import functions as F
-
-    ev = load_table(spark, sf_dir, "events")
-    regs = sketch.hll_registers(
-        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
-        "user_id", p=_HLL_P, by=("day",))
-    days = regs.select(F.col("day").alias("as_of")).distinct()
-    trail = (regs.join(
-        F.broadcast(days),
-        (F.col("day") <= F.col("as_of"))
-        & (F.col("day") >= F.col("as_of") - F.expr("INTERVAL 6 DAYS")))
-        .groupBy("as_of", "bucket")
-        .agg(F.min("min_bitlen").alias("min_bitlen")))
-    return sketch.hll_estimate(trail, p=_HLL_P, by=("as_of",))
+# RETIRED r10 (registration-budget policy item c):
+# `trailing_distinct_hll` — trailing 7-day distinct users via
+# band-bounded HLL register merge (r8 driver rows green).  Claim
+# carried by the surviving `rolling_distinct_hll`: the same
+# grouped-register pass and day×day register-space merge join (the
+# cumulative band instead of the 7-day band — same plan shape, same
+# estimator, same bounded-register contract), plus
+# `distinct_users_by_type_hll` for the grouped-estimate surface.
 
 
 @query(
@@ -912,59 +853,13 @@ def range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("c_cents").cast("long").alias("sum_cents")))
 
 
-@query(
-    "value_outliers",
-    oracle="""
-    WITH b AS (
-      SELECT event_id, event_type,
-             CAST(floor(value * 100) AS BIGINT) AS value_cents
-      FROM events WHERE value IS NOT NULL),
-    st AS (
-      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
-             CAST(SUM(value_cents) AS HUGEINT) AS s,
-             CAST(SUM(value_cents * value_cents) AS HUGEINT) AS q
-      FROM b GROUP BY event_type)
-    SELECT b.event_id, b.event_type, b.value_cents
-    FROM b JOIN st USING (event_type)
-    WHERE (st.n * b.value_cents - st.s) * (st.n * b.value_cents - st.s)
-          > 9::HUGEINT * (st.n * st.q - st.s * st.s)
-    """,
-)
-def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type z-score outliers (|v - mean| > 3 sigma) with NO
-    float statistics: since var = (n*Q - S^2)/n^2, the test
-    |v - S/n| > 3*sigma algebraizes to
-    (n*v - S)^2 > 9*(n*Q - S^2) over integer cents, evaluated in
-    DECIMAL(38,0)/HUGEINT — mean and variance never materialize as
-    floats, so the flag set is hash-exact across engines (a float
-    sigma would flip borderline rows in the last ulp).  S and Q are
-    accumulated IN decimal (cents cast to decimal(19,0) before the
-    square/sum), never in long: a long sum-of-squares wraps silently
-    past ~9e8 rows/group at cents <= 1e5 while DuckDB's HUGEINT does
-    not, diverging the engines.  Bounds: Q <= n*1e10, so the
-    comparison peaks ~1e28 at 1e9 rows/group and stays inside
-    DECIMAL(38,0) to ~1e13 rows/group.  Scale: one groupBy(event_type)
-    partial-aggregated stats pass (3 decimals per type), broadcast
-    back — the raw events are scanned twice but never reshuffled."""
-    from pyspark.sql import functions as F
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull())
-    base = ev.select("event_id", "event_type",
-                     F.floor(F.col("value") * 100).cast("long")
-                     .alias("value_cents"))
-    dec = "decimal(38,0)"
-    vdec = F.col("value_cents").cast("decimal(19,0)")
-    stats = (base.groupBy("event_type")
-             .agg(F.count("*").cast(dec).alias("__n"),
-                  F.sum(vdec).cast(dec).alias("__s"),
-                  F.sum(vdec * vdec).cast(dec).alias("__q")))
-    j = base.join(F.broadcast(stats), "event_type")
-    dev = (F.col("__n") * F.col("value_cents").cast(dec) - F.col("__s"))
-    rhs = (F.lit(9).cast(dec)
-           * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")))
-    return (j.filter(dev * dev > rhs)
-            .select("event_id", "event_type", "value_cents"))
+# RETIRED r10 (registration-budget policy item c): `value_outliers` —
+# per-type z-score outliers via the integer cross-multiplied variance
+# test (r7 driver rows green).  Claim carried by the surviving
+# `value_outliers_mad`: the same one-stats-pass-broadcast-back outlier
+# shape with a strictly harder statistic (exact median + MAD via
+# grouped histogram narrowing — robust where z-scores are blown up by
+# the very outliers they hunt).
 
 
 def _zorder_oracle() -> str:
@@ -1097,44 +992,14 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, "src", "dst", iters=2)
 
 
-_EXQ = [250, 500, 990]
-_EXQ_ARMS = "\n    UNION ALL\n".join(
-    f"""    SELECT CAST({q} AS INTEGER) AS q_permille,
-           CAST((SELECT MIN(v) FROM r, n
-                 WHERE rn >= ({q} * c + 999) // 1000) AS BIGINT) AS value"""
-    for q in _EXQ)
-
-
-@query(
-    "exact_value_quantiles",
-    oracle=f"""
-    WITH s AS (
-      SELECT CAST(floor(value * 1000) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL),
-    n AS (SELECT COUNT(*) AS c FROM s),
-    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s)
-{_EXQ_ARMS}
-    """,
-)
-def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE order statistics of the event value distribution
-    (functions/sketch.py exact_quantiles): p25/p50/p99 as the exact
-    rank-``ceil(q·n/1000)`` elements — not the histogram sketch's
-    one-bin-width estimate and not approx_percentile's opaque
-    internal layout.  Iterative histogram narrowing: each round is
-    one filtered column scan with a register-sized exchange and a
-    ≤``bins``-row collect; a 64-bit domain converges in ≤7 rounds
-    (this milli-value domain: 2).  The oracle states the spec
-    directly — ROW_NUMBER order, first value whose rank covers the
-    target."""
-    from pyspark.sql import functions as F
-
-    from kafkadirect_spark.functions import diagnostics, sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("value").isNotNull()) \
-        .select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
-    return sketch.exact_quantiles(v, "v", _EXQ)
+# RETIRED r10 (registration-budget policy item c): `exact_value_quantiles`
+# — GLOBAL exact order statistics via iterative histogram narrowing
+# (r8 driver rows green).  Claim carried by the surviving
+# `exact_quantiles_by_type` — the SAME operator family
+# (sketch.exact_quantiles/_grouped share the narrowing kernel) run
+# grouped, which is strictly stronger; the histogram-sketch estimate
+# path stays verified by `value_quantiles_hist`.  The operator and its
+# pytest goldens (test_sketch.py) remain in the library.
 
 
 def _pq_ctes(m: int = 4, k: int = 4, sub: int = 16) -> str:

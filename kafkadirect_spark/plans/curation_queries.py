@@ -70,39 +70,15 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pred_lang")
 
 
-@query(
-    "decontaminate",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
-    g8 AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(
-                w[g]   || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] || ' ' ||
-                w[g+4] || ' ' || w[g+5] || ' ' || w[g+6] || ' ' || w[g+7]
-             ), 1, 14))::BIGINT % 2147483647) AS gh
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS g
-            FROM tok WHERE len(w) >= 8)
-    ),
-    eval_g AS (SELECT DISTINCT gh FROM g8 WHERE doc_id % 10 = 0),
-    hits AS (
-      SELECT DISTINCT g8.doc_id FROM g8 JOIN eval_g USING (gh)
-      WHERE g8.doc_id % 10 <> 0
-    )
-    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-    FROM documents d LEFT JOIN hits h USING (doc_id)
-    WHERE d.doc_id % 10 <> 0
-    """,
-)
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: training docs (ids not ≡0 mod 10)
-    sharing any word 8-gram with the held-out eval slice (ids ≡0) are
-    flagged.  The eval shingle-hash set is broadcast — at 100 TB the
-    corpus streams past a MB-scale benchmark set with no shuffle on the
-    join; the oracle replays the same 8-gram portable hashes."""
-    docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 10 != 0)
-    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
-    return curation.decontaminate(train, eval_df, "text", "doc_id", n=8)
+# RETIRED r10 (registration-budget policy item c): `decontaminate` —
+# exact 8-gram eval-set decontamination via the broadcast shingle-hash
+# semi-join (r9 driver rows green).  Claim carried by the surviving
+# `decontaminate_bloom`: the same contamination semantics and output
+# shape through the FIXED-SIZE Bloom broadcast (the 100 TB path —
+# bounded broadcast no matter how the reference set grows, one-sided
+# errors, every bit position oracle-replayed).  The exact variant's
+# broadcast-plan pin stays in test_plans.py and the operator
+# (curation.decontaminate) keeps its pytest goldens.
 
 
 @query(

@@ -51,34 +51,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
-    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
-    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           common * 1.0 / (sa.n + sb.n - common) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.5 via the shingle inverted
-    index, with the hot-shingle cap (max_doc_freq=50) that keeps the
-    join sub-quadratic at scale — the oracle verifies the *capped*
-    variant, i.e. exactly the shape we'd run at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
-                                     threshold=0.5, max_doc_freq=50)
+# RETIRED r10 (registration-budget policy item c):
+# `dedup_ngram_jaccard` — capped inverted-index exact 3-gram Jaccard
+# pairs (r8 driver rows green).  Claims carried by two survivors:
+# `dedup_jaccard_prefix` (exact Jaccard pairs via the LOSSLESS prefix
+# filter — the strictly stronger uncapped scale path over the same
+# shingle index) and `dedup_verified_pairs` (the candidates→verify
+# composition with exact Jaccard on the verify side).  The operator
+# (dedup.ngram_jaccard_pairs) and its goldens remain in the library.
 
 
 @query(
@@ -212,17 +192,12 @@ _SIMHASH_CTES = f"""
     )"""
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH {_SIMHASH_CTES}
-    SELECT doc_id, simhash FROM shsig
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc (sign-of-sum over token-hash bits)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "text", "doc_id", bits=32)
+# RETIRED r10 (registration-budget policy item c): `dedup_simhash` —
+# per-doc 32-bit SimHash signatures (r7 driver rows green).  Strictly
+# subsumed by the surviving `dedup_simhash_pairs`, whose oracle builds
+# THE SAME signatures (shared _SIMHASH_CTES above) and then verifies
+# the banded Hamming join on top — every signature bit stays
+# driver-checked through the pairs query.
 
 
 @query(

@@ -234,11 +234,6 @@ _BNLJ_OK = {
     # sides are register-space, bounded by construction regardless of
     # data volume; the raw events never enter this join.
     "rolling_distinct_hll",
-    # trailing-window variant of the same shape: the band bound
-    # (as_of-6 ≤ day ≤ as_of) is a non-equi join of the day dimension
-    # against the register table — both register-space, ≤ 7·m rows
-    # per as-of day by construction.
-    "trailing_distinct_hll",
 }
 
 # Queries allowed ONE unpartitioned window over an input that is

@@ -35,8 +35,9 @@ HEADLINERS = {
     "dedup_clusters": "label-propagation result is a checkpointed scan — "
                       "plan depth constant in rounds; left join back onto "
                       "documents for singleton clusters",
-    "decontaminate": "eval shingle set broadcast (BroadcastHashJoin) — the "
-                     "TB-scale train side never shuffles for the join",
+    "decontaminate_bloom": "fixed-size Bloom bit set broadcast "
+                           "(BroadcastHashJoin) — the TB-scale train "
+                           "side never shuffles for the join",
     "pack_sequences": "exactly one Exchange (hash by shard); partition-local "
                       "sort under the window, no range partitioning",
     "supplier_nation_volume": "two BroadcastHashJoins on the dimension chain "
@@ -81,9 +82,9 @@ HEADLINERS = {
                             "REGISTER space (the one allowlisted BNLJ) "
                             "→ per-as-of estimate; raw events scanned "
                             "once",
-    "value_outliers": "one partial-aggregated stats pass broadcast back "
-                      "(BroadcastHashJoin); integer DECIMAL(38,0) "
-                      "3-sigma predicate, no float mean/stddev",
+    "value_outliers_mad": "two grouped histogram-narrowing selection "
+                          "passes, each broadcast-joined back — data "
+                          "scanned, never reshuffled; no float stats",
     "scd2_asof_snapshot": "struct-max last-wins hash aggregate with "
                           "map-side partials — no sort, no window; "
                           "as-of bound pushed to the scan",
@@ -92,10 +93,7 @@ HEADLINERS = {
                              "bucket id with the canonical-bucket + "
                              "overlap predicate inside — no nested "
                              "loop, no DISTINCT dedup pass",
-    "trailing_distinct_hll": "grouped register pass (≤ m rows/day) → "
-                             "7-day band join in register space → "
-                             "per-as-of estimate; expansion constant "
-                             "in history length (vs cumulative days²)",
+
     "dedup_jaccard_prefix": "df-ascending prefix explode → equi-join "
                             "on prefix shingles only (hot grams sort "
                             "last, never enter prefixes) → length "
