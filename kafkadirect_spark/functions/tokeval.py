@@ -1,0 +1,147 @@
+"""Tokenizer-consumer operators shared by BOTH tokenizer families
+(``functions/bpe.py``, ``functions/unigram.py``): sliding-window
+context assembly and tokenizer-quality evaluation.  Everything here
+operates on an ENCODE frame — ``(id, tokens array<string>, n long)``,
+the common output contract of ``bpe_encode`` and ``unigram_encode`` —
+so it is tokenizer-agnostic by construction and applies unchanged to
+a streaming encode (both encoders are stateless ``mapInPandas``
+passes; these operators add only row-local column expressions or
+grouped aggregates).
+
+Reference analogue: none (SURVEY.md §2 — the reference has no
+document model); beyond-parity training-data-pipeline machinery.
+
+Scale ledger:
+
+- ``windowed_chunks`` is PURELY row-local (a sequence-transform over
+  each row's token array, exploded) — zero shuffles, amplification
+  exactly ``ceil(max(n - budget, 0) / stride) + 1`` rows per doc, the
+  number of windows a pretraining run actually consumes;
+- ``tokenizer_eval`` is one join of the encode frame back onto the
+  corpus slice column (both sides already materialized in any real
+  pipeline) plus ONE map-side-combined grouped aggregate — per-slice
+  output, never a data-sized result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_chunks(enc: DataFrame, id_col: str, tokens_col: str,
+                    budget: int, stride: int | None = None) -> DataFrame:
+    """Sliding-window model-input assembly: split every encoded
+    document into windows of ``budget`` tokens starting every
+    ``stride`` tokens — the standard pretraining/eval context shape
+    (overlapping windows when ``stride < budget``; ``stride ==
+    budget`` degenerates to the disjoint ``bpe_chunk``/
+    ``unigram_chunk`` layout, pytest-pinned).
+
+    Window starts are ``0, stride, 2·stride, …`` while ``start <
+    n`` and the FIRST window always emits (empty documents emit zero
+    windows); trailing windows shorter than ``budget`` are kept —
+    dropping partial tails is a caller policy (one extra filter), not
+    an assembler decision.  Returns ``(id_col, chunk_idx, start,
+    n_tokens, tokens)`` with ``chunk_idx = start / stride``.
+
+    Row-local throughout: one sequence-transform + explode, no
+    shuffle, no window function — at 100 TB the operator is pure map
+    amplification bounded by the window count the training run needs
+    anyway.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    stride = budget if stride is None else stride
+    if stride < 1 or stride > budget:
+        raise ValueError("stride must be in [1, budget] — a stride "
+                         "above budget silently drops tokens")
+    n = F.size(F.col(tokens_col))
+    # number of windows: 1 + ceil(max(n - budget, 0) / stride); the
+    # last window start is the smallest multiple of stride covering
+    # the tail, so every token lands in >= 1 window
+    n_win = (F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(budget), F.lit(0)) / F.lit(stride))
+        .cast("int"))
+    win = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            (i * stride).cast("long").alias("start"),
+            F.slice(F.col(tokens_col), i * stride + 1, budget)
+            .alias("arr")))
+    return (enc.filter(n > 0)
+            .select(F.col(id_col), F.explode(win).alias("w"))
+            .select(id_col,
+                    F.col("w.idx").alias("chunk_idx"),
+                    F.col("w.start").alias("start"),
+                    F.size("w.arr").cast("long").alias("n_tokens"),
+                    F.col("w.arr").alias("tokens")))
+
+
+def _word_count(text_col: str) -> Column:
+    from kafkadirect_spark.functions import text
+    return F.size(text.tokens(text_col))
+
+
+def tokenizer_eval(docs: DataFrame, enc: DataFrame, id_col: str,
+                   text_col: str, tokens_col: str,
+                   by: str | None = None) -> DataFrame:
+    """Tokenizer-quality report per corpus slice (``by`` — a lang /
+    source / domain column of ``docs``; None = one global row): the
+    numbers a pipeline inspects before freezing a tokenizer.
+
+    Per slice, all integer-exact (ratios as parts-per-thousand via
+    truncating integer division, so the report replays bit-for-bit
+    in any engine):
+
+    - ``n_docs, n_words, n_tokens, n_chars`` — raw volumes
+      (words under the shared ``[^a-z0-9]+`` surface);
+    - ``fertility_milli`` — tokens per word ×1000 (the standard
+      subword-fertility metric: 1000 = every word one piece; high
+      fertility on a slice means the vocabulary underserves it);
+    - ``chars_per_token_milli`` — compression ×1000 (how much text
+      each piece carries);
+    - ``singleton_ratio_milli`` — share of tokens that are
+      single characters ×1000 (char-fallback rate: the practical
+      OOV measure for trainers whose single chars always survive —
+      both families here).
+
+    One equi-join of the encode frame onto ``(id, slice, counts)``
+    and ONE map-side-combined aggregate; token-array inspection
+    (char sums, singleton counts) is row-local codegen over the
+    array, so nothing data-sized shuffles beyond the join itself.
+    """
+    slice_col = F.col(by) if by is not None else F.lit("ALL")
+    left = docs.select(
+        F.col(id_col), slice_col.alias("slice"),
+        _word_count(text_col).alias("__w"),
+        F.length(text_col).cast("long").alias("__c"))
+    right = enc.select(
+        F.col(id_col),
+        F.size(tokens_col).cast("long").alias("__t"),
+        F.aggregate(F.col(tokens_col), F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).alias("__tc"),
+        F.size(F.filter(F.col(tokens_col),
+                        lambda x: F.length(x) == 1))
+        .cast("long").alias("__s1"))
+    j = left.join(right, id_col)
+    agg = j.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+        F.sum("__tc").cast("long").alias("n_chars"),
+        F.sum("__s1").cast("long").alias("__singles"))
+    def milli(num: str, den: str) -> Column:
+        # truncating integer ratio ×1000; empty denominators report 0
+        # rather than NULL/crash (an all-empty slice is data, not an
+        # error)
+        return F.expr(
+            f"CAST(CASE WHEN {den} > 0 "
+            f"THEN 1000 * {num} DIV {den} ELSE 0 END AS LONG)")
+
+    return agg.select(
+        "slice", "n_docs", "n_words", "n_tokens", "n_chars",
+        milli("n_tokens", "n_words").alias("fertility_milli"),
+        milli("n_chars", "n_tokens").alias("chars_per_token_milli"),
+        milli("__singles", "n_tokens").alias("singleton_ratio_milli"))

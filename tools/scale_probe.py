@@ -255,13 +255,20 @@ def bpe_dist_probe(sf_dir: str = "/root/testdata/sf0.01",
 
 def unigram_probe(sf_dir: str = "/root/testdata/sf0.01",
                   steps: tuple[int, ...] = (1, 4, 16),
-                  vocab_size: int = 64, rounds: int = 2) -> None:
+                  vocab_size: int = 64, rounds: int = 2,
+                  seed_factor: int = 4) -> None:
     """Unigram-LM trainer scale probe (organic growth: fresh word
     types per replica, so the type table AND the substring seed space
     grow ×k).  Claim under test: training wall tracks the TYPE table
     (the corpus is touched once, in word-type counting); each EM round
     is one mapInPandas pass over the bounded type table plus an
-    inventory-sized exchange."""
+    inventory-sized exchange.
+
+    ``--unigram-big`` (VERDICT r9 item 3) is the separate
+    ``unigram_big_probe`` below — suffix-TAG replicas mint types too
+    slowly for a ≥1e5 seed inventory (128 replicas ⇒ only ~14k
+    distinct substrings), so the big regime hash-fans the word types
+    instead."""
     from kafkadirect_spark.functions import bpe, unigram
     from kafkadirect_spark.session import get_spark
     from kafkadirect_spark.sources.batch import load_table
@@ -287,12 +294,78 @@ def unigram_probe(sf_dir: str = "/root/testdata/sf0.01",
         docs.count()
         n_types = bpe.word_type_counts(
             docs, "text", min_count=2, max_word_types=1 << 16).count()
+        n_seeds = (bpe.word_type_counts(docs, "text", 2, 1 << 16)
+                   .select(F.explode(F.expr(
+                       "flatten(transform(sequence(1, length(word)), "
+                       "i -> transform(sequence(i, least(length(word), "
+                       "i + 7)), j -> substring(word, i, j - i + 1))))"))
+                       .alias("p"))
+                   .distinct().count())
         t0 = time.perf_counter()
         inv = unigram.learn_unigram(docs, "text", vocab_size=vocab_size,
-                                    rounds=rounds, min_count=2).count()
+                                    rounds=rounds, min_count=2,
+                                    seed_factor=seed_factor).count()
         print(json.dumps({"op": "learn_unigram", "repl": k,
-                          "types": n_types, "inventory": inv,
+                          "types": n_types, "seed_space": n_seeds,
+                          "inventory": inv,
                           "vocab_size": vocab_size, "rounds": rounds,
+                          "seed_factor": seed_factor,
+                          "sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        docs.unpersist()
+    spark.stop()
+
+
+def unigram_big_probe(sf_dir: str = "/root/testdata/sf0.01",
+                      steps: tuple[tuple[int, int], ...] = (
+                          (4, 1024), (16, 4096)),
+                      vocab_size: int = 1024,
+                      seed_factor: int = 100, rounds: int = 2) -> None:
+    """Unigram trainer at a REALISTIC inventory (VERDICT r9 item 3:
+    real tokenizers prune ~1e6 seeds to 32k pieces; the r9 probe
+    stopped at 496 types / vocab 64).  Word types are hash-fanned —
+    every token gets a ``x<xxhash64(word, doc_id) % M>`` suffix over
+    ``k`` corpus replicas, minting ~31·M candidate types whose counts
+    stay >= min_count because k grows with M — so at (16, 4096) the
+    capped type table saturates max_word_types=65536 and the seed
+    inventory exceeds 1e5.  Claims under test at that scale: the
+    seed TakeOrdered cap, the seed_factor·vocab_size-row inventory
+    exchange per EM round, and the ~1e5-entry integer score dict
+    shipped in every segmentation task's closure."""
+    from kafkadirect_spark.functions import bpe, unigram
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("unigram-big-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def fanned(k: int, m: int):
+        df = base
+        for i in range(1, k):
+            df = df.unionByName(base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
+        return df.withColumn("text", F.concat_ws(" ", F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(
+                w, F.lit("x"),
+                F.pmod(F.xxhash64(w, F.col("doc_id")),
+                       F.lit(m)).cast("string")))))
+
+    for k, m in steps:
+        docs = fanned(k, m).persist()
+        docs.count()
+        n_types = bpe.word_type_counts(
+            docs, "text", min_count=2, max_word_types=1 << 16).count()
+        t0 = time.perf_counter()
+        inv = unigram.learn_unigram(
+            docs, "text", vocab_size=vocab_size, rounds=rounds,
+            min_count=2, seed_factor=seed_factor).count()
+        print(json.dumps({"op": "learn_unigram_big", "repl": k,
+                          "fan": m, "types": n_types,
+                          "inventory_cap": seed_factor * vocab_size,
+                          "survivors": inv, "vocab_size": vocab_size,
+                          "rounds": rounds,
                           "sec": round(time.perf_counter() - t0, 1)}),
               flush=True)
         docs.unpersist()
@@ -340,6 +413,41 @@ def nb_probe(sf_dir: str = "/root/testdata/sf0.1",
                           "sec": round(time.perf_counter() - t0, 1)}),
               flush=True)
         docs.unpersist()
+    spark.stop()
+
+
+def nb_classes_probe(sf_dir: str = "/root/testdata/sf0.1",
+                     fans: tuple[int, ...] = (1, 4, 16)) -> None:
+    """NB class-cardinality probe (VERDICT r9 item 4): fixed corpus,
+    C fanned out by sub-labeling lang with doc_id % fan (C = 5·fan,
+    so 5 → 20 → 80 classes).  Claim under test: a wide taxonomy adds
+    COMPUTE, not shuffle — the plan keeps one exploded train exchange,
+    one vocab-sized pivot join and one doc aggregate at every C; the
+    per-class bits are pivot-column expressions (C-way `least` chain),
+    so wall grows sub-linearly in C, never with a C-way row blowup."""
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("nb-classes-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").persist()
+    n = docs.count()
+    for fan in fans:
+        labeled = docs.withColumn(
+            "cls", F.concat_ws("_", "lang",
+                               (F.col("doc_id") % fan).cast("string")))
+        c = labeled.select("cls").distinct().count()
+        t0 = time.perf_counter()
+        out = curation.nb_classify(
+            labeled.filter(F.col("doc_id") % 2 == 0), labeled,
+            "doc_id", "text", "cls", max_classes=128)
+        out.write.format("noop").mode("overwrite").save()
+        print(json.dumps({"op": "nb_classify_classes", "fan": fan,
+                          "classes": c, "docs": n,
+                          "sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+    docs.unpersist()
     spark.stop()
 
 
@@ -524,6 +632,14 @@ if __name__ == "__main__":
     if "--unigram" in args:
         args.remove("--unigram")
         unigram_probe(args[0] if args else "/root/testdata/sf0.01")
+        sys.exit(0)
+    if "--unigram-big" in args:
+        args.remove("--unigram-big")
+        unigram_big_probe(args[0] if args else "/root/testdata/sf0.01")
+        sys.exit(0)
+    if "--nb-classes" in args:
+        args.remove("--nb-classes")
+        nb_classes_probe(args[0] if args else "/root/testdata/sf0.1")
         sys.exit(0)
     organic = "--organic" in args
     args = [a for a in args if a != "--organic"]
