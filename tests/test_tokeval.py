@@ -161,3 +161,37 @@ def test_windowed_chunks_plan_is_row_local(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_windowed_chunks_works_on_streams(spark, tmp_path):
+    """windowed_chunks is pure row-local column work, so it applies
+    unchanged to a Structured Streaming encode (streamed == batch)."""
+    import os
+
+    enc = _enc(spark, [(i, [f"t{j}" for j in range(i)], i)
+                       for i in range(1, 12)])
+    expect = sorted((r.doc_id, r.chunk_idx, r.start, r.n_tokens,
+                     tuple(r.tokens))
+                    for r in tokeval.windowed_chunks(
+                        enc, "doc_id", "tokens", budget=4,
+                        stride=2).collect())
+
+    src = os.path.join(str(tmp_path), "src")
+    enc.repartition(3).write.parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id long, tokens array<string>, n long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = tokeval.windowed_chunks(stream, "doc_id", "tokens",
+                                  budget=4, stride=2)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("win_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted((r.doc_id, r.chunk_idx, r.start, r.n_tokens,
+                      tuple(r.tokens))
+                     for r in spark.sql(
+                         "SELECT * FROM win_stream").collect())
+    finally:
+        q.stop()
+    assert got == expect

@@ -237,3 +237,53 @@ def test_oracle_sql_matches_engine_on_synthetic(spark):
     assert sorted(con.sql(
         unigram.chunk_oracle_sql(budget=5, **params)
     ).fetchall()) == eng_ch
+
+
+# --- property pin: the Viterbi-SQL oracle vs the engine -------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abc12", min_size=1, max_size=7)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_word, min_size=1, max_size=6),
+                min_size=2, max_size=5),
+       st.integers(min_value=2, max_value=10),
+       st.integers(min_value=2, max_value=5))
+def test_oracle_property_random_corpora(spark, docs_words, vocab_size,
+                                        max_piece_len):
+    """The recursive-CTE Viterbi oracle is bit-identical to the
+    engine on RANDOM corpora / vocab sizes / piece lengths — not just
+    the hand-built fixture.  Covers repeated words, numeral chars,
+    single-word docs, vocab saturation, and chunk-boundary ties."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    texts = [" ".join(ws) for ws in docs_words]
+    df = _docs(spark, texts)
+    params = dict(vocab_size=vocab_size, rounds=2,
+                  max_piece_len=max_piece_len, min_count=1,
+                  max_word_types=1 << 16, seed_factor=4)
+    model = unigram.learn_unigram(df, "text", **params)
+    eng = sorted((r.piece, r.cnt, r.bits) for r in model.collect())
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)),
+                               "text": texts}))
+    assert sorted(con.sql(
+        unigram.vocab_oracle_sql(**params)).fetchall()) == eng
+
+    eng_ch = sorted(
+        (r.doc_id, r.chunk_idx, r.n_pieces,
+         hashlib.md5(",".join(r.pieces).encode()).hexdigest())
+        for r in unigram.unigram_chunk(df, "doc_id", "text", model,
+                                       budget=3).collect())
+    assert sorted(con.sql(
+        unigram.chunk_oracle_sql(budget=3, **params)
+    ).fetchall()) == eng_ch
