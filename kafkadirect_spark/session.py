@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Runtime Bloom-filter join pruning (default-on in modern
+        # Spark; pinned explicitly because it is a 100 TB lever): a
+        # selective-but-unbroadcastable join side injects a Bloom
+        # filter into the big side's scan, cutting the fact shuffle
+        # before it happens — the declarative form of a hand-built
+        # bloom pre-filter.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "true")
+        # Scan split size: 128 MB splits keep a 100 TB scan at ~800k
+        # tasks and each task's working set inside executor memory;
+        # AQE coalescing forgives the exact value post-shuffle.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Arrow for every pandas_udf / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
