@@ -128,6 +128,19 @@ _PROMOTED = [
 # keeps this list honest: a name may sit here ONLY while it is
 # registered, has no driver row yet, and every window slot is
 # occupied by a mandatory rotation or another never-verified query.)
+#
+# r11 plan (so the next window is predictable): mandatory front = the
+# 17 r7-dated leftovers (skew_salted_join, smt_chain,
+# stream_aggregate, stream_count, stream_reduce,
+# supplier_nation_volume, table_group_aggregate, table_map_values,
+# table_tombstones, ts_policy_previous, ts_policy_skip,
+# unlimited_window_count, windowed_avg_hopping, windowed_count_hopping,
+# windowed_count_tumbling, windowed_sum_tumbling, yahoo_pipeline);
+# planned registrations (landed library-level this round per policy
+# item b, tests in test_tokeval.py): a `windowed_chunks` sliding-
+# window query and a `tokenizer_eval` per-slice report query — both
+# oracle-expressible without the Viterbi machinery when run over the
+# plain token surface; fill = the oldest r8-dated tail.
 _DEFERRED_NEW: list[str] = []
 
 

@@ -195,3 +195,39 @@ def test_windowed_chunks_works_on_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+# --- property pin: window layout vs an independent python model -----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=25), min_size=1,
+                max_size=6),
+       st.integers(min_value=1, max_value=9),
+       st.integers(min_value=1, max_value=9))
+def test_windowed_chunks_matches_python_model(spark, lengths, budget,
+                                              stride):
+    if stride > budget:
+        stride = budget
+    enc = _enc(spark, [(i, [f"t{j}" for j in range(n)], n)
+                       for i, n in enumerate(lengths)])
+    got = sorted((r.doc_id, r.chunk_idx, r.start, r.n_tokens,
+                  tuple(r.tokens))
+                 for r in tokeval.windowed_chunks(
+                     enc, "doc_id", "tokens", budget=budget,
+                     stride=stride).collect())
+    want = []
+    for i, n in enumerate(lengths):
+        toks = [f"t{j}" for j in range(n)]
+        if n == 0:
+            continue
+        n_win = 1 + -(-max(n - budget, 0) // stride)
+        for w in range(n_win):
+            start = w * stride
+            arr = toks[start:start + budget]
+            want.append((i, w, start, len(arr), tuple(arr)))
+    assert got == sorted(want)
