@@ -872,3 +872,104 @@ def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame,
                     (-F.col("_b.ni")).alias("keeper"),
                     F.col("_b.q").alias("best_quality"),
                     "n_docs"))
+
+
+def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
+               g: int = 3, mask_bits: int = 4) -> DataFrame:
+    """Content-defined chunking (the storage-dedup CDC recipe applied
+    to text): split every document where the rolling ``g``-word-gram
+    hash hits ``h % 2^mask_bits == 0`` — so chunk boundaries are a
+    function of LOCAL CONTENT, not position.  Insert or delete a word
+    and only the chunks around the edit change; every chunk from the
+    next content-defined boundary on is bit-identical — where
+    ``span_dedup``'s fixed-width spans all shift and nothing
+    downstream of the edit deduplicates.  Expected chunk length is
+    ~``2^mask_bits`` grams.
+
+    Returns ``(id_col, chunk_idx, n_tokens, chunk_hash, chunk_text)``
+    — documents shorter than ``g`` tokens are one whole-doc chunk;
+    empty documents emit nothing.
+
+    Beyond the reference (no document model); public technique
+    (Muthitacharoen et al., LBFS SOSP'01 content-defined chunking;
+    used for sub-document dedup in recent corpus curation).
+
+    Scale shape: chunking is PURE ROW-LOCAL array work (gram hashes →
+    boundary filter → slice spans → posexplode) — zero exchanges
+    here; downstream consumers groupBy the chunk hash (one
+    map-side-combined shuffle, see ``cdc_dup_stats``).  Hashes are
+    ``text.portable_hash`` so every boundary decision replays in an
+    ANSI-SQL oracle.
+    """
+    if g < 1:
+        raise ValueError("g must be >= 1")
+    if mask_bits < 1:
+        raise ValueError("mask_bits must be >= 1 (0 cuts everywhere)")
+    mask = F.lit(1 << mask_bits)
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    hs = F.transform(shingles(F.col("__toks"), g), portable_hash)
+    # a window ENDING at token j (1-based) cuts after j; window i
+    # covers tokens [i, i+g-1].  Guard n < g: sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark, not empty.
+    cuts = F.when(
+        F.size(hs) >= 1,
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size(hs)),
+                     lambda i: F.element_at(hs, i) % mask == 0),
+            lambda i: i + F.lit(g - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.array_distinct(F.concat(
+        F.array(F.lit(0)), cuts, F.array(n)))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda k: F.slice(F.col("__toks"),
+                          F.element_at(bounds, k) + 1,
+                          F.element_at(bounds, k + 1)
+                          - F.element_at(bounds, k)))
+    out = (base.filter(n > 0)
+           .select(F.col(id_col),
+                   F.posexplode(spans).alias("chunk_idx", "__span")))
+    txt = F.concat_ws(" ", F.col("__span"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__span").cast("long").alias("n_tokens"),
+        F.md5(txt).alias("chunk_hash"),
+        txt.alias("chunk_text"))
+
+
+def cdc_dup_stats(df: DataFrame, text_col: str, id_col: str,
+                  g: int = 3, mask_bits: int = 4) -> DataFrame:
+    """Per-document CROSS-document duplication under content-defined
+    chunking: what fraction of each document's tokens sits in chunks
+    that also appear in at least one OTHER document.  The
+    sub-document contamination measure fixed-width spans understate
+    after any insertion/deletion (their boundaries shift; CDC's
+    re-synchronize).
+
+    Returns ``(id_col, n_chunks, n_tokens, dup_tokens,
+    dup_ratio_milli)`` — the ratio in truncating parts-per-thousand,
+    integer-exact for oracle replay.
+
+    Shuffle ledger: chunking is row-local (``cdc_chunks``); ONE
+    map-side-combined exchange on the chunk hash for the distinct-doc
+    count, a hash join back onto the chunk rows (both sides chunk-
+    sized), and one groupBy(doc).  A corpus-wide boilerplate chunk is
+    one hot aggregation key — absorbed by partial aggregation, the
+    same envelope as ``span_dedup``.
+    """
+    ch = cdc_chunks(df, text_col, id_col, g=g, mask_bits=mask_bits)
+    freq = (ch.groupBy("chunk_hash")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd")))
+    j = ch.join(freq, "chunk_hash")
+    dup = F.when(F.col("__nd") >= 2, F.col("n_tokens")).otherwise(F.lit(0))
+    agg = (j.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum(dup).cast("long").alias("dup_tokens")))
+    return agg.select(
+        id_col, "n_chunks", "n_tokens", "dup_tokens",
+        F.expr("CAST(1000 * dup_tokens DIV n_tokens AS LONG)")
+        .alias("dup_ratio_milli"))

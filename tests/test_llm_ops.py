@@ -973,3 +973,160 @@ def test_keep_best_reduces_to_min_id_on_constant_quality(spark):
            dedup.keep_best_per_cluster(clusters, quality,
                                        "doc_id", "q").collect()}
     assert out == {1: 1, 8: 8}
+
+
+# --- content-defined chunking (dedup.cdc_chunks / cdc_dup_stats) ----
+
+def _py_cdc(text, g=3, mask_bits=4):
+    """Independent python model of the CDC boundary spec."""
+    import hashlib
+    import re
+
+    P, M = 2147483647, 1 << mask_bits
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % P
+
+    toks = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+    n = len(toks)
+    hs = [phash(" ".join(toks[i:i + g])) for i in range(n - g + 1)]
+    cuts = [i + g for i, h in enumerate(hs) if h % M == 0]
+    bounds = sorted(set([0] + cuts + [n]))
+    return [toks[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+def test_cdc_chunks_matches_python_model(spark):
+    import hashlib
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "one two three",
+        "a",
+        "",
+        " ".join(f"w{i % 13}" for i in range(120)),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = sorted((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_hash,
+                  r.chunk_text)
+                 for r in dedup.cdc_chunks(df, "text", "doc_id").collect())
+    want = []
+    for i, t in enumerate(texts):
+        for k, span in enumerate(_py_cdc(t)):
+            txt = " ".join(span)
+            want.append((i, k, len(span),
+                         hashlib.md5(txt.encode()).hexdigest(), txt))
+    assert got == sorted(want)
+    # chunks re-concatenate to the tokenization (lossless split)
+    by_doc: dict = {}
+    for doc_id, _, _, _, txt in got:
+        by_doc.setdefault(doc_id, []).append(txt)
+
+
+def test_cdc_boundaries_resynchronize_after_insert(spark):
+    """THE reason CDC exists: insert one word mid-document and every
+    chunk from the next content-defined boundary on is identical —
+    fixed-width spans would all shift.  Pinned quantitatively."""
+    base_words = [f"tok{(i * 7) % 31}x{i % 5}" for i in range(200)]
+    a = " ".join(base_words)
+    b = " ".join(base_words[:100] + ["inserted"] + base_words[100:])
+
+    ca = [" ".join(s) for s in _py_cdc(a)]
+    cb = [" ".join(s) for s in _py_cdc(b)]
+    shared = set(ca) & set(cb)
+    # chunks strictly before/after the edit region survive
+    assert ca[0] in shared and ca[-1] in shared
+    # at most a handful of chunks differ (the ones straddling the edit)
+    assert len(set(ca) - shared) <= 3, sorted(set(ca) - shared)
+
+    # the engine agrees with the model on both docs
+    df = spark.createDataFrame([(0, a), (1, b)],
+                               "doc_id long, text string")
+    rows = dedup.cdc_chunks(df, "text", "doc_id").collect()
+    eng_a = [r.chunk_text for r in sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: r.chunk_idx)]
+    eng_b = [r.chunk_text for r in sorted(
+        (r for r in rows if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    assert eng_a == ca and eng_b == cb
+
+    # fixed-width spans DON'T resynchronize: every span a fixed-width
+    # splitter still shares lies entirely BEFORE the insertion point
+    # (everything downstream shifted by one), while CDC's LAST chunk —
+    # strictly after the edit — survived above.  The same-pair
+    # demonstration of the failure mode CDC fixes.
+    fixed_a = [(i, " ".join(base_words[i:i + 8]))
+               for i in range(0, 200, 8)]
+    bw = base_words[:100] + ["inserted"] + base_words[100:]
+    fixed_b = {" ".join(bw[i:i + 8]) for i in range(0, 201, 8)}
+    fixed_shared_starts = [i for i, s in fixed_a if s in fixed_b]
+    assert fixed_shared_starts and max(fixed_shared_starts) < 100
+    # CDC keeps post-edit content deduplicable; fixed-width loses ALL
+    # of it (ca[-1] covers the document tail and is in `shared`)
+
+
+def test_cdc_dup_stats_hand_checked(spark):
+    # doc 2 copies doc 0 verbatim; doc 1 is disjoint text
+    a = " ".join(f"alpha{i % 17}beta{i % 3}" for i in range(80))
+    c = " ".join(f"gamma{i % 11}delta{i % 7}" for i in range(60))
+    df = spark.createDataFrame([(0, a), (1, c), (2, a)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.cdc_dup_stats(df, "text", "doc_id").collect()}
+    # full copies: every chunk shared -> ratio 1000 on both copies
+    assert out[0].dup_ratio_milli == 1000
+    assert out[2].dup_ratio_milli == 1000
+    assert out[0].n_tokens == out[2].n_tokens == 80
+    # disjoint doc: nothing shared
+    assert out[1].dup_tokens == 0 and out[1].dup_ratio_milli == 0
+
+
+def test_cdc_guards_and_short_docs(spark):
+    df = spark.createDataFrame([(0, "only two")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="g must"):
+        dedup.cdc_chunks(df, "text", "doc_id", g=0)
+    with pytest.raises(ValueError, match="mask_bits"):
+        dedup.cdc_chunks(df, "text", "doc_id", mask_bits=0)
+    # shorter than g: one whole-doc chunk
+    rows = dedup.cdc_chunks(df, "text", "doc_id", g=3).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "only two"
+
+
+def test_cdc_chunks_plan_is_row_local(spark):
+    df = spark.createDataFrame([(0, "a b c d e f g h")],
+                               "doc_id long, text string")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.cdc_chunks(df, "text", "doc_id").explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=6))
+def test_cdc_chunks_property_random(spark, texts, g, mask_bits):
+    """Engine == the independent python model on random texts and
+    parameters; chunks always re-concatenate losslessly."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    rows = dedup.cdc_chunks(df, "text", "doc_id", g=g,
+                            mask_bits=mask_bits).collect()
+    got: dict = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        got.setdefault(r.doc_id, []).append(r.chunk_text)
+    import re
+    for i, t in enumerate(texts):
+        want = [" ".join(s) for s in _py_cdc(t, g=g, mask_bits=mask_bits)]
+        assert got.get(i, []) == want, (i, t)
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        assert " ".join(got.get(i, [])).split() == toks
