@@ -973,3 +973,62 @@ def cdc_dup_stats(df: DataFrame, text_col: str, id_col: str,
         id_col, "n_chunks", "n_tokens", "dup_tokens",
         F.expr("CAST(1000 * dup_tokens DIV n_tokens AS LONG)")
         .alias("dup_ratio_milli"))
+
+
+def cdc_stats_oracle_sql(g: int = 3, mask_bits: int = 4) -> str:
+    """DuckDB replay of ``cdc_dup_stats(documents, 'text', 'doc_id')``
+    — same portable gram hashes, boundary rule, chunk spans and
+    truncating-ppt ratio, so the operator is registration-ready."""
+    m = 1 << mask_bits
+    phash = ("(('0x' || substr(md5({s}), 1, 14))::BIGINT"
+             " % 2147483647)")
+    gram = phash.format(
+        s=f"array_to_string(w[i:i+{g - 1}], ' ')")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents),
+    hb AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) >= {g}
+                  THEN list_transform(
+                    generate_series(1, len(w) - {g} + 1),
+                    i -> {gram})
+                  ELSE [] END AS h
+      FROM tok),
+    bnd AS (
+      SELECT doc_id, w, n,
+             list_sort(list_distinct(list_concat(list_concat(
+               [0::BIGINT],
+               list_transform(
+                 list_filter(generate_series(1, len(h)),
+                             i -> h[i] % {m} = 0),
+                 i -> (i + {g - 1})::BIGINT)),
+               [n::BIGINT]))) AS b
+      FROM hb),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(w[(b[k] + 1)::INT:(b[k + 1])::INT],
+                             ' ') AS chunk_text,
+             (b[k + 1] - b[k])::BIGINT AS n_tokens
+      FROM (SELECT doc_id, w, b,
+                   unnest(generate_series(1, len(b) - 1)) AS k
+            FROM bnd WHERE n > 0)),
+    freq AS (
+      SELECT md5(chunk_text) AS chunk_hash,
+             COUNT(DISTINCT doc_id)::BIGINT AS nd
+      FROM chunks GROUP BY 1),
+    j AS (
+      SELECT c.doc_id, c.n_tokens,
+             CASE WHEN f.nd >= 2 THEN c.n_tokens ELSE 0 END AS dup
+      FROM chunks c JOIN freq f ON md5(c.chunk_text) = f.chunk_hash)
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(n_tokens)::BIGINT AS n_tokens,
+           SUM(dup)::BIGINT AS dup_tokens,
+           (1000 * SUM(dup) // SUM(n_tokens))::BIGINT
+             AS dup_ratio_milli
+    FROM j GROUP BY 1
+    """

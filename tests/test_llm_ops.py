@@ -1130,3 +1130,19 @@ def test_cdc_chunks_property_random(spark, texts, g, mask_bits):
         assert got.get(i, []) == want, (i, t)
         toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
         assert " ".join(got.get(i, [])).split() == toks
+
+
+def test_cdc_stats_oracle_matches_engine(spark, docs):
+    """The DuckDB replay (dedup.cdc_stats_oracle_sql) is bit-identical
+    to cdc_dup_stats on the real documents table — the operator is
+    registration-ready (gram hashes, boundary rule, chunk spans and
+    the truncating-ppt ratio all replayed)."""
+    import duckdb
+
+    eng = sorted(tuple(r) for r in dedup.cdc_dup_stats(
+        docs, "text", "doc_id").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    assert sorted(con.sql(dedup.cdc_stats_oracle_sql()).fetchall()) == eng
