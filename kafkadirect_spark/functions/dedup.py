@@ -906,29 +906,42 @@ def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
     if mask_bits < 1:
         raise ValueError("mask_bits must be >= 1 (0 cuts everywhere)")
     mask = F.lit(1 << mask_bits)
-    toks = tokens(text_col)
-    base = df.select(F.col(id_col), toks.alias("__toks"))
-    n = F.size(F.col("__toks"))
-    hs = F.transform(shingles(F.col("__toks"), g), portable_hash)
+    # Staged projections, NOT one nested expression: an expression
+    # referenced inside a higher-order-function lambda is re-evaluated
+    # PER ELEMENT (codegen CSE does not reach into lambdas — the
+    # shingles() lesson), so element_at(<full md5 chain>, i) inside
+    # the boundary filter would cost O(grams²) hashes per row.  Each
+    # stage materializes its array as a column; the next stage's
+    # lambdas index a plain attribute.  (CollapseProject keeps the
+    # stages separate: the aliases are referenced multiple times from
+    # inside lambdas, which blocks inlining.)
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    hs_df = base.select(
+        id_col, "__toks",
+        F.transform(shingles(F.col("__toks"), g),
+                    portable_hash).alias("__hs"))
     # a window ENDING at token j (1-based) cuts after j; window i
     # covers tokens [i, i+g-1].  Guard n < g: sequence(1, 0) is the
     # DESCENDING [1, 0] in Spark, not empty.
     cuts = F.when(
-        F.size(hs) >= 1,
+        F.size(F.col("__hs")) >= 1,
         F.transform(
-            F.filter(F.sequence(F.lit(1), F.size(hs)),
-                     lambda i: F.element_at(hs, i) % mask == 0),
+            F.filter(F.sequence(F.lit(1), F.size(F.col("__hs"))),
+                     lambda i: F.element_at(F.col("__hs"), i) % mask == 0),
             lambda i: i + F.lit(g - 1))
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.array_distinct(F.concat(
-        F.array(F.lit(0)), cuts, F.array(n)))
+    b_df = hs_df.select(
+        id_col, "__toks",
+        F.array_distinct(F.concat(
+            F.array(F.lit(0)), cuts,
+            F.array(F.size(F.col("__toks"))))).alias("__bounds"))
     spans = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
+        F.sequence(F.lit(1), F.size(F.col("__bounds")) - 1),
         lambda k: F.slice(F.col("__toks"),
-                          F.element_at(bounds, k) + 1,
-                          F.element_at(bounds, k + 1)
-                          - F.element_at(bounds, k)))
-    out = (base.filter(n > 0)
+                          F.element_at(F.col("__bounds"), k) + 1,
+                          F.element_at(F.col("__bounds"), k + 1)
+                          - F.element_at(F.col("__bounds"), k)))
+    out = (b_df.filter(F.size(F.col("__toks")) > 0)
            .select(F.col(id_col),
                    F.posexplode(spans).alias("chunk_idx", "__span")))
     txt = F.concat_ws(" ", F.col("__span"))
