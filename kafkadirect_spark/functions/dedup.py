@@ -526,11 +526,11 @@ def winnow_overlap_pairs(
     fingerprints in more than ``max_doc_freq`` docs are boilerplate
     and carry no pairing signal.
     """
-    from kafkadirect_spark.functions.text import winnow
+    from kafkadirect_spark.functions.text import winnow_fps
 
-    fps = (_widen(df.select(F.col(id_col), F.col(text_col)))
-           .select(F.col(id_col),
-                   F.explode(winnow(text_col, k, w)).alias("fp")))
+    fps = winnow_fps(
+        _widen(df.select(F.col(id_col), F.col(text_col))),
+        text_col, id_col, k, w)
     if max_doc_freq is not None:
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         fps = fps.join(freq.filter(F.col("df") <= max_doc_freq), "fp")
@@ -686,14 +686,18 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
     pair pushes the per-pair collision odds to ~2^-96: corpus-wide
     expected collisions at 1e11 spans ≈ 1e22·2^-97 ≈ 6e-8 — accepted.
     """
-    words = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    # stage the split as a projection column: a lambda that slices
+    # the raw split() EXPRESSION re-splits the whole text per span
+    # (CSE does not reach into HOF lambdas) — 2.3× at sf0.01
+    base = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("__w"))
+    n_spans = F.ceil(F.size("__w") / F.lit(span_words)).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(
-            " ", F.slice(words, i * span_words + 1, span_words)))
-    occ = df.select(F.col(id_col),
-                    F.posexplode(spans).alias("pos", "span"))
+            " ", F.slice(F.col("__w"), i * span_words + 1, span_words)))
+    occ = base.select(F.col(id_col),
+                      F.posexplode(spans).alias("pos", "span"))
     occ = occ.withColumn("_h", F.xxhash64("span")) \
              .withColumn("_h2", F.crc32(F.col("span")))
     winners = occ.groupBy("_h", "_h2").agg(

@@ -81,6 +81,14 @@ _PROMOTED = [
     #    covered by test_bpe.py's regime-equivalence goldens.) --
     "nb_langid",
     "value_drift_by_slice",
+    # doc_winnow re-admitted under rule 2 as well: its implementation
+    # switched to the staged winnow_fps form (122× faster, same
+    # output — the single-expression winnow re-hashed every gram per
+    # window; see text.py) and the driver should re-verify it.  It
+    # takes the slot the alphabetical fill would have given
+    # skew_salted_distinct, whose r7 row simply rotates at r11 with
+    # the rest of its cohort.
+    "doc_winnow",
     # -- new in round 10 (the round's ONE registration under the
     #    budget policy): the unigram-LM tokenizer family's driver
     #    claim — train + encode + chunk with the full Viterbi-EM
@@ -120,7 +128,6 @@ _PROMOTED = [
     "session_aggregate",
     "session_count",
     "shipping_priority",
-    "skew_salted_distinct",
 ]
 
 # No over-subscription this round: one new registration, and the

@@ -426,11 +426,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=5 char-grams, window w=4): any shared
     substring ≥ 8 chars between docs shares a fingerprint — the
-    partial-overlap detector (text.winnow); row-local array exprs,
-    exploded to (doc, fp) for bucket-joined overlap search."""
+    partial-overlap detector.  r10: uses the STAGED ``text.winnow_fps``
+    form (gram hashes materialized as a projection column before the
+    window lambda) — the single-expression ``text.winnow`` re-hashed
+    all n grams per window (codegen CSE does not reach into lambdas),
+    O(n²) md5s per row, measured 122× slower at sf0.01.  Still
+    row-local: two projections + one explode, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.select("doc_id",
-                        F.explode(text.winnow("text", k=5, w=4)).alias("fp")))
+    return text.winnow_fps(docs, "text", "doc_id", k=5, w=4)
 
 
 @query(
