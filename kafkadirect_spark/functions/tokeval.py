@@ -145,3 +145,34 @@ def tokenizer_eval(docs: DataFrame, enc: DataFrame, id_col: str,
         milli("n_tokens", "n_words").alias("fertility_milli"),
         milli("n_chars", "n_tokens").alias("chars_per_token_milli"),
         milli("__singles", "n_tokens").alias("singleton_ratio_milli"))
+
+
+def windows_oracle_sql(budget: int, stride: int,
+                       table: str = "documents") -> str:
+    """DuckDB replay of ``windowed_chunks`` over the plain token
+    surface of ``table`` (the registration shape: tokenize → window →
+    md5-over-CSV), for the driver gate.  1-based inclusive slices;
+    same window-count formula; empty docs emit nothing."""
+    if stride < 1 or stride > budget:
+        raise ValueError("stride must be in [1, budget]")
+    tok = ("list_filter(regexp_split_to_array(lower(text), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    b, s = budget, stride
+    return f"""
+    WITH tok AS (SELECT doc_id, {tok} AS w FROM {table}),
+    wins AS (
+      SELECT doc_id,
+             (k - 1)::BIGINT AS chunk_idx,
+             ((k - 1) * {s})::BIGINT AS start,
+             w[((k - 1) * {s} + 1)::INT:((k - 1) * {s} + {b})::INT]
+               AS arr
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(
+                     1, 1 + CAST(ceil(greatest(len(w) - {b}, 0)
+                                      / {s}.0) AS BIGINT))) AS k
+            FROM tok WHERE len(w) > 0))
+    SELECT doc_id, chunk_idx, start,
+           len(arr)::BIGINT AS n_tokens,
+           md5(array_to_string(arr, ',')) AS tokens_md5
+    FROM wins
+    """

@@ -144,10 +144,13 @@ _PROMOTED = [
 # unlimited_window_count, windowed_avg_hopping, windowed_count_hopping,
 # windowed_count_tumbling, windowed_sum_tumbling, yahoo_pipeline);
 # planned registrations (landed library-level this round per policy
-# item b, tests in test_tokeval.py): a `windowed_chunks` sliding-
-# window query and a `tokenizer_eval` per-slice report query — both
-# oracle-expressible without the Viterbi machinery when run over the
-# plain token surface; fill = the oldest r8-dated tail.
+# item b): a `windowed_chunks` sliding-window query (oracle generator
+# ALREADY WRITTEN: tokeval.windows_oracle_sql, pinned vs the engine
+# on documents in test_tokeval.py), a `tokenizer_eval` per-slice
+# report query, and a `cdc_dup_stats` content-defined-chunking query
+# (oracle generator already written: dedup.cdc_stats_oracle_sql,
+# pinned vs the engine in test_llm_ops.py); fill = the oldest
+# r8-dated tail.
 _DEFERRED_NEW: list[str] = []
 
 

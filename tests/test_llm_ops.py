@@ -1146,3 +1146,33 @@ def test_cdc_stats_oracle_matches_engine(spark, docs):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF}/documents.parquet')")
     assert sorted(con.sql(dedup.cdc_stats_oracle_sql()).fetchall()) == eng
+
+
+def test_cdc_chunks_works_on_streams(spark, tmp_path):
+    """cdc_chunks is pure row-local column work, so content-defined
+    chunking applies unchanged to a Structured Streaming ingest
+    (streamed == batch)."""
+    import os
+
+    texts = [" ".join(f"s{(i * 3 + d) % 23}" for i in range(70))
+             for d in range(6)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    expect = sorted(tuple(r) for r in
+                    dedup.cdc_chunks(df, "text", "doc_id").collect())
+
+    src = os.path.join(str(tmp_path), "src")
+    df.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = dedup.cdc_chunks(stream, "text", "doc_id")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("cdc_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM cdc_stream").collect())
+    finally:
+        q.stop()
+    assert got == expect

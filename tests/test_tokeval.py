@@ -231,3 +231,30 @@ def test_windowed_chunks_matches_python_model(spark, lengths, budget,
             arr = toks[start:start + budget]
             want.append((i, w, start, len(arr), tuple(arr)))
     assert got == sorted(want)
+
+
+def test_windows_oracle_matches_engine_on_documents(spark):
+    """The DuckDB replay (windows_oracle_sql) is bit-identical to
+    windowed_chunks over the plain token surface of the real
+    documents table — the operator is registration-ready."""
+    import hashlib
+
+    import duckdb
+
+    from kafkadirect_spark.functions import text
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    enc = docs.select("doc_id", text.tokens("text").alias("tokens"))
+    eng = sorted(
+        (r.doc_id, r.chunk_idx, r.start, r.n_tokens,
+         hashlib.md5(",".join(r.tokens).encode()).hexdigest())
+        for r in tokeval.windowed_chunks(
+            enc, "doc_id", "tokens", budget=32, stride=24).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        tokeval.windows_oracle_sql(budget=32, stride=24)).fetchall())
+    assert got == eng
