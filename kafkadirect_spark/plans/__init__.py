@@ -94,11 +94,11 @@ _PROMOTED = [
     #    claim — train + encode + chunk with the full Viterbi-EM
     #    replay oracle (VERDICT r9 item 2) --
     "unigram_chunk",
-    # -- fill: the 30 alphabetically-first of the 47 r7-dated
+    # -- fill: the 29 alphabetically-first of the 47 r7-dated
     #    queries (newest driver row r7 — legal outside the window
     #    this round, mandatory at r11; scheduling the oldest now
-    #    keeps r11's mandatory front to the 17 leftovers
-    #    skew_salted_join..yahoo_pipeline) --
+    #    keeps r11's mandatory front to the 18 leftovers
+    #    skew_salted_distinct..yahoo_pipeline) --
     "asof_enrich_forward",
     "branch_counts",
     "dedup_clusters",
@@ -137,7 +137,7 @@ _PROMOTED = [
 # occupied by a mandatory rotation or another never-verified query.)
 #
 # r11 plan (so the next window is predictable): mandatory front = the
-# 17 r7-dated leftovers (skew_salted_join, smt_chain,
+# 18 r7-dated leftovers (skew_salted_distinct, skew_salted_join, smt_chain,
 # stream_aggregate, stream_count, stream_reduce,
 # supplier_nation_volume, table_group_aggregate, table_map_values,
 # table_tombstones, ts_policy_previous, ts_policy_skip,
