@@ -29,6 +29,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cdc_dup_stats_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.sources.batch import load_table
+    return dedup.cdc_dup_stats(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
     from kafkadirect_spark.session import get_spark
@@ -186,6 +193,18 @@ def main() -> None:
         # - value_drift_by_slice (new r9): exact numeric drift — one
         #   register exchange per slice + a bins-sized outer join
         "value_drift_by_slice": QUERIES["value_drift_by_slice"],
+        # r10: the winnowing family (fingerprint explode + capped
+        #   inverted-index pair join) gets fingerprint rows now that
+        #   the staged winnow_fps form made it bench-able (the
+        #   single-expression form re-hashed every gram per window);
+        #   unigram_chunk is the new tokenizer family's train+encode+
+        #   chunk pipeline; cdc_dup_stats is the content-defined
+        #   chunking dedup (row-local chunking + one chunk-hash
+        #   exchange) — registered r11, benched from its landing round
+        "doc_winnow": QUERIES["doc_winnow"],
+        "winnow_overlap_pairs": QUERIES["winnow_overlap_pairs"],
+        "unigram_chunk": QUERIES["unigram_chunk"],
+        "cdc_dup_stats": _cdc_dup_stats_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
