@@ -89,16 +89,25 @@ _PROMOTED = [
     # skew_salted_distinct, whose r7 row simply rotates at r11 with
     # the rest of its cohort.
     "doc_winnow",
+    # embedding_quantize + embedding_random_projection re-admitted
+    # under rule 2 the same way: quantize_int8 now stages `scale` as
+    # a projection column (the lambda re-ran the array_max scan per
+    # element — 3.7× at sf0.1; same outputs, exact checks pass) and
+    # both queries consume it.  They displace the last two
+    # alphabetical fill slots (session_count, shipping_priority),
+    # whose r7 rows rotate at r11 with their cohort.
+    "embedding_quantize",
+    "embedding_random_projection",
     # -- new in round 10 (the round's ONE registration under the
     #    budget policy): the unigram-LM tokenizer family's driver
     #    claim — train + encode + chunk with the full Viterbi-EM
     #    replay oracle (VERDICT r9 item 2) --
     "unigram_chunk",
-    # -- fill: the 29 alphabetically-first of the 47 r7-dated
+    # -- fill: the 27 alphabetically-first of the 47 r7-dated
     #    queries (newest driver row r7 — legal outside the window
     #    this round, mandatory at r11; scheduling the oldest now
-    #    keeps r11's mandatory front to the 18 leftovers
-    #    skew_salted_distinct..yahoo_pipeline) --
+    #    keeps r11's mandatory front to the 20 leftovers
+    #    session_count..yahoo_pipeline) --
     "asof_enrich_forward",
     "branch_counts",
     "dedup_clusters",
@@ -126,18 +135,17 @@ _PROMOTED = [
     "scan_from_timestamp",
     "select_key_regroup",
     "session_aggregate",
-    "session_count",
-    "shipping_priority",
 ]
 
 # No over-subscription this round: one new registration, and the
-# window's 30 fill slots all hold r7-dated rotation.  (The tripwire
+# window's 27 fill slots all hold r7-dated rotation.  (The tripwire
 # keeps this list honest: a name may sit here ONLY while it is
 # registered, has no driver row yet, and every window slot is
 # occupied by a mandatory rotation or another never-verified query.)
 #
 # r11 plan (so the next window is predictable): mandatory front = the
-# 18 r7-dated leftovers (skew_salted_distinct, skew_salted_join, smt_chain,
+# 20 r7-dated leftovers (session_count, shipping_priority,
+# skew_salted_distinct, skew_salted_join, smt_chain,
 # stream_aggregate, stream_count, stream_reduce,
 # supplier_nation_volume, table_group_aggregate, table_map_values,
 # table_tombstones, ts_policy_previous, ts_policy_skip,
