@@ -10,5 +10,7 @@ which are Arrow-batched.  No row-at-a-time Python UDFs anywhere.
 """
 
 from kafkadirect_spark.functions import (  # noqa: F401
-    curation, dedup, multimodal, similarity, sketch, smt, text,
+    bpe, curation, dedup, diagnostics, graph, layout, multimodal,
+    partitioner, similarity, sketch, smt, text, timestamps, tokeval,
+    unigram,
 )

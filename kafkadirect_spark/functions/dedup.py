@@ -1,5 +1,7 @@
 """Deduplication operators: exact content-hash, n-gram Jaccard,
-MinHash-LSH (banded), SimHash.
+MinHash-LSH (banded), SimHash, span-level exact dedup, and
+content-defined chunking (cdc_chunks/cdc_dup_stats — insertion-proof
+sub-document dedup; see those docstrings).
 
 Scale design (the 100 TB contract):
 
