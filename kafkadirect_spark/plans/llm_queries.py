@@ -431,9 +431,13 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     window lambda) — the single-expression ``text.winnow`` re-hashed
     all n grams per window (codegen CSE does not reach into lambdas),
     O(n²) md5s per row, measured 122× slower at sf0.01.  Still
-    row-local: two projections + one explode, zero shuffles."""
+    row-local: two projections + one explode, zero data shuffles —
+    the dedup._widen round-robin only fires when the scan has fewer
+    files than cores (small-SF fixture; a no-op at 100 TB), spreading
+    the hash-heavy map work cluster-wide (5.8× at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.winnow_fps(docs, "text", "doc_id", k=5, w=4)
+    return text.winnow_fps(dedup._widen(docs.select("doc_id", "text")),
+                           "text", "doc_id", k=5, w=4)
 
 
 @query(
