@@ -290,7 +290,11 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     id_field = df.schema[id_col]
     out_schema = (f"{id_field.name} {id_field.dataType.simpleString()}, "
                   "bpe array<string>, n_bpe long")
-    cols = df.select(id_col, text_col)
+    # widen narrow scans so the Arrow-batched encode runs cluster-wide
+    # (a no-op on streaming frames and on scans already as wide as the
+    # cluster — the 100 TB case); the per-task word memo still applies
+    from kafkadirect_spark.functions.dedup import _widen
+    cols = _widen(df.select(id_col, text_col))
 
     def gen(batches):
         import re

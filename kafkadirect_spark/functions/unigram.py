@@ -245,7 +245,11 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
     id_field = df.schema[id_col]
     out_schema = (f"{id_field.name} {id_field.dataType.simpleString()}, "
                   "pieces array<string>, n_pieces long")
-    cols = df.select(id_col, text_col)
+    # widen narrow scans so the Arrow-batched encode runs cluster-wide
+    # (no-op on streaming frames / already-wide scans — bpe_encode's
+    # contract)
+    from kafkadirect_spark.functions.dedup import _widen
+    cols = _widen(df.select(id_col, text_col))
 
     def gen(batches):
         import re

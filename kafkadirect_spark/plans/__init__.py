@@ -98,16 +98,23 @@ _PROMOTED = [
     # whose r7 rows rotate at r11 with their cohort.
     "embedding_quantize",
     "embedding_random_projection",
+    # bpe_token_lengths + bpe_chunks re-admitted under rule 2: the
+    # encode pass they run now widens narrow scans before the
+    # Arrow-batched mapInPandas (no-op at real scale; same outputs,
+    # exact checks pass).  They displace the last two alphabetical
+    # fill slots (select_key_regroup, session_aggregate).
+    "bpe_token_lengths",
+    "bpe_chunks",
     # -- new in round 10 (the round's ONE registration under the
     #    budget policy): the unigram-LM tokenizer family's driver
     #    claim — train + encode + chunk with the full Viterbi-EM
     #    replay oracle (VERDICT r9 item 2) --
     "unigram_chunk",
-    # -- fill: the 27 alphabetically-first of the 47 r7-dated
+    # -- fill: the 25 alphabetically-first of the 47 r7-dated
     #    queries (newest driver row r7 — legal outside the window
     #    this round, mandatory at r11; scheduling the oldest now
-    #    keeps r11's mandatory front to the 20 leftovers
-    #    session_count..yahoo_pipeline) --
+    #    keeps r11's mandatory front to the 22 leftovers
+    #    select_key_regroup..yahoo_pipeline) --
     "asof_enrich_forward",
     "branch_counts",
     "dedup_clusters",
@@ -133,18 +140,17 @@ _PROMOTED = [
     "returned_item_report",
     "revenue_rollup",
     "scan_from_timestamp",
-    "select_key_regroup",
-    "session_aggregate",
 ]
 
 # No over-subscription this round: one new registration, and the
-# window's 27 fill slots all hold r7-dated rotation.  (The tripwire
+# window's 25 fill slots all hold r7-dated rotation.  (The tripwire
 # keeps this list honest: a name may sit here ONLY while it is
 # registered, has no driver row yet, and every window slot is
 # occupied by a mandatory rotation or another never-verified query.)
 #
 # r11 plan (so the next window is predictable): mandatory front = the
-# 20 r7-dated leftovers (session_count, shipping_priority,
+# 22 r7-dated leftovers (select_key_regroup, session_aggregate,
+# session_count, shipping_priority,
 # skew_salted_distinct, skew_salted_join, smt_chain,
 # stream_aggregate, stream_count, stream_reduce,
 # supplier_nation_volume, table_group_aggregate, table_map_values,
