@@ -105,6 +105,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print("bm25 probe:   " + ", ".join(
         f"doc {r.doc_id} (score {r.score})" for r in hits))
 
+    # 8: sub-document duplication under content-defined chunking —
+    # the cross-doc copy measure fixed-width spans understate after
+    # any edit (CDC boundaries resynchronize); one chunk-hash
+    # exchange + one doc aggregate
+    from kafkadirect_spark.functions import dedup
+    cdc = dedup.cdc_dup_stats(docs, "text", "doc_id")
+    heavy = cdc.filter(F.col("dup_ratio_milli") >= 500).count()
+    agg = cdc.agg(F.sum("dup_tokens").alias("d"),
+                  F.sum("n_tokens").alias("t")).first()
+    print(f"cdc dup:      {100.0 * agg.d / agg.t:.1f}% of tokens sit "
+          f"in cross-doc chunks; {heavy} docs are >=50% duplicated")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
