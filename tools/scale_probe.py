@@ -489,6 +489,12 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
     def probe_span_dedup(docs):
         return dedup.span_dedup(docs, "text", "doc_id")
 
+    def probe_cdc(docs):
+        # content-defined chunking dup stats: row-local chunking +
+        # ONE chunk-hash exchange + one doc agg — wall should track
+        # corpus bytes linearly (organic replicas mint fresh chunks)
+        return dedup.cdc_dup_stats(docs, "text", "doc_id")
+
     def probe_decontaminate(docs):
         ev = base.filter(F.col("doc_id") % 10 == 0)  # fixed eval set
         return curation.decontaminate(docs, ev, "text", "doc_id", n=8)
@@ -570,6 +576,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "vocab_drift": probe_vocab_drift,
               "skew": probe_skew,
               "span_dedup": probe_span_dedup,
+              "cdc": probe_cdc,
               "decontaminate": probe_decontaminate,
               "importance": probe_importance,
               "sketches": probe_sketches,
