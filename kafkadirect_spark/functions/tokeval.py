@@ -115,8 +115,7 @@ def tokenizer_eval(docs: DataFrame, enc: DataFrame, id_col: str,
     slice_col = F.col(by) if by is not None else F.lit("ALL")
     left = docs.select(
         F.col(id_col), slice_col.alias("slice"),
-        _word_count(text_col).alias("__w"),
-        F.length(text_col).cast("long").alias("__c"))
+        _word_count(text_col).alias("__w"))
     right = enc.select(
         F.col(id_col),
         F.size(tokens_col).cast("long").alias("__t"),
@@ -176,3 +175,61 @@ def windows_oracle_sql(budget: int, stride: int,
            md5(array_to_string(arr, ',')) AS tokens_md5
     FROM wins
     """
+
+
+def unigram_eval_oracle_sql(by: str, vocab_size: int, budget_unused=None,
+                            rounds: int = 2, max_piece_len: int = 8,
+                            min_count: int = 2,
+                            max_word_types: int = 1 << 16,
+                            seed_factor: int = 4) -> str:
+    """DuckDB replay of ``tokenizer_eval(documents,
+    unigram_encode(documents, trained model), 'doc_id', 'text',
+    'pieces', by=...)`` — the per-slice report over the TRAINED
+    unigram tokenizer, for the driver gate.  Reuses the unigram
+    module's Viterbi-CTE machinery (training + corpus-wide encode);
+    the metrics reduce over the per-word-TYPE segmentations joined
+    back to doc token occurrences, so the replay never re-segments
+    per occurrence."""
+    from kafkadirect_spark.functions import unigram as _ug
+
+    ctes = _ug._train_ctes(vocab_size, rounds, max_piece_len,
+                           min_count, max_word_types, seed_factor)
+    vit = _ug._viterbi_pass("u0", "fmodel", "dpe", "sege")
+    tok = ("list_filter(regexp_split_to_array(lower(text), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    return f"""WITH RECURSIVE {ctes},
+    u0 AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*)::BIGINT AS n
+      FROM (SELECT unnest({tok}) AS tok FROM documents)
+      GROUP BY 1),
+    {vit.lstrip().lstrip(",")},
+    segstat AS (
+      SELECT word, len(segs)::BIGINT AS np,
+             length(word)::BIGINT AS nc,
+             len(list_filter(segs, p -> length(p) = 1))::BIGINT AS s1
+      FROM sege),
+    docw AS (
+      SELECT doc_id, unnest({tok}) AS word FROM documents),
+    perdoc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS w,
+             SUM(np)::BIGINT AS t, SUM(nc)::BIGINT AS tc,
+             SUM(s1)::BIGINT AS s1
+      FROM docw JOIN segstat USING (word) GROUP BY 1),
+    j AS (
+      SELECT d.{by} AS slice,
+             COALESCE(p.w, 0) AS w, COALESCE(p.t, 0) AS t,
+             COALESCE(p.tc, 0) AS tc, COALESCE(p.s1, 0) AS s1
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+    agg AS (
+      SELECT slice, COUNT(*)::BIGINT AS n_docs,
+             SUM(w)::BIGINT AS n_words, SUM(t)::BIGINT AS n_tokens,
+             SUM(tc)::BIGINT AS n_chars, SUM(s1)::BIGINT AS singles
+      FROM j GROUP BY 1)
+    SELECT slice, n_docs, n_words, n_tokens, n_chars,
+           (CASE WHEN n_words > 0 THEN 1000 * n_tokens // n_words
+                 ELSE 0 END)::BIGINT AS fertility_milli,
+           (CASE WHEN n_tokens > 0 THEN 1000 * n_chars // n_tokens
+                 ELSE 0 END)::BIGINT AS chars_per_token_milli,
+           (CASE WHEN n_tokens > 0 THEN 1000 * singles // n_tokens
+                 ELSE 0 END)::BIGINT AS singleton_ratio_milli
+    FROM agg"""

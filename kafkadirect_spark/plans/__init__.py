@@ -161,7 +161,10 @@ _PROMOTED = [
 # item b): a `windowed_chunks` sliding-window query (oracle generator
 # ALREADY WRITTEN: tokeval.windows_oracle_sql, pinned vs the engine
 # on documents in test_tokeval.py), a `tokenizer_eval` per-slice
-# report query, and a `cdc_dup_stats` content-defined-chunking query
+# report query over the TRAINED unigram encode (oracle generator
+# already written too: tokeval.unigram_eval_oracle_sql, pinned vs the
+# engine at the registration params), and a `cdc_dup_stats`
+# content-defined-chunking query
 # (oracle generator already written: dedup.cdc_stats_oracle_sql,
 # pinned vs the engine in test_llm_ops.py); fill = the oldest
 # r8-dated tail.

@@ -258,3 +258,28 @@ def test_windows_oracle_matches_engine_on_documents(spark):
     got = sorted(con.sql(
         tokeval.windows_oracle_sql(budget=32, stride=24)).fetchall())
     assert got == eng
+
+
+def test_unigram_eval_oracle_matches_engine(spark):
+    """The DuckDB replay of tokenizer_eval over the TRAINED unigram
+    encode (unigram_eval_oracle_sql — reuses the Viterbi-CTE
+    machinery) is bit-identical to the engine on the real documents
+    table: the r11 registration shape is ready."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    params = dict(vocab_size=16, rounds=2, max_piece_len=4,
+                  min_count=2, max_word_types=4096, seed_factor=4)
+    model = unigram.learn_unigram(docs, "text", **params)
+    enc = unigram.unigram_encode(docs, "doc_id", "text", model)
+    eng = sorted(tuple(r) for r in tokeval.tokenizer_eval(
+        docs, enc, "doc_id", "text", "pieces", by="lang").collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(tokeval.unigram_eval_oracle_sql(
+        by="lang", **params)).fetchall())
+    assert got == eng
