@@ -11,6 +11,6 @@ which are Arrow-batched.  No row-at-a-time Python UDFs anywhere.
 
 from kafkadirect_spark.functions import (  # noqa: F401
     bpe, curation, dedup, diagnostics, graph, layout, multimodal,
-    partitioner, similarity, sketch, smt, text, timestamps, tokeval,
-    unigram,
+    partitioner, similarity, sketch, smt, text, timeseries,
+    timestamps, tokeval, unigram,
 )

@@ -1,0 +1,202 @@
+"""Distributed time-series similarity search over the events stream —
+PAA + SAX buckets (Lin et al. 2003 "A Symbolic Representation of Time
+Series", Keogh's PAA — public literature; the retrieved-corpus EDBT'19
+"Time Series Similarity Search for Streaming Data in Distributed
+Systems" problem), arranged Spark-first and integer-exact:
+
+1. **PAA** (piecewise aggregate approximation): each user's value
+   series over a fixed time window collapses to ``n_segments``
+   per-segment integer-cent means — ONE map-side-combined
+   groupBy(user, segment) over the events (the only corpus-scale
+   exchange), then one groupBy(user) to assemble the fixed-length
+   vector (missing segments are 0).  Means are truncating integer
+   division (``SUM(cents) DIV COUNT``) — bit-identical in any engine.
+2. **Breakpoints from the data, exactly**: SAX's Gaussian breakpoints
+   are floats; here the alphabet boundaries are EXACT equi-depth
+   order statistics of the segment-mean distribution, computed by the
+   existing ``sketch.exact_quantiles`` narrowing (register-sized
+   collects) — so symbolization is integer-exact and replayable.
+3. **SAX words bucket the search**: equal-word users are candidate
+   pairs (a groupBy/self-join on the word — sub-quadratic exactly
+   like the LSH band join; the word is the bucket key), then the
+   EXACT squared PAA distance verifies each candidate pair —
+   work bounded by bucket collisions, never |users|².
+
+Reference analogue: none (SURVEY.md §2 — no series surface);
+beyond-parity analytics machinery beside the as-of join and OHLC
+resample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def paa_profiles(events: DataFrame, user_col: str, ts_col: str,
+                 value_col: str, t0: str, t1: str,
+                 n_segments: int = 6) -> DataFrame:
+    """``(user_col, paa array<long>)`` — per-user PAA vector of
+    integer-cent segment means over ``[t0, t1)`` (ISO timestamps;
+    events outside the window are dropped, out-of-range segment
+    indices clamp).  One groupBy(user, segment) with map-side partial
+    sums, one groupBy(user); segments with no events are 0."""
+    if n_segments < 1:
+        raise ValueError("n_segments must be >= 1")
+    import datetime as _dt
+
+    span = int((_dt.datetime.fromisoformat(t1)
+                - _dt.datetime.fromisoformat(t0)).total_seconds())
+    if span <= 0:
+        raise ValueError("t1 must be after t0")
+    # integral DIV with a driver-computed constant span: bit-identical
+    # to DuckDB's `//` (a double `/` + cast would be float-rounded)
+    off = (F.unix_timestamp(F.col(ts_col))
+           - F.unix_timestamp(F.lit(t0).cast("timestamp")))
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    staged = (events
+              .filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull()
+                      & (F.col(ts_col) >= F.lit(t0).cast("timestamp"))
+                      & (F.col(ts_col) < F.lit(t1).cast("timestamp")))
+              .select(F.col(user_col), off.alias("__off"),
+                      cents.alias("__c")))
+    seg = F.expr(
+        f"LEAST(GREATEST(CAST(__off * {n_segments} DIV {span} "
+        f"AS LONG), 0), {n_segments - 1})")
+    per_seg = (staged
+               .select(F.col(user_col), seg.alias("__seg"),
+                       F.col("__c"))
+               .groupBy(user_col, "__seg")
+               .agg(F.sum("__c").alias("__s"),
+                    F.count(F.lit(1)).alias("__n"))
+               .select(user_col, "__seg",
+                       F.expr("CAST(__s DIV __n AS LONG)").alias("__m")))
+    # assemble via a position->mean map (rows per user <= n_segments)
+    return (per_seg.groupBy(user_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(
+                    (F.col("__seg") + 1).cast("int").alias("k"),
+                    F.col("__m").alias("v")))).alias("__map"))
+            .select(F.col(user_col),
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_segments)),
+                        lambda k: F.coalesce(
+                            F.element_at(F.col("__map"), k.cast("int")),
+                            F.lit(0).cast("long"))).alias("paa")))
+
+
+def sax_words(paa: DataFrame, user_col: str,
+              breakpoints: list[int]) -> DataFrame:
+    """``(user_col, paa, sax_word)`` — symbolize each PAA vector
+    against ascending integer ``breakpoints`` (symbol = number of
+    breakpoints ≤ the value, so ``len(breakpoints)+1`` symbols);
+    the word is the digit string.  Row-local; breakpoints are
+    literals (typically the exact 25/50/75-permille order statistics
+    of the segment-mean distribution via ``sketch.exact_quantiles``)."""
+    if sorted(breakpoints) != list(breakpoints):
+        raise ValueError("breakpoints must be ascending")
+    bks = F.array(*[F.lit(int(b)).cast("long") for b in breakpoints])
+    staged = paa.select(F.col(user_col), "paa", bks.alias("__bks"))
+    word = F.concat_ws("", F.transform(
+        F.col("paa"),
+        lambda v: F.size(F.filter(F.col("__bks"), lambda b: b <= v))
+        .cast("string")))
+    return staged.select(user_col, "paa", word.alias("sax_word"))
+
+
+def sax_candidate_pairs(words: DataFrame, user_col: str) -> DataFrame:
+    """Candidate pairs = users sharing a SAX word (bucket self-join,
+    ``a < b``), each verified with the EXACT squared PAA distance —
+    ``(user_a, user_b, sax_word, dist2)``.  The join is keyed on the
+    word (sub-quadratic: only bucket co-residents pair); dist2 is
+    row-local long arithmetic over the two vectors."""
+    a = words.select(F.col(user_col).alias("user_a"),
+                     F.col("paa").alias("__pa"), "sax_word")
+    b = words.select(F.col(user_col).alias("user_b"),
+                     F.col("paa").alias("__pb"), "sax_word")
+    d2 = F.aggregate(
+        F.zip_with(F.col("__pa"), F.col("__pb"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (a.join(b, "sax_word")
+            .filter(F.col("user_a") < F.col("user_b"))
+            .select("user_a", "user_b", "sax_word",
+                    d2.alias("dist2")))
+
+
+def sax_pipeline(events: DataFrame, user_col: str, ts_col: str,
+                 value_col: str, t0: str, t1: str,
+                 n_segments: int = 6,
+                 permilles: tuple[int, ...] = (250, 500, 750)):
+    """The composed search: PAA → exact-quantile breakpoints (one
+    bounded-register narrowing over the segment-mean distribution) →
+    SAX words → verified candidate pairs.  Returns ``(words_df,
+    pairs_df, breakpoints)``; the breakpoint collect is ≤
+    ``len(permilles)`` rows (register-sized, the exact_quantiles
+    contract)."""
+    from kafkadirect_spark.functions import sketch
+
+    paa = paa_profiles(events, user_col, ts_col, value_col, t0, t1,
+                       n_segments)
+    paa = paa.persist()
+    means = paa.select(F.explode("paa").alias("m"))
+    qs = sketch.exact_quantiles(means, "m", list(permilles))
+    bks = [int(r["value"]) for r in
+           sorted(qs.collect(), key=lambda r: r["q_permille"])]
+    words = sax_words(paa, user_col, bks)
+    return words, sax_candidate_pairs(words, user_col), bks
+
+
+def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
+                         permilles: tuple[int, ...] = (500,)) -> str:
+    """DuckDB replay of ``sax_pipeline(events, ...)[1]`` (the verified
+    candidate pairs) — same truncating PAA means, the same
+    ``(q·n + 999) // 1000`` exact-rank breakpoints, symbolization and
+    long squared distances, so the search is registration-ready."""
+    import datetime as _dt
+
+    span = int((_dt.datetime.fromisoformat(t1)
+                - _dt.datetime.fromisoformat(t0)).total_seconds())
+    n = n_segments
+    seg_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN seg = {s} THEN m END), 0)"
+        for s in range(n))
+    ranks = ", ".join(f"({q} * c + 999) // 1000" for q in permilles)
+    return f"""
+    WITH ev AS (
+      SELECT user_id,
+             LEAST(GREATEST(
+               date_diff('second', TIMESTAMP '{t0} 00:00:00', ts)
+               * {n} // {span}, 0), {n - 1}) AS seg,
+             CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND ts >= TIMESTAMP '{t0} 00:00:00'
+        AND ts < TIMESTAMP '{t1} 00:00:00'),
+    m AS (
+      SELECT user_id, seg, SUM(c) // COUNT(*) AS m
+      FROM ev GROUP BY 1, 2),
+    paa AS (
+      SELECT user_id, [{seg_cols}] AS p FROM m GROUP BY 1),
+    means AS (SELECT unnest(p) AS v FROM paa),
+    nn AS (SELECT COUNT(*)::BIGINT AS c FROM means),
+    bks AS (
+      SELECT list(v ORDER BY v) AS l
+      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+            FROM means) r, nn
+      WHERE rn IN ({ranks})),
+    words AS (
+      SELECT user_id, p,
+             array_to_string(list_transform(
+               p, v -> CAST(len(list_filter(bks.l, b -> b <= v))
+                            AS VARCHAR)), '') AS sax_word
+      FROM paa, bks)
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.sax_word,
+           CAST(list_sum(list_transform(
+             generate_series(1, {n}),
+             i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))) AS BIGINT)
+             AS dist2
+    FROM words a JOIN words b
+      ON a.sax_word = b.sax_word AND a.user_id < b.user_id
+    """

@@ -1,0 +1,151 @@
+"""Time-series similarity search goldens (functions/timeseries.py):
+PAA segment means, exact-quantile SAX symbolization, bucketed
+candidate pairs with exact distance verification."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkadirect_spark.functions import timeseries
+
+T0, T1 = "2024-01-01", "2024-01-31"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_paa_hand_checked(spark):
+    # 3 segments over a 30-day window (10 days each); user 1 has two
+    # events in seg 0 (mean of 100c and 201c -> 150c truncating) and
+    # one in seg 2; seg 1 empty -> 0
+    rows = [
+        (1, dt.datetime(2024, 1, 2), 1, "x", 1.00, "{}"),
+        (2, dt.datetime(2024, 1, 9), 1, "x", 2.01, "{}"),
+        (3, dt.datetime(2024, 1, 25), 1, "x", 5.00, "{}"),
+        (4, dt.datetime(2024, 1, 15), 2, "x", 3.00, "{}"),
+        # outside the window: dropped
+        (5, dt.datetime(2024, 2, 5), 2, "x", 9.00, "{}"),
+    ]
+    out = {r.user_id: list(r.paa) for r in timeseries.paa_profiles(
+        _events(spark, rows), "user_id", "ts", "value",
+        T0, T1, n_segments=3).collect()}
+    assert out[1] == [(100 + 201) // 2, 0, 500]
+    assert out[2] == [0, 300, 0]
+
+
+def test_sax_words_and_pairs_hand_checked(spark):
+    paa = spark.createDataFrame(
+        [(1, [100, 900, 500]), (2, [110, 950, 480]),
+         (3, [900, 100, 500])],
+        "user_id long, paa array<long>")
+    words = timeseries.sax_words(paa, "user_id", [200, 600])
+    w = {r.user_id: r.sax_word for r in words.collect()}
+    # symbol = #breakpoints <= v: 100->0, 900->2, 500->1
+    assert w == {1: "021", 2: "021", 3: "201"}
+    pairs = timeseries.sax_candidate_pairs(words, "user_id").collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.user_a, p.user_b, p.sax_word) == (1, 2, "021")
+    assert p.dist2 == 10 * 10 + 50 * 50 + 20 * 20
+    with pytest.raises(ValueError, match="ascending"):
+        timeseries.sax_words(paa, "user_id", [600, 200])
+
+
+def test_pipeline_matches_python_model(spark):
+    """Full pipeline vs an independent python replication on the real
+    events table — PAA truncating means, exact-rank breakpoints,
+    symbolization, bucket pairs, exact distances."""
+    import math
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    words, pairs, bks = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", T0, T1, n_segments=6,
+        permilles=(500,))
+    got_w = {r.user_id: (list(r.paa), r.sax_word)
+             for r in words.collect()}
+    got_p = sorted((r.user_a, r.user_b, r.dist2)
+                   for r in pairs.collect())
+
+    rows = ev.select("user_id", "ts", "value").collect()
+    t0 = dt.datetime.fromisoformat(T0)
+    t1 = dt.datetime.fromisoformat(T1)
+    span = int((t1 - t0).total_seconds())
+    acc: dict = {}
+    for r in rows:
+        if r.ts is None or r.value is None or not (t0 <= r.ts < t1):
+            continue
+        off = int(r.ts.timestamp()) - int(t0.timestamp())
+        seg = min(max(off * 6 // span, 0), 5)
+        cents = math.floor(r.value * 100)
+        s, n = acc.get((r.user_id, seg), (0, 0))
+        acc[(r.user_id, seg)] = (s + cents, n + 1)
+    users = sorted({u for u, _ in acc})
+    paa = {u: [acc.get((u, s), (0, 1))[0] // acc.get((u, s), (0, 1))[1]
+               for s in range(6)] for u in users}
+    means = sorted(m for v in paa.values() for m in v)
+    rank = (500 * len(means) + 999) // 1000  # exact_quantiles rank
+    want_bk = means[rank - 1]
+    assert bks == [want_bk]
+    want_w = {u: "".join(str(int(m >= 0 and want_bk <= m))
+                         for m in v) for u, v in paa.items()}
+    assert {u: w for u, (_, w) in got_w.items()} == want_w
+    assert {u: p for u, (p, _) in got_w.items()} == paa
+    want_p = []
+    by_word: dict = {}
+    for u, w in want_w.items():
+        by_word.setdefault(w, []).append(u)
+    for w, us in by_word.items():
+        for i, a in enumerate(sorted(us)):
+            for b in sorted(us)[i + 1:]:
+                want_p.append((a, b, sum(
+                    (x - y) ** 2 for x, y in zip(paa[a], paa[b]))))
+    assert got_p == sorted(want_p)
+    assert got_p, "binary alphabet over 6 segments must collide"
+
+
+def test_sax_join_is_word_keyed(spark):
+    """The candidate join must key on the word — no cartesian."""
+    paa = spark.createDataFrame(
+        [(i, [i * 10, 500]) for i in range(20)],
+        "user_id long, paa array<long>")
+    words = timeseries.sax_words(paa, "user_id", [95])
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        timeseries.sax_candidate_pairs(words, "user_id") \
+            .explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sax_pairs_oracle_matches_engine(spark):
+    """The DuckDB replay (sax_pairs_oracle_sql) is bit-identical to
+    the engine pipeline on the real events table — PAA means,
+    exact-rank breakpoints, words, distances all replayed."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    _, pairs, _ = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", T0, T1, n_segments=6,
+        permilles=(500,))
+    eng = sorted(tuple(r) for r in pairs.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * EXCLUDE (ts), "
+        "CAST(ts AS TIMESTAMP) AS ts FROM "
+        f"read_parquet('{sf}/events.parquet')")
+    got = sorted(con.sql(timeseries.sax_pairs_oracle_sql(
+        T0, T1, n_segments=6, permilles=(500,))).fetchall())
+    assert got == eng and eng
