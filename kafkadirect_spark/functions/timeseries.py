@@ -105,12 +105,31 @@ def sax_words(paa: DataFrame, user_col: str,
     return staged.select(user_col, "paa", word.alias("sax_word"))
 
 
-def sax_candidate_pairs(words: DataFrame, user_col: str) -> DataFrame:
+def sax_candidate_pairs(words: DataFrame, user_col: str,
+                        max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs = users sharing a SAX word (bucket self-join,
     ``a < b``), each verified with the EXACT squared PAA distance —
     ``(user_a, user_b, sax_word, dist2)``.  The join is keyed on the
-    word (sub-quadratic: only bucket co-residents pair); dist2 is
-    row-local long arithmetic over the two vectors."""
+    word (only bucket co-residents pair); dist2 is row-local long
+    arithmetic over the two vectors.
+
+    ``max_bucket`` is the skew/scale guard (the dedup family's
+    hot-shingle-cap convention): when the word space is small
+    relative to the population — the r10 probe measured a binary
+    6-segment alphabet saturating at 64 words, turning pair output
+    quadratic in users (17k → 109M pairs at 16× organic growth) —
+    buckets larger than ``max_bucket`` are dropped before the join.
+    An oversized bucket means the alphabet no longer discriminates
+    there (the same no-signal argument as corpus-wide shingles); the
+    durable fix is scaling alphabet^segments past the user count,
+    the cap is the guard rail that keeps the join bounded meanwhile.
+    """
+    if max_bucket is not None:
+        sizes = (words.groupBy("sax_word")
+                 .agg(F.count(F.lit(1)).alias("__bn")))
+        words = (words.join(sizes.filter(F.col("__bn") <= max_bucket),
+                            "sax_word")
+                 .drop("__bn"))
     a = words.select(F.col(user_col).alias("user_a"),
                      F.col("paa").alias("__pa"), "sax_word")
     b = words.select(F.col(user_col).alias("user_b"),
@@ -128,7 +147,8 @@ def sax_candidate_pairs(words: DataFrame, user_col: str) -> DataFrame:
 def sax_pipeline(events: DataFrame, user_col: str, ts_col: str,
                  value_col: str, t0: str, t1: str,
                  n_segments: int = 6,
-                 permilles: tuple[int, ...] = (250, 500, 750)):
+                 permilles: tuple[int, ...] = (250, 500, 750),
+                 max_bucket: int | None = None):
     """The composed search: PAA → exact-quantile breakpoints (one
     bounded-register narrowing over the segment-mean distribution) →
     SAX words → verified candidate pairs.  Returns ``(words_df,
@@ -145,11 +165,14 @@ def sax_pipeline(events: DataFrame, user_col: str, ts_col: str,
     bks = [int(r["value"]) for r in
            sorted(qs.collect(), key=lambda r: r["q_permille"])]
     words = sax_words(paa, user_col, bks)
-    return words, sax_candidate_pairs(words, user_col), bks
+    return (words,
+            sax_candidate_pairs(words, user_col, max_bucket=max_bucket),
+            bks)
 
 
 def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
-                         permilles: tuple[int, ...] = (500,)) -> str:
+                         permilles: tuple[int, ...] = (500,),
+                         max_bucket: int | None = None) -> str:
     """DuckDB replay of ``sax_pipeline(events, ...)[1]`` (the verified
     candidate pairs) — same truncating PAA means, the same
     ``(q·n + 999) // 1000`` exact-rank breakpoints, symbolization and
@@ -163,6 +186,8 @@ def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
         f"COALESCE(MAX(CASE WHEN seg = {s} THEN m END), 0)"
         for s in range(n))
     ranks = ", ".join(f"({q} * c + 999) // 1000" for q in permilles)
+    cap = (f"HAVING COUNT(*) <= {max_bucket}"
+           if max_bucket is not None else "")
     return f"""
     WITH ev AS (
       SELECT user_id,
@@ -191,12 +216,16 @@ def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
              array_to_string(list_transform(
                p, v -> CAST(len(list_filter(bks.l, b -> b <= v))
                             AS VARCHAR)), '') AS sax_word
-      FROM paa, bks)
+      FROM paa, bks),
+    wordsc AS (
+      SELECT w.* FROM words w
+      JOIN (SELECT sax_word FROM words GROUP BY 1
+            {cap}) k USING (sax_word))
     SELECT a.user_id AS user_a, b.user_id AS user_b, a.sax_word,
            CAST(list_sum(list_transform(
              generate_series(1, {n}),
              i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))) AS BIGINT)
              AS dist2
-    FROM words a JOIN words b
+    FROM wordsc a JOIN wordsc b
       ON a.sax_word = b.sax_word AND a.user_id < b.user_id
     """

@@ -149,3 +149,39 @@ def test_sax_pairs_oracle_matches_engine(spark):
     got = sorted(con.sql(timeseries.sax_pairs_oracle_sql(
         T0, T1, n_segments=6, permilles=(500,))).fetchall())
     assert got == eng and eng
+
+
+def test_sax_max_bucket_cap(spark):
+    """The hot-bucket guard drops oversized words before the join —
+    engine and oracle agree with the cap on."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    paa = spark.createDataFrame(
+        [(i, [100 if i < 5 else 900, 500]) for i in range(7)],
+        "user_id long, paa array<long>")
+    words = timeseries.sax_words(paa, "user_id", [500])
+    # users 0-4 share word '01' (bucket of 5); 5-6 share '11'
+    capped = timeseries.sax_candidate_pairs(words, "user_id",
+                                            max_bucket=2).collect()
+    assert {(r.user_a, r.user_b) for r in capped} == {(5, 6)}
+    uncapped = timeseries.sax_candidate_pairs(words, "user_id").collect()
+    assert len(uncapped) == 10 + 1
+
+    # oracle mirrors the cap on the real table
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    _, pairs, _ = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", T0, T1, n_segments=6,
+        permilles=(500,), max_bucket=4)
+    eng = sorted(tuple(r) for r in pairs.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * EXCLUDE (ts), "
+        "CAST(ts AS TIMESTAMP) AS ts FROM "
+        f"read_parquet('{sf}/events.parquet')")
+    got = sorted(con.sql(timeseries.sax_pairs_oracle_sql(
+        T0, T1, n_segments=6, permilles=(500,),
+        max_bucket=4)).fetchall())
+    assert got == eng

@@ -451,6 +451,56 @@ def nb_classes_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.stop()
 
 
+def sax_probe(sf_dir: str = "/root/testdata/sf0.1",
+              steps: tuple[int, ...] = (1, 4, 16)) -> None:
+    """Time-series SAX search scale probe (organic growth: replicas
+    mint FRESH users with value series shifted by a replica-specific
+    offset, so their PAA words differ and bucket sizes track the true
+    collision rate, not the replication factor).  Claims under test:
+    the PAA exchange carries users·segments partial sums (wall tracks
+    the event scan), and pair work stays bucket-bounded."""
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("sax-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "events")
+
+    def organic(k: int):
+        df = base
+        for i in range(1, k):
+            df = df.unionByName(
+                base.withColumn("user_id",
+                                F.col("user_id") + F.lit(i * 10_000_000))
+                    .withColumn("value",
+                                F.col("value") + F.lit(float(37 * (i % 11)))))
+        return df
+
+    for k in steps:
+        ev = organic(k).persist()
+        n = ev.count()
+        for mode, perms, cap in (
+                ("binary_capped", (500,), 64),
+                ("quartile_uncapped", (250, 500, 750), None)):
+            t0 = time.perf_counter()
+            words, pairs, bks = timeseries.sax_pipeline(
+                ev, "user_id", "ts", "value",
+                "2024-01-01", "2024-01-31", n_segments=6,
+                permilles=perms, max_bucket=cap)
+            n_pairs = pairs.count()
+            n_users = words.count()
+            print(json.dumps({"op": "sax_pipeline", "mode": mode,
+                              "repl": k, "events": n,
+                              "users": n_users, "pairs": n_pairs,
+                              "sec": round(time.perf_counter() - t0,
+                                           1)}),
+                  flush=True)
+            words.unpersist()  # sax_pipeline persists the paa frame
+        ev.unpersist()
+    spark.stop()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
          organic: bool = False, ops: list[str] | None = None,
          start: int = 1) -> None:
@@ -643,6 +693,10 @@ if __name__ == "__main__":
     if "--unigram-big" in args:
         args.remove("--unigram-big")
         unigram_big_probe(args[0] if args else "/root/testdata/sf0.01")
+        sys.exit(0)
+    if "--sax" in args:
+        args.remove("--sax")
+        sax_probe(args[0] if args else "/root/testdata/sf0.1")
         sys.exit(0)
     if "--nb-classes" in args:
         args.remove("--nb-classes")
