@@ -166,8 +166,11 @@ _PROMOTED = [
 # engine at the registration params), and a `cdc_dup_stats`
 # content-defined-chunking query
 # (oracle generator already written: dedup.cdc_stats_oracle_sql,
-# pinned vs the engine in test_llm_ops.py); fill = the oldest
-# r8-dated tail.
+# pinned vs the engine in test_llm_ops.py), and a `sax_similar_pairs`
+# time-series-search query (oracle generator already written:
+# timeseries.sax_pairs_oracle_sql incl. the max_bucket guard, pinned
+# vs the engine in test_timeseries.py); fill = the oldest r8-dated
+# tail.
 _DEFERRED_NEW: list[str] = []
 
 
