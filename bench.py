@@ -36,6 +36,16 @@ def _cdc_dup_stats_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _sax_pairs_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.sources.batch import load_table
+    _, pairs, _ = timeseries.sax_pipeline(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "value",
+        "2024-01-01", "2024-01-31", n_segments=6, permilles=(500,),
+        max_bucket=64)
+    return pairs
+
+
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
     from kafkadirect_spark.session import get_spark
@@ -205,6 +215,10 @@ def main() -> None:
         "winnow_overlap_pairs": QUERIES["winnow_overlap_pairs"],
         "unigram_chunk": QUERIES["unigram_chunk"],
         "cdc_dup_stats": _cdc_dup_stats_suite,
+        # sax_pairs: PAA exchange + exact-quantile narrowing + the
+        # capped word-bucket self-join (registered r11, benched from
+        # its landing round)
+        "sax_pairs": _sax_pairs_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
