@@ -229,3 +229,32 @@ def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
     FROM wordsc a JOIN wordsc b
       ON a.sax_word = b.sax_word AND a.user_id < b.user_id
     """
+
+
+def sax_nearest(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user k nearest neighbors from the verified candidate
+    pairs: symmetrize (each pair serves both endpoints), then the
+    salted two-phase per-group top-k (``curation.topk_per_group`` —
+    no task ever sorts a whole user's candidate list alone at scale).
+    ``(user_id, neighbor_id, dist2, rank)``, ascending distance,
+    ties to the smaller neighbor id.  Candidates are bucket-bounded
+    upstream, so this is a candidate-sized operation, never
+    |users|²."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from kafkadirect_spark.functions import curation
+
+    sym = (pairs.select(F.col("user_a").alias("user_id"),
+                        F.col("user_b").alias("neighbor_id"), "dist2")
+           .unionByName(
+               pairs.select(F.col("user_b").alias("user_id"),
+                            F.col("user_a").alias("neighbor_id"),
+                            "dist2")))
+    top = curation.topk_per_group(sym, "user_id", "dist2", k,
+                                  tiebreak_col="neighbor_id",
+                                  ascending=True)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("user_id", "neighbor_id", "dist2", "rank"))

@@ -185,3 +185,18 @@ def test_sax_max_bucket_cap(spark):
         T0, T1, n_segments=6, permilles=(500,),
         max_bucket=4)).fetchall())
     assert got == eng
+
+
+def test_sax_nearest_hand_checked(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, "w", 10), (1, 3, "w", 5), (2, 3, "w", 7)],
+        "user_a long, user_b long, sax_word string, dist2 long")
+    out = sorted((r.user_id, r.rank, r.neighbor_id, r.dist2)
+                 for r in timeseries.sax_nearest(pairs, k=2).collect())
+    assert out == [
+        (1, 1, 3, 5), (1, 2, 2, 10),
+        (2, 1, 3, 7), (2, 2, 1, 10),
+        (3, 1, 1, 5), (3, 2, 2, 7),
+    ]
+    with pytest.raises(ValueError, match="k must"):
+        timeseries.sax_nearest(pairs, k=0)
