@@ -1,7 +1,10 @@
-"""Column-function library: Connect-SMT equivalents (smt) and the
+"""Column-function library: Connect-SMT equivalents (smt), the
 large-scale training-data-pipeline operators (text, dedup, similarity,
-multimodal, curation) and the deterministic sketch family (sketch:
-HLL distinct, count-min frequency, histogram quantiles).
+multimodal, curation, diagnostics), the two tokenizer families and
+their shared consumers (bpe, unigram, tokeval), time-series search
+(timeseries), layout/graph/partitioner/timestamps utilities, and the
+deterministic sketch family (sketch: HLL distinct, count-min
+frequency, histogram quantiles, exact order statistics).
 
 Everything here returns Column expressions or DataFrame transforms
 built from pyspark.sql.functions — JVM-side, whole-stage-codegen'd —
