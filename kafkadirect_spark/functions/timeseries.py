@@ -93,9 +93,19 @@ def sax_words(paa: DataFrame, user_col: str,
     breakpoints ≤ the value, so ``len(breakpoints)+1`` symbols);
     the word is the digit string.  Row-local; breakpoints are
     literals (typically the exact 25/50/75-permille order statistics
-    of the segment-mean distribution via ``sketch.exact_quantiles``)."""
+    of the segment-mean distribution via ``sketch.exact_quantiles``).
+
+    At most 9 breakpoints (10 symbols): the word concatenates symbol
+    DIGITS with no separator, so a two-digit symbol would make words
+    ambiguous ([1, 11] and [11, 1] both render '111'), silently
+    merging unrelated buckets — rejected here and in the oracle
+    (ADVICE r10)."""
     if sorted(breakpoints) != list(breakpoints):
         raise ValueError("breakpoints must be ascending")
+    if len(breakpoints) > 9:
+        raise ValueError(
+            f"{len(breakpoints)} breakpoints need multi-digit symbols "
+            "— the separator-free word would be ambiguous; use <= 9")
     bks = F.array(*[F.lit(int(b)).cast("long") for b in breakpoints])
     staged = paa.select(F.col(user_col), "paa", bks.alias("__bks"))
     word = F.concat_ws("", F.transform(
@@ -154,12 +164,18 @@ def sax_pipeline(events: DataFrame, user_col: str, ts_col: str,
     SAX words → verified candidate pairs.  Returns ``(words_df,
     pairs_df, breakpoints)``; the breakpoint collect is ≤
     ``len(permilles)`` rows (register-sized, the exact_quantiles
-    contract)."""
+    contract).
+
+    Deliberately does NOT persist the PAA frame: ``exact_quantiles``
+    caches its own exploded projection for the narrowing rounds, and
+    the pair join recomputes its two PAA sides from the pushed-down
+    scan — a bounded recompute, where a persist here with no handle
+    returned leaked an executor-cached DataFrame for the session
+    lifetime (ADVICE r10)."""
     from kafkadirect_spark.functions import sketch
 
     paa = paa_profiles(events, user_col, ts_col, value_col, t0, t1,
                        n_segments)
-    paa = paa.persist()
     means = paa.select(F.explode("paa").alias("m"))
     qs = sketch.exact_quantiles(means, "m", list(permilles))
     bks = [int(r["value"]) for r in
@@ -175,30 +191,44 @@ def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
                          max_bucket: int | None = None) -> str:
     """DuckDB replay of ``sax_pipeline(events, ...)[1]`` (the verified
     candidate pairs) — same truncating PAA means, the same
-    ``(q·n + 999) // 1000`` exact-rank breakpoints, symbolization and
-    long squared distances, so the search is registration-ready."""
+    ``max((q·n + 999) // 1000, 1)`` exact-rank breakpoints (one
+    UNION-ALL arm PER permille, so colliding ranks at tiny n still
+    emit one breakpoint per requested permille exactly like
+    ``exact_quantiles``), symbolization and long squared distances,
+    so the search is registration-ready.  ``t0``/``t1`` accept any
+    ISO timestamp ``paa_profiles`` accepts (normalized here rather
+    than assuming date-only strings — ADVICE r10)."""
     import datetime as _dt
 
-    span = int((_dt.datetime.fromisoformat(t1)
-                - _dt.datetime.fromisoformat(t0)).total_seconds())
+    if len(permilles) > 9:
+        raise ValueError("more than 9 breakpoints makes the "
+                         "separator-free word ambiguous (see sax_words)")
+    lo = _dt.datetime.fromisoformat(t0)
+    hi = _dt.datetime.fromisoformat(t1)
+    span = int((hi - lo).total_seconds())
+    t0s = lo.strftime("%Y-%m-%d %H:%M:%S")
+    t1s = hi.strftime("%Y-%m-%d %H:%M:%S")
     n = n_segments
     seg_cols = ", ".join(
         f"COALESCE(MAX(CASE WHEN seg = {s} THEN m END), 0)"
         for s in range(n))
-    ranks = ", ".join(f"({q} * c + 999) // 1000" for q in permilles)
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {i} AS qi, v FROM ranked, nn "
+        f"WHERE rn = greatest(({q} * c + 999) // 1000, 1)"
+        for i, q in enumerate(permilles))
     cap = (f"HAVING COUNT(*) <= {max_bucket}"
            if max_bucket is not None else "")
     return f"""
     WITH ev AS (
       SELECT user_id,
              LEAST(GREATEST(
-               date_diff('second', TIMESTAMP '{t0} 00:00:00', ts)
+               date_diff('second', TIMESTAMP '{t0s}', ts)
                * {n} // {span}, 0), {n - 1}) AS seg,
              CAST(floor(value * 100) AS BIGINT) AS c
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL
-        AND ts >= TIMESTAMP '{t0} 00:00:00'
-        AND ts < TIMESTAMP '{t1} 00:00:00'),
+        AND ts >= TIMESTAMP '{t0s}'
+        AND ts < TIMESTAMP '{t1s}'),
     m AS (
       SELECT user_id, seg, SUM(c) // COUNT(*) AS m
       FROM ev GROUP BY 1, 2),
@@ -206,11 +236,11 @@ def sax_pairs_oracle_sql(t0: str, t1: str, n_segments: int = 6,
       SELECT user_id, [{seg_cols}] AS p FROM m GROUP BY 1),
     means AS (SELECT unnest(p) AS v FROM paa),
     nn AS (SELECT COUNT(*)::BIGINT AS c FROM means),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM means),
     bks AS (
-      SELECT list(v ORDER BY v) AS l
-      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
-            FROM means) r, nn
-      WHERE rn IN ({ranks})),
+      SELECT list(v ORDER BY qi) AS l
+      FROM ({arms})),
     words AS (
       SELECT user_id, p,
              array_to_string(list_transform(

@@ -200,3 +200,68 @@ def test_sax_nearest_hand_checked(spark):
     ]
     with pytest.raises(ValueError, match="k must"):
         timeseries.sax_nearest(pairs, k=0)
+
+
+def test_sax_words_rejects_multi_digit_symbols(spark):
+    """ADVICE r10: >= 10 symbols would concatenate multi-digit symbol
+    strings into ambiguous words ([1,11] vs [11,1] both '111') —
+    rejected in the engine and the oracle generator alike."""
+    paa = spark.createDataFrame([(1, [5, 5])],
+                                "user_id long, paa array<long>")
+    with pytest.raises(ValueError, match="ambiguous"):
+        timeseries.sax_words(paa, "user_id", list(range(10)))
+    with pytest.raises(ValueError, match="ambiguous"):
+        timeseries.sax_pairs_oracle_sql(
+            T0, T1, permilles=tuple(range(1, 11)))
+    # 9 breakpoints (10 symbols 0-9) remain legal; value 5 sits
+    # above breakpoints {0..5} -> symbol 6
+    out = timeseries.sax_words(paa, "user_id",
+                               list(range(9))).collect()
+    assert out[0].sax_word == "66"
+
+
+def test_sax_oracle_colliding_ranks_and_iso_timestamps(spark):
+    """ADVICE r10's two oracle corners: (a) permilles whose exact
+    ranks collide at tiny n must still emit one breakpoint each (the
+    engine's exact_quantiles does); (b) t0/t1 may be full ISO
+    timestamps, not only date-only strings."""
+    import duckdb
+
+    rows = [
+        # seed ts inside a sub-day window so ISO timestamps matter
+        (i, dt.datetime(2024, 1, 1, 6, 0, 0)
+         + dt.timedelta(minutes=37 * i % (12 * 60)),
+         i % 5, "x", float(i % 7) + 0.25, "{}")
+        for i in range(40)
+    ]
+    ev = _events(spark, rows)
+    t0, t1 = "2024-01-01T06:00:00", "2024-01-01T18:00:00"
+    # 3 segments x 5 users = 15 means; permilles 100 & 150 both rank
+    # ceil(q*15/1000) in {2, 3} — close ranks, and at even smaller n
+    # they collide outright; verify engine == oracle regardless
+    permilles = (100, 150, 500, 900)
+    _, pairs, bks = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", t0, t1, n_segments=3,
+        permilles=permilles)
+    assert len(bks) == len(permilles)
+    eng = sorted(tuple(r) for r in pairs.collect())
+    con = duckdb.connect()
+    pdf = ev.toPandas()
+    con.register("events", pdf)
+    got = sorted(con.sql(timeseries.sax_pairs_oracle_sql(
+        t0, t1, n_segments=3, permilles=permilles)).fetchall())
+    assert got == eng
+
+    # outright collision: n tiny enough that two permilles share one
+    # exact rank — engine emits a duplicate breakpoint, oracle must too
+    few = _events(spark, rows[:4])
+    _, pairs2, bks2 = timeseries.sax_pipeline(
+        few, "user_id", "ts", "value", t0, t1, n_segments=2,
+        permilles=(100, 200, 900))
+    assert len(bks2) == 3  # one per permille even when values repeat
+    eng2 = sorted(tuple(r) for r in pairs2.collect())
+    con2 = duckdb.connect()
+    con2.register("events", few.toPandas())
+    got2 = sorted(con2.sql(timeseries.sax_pairs_oracle_sql(
+        t0, t1, n_segments=2, permilles=(100, 200, 900))).fetchall())
+    assert got2 == eng2
