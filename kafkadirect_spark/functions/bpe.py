@@ -194,7 +194,18 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
     long cluster run over a big type table.  Pass ``checkpoint_dir``
     to use reliable ``checkpoint()`` into that path instead (HDFS/
     object-store durable; survives executor loss at the cost of one
-    type-table write per round)."""
+    type-table write per round).
+
+    Reliable-checkpoint hygiene (ADVICE r10): each round checkpoints
+    into its own ``<checkpoint_dir>/bpe-round-k`` subdirectory and the
+    PREVIOUS round's subdirectory is deleted as soon as the new
+    checkpoint has materialized (round k's snapshot is self-contained,
+    so round k−1's files are dead weight) — a 200-merge run holds at
+    most two type-table snapshots on storage, not 200.  All managed
+    subdirectories are removed when training finishes.  Side effect:
+    ``checkpoint_dir`` routes through the SESSION-GLOBAL
+    ``SparkContext.setCheckpointDir``; the previous global setting is
+    restored (best-effort) on exit."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if mode not in ("driver", "distributed"):
@@ -222,44 +233,80 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int,
     # pattern), making every round's plan one fold — O(n_merges) jobs
     # AND O(1) plan depth, measured to 200+ merges (SCALE.md).
     # localCheckpoint (executor blocks) by default; reliable
-    # checkpoint() when checkpoint_dir is set (see docstring).
+    # checkpoint() when checkpoint_dir is set (see docstring).  In
+    # the reliable regime every round gets its OWN subdirectory and
+    # round k−1's files are deleted once round k has materialized —
+    # the eager checkpoint is self-contained, so only the newest
+    # snapshot is ever live (ADVICE r10: without this a long run
+    # accumulates one type-table snapshot per merge on HDFS unless
+    # spark.cleaner.referenceTracking.cleanCheckpoints happens to be
+    # enabled).
+    sc = spark.sparkContext
+    prior_dir = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        opt = sc._jsc.sc().getCheckpointDir()
+        prior_dir = opt.get() if opt.isDefined() else None
+    ck = {"round": 0, "live": None}
+
+    def _rmdir(p: str) -> None:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
 
     def _cut(frame: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return frame.checkpoint(eager=True)
-        return frame.localCheckpoint(eager=True)
+        if checkpoint_dir is None:
+            return frame.localCheckpoint(eager=True)
+        ck["round"] += 1
+        d = f"{checkpoint_dir.rstrip('/')}/bpe-round-{ck['round']}"
+        sc.setCheckpointDir(d)
+        out = frame.checkpoint(eager=True)  # reads old files, writes d
+        if ck["live"] is not None:
+            _rmdir(ck["live"])
+        ck["live"] = d
+        return out
 
-    t = _cut(wt.withColumn("s", F.expr(_SYMBOLS_EXPR))
-             .select("word", "n", "s"))
-    merges = []
-    for rank in range(1, n_merges + 1):
-        top = (t.filter(F.size("s") >= 2)
-               .select("n",
-                       F.explode(
-                           F.sequence(F.lit(1), F.size("s") - 1))
-                       .alias("i"),
-                       "s")
-               .select("n",
-                       F.element_at("s", F.col("i")).alias("lhs"),
-                       F.element_at("s", F.col("i") + 1).alias("rhs"))
-               .groupBy("lhs", "rhs")
-               .agg(F.sum("n").alias("c"))
-               .orderBy(F.col("c").desc(), F.col("lhs").asc(),
-                        F.col("rhs").asc())
-               .limit(1).collect())  # exactly one row — the argmax
-        if not top:
-            break
-        lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
-        merges.append((rank, lhs, rhs, c))
-        # eager: materialize the rewrite now; the previous round's
-        # checkpoint blocks are reclaimed by the ContextCleaner once
-        # this rebinding drops the last reference (type-table-sized
-        # blocks — ≤ max_word_types rows — so even the transient
-        # overlap is register-scale, not data-scale)
-        t = _cut(t.withColumn("s", _apply_merge("s", lhs, rhs)))
-    return spark.createDataFrame(merges, _MERGES_SCHEMA)
+    try:
+        t = _cut(wt.withColumn("s", F.expr(_SYMBOLS_EXPR))
+                 .select("word", "n", "s"))
+        merges = []
+        for rank in range(1, n_merges + 1):
+            top = (t.filter(F.size("s") >= 2)
+                   .select("n",
+                           F.explode(
+                               F.sequence(F.lit(1), F.size("s") - 1))
+                           .alias("i"),
+                           "s")
+                   .select("n",
+                           F.element_at("s", F.col("i")).alias("lhs"),
+                           F.element_at("s", F.col("i") + 1).alias("rhs"))
+                   .groupBy("lhs", "rhs")
+                   .agg(F.sum("n").alias("c"))
+                   .orderBy(F.col("c").desc(), F.col("lhs").asc(),
+                            F.col("rhs").asc())
+                   .limit(1).collect())  # exactly one row — the argmax
+            if not top:
+                break
+            lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
+            merges.append((rank, lhs, rhs, c))
+            # eager: materialize the rewrite now; in the local regime
+            # the previous round's blocks are reclaimed by the
+            # ContextCleaner once this rebinding drops the last
+            # reference (type-table-sized blocks — ≤ max_word_types
+            # rows — so even the transient overlap is register-scale,
+            # not data-scale); in the reliable regime _cut deletes
+            # the previous round's subdirectory explicitly
+            t = _cut(t.withColumn("s", _apply_merge("s", lhs, rhs)))
+        # the result is a driver-local merge list — nothing references
+        # the final checkpoint either
+        return spark.createDataFrame(merges, _MERGES_SCHEMA)
+    finally:
+        if checkpoint_dir is not None:
+            if ck["live"] is not None:
+                _rmdir(ck["live"])
+            try:  # best-effort: restore the session-global setting
+                sc.setCheckpointDir(prior_dir)
+            except Exception:
+                pass
 
 
 # ---------------------------------------------------------------------------

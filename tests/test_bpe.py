@@ -333,3 +333,36 @@ def test_bpe_encode_works_on_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+def test_reliable_checkpoint_cleanup(spark, tmp_path):
+    """checkpoint_dir training (ADVICE r10): same merges as driver
+    mode, no snapshot accumulation — every managed bpe-round-*
+    subdirectory is deleted by the end (a 200-merge cluster run must
+    not leave 200 type-table snapshots on HDFS), and the session's
+    prior global checkpoint dir is restored."""
+    import os
+
+    texts = ["lower lowest newer newest wider widest",
+             "low new wide lower newer wider"]
+    df = _docs(spark, texts)
+    drv = [tuple(r) for r in
+           bpe.learn_bpe(df, "text", 5, min_count=1).collect()]
+
+    prior = str(tmp_path / "prior-global")
+    spark.sparkContext.setCheckpointDir(prior)
+    ck = str(tmp_path / "bpe-ck")
+    dist = [tuple(r) for r in
+            bpe.learn_bpe(df, "text", 5, min_count=1,
+                          mode="distributed",
+                          checkpoint_dir=ck).collect()]
+    assert dist == drv and len(drv) == 5
+    # every per-round snapshot was cleaned up
+    leftovers = [d for d in (os.listdir(ck) if os.path.isdir(ck) else [])
+                 if d.startswith("bpe-round-")]
+    assert leftovers == []
+    # global checkpoint dir restored (setCheckpointDir nests a UUID
+    # under the requested path and may prepend a file: scheme, so
+    # pin by substring)
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert opt.isDefined() and prior in opt.get()
