@@ -48,6 +48,17 @@ def _sax_pairs_suite(spark, sf_dir):
 
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
+    # r11: three suite queries were RETIRED from the registry
+    # (near-duplicate consolidation) but their suite plans are
+    # fingerprint-pinned — call the surviving functions directly so
+    # the measured plans stay byte-identical
+    from kafkadirect_spark.plans.analytics_queries import (
+        interval_overlap_join as _interval_overlap_join_q,
+    )
+    from kafkadirect_spark.plans.llm_queries import (
+        dedup_containment as _dedup_containment_q,
+    )
+    from kafkadirect_spark.plans.queries import stream_count as _stream_count_q
     from kafkadirect_spark.session import get_spark
     from kafkadirect_spark.sources.batch import load_table
 
@@ -77,7 +88,7 @@ def main() -> None:
         "consume": consume,
         "consumeproduce": consumeproduce,
         "streamprocess": QUERIES["filter_project"],
-        "streamcount": QUERIES["stream_count"],
+        "streamcount": _stream_count_q,
         "streamcountwindowed": QUERIES["windowed_count_tumbling"],
         "streamtablejoin": QUERIES["join_stream_table"],
         "streamstreamjoin": QUERIES["join_interval_inner"],
@@ -131,14 +142,14 @@ def main() -> None:
         "rolling_distinct_hll": QUERIES["rolling_distinct_hll"],
         # round-8 shape: the interval×interval overlap join (same
         # no-nested-loop pin as range_bucket_join, both sides exploded)
-        "interval_overlap_join": QUERIES["interval_overlap_join"],
+        "interval_overlap_join": _interval_overlap_join_q,
         # lossless prefix-filtered Jaccard (the uncapped exact path)
         "dedup_jaccard_prefix": QUERIES["dedup_jaccard_prefix"],
         # late-r8 shapes: directed containment (inverted-index pair
         # agg), incremental new-batch-vs-index LSH (band-keyed join,
         # corpus quadrant excluded), and the integer unigram-surprisal
         # scorer (occurrence collapse → vocab join → doc agg)
-        "dedup_containment": QUERIES["dedup_containment"],
+        "dedup_containment": _dedup_containment_q,
         "dedup_incremental_lsh": QUERIES["dedup_incremental_lsh"],
         "doc_surprisal": QUERIES["doc_surprisal"],
         # iterative graph shape: 2 unrolled PageRank rounds — one

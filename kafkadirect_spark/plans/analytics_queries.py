@@ -706,26 +706,16 @@ def distinct_users_by_type_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `distinct_users_by_type_hll` for the grouped-estimate surface.
 
 
-@query(
-    "interval_overlap_join",
-    oracle="""
-    WITH s AS (
-      SELECT s_suppkey,
-             CAST(floor(s_acctbal * 100) AS BIGINT) AS a_lo,
-             CAST(floor(s_acctbal * 100) AS BIGINT) + 50000 AS a_hi
-      FROM supplier),
-    c AS (
-      SELECT c_custkey,
-             CAST(floor(c_acctbal * 100) AS BIGINT) AS b_lo,
-             CAST(floor(c_acctbal * 100) AS BIGINT) + 30000 AS b_hi
-      FROM customer)
-    SELECT s.s_suppkey,
-           CAST(COUNT(*) AS BIGINT) AS n_overlap,
-           CAST(SUM(c.c_custkey) AS BIGINT) AS sum_custkey
-    FROM s JOIN c ON s.a_lo < c.b_hi AND c.b_lo < s.a_hi
-    GROUP BY s.s_suppkey
-    """,
-)
+# RETIRED r11 (registration-budget policy item c): the
+# `interval_overlap_join` REGISTRATION (r8 driver rows green).  Claim
+# carried by the surviving `interval_overlap_left`: the identical
+# bucket-quantized interval×interval machinery
+# (operators/rangejoin.py) with the strictly harder left flavor
+# (matches PLUS null-preserved unmatched suppliers); the inner
+# operator also keeps its model-differential property pins in
+# test_properties.py and test_rangejoin.py.  The function stays
+# (unregistered) because bench.py's fingerprint-pinned
+# `interval_overlap_join` suite executes it directly.
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join WITHOUT a nested loop
     (operators/rangejoin.py interval_overlap_join): each supplier
@@ -1458,3 +1448,45 @@ def value_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max_by("cents", order).alias("close_cents"),
                  F.count(F.lit(1)).alias("n"),
                  F.sum("cents").alias("sum_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (functions/timeseries.py) — the SAX
+# family's driver-verified claim (VERDICT r10 item 2): PAA profiles →
+# exact-quantile breakpoints → word-bucketed candidate self-join with
+# the max_bucket hot-word guard → exact squared-distance verification.
+# Registered at the bench fingerprint's config (30-day window, 6
+# segments, median breakpoint, max_bucket=64 — the sizing rule is
+# alphabet^segments ≫ users; the cap is the guard rail, SCALE.md).
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions import timeseries  # noqa: E402
+
+_SAX_CFG = dict(t0="2024-01-01", t1="2024-01-31", n_segments=6,
+                permilles=(500,), max_bucket=64)
+
+
+@query(
+    "sax_pairs",
+    oracle=timeseries.sax_pairs_oracle_sql(
+        _SAX_CFG["t0"], _SAX_CFG["t1"],
+        n_segments=_SAX_CFG["n_segments"],
+        permilles=_SAX_CFG["permilles"],
+        max_bucket=_SAX_CFG["max_bucket"]),
+)
+def sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified SAX candidate pairs over the events stream: one
+    map-side-combined groupBy(user, segment) for the PAA, a
+    register-sized exact-quantile narrowing for the breakpoint, a
+    word-bucketed self-join bounded by max_bucket (never |users|²),
+    and the exact long squared PAA distance per candidate.  The
+    DuckDB oracle replays every integer bit — truncating PAA means,
+    exact-rank breakpoints (one per permille), symbolization, the
+    bucket cap and the distances."""
+    ev = load_table(spark, sf_dir, "events")
+    _, pairs, _ = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", _SAX_CFG["t0"], _SAX_CFG["t1"],
+        n_segments=_SAX_CFG["n_segments"],
+        permilles=_SAX_CFG["permilles"],
+        max_bucket=_SAX_CFG["max_bucket"])
+    return pairs

@@ -546,15 +546,14 @@ def _ann_oracle_sql(probe_radius: int = 0) -> str:
     """
 
 
-@query("similarity_ann_lsh", oracle=_ann_oracle_sql())
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN top-3 (8 tables × 4 bits): exact
-    cosine only within shared buckets — the sub-quadratic scale path.
-    Fully oracle-verified: the frozen planes are replicated as SQL
-    literals (recall vs brute force is asserted in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.ann_lsh_topk(emb, "vec_id", "embedding", dim=64, k=3)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+# RETIRED r11 (registration-budget policy item c):
+# `similarity_ann_lsh` — random-hyperplane LSH ANN top-3 at probe
+# radius 0 (r10 driver row green).  Claim carried by the surviving
+# `similarity_ann_multiprobe`: the SAME ann_lsh_topk operator, planes,
+# bucket join and oracle generator (_ann_oracle_sql), with
+# probe_radius=1 strictly superset of the radius-0 candidate set —
+# multiprobe subsumes the plain-LSH recall claim.  The operator keeps
+# its recall-vs-brute-force pytest goldens in test_similarity.py.
 
 
 @query(
@@ -844,32 +843,14 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.assign_clusters(emb, "vec_id", "embedding", k=8)
 
 
-@query(
-    "dedup_containment",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
-    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
-    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM shf a JOIN shf b USING (shingle)
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
-    dir AS (
-      SELECT id_a AS contained, id_b AS container, c AS common,
-             sa.n AS n_contained
-      FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
-      UNION ALL
-      SELECT id_b, id_a, c, sb.n
-      FROM pairs JOIN sizes sb ON sb.doc_id = pairs.id_b
-    )
-    SELECT contained, container, CAST(common AS BIGINT) AS common,
-           CAST(n_contained AS BIGINT) AS n_contained,
-           CAST(common AS DOUBLE) / n_contained AS containment
-    FROM dir WHERE CAST(common AS DOUBLE) / n_contained >= 0.3
-    """,
-)
+# RETIRED r11 (registration-budget policy item c): the
+# `dedup_containment` REGISTRATION (r8 driver rows green).  Claim
+# carried by the surviving `dedup_containment_anti`: it builds the
+# IDENTICAL capped inverted-index intersection (same containment_pairs
+# call, same oracle CTE chain) and adds the left-anti filtering join on
+# top — the anti query cannot pass without the containment scores being
+# right.  The function itself stays (unregistered) because bench.py's
+# fingerprint-pinned `dedup_containment` suite executes it directly.
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment near-dup (functions/dedup.py:
     containment_pairs): short documents subsumed by longer ones —
@@ -1002,37 +983,15 @@ from kafkadirect_spark.plans.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E
 _ORACLE_SQL["embedding_random_projection"] = _random_projection_oracle()
 
 
-def _normalize_sql(expr: str) -> str:
-    """DuckDB replay of text.normalize_text, generated FROM the rule
-    table so the chain can never drift from the engine side."""
-    s = f"lower({expr})"
-    for pat, rep in text.NORMALIZE_RULES:
-        p, r = pat.replace("'", "''"), rep.replace("'", "''")
-        s = f"regexp_replace({s}, '{p}', '{r}', 'g')"
-    return f"trim({s})"
-
-
-@query(
-    "dedup_exact_normalized",
-    oracle=f"""
-    SELECT md5({_normalize_sql('text')}) AS content_hash,
-           MIN(doc_id) AS keeper, COUNT(*) AS n_docs
-    FROM documents GROUP BY 1
-    """,
-)
-def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over the CANONICAL text form
-    (functions/text.py:normalize_text): lowercase, typographic
-    quotes/dashes straightened, unicode spaces → ASCII, whitespace
-    collapsed — the pre-pass that catches the case/whitespace/
-    typography duplicate variants raw content-hash dedup misses.
-    Same one-shuffle shape as dedup_exact; normalization is a
-    row-local codegen regexp chain replayed verbatim by the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(text.normalize_text("text")).alias("content_hash")
-    return (docs.groupBy(h)
-            .agg(F.min("doc_id").alias("keeper"),
-                 F.count(F.lit(1)).alias("n_docs")))
+# RETIRED r11 (registration-budget policy item c):
+# `dedup_exact_normalized` — exact dedup over the canonical text form
+# (r8 driver rows green; its rule-table-generated oracle chain
+# `_normalize_sql` retired with it).  Claims carried by two
+# survivors: `dedup_exact` makes the identical one-shuffle
+# md5-groupBy-keeper claim (the only difference was the
+# normalize_text pre-pass), and the normalize_text regexp chain
+# keeps its canonical-variants goldens in test_curation.py
+# (test_normalize_text_canonicalizes_variants).
 
 
 # ---------------------------------------------------------------------------
@@ -1197,3 +1156,71 @@ def unigram_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.select(
         "doc_id", "chunk_idx", "n_pieces",
         F.md5(F.concat_ws(",", "pieces")).alias("pieces_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (functions/dedup.py cdc_*) — the CDC
+# family's driver-verified claim (VERDICT r10 item 2): LBFS-style
+# content-defined boundaries make sub-document dedup insertion-proof
+# where fixed-width spans all shift after one edit.
+# ---------------------------------------------------------------------------
+
+
+@query("cdc_dup_stats", oracle=dedup.cdc_stats_oracle_sql())
+def cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-document duplication under content-defined
+    chunking (functions/dedup.py cdc_dup_stats): chunking is pure
+    row-local array staging (zero exchanges), then ONE map-side-
+    combined groupBy(chunk_hash), a chunk-sized hash join back and
+    one groupBy(doc).  The oracle replays the portable gram hashes,
+    the boundary rule, the spans and the truncating-ppt ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_dup_stats(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer consumers (functions/tokeval.py) — shared by BOTH
+# tokenizer families (VERDICT r10 item 2): sliding-window model-input
+# assembly and the per-slice tokenizer-quality report over the
+# TRAINED unigram encode.
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions import text as _text  # noqa: E402
+from kafkadirect_spark.functions import tokeval  # noqa: E402
+
+
+@query("windowed_chunks",
+       oracle=tokeval.windows_oracle_sql(budget=32, stride=24))
+def windowed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context assembly (budget 32, stride 24 —
+    genuinely overlapping windows, the pretraining/eval shape) over the plain
+    token surface: one sequence-transform + explode, zero shuffles;
+    amplification is exactly the window count a training run
+    consumes.  Token arrays render as md5-over-CSV per the
+    scalar-columns-only rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = docs.select("doc_id", _text.tokens("text").alias("tokens"))
+    ch = tokeval.windowed_chunks(enc, "doc_id", "tokens",
+                                 budget=32, stride=24)
+    return ch.select(
+        "doc_id", "chunk_idx", "start", "n_tokens",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"))
+
+
+@query("tokenizer_eval",
+       oracle=tokeval.unigram_eval_oracle_sql(by="lang",
+                                              **_UNIGRAM_PARAMS))
+def tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-quality report over the TRAINED unigram
+    encode (fertility / compression / char-fallback, all integer
+    parts-per-thousand): train (two EM rounds over the bounded type
+    table), one stateless mapInPandas encode, one equi-join of the
+    encode frame onto (doc, slice, word count) and ONE map-side-
+    combined aggregate.  The oracle replays training AND encode via
+    the unigram module's recursive-CTE Viterbi, then reduces the
+    metrics over per-word-TYPE segmentations joined to occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram.learn_unigram(docs, "text", **_UNIGRAM_PARAMS)
+    enc = unigram.unigram_encode(docs, "doc_id", "text", model)
+    return tokeval.tokenizer_eval(docs, enc, "doc_id", "text",
+                                  "pieces", by="lang")

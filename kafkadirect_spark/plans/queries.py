@@ -190,10 +190,14 @@ def merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "stream_count",
-    oracle="SELECT user_id, COUNT(*) AS count FROM events WHERE user_id IS NOT NULL GROUP BY user_id",
-)
+# RETIRED r11 (registration-budget policy item c): the `stream_count`
+# REGISTRATION (r7 driver rows green).  Claim carried by the two
+# surviving siblings on the identical null-key-skipping
+# groupByKey path: `stream_reduce` (running fold per key) and
+# `stream_aggregate` (Initializer+Aggregator with an F.count arm) —
+# count() is the degenerate aggregate of either.  The function stays
+# (unregistered) because bench.py's fingerprint-pinned `streamcount`
+# suite executes it directly.
 def stream_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupByKey().count() — KGroupedStream.java:71 (SimpleBenchmark
     ``streamcount``)."""
@@ -273,78 +277,24 @@ def windowed_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "windowed_count_hopping",
-    oracle="""
-    SELECT ws AS window_start, event_type, COUNT(*) AS count
-    FROM (
-      SELECT e.event_type,
-             unnest(generate_series(
-               CAST(to_timestamp(floor(epoch(e.ts)/900)*900) AS TIMESTAMP) - INTERVAL 45 MINUTE,
-               CAST(to_timestamp(floor(epoch(e.ts)/900)*900) AS TIMESTAMP),
-               INTERVAL 15 MINUTE)) AS ws
-      FROM events e
-    ) x
-    GROUP BY 1, 2
-    """,
-)
-def windowed_count_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hopping-window count — TimeWindows.of(1h).advanceBy(15m)
-    (TimeWindows.java:150,176-186): each record belongs to the 4
-    windows whose starts lie on the 15-min grid in
-    (ts - 1h, ts]: floor(ts/15m) − {45m, 30m, 15m, 0}."""
-    s = Stream(load_table(spark, sf_dir, "events"), ts="ts")
-    out = (
-        s.group_by("event_type")
-        .windowed_by(Windows.hopping("1 hour", "15 minutes"))
-        .count(name="count")
-    )
-    return out.select(
-        F.col("window.start").alias("window_start"),
-        F.col("event_type"),
-        F.col("count"),
-    )
+# RETIRED r11 (registration-budget policy item c):
+# `windowed_count_hopping` — hopping-window count,
+# TimeWindows.of(1h).advanceBy(15m) (r7 driver rows green).  Claim
+# carried by the surviving `windowed_avg_hopping`: the identical
+# Windows.hopping("1 hour", "15 minutes") grid expansion and
+# per-(window, key) aggregate — avg is sum/count, so the count arm is
+# computed inside it; the hopping window-assignment itself also keeps
+# its pytest pins in test_properties.py.
 
 
-@query(
-    "session_count",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE user_id IS NOT NULL
-    ), sessions AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM marked
-    )
-    SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS count
-    FROM sessions GROUP BY user_id, session_id
-    """,
-)
-def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-window count — SessionWindows.with(30m) ≙
-    F.session_window(ts, '30 minutes') (SessionWindows.java:96;
-    merge loop KStreamSessionWindowAggregate.java:94-141).  Spark's
-    session_window end = last event + gap, matching Kafka's
-    session-merge semantics."""
-    s = Stream(load_table(spark, sf_dir, "events"), key="user_id", ts="ts")
-    out = (
-        s.group_by_key()
-        .windowed_by(Windows.session("30 minutes"))
-        .count(name="count")
-    )
-    return out.select(
-        F.col("user_id"),
-        F.col("window.start").alias("session_start"),
-        F.col("window.end").alias("session_end"),
-        F.col("count"),
-    )
+# RETIRED r11 (registration-budget policy item c): `session_count` —
+# SessionWindows.with(30m) count (r7 driver rows green).  Claim
+# carried by the two surviving siblings on the identical
+# Windows.session("30 minutes") merge path: `session_aggregate`
+# (whose `n` arm IS the session count, alongside the value fold) and
+# `session_reduce`; the session_window end = last-event + gap
+# semantics also stay driver-checked through `sessionize_events`
+# (r10 green).
 
 
 @query(
@@ -631,41 +581,14 @@ def join_interval_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
-@query(
-    "join_interval_left",
-    oracle="""
-    SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id
-    FROM events l LEFT JOIN events r
-      ON l.user_id = r.user_id
-     AND r.ts BETWEEN l.ts - INTERVAL 1 MINUTE AND l.ts + INTERVAL 1 MINUTE
-     AND r.event_type = 'purchase'
-    WHERE l.event_type = 'click'
-    """,
-)
-def join_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left interval join — unmatched left records null-padded
-    (KStream.java:1278; Spark emits at window close in streaming — the
-    post-KIP-633 semantics, declared in SURVEY §7)."""
-    ev = load_table(spark, sf_dir, "events")
-    clicks = Stream(
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")),
-        key="user_id", ts="click_ts",
-    )
-    purchases = Stream(
-        ev.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("r_user_id"),
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("purchase_ts")),
-        key="r_user_id", ts="purchase_ts",
-    )
-    out = clicks.join_interval(
-        purchases,
-        on=F.col("user_id") == F.col("r_user_id"),
-        windows=JoinWindows.of("1 minute"),
-        how="left",
-    )
-    return out.df.select("click_id", "purchase_id", "user_id")
+# RETIRED r11 (registration-budget policy item c):
+# `join_interval_left` — KStream.leftJoin interval flavor,
+# KStream.java:1278 (r10 driver rows green).  Claim carried by the two
+# surviving siblings of the same join_interval code path:
+# `join_interval_inner` (the matched rows) and `join_interval_outer`
+# (null-padding of BOTH unmatched sides — a strict superset of left's
+# null-preservation); the how="left" dispatch branch keeps its pytest
+# goldens in test_joins.py.
 
 
 @query(
@@ -1000,27 +923,13 @@ def scan_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count(name="n"))
 
 
-@query(
-    "ts_policy_skip",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n
-    FROM events WHERE event_id % 97 <> 53
-    GROUP BY event_type
-    """,
-)
-def ts_policy_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TimestampExtractor policy 'skip' (LogAndSkipOnInvalidTimestamp
-    .java; extraction at RecordQueue.java:178): records whose event
-    time is invalid — here synthetically NULLed on a deterministic id
-    slice — are dropped before processing."""
-    from kafkadirect_spark.functions.timestamps import with_timestamp_policy
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.when(F.col("event_id") % 97 == 53, F.lit(None))
-        .otherwise(F.col("ts")))
-    fixed = with_timestamp_policy(ev, "ts", on_invalid="skip")
-    return (Stream(fixed, ts="ts").group_by("event_type")
-            .count(name="n"))
+# RETIRED r11 (registration-budget policy item c): `ts_policy_skip` —
+# LogAndSkipOnInvalidTimestamp (r7 driver rows green).  Claim carried
+# by the surviving `ts_policy_previous`, which drives the SAME
+# with_timestamp_policy dispatch (functions/timestamps.py) through its
+# strictly harder branch (previous-valid substitution needs the
+# invalid-row detection that skip is, plus the fill); the skip branch
+# keeps its own pytest goldens in test_timestamps.py.
 
 
 @query(
