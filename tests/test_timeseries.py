@@ -265,3 +265,45 @@ def test_sax_oracle_colliding_ranks_and_iso_timestamps(spark):
     got2 = sorted(con2.sql(timeseries.sax_pairs_oracle_sql(
         t0, t1, n_segments=2, permilles=(100, 200, 900))).fetchall())
     assert got2 == eng2
+
+
+def test_sax_nearest_brute_force_end_to_end(spark):
+    """VERDICT r10 item 6: pin the k-NN tie-break (dist2 ASC,
+    neighbor_id ASC) END-TO-END — words → bucketed pairs →
+    sax_nearest — against a brute-force python oracle over a small
+    user population with deliberate distance ties."""
+    import itertools
+
+    # 60 users, 4-dim PAA, values engineered so many pairs tie on
+    # dist2 (values from a tiny alphabet) and several share words
+    rows = [(u, [(u * 7 + i * 3) % 5 * 100 for i in range(4)])
+            for u in range(60)]
+    paa = spark.createDataFrame(rows, "user_id long, paa array<long>")
+    words = timeseries.sax_words(paa, "user_id", [150, 350])
+    pairs = timeseries.sax_candidate_pairs(words, "user_id")
+    k = 3
+    got = sorted((r.user_id, r.rank, r.neighbor_id, r.dist2)
+                 for r in timeseries.sax_nearest(pairs, k=k).collect())
+
+    # brute-force oracle: same bucketing rule in python, exact
+    # distances, (dist2, neighbor_id) ascending, top-k per user
+    def word(vec):
+        return "".join(str(sum(1 for b in (150, 350) if b <= v))
+                       for v in vec)
+
+    vecs = dict(rows)
+    cand: dict[int, list] = {u: [] for u in vecs}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if word(vecs[a]) == word(vecs[b]):
+            d2 = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            cand[a].append((d2, b))
+            cand[b].append((d2, a))
+    want = []
+    for u, lst in cand.items():
+        for rank, (d2, nb) in enumerate(sorted(lst)[:k], start=1):
+            want.append((u, rank, nb, d2))
+    assert got == sorted(want) and got  # non-empty by construction
+    # ties exist by construction — make sure the pin is exercised
+    assert any(
+        a[0] == b[0] and a[3] == b[3]
+        for a, b in zip(got, got[1:]))

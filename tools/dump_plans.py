@@ -161,12 +161,37 @@ HEADLINERS = {
                             "full-outer join, row-local decimal "
                             "cross-multiplication — nothing "
                             "data-sized moves after the two scans",
+    "cdc_dup_stats": "chunking is staged row-local array projections "
+                     "(no exchange); ONE map-side-combined "
+                     "groupBy(chunk_hash), a chunk-sized hash join "
+                     "back, one groupBy(doc) — no window functions, "
+                     "no cartesian",
+    "sax_pairs": "one map-side-combined groupBy(user, segment) — the "
+                 "only corpus-scale exchange; breakpoint narrowing is "
+                 "register-sized collects; word-bucketed hash "
+                 "self-join (never CartesianProduct / "
+                 "BroadcastNestedLoopJoin), dist2 row-local",
+    "windowed_chunks": "zero Exchange / Window / Join — pure "
+                       "sequence-transform + explode amplification "
+                       "(the window count a training run consumes)",
+    "tokenizer_eval": "bounded type-table EM rounds + one stateless "
+                      "ArrowEvalPython encode pass; ONE equi-join of "
+                      "encode onto (doc, slice, counts) and one "
+                      "map-side-combined final aggregate",
 }
 
 
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
+    # r11: retired-but-kept suite functions (unregistered near-dup
+    # consolidations whose plans stay headliners/bench suites)
+    from kafkadirect_spark.plans.analytics_queries import (
+        interval_overlap_join as _interval_overlap_join_q,
+    )
     from kafkadirect_spark.session import get_spark
+
+    lookup = dict(QUERIES)
+    lookup["interval_overlap_join"] = _interval_overlap_join_q
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dump-plans")
@@ -180,7 +205,7 @@ def main() -> None:
     from kafkadirect_spark.testing import explain_formatted
 
     for name, note in HEADLINERS.items():
-        df = QUERIES[name](spark, sf)
+        df = lookup[name](spark, sf)
         plan = explain_formatted(df)
         out += [f"## {name}", "", f"*Check:* {note}", "", "```",
                 plan.rstrip(), "```", ""]
