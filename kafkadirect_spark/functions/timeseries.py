@@ -140,6 +140,12 @@ def sax_candidate_pairs(words: DataFrame, user_col: str,
         words = (words.join(sizes.filter(F.col("__bn") <= max_bucket),
                             "sax_word")
                  .drop("__bn"))
+    # One PAA computation feeds both join sides at runtime: the two
+    # sides' sax_word exchanges canonicalize identically (aliases
+    # normalize away), so AQE's ReuseExchange serves side b from side
+    # a's shuffle files — measured on the executed plan (final plan:
+    # 1 FileScan, 1 ReusedExchange).  No explicit repartition needed;
+    # forcing one would only constrain AQE.
     a = words.select(F.col(user_col).alias("user_a"),
                      F.col("paa").alias("__pa"), "sax_word")
     b = words.select(F.col(user_col).alias("user_b"),
