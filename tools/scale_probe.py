@@ -480,13 +480,19 @@ def sax_probe(sf_dir: str = "/root/testdata/sf0.1",
     for k in steps:
         ev = organic(k).persist()
         n = ev.count()
-        for mode, perms, cap in (
-                ("binary_capped", (500,), 64),
-                ("quartile_uncapped", (250, 500, 750), None)):
+        for mode, perms, cap, segs in (
+                ("binary_capped", (500,), 64, 6),
+                ("quartile_uncapped", (250, 500, 750), None, 6),
+                # the SIZING-RULE operating point (VERDICT r10 item
+                # 5): alphabet^segments = 4^8 = 65,536 words >> users,
+                # uncapped — pair output must stay near-collision-
+                # bounded and wall must track the PAA exchange, not a
+                # word-saturation quadratic
+                ("discriminating_a4s8", (250, 500, 750), None, 8)):
             t0 = time.perf_counter()
             words, pairs, bks = timeseries.sax_pipeline(
                 ev, "user_id", "ts", "value",
-                "2024-01-01", "2024-01-31", n_segments=6,
+                "2024-01-01", "2024-01-31", n_segments=segs,
                 permilles=perms, max_bucket=cap)
             n_pairs = pairs.count()
             n_users = words.count()
@@ -496,7 +502,6 @@ def sax_probe(sf_dir: str = "/root/testdata/sf0.1",
                               "sec": round(time.perf_counter() - t0,
                                            1)}),
                   flush=True)
-            words.unpersist()  # sax_pipeline persists the paa frame
         ev.unpersist()
     spark.stop()
 
