@@ -1051,3 +1051,102 @@ def cdc_stats_oracle_sql(g: int = 3, mask_bits: int = 4) -> str:
              AS dup_ratio_milli
     FROM j GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification (round 11) — the character-level
+# verification stage next to jaccard_verify's set-level one: exact
+# Levenshtein over the canonical token surface, computed ONLY for
+# candidate pairs.  Catches the "same shingle set, different order /
+# small local edits" cases a set-based Jaccard scores identically,
+# and grades near-dups by HOW different they are, not just whether
+# their shingle sets overlap.
+# ---------------------------------------------------------------------------
+
+
+def edit_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist_milli: int = 200,
+    max_chars: int = 1000,
+) -> DataFrame:
+    """Exact Levenshtein verification for candidate ``pairs``
+    (id_a, id_b): ``(id_a, id_b, lev, len_a, len_b, dist_milli)``
+    filtered to ``dist_milli <= max_dist_milli``, where ``dist_milli
+    = 1000·lev DIV max(len_a, len_b, 1)`` (truncating — integer-exact
+    for oracle replay; two empty texts verify at 0).
+
+    The distance runs over the CANONICAL token surface
+    (``concat_ws(' ', tokens(text))``, the dedup family's shared
+    ``[a-z0-9]+`` normalization) truncated to ``max_chars``
+    characters.  Canonical-surface-first is load-bearing twice: it
+    makes case/punctuation/whitespace variants compare as equal, and
+    it keeps the strings pure ASCII so DuckDB's BYTE-based
+    ``levenshtein`` replays Spark's CHARACTER-based one exactly
+    (measured divergence on non-ASCII: 'café' vs 'cafe' is 1 in
+    Spark, 2 in DuckDB).
+
+    Scale shape: two hash joins of the candidate-sized pair list
+    against the text projection (never corpus×corpus), then the
+    distance is row-local JVM work bounded by ``max_chars²`` per
+    pair — the cap IS the cost envelope (Levenshtein is O(n·m); an
+    uncapped 1 MB outlier pair would cost 10¹² cell updates).
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity curation machinery beside ``jaccard_verify``.
+    """
+    if max_chars < 1:
+        raise ValueError("max_chars must be >= 1")
+    if not 0 <= max_dist_milli <= 1000:
+        raise ValueError("max_dist_milli must be in [0, 1000]")
+    canon = F.substring(F.concat_ws(" ", tokens(text_col)), 1, max_chars)
+    ta = df.select(F.col(id_col).alias("id_a"), canon.alias("__sa"))
+    tb = df.select(F.col(id_col).alias("id_b"), canon.alias("__sb"))
+    j = (pairs.select("id_a", "id_b")
+         .join(ta, "id_a").join(tb, "id_b"))
+    v = j.select(
+        "id_a", "id_b",
+        F.levenshtein("__sa", "__sb").cast("long").alias("lev"),
+        F.length("__sa").cast("long").alias("len_a"),
+        F.length("__sb").cast("long").alias("len_b"))
+    milli = F.expr(
+        "CAST(1000 * lev DIV GREATEST(len_a, len_b, 1) AS LONG)")
+    return (v.withColumn("dist_milli", milli)
+            .filter(F.col("dist_milli") <= max_dist_milli))
+
+
+def edit_verify_oracle_sql(
+    pairs_sql: str,
+    max_dist_milli: int = 200,
+    max_chars: int = 1000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``edit_verify_pairs`` over any candidate
+    source: ``pairs_sql`` is a complete SELECT producing (id_a, id_b)
+    — e.g. the registered simhash/minhash pair queries' own oracle
+    SQL — wrapped as a CTE, so the verification stage replays
+    end-to-end on whichever candidate generator feeds it."""
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    return f"""
+    WITH cand AS ({pairs_sql}),
+    t AS (
+      SELECT {id_col} AS id,
+             substr(array_to_string({tok}, ' '), 1, {max_chars}) AS s
+      FROM {table}),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             levenshtein(a.s, b.s)::BIGINT AS lev,
+             length(a.s)::BIGINT AS len_a,
+             length(b.s)::BIGINT AS len_b
+      FROM cand c JOIN t a ON c.id_a = a.id JOIN t b ON c.id_b = b.id)
+    SELECT id_a, id_b, lev, len_a, len_b,
+           (1000 * lev // greatest(len_a, len_b, 1))::BIGINT
+             AS dist_milli
+    FROM v
+    WHERE (1000 * lev // greatest(len_a, len_b, 1)) <= {max_dist_milli}
+    """

@@ -1176,3 +1176,77 @@ def test_cdc_chunks_works_on_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# edit_verify_pairs (round 11): exact Levenshtein verification of
+# candidate pairs over the canonical token surface
+# ---------------------------------------------------------------------------
+
+
+def test_edit_verify_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox!"),
+         (2, "the QUICK brown fox"),     # canonical-equal to 1
+         (3, "the quick brown cat"),     # one word differs (fox->cat: 3 edits)
+         (4, "utterly different text entirely")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): (r.lev, r.len_a, r.len_b, r.dist_milli)
+           for r in dedup.edit_verify_pairs(
+               df, pairs, "text", "doc_id",
+               max_dist_milli=1000).collect()}
+    # canonical surface: 'the quick brown fox' (19 chars)
+    assert out[(1, 2)] == (0, 19, 19, 0)
+    assert out[(1, 3)] == (3, 19, 19, 1000 * 3 // 19)
+    assert out[(1, 4)][0] > 10
+    # threshold filters
+    kept = dedup.edit_verify_pairs(
+        df, pairs, "text", "doc_id", max_dist_milli=200).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2), (1, 3)}
+
+
+def test_edit_verify_truncation_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc"), (2, "aaaa bbbb dddd"),
+         (3, ""), (4, "!!!")],  # 3 and 4 canonicalize to empty
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long")
+    # truncate to 9 chars: 'aaaa bbbb' on both sides -> lev 0
+    out = {(r.id_a, r.id_b): (r.lev, r.len_a, r.dist_milli)
+           for r in dedup.edit_verify_pairs(
+               df, pairs, "text", "doc_id", max_chars=9,
+               max_dist_milli=1000).collect()}
+    assert out[(1, 2)] == (0, 9, 0)
+    # two empty canonical texts verify at distance 0 (not a crash)
+    assert out[(3, 4)] == (0, 0, 0)
+    with pytest.raises(ValueError, match="max_chars"):
+        dedup.edit_verify_pairs(df, pairs, "text", "doc_id",
+                                max_chars=0)
+    with pytest.raises(ValueError, match="max_dist_milli"):
+        dedup.edit_verify_pairs(df, pairs, "text", "doc_id",
+                                max_dist_milli=1001)
+
+
+def test_edit_verify_oracle_matches_engine(spark, docs):
+    """Engine == DuckDB end-to-end on the real documents table, with
+    the registered simhash query's own oracle SQL as the candidate
+    source — the verification stage is registration-ready on top of
+    any pair generator."""
+    import duckdb
+
+    from kafkadirect_spark.plans import ORACLE_SQL
+
+    cand = dedup.simhash_pairs(docs, "text", "doc_id",
+                               bits=32, max_hamming=3, n_bands=4)
+    eng = sorted(tuple(r) for r in dedup.edit_verify_pairs(
+        docs, cand, "text", "doc_id", max_dist_milli=500).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = sorted(con.sql(dedup.edit_verify_oracle_sql(
+        ORACLE_SQL["dedup_simhash_pairs"],
+        max_dist_milli=500)).fetchall())
+    assert got == eng and eng
