@@ -1776,3 +1776,122 @@ def pack_sequences_bestfit(df: DataFrame, id_col: str, tokens_col: str,
     return rows.groupBy("shard").applyInPandas(
         pack, schema=(f"{id_col} {id_type}, shard long, "
                       "seq_id long, n_tokens long"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (round 11) — the dataset-card question
+# "what fraction of corpus tokens does a size-k vocabulary cover?",
+# answered WITHOUT ranking the vocabulary: ties at the k-th rank all
+# carry the same count, so the top-k token sum is an exact function
+# of the count-of-counts table (full levels above the boundary plus
+# (k − words_above)·boundary_count) — no per-word row_number, no
+# global sort, no tie-break needed.
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(df: DataFrame, text_col: str,
+                   ks: tuple[int, ...] = (100, 1000, 10000)) -> DataFrame:
+    """``(k, covered_tokens, total_tokens, vocab_words,
+    coverage_milli)`` — for each requested vocabulary size ``k``, the
+    exact number of corpus token occurrences covered by the ``k``
+    most frequent words (count DESC; the tie order is provably
+    irrelevant: tied words contribute the same count, so any k-prefix
+    of a tie group sums identically).  ``coverage_milli`` is the
+    truncating parts-per-thousand share; ``k`` beyond the vocabulary
+    clamps to full coverage.  Empty corpus emits no rows.
+
+    Scale ledger: ONE map-side-combined word-count exchange (the
+    vocabulary aggregate every tokenizer pass already pays), then a
+    count-of-counts aggregate whose size is the number of DISTINCT
+    count values — O(√total_tokens) under any Zipf-ish law, orders of
+    magnitude below the vocabulary itself — and the cumulative walk
+    is a single-partition window over that bounded frame.  The
+    requested ``ks`` ride along as a literal array filtered per level
+    row (row-local; no join, no BroadcastNestedLoopJoin).
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity dataset-card machinery beside ``corpus_stats``.
+    """
+    from pyspark.sql import Window
+
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    if any(k < 1 for k in ks):
+        raise ValueError("every k must be >= 1")
+    if len(set(ks)) != len(ks):
+        raise ValueError("ks must be distinct")
+    vocab = (df.select(F.explode(tokens(text_col)).alias("__w"))
+             .groupBy("__w").agg(F.count(F.lit(1)).alias("__n")))
+    lev = (vocab.groupBy("__n")
+           .agg(F.count(F.lit(1)).alias("__words"))
+           .select("__n", "__words",
+                   (F.col("__n") * F.col("__words")).alias("__toks")))
+    # cumulative walk over the bounded count-of-counts frame; __n is
+    # the group key, so the n-descending order is unambiguous
+    w = Window.orderBy(F.col("__n").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.orderBy(F.lit(1)) \
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lev = lev.select(
+        "__n", "__words", "__toks",
+        F.sum("__words").over(w).alias("__cw"),
+        F.sum("__toks").over(w).alias("__ct"),
+        F.sum("__words").over(full).alias("__vocab"),
+        F.sum("__toks").over(full).alias("__total"))
+    ks_arr = F.array(*[F.lit(int(k)).cast("long") for k in sorted(ks)])
+    # a level row answers every k whose CLAMPED value lands in its
+    # span (cw - words, cw]; k beyond the vocabulary clamps to the
+    # last level and reports full coverage
+    hit = F.filter(
+        ks_arr,
+        lambda k: (F.least(k, F.col("__vocab")) > F.col("__cw")
+                   - F.col("__words"))
+        & (F.least(k, F.col("__vocab")) <= F.col("__cw")))
+    out = (lev.select("__n", "__words", "__toks", "__cw", "__ct",
+                      "__vocab", "__total", F.explode(hit).alias("k"))
+           .select(
+               "k",
+               (F.col("__ct") - F.col("__toks")
+                + (F.least(F.col("k"), F.col("__vocab"))
+                   - (F.col("__cw") - F.col("__words")))
+                * F.col("__n")).cast("long").alias("covered_tokens"),
+               F.col("__total").cast("long").alias("total_tokens"),
+               F.col("__vocab").cast("long").alias("vocab_words"),
+           ))
+    return out.withColumn(
+        "coverage_milli",
+        F.expr("CAST(1000 * covered_tokens DIV total_tokens AS LONG)"))
+
+
+def vocab_coverage_oracle_sql(ks: tuple[int, ...] = (100, 1000, 10000),
+                              table: str = "documents",
+                              text_col: str = "text") -> str:
+    """DuckDB replay of ``vocab_coverage`` — deliberately the NAIVE
+    formulation (rank every word, sum the top k) so the engine's
+    count-of-counts shortcut is verified against first principles,
+    including the tie-irrelevance argument."""
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {int(k)}::BIGINT AS k,"
+        f" (SELECT COALESCE(SUM(n), 0)::BIGINT FROM ranked"
+        f"  WHERE rn <= {int(k)}) AS covered_tokens,"
+        f" t.total_tokens, t.vocab_words FROM tot t"
+        for k in sorted(ks))
+    return f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*)::BIGINT AS n
+      FROM (SELECT unnest({tok}) AS w FROM {table})
+      GROUP BY 1),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rn
+      FROM vocab),
+    tot AS (
+      SELECT SUM(n)::BIGINT AS total_tokens,
+             COUNT(*)::BIGINT AS vocab_words
+      FROM vocab)
+    SELECT k, covered_tokens, total_tokens, vocab_words,
+           (1000 * covered_tokens // total_tokens)::BIGINT
+             AS coverage_milli
+    FROM ({arms})
+    """

@@ -1215,3 +1215,75 @@ def test_nb_classify_tolerates_null_and_empty_text(spark):
             curation.nb_score_rows(score, model, "doc_id",
                                    "text").collect()}
     assert out2 == out
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage (round 11): coverage curve from the count-of-counts
+# table, verified against the naive rank-every-word formulation
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_hand_checked(spark):
+    from kafkadirect_spark.functions import curation
+
+    # counts: the=4, a=3, b=3, c=2, d=1, e=1 -> total 14, vocab 6
+    df = spark.createDataFrame(
+        [(1, "the the a b"), (2, "the a b c"), (3, "the a b c d e")],
+        "doc_id long, text string")
+    out = {r.k: (r.covered_tokens, r.total_tokens, r.vocab_words,
+                 r.coverage_milli)
+           for r in curation.vocab_coverage(
+               df, "text", ks=(1, 2, 3, 5, 100)).collect()}
+    assert out[1] == (4, 14, 6, 1000 * 4 // 14)
+    # k=2 lands mid-tie (a and b both 3): either prefix sums to 7
+    assert out[2] == (7, 14, 6, 500)
+    assert out[3] == (10, 14, 6, 1000 * 10 // 14)
+    assert out[5] == (13, 14, 6, 1000 * 13 // 14)
+    # k beyond the vocabulary clamps to full coverage
+    assert out[100] == (14, 14, 6, 1000)
+    with pytest.raises(ValueError, match="distinct"):
+        curation.vocab_coverage(df, "text", ks=(5, 5))
+    with pytest.raises(ValueError, match=">= 1"):
+        curation.vocab_coverage(df, "text", ks=(0,))
+    # empty corpus emits no rows
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert curation.vocab_coverage(empty, "text", ks=(3,)).count() == 0
+
+
+def test_vocab_coverage_oracle_matches_engine(spark):
+    """Engine's count-of-counts shortcut == DuckDB's naive
+    rank-every-word replay on the real documents table."""
+    import duckdb
+
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    ks = (10, 100, 1000, 100000)
+    eng = sorted(tuple(r) for r in curation.vocab_coverage(
+        docs, "text", ks=ks).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        curation.vocab_coverage_oracle_sql(ks=ks)).fetchall())
+    assert got == eng and eng
+
+
+def test_vocab_coverage_plan_is_bounded(spark):
+    """Plan shape: no join of any kind (the ks ride as a literal
+    array filter), exactly the word-count exchange plus the bounded
+    count-of-counts machinery."""
+    import contextlib
+    import io
+
+    from kafkadirect_spark.functions import curation
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curation.vocab_coverage(df, "text").explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
