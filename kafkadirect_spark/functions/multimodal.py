@@ -2,8 +2,12 @@
 with a typed metadata struct, processed by Arrow-batched mapInPandas.
 
 The Spark-side plumbing — schema, partition-parallel batch iteration,
-UDF signatures — is real and tested; the *codec* step is stubbed
-(image/audio libraries are not in this environment) behind
+UDF signatures — is real and tested.  The codec layer is split
+honestly in two (round 11): formats needing no codec library are
+REAL end-to-end — RIFF/WAVE PCM (stdlib ``wave``: decode, integer
+feature extraction) and binary PNM images (P5/P6: decode, features,
+block-mean resize, re-encode) — while compressed formats (JPEG/PNG/
+MP3/H.264; PIL/ffmpeg absent in this environment) remain behind
 ``decode_stub``: a clearly-marked deterministic fake that derives
 pseudo-metadata from the bytes, or raises NotImplementedError in
 ``strict`` mode where a real decoder is required.
@@ -166,3 +170,293 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec paths (round 11).  PIL/ffmpeg are still absent, but two
+# widely-used container formats need no codec library at all: RIFF
+# WAVE with PCM samples (stdlib `wave` + struct) and binary PNM
+# images (P5 grayscale / P6 RGB — the netpbm formats, a trivial
+# header + raw bytes).  These paths are fully real — parse, decode to
+# arrays, feature-extract, resize — while compressed formats (JPEG/
+# PNG/MP3/H.264) keep the labeled stub.  Everything emitted is
+# integer-exact (sums, truncating means) so goldens replay anywhere.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000,
+                     channels: int = 1) -> bytes:
+    """Serialize int16 samples into a REAL RIFF/WAVE PCM payload
+    (stdlib `wave`) — the test/bench harness for the real audio path:
+    payloads built here decode with any standards-compliant reader,
+    not just ours."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def encode_pnm(pixels, width: int, height: int,
+               channels: int = 1) -> bytes:
+    """Serialize 8-bit pixels (row-major, ``width·height·channels``
+    values) into a REAL binary PNM payload — P5 (grayscale) or P6
+    (RGB)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (P5) or 3 (P6)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel count != width*height*channels")
+    magic = b"P5" if channels == 1 else b"P6"
+    header = magic + f"\n{width} {height}\n255\n".encode()
+    return header + bytes(pixels)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a RIFF/WAVE PCM payload: container metadata via
+    stdlib `wave`, samples as an int16 list (channel-interleaved)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw != 2:
+        raise NotImplementedError(f"PCM sample width {sw} not wired "
+                                  "(16-bit only)")
+    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    return {"codec": "pcm_s16le", "sample_rate": rate, "channels": ch,
+            "n_frames": nf, "samples": samples}
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """REAL decode of a binary PNM payload (P5/P6): parses the
+    whitespace/comment-tolerant header, returns pixels as a flat
+    row-major byte list."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 1 if payload[:2] == b"P5" else 3
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace, '#' comments run to end-of-line
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace after maxval, per spec
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not wired (maxval <= 255)")
+    n = width * height * channels
+    pix = payload[pos:pos + n]
+    if len(pix) != n:
+        raise ValueError("truncated PNM raster")
+    return {"codec": "pnm", "width": width, "height": height,
+            "channels": channels, "pixels": list(pix)}
+
+
+def sniff_media(payload: bytes) -> str | None:
+    """Container sniff by magic bytes: 'wav' / 'pnm' for the real
+    decoder paths, None for everything else (stub territory)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
+        return "pnm"
+    return None
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV-PCM payloads
+    (mapInPandas, Arrow-batched, zero shuffles): per payload —
+    ``(doc_id, sample_rate, channels, n_samples, duration_ms, peak,
+    energy_mean, zero_crossings)``.  All integers: peak = max |s|,
+    energy_mean = Σs² DIV n (truncating mean square), zero_crossings
+    counts sign flips over the interleaved stream.  Non-WAV payloads
+    are skipped (emit nothing) — route compressed formats to a real
+    codec box, not past it."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("energy_mean", LongType()),
+        StructField("zero_crossings", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if sniff_media(b) != "wav":
+                    continue
+                d = decode_wav(b)
+                s = d["samples"]
+                n = len(s)
+                nz = [x for x in s if x != 0]
+                zc = sum(1 for a, b2 in zip(nz, nz[1:])
+                         if (a < 0) != (b2 < 0))
+                rows.append({
+                    "doc_id": doc_id,
+                    "sample_rate": d["sample_rate"],
+                    "channels": d["channels"],
+                    "n_samples": n,
+                    "duration_ms": 1000 * d["n_frames"]
+                    // max(d["sample_rate"], 1),
+                    "peak": max((abs(x) for x in s), default=0),
+                    "energy_mean": (sum(x * x for x in s) // n) if n else 0,
+                    "zero_crossings": zc,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction over binary PNM payloads
+    (mapInPandas, zero shuffles): ``(doc_id, width, height, channels,
+    mean_milli, min_px, max_px)`` with the mean as a truncating
+    ×1000 integer.  Non-PNM payloads emit nothing."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_milli", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if sniff_media(b) != "pnm":
+                    continue
+                d = decode_pnm(b)
+                px = d["pixels"]
+                rows.append({
+                    "doc_id": doc_id,
+                    "width": d["width"], "height": d["height"],
+                    "channels": d["channels"],
+                    "mean_milli": 1000 * sum(px) // len(px) if px else 0,
+                    "min_px": min(px, default=0),
+                    "max_px": max(px, default=0),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def resize_pnm(payload: bytes, factor: int) -> bytes:
+    """REAL image downsample for binary PNM payloads: ``factor×factor``
+    block mean (truncating integer division; ragged right/bottom
+    blocks average their actual pixels), re-encoded as PNM.  This is
+    an actual resize — decode → resample → re-encode — not the
+    byte-slice stub."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    d = decode_pnm(payload)
+    w, h, c, px = d["width"], d["height"], d["channels"], d["pixels"]
+    ow, oh = -(-w // factor), -(-h // factor)
+    out = bytearray()
+    for oy in range(oh):
+        for ox in range(ow):
+            for ch in range(c):
+                acc = cnt = 0
+                for y in range(oy * factor, min((oy + 1) * factor, h)):
+                    for x in range(ox * factor, min((ox + 1) * factor, w)):
+                        acc += px[(y * w + x) * c + ch]
+                        cnt += 1
+                out.append(acc // cnt)
+    return encode_pnm(list(out), ow, oh, channels=c)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Distributed REAL resize over PNM payloads (mapInPandas, zero
+    shuffles): ``(doc_id, payload, width, height)`` with the payload
+    re-encoded at the reduced size.  Non-PNM payloads emit nothing."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if sniff_media(b) != "pnm":
+                    continue
+                rb = resize_pnm(b, factor)
+                d = decode_pnm(rb)
+                rows.append({"doc_id": doc_id, "payload": rb,
+                             "width": d["width"], "height": d["height"]})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
+    """Deterministic REAL media synthesis from any id column — the
+    sandbox stand-in for an object-store media source: each id mints
+    a genuine WAV-PCM payload (integer triangle wave whose period
+    derives from the id) or a genuine P5 image (gradient+id pattern),
+    built executor-side in mapInPandas so the corpus-scale path is
+    the real one (scan → batch → encode), not a driver loop."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+    if kind not in ("wav", "pnm"):
+        raise ValueError("kind must be 'wav' or 'pnm'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["__id"]:
+                i = int(doc_id)
+                if kind == "wav":
+                    period = 8 + (i % 23)
+                    n = 256 + (i % 128)
+                    tri = [((t % period) * 2000 - period * 1000)
+                           for t in range(n)]
+                    payload = encode_wav_pcm16(
+                        tri, sample_rate=8000 + 1000 * (i % 5))
+                else:
+                    w, h = 16 + (i % 17), 12 + (i % 13)
+                    px = [((x * 7 + y * 13 + i) % 256)
+                          for y in range(h) for x in range(w)]
+                    payload = encode_pnm(px, w, h)
+                rows.append({"doc_id": i, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return (df.select(F.col(id_col).cast("long").alias("__id"))
+            .mapInPandas(batches, schema=out_schema))

@@ -1250,3 +1250,96 @@ def test_edit_verify_oracle_matches_engine(spark, docs):
         ORACLE_SQL["dedup_simhash_pairs"],
         max_dist_milli=500)).fetchall())
     assert got == eng and eng
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal codec paths (round 11): WAV-PCM via stdlib wave,
+# binary PNM via the pure parser — decode, features, resize all real
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features_hand_checked(spark):
+    samples = [0, 1000, -1000, 2000, -2000, 0, 3000]
+    payload = multimodal.encode_wav_pcm16(samples, sample_rate=8000)
+    assert multimodal.sniff_media(payload) == "wav"
+    d = multimodal.decode_wav(payload)
+    assert d["samples"] == samples
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (8000, 1, 7)
+
+    media = spark.createDataFrame([(7, payload)],
+                                  "doc_id long, payload binary")
+    r = multimodal.audio_features(media).collect()[0]
+    assert r.n_samples == 7 and r.peak == 3000
+    assert r.duration_ms == 1000 * 7 // 8000
+    assert r.energy_mean == sum(x * x for x in samples) // 7
+    # sign flips over nonzero samples: 1000,-1000,2000,-2000,3000 -> 4
+    assert r.zero_crossings == 4
+
+
+def test_pnm_roundtrip_comments_and_resize(spark):
+    px = [10, 20, 30, 40,
+          50, 60, 70, 80,
+          90, 100, 110, 120]
+    payload = multimodal.encode_pnm(px, 4, 3)
+    assert multimodal.sniff_media(payload) == "pnm"
+    d = multimodal.decode_pnm(payload)
+    assert (d["width"], d["height"], d["channels"]) == (4, 3, 1)
+    assert d["pixels"] == px
+    # comment-tolerant header parse (netpbm allows # comments)
+    commented = b"P5 # gray\n# another\n4 3\n255\n" + bytes(px)
+    assert multimodal.decode_pnm(commented)["pixels"] == px
+
+    # 2x2 block-mean resize with ragged bottom row: out 2x2
+    rb = multimodal.resize_pnm(payload, 2)
+    rd = multimodal.decode_pnm(rb)
+    assert (rd["width"], rd["height"]) == (2, 2)
+    assert rd["pixels"] == [
+        (10 + 20 + 50 + 60) // 4, (30 + 40 + 70 + 80) // 4,
+        (90 + 100) // 2, (110 + 120) // 2]
+
+    # RGB (P6) round-trip
+    rgb = multimodal.encode_pnm([1, 2, 3, 4, 5, 6], 2, 1, channels=3)
+    d6 = multimodal.decode_pnm(rgb)
+    assert d6["channels"] == 3 and d6["pixels"] == [1, 2, 3, 4, 5, 6]
+
+
+def test_real_media_distributed_matches_local(spark, docs):
+    """synth_media mints REAL payloads executor-side; the distributed
+    feature/resize passes must equal a local python replay of the
+    same decoders over the collected payloads.  Non-media payloads
+    are skipped, not mangled."""
+    ids = docs.select("doc_id").limit(24)
+    wav = multimodal.synth_media(ids, "doc_id", kind="wav")
+    img = multimodal.synth_media(ids, "doc_id", kind="pnm")
+
+    got_a = {r.doc_id: (r.n_samples, r.peak, r.energy_mean,
+                        r.zero_crossings)
+             for r in multimodal.audio_features(wav).collect()}
+    for doc_id, payload in wav.collect():
+        s = multimodal.decode_wav(bytes(payload))["samples"]
+        nz = [x for x in s if x != 0]
+        want = (len(s), max(abs(x) for x in s),
+                sum(x * x for x in s) // len(s),
+                sum(1 for a, b in zip(nz, nz[1:]) if (a < 0) != (b < 0)))
+        assert got_a[doc_id] == want
+    assert len(got_a) == 24
+
+    got_i = {r.doc_id: (r.width, r.height, r.mean_milli)
+             for r in multimodal.image_features(img).collect()}
+    rz = {r.doc_id: (r.width, r.height, bytes(r.payload))
+          for r in multimodal.resize_images(img, factor=3).collect()}
+    for doc_id, payload in img.collect():
+        d = multimodal.decode_pnm(bytes(payload))
+        assert got_i[doc_id] == (
+            d["width"], d["height"],
+            1000 * sum(d["pixels"]) // len(d["pixels"]))
+        want_rz = multimodal.resize_pnm(bytes(payload), 3)
+        assert rz[doc_id][2] == want_rz
+    assert len(got_i) == len(rz) == 24
+
+    # a text payload is neither wav nor pnm: both extractors skip it
+    txt = multimodal.attach_payload(docs.limit(3), "doc_id", "text")
+    assert multimodal.audio_features(
+        txt.select("doc_id", "payload")).count() == 0
+    assert multimodal.image_features(
+        txt.select("doc_id", "payload")).count() == 0
