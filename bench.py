@@ -46,6 +46,24 @@ def _sax_pairs_suite(spark, sf_dir):
     return pairs
 
 
+def _edit_verify_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.simhash_pairs(docs, "text", "doc_id",
+                               bits=32, max_hamming=3, n_bands=4)
+    return dedup.edit_verify_pairs(docs, cand, "text", "doc_id",
+                                   max_dist_milli=500, max_chars=256)
+
+
+def _vocab_coverage_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.sources.batch import load_table
+    return curation.vocab_coverage(
+        load_table(spark, sf_dir, "documents"), "text",
+        ks=(100, 1000, 10000, 100000))
+
+
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
     # r11: three suite queries were RETIRED from the registry
@@ -230,6 +248,13 @@ def main() -> None:
         # capped word-bucket self-join (registered r11, benched from
         # its landing round)
         "sax_pairs": _sax_pairs_suite,
+        # r11 library-level operators, benched from their landing
+        # round: edit verification (simhash candidates + two
+        # candidate-sized joins + row-local Levenshtein capped at 256
+        # chars — the cap is the O(n·m) cost envelope) and the
+        # join-free count-of-counts coverage curve
+        "dedup_edit_verify": _edit_verify_suite,
+        "vocab_coverage": _vocab_coverage_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

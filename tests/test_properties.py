@@ -852,3 +852,79 @@ def test_containment_both_modes_match_python_model(spark, docs):
                  if not any(ca == i for ca, _ in want_inner)}
     assert inner == want_inner
     assert anti == want_anti
+
+
+# ---------------------------------------------------------------------------
+# round-11 operators vs first-principles python models
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab c.QZ-", min_size=0, max_size=30),
+    min_size=2, max_size=10)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts, st.integers(min_value=1, max_value=12))
+def test_vocab_coverage_matches_model(spark, docs, k):
+    """The count-of-counts shortcut == brute-force rank-and-sum over
+    random small corpora (incl. heavy count ties and empty docs)."""
+    import re
+
+    from kafkadirect_spark.functions import curation
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.k: (r.covered_tokens, r.total_tokens, r.vocab_words)
+           for r in curation.vocab_coverage(df, "text",
+                                            ks=(k,)).collect()}
+    words = [w for t in docs
+             for w in re.split("[^a-z0-9]+", t.lower()) if w]
+    if not words:
+        assert got == {}
+        return
+    from collections import Counter
+    counts = sorted(Counter(words).values(), reverse=True)
+    want = (sum(counts[:k]), sum(counts), len(counts))
+    assert got[k] == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts, st.integers(min_value=1, max_value=8))
+def test_edit_verify_matches_model(spark, docs, max_chars):
+    """Engine Levenshtein over the truncated canonical surface ==
+    textbook DP model, for every pair of a random corpus."""
+    import itertools
+    import re
+
+    from kafkadirect_spark.functions import dedup
+
+    def canon(t):
+        return " ".join(
+            w for w in re.split("[^a-z0-9]+", t.lower()) if w)[:max_chars]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(len(docs)), 2)],
+        "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): (r.lev, r.dist_milli)
+           for r in dedup.edit_verify_pairs(
+               df, pairs, "text", "doc_id", max_dist_milli=1000,
+               max_chars=max_chars).collect()}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        sa, sb = canon(docs[a]), canon(docs[b])
+        d = lev(sa, sb)
+        want = (d, 1000 * d // max(len(sa), len(sb), 1))
+        assert got[(a, b)] == want
