@@ -143,13 +143,16 @@ _SYMBOLS_EXPR = ("transform(sequence(1, length(word)), "
                  "g -> substring(word, g, 1))")
 
 
-def _apply_merge(sym_col: str, lhs: str, rhs: str) -> Column:
+def _apply_merge(sym_col: str, lhs: str, rhs: str,
+                 product: str | None = None) -> Column:
     """Row-local greedy rewrite of a symbol-array column: one
     ``aggregate`` fold with a skip flag (an index consumed as the
     second half of a merge emits nothing) — no UDF, stays in
-    codegen."""
+    codegen.  ``product`` overrides the merged symbol (default
+    ``lhs + rhs`` — BPE; WordPiece strips the continuation prefix)."""
     s = F.col(sym_col)
-    a, b, ab = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+    a, b = F.lit(lhs), F.lit(rhs)
+    ab = F.lit(lhs + rhs if product is None else product)
 
     def step(acc: Column, i: Column) -> Column:
         hit = ((i < F.size(s))
