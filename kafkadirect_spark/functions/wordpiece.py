@@ -520,3 +520,90 @@ def encode_lengths_oracle_sql(n_merges: int, min_count: int = 2,
       FROM docw JOIN enc USING (word) GROUP BY 1)
     SELECT d.doc_id, COALESCE(p.n_pieces, 0)::BIGINT AS n_pieces
     FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+
+
+def eval_oracle_sql(by: str, n_merges: int, min_count: int = 2,
+                    max_word_types: int = 1 << 16) -> str:
+    """DuckDB replay of ``tokeval.tokenizer_eval(documents,
+    wordpiece_encode(documents, trained merges), 'doc_id', 'text',
+    'pieces', by=...)`` — the per-slice report over the TRAINED
+    WordPiece encode.  Piece-level sums are derived exactly from the
+    walk, never by materializing piece arrays: for a non-[UNK] word,
+    piece bodies re-glue to the word, so Σ length(piece) =
+    length(word) + 2·(n_pieces − 1) (each continuation piece adds its
+    '##'), and a length-1 piece can only be a plain single char in
+    the first slot (continuations are ≥ 3 chars), so the singleton
+    count per word is [first match length = 1]; an [UNK] word is one
+    5-char piece with no singletons."""
+    vocab_merges = " UNION ALL ".join(
+        f"SELECT prod AS piece FROM best{r}"
+        for r in range(1, n_merges + 1))
+    return f"""WITH RECURSIVE {_train_ctes(n_merges, min_count,
+                                           max_word_types)},
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT piece,
+             starts_with(piece, '##') AS cont,
+             CASE WHEN starts_with(piece, '##')
+                  THEN piece[3:] ELSE piece END AS body
+      FROM (SELECT unnest({_WP_SYMBOLS_SQL}) AS piece FROM wt
+            UNION ALL {vocab_merges})),
+    types AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOK_SQL}) AS tok FROM documents)
+      GROUP BY 1),
+    wp AS MATERIALIZED (
+      SELECT word, unnest(generate_series(1, length(word))) AS pos
+      FROM types),
+    lmatch AS MATERIALIZED (
+      SELECT word, pos, arg_max(piece, length(body)) AS piece,
+             MAX(length(body))::BIGINT AS blen
+      FROM wp JOIN vocab v
+        ON v.cont = (wp.pos > 1)
+       AND length(v.body) <= length(wp.word) - wp.pos + 1
+       AND substr(wp.word, wp.pos, length(v.body)) = v.body
+      GROUP BY 1, 2),
+    walk AS (
+      SELECT word, 1::BIGINT AS pos, 0::BIGINT AS np, false AS unk
+      FROM types
+      UNION ALL
+      SELECT w.word,
+             CASE WHEN m.blen IS NULL THEN length(w.word) + 1
+                  ELSE w.pos + m.blen END,
+             CASE WHEN m.blen IS NULL THEN 1 ELSE w.np + 1 END,
+             m.blen IS NULL
+      FROM walk w LEFT JOIN lmatch m
+        ON w.word = m.word AND w.pos = m.pos
+      WHERE w.pos <= length(w.word) AND NOT w.unk),
+    segstat AS MATERIALIZED (
+      SELECT w.word, w.np,
+             CASE WHEN w.unk THEN 5
+                  ELSE length(w.word) + 2 * (w.np - 1) END AS nc,
+             CASE WHEN w.unk THEN 0
+                  WHEN (SELECT m1.blen FROM lmatch m1
+                        WHERE m1.word = w.word AND m1.pos = 1) = 1
+                  THEN 1 ELSE 0 END AS s1
+      FROM walk w WHERE w.pos = length(w.word) + 1 OR w.unk),
+    docw AS (SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents),
+    perdoc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS w,
+             SUM(np)::BIGINT AS t, SUM(nc)::BIGINT AS tc,
+             SUM(s1)::BIGINT AS s1
+      FROM docw JOIN segstat USING (word) GROUP BY 1),
+    j AS (
+      SELECT d.{by} AS slice,
+             COALESCE(p.w, 0) AS w, COALESCE(p.t, 0) AS t,
+             COALESCE(p.tc, 0) AS tc, COALESCE(p.s1, 0) AS s1
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+    agg AS (
+      SELECT slice, COUNT(*)::BIGINT AS n_docs,
+             SUM(w)::BIGINT AS n_words, SUM(t)::BIGINT AS n_tokens,
+             SUM(tc)::BIGINT AS n_chars, SUM(s1)::BIGINT AS singles
+      FROM j GROUP BY 1)
+    SELECT slice, n_docs, n_words, n_tokens, n_chars,
+           (CASE WHEN n_words > 0 THEN 1000 * n_tokens // n_words
+                 ELSE 0 END)::BIGINT AS fertility_milli,
+           (CASE WHEN n_tokens > 0 THEN 1000 * n_chars // n_tokens
+                 ELSE 0 END)::BIGINT AS chars_per_token_milli,
+           (CASE WHEN n_tokens > 0 THEN 1000 * singles // n_tokens
+                 ELSE 0 END)::BIGINT AS singleton_ratio_milli
+    FROM agg"""

@@ -174,3 +174,28 @@ def test_encode_lengths_oracle_matches_engine(spark):
     got = sorted(con.sql(
         wp.encode_lengths_oracle_sql(**_PARAMS)).fetchall())
     assert got == eng and eng
+
+
+def test_eval_oracle_matches_engine(spark):
+    """tokenizer_eval over the TRAINED WordPiece encode == the DuckDB
+    replay that derives piece sums from the walk (no piece arrays
+    materialized) — third tokenizer family, same consumer contract."""
+    import duckdb
+
+    from kafkadirect_spark.functions import tokeval
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    merges = wp.learn_wordpiece(docs, "text", **_PARAMS)
+    enc = wp.wordpiece_encode(docs, "doc_id", "text", merges,
+                              min_count=_PARAMS["min_count"],
+                              max_word_types=_PARAMS["max_word_types"])
+    eng = sorted(tuple(r) for r in tokeval.tokenizer_eval(
+        docs, enc, "doc_id", "text", "pieces", by="lang").collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(wp.eval_oracle_sql(by="lang",
+                                            **_PARAMS)).fetchall())
+    assert got == eng and eng
