@@ -46,6 +46,18 @@ def _sax_pairs_suite(spark, sf_dir):
     return pairs
 
 
+def _wordpiece_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import wordpiece
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    merges = wordpiece.learn_wordpiece(docs, "text", n_merges=12,
+                                       min_count=2,
+                                       max_word_types=4096)
+    enc = wordpiece.wordpiece_encode(docs, "doc_id", "text", merges,
+                                     min_count=2, max_word_types=4096)
+    return enc.select("doc_id", "n_pieces")
+
+
 def _edit_verify_suite(spark, sf_dir):
     from kafkadirect_spark.functions import dedup
     from kafkadirect_spark.sources.batch import load_table
@@ -255,6 +267,9 @@ def main() -> None:
         # join-free count-of-counts coverage curve
         "dedup_edit_verify": _edit_verify_suite,
         "vocab_coverage": _vocab_coverage_suite,
+        # wordpiece: third tokenizer family — scored-merge training on
+        # the bounded type table + the longest-match mapInPandas encode
+        "wordpiece_pieces": _wordpiece_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
