@@ -59,11 +59,18 @@ def _wordpiece_suite(spark, sf_dir):
 
 
 def _edit_verify_suite(spark, sf_dir):
+    # MinHash-LSH candidates, not simhash: on this synthetic corpus
+    # the 32-bit simhash band join collides ~20% of ALL doc pairs
+    # (2.4M at sf0.1 — 78 s of Levenshtein), while LSH yields a
+    # selective candidate set (255 at sf0.1, 1.5 s verify).  The
+    # verification stage's plan is what this row pins; candidate
+    # QUALITY deciding verification cost is exactly the operator's
+    # documented cost envelope (candidates × max_chars²).
     from kafkadirect_spark.functions import dedup
     from kafkadirect_spark.sources.batch import load_table
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.simhash_pairs(docs, "text", "doc_id",
-                               bits=32, max_hamming=3, n_bands=4)
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id")
     return dedup.edit_verify_pairs(docs, cand, "text", "doc_id",
                                    max_dist_milli=500, max_chars=256)
 
