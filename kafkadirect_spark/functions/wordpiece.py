@@ -319,16 +319,29 @@ def _merges_list(merges) -> list:
 
 def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
                      merges, min_count: int = 2,
-                     max_word_types: int = 1 << 16) -> DataFrame:
+                     max_word_types: int = 1 << 16,
+                     train_df: DataFrame | None = None) -> DataFrame:
     """Encode a text column with a trained WordPiece vocabulary —
     greedy longest-match per word, ``(id_col, pieces array<string>,
     n_pieces long)`` (the shared tokenizer-consumer contract, so
     ``tokeval`` applies unchanged).  The vocabulary (chars of the
     capped training table + merge products — bounded by construction)
     ships in the task closure; one ``mapInPandas`` pass, no shuffle,
-    per-task word→pieces memo."""
+    per-task word→pieces memo.
+
+    ``train_df``: the BATCH frame the vocabulary's base chars derive
+    from (the corpus training ran on).  Defaults to ``df`` — but a
+    streaming ``df`` cannot be collected for the vocabulary, so a
+    streaming encode MUST pass the training frame explicitly (the
+    encode pass itself is stateless and streams fine, pytest-pinned
+    streamed == batch)."""
     pairs = _merges_list(merges)
-    wt = word_type_counts(df, text_col, min_count, max_word_types)
+    source = train_df if train_df is not None else df
+    if source.isStreaming:
+        raise ValueError(
+            "the vocabulary source is a streaming DataFrame — pass "
+            "the batch training frame via train_df")
+    wt = word_type_counts(source, text_col, min_count, max_word_types)
     types = [(r["word"], int(r["n"])) for r in wt.collect()]
     vocab = _py_vocab(types, [(0, a, b) for a, b in pairs])
 

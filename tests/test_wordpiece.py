@@ -199,3 +199,40 @@ def test_eval_oracle_matches_engine(spark):
     got = sorted(con.sql(wp.eval_oracle_sql(by="lang",
                                             **_PARAMS)).fetchall())
     assert got == eng and eng
+
+
+def test_wordpiece_encode_works_on_streams(spark, tmp_path):
+    """wordpiece_encode is a stateless mapInPandas transform, so the
+    trained tokenizer applies unchanged to a Structured Streaming
+    ingest (streamed == batch) — the same contract as bpe_encode and
+    unigram_encode; the vocabulary derives from the BATCH training
+    frame passed via train_df."""
+    import os
+
+    texts = ["lower lowest newer newest", "low new lower newer",
+             "the lowest of the low"]
+    batch_df = _docs(spark, texts)
+    merges = wp.learn_wordpiece(batch_df, "text", 5, min_count=1)
+    expect = {r.doc_id: (list(r.pieces), r.n_pieces) for r in
+              wp.wordpiece_encode(batch_df, "doc_id", "text", merges,
+                                  min_count=1).collect()}
+
+    src = os.path.join(str(tmp_path), "src")
+    batch_df.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    with pytest.raises(ValueError, match="train_df"):
+        wp.wordpiece_encode(stream, "doc_id", "text", merges,
+                            min_count=1)
+    out = wp.wordpiece_encode(stream, "doc_id", "text", merges,
+                              min_count=1, train_df=batch_df)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("wp_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: (list(r.pieces), r.n_pieces) for r in
+               spark.sql("SELECT * FROM wp_stream").collect()}
+    finally:
+        q.stop()
+    assert got == expect
