@@ -372,6 +372,68 @@ def unigram_big_probe(sf_dir: str = "/root/testdata/sf0.01",
     spark.stop()
 
 
+def wordpiece_probe(sf_dir: str = "/root/testdata/sf0.01",
+                    steps: tuple[tuple[int, int], ...] = (
+                        (1, 0), (4, 1024), (16, 4096)),
+                    n_merges: int = 12) -> None:
+    """WordPiece distributed-trainer scale probe (round 11), hash-
+    fanned types exactly like unigram_big_probe: each step mints
+    ~31·M candidate word types over k corpus replicas (m=0 leaves the
+    corpus organic).  Claims under test: per round, the symbol-count
+    and pair-count aggregates stay type-table-bounded, the scored
+    argmax join is bounded by the pair space, DECIMAL(38,0) scoring
+    adds no measurable cost over BPE's raw-count argmax, and the
+    per-round checkpoint keeps plan depth O(1) — so wall per merge
+    round should track the type-table size, not the corpus."""
+    from kafkadirect_spark.functions import bpe, wordpiece
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("wordpiece-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def fanned(k: int, m: int):
+        df = base
+        for i in range(1, k):
+            df = df.unionByName(base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
+        if m == 0:
+            return df
+        return df.withColumn("text", F.concat_ws(" ", F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(
+                w, F.lit("x"),
+                F.pmod(F.xxhash64(w, F.col("doc_id")),
+                       F.lit(m)).cast("string")))))
+
+    for k, m in steps:
+        docs = fanned(k, m).persist()
+        docs.count()
+        n_types = bpe.word_type_counts(
+            docs, "text", min_count=2, max_word_types=1 << 16).count()
+        t0 = time.perf_counter()
+        merges = wordpiece.learn_wordpiece(
+            docs, "text", n_merges, min_count=2,
+            max_word_types=1 << 16, mode="distributed")
+        n_m = merges.count()
+        wall = round(time.perf_counter() - t0, 1)
+        # regime equivalence at the organic point (types fit driver)
+        if m == 0:
+            drv = [tuple(r) for r in wordpiece.learn_wordpiece(
+                docs, "text", n_merges, min_count=2,
+                max_word_types=1 << 16).collect()]
+            dist = [tuple(r) for r in merges.collect()]
+            assert dist == drv, "regime divergence"
+        print(json.dumps({"op": "learn_wordpiece", "repl": k,
+                          "hash_fan": m, "types": n_types,
+                          "merges": n_m, "sec": wall,
+                          "sec_per_round": round(wall / n_merges, 2)}),
+              flush=True)
+        docs.unpersist()
+    spark.stop()
+
+
 def nb_probe(sf_dir: str = "/root/testdata/sf0.1",
              steps: tuple[int, ...] = (1, 4, 16)) -> None:
     """Naive Bayes classifier scale probe (organic growth: suffix-
@@ -698,6 +760,10 @@ if __name__ == "__main__":
     if "--unigram-big" in args:
         args.remove("--unigram-big")
         unigram_big_probe(args[0] if args else "/root/testdata/sf0.01")
+        sys.exit(0)
+    if "--wordpiece" in args:
+        args.remove("--wordpiece")
+        wordpiece_probe(args[0] if args else "/root/testdata/sf0.01")
         sys.exit(0)
     if "--sax" in args:
         args.remove("--sax")
