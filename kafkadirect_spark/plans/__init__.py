@@ -147,9 +147,20 @@ _PROMOTED = [
 # supplier_pagerank, supplier_part_variety, surprisal_bigram,
 # table_to_stream_count, temperature_mix, text_langid, text_stats,
 # token_budget_select, top_supplier, volume_shipping, zorder_events);
-# fill = the oldest r9-dated tail (~37 slots of the 44-query r9
-# pool), leaving ~7 r9 leftovers for r13 — after which the registry
-# can legally retire to <= 150 and tighten the horizon to 2.
+# planned registrations (landed library-level THIS round per policy
+# item b, each with its oracle generator already pytest-pinned
+# engine==oracle): a `wordpiece_eval` per-slice report over the
+# TRAINED WordPiece encode (wordpiece.eval_oracle_sql — or the
+# lengths shape via wordpiece.encode_lengths_oracle_sql; the merges
+# shape via wordpiece.merges_oracle_sql), a `dedup_edit_verified`
+# Levenshtein verification over the registered simhash pairs
+# (dedup.edit_verify_oracle_sql wraps the simhash query's own oracle
+# SQL), and a `vocab_coverage` coverage-curve query
+# (curation.vocab_coverage_oracle_sql — deliberately the naive
+# rank-every-word formulation); fill = the oldest r9-dated tail
+# (~33 slots of the 44-query r9 pool), leaving ~11 r9 leftovers for
+# r13 — after which the registry can legally retire to <= 150 and
+# tighten the horizon to 2.
 _DEFERRED_NEW: list[str] = []
 
 
