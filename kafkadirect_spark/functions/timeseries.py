@@ -294,3 +294,32 @@ def sax_nearest(pairs: DataFrame, k: int = 3) -> DataFrame:
         F.col("dist2").asc(), F.col("neighbor_id").asc())
     return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("user_id", "neighbor_id", "dist2", "rank"))
+
+
+def sax_nearest_oracle_sql(t0: str, t1: str, k: int = 3,
+                           n_segments: int = 6,
+                           permilles: tuple[int, ...] = (500,),
+                           max_bucket: int | None = None) -> str:
+    """DuckDB replay of ``sax_nearest(sax_pipeline(...)[1], k)`` —
+    wraps the pairs oracle, symmetrizes, and ranks per user with the
+    engine's exact tie-break (dist2 ASC, neighbor_id ASC)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = sax_pairs_oracle_sql(t0, t1, n_segments=n_segments,
+                                 permilles=permilles,
+                                 max_bucket=max_bucket)
+    return f"""
+    WITH pairs AS ({pairs}),
+    sym AS (
+      SELECT user_a AS user_id, user_b AS neighbor_id, dist2 FROM pairs
+      UNION ALL
+      SELECT user_b, user_a, dist2 FROM pairs),
+    ranked AS (
+      SELECT user_id, neighbor_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY dist2 ASC, neighbor_id ASC)
+               AS rank
+      FROM sym)
+    SELECT user_id, neighbor_id, dist2, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k}
+    """

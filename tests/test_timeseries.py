@@ -307,3 +307,29 @@ def test_sax_nearest_brute_force_end_to_end(spark):
     assert any(
         a[0] == b[0] and a[3] == b[3]
         for a, b in zip(got, got[1:]))
+
+
+def test_sax_nearest_oracle_matches_engine(spark):
+    """sax_nearest over the real events pipeline == the DuckDB
+    replay (pairs oracle + symmetrize + exact-tie-break rank) — the
+    k-NN surface is registration-ready."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    _, pairs, _ = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", T0, T1, n_segments=6,
+        permilles=(500,), max_bucket=64)
+    eng = sorted(tuple(r) for r in
+                 timeseries.sax_nearest(pairs, k=3).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * EXCLUDE (ts), "
+        "CAST(ts AS TIMESTAMP) AS ts FROM "
+        f"read_parquet('{sf}/events.parquet')")
+    got = sorted(con.sql(timeseries.sax_nearest_oracle_sql(
+        T0, T1, k=3, n_segments=6, permilles=(500,),
+        max_bucket=64)).fetchall())
+    assert got == eng and eng
