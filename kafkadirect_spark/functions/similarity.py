@@ -1112,3 +1112,112 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rank") <= n)
             .select(F.col("e.pid").alias(id_col), "neighbor_id",
                     "rank", F.col("e.d").alias("adc_dist")))
+
+
+def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
+                probes: DataFrame, n: int = 3,
+                centroid_stride: int = 25, nprobe: int = 4,
+                m: int = 4, k: int = 4, iters: int = 2,
+                scale: int = 10_000,
+                max_probes: int = 64, assign: str = "auto") -> DataFrame:
+    """IVF-PQ — the production ANN composite (round 11; Jégou et al.
+    2011's IVFADC): the IVF coarse quantizer SHORTLISTS (each probe
+    scores only the vectors assigned to its ``nprobe`` nearest
+    centroids' inverted lists), and ADC over PQ codes SCORES the
+    shortlist (the raw vectors are never touched at query time).
+    Where ``ivf_topk`` re-reads candidate vectors for exact cosine and
+    ``pq_topk`` ADC-scans the WHOLE index per probe, the composite
+    pays neither: per probe the work is |probed lists| code rows ×
+    m table lookups.
+
+    Output ``(id_col, neighbor_id, rank, adc_dist)`` — ascending ADC
+    distance, ties to the lower neighbor id, the probe itself
+    excluded.  Coarse centroids are the deterministic every-
+    ``centroid_stride``-th vector (replayable; swap trained centroids
+    at scale); codebooks/codes are the integer-exact PQ machinery
+    shared with ``pq_encode``/``pq_topk``.
+
+    Plan shape at 100 TB: centroids broadcast (assignment shuffles
+    ONE (id, cid) row per indexed vector); codes are one bounded
+    projection pass; the candidate join shuffles on centroid id
+    (list sizes bound the work, the LSH-bucket skew profile); ADC
+    tables are driver-computed exact integers embedded as literal
+    MAPs keyed by probe id, so scoring is row-local codegen after
+    the candidate-codes hash join; one per-probe top-n window over
+    candidate-sized input."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    dim = _vec_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    mode = _pq_mode(k, assign, m)
+
+    # --- IVF coarse structure (the ivf_topk recipe) ---
+    cent = F.broadcast(
+        df.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("_cid"),
+                F.col(vec_col).alias("_cvec")))
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    aw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(),
+                                            F.col("_cid"))
+    assigned = (vecs.join(cent)
+                .withColumn("_ccos", cosine(F.col(vec_col),
+                                            F.col("_cvec")))
+                .withColumn("_r", F.row_number().over(aw))
+                .filter(F.col("_r") == 1)
+                .select(F.col(id_col).alias("_nid"), "_cid"))
+    plists = (probes.select(F.col(id_col), F.col(vec_col)).join(cent)
+              .withColumn("_ccos", cosine(F.col(vec_col),
+                                          F.col("_cvec")))
+              .withColumn("_r", F.row_number().over(aw))
+              .filter(F.col("_r") <= nprobe)
+              .select(F.col(id_col).alias("_pid"), "_cid"))
+    cand = (plists.join(assigned, "_cid")
+            .filter(F.col("_pid") != F.col("_nid"))
+            .select("_pid", "_nid"))
+
+    # --- PQ codes over the index (shared machinery) ---
+    q = _persist(_pq_quantize(df, id_col, vec_col, scale))
+    cents = _pq_train(q, id_col, m, sub, k, iters, mode)
+    codes = _pq_codes_frame(q, id_col, cents, m, sub, mode)
+
+    # --- per-probe exact-integer ADC tables as literal maps ---
+    probe_pdf = (probes.select(id_col, vec_col)
+                 .limit(max_probes + 1).toPandas())
+    if len(probe_pdf) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}: ADC embeds "
+            "one m×k literal table per probe; bound the probe frame")
+    import math
+    id_type = dict(df.dtypes)[id_col]
+    maps = []
+    entries: list[list] = [[] for _ in range(m)]
+    for _, prow in probe_pdf.iterrows():
+        qv = [math.floor(float(v) * scale) for v in prow[vec_col]]
+        for j in range(m):
+            t = [sum((qv[j * sub + p] - cv[p]) ** 2 for p in range(sub))
+                 for _, cv in sorted(cents[j].items())]
+            entries[j] += [F.lit(prow[id_col]).cast(id_type),
+                           F.array(*[F.lit(int(x)).cast("long")
+                                     for x in t])]
+    for j in range(m):
+        maps.append(F.create_map(*entries[j]))
+
+    joined = cand.join(
+        codes.select(F.col(id_col).alias("_nid"), "codes"), "_nid")
+    d = sum(
+        (F.element_at(F.element_at(maps[j], F.col("_pid")),
+                      F.element_at("codes", j + 1) + 1)
+         for j in range(m)),
+        start=F.lit(0).cast("long"))
+    w = Window.partitionBy("_pid").orderBy(F.col("_d").asc(),
+                                           F.col("_nid").asc())
+    return (joined.withColumn("_d", d)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select(F.col("_pid").alias(id_col),
+                    F.col("_nid").alias("neighbor_id"),
+                    "rank", F.col("_d").alias("adc_dist")))

@@ -1343,3 +1343,63 @@ def test_real_media_distributed_matches_local(spark, docs):
         txt.select("doc_id", "payload")).count() == 0
     assert multimodal.image_features(
         txt.select("doc_id", "payload")).count() == 0
+
+
+def test_ivf_pq_composite_matches_building_blocks(spark):
+    """ivf_pq_topk == (python IVF shortlist model) ∘ (pq_topk's ADC
+    scores): candidates replicate the deterministic coarse quantizer
+    exactly (sequential-fold double cosine, ties by centroid id), and
+    each probe's ranking equals the full-index ADC scan restricted to
+    its shortlist — the composite is the intersection of two
+    already-pinned components."""
+    import math
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    comp = sorted(tuple(r) for r in similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", probes, n=3,
+        centroid_stride=25, nprobe=4, m=4, k=4, iters=2).collect())
+
+    # --- python IVF model over the collected vectors ---
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    cents = {i: v for i, v in vecs.items() if i % 25 == 0}
+
+    def ranked_cids(v):
+        return sorted(cents, key=lambda c: (-cos(v, cents[c]), c))
+
+    assign = {i: ranked_cids(v)[0] for i, v in vecs.items()}
+    cand = set()
+    for pid in (0, 1, 2):
+        probe_cids = set(ranked_cids(vecs[pid])[:4])
+        for nid, cid in assign.items():
+            if cid in probe_cids and nid != pid:
+                cand.add((pid, nid))
+    assert {(r[0], r[1]) for r in comp} <= cand
+
+    # --- ADC scores from the full-index pq_topk scan ---
+    full = {}
+    for r in similarity.pq_topk(emb, "vec_id", "embedding", probes,
+                                n=len(vecs), m=4, k=4,
+                                iters=2).collect():
+        full[(r.vec_id, r.neighbor_id)] = r.adc_dist
+    want = []
+    for pid in (0, 1, 2):
+        pool = sorted((full[(pid, nid)], nid)
+                      for (p, nid) in cand if p == pid)
+        for rank, (d, nid) in enumerate(pool[:3], start=1):
+            want.append((pid, nid, rank, d))
+    assert comp == sorted(want) and comp
