@@ -1092,6 +1092,61 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
           for j in range(4)])
 
 
+def ivf_pq_oracle_sql(n: int = 3, nprobe: int = 4,
+                      stride: int = 25,
+                      probe_pred: str = "vec_id < 3") -> str:
+    """DuckDB replay of ``similarity.ivf_pq_topk(embeddings, ...,
+    probes=<probe_pred>)`` — the IVFADC composite: the deterministic
+    coarse quantizer's shortlist (the similarity_ann_ivf CTEs) scored
+    by the PQ codebooks' ADC tables (the similarity_pq_adc CTEs),
+    restricted to the shortlist.  Registration-ready for r12."""
+    pts = ",".join(f"""
+    pt_{j} AS (
+      SELECT pr.vec_id AS pid, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
+                  AS BIGINT) AS t
+      FROM (SELECT vec_id, sv FROM q_{j} WHERE {probe_pred}) pr
+      CROSS JOIN c1_{j} c)""" for j in range(4))
+    return f"""
+    WITH {_pq_ctes()},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v
+             WHERE vec_id % {stride} = 0),
+    scv AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.e, c.ce)
+                                         DESC, c.cid) AS pr
+      FROM v, cent c),
+    assign AS (SELECT vec_id AS nid, cid FROM scv WHERE pr = 1),
+    plists AS (SELECT vec_id AS pid, cid FROM scv
+               WHERE pr <= {nprobe} AND {probe_pred}),
+    cand AS (
+      SELECT pid, nid FROM plists JOIN assign USING (cid)
+      WHERE pid <> nid),
+    {pts},
+    adc AS (
+      SELECT cand.pid, cand.nid, p0.t + p1.t + p2.t + p3.t AS d
+      FROM cand
+      JOIN a2_0 ON a2_0.vec_id = cand.nid
+      JOIN a2_1 ON a2_1.vec_id = cand.nid
+      JOIN a2_2 ON a2_2.vec_id = cand.nid
+      JOIN a2_3 ON a2_3.vec_id = cand.nid
+      JOIN pt_0 p0 ON p0.pid = cand.pid AND p0.cid = a2_0.cid
+      JOIN pt_1 p1 ON p1.pid = cand.pid AND p1.cid = a2_1.cid
+      JOIN pt_2 p2 ON p2.pid = cand.pid AND p2.cid = a2_2.cid
+      JOIN pt_3 p3 ON p3.pid = cand.pid AND p3.cid = a2_3.cid)
+    SELECT pid AS vec_id, nid AS neighbor_id,
+           CAST(rn AS INTEGER) AS rank, CAST(d AS BIGINT) AS adc_dist
+    FROM (SELECT pid, nid, d,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY d, nid) AS rn
+          FROM adc)
+    WHERE rn <= {n}
+    """
+
+
 @query(
     "similarity_pq_adc",
     oracle=f"""

@@ -1403,3 +1403,25 @@ def test_ivf_pq_composite_matches_building_blocks(spark):
         for rank, (d, nid) in enumerate(pool[:3], start=1):
             want.append((pid, nid, rank, d))
     assert comp == sorted(want) and comp
+
+
+def test_ivf_pq_oracle_matches_engine(spark):
+    """The composed DuckDB replay (IVF shortlist CTEs + PQ codebook
+    CTEs + ADC restricted to the shortlist) is exactly the engine's
+    ivf_pq_topk on the real embeddings — registration-ready."""
+    import duckdb
+
+    from kafkadirect_spark.plans.analytics_queries import ivf_pq_oracle_sql
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    eng = sorted(tuple(r) for r in similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", probes, n=3,
+        centroid_stride=25, nprobe=4, m=4, k=4, iters=2).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    got = sorted(con.sql(ivf_pq_oracle_sql()).fetchall())
+    assert got == eng and eng
