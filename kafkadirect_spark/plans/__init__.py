@@ -157,7 +157,12 @@ _PROMOTED = [
 # (dedup.edit_verify_oracle_sql wraps the simhash query's own oracle
 # SQL), and a `vocab_coverage` coverage-curve query
 # (curation.vocab_coverage_oracle_sql — deliberately the naive
-# rank-every-word formulation); fill = the oldest r9-dated tail
+# rank-every-word formulation), a `similarity_ivf_pq` IVFADC
+# composite query (analytics_queries.ivf_pq_oracle_sql — IVF
+# shortlist CTEs + PQ codebook CTEs + shortlist-restricted ADC),
+# and a `sax_nearest` k-NN query
+# (timeseries.sax_nearest_oracle_sql) — pick ≤ the ~10/round
+# budget, oldest claims first; fill = the oldest r9-dated tail
 # (~33 slots of the 44-query r9 pool), leaving ~11 r9 leftovers for
 # r13 — after which the registry can legally retire to <= 150 and
 # tighten the horizon to 2.
