@@ -46,6 +46,18 @@ def _sax_pairs_suite(spark, sf_dir):
     return pairs
 
 
+def _ivf_pq_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import similarity
+    from kafkadirect_spark.sources.batch import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_pq_topk(emb, "vec_id", "embedding", probes,
+                                  n=3, centroid_stride=25, nprobe=4,
+                                  m=4, k=4, iters=2)
+
+
 def _wordpiece_suite(spark, sf_dir):
     from kafkadirect_spark.functions import wordpiece
     from kafkadirect_spark.sources.batch import load_table
@@ -277,6 +289,9 @@ def main() -> None:
         # wordpiece: third tokenizer family — scored-merge training on
         # the bounded type table + the longest-match mapInPandas encode
         "wordpiece_pieces": _wordpiece_suite,
+        # IVFADC composite: coarse-quantizer shortlist + literal-map
+        # ADC scoring over the shared PQ codes
+        "similarity_ivf_pq": _ivf_pq_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -1425,3 +1425,19 @@ def test_ivf_pq_oracle_matches_engine(spark):
                 f"read_parquet('{sf}/embeddings.parquet')")
     got = sorted(con.sql(ivf_pq_oracle_sql()).fetchall())
     assert got == eng and eng
+
+
+def test_ivf_pq_guards(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n must"):
+        similarity.ivf_pq_topk(emb, "vec_id", "embedding", emb, n=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_pq_topk(emb, "vec_id", "embedding", emb,
+                               nprobe=0)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivf_pq_topk(emb, "vec_id", "embedding", emb, m=7)
+    with pytest.raises(ValueError, match="max_probes"):
+        similarity.ivf_pq_topk(emb, "vec_id", "embedding", emb,
+                               max_probes=2)

@@ -236,3 +236,18 @@ def test_wordpiece_encode_works_on_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+def test_wordpiece_vocab_frame(spark):
+    df = _docs(spark, ["abc abc ab", "abc ab a"])
+    merges = wp.learn_wordpiece(df, "text", 2, min_count=1)
+    v = {(r.piece, r.kind) for r in
+         wp.wordpiece_vocab(df, "text", merges, min_count=1).collect()}
+    # base chars: 'a' plain (word start), '##b'/'##c' continuations
+    assert ("a", "char") in v
+    assert ("##b", "cont_char") in v and ("##c", "cont_char") in v
+    # every merge product present with kind 'merge'
+    prods = {p for p, kind in v if kind == "merge"}
+    assert len(prods) == 2
+    for p in prods:
+        assert not p.startswith("###")  # products strip exactly one ##
