@@ -159,7 +159,10 @@ _PROMOTED = [
 # (curation.vocab_coverage_oracle_sql — deliberately the naive
 # rank-every-word formulation), a `similarity_ivf_pq` IVFADC
 # composite query (analytics_queries.ivf_pq_oracle_sql — IVF
-# shortlist CTEs + PQ codebook CTEs + shortlist-restricted ADC),
+# shortlist CTEs + PQ codebook CTEs + shortlist-restricted ADC;
+# NOTE: its centroid scoring rides the IVF-family broadcast
+# nested-loop pattern, so registration must add the name to
+# test_plans._BNLJ_OK),
 # and a `sax_nearest` k-NN query
 # (timeseries.sax_nearest_oracle_sql) — pick ≤ the ~10/round
 # budget, oldest claims first; fill = the oldest r9-dated tail
