@@ -1,11 +1,13 @@
-"""Tokenizer bake-off — train BOTH tokenizer families on the same
+"""Tokenizer bake-off — train ALL THREE tokenizer families on the same
 corpus, score them with the same integer-exact report, and assemble
 the sliding-window contexts a pretraining run would consume:
 
-  1. train  BPE (greedy bottom-up merges, functions/bpe.py)
-     and the unigram-LM (Kudo'18 hard-EM, functions/unigram.py)
-     on the documents corpus — both trainers scan the corpus ONCE
-     (word-type counting) and iterate over the bounded type table;
+  1. train  BPE (greedy bottom-up merges, functions/bpe.py),
+     the unigram-LM (Kudo'18 hard-EM, functions/unigram.py) and
+     WordPiece (likelihood-scored merges + ## continuations,
+     functions/wordpiece.py) on the documents corpus — all three
+     trainers scan the corpus ONCE (word-type counting) and iterate
+     over the bounded type table;
   2. encode every document with each (stateless mapInPandas — the
      same code path scores an unbounded streaming ingest);
   3. compare with tokenizer_eval: per-lang fertility (tokens/word),
@@ -24,7 +26,7 @@ import sys
 sys.path.insert(0, ".")
 
 from kafkadirect_spark import get_spark
-from kafkadirect_spark.functions import bpe, tokeval, unigram
+from kafkadirect_spark.functions import bpe, tokeval, unigram, wordpiece
 from kafkadirect_spark.sources.batch import load_table
 
 
@@ -38,15 +40,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     pieces = unigram.learn_unigram(docs, "text", vocab_size=48,
                                    rounds=2, max_piece_len=8,
                                    min_count=2)
+    wp_merges = wordpiece.learn_wordpiece(docs, "text", n_merges=48,
+                                          min_count=2)
 
     # 2: encode (one stateless pass each; per-task word memo)
     enc_b = bpe.bpe_encode(docs, "doc_id", "text", merges)
     enc_u = unigram.unigram_encode(docs, "doc_id", "text", pieces)
+    enc_w = wordpiece.wordpiece_encode(docs, "doc_id", "text",
+                                       wp_merges, min_count=2)
 
     # 3: the same integer-exact report for both
     print("\n== tokenizer_eval, per lang (milli = x1000) ==")
     for name, enc, col in (("bpe", enc_b, "bpe"),
-                           ("unigram", enc_u, "pieces")):
+                           ("unigram", enc_u, "pieces"),
+                           ("wordpiece", enc_w, "pieces")):
         rows = tokeval.tokenizer_eval(
             docs, enc, "doc_id", "text", col, by="lang").collect()
         for r in sorted(rows, key=lambda r: r.slice):
