@@ -251,3 +251,39 @@ def test_wordpiece_vocab_frame(spark):
     assert len(prods) == 2
     for p in prods:
         assert not p.startswith("###")  # products strip exactly one ##
+
+
+def test_encode_properties_hypothesis():
+    """Pure-python properties of greedy longest-match over any
+    trained state: non-[UNK] pieces re-glue exactly to the word;
+    [UNK] occurs iff some char is outside the vocabulary's observed
+    set; first piece is plain, the rest continuations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(st.text(alphabet="abcde", min_size=1, max_size=8),
+                     min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(words, st.text(alphabet="abcdef", min_size=1, max_size=10),
+           st.integers(min_value=0, max_value=6))
+    def prop(train_words, query, n_merges):
+        types = [(w, 1) for w in sorted(set(train_words))]
+        merges = wp._py_learn(types, n_merges) if n_merges else []
+        vocab = wp._py_vocab(types, merges)
+        out = wp._py_encode_word(query, vocab)
+        seen_first = {w[0] for w in sorted(set(train_words))}
+        seen_cont = {c for w in sorted(set(train_words)) for c in w[1:]}
+        if out == (wp.UNK,):
+            # some position had no match: at minimum the query uses a
+            # char never observed in the right slot class
+            assert (query[0] not in seen_first
+                    or any(c not in seen_cont for c in query[1:]))
+        else:
+            glued = "".join(p[2:] if p.startswith("##") else p
+                            for p in out)
+            assert glued == query
+            assert not out[0].startswith("##")
+            assert all(p.startswith("##") for p in out[1:])
+
+    prop()
