@@ -434,6 +434,59 @@ def wordpiece_probe(sf_dir: str = "/root/testdata/sf0.01",
     spark.stop()
 
 
+def vocab_coverage_probe(sf_dir: str = "/root/testdata/sf0.01",
+                         steps: tuple[tuple[int, int], ...] = (
+                             (1, 0), (4, 1024), (16, 8192))) -> None:
+    """vocab_coverage scale probe (round 11): hash-fan word types
+    (the tokenizer probes' scheme) and measure the operator's REAL
+    bound — the count-of-counts frame (distinct count values), which
+    the single-partition cumulative window runs over.  Claim: levels
+    ≪ vocabulary (O(√total_tokens) under Zipf), so the walk stays
+    register-ish while the vocabulary grows unbounded; wall tracks
+    the one word-count exchange."""
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+    from kafkadirect_spark.functions.text import tokens as _tokens
+
+    spark = get_spark("vocab-coverage-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents")
+
+    def fanned(k: int, m: int):
+        df = base
+        for i in range(1, k):
+            df = df.unionByName(base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
+        if m == 0:
+            return df
+        return df.withColumn("text", F.concat_ws(" ", F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(
+                w, F.lit("x"),
+                F.pmod(F.xxhash64(w, F.col("doc_id")),
+                       F.lit(m)).cast("string")))))
+
+    for k, m in steps:
+        docs = fanned(k, m).persist()
+        docs.count()
+        vocab = (docs.select(F.explode(_tokens("text")).alias("w"))
+                 .groupBy("w").count())
+        n_vocab = vocab.count()
+        n_levels = vocab.select("count").distinct().count()
+        t0 = time.perf_counter()
+        out = curation.vocab_coverage(
+            docs, "text", ks=(100, 1000, 10000, 100000)).collect()
+        wall = round(time.perf_counter() - t0, 1)
+        print(json.dumps({"op": "vocab_coverage", "repl": k,
+                          "hash_fan": m, "vocab": n_vocab,
+                          "count_levels": n_levels,
+                          "rows": len(out), "sec": wall}),
+              flush=True)
+        docs.unpersist()
+    spark.stop()
+
+
 def nb_probe(sf_dir: str = "/root/testdata/sf0.1",
              steps: tuple[int, ...] = (1, 4, 16)) -> None:
     """Naive Bayes classifier scale probe (organic growth: suffix-
@@ -760,6 +813,10 @@ if __name__ == "__main__":
     if "--unigram-big" in args:
         args.remove("--unigram-big")
         unigram_big_probe(args[0] if args else "/root/testdata/sf0.01")
+        sys.exit(0)
+    if "--vocab-coverage" in args:
+        args.remove("--vocab-coverage")
+        vocab_coverage_probe(args[0] if args else "/root/testdata/sf0.01")
         sys.exit(0)
     if "--wordpiece" in args:
         args.remove("--wordpiece")
