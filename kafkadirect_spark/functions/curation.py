@@ -1895,3 +1895,142 @@ def vocab_coverage_oracle_sql(ks: tuple[int, ...] = (100, 1000, 10000),
              AS coverage_milli
     FROM ({arms})
     """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (round 11) — the consumer importance_weights was
+# missing: draw a fixed number of weighted samples (data mixing by
+# quality score / token count / DSIR weight) deterministically, with
+# integer-exact systematic sampling instead of float Gumbel keys, so
+# the draw replays bit-for-bit in any engine.
+# ---------------------------------------------------------------------------
+
+
+def sample_weighted_n(df: DataFrame, id_col: str, weight_col: str,
+                      n: int, seed: str = "wsample",
+                      shards: int = 1024) -> DataFrame:
+    """Exactly-``n`` weighted draws, deterministic under re-runs,
+    data layout and executor counts: systematic sampling over the
+    salted-hash total order.  Rows lay their integer weights end to
+    end on a line of total length ``W`` (order = the
+    ``shuffle_positions`` total order: (shard, hash, id) — a fixed
+    pseudo-random permutation, so adjacent intervals are unrelated
+    rows); draw ``k`` (k = 0..n−1) lands at the k-th of ``n`` evenly
+    spaced points, and a row is emitted with ``picks`` = the number
+    of points inside its interval:
+
+        picks = ceil((cw+w)·n / W) − ceil(cw·n / W)
+
+    (``cw`` = exclusive prefix weight; all integer — the products run
+    in DECIMAL(38,0)/HUGEINT).  Σ picks = n EXACTLY; a row heavier
+    than W/n can draw more than once (``picks`` > 1 — the
+    with-replacement multiplicity systematic sampling gives
+    overweight rows); zero-weight rows never draw; negative weights
+    raise at execution.  Returns ``(id_col, weight, picks)`` for rows
+    with picks ≥ 1.  Changing ``seed`` redraws.
+
+    Scale shape (the shuffle_positions recipe): rows hash into
+    ``shards`` uniform shards; per-shard prefix sums use a window
+    PARTITIONED on the shard (no single-reducer global sort); shard
+    totals (≤ ``shards`` rows, bounded by construction) become
+    exclusive offsets + the grand total via a tiny window, broadcast
+    back.  One exchange on the shard key, one bounded broadcast —
+    nothing data-sized moves unshuffled.
+
+    Reference analogue: none (SURVEY.md §2); beyond-parity curation
+    machinery beside ``sample_exact_n`` (uniform) and
+    ``importance_weights`` (whose scores are this operator's natural
+    weight column).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    h = hash_bucket(F.concat(F.lit(seed), F.col(id_col).cast("string")),
+                    n_buckets=HASH_P)
+    w_checked = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(F.concat(F.lit("negative weight for id "),
+                               F.col(id_col).cast("string")))
+    ).otherwise(F.col(weight_col).cast("long"))
+    rows = df.select(F.col(id_col), w_checked.alias("__w"),
+                     h.alias("__h"), (h % shards).alias("__shard"))
+    stats = rows.groupBy("__shard").agg(F.sum("__w").alias("__sw"))
+    # ≤ `shards` rows: bounded single-partition windows, the
+    # shuffle_positions/pack_sequences contract
+    # distinct names on the broadcast side: `off` shares `rows` in its
+    # lineage, and the analyzer's self-join attribute cloning makes a
+    # same-named window output ambiguous after the join
+    shard_ord = Window.orderBy("__shard")
+    off = stats.select(
+        "__shard",
+        F.coalesce(
+            F.sum("__sw").over(
+                shard_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__shard_off"),
+        F.sum("__sw").over(
+            shard_ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))
+        .alias("__grand_w"))
+    win = Window.partitionBy("__shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc())
+    local = rows.withColumn(
+        "__cwl",
+        F.coalesce(F.sum("__w").over(
+            win.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    j = (local.join(F.broadcast(off), "__shard")
+         .filter(F.col("__grand_w") > 0)
+         .withColumn("__cw", F.col("__shard_off") + F.col("__cwl")))
+
+    def ceil_div(x: str) -> str:
+        # ceil(x·n / W) in DECIMAL(38,0): x ≤ W ≤ 2^63, n ≤ 2^31 —
+        # the product stays < 10^38; DIV truncates, +W−1 makes ceil
+        return (f"CAST((CAST({x} AS DECIMAL(38,0)) * {int(n)} "
+                f"+ CAST(__grand_w AS DECIMAL(38,0)) - 1) "
+                f"DIV CAST(__grand_w AS DECIMAL(38,0)) AS BIGINT)")
+
+    picks = F.expr(f"{ceil_div('(__cw + __w)')} - {ceil_div('__cw')}")
+    return (j.withColumn("picks", picks)
+            .filter(F.col("picks") > 0)
+            .select(F.col(id_col), F.col("__w").alias("weight"),
+                    F.col("picks")))
+
+
+def sample_weighted_oracle_sql(n: int, weight_sql: str,
+                               seed: str = "wsample",
+                               shards: int = 1024,
+                               table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``sample_weighted_n`` — the same salted hash,
+    (shard, hash, id) total order, exclusive prefix sums (one flat
+    window: the oracle may globally sort, the ENGINE must not) and
+    HUGEINT ceil arithmetic.  (The grand total is named ``grand_w``,
+    NOT ``W``: DuckDB identifiers are case-insensitive, so an alias
+    ``W`` referenced from the outer query silently resolves to the
+    per-row column ``w`` — found the hard way.)"""
+    hsql = (f"(('0x' || substr(md5('{seed}' || {id_col}::VARCHAR), "
+            "1, 14))::BIGINT % 2147483647)")
+    cd = ("(({x}::HUGEINT * " + str(int(n))
+          + " + grand_w - 1) // grand_w::HUGEINT)")
+    return f"""
+    WITH r AS (
+      SELECT {id_col}, CAST({weight_sql} AS BIGINT) AS w,
+             {hsql} AS h
+      FROM {table}),
+    c AS (
+      SELECT {id_col}, w,
+             COALESCE(SUM(w) OVER (
+               ORDER BY h % {shards}, h, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cw,
+             SUM(w) OVER () AS grand_w
+      FROM r)
+    SELECT {id_col}, w AS weight,
+           ({cd.format(x='(cw + w)')} - {cd.format(x='cw')})::BIGINT
+             AS picks
+    FROM c
+    WHERE grand_w > 0
+      AND ({cd.format(x='(cw + w)')} - {cd.format(x='cw')}) > 0
+    """

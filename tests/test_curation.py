@@ -1287,3 +1287,116 @@ def test_vocab_coverage_plan_is_bounded(spark):
     plan = buf.getvalue()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_n (round 11): integer-exact systematic weighted draws
+# ---------------------------------------------------------------------------
+
+
+def test_sample_weighted_hand_checked_and_exact_n(spark):
+    from kafkadirect_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) * 10) for i in range(50)] + [(99, 0)],
+        "doc_id long, w long")
+    for n in (1, 5, 17, 50):
+        out = curation.sample_weighted_n(df, "doc_id", "w", n).collect()
+        assert sum(r.picks for r in out) == n  # exactly n draws
+        assert all(r.picks >= 1 for r in out)
+        assert all(r.doc_id != 99 for r in out)  # zero weight never draws
+    # a row heavier than W/n draws multiple times
+    heavy = spark.createDataFrame(
+        [(1, 1000), (2, 1), (3, 1)], "doc_id long, w long")
+    out = {r.doc_id: r.picks for r in curation.sample_weighted_n(
+        heavy, "doc_id", "w", 10).collect()}
+    assert out[1] >= 9 and sum(out.values()) == 10
+    # determinism across layout; seed redraws
+    a = sorted(tuple(r) for r in curation.sample_weighted_n(
+        df, "doc_id", "w", 7).collect())
+    b = sorted(tuple(r) for r in curation.sample_weighted_n(
+        df.repartition(7), "doc_id", "w", 7).collect())
+    assert a == b
+    c = sorted(tuple(r) for r in curation.sample_weighted_n(
+        df, "doc_id", "w", 7, seed="other").collect())
+    assert a != c
+    with pytest.raises(ValueError, match="n must"):
+        curation.sample_weighted_n(df, "doc_id", "w", 0)
+    with pytest.raises(Exception, match="negative weight"):
+        spark.createDataFrame([(1, -5)], "doc_id long, w long") \
+            .transform(lambda d: curation.sample_weighted_n(
+                d, "doc_id", "w", 1)).collect()
+    # all-zero weights: empty result, no division error
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    assert curation.sample_weighted_n(zero, "doc_id", "w", 3).count() == 0
+
+
+def test_sample_weighted_matches_model(spark):
+    """Engine == python systematic-sampling model over random weights
+    (hypothesis): same hash order, prefix sums and ceil arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.functions.text import HASH_P
+
+    import hashlib
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) \
+            % 2147483647
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(st.lists(st.integers(min_value=0, max_value=500),
+                    min_size=1, max_size=25),
+           st.integers(min_value=1, max_value=12))
+    def prop(weights, n):
+        rows = list(enumerate(weights))
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = sorted((r.doc_id, r.weight, r.picks)
+                     for r in curation.sample_weighted_n(
+                         df, "doc_id", "w", n).collect())
+        W = sum(weights)
+        want = []
+        if W > 0:
+            order = sorted(
+                rows, key=lambda t: ((phash("wsample" + str(t[0]))
+                                      % HASH_P) % 1024,
+                                     phash("wsample" + str(t[0]))
+                                     % HASH_P, t[0]))
+            cw = 0
+            for i, w in order:
+                picks = (-(-(cw + w) * n // W)) - (-(-cw * n // W))
+                if picks > 0:
+                    want.append((i, w, picks))
+                cw += w
+            assert sum(p for _, _, p in want) == n
+        assert got == sorted(want)
+
+    prop()
+
+
+def test_sample_weighted_oracle_matches_engine(spark):
+    """Engine == DuckDB on real documents with token-count weights —
+    the data-mixing shape (sample a token budget by length)."""
+    import duckdb
+
+    from kafkadirect_spark.functions import curation, text
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    sized = docs.select("doc_id",
+                        text.bpe_token_count("text").cast("long")
+                        .alias("w"))
+    eng = sorted(tuple(r) for r in curation.sample_weighted_n(
+        sized, "doc_id", "w", 100).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    bpe_sql = ("CAST(len(regexp_extract_all(lower(text),"
+               " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT)")
+    got = sorted(con.sql(curation.sample_weighted_oracle_sql(
+        100, bpe_sql)).fetchall())
+    assert got == eng and eng
+    assert sum(p for _, _, p in got) == 100
