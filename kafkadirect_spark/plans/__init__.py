@@ -163,8 +163,10 @@ _PROMOTED = [
 # NOTE: its centroid scoring rides the IVF-family broadcast
 # nested-loop pattern, so registration must add the name to
 # test_plans._BNLJ_OK),
-# and a `sax_nearest` k-NN query
-# (timeseries.sax_nearest_oracle_sql) — pick ≤ the ~10/round
+# a `sax_nearest` k-NN query
+# (timeseries.sax_nearest_oracle_sql), and a `sample_weighted`
+# data-mixing query (curation.sample_weighted_oracle_sql —
+# integer systematic sampling, token-count weights) — pick ≤ the ~10/round
 # budget, oldest claims first; fill = the oldest r9-dated tail
 # (~33 slots of the 44-query r9 pool), leaving ~11 r9 leftovers for
 # r13 — after which the registry can legally retire to <= 150 and
