@@ -46,6 +46,16 @@ def _sax_pairs_suite(spark, sf_dir):
     return pairs
 
 
+def _sample_weighted_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import curation, text
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id",
+                        text.bpe_token_count("text").cast("long")
+                        .alias("w"))
+    return curation.sample_weighted_n(sized, "doc_id", "w", 1000)
+
+
 def _ivf_pq_suite(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -292,6 +302,9 @@ def main() -> None:
         # IVFADC composite: coarse-quantizer shortlist + literal-map
         # ADC scoring over the shared PQ codes
         "similarity_ivf_pq": _ivf_pq_suite,
+        # integer systematic weighted sampling (two-phase shard
+        # prefix sums + one bounded broadcast)
+        "sample_weighted": _sample_weighted_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
