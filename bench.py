@@ -107,12 +107,14 @@ def _vocab_coverage_suite(spark, sf_dir):
 
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
-    # r11: three suite queries were RETIRED from the registry
-    # (near-duplicate consolidation) but their suite plans are
-    # fingerprint-pinned — call the surviving functions directly so
-    # the measured plans stay byte-identical
+    # r11/r12: suite queries RETIRED from the registry (near-duplicate
+    # consolidation) whose suite plans are fingerprint-pinned — call
+    # the surviving functions directly so the measured plans stay
+    # byte-identical
     from kafkadirect_spark.plans.analytics_queries import (
+        distinct_orders_hll as _distinct_orders_hll_q,
         interval_overlap_join as _interval_overlap_join_q,
+        value_decile_buckets as _value_decile_buckets_q,
     )
     from kafkadirect_spark.plans.llm_queries import (
         dedup_containment as _dedup_containment_q,
@@ -188,7 +190,7 @@ def main() -> None:
         # sketches' wall clock is the proof their bounded-register
         # design works (register exchange, not a data exchange);
         # k-means times the full quantize → 2×(assign, update) loop
-        "distinct_orders_hll": QUERIES["distinct_orders_hll"],
+        "distinct_orders_hll": _distinct_orders_hll_q,
         "heavy_hitters_cms": QUERIES["heavy_hitters_cms"],
         "kmeans_clusters": QUERIES["kmeans_clusters"],
         "global_shuffle": QUERIES["global_shuffle"],
@@ -265,7 +267,7 @@ def main() -> None:
         "embedding_profile": QUERIES["embedding_profile"],
         "join_explosion_check": QUERIES["join_explosion_check"],
         # - equi-depth bucketize: global + grouped narrowing variants
-        "value_decile_buckets": QUERIES["value_decile_buckets"],
+        "value_decile_buckets": _value_decile_buckets_q,
         "exact_quantiles_by_type": QUERIES["exact_quantiles_by_type"],
         # - nb_langid (new r9): trained NB classifier — one exploded
         #   train exchange + pivoted vocab join + one doc agg

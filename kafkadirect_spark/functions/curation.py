@@ -2034,3 +2034,132 @@ def sample_weighted_oracle_sql(n: int, weight_sql: str,
     WHERE grand_w > 0
       AND ({cd.format(x='(cw + w)')} - {cd.format(x='cw')}) > 0
     """
+
+
+def sample_weighted_n_per_group(df: DataFrame, group_cols,
+                                id_col: str, weight_col: str,
+                                n: int, seed: str = "wsample",
+                                shards: int = 64) -> DataFrame:
+    """Exactly-``n`` weighted draws PER GROUP — the stratified
+    data-mixing shape (a fixed token budget per domain/language,
+    drawn by document weight): ``sample_weighted_n``'s integer
+    systematic sampling run independently inside every stratum.
+    Same total order within a group ((shard, hash, id) — a fixed
+    pseudo-random permutation), same DECIMAL(38,0) ceil arithmetic;
+    Σ picks = n EXACTLY in every group with positive total weight;
+    zero-total-weight groups emit nothing; rows with a NULL group
+    key are skipped (the groupByKey null-key-skip semantic,
+    SURVEY.md §2.4).  Returns ``(group_cols…, id_col, weight,
+    picks)`` for rows with picks ≥ 1.  Changing ``seed`` redraws.
+
+    Scale shape: per-(group, shard) prefix sums under a PARTITIONED
+    window (no single-reducer sort anywhere — the per-group offset
+    table is itself computed under a window partitioned by the
+    group); the offsets + per-group totals are ≤ |groups|·``shards``
+    rows, broadcast back (the default ``shards`` = 64 keeps that
+    ≤ ~64 rows per stratum: strata are corpus slices, not the
+    corpus).  One exchange on (group, shard), one bounded broadcast.
+
+    Reference analogue: none (SURVEY.md §2); beyond-parity curation
+    machinery beside ``sample_weighted_n`` (global) and
+    ``sample_exact_n_per_group`` (uniform per-stratum).
+    """
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    h = hash_bucket(F.concat(F.lit(seed), F.col(id_col).cast("string")),
+                    n_buckets=HASH_P)
+    w_checked = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(F.concat(F.lit("negative weight for id "),
+                               F.col(id_col).cast("string")))
+    ).otherwise(F.col(weight_col).cast("long"))
+    notnull = F.lit(True)
+    for g in group_cols:
+        notnull = notnull & F.col(g).isNotNull()
+    rows = (df.filter(notnull)
+            .select(*group_cols, F.col(id_col), w_checked.alias("__w"),
+                    h.alias("__h"), (h % shards).alias("__shard")))
+    stats = rows.groupBy(*group_cols, "__shard").agg(
+        F.sum("__w").alias("__sw"))
+    # ≤ shards rows PER GROUP: the offset window is partitioned on the
+    # group, so no task ever sees more than one stratum's shard table
+    shard_ord = Window.partitionBy(*group_cols).orderBy("__shard")
+    off = stats.select(
+        *group_cols, "__shard",
+        F.coalesce(
+            F.sum("__sw").over(
+                shard_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__shard_off"),
+        F.sum("__sw").over(
+            shard_ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))
+        .alias("__grand_w"))
+    win = Window.partitionBy(*group_cols, "__shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc())
+    local = rows.withColumn(
+        "__cwl",
+        F.coalesce(F.sum("__w").over(
+            win.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    j = (local.join(F.broadcast(off), [*group_cols, "__shard"])
+         .filter(F.col("__grand_w") > 0)
+         .withColumn("__cw", F.col("__shard_off") + F.col("__cwl")))
+
+    def ceil_div(x: str) -> str:
+        return (f"CAST((CAST({x} AS DECIMAL(38,0)) * {int(n)} "
+                f"+ CAST(__grand_w AS DECIMAL(38,0)) - 1) "
+                f"DIV CAST(__grand_w AS DECIMAL(38,0)) AS BIGINT)")
+
+    picks = F.expr(f"{ceil_div('(__cw + __w)')} - {ceil_div('__cw')}")
+    return (j.withColumn("picks", picks)
+            .filter(F.col("picks") > 0)
+            .select(*group_cols, F.col(id_col),
+                    F.col("__w").alias("weight"), F.col("picks")))
+
+
+def sample_weighted_per_group_oracle_sql(
+        n: int, weight_sql: str, group_sql: str,
+        seed: str = "wsample", shards: int = 64,
+        table: str = "documents", id_col: str = "doc_id",
+        group_out: str = "grp") -> str:
+    """DuckDB replay of ``sample_weighted_n_per_group`` — the same
+    salted hash, per-group (shard, hash, id) order, group-partitioned
+    exclusive prefix sums and HUGEINT ceil arithmetic; NULL group
+    keys skipped.  ``group_sql`` is any scalar expression over
+    ``table``; its output column is aliased ``group_out`` (match the
+    engine frame's group column name).  Registration-ready for r13
+    (landed library-level r12 per policy item b)."""
+    hsql = (f"(('0x' || substr(md5('{seed}' || {id_col}::VARCHAR), "
+            "1, 14))::BIGINT % 2147483647)")
+    cd = ("(({x}::HUGEINT * " + str(int(n))
+          + " + grand_w - 1) // grand_w::HUGEINT)")
+    return f"""
+    WITH r AS (
+      SELECT {group_sql} AS g, {id_col},
+             CAST({weight_sql} AS BIGINT) AS w, {hsql} AS h
+      FROM {table}
+      WHERE {group_sql} IS NOT NULL),
+    c AS (
+      SELECT g, {id_col}, w,
+             COALESCE(SUM(w) OVER (
+               PARTITION BY g
+               ORDER BY h % {shards}, h, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cw,
+             SUM(w) OVER (PARTITION BY g) AS grand_w
+      FROM r)
+    SELECT g AS {group_out}, {id_col}, w AS weight,
+           ({cd.format(x='(cw + w)')} - {cd.format(x='cw')})::BIGINT
+             AS picks
+    FROM c
+    WHERE grand_w > 0
+      AND ({cd.format(x='(cw + w)')} - {cd.format(x='cw')}) > 0
+    """

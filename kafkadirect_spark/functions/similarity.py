@@ -1221,3 +1221,69 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
             .select(F.col("_pid").alias(id_col),
                     F.col("_nid").alias("neighbor_id"),
                     "rank", F.col("_d").alias("adc_dist")))
+
+
+def ivf_pq_rerank(df: DataFrame, id_col: str, vec_col: str,
+                  probes: DataFrame, n: int = 3, refine: int = 4,
+                  centroid_stride: int = 25, nprobe: int = 4,
+                  m: int = 4, k: int = 4, iters: int = 2,
+                  scale: int = 10_000,
+                  max_probes: int = 64,
+                  assign: str = "auto") -> DataFrame:
+    """IVFADC+R — re-ranked IVF-PQ (round 12; Jégou et al. 2011 §VI's
+    refinement stage): ``ivf_pq_topk`` shortlists the top ``n·refine``
+    candidates per probe by approximate ADC distance, then ONLY those
+    candidates are re-scored with the EXACT squared L2 distance on the
+    quantized integer grid (``floor(v·scale)`` per coordinate — the
+    same grid the PQ pipeline trains on, so the replay is
+    integer-exact) and the top ``n`` by exact distance are kept.
+    This recovers most of the recall ADC quantization loses while
+    touching raw vectors for only ``n·refine`` candidates per probe —
+    never the index.
+
+    Output ``(id_col, neighbor_id, rank, dist2)`` — ascending exact
+    quantized squared L2, ties to the lower neighbor id, the probe
+    itself excluded (already excluded by the shortlist).
+
+    Plan shape at 100 TB: everything ivf_pq_topk does (broadcast
+    centroids, one (id,cid) assignment exchange, candidate hash join
+    on list id, row-local ADC, per-probe top-n·refine window), plus:
+    ONE hash join of the ≤ max_probes·n·refine-row shortlist against
+    the quantized index projection (Spark broadcasts the tiny
+    shortlist side), one ≤ max_probes-row broadcast of the probe
+    vectors, a row-local zip_with/aggregate fold for the exact
+    distance, and one per-probe top-n window over shortlist-sized
+    input.  Nothing data-sized is sorted or re-shuffled for the
+    refinement.
+
+    Reference analogue: none (SURVEY.md §2 — no vector search);
+    beyond-parity ANN machinery completing the IVF family
+    (ivf_topk → exact cosine re-read; pq_topk → full-scan ADC;
+    ivf_pq_topk → shortlisted ADC; ivf_pq_rerank → shortlisted ADC +
+    exact refinement).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if refine < 1:
+        raise ValueError("refine must be >= 1")
+    short = ivf_pq_topk(df, id_col, vec_col, probes, n=n * refine,
+                        centroid_stride=centroid_stride, nprobe=nprobe,
+                        m=m, k=k, iters=iters, scale=scale,
+                        max_probes=max_probes, assign=assign)
+    nb = _pq_quantize(df, id_col, vec_col, scale).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__qv").alias("__qb"))
+    pr = F.broadcast(
+        _pq_quantize(probes.select(id_col, vec_col), id_col, vec_col,
+                     scale)
+        .select(F.col(id_col), F.col("__qv").alias("__qa")))
+    j = (short.select(id_col, "neighbor_id")
+         .join(nb, "neighbor_id").join(pr, id_col))
+    dist2 = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (j.withColumn("dist2", dist2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select(id_col, "neighbor_id", "rank", "dist2"))

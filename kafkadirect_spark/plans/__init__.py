@@ -29,35 +29,55 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # (c) near-duplicate query shapes should be consolidated or retired
 # rather than accumulated.
 #
-# r11 adds the FOUR registrations pre-scheduled by the r10 plan (all
-# with oracle generators already pytest-pinned engine==oracle last
-# round): cdc_dup_stats (dedup.cdc_stats_oracle_sql), sax_pairs
-# (timeseries.sax_pairs_oracle_sql incl. the max_bucket guard),
-# windowed_chunks (tokeval.windows_oracle_sql), tokenizer_eval
-# (tokeval.unigram_eval_oracle_sql) — and RETIRES NINE near-duplicate
-# shapes under item c (VERDICT r10 item 3 named three; six more fall
-# to the same subsumption test), each with a carried-claim note at its
-# old registration site: similarity_ann_lsh (→ similarity_ann_multiprobe),
-# windowed_count_hopping (→ windowed_avg_hopping), dedup_containment
-# (→ dedup_containment_anti), stream_count (→ stream_reduce +
-# stream_aggregate), session_count (→ session_aggregate +
-# session_reduce), join_interval_left (→ join_interval_inner +
-# join_interval_outer), ts_policy_skip (→ ts_policy_previous),
-# interval_overlap_join (→ interval_overlap_left),
-# dedup_exact_normalized (→ dedup_exact).  Every retired OPERATOR
-# stays in the library with its pytest goldens; the three retired
-# queries that back fingerprint-pinned bench suites (stream_count,
-# interval_overlap_join, dedup_containment) keep their functions,
-# unregistered, and bench.py calls them directly.  N = 155; horizon
-# stays 3 (still NOT paid below 151: at N <= 150 the horizon
-# tightens to 2, which would make BOTH the 18-query r7 pool and the
-# 41-query r8 pool mandatory at once — 59 > 50 slots.  The r8 pool
-# must drain below ~30 first; at the current fill rate that is r12,
-# after which retiring to <= 150 becomes legal).
+# r12 adds the SIX registrations pre-scheduled by the r11 plan (all
+# with oracle generators pytest-pinned engine==oracle last round):
+# wordpiece_eval (wordpiece.eval_oracle_sql — the third tokenizer
+# family driven through the tokeval consumer contract, VERDICT r11
+# items 2+5 in one row), dedup_edit_verified
+# (dedup.edit_verify_oracle_sql over the registered simhash pairs'
+# own oracle SQL), vocab_coverage (curation.vocab_coverage_oracle_sql
+# — the deliberately-naive rank-every-word replay), similarity_ivf_pq
+# (analytics_queries.ivf_pq_oracle_sql + the test_plans._BNLJ_OK
+# entry its IVF centroid broadcast needs), sax_nearest
+# (timeseries.sax_nearest_oracle_sql), sample_weighted
+# (curation.sample_weighted_oracle_sql) — and RETIRES SIX
+# near-duplicate shapes under item c (VERDICT r11 item 3 named three;
+# three more fall to the same global-vs-grouped subsumption test),
+# each with a carried-claim note at its old registration site:
+# similarity_pq_adc (→ similarity_ivf_pq, whose IVFADC composite
+# scores the same ADC tables; codes stay checked via
+# embedding_pq_codes), text_stats (→ text_quality + corpus_stats),
+# windowed_sum_tumbling (→ windowed_count_tumbling +
+# windowed_avg_hopping), distinct_orders_hll
+# (→ distinct_users_by_type_hll + rolling_distinct_hll),
+# sample_exact_count (→ sample_exact_per_group + sample_weighted),
+# value_decile_buckets (→ value_decile_by_type).  Every retired
+# OPERATOR stays in the library with its pytest goldens; the two
+# retired queries that back fingerprint-pinned bench suites
+# (distinct_orders_hll, value_decile_buckets) keep their functions,
+# unregistered, and bench.py calls them directly.  N = 155
+# (155 + 6 − 6); horizon stays 3.
+#
+# PAYDOWN MATH, recomputed honestly (supersedes the r11 note's
+# "retiring to <= 150 becomes legal after r12"): tightening to
+# horizon 2 (N <= 150) requires EVERY query outside the window to
+# have a row newer than upcoming−2 — i.e. the trailing pools older
+# than one round must fit inside the 50-slot window.  With pools at
+# ~50/49/48 that is false at r13 (8 r9 + 48 r10 = 56 > 50) and stays
+# false while three trailing pools exist.  The only glide path: hold
+# N at 151-155 and drain the oldest pool each round (r13: 8 r9-dated
+# mandatory + 42 r10 fill → 6 r10 left; r14: 6 r10 + 44 r11 → 5 r11
+# left; r15: 5 r11 + 45 r12 → 5 r12 left), then at r16 retire the
+# ~5 stragglers to reach N = 150 = two clean pools — at which point
+# horizon 2 holds but EVERY window is 100% mandatory forever (zero
+# slots for new registrations without re-crossing 151).  Decision
+# standing until a verdict overrides it: stay at N ≈ 155 / horizon 3,
+# which keeps ~6-17 free slots per round for new oracle-ready
+# operators — the slack IS the feature, not debt.
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # Round-11 window.  Two admission rules (VERDICT r4, standing):
+    # Round-12 window.  Two admission rules (VERDICT r4, standing):
     # (1) every query whose newest driver CORRECTNESS row would
     #     otherwise fall past the capacity horizon — enforced by
     #     tests/test_plans.py's rotation-staleness sweep;
@@ -65,112 +85,91 @@ _PROMOTED = [
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 1, mandatory: the r7-dated cohort the r10 tripwire
-    #    named verbatim (22 names, minus the four of them retired
-    #    this round under policy item c: stream_count, session_count,
-    #    ts_policy_skip, windowed_count_hopping) --
-    "select_key_regroup",
-    "session_aggregate",
-    "shipping_priority",
-    "skew_salted_distinct",
-    "skew_salted_join",
-    "smt_chain",
-    "stream_aggregate",
-    "stream_reduce",
-    "supplier_nation_volume",
-    "table_group_aggregate",
-    "table_map_values",
-    "table_tombstones",
-    "ts_policy_previous",
-    "unlimited_window_count",
-    "windowed_avg_hopping",
-    "windowed_count_tumbling",
-    "windowed_sum_tumbling",
-    "yahoo_pipeline",
-    # -- new in round 11 (the pre-scheduled registrations; never
-    #    driver-verified, so they front).  Rule 2 note: this round's
-    #    timeseries fixes (multi-digit-word guard, per-permille oracle
-    #    breakpoint arms, ISO t0/t1, persist removal) change exactly
-    #    one registered query's code path — sax_pairs, new and in the
-    #    window anyway; the BPE reliable-checkpoint cleanup touches
-    #    only the checkpoint_dir regime, which no registered query
-    #    runs (they all train in driver mode; regime equivalence is
-    #    pytest-pinned in test_bpe.py) --
-    "cdc_dup_stats",
-    "sax_pairs",
-    "windowed_chunks",
-    "tokenizer_eval",
-    # -- fill: the 28 alphabetically-first of the 41 r8-dated queries
-    #    (newest driver row r8 — legal outside the window this round,
-    #    mandatory at r12; scheduling the oldest now keeps r12's
-    #    mandatory front to the 13 leftovers
-    #    similarity_pq_adc..zorder_events) --
-    "cheapest_supplier",
-    "cluster_split",
-    "corpus_profile",
-    "corpus_stats",
-    "customer_order_distribution",
-    "dedup_incremental_lsh",
-    "dedup_jaccard_prefix",
-    "dedup_simhash_pairs",
-    "dedup_verified_pairs",
-    "disjunctive_revenue",
-    "distinct_users_by_type_hll",
-    "doc_chunks",
-    "doc_surprisal",
-    "domain_cap",
-    "exact_quantiles_by_type",
-    "flat_map_rekey_ledger",
-    "idle_rich_customers",
-    "importance_weights",
-    "interval_overlap_left",
-    "lonely_returns",
-    "market_share",
-    "ngram_topk",
-    "partition_fingerprints",
-    "product_type_profit",
-    "quality_gopher",
-    "quality_topk_per_lang",
-    "sample_exact_per_group",
-    "session_reduce",
+    # -- rule 1, mandatory: the r8-dated cohort the r11 tripwire
+    #    named verbatim (13 names, minus the two of them retired
+    #    this round under policy item c: similarity_pq_adc,
+    #    text_stats) --
+    "small_quantity_revenue",
+    "supplier_pagerank",
+    "supplier_part_variety",
+    "surprisal_bigram",
+    "table_to_stream_count",
+    "temperature_mix",
+    "text_langid",
+    "token_budget_select",
+    "top_supplier",
+    "volume_shipping",
+    "zorder_events",
+    # -- new in round 12 (the pre-scheduled registrations; never
+    #    driver-verified, so they front).  Rule 2 note: no library
+    #    code path of any already-registered query changed this
+    #    round — dedup_simhash_pairs' oracle moved to the shared
+    #    _SIMHASH_PAIRS_ORACLE variable but its SQL text is
+    #    byte-identical (asserted by test_plans'
+    #    test_simhash_oracle_shared_text) --
+    "dedup_edit_verified",
+    "sample_weighted",
+    "sax_nearest",
+    "similarity_ivf_pq",
+    "vocab_coverage",
+    "wordpiece_eval",
+    # -- fill: the 33 alphabetically-first of the 41 surviving
+    #    r9-dated queries (newest driver row r9 — legal outside the
+    #    window this round, mandatory at r13; scheduling the oldest
+    #    now keeps r13's mandatory front to the 8 leftovers
+    #    retention_cohorts..vocab_drift) --
+    "asof_enrich",
+    "bm25_search",
+    "boilerplate_flag",
+    "bpe_merges",
+    "collocations_topk",
+    "corpus_curation",
+    "corpus_mix_upsample",
+    "decontaminate_bloom",
+    "dedup_containment_anti",
+    "dedup_embedding_cosine",
+    "dedup_keep_longest",
+    "doc_fingerprint",
+    "embedding_pq_codes",
+    "embedding_profile",
+    "event_funnel",
+    "event_gaps",
+    "events_skew_report",
+    "forecast_revenue",
+    "global_shuffle",
+    "heavy_hitters_cms",
+    "important_part_stock",
+    "join_explosion_check",
+    "kmeans_clusters",
+    "large_order_customers",
+    "late_shipment_priority",
+    "length_weighted_sample",
+    "local_supplier_volume",
+    "multimodal_meta",
+    "partition_diff",
+    "pii_redaction",
+    "priority_returned_orders",
+    "promotable_suppliers",
+    "range_bucket_join",
 ]
 
-# No over-subscription this round: the four new registrations all fit
-# inside the window alongside the 18 mandatory rotations, and the 28
-# fill slots hold r8-dated rotation.  (The tripwire keeps this list
+# No over-subscription this round: the six new registrations all fit
+# inside the window alongside the 11 mandatory rotations, and the 33
+# fill slots hold r9-dated rotation.  (The tripwire keeps this list
 # honest: a name may sit here ONLY while it is registered, has no
 # driver row yet, and every window slot is occupied by a mandatory
 # rotation or another never-verified query.)
 #
-# r12 plan (so the next window is predictable): mandatory front = the
-# 13 r8-dated leftovers (similarity_pq_adc, small_quantity_revenue,
-# supplier_pagerank, supplier_part_variety, surprisal_bigram,
-# table_to_stream_count, temperature_mix, text_langid, text_stats,
-# token_budget_select, top_supplier, volume_shipping, zorder_events);
-# planned registrations (landed library-level THIS round per policy
-# item b, each with its oracle generator already pytest-pinned
-# engine==oracle): a `wordpiece_eval` per-slice report over the
-# TRAINED WordPiece encode (wordpiece.eval_oracle_sql — or the
-# lengths shape via wordpiece.encode_lengths_oracle_sql; the merges
-# shape via wordpiece.merges_oracle_sql), a `dedup_edit_verified`
-# Levenshtein verification over the registered simhash pairs
-# (dedup.edit_verify_oracle_sql wraps the simhash query's own oracle
-# SQL), and a `vocab_coverage` coverage-curve query
-# (curation.vocab_coverage_oracle_sql — deliberately the naive
-# rank-every-word formulation), a `similarity_ivf_pq` IVFADC
-# composite query (analytics_queries.ivf_pq_oracle_sql — IVF
-# shortlist CTEs + PQ codebook CTEs + shortlist-restricted ADC;
-# NOTE: its centroid scoring rides the IVF-family broadcast
-# nested-loop pattern, so registration must add the name to
-# test_plans._BNLJ_OK),
-# a `sax_nearest` k-NN query
-# (timeseries.sax_nearest_oracle_sql), and a `sample_weighted`
-# data-mixing query (curation.sample_weighted_oracle_sql —
-# integer systematic sampling, token-count weights) — pick ≤ the ~10/round
-# budget, oldest claims first; fill = the oldest r9-dated tail
-# (~33 slots of the 44-query r9 pool), leaving ~11 r9 leftovers for
-# r13 — after which the registry can legally retire to <= 150 and
-# tighten the horizon to 2.
+# r13 plan (so the next window is predictable): mandatory front = the
+# 8 r9-dated leftovers (retention_cohorts, rolling_distinct_hll,
+# sample_split, sample_stratified, value_decile_by_type,
+# value_ohlc_daily, value_outliers_mad, vocab_drift); any new
+# registrations must land library-level in r12 with pytest-pinned
+# oracle generators first (policy item b) and be balanced 1:1 by
+# item-c retirements to hold N ≈ 155 (see the paydown-math note
+# above — do NOT retire below 151 without re-running that math);
+# fill = the oldest r10-dated tail (~42 of the 48-query r10 pool),
+# leaving ~6 r10 leftovers as r14's mandatory front.
 _DEFERRED_NEW: list[str] = []
 
 

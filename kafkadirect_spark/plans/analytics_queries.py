@@ -19,10 +19,15 @@ from kafkadirect_spark.plans.queries import query
 from kafkadirect_spark.sources.batch import load_table
 
 
-@query(
-    "distinct_orders_hll",
-    oracle=sketch.oracle_sql("lineitem", "l_orderkey"),
-)
+# RETIRED r12 (registration-budget policy item c): `distinct_orders_hll`
+# — GLOBAL HLL distinct count (r9 driver rows green).  Claim carried
+# by the surviving `distinct_users_by_type_hll` (the SAME sketch
+# kernel — sketch.hll_distinct/_grouped share the register pipeline —
+# run grouped, strictly stronger) and `rolling_distinct_hll` (the
+# windowed-merge variant).  The operator and its pytest goldens
+# (test_sketch.py) remain in the library; bench.py's fingerprint-
+# pinned `distinct_orders_hll` suite still calls this function
+# directly.
 def distinct_orders_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-order count over lineitem via the
     deterministic HyperLogLog sketch (functions/sketch.py): p=10 →
@@ -67,14 +72,15 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.shuffle_positions(docs, "doc_id", seed="shuffle")
 
 
-@query(
-    "sample_exact_count",
-    oracle=f"""
-    SELECT doc_id FROM documents
-    ORDER BY {_H.format(seed='sample')}, doc_id
-    LIMIT 200
-    """,
-)
+# RETIRED r12 (registration-budget policy item c): `sample_exact_count`
+# — exactly-n GLOBAL uniform sample (r9 driver rows green).  Claim
+# carried by the surviving `sample_exact_per_group` — the SAME
+# operator family (curation.sample_exact_n/_per_group share the
+# salted-hash order) run per-stratum, strictly stronger — and by the
+# incoming `sample_weighted` (integer systematic sampling over the
+# same salted-hash total order, of which the uniform draw is the
+# equal-weights special case).  The operator and its pytest goldens
+# (test_curation.py) remain in the library.
 def sample_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-200 uniform document sample, rerun-stable
     (functions/curation.py sample_exact_n): the 200 smallest rows in
@@ -1147,58 +1153,53 @@ def ivf_pq_oracle_sql(n: int = 3, nprobe: int = 4,
     """
 
 
-@query(
-    "similarity_pq_adc",
-    oracle=f"""
-    WITH {_pq_ctes()},
-    pt_0 AS (
-      SELECT pr.vec_id AS pid, c.cid,
-             CAST(list_sum(list_transform(generate_series(1, 16),
-                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
-                  AS BIGINT) AS t
-      FROM (SELECT vec_id, sv FROM q_0 WHERE vec_id < 3) pr
-      CROSS JOIN c1_0 c),
-    pt_1 AS (
-      SELECT pr.vec_id AS pid, c.cid,
-             CAST(list_sum(list_transform(generate_series(1, 16),
-                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
-                  AS BIGINT) AS t
-      FROM (SELECT vec_id, sv FROM q_1 WHERE vec_id < 3) pr
-      CROSS JOIN c1_1 c),
-    pt_2 AS (
-      SELECT pr.vec_id AS pid, c.cid,
-             CAST(list_sum(list_transform(generate_series(1, 16),
-                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
-                  AS BIGINT) AS t
-      FROM (SELECT vec_id, sv FROM q_2 WHERE vec_id < 3) pr
-      CROSS JOIN c1_2 c),
-    pt_3 AS (
-      SELECT pr.vec_id AS pid, c.cid,
-             CAST(list_sum(list_transform(generate_series(1, 16),
-                  i -> (pr.sv[i] - c.cv[i]) * (pr.sv[i] - c.cv[i])))
-                  AS BIGINT) AS t
-      FROM (SELECT vec_id, sv FROM q_3 WHERE vec_id < 3) pr
-      CROSS JOIN c1_3 c),
-    sc AS (
-      SELECT p0.pid, a2_0.vec_id AS neighbor_id,
-             p0.t + p1.t + p2.t + p3.t AS d
-      FROM a2_0
-      JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
-      JOIN a2_3 USING (vec_id)
-      JOIN pt_0 p0 ON p0.cid = a2_0.cid
-      JOIN pt_1 p1 ON p1.cid = a2_1.cid AND p1.pid = p0.pid
-      JOIN pt_2 p2 ON p2.cid = a2_2.cid AND p2.pid = p0.pid
-      JOIN pt_3 p3 ON p3.cid = a2_3.cid AND p3.pid = p0.pid
-      WHERE a2_0.vec_id <> p0.pid)
-    SELECT pid AS vec_id, neighbor_id,
-           CAST(rn AS INTEGER) AS rank, CAST(d AS BIGINT) AS adc_dist
-    FROM (SELECT pid, neighbor_id, d,
-                 ROW_NUMBER() OVER (PARTITION BY pid
-                                    ORDER BY d, neighbor_id) AS rn
-          FROM sc)
-    WHERE rn <= 3
-    """,
-)
+def ivf_pq_rerank_oracle_sql(n: int = 3, refine: int = 4,
+                             nprobe: int = 4, stride: int = 25,
+                             scale: int = 10_000, dim: int = 64,
+                             probe_pred: str = "vec_id < 3") -> str:
+    """DuckDB replay of ``similarity.ivf_pq_rerank(embeddings, ...)``
+    — IVFADC+R: the ivf_pq composite's oracle at n·refine as the
+    shortlist CTE, then the exact quantized squared L2 over the raw
+    embeddings for shortlist rows only, re-ranked with the engine's
+    tie-break (dist2 ASC, neighbor_id ASC).  Registration-ready for
+    r13 (landed library-level r12 per policy item b)."""
+    short = ivf_pq_oracle_sql(n=n * refine, nprobe=nprobe,
+                              stride=stride, probe_pred=probe_pred)
+    return f"""
+    WITH short AS ({short}),
+    qq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    d AS (
+      SELECT s.vec_id, s.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+                  i -> (pa.qv[i] - pb.qv[i]) * (pa.qv[i] - pb.qv[i])))
+                  AS BIGINT) AS dist2
+      FROM short s
+      JOIN qq pa ON pa.vec_id = s.vec_id
+      JOIN qq pb ON pb.vec_id = s.neighbor_id)
+    SELECT vec_id, neighbor_id, CAST(rn AS INTEGER) AS rank, dist2
+    FROM (SELECT vec_id, neighbor_id, dist2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist2, neighbor_id) AS rn
+          FROM d)
+    WHERE rn <= {n}
+    """
+
+
+# RETIRED r12 (registration-budget policy item c): `similarity_pq_adc`
+# — full-scan ADC top-k over the PQ codes (r8 driver rows green).
+# Claim carried by the incoming `similarity_ivf_pq` below, whose
+# IVFADC composite scores THE SAME per-probe ADC distance tables
+# (similarity.pq_topk and ivf_pq_topk share the codebook training and
+# the literal-map T_j[code_j] scoring) restricted to the IVF
+# shortlist — every ADC bit stays driver-checked through the
+# composite; the codebooks/codes themselves stay driver-checked
+# through `embedding_pq_codes`.  The operator and its pytest goldens
+# (test_llm_ops.py) remain in the library.
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance PQ search (functions/similarity.py
     pq_topk): top-3 neighbors for 3 probes scored as Σ_j T_j[code_j]
@@ -1215,6 +1216,30 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 3)
     return similarity.pq_topk(emb, "vec_id", "embedding", probes,
                               n=3, m=4, k=4, iters=2)
+
+
+@query("similarity_ivf_pq", oracle=ivf_pq_oracle_sql())
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC composite (functions/similarity.py ivf_pq_topk, Jégou
+    et al. 2011 — registered r12 per the r11 plan): the deterministic
+    coarse quantizer's inverted-list shortlist (broadcast centroids,
+    the similarity_ann_ivf pattern) scored by the PQ codebooks'
+    per-probe ADC literal tables, restricted to the probed lists —
+    per probe the scoring work is |probed lists| × m table lookups
+    and the raw vectors are never touched at query time.  The oracle
+    composes the IVF shortlist CTEs with the PQ codebook CTEs and
+    the shortlist-restricted ADC join.  Centroid scoring rides the
+    IVF-family broadcast nested-loop pattern (bounded by
+    max_probes × |centroids|) — allowlisted in test_plans._BNLJ_OK.
+    At sf0.1 the wall is dominated by in-loop codebook training; at
+    scale codebooks train once and queries pay only the shortlist."""
+    from kafkadirect_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_pq_topk(emb, "vec_id", "embedding", probes,
+                                  n=3, centroid_stride=25, nprobe=4,
+                                  m=4, k=4, iters=2)
 
 
 _EXQG = [500, 990]
@@ -1335,22 +1360,14 @@ def value_drift_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECILE_QS = [i * 100 for i in range(1, 10)]
 
 
-@query(
-    "value_decile_buckets",
-    oracle=f"""
-    WITH cuts AS {sketch.bucketize_sql_cuts(
-        "events", "CAST(FLOOR(value * 100) AS BIGINT)", 10)},
-    base AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v
-             FROM events WHERE value IS NOT NULL),
-    b AS (SELECT v,
-                 ({" + ".join(f"(v > c{q})::INT" for q in _DECILE_QS)})
-                   AS bucket
-          FROM base CROSS JOIN cuts)
-    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*)::BIGINT AS n,
-           MIN(v) AS min_v, MAX(v) AS max_v
-    FROM b GROUP BY 1
-    """,
-)
+# RETIRED r12 (registration-budget policy item c): `value_decile_buckets`
+# — GLOBAL exact equi-depth deciles (r9 driver rows green).  Claim
+# carried by the surviving `value_decile_by_type` — the SAME operator
+# (sketch.bucketize_by_quantiles over the shared histogram-narrowing
+# selection) run per-group, strictly stronger.  The operator and its
+# pytest goldens (test_sketch.py) remain in the library; bench.py's
+# fingerprint-pinned `value_decile_buckets` suite still calls this
+# function directly.
 def value_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-depth deciles of the event value
     (sketch.bucketize_by_quantiles): cuts are true order statistics
@@ -1545,3 +1562,30 @@ def sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         permilles=_SAX_CFG["permilles"],
         max_bucket=_SAX_CFG["max_bucket"])
     return pairs
+
+
+@query(
+    "sax_nearest",
+    oracle=timeseries.sax_nearest_oracle_sql(
+        _SAX_CFG["t0"], _SAX_CFG["t1"], k=3,
+        n_segments=_SAX_CFG["n_segments"],
+        permilles=_SAX_CFG["permilles"],
+        max_bucket=_SAX_CFG["max_bucket"]),
+)
+def sax_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user k-NN over the verified SAX pairs (functions/
+    timeseries.py sax_nearest — registered r12 per the r11 plan):
+    symmetrize the candidate pairs (each serves both endpoints), then
+    the salted two-phase per-group top-k — no task ever sorts a whole
+    user's candidate list alone; ties break exactly (dist2 ASC,
+    neighbor_id ASC) so ranks replay bit-for-bit.  Candidates are
+    bucket-bounded upstream (max_bucket), so the whole query is
+    candidate-sized, never |users|².  The oracle wraps the pairs
+    replay, symmetrizes, and ranks with the same tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    _, pairs, _ = timeseries.sax_pipeline(
+        ev, "user_id", "ts", "value", _SAX_CFG["t0"], _SAX_CFG["t1"],
+        n_segments=_SAX_CFG["n_segments"],
+        permilles=_SAX_CFG["permilles"],
+        max_bucket=_SAX_CFG["max_bucket"])
+    return timeseries.sax_nearest(pairs, k=3)

@@ -981,3 +981,44 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     return curation.nb_classify(train, docs, "doc_id", "text", "lang")
+
+
+_COVERAGE_KS = (10, 100, 1000, 100000)
+
+
+@query("vocab_coverage",
+       oracle=curation.vocab_coverage_oracle_sql(ks=_COVERAGE_KS))
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (functions/curation.py
+    vocab_coverage — registered r12 per the r11 plan): for each
+    vocabulary budget k, the exact share of corpus tokens a top-k
+    word vocabulary covers — WITHOUT ranking the vocabulary: the
+    count-of-counts table (O(√tokens) rows under Zipf) answers every
+    k from its cumulative sums, the ks ride as a literal-array
+    filter, and the plan is join-free (pinned by
+    test_vocab_coverage_plan_is_bounded).  One word-count exchange,
+    register-sized everything after; coverage_milli is truncating so
+    the replay is integer-exact.  The oracle is deliberately the
+    naive rank-every-word formulation — the shortcut is verified
+    against the definition, not against itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.vocab_coverage(docs, "text", ks=_COVERAGE_KS)
+
+
+@query("sample_weighted",
+       oracle=curation.sample_weighted_oracle_sql(100, _BPE_SQL))
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n weighted sampling (functions/curation.py
+    sample_weighted_n — registered r12 per the r11 plan): 100 draws
+    over the documents with BPE-ish token counts as weights — the
+    data-mixing shape (sample a token budget by length).  Integer
+    systematic sampling over the salted-hash total order: per-shard
+    prefix sums (no single-reducer global sort), a ≤shards-row
+    broadcast of shard offsets, DECIMAL(38,0) ceil arithmetic;
+    Σpicks = n exactly and every pick replays bit-for-bit in the
+    oracle's HUGEINT walk of the same order."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        text.bpe_token_count("text").cast("long").alias("w"))
+    return curation.sample_weighted_n(sized, "doc_id", "w", 100)

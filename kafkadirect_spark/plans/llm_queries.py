@@ -200,9 +200,10 @@ _SIMHASH_CTES = f"""
 # driver-checked through the pairs query.
 
 
-@query(
-    "dedup_simhash_pairs",
-    oracle=f"""
+# Shared by dedup_simhash_pairs AND (as the candidate CTE)
+# dedup_edit_verified's composed oracle — one definition so the two
+# registered replays can never drift apart.
+_SIMHASH_PAIRS_ORACLE = f"""
     WITH {_SIMHASH_CTES},
     bands AS (
       SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS v
@@ -213,8 +214,10 @@ _SIMHASH_CTES = f"""
     FROM bands a JOIN bands b USING (b, v)
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via 4-byte band buckets —
     pigeonhole makes candidate recall exact for distance < 4; only
@@ -264,21 +267,38 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_stats",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents)
-    SELECT doc_id,
-           CAST(len(w) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-           CASE WHEN len(w) > 0
-                THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
-                ELSE 0.0 END AS avg_token_len,
-           CASE WHEN len(w) > 0
-                THEN CAST(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(w)
-                ELSE 0.0 END AS stopword_ratio
-    FROM tok
-    """,
+    "dedup_edit_verified",
+    oracle=dedup.edit_verify_oracle_sql(_SIMHASH_PAIRS_ORACLE,
+                                        max_dist_milli=500),
 )
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein verification of the SimHash candidate pairs
+    (functions/dedup.py edit_verify_pairs — registered r12 per the
+    r11 plan): the candidates→verify composition with the STRONGEST
+    verifier — true edit distance over the canonical ASCII token
+    surface capped at max_chars (the stated-and-enforced O(n·m) cost
+    envelope), emitting the truncating dist_milli = 1000·lev DIV
+    max(len_a, len_b, 1).  Two candidate-sized hash joins against the
+    text projection, never corpus×corpus; the distance itself is
+    row-local JVM work.  The oracle wraps the registered simhash
+    query's own oracle SQL as the candidate CTE, so the verification
+    stage replays end-to-end on the same generator the driver already
+    checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.simhash_pairs(docs, "text", "doc_id",
+                               bits=32, max_hamming=3, n_bands=4)
+    return dedup.edit_verify_pairs(docs, cand, "text", "doc_id",
+                                   max_dist_milli=500)
+
+
+# RETIRED r12 (registration-budget policy item c): `text_stats` —
+# per-doc token counts / avg token length / stopword ratio (r8 driver
+# rows green).  Claim carried by the surviving `text_quality` (the
+# SAME per-doc row-local array expressions — token count, stopword
+# ratio — composed into the quality score) and `corpus_stats` (the
+# corpus-level reduction of the same token surface); every expression
+# stays driver-checked through those two.  The operator stays in the
+# library (functions/text.py) with its pytest goldens.
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring stats per doc: token counts, avg token length,
     stopword ratio — all JVM-side array expressions, zero shuffles."""
@@ -1222,5 +1242,36 @@ def tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = unigram.learn_unigram(docs, "text", **_UNIGRAM_PARAMS)
     enc = unigram.unigram_encode(docs, "doc_id", "text", model)
+    return tokeval.tokenizer_eval(docs, enc, "doc_id", "text",
+                                  "pieces", by="lang")
+
+
+from kafkadirect_spark.functions import wordpiece  # noqa: E402
+
+_WP_PARAMS = dict(n_merges=10, min_count=2, max_word_types=4096)
+
+
+@query("wordpiece_eval",
+       oracle=wordpiece.eval_oracle_sql(by="lang", **_WP_PARAMS))
+def wordpiece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-quality report over the TRAINED
+    WordPiece encode (functions/wordpiece.py — registered r12 per the
+    r11 plan): the THIRD tokenizer family driven through the SAME
+    tokeval consumer contract the unigram-backed `tokenizer_eval`
+    verifies, so the per-slice eval (fertility / compression /
+    char-fallback, integer parts-per-thousand) is driver-checked
+    against two families.  Training scores merges as the scaled
+    integer (pair·10^18) DIV (lhs·rhs) so the argmax replays
+    bit-exactly; encode is greedy longest-match with ## continuations
+    and whole-word [UNK], one stateless mapInPandas pass with a
+    bounded closure vocab — zero shuffles.  The oracle replays train
+    (unrolled merge rounds), encode (longest-match walk recursion)
+    and the eval reduction entirely in DuckDB SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = wordpiece.learn_wordpiece(docs, "text", **_WP_PARAMS)
+    enc = wordpiece.wordpiece_encode(
+        docs, "doc_id", "text", merges,
+        min_count=_WP_PARAMS["min_count"],
+        max_word_types=_WP_PARAMS["max_word_types"])
     return tokeval.tokenizer_eval(docs, enc, "doc_id", "text",
                                   "pieces", by="lang")

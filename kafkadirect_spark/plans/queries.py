@@ -297,15 +297,15 @@ def windowed_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r10 green).
 
 
-@query(
-    "windowed_sum_tumbling",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
-           MAX(value) AS max_value
-    FROM events GROUP BY 1, 2
-    """,
-)
+# RETIRED r12 (registration-budget policy item c): `windowed_sum_tumbling`
+# — tumbling-window SUM/MAX fold (r11 driver rows green; VERDICT r11
+# item 3 named the pair).  Claim carried by the surviving
+# `windowed_count_tumbling` (the SAME tumbling plan shape —
+# Stream.group_by().windowed_by(Windows.tumbling()) — cited as §2.5's
+# tumbling evidence) and `windowed_avg_hopping` (whose avg is computed
+# from the same windowed SUM aggregate over the harder overlapping-
+# window expansion).  The operator (TimeWindowedKStream.aggregate
+# beyond count) stays pytest-pinned in test_core/test_streaming.
 def windowed_sum_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed reduce/aggregate — TimeWindowedKStream.aggregate
     (TimeWindowedKStreamImpl.java:63-112): per-(window, key) fold

@@ -1400,3 +1400,137 @@ def test_sample_weighted_oracle_matches_engine(spark):
         100, bpe_sql)).fetchall())
     assert got == eng and eng
     assert sum(p for _, _, p in got) == 100
+
+
+def test_sample_weighted_per_group_basic(spark):
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], (i % 7) * 10) for i in range(60)]
+        + [(97, "a", 0), (98, "z", 0), (99, None, 50)],
+        "doc_id long, grp string, w long")
+    for n in (1, 5, 17):
+        out = curation.sample_weighted_n_per_group(
+            df, "grp", "doc_id", "w", n).collect()
+        per = {}
+        for r in out:
+            per[r.grp] = per.get(r.grp, 0) + r.picks
+        # exactly n in every positive-weight group; zero-weight group
+        # "z" and the NULL-group row emit nothing
+        assert per == {"a": n, "b": n, "c": n}
+        assert all(r.picks >= 1 for r in out)
+        assert all(r.doc_id not in (97, 98, 99) for r in out)
+    # determinism across layout; seed redraws
+    a = sorted(tuple(r) for r in curation.sample_weighted_n_per_group(
+        df, "grp", "doc_id", "w", 7).collect())
+    b = sorted(tuple(r) for r in curation.sample_weighted_n_per_group(
+        df.repartition(7), "grp", "doc_id", "w", 7).collect())
+    assert a == b
+    c = sorted(tuple(r) for r in curation.sample_weighted_n_per_group(
+        df, "grp", "doc_id", "w", 7, seed="other").collect())
+    assert a != c
+    with pytest.raises(ValueError, match="n must"):
+        curation.sample_weighted_n_per_group(df, "grp", "doc_id", "w", 0)
+    with pytest.raises(ValueError, match="group_cols"):
+        curation.sample_weighted_n_per_group(df, [], "doc_id", "w", 1)
+    with pytest.raises(ValueError, match="shards"):
+        curation.sample_weighted_n_per_group(df, "grp", "doc_id", "w",
+                                             1, shards=0)
+
+
+def test_sample_weighted_per_group_matches_model(spark):
+    """Engine == python per-group systematic-sampling model
+    (hypothesis): the global model run independently inside each
+    group over the same (shard, hash, id) order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkadirect_spark.functions.text import HASH_P
+
+    import hashlib
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) \
+            % 2147483647
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                              st.integers(min_value=0, max_value=500)),
+                    min_size=1, max_size=25),
+           st.integers(min_value=1, max_value=12))
+    def prop(gw, n):
+        rows = [(i, f"g{g}", w) for i, (g, w) in enumerate(gw)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, grp string, w long")
+        got = sorted((r.grp, r.doc_id, r.weight, r.picks)
+                     for r in curation.sample_weighted_n_per_group(
+                         df, "grp", "doc_id", "w", n).collect())
+        want = []
+        for g in sorted({r[1] for r in rows}):
+            grows = [(i, w) for i, gg, w in rows if gg == g]
+            W = sum(w for _, w in grows)
+            if W == 0:
+                continue
+            order = sorted(
+                grows, key=lambda t: ((phash("wsample" + str(t[0]))
+                                       % HASH_P) % 64,
+                                      phash("wsample" + str(t[0]))
+                                      % HASH_P, t[0]))
+            cw = 0
+            for i, w in order:
+                picks = (-(-(cw + w) * n // W)) - (-(-cw * n // W))
+                if picks > 0:
+                    want.append((g, i, w, picks))
+                cw += w
+        assert got == sorted(want)
+
+    prop()
+
+
+def test_sample_weighted_per_group_oracle_matches_engine(spark):
+    """Engine == DuckDB on real documents, token-count weights per
+    language — the stratified data-mixing shape (a fixed token budget
+    per language)."""
+    import duckdb
+
+    from kafkadirect_spark.functions import text
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    sized = docs.select("lang", "doc_id",
+                        text.bpe_token_count("text").cast("long")
+                        .alias("w"))
+    eng = sorted(tuple(r) for r in curation.sample_weighted_n_per_group(
+        sized, "lang", "doc_id", "w", 30).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    bpe_sql = ("CAST(len(regexp_extract_all(lower(text),"
+               " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT)")
+    got = sorted(con.sql(curation.sample_weighted_per_group_oracle_sql(
+        30, bpe_sql, "lang", group_out="lang")).fetchall())
+    assert got == eng and eng
+    per = {}
+    for g, _, _, p in got:
+        per[g] = per.get(g, 0) + p
+    assert all(v == 30 for v in per.values()) and len(per) >= 2
+
+
+def test_sample_weighted_per_group_plan_is_partitioned(spark):
+    """No unpartitioned window anywhere: the per-group offset table is
+    computed under a group-PARTITIONED window (unlike the global
+    sampler's allowlisted ≤shards-row offset window)."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a", 3)],
+                               "doc_id long, grp string, w long")
+    out = curation.sample_weighted_n_per_group(df, "grp", "doc_id",
+                                               "w", 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    import re
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "grp" in spec, f"unpartitioned window: {spec}"

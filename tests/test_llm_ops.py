@@ -1441,3 +1441,75 @@ def test_ivf_pq_guards(spark):
     with pytest.raises(ValueError, match="max_probes"):
         similarity.ivf_pq_topk(emb, "vec_id", "embedding", emb,
                                max_probes=2)
+
+
+def test_ivf_pq_rerank_refines_shortlist(spark):
+    """IVFADC+R (round 12): the re-ranked output is exactly the
+    per-probe top-n of the n·refine ADC shortlist under the EXACT
+    quantized squared L2 — subset of the shortlist, python-fold
+    distances, (dist2 ASC, neighbor_id ASC) tie-break."""
+    import math
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    kw = dict(centroid_stride=25, nprobe=4, m=4, k=4, iters=2)
+    short = [(r.vec_id, r.neighbor_id)
+             for r in similarity.ivf_pq_topk(
+                 emb, "vec_id", "embedding", probes, n=12,
+                 **kw).collect()]
+    got = sorted(tuple(r) for r in similarity.ivf_pq_rerank(
+        emb, "vec_id", "embedding", probes, n=3, refine=4,
+        **kw).collect())
+    assert {(r[0], r[1]) for r in got} <= set(short) and got
+
+    qv = {r.vec_id: [math.floor(float(x) * 10_000) for x in r.embedding]
+          for r in emb.select("vec_id", "embedding").collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(qv[a], qv[b]))
+
+    want = []
+    for pid in (0, 1, 2):
+        pool = sorted((d2(pid, nid), nid)
+                      for p, nid in short if p == pid)
+        for rank, (d, nid) in enumerate(pool[:3], start=1):
+            want.append((pid, nid, rank, d))
+    assert got == sorted(want)
+
+
+def test_ivf_pq_rerank_oracle_matches_engine(spark):
+    """Engine == the composed DuckDB replay (ivf_pq oracle at
+    n·refine as the shortlist CTE + exact quantized L2 re-rank) on
+    the real embeddings — registration-ready for r13."""
+    import duckdb
+
+    from kafkadirect_spark.plans.analytics_queries import (
+        ivf_pq_rerank_oracle_sql,
+    )
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    eng = sorted(tuple(r) for r in similarity.ivf_pq_rerank(
+        emb, "vec_id", "embedding", probes, n=3, refine=4,
+        centroid_stride=25, nprobe=4, m=4, k=4, iters=2).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    got = sorted(con.sql(ivf_pq_rerank_oracle_sql()).fetchall())
+    assert got == eng and eng
+
+
+def test_ivf_pq_rerank_guards(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n must"):
+        similarity.ivf_pq_rerank(emb, "vec_id", "embedding", emb, n=0)
+    with pytest.raises(ValueError, match="refine"):
+        similarity.ivf_pq_rerank(emb, "vec_id", "embedding", emb,
+                                 refine=0)

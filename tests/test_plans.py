@@ -197,6 +197,12 @@ def _lowcard_rank_windows(df):
 # broadcast IS the design (test_ivf_centroids_broadcast... above).
 _BNLJ_OK = {
     "similarity_ann_ivf",
+    # IVFADC composite (registered r12): its coarse-quantizer scoring
+    # is the SAME bounded centroid broadcast as similarity_ann_ivf
+    # (≤ |probes| × |centroids| rows by construction — probes are
+    # capped by max_probes, centroids by centroid_stride); the ADC
+    # stage after it is hash joins only.
+    "similarity_ivf_pq",
     # Q22 shape: the global (sum_cents, n) one-ROW aggregate is
     # cross-joined onto customer as a broadcast literal — the scalar
     # subquery pattern the allowlist exists for.
@@ -252,6 +258,19 @@ _GLOBAL_WINDOW_OK = {
     # rows, default 1000) — quantile estimation over a sketch, not a
     # data sort.
     "value_quantiles_hist",
+    # same offset-table shape as global_shuffle/token_budget_select,
+    # over per-shard WEIGHT SUMS (≤ `shards` rows, default 1024) —
+    # the systematic-sampling offsets + grand total, not a data sort
+    # (registered r12; the data-sized prefix sums run under the
+    # shard-PARTITIONED window).
+    "sample_weighted",
+    # running-sum over the COUNT-OF-COUNTS table (one row per distinct
+    # occurrence count — ≤ O(√corpus_tokens) rows by the pigeonhole
+    # bound Σn·cnt ≥ m(m+1)/2, ~5M tiny rows at 100 TB) — the
+    # coverage-curve cumulative, not a data or vocabulary sort
+    # (registered r12; the word-count exchange itself is hash-
+    # partitioned and the vocabulary is never ranked).
+    "vocab_coverage",
 }
 
 
@@ -545,6 +564,21 @@ def test_rotation_keeps_driver_rows_fresh():
         f"{stale} — promote them in kafkadirect_spark/plans/__init__.py "
         "_PROMOTED"
     )
+
+
+def test_simhash_oracle_shared_text():
+    """dedup_edit_verified's oracle composes the simhash query's own
+    oracle SQL as its candidate CTE (r12).  Pin that (a) the
+    registered simhash oracle IS the shared _SIMHASH_PAIRS_ORACLE
+    variable, and (b) the composed oracle embeds that exact text —
+    so the two registered replays can never drift apart, and a future
+    edit to the simhash oracle visibly changes BOTH (rule 2 re-fronts
+    both)."""
+    from kafkadirect_spark.plans import ORACLE_SQL
+    from kafkadirect_spark.plans.llm_queries import _SIMHASH_PAIRS_ORACLE
+
+    assert ORACLE_SQL["dedup_simhash_pairs"] == _SIMHASH_PAIRS_ORACLE
+    assert _SIMHASH_PAIRS_ORACLE in ORACLE_SQL["dedup_edit_verified"]
 
 
 def test_promoted_names_all_registered():

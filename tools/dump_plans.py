@@ -183,15 +183,19 @@ HEADLINERS = {
 
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
-    # r11: retired-but-kept suite functions (unregistered near-dup
+    # r11/r12: retired-but-kept suite functions (unregistered near-dup
     # consolidations whose plans stay headliners/bench suites)
     from kafkadirect_spark.plans.analytics_queries import (
+        distinct_orders_hll as _distinct_orders_hll_q,
         interval_overlap_join as _interval_overlap_join_q,
+        value_decile_buckets as _value_decile_buckets_q,
     )
     from kafkadirect_spark.session import get_spark
 
     lookup = dict(QUERIES)
     lookup["interval_overlap_join"] = _interval_overlap_join_q
+    lookup["distinct_orders_hll"] = _distinct_orders_hll_q
+    lookup["value_decile_buckets"] = _value_decile_buckets_q
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dump-plans")

@@ -132,6 +132,80 @@ def pq_probe(sf_dir: str = "/root/testdata/sf0.1",
     spark.stop()
 
 
+def ivf_pq_probe(sf_dir: str = "/root/testdata/sf0.1",
+                 n: int = 10,
+                 nprobes: tuple[int, ...] = (1, 2, 4, 8)) -> None:
+    """IVFADC recall + wall probe (VERDICT r11 item 6): at each
+    nprobe, compare ivf_pq_topk's neighbor sets against TWO
+    baselines on the full sf0.1 embeddings —
+
+    * ``recall_vs_blas``: exact cosine top-n (cosine_topk_blas) —
+      end-to-end recall, paying BOTH the PQ quantization loss and
+      the shortlist loss (and the cosine-vs-L2 metric gap on these
+      unnormalized vectors);
+    * ``recall_vs_pq``: full-scan ADC top-n (pq_topk, the same
+      codebooks/metric) — isolates the SHORTLIST loss alone: the
+      fraction of what full ADC would return that the nprobe-bounded
+      inverted lists still reach.
+
+    Walls are printed for all three so the probe shows what the
+    shortlist buys: ivf_pq scoring touches |probed lists| × m code
+    rows per probe vs pq_topk's whole-index ADC scan.  Collects are
+    probe-sized (≤ 64·n rows per arm)."""
+    from kafkadirect_spark.functions import similarity
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    spark = get_spark("ivf-pq-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
+    # % 37 keeps the probe set under the 64-probe ADC literal-table
+    # cap at sf0.1 (2000 vectors → 55 probes; % 31 gave 65)
+    probes = emb.filter(F.col("vec_id") % 37 == 0)
+
+    def topsets(rows):
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r[0], set()).add(r[1])
+        return out
+
+    t0 = time.perf_counter()
+    blas = topsets(similarity.cosine_topk_blas(
+        emb, "vec_id", "embedding", k=n, probes=probes)
+        .select("vec_id", "neighbor_id").collect())
+    blas_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    full_adc = topsets(similarity.pq_topk(
+        emb, "vec_id", "embedding", probes, n=n, m=4, k=16, iters=2)
+        .select("vec_id", "neighbor_id").collect())
+    pq_sec = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": "ivf_pq_recall", "arm": "baselines",
+                      "probes": len(blas), "n": n,
+                      "blas_sec": blas_sec, "pq_full_sec": pq_sec}),
+          flush=True)
+
+    def recall(got: dict, want: dict) -> float:
+        hit = sum(len(got.get(p, set()) & s) for p, s in want.items())
+        tot = sum(len(s) for s in want.values())
+        return round(hit / tot, 3) if tot else 1.0
+
+    for nprobe in nprobes:
+        t0 = time.perf_counter()
+        got = topsets(similarity.ivf_pq_topk(
+            emb, "vec_id", "embedding", probes, n=n,
+            centroid_stride=25, nprobe=nprobe, m=4, k=16, iters=2)
+            .select("vec_id", "neighbor_id").collect())
+        sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "ivf_pq_recall", "nprobe": nprobe,
+                          "n": n, "sec": sec,
+                          "recall_vs_blas": recall(got, blas),
+                          "recall_vs_pq": recall(got, full_adc)}),
+              flush=True)
+    emb.unpersist()
+    spark.stop()
+
+
 def bpe_probe(sf_dir: str = "/root/testdata/sf0.1",
               steps: tuple[int, ...] = (1, 16, 64)) -> None:
     """BPE training scale probe, two growth regimes per step:
@@ -793,6 +867,10 @@ if __name__ == "__main__":
     if "--pq" in args:
         args.remove("--pq")
         pq_probe(args[0] if args else "/root/testdata/sf0.1")
+        sys.exit(0)
+    if "--ivf-pq" in args:
+        args.remove("--ivf-pq")
+        ivf_pq_probe(args[0] if args else "/root/testdata/sf0.1")
         sys.exit(0)
     if "--bpe" in args:
         args.remove("--bpe")
