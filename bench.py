@@ -68,6 +68,41 @@ def _ivf_pq_suite(spark, sf_dir):
                                   m=4, k=4, iters=2)
 
 
+def _ivf_pq_rerank_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import similarity
+    from kafkadirect_spark.sources.batch import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_pq_rerank(emb, "vec_id", "embedding",
+                                    probes, n=3, refine=4,
+                                    centroid_stride=25, nprobe=4,
+                                    m=4, k=4, iters=2)
+
+
+def _sample_weighted_group_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import curation, text
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("lang", "doc_id",
+                        text.bpe_token_count("text").cast("long")
+                        .alias("w"))
+    return curation.sample_weighted_n_per_group(sized, "lang",
+                                                "doc_id", "w", 200)
+
+
+def _contamination_report_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contamination_report(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id")
+
+
 def _wordpiece_suite(spark, sf_dir):
     from kafkadirect_spark.functions import wordpiece
     from kafkadirect_spark.sources.batch import load_table
@@ -307,6 +342,15 @@ def main() -> None:
         # integer systematic weighted sampling (two-phase shard
         # prefix sums + one bounded broadcast)
         "sample_weighted": _sample_weighted_suite,
+        # r12 library-level operators, benched from their landing
+        # round: IVFADC+R (the ivf_pq plan + one shortlist-sized
+        # refinement join and window), the stratified weighted
+        # sampler (per-(group, shard) partitioned prefix sums), and
+        # the exact per-eval-doc contamination audit (corpus streams
+        # through broadcast semi-join, nothing corpus-sized shuffles)
+        "similarity_ivf_pq_rerank": _ivf_pq_rerank_suite,
+        "sample_weighted_group": _sample_weighted_group_suite,
+        "contamination_report": _contamination_report_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -2163,3 +2163,117 @@ def sample_weighted_per_group_oracle_sql(
     WHERE grand_w > 0
       AND ({cd.format(x='(cw + w)')} - {cd.format(x='cw')}) > 0
     """
+
+
+def contamination_report(train: DataFrame, eval_df: DataFrame,
+                         text_col: str, id_col: str,
+                         n: int = 8) -> DataFrame:
+    """Exact per-EVAL-doc contamination audit — the report
+    ``decontaminate``'s boolean flag and ``decontaminate_bloom``'s
+    approximate filter cannot give: for every evaluation document,
+    how many of its distinct word ``n``-grams appear ANYWHERE in the
+    training corpus, and the truncating ratio
+    ``contamination_milli = 1000·n_contaminated DIV max(n_grams, 1)``.
+    This is the benchmark-leakage number an eval-suite owner reads
+    before trusting a score (Brown et al. 2020 §4 measure leakage
+    per eval example, not per train doc).
+
+    Returns ``(id_col, n_grams, n_contaminated, contamination_milli)``
+    for EVERY eval doc — docs too short for one ``n``-gram report
+    (0, 0, 0).
+
+    Scale shape (the decontaminate recipe, direction reversed): the
+    eval side is MB-scale by assumption, so its distinct gram-hash
+    set BROADCASTS to the train corpus; the corpus streams through
+    ONCE via a broadcast semi-join (no corpus-side shuffle), and only
+    the HIT hashes (≤ |eval grams| rows by construction) come back to
+    be distinct-ed and joined — broadcast again — onto the per-doc
+    eval gram table.  One exchange over eval grams, one bounded hit
+    exchange, one per-doc aggregate; nothing corpus-sized moves.
+    Membership is on ``portable_hash`` of the gram (31-bit), exactly
+    replayed by the oracle — collisions can only over-count
+    contamination (the conservative direction for a leakage audit).
+
+    Reference analogue: none (SURVEY.md §2 — no document model);
+    beyond-parity curation machinery beside ``decontaminate`` /
+    ``decontaminate_bloom`` (train-side filters) — this is the
+    eval-side report.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    eg = (_widen(eval_df.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col),
+                  F.explode(shingles(tokens(text_col), n)).alias("__g"))
+          .select(id_col, portable_hash(F.col("__g")).alias("__gh"))
+          .distinct())
+    eval_hashes = F.broadcast(eg.select("__gh").distinct())
+    hits = F.broadcast(
+        _widen(train.select(F.col(text_col)))
+        .select(F.explode(shingles(tokens(text_col), n)).alias("__g"))
+        .select(portable_hash(F.col("__g")).alias("__gh"))
+        .join(eval_hashes, "__gh", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1)))
+    per = (eg.join(hits, "__gh", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long").alias("n_contaminated")))
+    base = eval_df.select(F.col(id_col))
+    # per is ≤ |eval docs| rows — broadcast under the same MB-scale
+    # eval assumption, so the zero-gram backfill join never sorts
+    out = (base.join(F.broadcast(per), id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("n_grams", F.lit(0).cast("long"))
+                   .alias("n_grams"),
+                   F.coalesce("n_contaminated", F.lit(0).cast("long"))
+                   .alias("n_contaminated")))
+    return out.withColumn(
+        "contamination_milli",
+        F.expr("CAST(1000 * n_contaminated DIV "
+               "greatest(n_grams, 1) AS BIGINT)"))
+
+
+def contamination_report_oracle_sql(
+        n: int = 8, table: str = "documents", id_col: str = "doc_id",
+        text_col: str = "text", train_pred: str = "doc_id % 2 = 0",
+        eval_pred: str = "doc_id % 2 = 1") -> str:
+    """DuckDB replay of ``contamination_report(train, eval)`` where
+    both sides are predicates over one table — the same tokenize /
+    ``n``-gram / portable-hash pipeline, membership on the hash
+    (collisions replay identically), truncating milli ratio.
+    Registration-ready for r13 (landed library-level r12 per policy
+    item b)."""
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    gram = " || ' ' || ".join(f"w[g+{j}]" for j in range(n))
+    ph = f"(('0x' || substr(md5({gram}), 1, 14))::BIGINT % 2147483647)"
+    return f"""
+    WITH tok AS (SELECT {id_col} AS id,
+                        ({train_pred}) AS is_train,
+                        ({eval_pred}) AS is_eval,
+                        {tok} AS w
+                 FROM {table}
+                 WHERE ({eval_pred}) OR ({train_pred})),
+    gh AS (
+      SELECT id, is_train, is_eval, {ph} AS h
+      FROM (SELECT id, is_train, is_eval, w,
+                   unnest(generate_series(1, len(w) - {n - 1})) AS g
+            FROM tok WHERE len(w) >= {n})),
+    eg AS (SELECT DISTINCT id, h FROM gh WHERE is_eval),
+    tg AS (SELECT DISTINCT h FROM gh WHERE is_train),
+    per AS (
+      SELECT eg.id,
+             COUNT(*)::BIGINT AS n_grams,
+             COUNT(tg.h)::BIGINT AS n_contaminated
+      FROM eg LEFT JOIN tg ON tg.h = eg.h
+      GROUP BY eg.id)
+    SELECT e.{id_col},
+           COALESCE(per.n_grams, 0)::BIGINT AS n_grams,
+           COALESCE(per.n_contaminated, 0)::BIGINT AS n_contaminated,
+           (1000 * COALESCE(per.n_contaminated, 0)
+            // greatest(COALESCE(per.n_grams, 0), 1))::BIGINT
+             AS contamination_milli
+    FROM (SELECT {id_col} FROM {table} WHERE {eval_pred}) e
+    LEFT JOIN per ON per.id = e.{id_col}
+    """

@@ -1534,3 +1534,70 @@ def test_sample_weighted_per_group_plan_is_partitioned(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "grp" in spec, f"unpartitioned window: {spec}"
+
+
+def test_contamination_report_hand_checked(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"),       # grams: a..h, b..i, c..j
+         (2, "z z z z z z z z")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h x y"),        # 3 grams, 1 hit (a..h)
+         (3, "too short"),                  # < 8 tokens -> 0 grams
+         (5, "z z z z z z z z")],           # 1 gram, 1 hit
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.n_contaminated,
+                      r.contamination_milli)
+           for r in curation.contamination_report(
+               train, ev, "text", "doc_id", n=8).collect()}
+    assert out[1] == (3, 1, 333)
+    assert out[3] == (0, 0, 0)
+    assert out[5] == (1, 1, 1000)
+    with pytest.raises(ValueError, match="n must"):
+        curation.contamination_report(train, ev, "text", "doc_id", n=0)
+
+
+def test_contamination_report_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real documents (even half as the
+    corpus, odd half as the eval set) — hash-membership replay
+    including any 31-bit collisions."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    eng = sorted(tuple(r) for r in curation.contamination_report(
+        train, ev, "text", "doc_id", n=8).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        curation.contamination_report_oracle_sql(n=8)).fetchall())
+    assert got == eng and eng
+    assert any(r[3] > 0 for r in eng)  # real leakage present
+
+
+def test_contamination_report_corpus_side_never_shuffles(spark):
+    """Plan pin (the decontaminate contract, direction reversed): the
+    train corpus reaches its semi-join through broadcasts only — no
+    SortMergeJoin, no CartesianProduct anywhere; every join is
+    broadcast (eval hashes out, bounded hits back)."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(6)],
+        "doc_id long, text string")
+    out = curation.contamination_report(
+        df.filter(F.col("doc_id") % 2 == 0),
+        df.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -202,6 +202,21 @@ def ivf_pq_probe(sf_dir: str = "/root/testdata/sf0.1",
                           "recall_vs_blas": recall(got, blas),
                           "recall_vs_pq": recall(got, full_adc)}),
               flush=True)
+        # IVFADC+R arm: same shortlist, exact refinement at refine=4 —
+        # the recall it buys back over raw ADC ranking is the
+        # operator's whole claim
+        t0 = time.perf_counter()
+        rr = topsets(similarity.ivf_pq_rerank(
+            emb, "vec_id", "embedding", probes, n=n, refine=4,
+            centroid_stride=25, nprobe=nprobe, m=4, k=16, iters=2)
+            .select("vec_id", "neighbor_id").collect())
+        rsec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "ivf_pq_rerank_recall",
+                          "nprobe": nprobe, "n": n, "refine": 4,
+                          "sec": rsec,
+                          "recall_vs_blas": recall(rr, blas),
+                          "recall_vs_pq": recall(rr, full_adc)}),
+              flush=True)
     emb.unpersist()
     spark.stop()
 
