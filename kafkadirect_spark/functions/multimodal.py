@@ -3,10 +3,14 @@ with a typed metadata struct, processed by Arrow-batched mapInPandas.
 
 The Spark-side plumbing — schema, partition-parallel batch iteration,
 UDF signatures — is real and tested.  The codec layer is split
-honestly in two (round 11): formats needing no codec library are
-REAL end-to-end — RIFF/WAVE PCM (stdlib ``wave``: decode, integer
-feature extraction) and binary PNM images (P5/P6: decode, features,
-block-mean resize, re-encode) — while compressed formats (JPEG/PNG/
+honestly in two: formats needing no codec library are REAL
+end-to-end — RIFF/WAVE PCM (stdlib ``wave``), Sun AU with exact
+integer G.711 µ-law expansion/compression (round 12), the FULL
+netpbm family P1-P6 (binary, ASCII and packed-bitmap rasters,
+sub-8-bit maxval normalization; round 12 widened P5/P6-only), and
+uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up/top-down, row
+padding; round 12) — decode, integer feature extraction, block-mean
+resize, re-encode all real — while compressed formats (JPEG/PNG/
 MP3/H.264; PIL/ffmpeg absent in this environment) remain behind
 ``decode_stub``: a clearly-marked deterministic fake that derives
 pseudo-metadata from the bytes, or raises NotImplementedError in
@@ -237,16 +241,25 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_pnm(payload: bytes) -> dict:
-    """REAL decode of a binary PNM payload (P5/P6): parses the
+    """REAL decode of a PNM payload — the FULL netpbm family as of
+    round 12: binary P5 (gray) / P6 (RGB) / P4 (packed 1-bit bitmap)
+    and ASCII P1 (bitmap) / P2 (gray) / P3 (RGB).  Parses the
     whitespace/comment-tolerant header, returns pixels as a flat
-    row-major byte list."""
-    if payload[:2] not in (b"P5", b"P6"):
-        raise ValueError("not a binary PNM payload")
-    channels = 1 if payload[:2] == b"P5" else 3
-    # header: magic, width, height, maxval — tokens separated by
+    row-major list.  Bitmap formats follow the netpbm convention
+    (1 = black): values are emitted ALREADY scaled to 0/255
+    (1 → 0, 0 → 255) so features mean the same thing across the
+    family."""
+    magic = payload[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError("not a PNM payload")
+    kind = int(magic[1:2])
+    channels = 3 if kind in (3, 6) else 1
+    bitmap = kind in (1, 4)
+    # header: magic, width, height[, maxval] — tokens separated by
     # whitespace, '#' comments run to end-of-line
+    want = 2 if bitmap else 3
     pos, fields = 2, []
-    while len(fields) < 3:
+    while len(fields) < want:
         while pos < len(payload) and payload[pos:pos + 1].isspace():
             pos += 1
         if payload[pos:pos + 1] == b"#":
@@ -257,35 +270,241 @@ def decode_pnm(payload: bytes) -> dict:
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1  # exactly one whitespace after maxval, per spec
-    width, height, maxval = fields
+    width, height = fields[0], fields[1]
+    maxval = 1 if bitmap else fields[2]
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not wired (maxval <= 255)")
     n = width * height * channels
-    pix = payload[pos:pos + n]
-    if len(pix) != n:
-        raise ValueError("truncated PNM raster")
+    if kind in (5, 6):                      # binary byte raster
+        pos += 1  # exactly one whitespace after maxval, per spec
+        pix = payload[pos:pos + n]
+        if len(pix) != n:
+            raise ValueError("truncated PNM raster")
+        pixels = list(pix)
+    elif kind == 4:                         # packed bits, row-padded
+        pos += 1
+        stride = -(-width // 8)
+        if len(payload) - pos < stride * height:
+            raise ValueError("truncated PNM raster")
+        pixels = []
+        for y in range(height):
+            row = payload[pos + y * stride:pos + (y + 1) * stride]
+            for x in range(width):
+                bit = (row[x >> 3] >> (7 - (x & 7))) & 1
+                pixels.append(0 if bit else 255)
+    elif kind == 1:                         # ASCII bitmap: digits may
+        vals, i = [], pos                   # pack without whitespace
+        while i < len(payload) and len(vals) < n:
+            c = payload[i:i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i:i + 1] != b"\n":
+                    i += 1
+            elif c in (b"0", b"1"):
+                vals.append(int(c))
+                i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                raise ValueError("bad P1 raster character")
+        if len(vals) < n:
+            raise ValueError("truncated PNM raster")
+        pixels = [0 if v else 255 for v in vals]
+    else:                                   # P2/P3 — ASCII tokens
+        toks = payload[pos:].split()
+        if len(toks) < n:
+            raise ValueError("truncated PNM raster")
+        vals = [int(t) for t in toks[:n]]
+        if any(v < 0 or v > maxval for v in vals):
+            raise ValueError("PNM sample out of range")
+        pixels = vals
+    if not bitmap and maxval != 255:
+        # normalize sub-8-bit rasters to the family's 0-255 surface
+        # (truncating ×255 DIV maxval — integer-exact)
+        pixels = [v * 255 // maxval for v in pixels]
     return {"codec": "pnm", "width": width, "height": height,
-            "channels": channels, "pixels": list(pix)}
+            "channels": channels, "pixels": pixels}
+
+
+def encode_bmp(pixels, width: int, height: int) -> bytes:
+    """Serialize RGB pixels (row-major top-down, ``width·height·3``
+    values) into a REAL 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    BI_RGB): bottom-up rows, BGR byte order, 4-byte row padding —
+    payloads built here open in any image viewer."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel count != width*height*3")
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    header = (b"BM"
+              + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                            0, img_size, 2835, 2835, 0, 0))
+    out = bytearray(header)
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height - 1, -1, -1):          # bottom-up
+        for x in range(width):
+            r, g, b = pixels[(y * width + x) * 3:(y * width + x) * 3 + 3]
+            out += bytes((b, g, r))               # BGR on disk
+        out += pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER or
+    larger, BI_RGB): honors the pixel-array offset, bottom-up or
+    top-down row order, BGR byte order and 4-byte row padding;
+    returns pixels as a flat row-major top-down RGB list.  Paletted /
+    compressed / other-depth BMPs raise NotImplementedError (labeled
+    — wire a real codec box for those)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not wired")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) not wired")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bit BMP not wired (24 only)")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(payload) - pix_off < stride * height:
+        raise ValueError("truncated BMP pixel array")
+    pixels = []
+    for oy in range(height):
+        y = oy if top_down else height - 1 - oy
+        row = payload[pix_off + y * stride:pix_off + y * stride + width * 3]
+        for x in range(width):
+            b, g, r = row[x * 3:x * 3 + 3]
+            pixels += [r, g, b]
+    return {"codec": "bmp", "width": width, "height": height,
+            "channels": 3, "pixels": pixels}
+
+
+# --- Sun AU audio: 24-byte big-endian header + raw samples.  µ-law
+# decode/encode are the exact G.711 integer formulas — no codec
+# library, no floats, replayable anywhere. ---
+
+_AU_MAGIC = b".snd"
+
+
+def ulaw_to_pcm16(u: int) -> int:
+    """Exact G.711 µ-law expansion (one byte → int16), the table-free
+    integer formula (ITU-T G.711; bias 0x84, 8 segments)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
+
+
+_ULAW_SEG_END = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+
+
+def pcm16_to_ulaw(x: int) -> int:
+    """Exact G.711 µ-law compression (int16 → one byte): the sox /
+    CPython-``audioop`` 14-bit reference algorithm (arithmetic >>2,
+    clip 8159, bias 33, segment table) — byte-identical to
+    ``audioop.lin2ulaw`` on all inputs (differential-tested), and
+    inverse-consistent with ``ulaw_to_pcm16`` up to µ-law
+    quantization."""
+    x = int(x) >> 2                    # floors negatives, like C >>
+    if x < 0:
+        x = -x
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    x = min(x, 8159) + (0x84 >> 2)
+    for seg, end in enumerate(_ULAW_SEG_END):
+        if x <= end:
+            return ((seg << 4) | ((x >> (seg + 1)) & 0x0F)) ^ mask
+    return 0x7F ^ mask
+
+
+def encode_au(samples, sample_rate: int = 8000, channels: int = 1,
+              encoding: str = "ulaw") -> bytes:
+    """Serialize int16 samples into a REAL Sun AU payload — µ-law
+    (encoding 1, via the exact G.711 compressor) or 16-bit linear PCM
+    big-endian (encoding 3)."""
+    import struct
+
+    if encoding == "ulaw":
+        data = bytes(pcm16_to_ulaw(int(s)) for s in samples)
+        enc = 1
+    elif encoding == "pcm16":
+        data = struct.pack(f">{len(samples)}h", *samples)
+        enc = 3
+    else:
+        raise ValueError("encoding must be 'ulaw' or 'pcm16'")
+    header = _AU_MAGIC + struct.pack(">IIIII", 24, len(data), enc,
+                                     sample_rate, channels)
+    return header + data
+
+
+def decode_au(payload: bytes) -> dict:
+    """REAL decode of a Sun AU payload: big-endian header, then µ-law
+    (encoding 1 — expanded through the exact G.711 formula) or 16-bit
+    linear PCM BE (encoding 3) to an int16 sample list.  Other
+    encodings raise NotImplementedError (labeled)."""
+    import struct
+
+    if payload[:4] != _AU_MAGIC:
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, ch = struct.unpack_from(">IIIII", payload, 4)
+    if size == 0xFFFFFFFF:                    # "unknown size" marker
+        size = len(payload) - off
+    data = payload[off:off + size]
+    if len(data) != size:
+        raise ValueError("truncated AU data")
+    if enc == 1:
+        samples = [ulaw_to_pcm16(b) for b in data]
+        codec = "ulaw"
+    elif enc == 3:
+        samples = list(struct.unpack(f">{len(data) // 2}h",
+                                     data[:len(data) // 2 * 2]))
+        codec = "pcm_s16be"
+    else:
+        raise NotImplementedError(f"AU encoding {enc} not wired "
+                                  "(1=µ-law, 3=PCM16 only)")
+    return {"codec": codec, "sample_rate": rate, "channels": ch,
+            "n_frames": len(samples) // max(ch, 1), "samples": samples}
 
 
 def sniff_media(payload: bytes) -> str | None:
-    """Container sniff by magic bytes: 'wav' / 'pnm' for the real
-    decoder paths, None for everything else (stub territory)."""
+    """Container sniff by magic bytes: 'wav' / 'au' / 'pnm' / 'bmp'
+    for the real decoder paths, None for everything else (stub
+    territory)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
-    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
+    if payload[:4] == _AU_MAGIC:
+        return "au"
+    if (payload[:1] == b"P" and payload[1:2] in b"123456"
+            and payload[2:3].isspace()):
         return "pnm"
+    if payload[:2] == b"BM":
+        return "bmp"
     return None
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """REAL audio feature extraction over WAV-PCM payloads
+    """REAL audio feature extraction over WAV-PCM and Sun-AU payloads
+    (µ-law expanded through the exact G.711 integers — round 12)
     (mapInPandas, Arrow-batched, zero shuffles): per payload —
     ``(doc_id, sample_rate, channels, n_samples, duration_ms, peak,
     energy_mean, zero_crossings)``.  All integers: peak = max |s|,
     energy_mean = Σs² DIV n (truncating mean square), zero_crossings
-    counts sign flips over the interleaved stream.  Non-WAV payloads
+    counts sign flips over the interleaved stream.  Other payloads
     are skipped (emit nothing) — route compressed formats to a real
     codec box, not past it."""
     import pandas as pd
@@ -306,9 +525,10 @@ def audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                if sniff_media(b) != "wav":
+                kind = sniff_media(b)
+                if kind not in ("wav", "au"):
                     continue
-                d = decode_wav(b)
+                d = decode_wav(b) if kind == "wav" else decode_au(b)
                 s = d["samples"]
                 n = len(s)
                 nz = [x for x in s if x != 0]
@@ -331,10 +551,11 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """REAL image feature extraction over binary PNM payloads
-    (mapInPandas, zero shuffles): ``(doc_id, width, height, channels,
-    mean_milli, min_px, max_px)`` with the mean as a truncating
-    ×1000 integer.  Non-PNM payloads emit nothing."""
+    """REAL image feature extraction over PNM (full P1-P6 family) and
+    24-bit BMP payloads (round 12) (mapInPandas, zero shuffles):
+    ``(doc_id, width, height, channels, mean_milli, min_px, max_px)``
+    with the mean as a truncating ×1000 integer.  Other payloads emit
+    nothing."""
     import pandas as pd
 
     out_schema = StructType([
@@ -352,9 +573,10 @@ def image_features(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                if sniff_media(b) != "pnm":
+                kind = sniff_media(b)
+                if kind not in ("pnm", "bmp"):
                     continue
-                d = decode_pnm(b)
+                d = decode_pnm(b) if kind == "pnm" else decode_bmp(b)
                 px = d["pixels"]
                 rows.append({
                     "doc_id": doc_id,
@@ -369,16 +591,10 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
-def resize_pnm(payload: bytes, factor: int) -> bytes:
-    """REAL image downsample for binary PNM payloads: ``factor×factor``
-    block mean (truncating integer division; ragged right/bottom
-    blocks average their actual pixels), re-encoded as PNM.  This is
-    an actual resize — decode → resample → re-encode — not the
-    byte-slice stub."""
-    if factor < 1:
-        raise ValueError("factor must be >= 1")
-    d = decode_pnm(payload)
-    w, h, c, px = d["width"], d["height"], d["channels"], d["pixels"]
+def _block_mean(px, w: int, h: int, c: int, factor: int) -> tuple:
+    """``factor×factor`` block mean (truncating integer division;
+    ragged right/bottom blocks average their actual pixels) — the
+    shared resample kernel behind the PNM and BMP resizes."""
     ow, oh = -(-w // factor), -(-h // factor)
     out = bytearray()
     for oy in range(oh):
@@ -390,13 +606,38 @@ def resize_pnm(payload: bytes, factor: int) -> bytes:
                         acc += px[(y * w + x) * c + ch]
                         cnt += 1
                 out.append(acc // cnt)
-    return encode_pnm(list(out), ow, oh, channels=c)
+    return list(out), ow, oh
+
+
+def resize_pnm(payload: bytes, factor: int) -> bytes:
+    """REAL image downsample for binary PNM payloads: block-mean
+    resample re-encoded as PNM (P5/P6; ASCII and bitmap inputs
+    re-encode into the equivalent binary raster).  An actual resize —
+    decode → resample → re-encode — not the byte-slice stub."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    d = decode_pnm(payload)
+    out, ow, oh = _block_mean(d["pixels"], d["width"], d["height"],
+                              d["channels"], factor)
+    return encode_pnm(out, ow, oh, channels=d["channels"])
+
+
+def resize_bmp(payload: bytes, factor: int) -> bytes:
+    """REAL image downsample for 24-bit BMP payloads (round 12): the
+    same block-mean kernel, re-encoded as a standards-valid BMP."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    d = decode_bmp(payload)
+    out, ow, oh = _block_mean(d["pixels"], d["width"], d["height"],
+                              3, factor)
+    return encode_bmp(out, ow, oh)
 
 
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
-    """Distributed REAL resize over PNM payloads (mapInPandas, zero
-    shuffles): ``(doc_id, payload, width, height)`` with the payload
-    re-encoded at the reduced size.  Non-PNM payloads emit nothing."""
+    """Distributed REAL resize over PNM and BMP payloads (mapInPandas,
+    zero shuffles): ``(doc_id, payload, width, height)`` with the
+    payload re-encoded at the reduced size in its own container.
+    Other payloads emit nothing."""
     import pandas as pd
 
     out_schema = StructType([
@@ -411,10 +652,15 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                if sniff_media(b) != "pnm":
+                kind = sniff_media(b)
+                if kind == "pnm":
+                    rb = resize_pnm(b, factor)
+                    d = decode_pnm(rb)
+                elif kind == "bmp":
+                    rb = resize_bmp(b, factor)
+                    d = decode_bmp(rb)
+                else:
                     continue
-                rb = resize_pnm(b, factor)
-                d = decode_pnm(rb)
                 rows.append({"doc_id": doc_id, "payload": rb,
                              "width": d["width"], "height": d["height"]})
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
@@ -425,36 +671,45 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
 def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
     """Deterministic REAL media synthesis from any id column — the
     sandbox stand-in for an object-store media source: each id mints
-    a genuine WAV-PCM payload (integer triangle wave whose period
-    derives from the id) or a genuine P5 image (gradient+id pattern),
-    built executor-side in mapInPandas so the corpus-scale path is
-    the real one (scan → batch → encode), not a driver loop."""
+    a genuine WAV-PCM or µ-law AU payload (integer triangle wave
+    whose period derives from the id) or a genuine P5 / 24-bit BMP
+    image (gradient+id pattern), built executor-side in mapInPandas
+    so the corpus-scale path is the real one (scan → batch →
+    encode), not a driver loop."""
     import pandas as pd
 
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
     ])
-    if kind not in ("wav", "pnm"):
-        raise ValueError("kind must be 'wav' or 'pnm'")
+    if kind not in ("wav", "pnm", "au", "bmp"):
+        raise ValueError("kind must be 'wav', 'au', 'pnm' or 'bmp'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id in pdf["__id"]:
                 i = int(doc_id)
-                if kind == "wav":
+                if kind in ("wav", "au"):
                     period = 8 + (i % 23)
                     n = 256 + (i % 128)
                     tri = [((t % period) * 2000 - period * 1000)
                            for t in range(n)]
-                    payload = encode_wav_pcm16(
-                        tri, sample_rate=8000 + 1000 * (i % 5))
+                    rate = 8000 + 1000 * (i % 5)
+                    payload = (encode_wav_pcm16(tri, sample_rate=rate)
+                               if kind == "wav"
+                               else encode_au(tri, sample_rate=rate))
                 else:
                     w, h = 16 + (i % 17), 12 + (i % 13)
-                    px = [((x * 7 + y * 13 + i) % 256)
-                          for y in range(h) for x in range(w)]
-                    payload = encode_pnm(px, w, h)
+                    if kind == "pnm":
+                        px = [((x * 7 + y * 13 + i) % 256)
+                              for y in range(h) for x in range(w)]
+                        payload = encode_pnm(px, w, h)
+                    else:
+                        px = [((x * 7 + y * 13 + i + ch * 41) % 256)
+                              for y in range(h) for x in range(w)
+                              for ch in range(3)]
+                        payload = encode_bmp(px, w, h)
                 rows.append({"doc_id": i, "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -1345,6 +1345,154 @@ def test_real_media_distributed_matches_local(spark, docs):
         txt.select("doc_id", "payload")).count() == 0
 
 
+def test_pnm_full_family_round12():
+    """ASCII (P1/P2/P3), packed-bitmap (P4) and sub-8-bit rasters all
+    decode to the same normalized 0-255 pixel surface as their binary
+    siblings."""
+    px = [10, 20, 30, 40, 50, 60]
+    # P2 ASCII gray == P5 binary
+    p2 = b"P2\n3 2\n255\n10 20 30\n40 50 60\n"
+    assert multimodal.decode_pnm(p2)["pixels"] == px
+    assert multimodal.sniff_media(p2) == "pnm"
+    # P3 ASCII RGB == P6 binary
+    p3 = b"P3\n1 2\n255\n10 20 30 40 50 60\n"
+    d3 = multimodal.decode_pnm(p3)
+    assert d3["channels"] == 3 and d3["pixels"] == px
+    # P1 bitmap: digits may pack without whitespace; 1=black -> 0
+    p1 = b"P1\n# bits\n4 2\n0110\n1001\n"
+    assert multimodal.decode_pnm(p1)["pixels"] == [
+        255, 0, 0, 255, 0, 255, 255, 0]
+    # P4 packed bits, row-padded to whole bytes (width 4 -> 1 byte/row)
+    p4 = b"P4\n4 2\n" + bytes([0b01100000, 0b10010000])
+    assert multimodal.decode_pnm(p4)["pixels"] == [
+        255, 0, 0, 255, 0, 255, 255, 0]
+    # sub-8-bit maxval normalizes through truncating *255 DIV maxval
+    p2s = b"P2\n2 1\n15\n0 15\n"
+    assert multimodal.decode_pnm(p2s)["pixels"] == [0, 255]
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.decode_pnm(b"P2\n1 1\n15\n16\n")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_pnm(b"P1\n4 2\n0110\n")
+
+
+def test_bmp_roundtrip_features_and_resize(spark):
+    """24-bit BMP: encode -> decode round-trips RGB pixels through
+    the bottom-up BGR padded raster; top-down (negative height)
+    decodes too; block-mean resize re-encodes a valid BMP; labeled
+    NotImplementedError for depths/compression we don't decode."""
+    import struct
+
+    px = [v for p in range(6) for v in (p * 10, p * 10 + 1, p * 10 + 2)]
+    payload = multimodal.encode_bmp(px, 3, 2)   # stride 12 -> padding 3
+    assert multimodal.sniff_media(payload) == "bmp"
+    d = multimodal.decode_bmp(payload)
+    assert (d["width"], d["height"], d["channels"]) == (3, 2, 3)
+    assert d["pixels"] == px
+    # top-down variant: flip the height sign, swap row order
+    flipped = bytearray(payload)
+    struct.pack_into("<i", flipped, 22, -2)
+    rows = [px[0:9], px[9:18]]
+    td = multimodal.decode_bmp(bytes(flipped))
+    assert td["pixels"] == rows[1] + rows[0]
+    # 2x2 block-mean resize (ragged right column), still a valid BMP
+    rb = multimodal.resize_bmp(payload, 2)
+    rd = multimodal.decode_bmp(rb)
+    assert (rd["width"], rd["height"]) == (2, 1)
+    for ch in range(3):
+        assert rd["pixels"][ch] == (px[ch] + px[3 + ch]
+                                    + px[9 + ch] + px[12 + ch]) // 4
+        assert rd["pixels"][3 + ch] == (px[6 + ch] + px[15 + ch]) // 2
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        multimodal.decode_bmp(bytes(bad))
+    struct.pack_into("<H", bad, 28, 24)
+    struct.pack_into("<I", bad, 30, 1)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        multimodal.decode_bmp(bytes(bad))
+
+
+def test_ulaw_g711_exact_and_au_roundtrip():
+    """The µ-law integer formulas are byte-identical to the sox /
+    CPython-audioop reference on the FULL domain (all 256 decode
+    bytes, all 65536 encode inputs when audioop is available, the
+    hand-pinned G.711 extremes always), and AU payloads round-trip
+    through both encodings."""
+    mm = multimodal
+    assert mm.ulaw_to_pcm16(0xFF) == 0          # +0
+    assert mm.ulaw_to_pcm16(0x7F) == 0          # -0
+    assert mm.ulaw_to_pcm16(0x80) == 32124      # max positive
+    assert mm.ulaw_to_pcm16(0x00) == -32124     # max negative
+    assert mm.pcm16_to_ulaw(0) == 0xFF
+    assert mm.pcm16_to_ulaw(32767) == 0x80
+    assert mm.pcm16_to_ulaw(-32768) == 0x00
+    # encode(decode(b)) == b for every µ-law code point except -0
+    # (0x7F): both zeros decode to 0, which re-encodes as +0 (0xFF) —
+    # the format's inherent -0/+0 aliasing (audioop aliases the same)
+    assert all(mm.pcm16_to_ulaw(mm.ulaw_to_pcm16(b)) == b
+               for b in range(256) if b != 0x7F)
+    assert mm.pcm16_to_ulaw(mm.ulaw_to_pcm16(0x7F)) == 0xFF
+    try:
+        import struct
+
+        import audioop  # deprecated stdlib; gate, don't require
+        assert all(
+            mm.ulaw_to_pcm16(b)
+            == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+            for b in range(256))
+        assert all(
+            mm.pcm16_to_ulaw(x)
+            == audioop.lin2ulaw(struct.pack("<h", x), 2)[0]
+            for x in range(-32768, 32768, 257))
+    except ImportError:
+        pass
+    # AU PCM16-BE round-trips exactly; µ-law within quantization
+    samples = [0, 1000, -1000, 32000, -32000, 7]
+    au = mm.encode_au(samples, sample_rate=8000, encoding="pcm16")
+    assert mm.sniff_media(au) == "au"
+    d = mm.decode_au(au)
+    assert d["samples"] == samples and d["codec"] == "pcm_s16be"
+    du = mm.decode_au(mm.encode_au(samples, encoding="ulaw"))
+    assert du["codec"] == "ulaw"
+    assert all(abs(a - b) <= 1024 for a, b in zip(du["samples"], samples))
+    # encoding field sits at header bytes 12-16
+    with pytest.raises(NotImplementedError, match="encoding"):
+        mm.decode_au(au[:12] + b"\x00\x00\x00\x07" + au[16:])
+
+
+def test_au_bmp_distributed_paths(spark, docs):
+    """The round-12 formats ride the SAME distributed feature/resize
+    passes: synth_media mints real AU/BMP payloads executor-side and
+    the mapInPandas outputs equal a local replay; a mixed frame
+    routes every payload to its decoder."""
+    ids = docs.select("doc_id").limit(12)
+    au = multimodal.synth_media(ids, "doc_id", kind="au")
+    got = {r.doc_id: (r.n_samples, r.peak) for r in
+           multimodal.audio_features(au).collect()}
+    for doc_id, payload in au.collect():
+        s = multimodal.decode_au(bytes(payload))["samples"]
+        assert got[doc_id] == (len(s), max(abs(x) for x in s))
+    assert len(got) == 12
+
+    bmp = multimodal.synth_media(ids, "doc_id", kind="bmp")
+    got_i = {r.doc_id: (r.width, r.height, r.mean_milli, r.channels)
+             for r in multimodal.image_features(bmp).collect()}
+    rz = {r.doc_id: bytes(r.payload) for r in
+          multimodal.resize_images(bmp, factor=2).collect()}
+    for doc_id, payload in bmp.collect():
+        d = multimodal.decode_bmp(bytes(payload))
+        assert got_i[doc_id] == (
+            d["width"], d["height"],
+            1000 * sum(d["pixels"]) // len(d["pixels"]), 3)
+        assert rz[doc_id] == multimodal.resize_bmp(bytes(payload), 2)
+    assert len(got_i) == len(rz) == 12
+
+    # mixed audio frame: wav and au features in ONE pass
+    wav = multimodal.synth_media(ids.limit(6), "doc_id", kind="wav")
+    mixed = wav.unionByName(au)
+    assert multimodal.audio_features(mixed).count() == 18
+
+
 def test_ivf_pq_composite_matches_building_blocks(spark):
     """ivf_pq_topk == (python IVF shortlist model) ∘ (pq_topk's ADC
     scores): candidates replicate the deterministic coarse quantizer
