@@ -1,8 +1,8 @@
 """Real multimodal pipeline demo — the codec-free formats end to end:
-mint genuine WAV-PCM and binary-PNM payloads executor-side
-(functions/multimodal.py synth_media), then run the REAL decode /
-feature-extract / block-mean-resize passes, all zero-shuffle
-mapInPandas over Arrow batches.
+mint genuine WAV-PCM, µ-law Sun-AU, binary-PNM and 24-bit BMP
+payloads executor-side (functions/multimodal.py synth_media), then
+run the REAL decode / feature-extract / block-mean-resize passes,
+all zero-shuffle mapInPandas over Arrow batches.
 
 No reference analogue (SURVEY.md §2 — the reference has no media
 model); this demos the beyond-parity multimodal column surface.
@@ -27,13 +27,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== audio features (RIFF/WAVE PCM, stdlib decode) ==")
     multimodal.audio_features(wav).orderBy("doc_id").show(10)
 
+    au = multimodal.synth_media(ids, "doc_id", kind="au")
+    print("== audio features (Sun AU, exact G.711 µ-law expand) ==")
+    multimodal.audio_features(au).orderBy("doc_id").show(10)
+
     img = multimodal.synth_media(ids, "doc_id", kind="pnm")
     print("== image features (binary PNM) ==")
     multimodal.image_features(img).orderBy("doc_id").show(10)
 
+    bmp = multimodal.synth_media(ids, "doc_id", kind="bmp")
+    print("== image features (24-bit BMP, bottom-up BGR raster) ==")
+    multimodal.image_features(bmp).orderBy("doc_id").show(10)
+
     print("== 2x block-mean resize (decode -> resample -> re-encode) ==")
-    multimodal.resize_images(img, factor=2).orderBy("doc_id") \
-        .select("doc_id", "width", "height").show(10)
+    multimodal.resize_images(img.unionByName(bmp), factor=2) \
+        .orderBy("doc_id").select("doc_id", "width", "height").show(10)
 
 
 if __name__ == "__main__":

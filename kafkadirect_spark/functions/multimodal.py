@@ -715,3 +715,90 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
 
     return (df.select(F.col(id_col).cast("long").alias("__id"))
             .mapInPandas(batches, schema=out_schema))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle replays (round 12) for the REAL media paths: the
+# synth_media payload math + the integer feature math, end to end in
+# SQL.  Engine == oracle holds IFF encode → decode round-trips the
+# samples/pixels exactly — a driver row over these verifies the whole
+# container codec, not just the feature arithmetic.  Registration-
+# ready for r13.
+# ---------------------------------------------------------------------------
+
+
+def synth_audio_features_oracle_sql(table: str = "documents",
+                                    id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``audio_features(synth_media(df, id,
+    'wav'))``: the triangle-wave synthesis (period/n/rate derived
+    from the id) and the integer features (peak, truncating mean
+    square, nonzero-stream sign flips) — the WAV container itself is
+    exercised on the ENGINE side only, so a match proves the PCM16
+    encode/decode round-trip bit-exactly."""
+    return f"""
+    WITH ids AS (SELECT DISTINCT {id_col} AS i FROM {table}),
+    p AS (SELECT i, 8 + (i % 23) AS period, 256 + (i % 128) AS n,
+                 8000 + 1000 * (i % 5) AS rate FROM ids),
+    v AS (SELECT i, n, rate,
+                 (t % period) * 2000 - period * 1000 AS s, t
+          FROM (SELECT i, period, n, rate,
+                       unnest(generate_series(0, n - 1)) AS t
+                FROM p)),
+    zc AS (
+      SELECT i, SUM(CASE WHEN prev IS NOT NULL
+                          AND (prev < 0) <> (s < 0)
+                         THEN 1 ELSE 0 END)::BIGINT AS z
+      FROM (SELECT i, s,
+                   lag(s) OVER (PARTITION BY i ORDER BY t) AS prev
+            FROM v WHERE s <> 0)
+      GROUP BY i)
+    SELECT v.i AS {id_col},
+           CAST(ANY_VALUE(v.rate) AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           COUNT(*)::BIGINT AS n_samples,
+           (1000 * ANY_VALUE(v.n) // ANY_VALUE(v.rate))::BIGINT
+             AS duration_ms,
+           CAST(MAX(abs(v.s)) AS INTEGER) AS peak,
+           (SUM(v.s * v.s) // COUNT(*))::BIGINT AS energy_mean,
+           COALESCE(ANY_VALUE(zc.z), 0)::BIGINT AS zero_crossings
+    FROM v LEFT JOIN zc ON zc.i = v.i
+    GROUP BY v.i
+    """
+
+
+def synth_image_features_oracle_sql(kind: str = "pnm",
+                                    table: str = "documents",
+                                    id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``image_features(synth_media(df, id,
+    kind))`` for kind ∈ {'pnm', 'bmp'}: the gradient-pattern pixel
+    synthesis and the integer features — the raster container
+    (P5 header+raw / BMP bottom-up BGR padded rows) is exercised on
+    the ENGINE side only, so a match proves the image encode/decode
+    round-trip."""
+    if kind not in ("pnm", "bmp"):
+        raise ValueError("kind must be 'pnm' or 'bmp'")
+    channels = 1 if kind == "pnm" else 3
+    pix = ("(x * 7 + y * 13 + i) % 256" if kind == "pnm"
+           else "(x * 7 + y * 13 + i + ch * 41) % 256")
+    ch_src = ("" if kind == "pnm"
+              else ", (SELECT unnest(generate_series(0, 2)) AS ch)")
+    return f"""
+    WITH ids AS (SELECT DISTINCT {id_col} AS i FROM {table}),
+    dims AS (SELECT i, 16 + (i % 17) AS w, 12 + (i % 13) AS h
+             FROM ids),
+    px AS (
+      SELECT d.i, d.w, d.h, {pix} AS v
+      FROM dims d,
+           (SELECT unnest(generate_series(0, 31)) AS x),
+           (SELECT unnest(generate_series(0, 24)) AS y){ch_src}
+      WHERE x < d.w AND y < d.h)
+    SELECT i AS {id_col},
+           CAST(ANY_VALUE(w) AS INTEGER) AS width,
+           CAST(ANY_VALUE(h) AS INTEGER) AS height,
+           CAST({channels} AS INTEGER) AS channels,
+           (1000 * SUM(v) // COUNT(*))::BIGINT AS mean_milli,
+           CAST(MIN(v) AS INTEGER) AS min_px,
+           CAST(MAX(v) AS INTEGER) AS max_px
+    FROM px
+    GROUP BY i
+    """

@@ -163,13 +163,32 @@ _PROMOTED = [
 # r13 plan (so the next window is predictable): mandatory front = the
 # 8 r9-dated leftovers (retention_cohorts, rolling_distinct_hll,
 # sample_split, sample_stratified, value_decile_by_type,
-# value_ohlc_daily, value_outliers_mad, vocab_drift); any new
-# registrations must land library-level in r12 with pytest-pinned
-# oracle generators first (policy item b) and be balanced 1:1 by
-# item-c retirements to hold N ≈ 155 (see the paydown-math note
-# above — do NOT retire below 151 without re-running that math);
-# fill = the oldest r10-dated tail (~42 of the 48-query r10 pool),
-# leaving ~6 r10 leftovers as r14's mandatory front.
+# value_ohlc_daily, value_outliers_mad, vocab_drift); candidate
+# registrations (landed library-level THIS round per policy item b,
+# each with its oracle generator already pytest-pinned
+# engine==oracle): a `similarity_ivf_pq_rerank` IVFADC+R query
+# (analytics_queries.ivf_pq_rerank_oracle_sql — needs its own
+# test_plans._BNLJ_OK entry, same rationale as similarity_ivf_pq), a
+# `sample_weighted_group` stratified-mixing query
+# (curation.sample_weighted_per_group_oracle_sql), a
+# `contamination_report` eval-leakage audit
+# (curation.contamination_report_oracle_sql), and the two REAL-codec
+# media queries whose oracles replay synthesis + feature math so a
+# green row proves the container round-trip itself —
+# `media_audio_features` (multimodal.synth_audio_features_oracle_sql;
+# WAV PCM16) and `media_image_features`
+# (multimodal.synth_image_features_oracle_sql; P5 or 24-bit BMP) —
+# pick ≤ the ~10/round budget, balanced 1:1 by item-c retirements to
+# hold N ≈ 155 (see the paydown-math note above — do NOT retire
+# below 151 without re-running that math); retirement candidates by
+# the same global-vs-grouped / subsumption test: `bpe_chunks` vs
+# `windowed_chunks`+`unigram_chunk` (three chunking shapes, keep
+# two), `dedup_exact` vs `dedup_spans` (span subsumes whole-doc at
+# the same hash machinery), `join_stream_table_left` vs
+# `join_stream_table` (the interval family already consolidated
+# left into inner+outer).  Fill = the oldest r10-dated tail (~42 of
+# the 48-query r10 pool), leaving ~6 r10 leftovers as r14's
+# mandatory front.
 _DEFERRED_NEW: list[str] = []
 
 

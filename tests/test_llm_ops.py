@@ -1493,6 +1493,49 @@ def test_au_bmp_distributed_paths(spark, docs):
     assert multimodal.audio_features(mixed).count() == 18
 
 
+def test_synth_audio_features_oracle_matches_engine(spark, docs):
+    """Engine (synth_media WAV → audio_features, both mapInPandas
+    through the REAL PCM16 container) == the DuckDB replay of the
+    synthesis + feature math — a match proves the WAV encode/decode
+    round-trip bit-exactly.  Registration-ready for r13."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    wav = multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                 kind="wav")
+    eng = sorted(tuple(r)
+                 for r in multimodal.audio_features(wav).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        multimodal.synth_audio_features_oracle_sql()).fetchall())
+    assert got == eng and len(eng) == 500
+
+
+def test_synth_image_features_oracle_matches_engine(spark, docs):
+    """Engine (synth_media → image_features through the REAL P5 and
+    24-bit BMP containers) == the DuckDB replay of the gradient
+    synthesis + feature math, for BOTH rasters.  Registration-ready
+    for r13."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for kind in ("pnm", "bmp"):
+        img = multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                     kind=kind)
+        eng = sorted(tuple(r)
+                     for r in multimodal.image_features(img).collect())
+        got = sorted(con.sql(
+            multimodal.synth_image_features_oracle_sql(kind)).fetchall())
+        assert got == eng and len(eng) == 500, kind
+    with pytest.raises(ValueError, match="kind"):
+        multimodal.synth_image_features_oracle_sql("jpeg")
+
+
 def test_ivf_pq_composite_matches_building_blocks(spark):
     """ivf_pq_topk == (python IVF shortlist model) ∘ (pq_topk's ADC
     scores): candidates replicate the deterministic coarse quantizer
