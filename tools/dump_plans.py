@@ -178,6 +178,30 @@ HEADLINERS = {
                       "ArrowEvalPython encode pass; ONE equi-join of "
                       "encode onto (doc, slice, counts) and one "
                       "map-side-combined final aggregate",
+    # r12 registrations
+    "similarity_ivf_pq": "broadcast centroid assignment (the "
+                         "allowlisted bounded BNLJ), ONE candidate "
+                         "hash join on list id, row-local literal-map "
+                         "ADC, one per-probe top-n window — no "
+                         "whole-index scan at query time",
+    "sax_nearest": "the sax_pairs plan + a candidate-sized "
+                   "symmetrize union and the salted two-phase "
+                   "per-group top-k — no single-task per-user sort",
+    "dedup_edit_verified": "banded simhash candidates; verification "
+                           "is two candidate-sized hash joins + "
+                           "row-local Levenshtein (max_chars caps "
+                           "the O(n*m) cell work)",
+    "vocab_coverage": "join-free: one word-count exchange, the "
+                      "bounded count-of-counts cumulative "
+                      "(allowlisted <=O(sqrt tokens) window), ks as "
+                      "a literal-array filter",
+    "sample_weighted": "per-shard PARTITIONED prefix sums; the "
+                       "<=shards-row offset window (allowlisted) + "
+                       "one bounded broadcast — no global data sort",
+    "wordpiece_eval": "scored-merge training on the bounded type "
+                      "table + one stateless ArrowEvalPython "
+                      "longest-match encode; one equi-join + one "
+                      "map-side-combined aggregate",
 }
 
 

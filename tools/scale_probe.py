@@ -818,6 +818,25 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             docs, "doc_id", pairs,
             {"train": 0.90, "val": 0.05, "test": 0.05})
 
+    def probe_contamination(docs):
+        # FIXED eval set (the base corpus's every-20th doc) audited
+        # against the GROWING corpus — the production shape: the eval
+        # benchmark stays MB-scale while the train side scales; wall
+        # should track the corpus scan, the eval-sided exchanges are
+        # constant
+        ev = base.filter(F.col("doc_id") % 20 == 0)
+        return curation.contamination_report(docs, ev, "text",
+                                             "doc_id", n=8)
+
+    def probe_weighted_group(docs):
+        # per-language token budgets over the growing corpus: one
+        # (group, shard) exchange + a |groups|·shards broadcast —
+        # wall should track the corpus scan
+        sized = docs.select("lang", "doc_id",
+                            F.length("text").cast("long").alias("w"))
+        return curation.sample_weighted_n_per_group(
+            sized, "lang", "doc_id", "w", 500)
+
     def probe_bm25(docs):
         return curation.bm25_rank(docs, "doc_id", "text",
                                   ["spark", "dup", "window"], k=15)
@@ -846,7 +865,9 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "surprisal": probe_surprisal,
               "gopher": probe_gopher,
               "bigram_surprisal": probe_bigram_surprisal,
-              "cluster_split": probe_cluster_split}
+              "cluster_split": probe_cluster_split,
+              "contamination": probe_contamination,
+              "weighted_group": probe_weighted_group}
     if ops:
         unknown = set(ops) - set(probes)
         if unknown:
