@@ -140,6 +140,29 @@ def _vocab_coverage_suite(spark, sf_dir):
         ks=(100, 1000, 10000, 100000))
 
 
+def _exactsubstr_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.sources.batch import load_table
+    return dedup.exactsubstr_report(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _kmv_slice_matrix_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.sources.batch import load_table
+    return sketch.kmv_group_jaccard(
+        load_table(spark, sf_dir, "documents"), "source", "text")
+
+
+def _hybrid_rrf_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import retrieval
+    from kafkadirect_spark.sources.batch import load_table
+    return retrieval.hybrid_rank_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["data", "model", "learning"], probe_id=7)
+
+
 def main() -> None:
     from kafkadirect_spark.plans import QUERIES
     # r11/r12: suite queries RETIRED from the registry (near-duplicate
@@ -351,6 +374,15 @@ def main() -> None:
         "similarity_ivf_pq_rerank": _ivf_pq_rerank_suite,
         "sample_weighted_group": _sample_weighted_group_suite,
         "contamination_report": _contamination_report_suite,
+        # late-r12 library-level operators: alignment-free ExactSubstr
+        # dedup (one gram-hash exchange + doc-partitioned island
+        # windows + row-local HOF rebuild), the KMV corpus-slice
+        # Jaccard matrix (one (slice, hash) distinct + salted min-k +
+        # a |slices|-bounded broadcast pair join), and hybrid BM25 ∪
+        # cosine RRF (two bounded retrievals, ≤ 2·topn-row fusion)
+        "dedup_exactsubstr": _exactsubstr_suite,
+        "kmv_slice_matrix": _kmv_slice_matrix_suite,
+        "hybrid_rrf": _hybrid_rrf_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -1150,3 +1150,181 @@ def edit_verify_oracle_sql(
     FROM v
     WHERE (1000 * lev // greatest(len_a, len_b, 1)) <= {max_dist_milli}
     """
+
+
+def exactsubstr_report(df: DataFrame, text_col: str, id_col: str,
+                       min_tokens: int = 8, portable: bool = True,
+                       emit_text: bool = False) -> DataFrame:
+    """Alignment-free cross-document repeated-substring dedup — the
+    ExactSubstr recipe of Lee et al. 2021 (arXiv:2107.06499 §4.1),
+    token-granular: every occurrence of a duplicated ``min_tokens``-word
+    window that is not the globally FIRST occurrence of that window
+    marks its tokens for removal; overlapping marks merge into maximal
+    spans, exactly one copy of every duplicated substring survives
+    corpus-wide.  This is what ``span_dedup`` (fixed non-overlapping
+    chunks) cannot do: a duplicated passage that straddles a chunk
+    boundary, or starts mid-chunk, is caught here at every offset.
+
+    Returns per input document (ALL docs, including untouched ones):
+    ``(id_col, n_tokens, n_spans, n_removed, kept_md5)`` where
+    ``kept_md5`` is the md5 of the surviving tokens joined by single
+    spaces (the normalized-token surface — the md5 of the FULL token
+    join when nothing was removed), plus ``kept_text`` when
+    ``emit_text=True``.  Scalar columns only: driver-oracle ready.
+
+    Scale shape: one sliding-window gram per token position (shingles
+    are top-level slice-zips — codegen CSE tokenizes once per row),
+    ONE exchange to group occurrences by gram hash (min(struct) +
+    count are algebraic, map-side partials absorb boilerplate-gram
+    hot keys), one corpus-scale hash join back to occurrences, then
+    everything per-document: interval merge via windows PARTITIONED BY
+    the doc id (never global), span arrays collected per doc (bounded
+    by spans-per-doc), and a row-local higher-order-function rebuild
+    — no per-token explode anywhere on the marked side.
+
+    Hashing: ``portable=True`` (default) uses the 31-bit
+    ``portable_hash`` the DuckDB oracle replays bit-exactly; at 1e11
+    positions (100 TB) birthday collisions over-mark (the conservative
+    direction — dedup removes slightly more).  ``portable=False``
+    groups on the (xxhash64, crc32) 96-bit pair (the ``span_dedup``
+    production setting, ~6e-8 expected corpus-wide collisions) and is
+    NOT oracle-replayable.
+
+    Reference analogue: none (SURVEY.md §2 — the reference has no
+    document model); beyond-parity LLM-curation machinery beside
+    ``span_dedup`` / ``cdc_chunks``.
+    """
+    from pyspark.sql import Window
+
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    L = min_tokens
+    base = _widen(df.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col("__toks"), L)).alias("pos", "__g"))
+    if portable:
+        keys = [portable_hash(F.col("__g")).alias("__h")]
+    else:
+        keys = [F.xxhash64("__g").alias("__h"),
+                F.crc32(F.col("__g")).alias("__h2")]
+    occ = _persist(occ.select(F.col(id_col), "pos", *keys))
+    knames = [c for c in occ.columns if c.startswith("__h")]
+    winners = occ.groupBy(*knames).agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"),
+        F.count(F.lit(1)).alias("__c"))
+    dups = (occ.join(winners, knames)
+            .filter((F.col("__c") > 1)
+                    & ~((F.col(id_col) == F.col(f"__w.{id_col}"))
+                        & (F.col("pos") == F.col("__w.pos"))))
+            .select(F.col(id_col), F.col("pos"),
+                    (F.col("pos") + F.lit(L - 1)).alias("__end")))
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    pme = F.max("__end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dups.withColumn(
+        "__new", F.when(pme.isNull() | (F.col("pos") > pme + 1),
+                        F.lit(1)).otherwise(F.lit(0)))
+    isl = F.sum("__new").over(
+        wd.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (flagged.withColumn("__isl", isl)
+             .groupBy(id_col, "__isl")
+             .agg(F.min("pos").alias("s0"), F.max("__end").alias("e0")))
+    per = (spans.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct("s0", "e0")))
+                .alias("__spans"),
+                F.count(F.lit(1)).cast("long").alias("n_spans"),
+                F.sum(F.col("e0") - F.col("s0") + 1)
+                .cast("long").alias("n_removed")))
+    joined = (base.join(per, id_col, "left")
+              .withColumn("__spans",
+                          F.coalesce("__spans", F.array().cast(
+                              "array<struct<s0:int,e0:int>>"))))
+    # clamp e0 to the doc end: a window starting at pos always fits
+    # by construction, so no clamp is needed — asserted by the
+    # hypothesis pin against the python model
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["s0"]) & (i <= s["e0"])))
+    out = joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
+        *([F.concat_ws(" ", kept).alias("kept_text")] if emit_text else []))
+    return out
+
+
+def exactsubstr_oracle_sql(min_tokens: int = 8, table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB replay of ``exactsubstr_report(portable=True)``: same
+    tokenize / sliding gram / portable-hash pipeline, the same
+    min(struct)-winner and marked-interval merge (gaps-and-islands
+    over a doc-partitioned window), the same md5 over the surviving
+    token join — 31-bit hash collisions replay identically."""
+    L = min_tokens
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    gram = " || ' ' || ".join(f"w[g+{j}]" for j in range(L))
+    ph = f"(('0x' || substr(md5({gram}), 1, 14))::BIGINT % {HASH_P})"
+    return f"""
+    WITH tok AS (SELECT {id_col} AS id, {tok} AS w FROM {table}),
+    occ AS (
+      SELECT id, g - 1 AS pos, {ph} AS h
+      FROM (SELECT id, w,
+                   unnest(generate_series(1, len(w) - {L - 1})) AS g
+            FROM tok WHERE len(w) >= {L})),
+    win AS (
+      SELECT h, min(struct_pack(i := id, p := pos)) AS w0,
+             count(*) AS c
+      FROM occ GROUP BY h),
+    dups AS (
+      SELECT o.id, o.pos, o.pos + {L - 1} AS e
+      FROM occ o JOIN win ON o.h = win.h
+      WHERE win.c > 1
+        AND NOT (o.id = win.w0.i AND o.pos = win.w0.p)),
+    m AS (
+      SELECT id, pos, e,
+             max(e) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM dups),
+    i AS (
+      SELECT id, pos, e,
+             sum(CASE WHEN pme IS NULL OR pos > pme + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos) AS isl
+      FROM m),
+    s AS (
+      SELECT id, isl, min(pos) AS s0, max(e) AS e0
+      FROM i GROUP BY id, isl),
+    per AS (
+      SELECT id, count(*)::BIGINT AS n_spans,
+             sum(e0 - s0 + 1)::BIGINT AS n_removed
+      FROM s GROUP BY id),
+    kept AS (
+      SELECT t.id,
+             coalesce(string_agg(t.w[u.i + 1], ' ' ORDER BY u.i), '')
+               AS ktext
+      FROM (SELECT id, w, unnest(generate_series(0, len(w) - 1)) AS i
+            FROM tok) u
+      JOIN tok t ON t.id = u.id
+      WHERE NOT EXISTS (SELECT 1 FROM s
+                        WHERE s.id = u.id
+                          AND u.i BETWEEN s.s0 AND s.e0)
+      GROUP BY t.id)
+    SELECT t.{id_col}, n_tokens, n_spans, n_removed, kept_md5 FROM (
+      SELECT tok.id AS {id_col},
+             len(tok.w)::BIGINT AS n_tokens,
+             coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+             coalesce(per.n_removed, 0)::BIGINT AS n_removed,
+             md5(coalesce(kept.ktext, '')) AS kept_md5
+      FROM tok
+      LEFT JOIN per ON per.id = tok.id
+      LEFT JOIN kept ON kept.id = tok.id) t
+    """

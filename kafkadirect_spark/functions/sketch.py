@@ -820,3 +820,125 @@ def bucketize_by_quantiles_grouped(df: DataFrame, group_col: str,
         F.when(c.isNotNull() & F.col("__cuts").isNotNull(),
                bucket.cast("long")))
         .drop("__g", "__cuts"))
+
+
+def kmv_group_jaccard(df: DataFrame, group_col: str, text_col: str,
+                      k: int = KMV_K, shingle_n: int = 3,
+                      salt_parts: int = 32) -> DataFrame:
+    """Pairwise corpus-slice similarity matrix — one KMV sketch of the
+    word-``shingle_n``-gram set of EVERY slice (language, source
+    domain, crawl snapshot, …), then the Jaccard estimate between ALL
+    slice pairs from the sketches alone.  The dataset-mixing
+    diagnostic: "how much does source A overlap source B" answered
+    without ever joining the two corpora (``kmv_jaccard`` gives one
+    pair from two pre-built sketches; this gives the whole matrix from
+    one table in one pass).
+
+    KMV estimator (Beyer et al. 2007, SIGMOD): for slices A, B with
+    k-min sketches S_A, S_B, the k smallest of ``S_A ∪ S_B`` form a
+    uniform sample U of ``A ∪ B``; membership in both sketches is
+    exact for union-minima, so ``|{x ∈ U : x ∈ S_A ∧ x ∈ S_B}| / |U|``
+    is an unbiased Jaccard estimate.  Integer-exact output
+    (``jaccard_permille`` truncates), deterministic via the 48-bit
+    md5-prefix hash — the DuckDB oracle replays it bit-for-bit.
+
+    Returns one row per unordered slice pair (group_a < group_b):
+    ``(group_a, group_b, n_a, n_b, union_k, n_both,
+    jaccard_permille)``.  NULL slice keys are skipped (the groupByKey
+    null-skip semantic).
+
+    Scale shape: distinct (slice, hash) is the only corpus-scale
+    exchange; the per-slice k minima ride the salted two-phase
+    ``topk_per_group`` (no task sorts more than ~1/salt_parts of a
+    slice's shingle set); the pair join is a broadcast nested-loop
+    over ≤ |slices| sketch rows — bounded by construction (the
+    ``_BNLJ_OK`` pattern), with all set arithmetic row-local on ≤ k
+    arrays.  Nothing corpus-sized crosses the pair join.
+
+    Reference analogue: none (SURVEY.md §2 — the reference has no
+    sketch surface); beyond-parity curation machinery beside
+    ``kmv_sketch`` / ``kmv_jaccard``.
+    """
+    from kafkadirect_spark.functions.curation import topk_per_group
+    from kafkadirect_spark.functions.dedup import _widen
+    from kafkadirect_spark.functions.text import shingles, tokens
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gh = (_widen(df.select(F.col(group_col), F.col(text_col))
+                 .filter(F.col(group_col).isNotNull()))
+          .select(F.col(group_col).alias("g"),
+                  F.explode(shingles(tokens(text_col), shingle_n))
+                  .alias("__s"))
+          .select("g", _h48(F.col("__s")).alias("h"))
+          .distinct())
+    mink = topk_per_group(gh, "g", "h", k, ascending=True,
+                          salt_parts=salt_parts).drop("rank")
+    sk = mink.groupBy("g").agg(F.array_sort(F.collect_list("h"))
+                               .alias("sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+    u = F.slice(F.array_sort(F.array_union(F.col("a.sk"),
+                                           F.col("b.sk"))), 1, k)
+    both = F.size(F.filter(
+        u, lambda x: F.array_contains(F.col("a.sk"), x)
+        & F.array_contains(F.col("b.sk"), x)))
+    return (pairs.select(
+        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
+        F.size("a.sk").cast("long").alias("n_a"),
+        F.size("b.sk").cast("long").alias("n_b"),
+        F.size(u).cast("long").alias("union_k"),
+        both.cast("long").alias("n_both"))
+        .withColumn("jaccard_permille",
+                    F.expr("CAST(1000 * n_both DIV "
+                           "greatest(union_k, 1) AS LONG)")))
+
+
+def kmv_group_jaccard_oracle_sql(group_col: str = "lang",
+                                 k: int = KMV_K, shingle_n: int = 3,
+                                 table: str = "documents",
+                                 text_col: str = "text") -> str:
+    """DuckDB replay of ``kmv_group_jaccard``: same tokenize /
+    shingle / 48-bit-hash pipeline, per-slice k minima via one ranked
+    window, union-minima membership via a relational regroup — the
+    estimator's every integer replayed exactly."""
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    n = shingle_n
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    h48 = f"('0x' || substr(md5({gram}), 1, 12))::BIGINT"
+    return f"""
+    WITH tok AS (SELECT {group_col} AS g, {tok} AS w FROM {table}
+                 WHERE {group_col} IS NOT NULL),
+    gh AS (
+      SELECT DISTINCT g, {h48} AS h
+      FROM (SELECT g, w,
+                   unnest(generate_series(1, len(w) - {n - 1})) AS i
+            FROM tok WHERE len(w) >= {n})),
+    mk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+          AS r FROM gh)
+      WHERE r <= {k}),
+    sz AS (SELECT g, count(*)::BIGINT AS n FROM mk GROUP BY g),
+    pr AS (SELECT a.g AS ga, b.g AS gb
+           FROM sz a JOIN sz b ON a.g < b.g),
+    pm AS (
+      SELECT pr.ga, pr.gb, mk.h, count(*) AS cnt
+      FROM pr JOIN mk ON mk.g = pr.ga OR mk.g = pr.gb
+      GROUP BY pr.ga, pr.gb, mk.h),
+    rk AS (
+      SELECT ga, gb, h, cnt,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+      FROM pm),
+    agg AS (
+      SELECT ga, gb, count(*)::BIGINT AS union_k,
+             sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_both
+      FROM rk WHERE r <= {k} GROUP BY ga, gb)
+    SELECT agg.ga AS group_a, agg.gb AS group_b,
+           sa.n AS n_a, sb.n AS n_b, agg.union_k, agg.n_both,
+           (1000 * agg.n_both // greatest(agg.union_k, 1))::BIGINT
+             AS jaccard_permille
+    FROM agg JOIN sz sa ON sa.g = agg.ga JOIN sz sb ON sb.g = agg.gb
+    """

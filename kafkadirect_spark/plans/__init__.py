@@ -189,6 +189,19 @@ _PROMOTED = [
 # left into inner+outer).  Fill = the oldest r10-dated tail (~42 of
 # the 48-query r10 pool), leaving ~6 r10 leftovers as r14's
 # mandatory front.
+#
+# Late-r12 additions to the r13/r14 candidate pool (landed
+# library-level with pytest-pinned oracle generators; pick from the
+# combined pool by the same budget): `dedup_exactsubstr`
+# (dedup.exactsubstr_oracle_sql — the alignment-free Lee et al.
+# ExactSubstr recipe; natural 1:1 retirement partner `dedup_spans`,
+# whose chunk-aligned claim it strictly subsumes at the same hash
+# machinery), `kmv_slice_matrix` (sketch.kmv_group_jaccard_oracle_sql
+# — needs a _BNLJ_OK entry for the |slices|-bounded broadcast pair
+# join), and `hybrid_rrf`
+# (retrieval.hybrid_rank_rrf_oracle_sql — needs a _GLOBAL_WINDOW_OK
+# entry for the ≤topn-row lexical rank window; composes the
+# registered bm25_search's oracle machinery verbatim).
 _DEFERRED_NEW: list[str] = []
 
 

@@ -1704,3 +1704,131 @@ def test_ivf_pq_rerank_guards(spark):
     with pytest.raises(ValueError, match="refine"):
         similarity.ivf_pq_rerank(emb, "vec_id", "embedding", emb,
                                  refine=0)
+
+
+# ---------------------------------------------------------------------------
+# exactsubstr_report (round 12): alignment-free cross-document
+# repeated-substring dedup (Lee et al. 2021 ExactSubstr) — the
+# companion span_dedup (chunk-aligned) cannot express.
+
+
+def test_exactsubstr_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(0, "x0 a b c d e f g h tail0 tail1"),   # winner (pos 1)
+         (1, "y0 y1 a b c d e f g h z9"),          # dup at pos 2
+         (2, "unique words only here nothing repeats at all"),
+         (3, "a b c d e f g h"),                   # whole doc removed
+         (4, "short doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_spans, r.n_removed, r.kept_md5)
+           for r in dedup.exactsubstr_report(df, "text", "doc_id").collect()}
+    assert out[0] == (11, 0, 0, out[0][3])          # first copy kept
+    assert out[1][:3] == (11, 1, 8)
+    assert out[2][:3] == (8, 0, 0)
+    # fully-removed doc: md5 of the empty string
+    assert out[3] == (8, 1, 8, "d41d8cd98f00b204e9800998ecf8427e")
+    assert out[4][:3] == (2, 0, 0)
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup.exactsubstr_report(df, "text", "doc_id", min_tokens=1)
+
+
+def test_exactsubstr_emit_text_and_overlap_merge(spark):
+    """Two overlapping duplicated windows in one doc merge into ONE
+    maximal span; emit_text returns the surviving token join."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"),            # winner of both 4-grams
+         (1, "z a b c d e f z2")],      # grams abcd(1), bcde(2) ... overlap
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.exactsubstr_report(
+        df, "text", "doc_id", min_tokens=4, emit_text=True).collect()}
+    assert (out[1].n_spans, out[1].n_removed) == (1, 6)
+    assert out[1].kept_text == "z z2"
+    assert out[0].kept_text == "a b c d e f"
+
+
+def _py_exactsubstr(texts, L):
+    import hashlib
+    import re
+    toks = {i: [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+            for i, t in enumerate(texts)}
+    occ: dict = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for p in range(len(w) - L + 1):
+            occ.setdefault(" ".join(w[p:p + L]), []).append((i, p))
+    marked = {i: set() for i in toks}
+    for lst in occ.values():
+        if len(lst) > 1:
+            w0 = min(lst)
+            for (i, p) in lst:
+                if (i, p) != w0:
+                    marked[i].update(range(p, p + L))
+    out = {}
+    for i, w in toks.items():
+        m = sorted(marked[i])
+        n_spans = sum(1 for j, p in enumerate(m)
+                      if j == 0 or p > m[j - 1] + 1)
+        kept = " ".join(w[j] for j in range(len(w)) if j not in marked[i])
+        out[i] = (len(w), n_spans, len(m),
+                  hashlib.md5(kept.encode()).hexdigest())
+    return out
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=80),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=4))
+def test_exactsubstr_matches_python_model(spark, texts, L):
+    """Engine == an independent python model (gram-string identity —
+    hash collisions are impossible at these sizes) on adversarially
+    repetitive two-letter texts: winner selection, island merge,
+    span/removal counts and the surviving-token md5 all agree."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.n_removed, r.kept_md5)
+           for r in dedup.exactsubstr_report(
+               df, "text", "doc_id", min_tokens=L).collect()}
+    assert got == _py_exactsubstr(texts, L)
+
+
+def test_exactsubstr_oracle_matches_engine(spark, docs):
+    """The DuckDB replay (dedup.exactsubstr_oracle_sql) is
+    bit-identical to exactsubstr_report on the real documents table —
+    registration-ready (sliding gram hashes, min-struct winner,
+    gaps-and-islands merge and the kept-token md5 all replayed)."""
+    import duckdb
+
+    eng = sorted(tuple(r) for r in dedup.exactsubstr_report(
+        docs, "text", "doc_id").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    got = sorted(con.sql(dedup.exactsubstr_oracle_sql()).fetchall())
+    assert got == eng and eng
+    assert any(r[2] > 0 for r in eng)   # real repeated spans present
+
+
+def test_exactsubstr_fast_hash_agrees_and_plan_is_scale_safe(spark, docs):
+    """portable=False (the 96-bit xxhash64+crc32 production pair)
+    produces the same report at test scale; the plan has no cartesian
+    product and every window is partitioned by the doc id."""
+    import contextlib
+    import io
+    import re
+
+    out = dedup.exactsubstr_report(docs, "text", "doc_id",
+                                   portable=False)
+    eng = sorted(tuple(r) for r in out.collect())
+    ref = sorted(tuple(r) for r in dedup.exactsubstr_report(
+        docs, "text", "doc_id").collect())
+    assert eng == ref
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "doc_id" in spec, f"unpartitioned window: {spec}"

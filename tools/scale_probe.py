@@ -849,7 +849,33 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         from kafkadirect_spark.functions import diagnostics
         return diagnostics.skew_report(docs, "source", parts=64)
 
+    def probe_exactsubstr(docs):
+        # alignment-free ExactSubstr: organic replicas mint fresh
+        # grams (constant dup density), so wall should track the
+        # gram-hash exchange ∝ corpus tokens; the island windows and
+        # the HOF rebuild are doc-partitioned / row-local
+        return dedup.exactsubstr_report(docs, "text", "doc_id")
+
+    def probe_kmv_matrix(docs):
+        # per-slice KMV min-k over 20 sources: the (slice, hash)
+        # distinct grows with the corpus, the pair join stays a
+        # 190-row broadcast NL — wall should track the distinct
+        from kafkadirect_spark.functions import sketch
+        return sketch.kmv_group_jaccard(docs, "source", "text")
+
+    def probe_hybrid_rrf(docs):
+        # both retrieval arms are scan-bound (BM25 filter-before-
+        # explode; one-probe BLAS matmul); fusion is ≤ 2·topn rows —
+        # wall should track the two scans
+        from kafkadirect_spark.functions import retrieval
+        emb = load_table(spark, sf_dir, "embeddings")
+        return retrieval.hybrid_rank_rrf(
+            docs, emb, ["spark", "dup", "window"], probe_id=7)
+
     probes = {"minhash_lsh": probe_minhash,
+              "exactsubstr": probe_exactsubstr,
+              "kmv_matrix": probe_kmv_matrix,
+              "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
               "vocab_drift": probe_vocab_drift,
               "skew": probe_skew,
