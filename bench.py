@@ -154,6 +154,22 @@ def _kmv_slice_matrix_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "source", "text")
 
 
+def _funnel_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import behavior
+    from kafkadirect_spark.sources.batch import load_table
+    return behavior.funnel_steps(
+        load_table(spark, sf_dir, "events"), "user_id", "ts",
+        "event_type", ["signup", "view", "click", "purchase"])
+
+
+def _path_topk_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import behavior
+    from kafkadirect_spark.sources.batch import load_table
+    return behavior.path_topk(
+        load_table(spark, sf_dir, "events"), "user_id", "ts",
+        "event_type", n=3, k=10, order_break_col="event_id")
+
+
 def _hybrid_rrf_suite(spark, sf_dir):
     from kafkadirect_spark.functions import retrieval
     from kafkadirect_spark.sources.batch import load_table
@@ -383,6 +399,12 @@ def main() -> None:
         "dedup_exactsubstr": _exactsubstr_suite,
         "kmv_slice_matrix": _kmv_slice_matrix_suite,
         "hybrid_rrf": _hybrid_rrf_suite,
+        # behavioral analytics over events: the funnel's filtered-agg
+        # cascade (one narrow user exchange per step, zero windows)
+        # and the path miner's single user-partitioned lead window +
+        # TakeOrdered
+        "funnel_steps": _funnel_suite,
+        "path_topk": _path_topk_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -201,7 +201,12 @@ _PROMOTED = [
 # join), and `hybrid_rrf`
 # (retrieval.hybrid_rank_rrf_oracle_sql — needs a _GLOBAL_WINDOW_OK
 # entry for the ≤topn-row lexical rank window; composes the
-# registered bm25_search's oracle machinery verbatim).
+# registered bm25_search's oracle machinery verbatim).  Behavioral
+# analytics over events (functions/behavior.py, both
+# engine==oracle-pinned on the real table): `funnel_steps` (ordered
+# min-ts cascade, zero windows — plan-tested) and `path_topk` (one
+# user-partitioned lead window + TakeOrdered; needs a
+# _GLOBAL_WINDOW_OK entry for the ≤k-row rank window).
 _DEFERRED_NEW: list[str] = []
 
 
