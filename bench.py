@@ -154,6 +154,20 @@ def _kmv_slice_matrix_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "source", "text")
 
 
+def _triangle_suite(spark, sf_dir):
+    # edge source = the selective MinHash-LSH candidates (255 pairs at
+    # sf0.1), NOT the simhash band graph (2.4M edges on this
+    # synthetic corpus — the same candidate-quality choice as
+    # _edit_verify_suite); the fingerprint pins the orientation +
+    # wedge + closure plan shape
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.functions.graph import triangle_stats
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    return triangle_stats(dedup.lsh_candidate_pairs(sigs, "doc_id"))
+
+
 def _funnel_suite(spark, sf_dir):
     from kafkadirect_spark.functions import behavior
     from kafkadirect_spark.sources.batch import load_table
@@ -405,6 +419,9 @@ def main() -> None:
         # TakeOrdered
         "funnel_steps": _funnel_suite,
         "path_topk": _path_topk_suite,
+        # exact triangle census over the LSH candidate graph:
+        # (degree, id)-oriented wedge join + semi-join closure
+        "graph_triangles": _triangle_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

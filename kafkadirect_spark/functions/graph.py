@@ -92,3 +92,126 @@ def pagerank_scaled(
             )
         )
     return ranks
+
+
+def triangle_stats(pairs: DataFrame, a_col: str = "id_a",
+                   b_col: str = "id_b") -> DataFrame:
+    """Exact triangle census of an undirected graph — the structure
+    report for a near-duplicate candidate graph (LSH / SimHash pairs):
+    high triangle closure means candidate pairs form tight copy
+    cliques (safe to collapse per cluster); low closure means chains
+    of borderline matches (transitive merging over-collapses).  One
+    row: ``(n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering_permille)`` where the coefficient is the
+    truncating ``1000·3·triangles DIV wedges`` (Watts-Strogatz global
+    form) — all BIGINT, oracle-replayable.
+
+    Algorithm (the standard distributed one — Suri & Vassilvitskii
+    2011 "Counting Triangles and the Curse of the Last Reducer"):
+    orient every edge from its lower to its higher endpoint in the
+    total order (degree, id); wedges are built ONLY at each edge's
+    low-order endpoint, and a wedge (v, w) closes iff the oriented
+    edge v→w exists.  Each triangle u<v<w (in order) is counted
+    exactly once, at u.
+
+    Scale shape: dedup + degree are two hash exchanges; orientation
+    is row-local against a degree join; the wedge self-join hashes on
+    the LOW endpoint — and orientation caps every node's low-side
+    out-degree at O(√m) amortized (a 10^6-degree hub emits its wedges
+    from its NEIGHBORS' low sides, not its own), which is exactly the
+    "curse of the last reducer" fix; closure is one (v, w) equi-join
+    back to the oriented edges.  No per-node adjacency collect, no
+    unpartitioned window, no nested loop.
+
+    Reference analogue: none (SURVEY.md §2 — no graph surface);
+    beyond-parity structure diagnostics beside
+    ``dedup.connected_components`` / ``graph.pagerank_scaled``.
+    """
+    e = (pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
+         .filter(F.col("u") < F.col("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.withColumnRenamed("n", "u")
+                 .withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v")
+                .withColumnRenamed("d", "dv"), "v"))
+    lo_first = (F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")))
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lo_first, F.struct("dv", "v"))
+         .otherwise(F.struct(F.col("du").alias("dv"),
+                             F.col("u").alias("v"))).alias("hs"))
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    wedges = (w1.join(w2, (F.col("w1.lo") == F.col("w2.lo"))
+                      & (F.col("w1.hs") < F.col("w2.hs")))
+              .select(F.col("w1.hi").alias("x"),
+                      F.col("w2.hi").alias("y")))
+    tri = wedges.join(o.select(F.col("lo").alias("x"),
+                               F.col("hi").alias("y")),
+                      ["x", "y"], "left_semi")
+    stats = (deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(CAST(d AS BIGINT) * (d - 1)) DIV 2 "
+               "AS BIGINT)").alias("n_wedges"))
+        .join(F.broadcast(e.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"))))
+        .join(F.broadcast(tri.agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")))))
+    return stats.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.expr("CAST(1000 * 3 * n_triangles DIV "
+               "greatest(n_wedges, 1) AS BIGINT)")
+        .alias("global_clustering_permille"))
+
+
+def triangle_stats_oracle_sql(pairs_sql: str,
+                              a_col: str = "id_a",
+                              b_col: str = "id_b") -> str:
+    """DuckDB replay of ``triangle_stats`` over ANY candidate-pair
+    SELECT (e.g. the registered simhash pairs' own oracle SQL) —
+    identical (degree, id) orientation via row-value comparisons,
+    wedge construction at the low endpoint, semi-join closure."""
+    return f"""
+    WITH cand AS ({pairs_sql}),
+    e AS (
+      SELECT DISTINCT least({a_col}, {b_col}) AS u,
+             greatest({a_col}, {b_col}) AS v
+      FROM cand WHERE {a_col} <> {b_col}),
+    deg AS (
+      SELECT n, count(*)::BIGINT AS d
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      GROUP BY n),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN e.v ELSE e.u END AS hi,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN dv.d ELSE du.d END AS dh
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+    wedges AS (
+      SELECT w1.hi AS x, w2.hi AS y
+      FROM o w1 JOIN o w2
+        ON w1.lo = w2.lo AND (w1.dh, w1.hi) < (w2.dh, w2.hi)),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM o
+                    WHERE o.lo = w.x AND o.hi = w.y)),
+    s AS (
+      SELECT count(*)::BIGINT AS n_nodes,
+             (sum(d * (d - 1)) // 2)::BIGINT AS n_wedges
+      FROM deg),
+    m AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+    SELECT s.n_nodes, m.n_edges, s.n_wedges, tri.n_triangles,
+           (1000 * 3 * tri.n_triangles
+            // greatest(s.n_wedges, 1))::BIGINT
+             AS global_clustering_permille
+    FROM s, m, tri
+    """

@@ -206,7 +206,12 @@ _PROMOTED = [
 # engine==oracle-pinned on the real table): `funnel_steps` (ordered
 # min-ts cascade, zero windows — plan-tested) and `path_topk` (one
 # user-partitioned lead window + TakeOrdered; needs a
-# _GLOBAL_WINDOW_OK entry for the ≤k-row rank window).
+# _GLOBAL_WINDOW_OK entry for the ≤k-row rank window).  Graph:
+# `graph_triangles` (graph.triangle_stats_oracle_sql over a
+# candidate-pair SELECT — register it over the SELECTIVE
+# dedup_minhash_lsh pair surface, composing that query's oracle as
+# the edge CTE; the simhash band graph is 2.4M edges at sf0.1 on
+# this corpus and its wedge join would own the driver's wall).
 _DEFERRED_NEW: list[str] = []
 
 

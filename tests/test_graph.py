@@ -56,3 +56,96 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank_scaled(df, iters=0)
     with pytest.raises(ValueError):
         pagerank_scaled(df, damping_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats (round 12): exact distributed triangle census with
+# (degree, id) edge orientation — Suri & Vassilvitskii 2011.
+
+
+def test_triangle_stats_hand_checked(spark):
+    """K4 plus a pendant, with duplicate and reversed edges thrown in:
+    dedup + canonicalization must not double-count."""
+    import itertools
+
+    from kafkadirect_spark.functions.graph import triangle_stats
+
+    edges = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    edges += [(5, 1), (1, 5), (2, 1), (3, 3)]   # dup, reversed, loop
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_stats(df).collect()[0]
+    # degrees 4,3,3,3,1 -> wedges 6+3+3+3 = 15; K4 has 4 triangles
+    assert tuple(r) == (5, 7, 15, 4, 1000 * 12 // 15)
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    """Engine == itertools brute force on a seeded random graph —
+    orientation, wedge construction and closure all exact."""
+    import itertools
+    import random
+
+    from kafkadirect_spark.functions.graph import triangle_stats
+
+    random.seed(7)
+    nodes = list(range(30))
+    es: set = set()
+    while len(es) < 120:
+        a, b = random.sample(nodes, 2)
+        es.add((min(a, b), max(a, b)))
+    adj = {n: set() for n in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(1 for a, b, c in itertools.combinations(nodes, 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+    wed = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    df = spark.createDataFrame(sorted(es), "id_a long, id_b long")
+    r = triangle_stats(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        30, 120, wed, tri)
+
+
+def test_triangle_stats_oracle_matches_engine(spark):
+    """Engine == DuckDB over the REGISTERED simhash candidate graph
+    (the oracle composes _SIMHASH_PAIRS_ORACLE as its edge CTE) —
+    registration-ready over the same pair surface the driver already
+    verifies."""
+    import duckdb
+
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.functions.graph import (
+        triangle_stats, triangle_stats_oracle_sql)
+    from kafkadirect_spark.plans.llm_queries import _SIMHASH_PAIRS_ORACLE
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id",
+                                bits=32, max_hamming=3, n_bands=4)
+    eng = [tuple(x) for x in
+           triangle_stats(pairs.select("id_a", "id_b")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = con.sql(
+        triangle_stats_oracle_sql(_SIMHASH_PAIRS_ORACLE)).fetchall()
+    assert got == eng and eng[0][3] > 0
+
+
+def test_triangle_stats_plan_is_scale_safe(spark):
+    """No cartesian product, no window functions at all; the wedge
+    join is an equi-join on the low endpoint (hash-joinable), closure
+    a left-semi equi-join."""
+    import contextlib
+    import io
+
+    from kafkadirect_spark.functions.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                               "id_a long, id_b long")
+    out = triangle_stats(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
