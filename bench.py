@@ -154,6 +154,18 @@ def _kmv_slice_matrix_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "source", "text")
 
 
+def _waterfill_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.sources.batch import load_table
+    totals = (load_table(spark, sf_dir, "documents")
+              .groupBy("lang")
+              .agg(F.sum("n_chars").cast("long").alias("avail")))
+    return curation.token_waterfill(totals, "lang", "avail",
+                                    budget=10_000_000)
+
+
 def _triangle_suite(spark, sf_dir):
     # edge source = the selective MinHash-LSH candidates (255 pairs at
     # sf0.1), NOT the simhash band graph (2.4M edges on this
@@ -422,6 +434,9 @@ def main() -> None:
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,
+        # max-min fair budget allocation: one corpus agg + windows
+        # over the |strata|-row totals frame
+        "token_waterfill": _waterfill_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

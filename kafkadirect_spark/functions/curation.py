@@ -2277,3 +2277,127 @@ def contamination_report_oracle_sql(
     FROM (SELECT {id_col} FROM {table} WHERE {eval_pred}) e
     LEFT JOIN per ON per.id = e.{id_col}
     """
+
+
+def token_waterfill(df: DataFrame, group_col: str,
+                    avail_col: Column | str,
+                    budget: int) -> DataFrame:
+    """Integer water-filling allocation of a global token ``budget``
+    across strata — the mixing-budget allocator: every stratum is
+    capped at a common level L, strata with less than L contribute
+    everything, and L is the largest level the budget affords
+    (Σ min(avail_g, L) ≤ budget).  The classic max-min fair
+    allocation (Bertsekas & Gallager 1992 §6.5.2), integerized: the
+    post-cutoff remainder ``r`` gives one extra token to the ``r``
+    first remaining strata in (avail, group) order, so
+    ``Σ alloc = min(budget, Σ avail)`` EXACTLY and the result is
+    deterministic and oracle-replayable.
+
+    Input: one row per stratum (pre-aggregated — e.g.
+    ``docs.groupBy("lang").agg(F.sum(tokens))``); NULL group keys are
+    skipped (the groupByKey null-skip semantic).  Returns
+    ``(group_col, avail, alloc)``.
+
+    Scale shape: everything runs on the ≤ |strata| aggregate rows —
+    the windows order strata by (avail, group) (the bounded
+    ``_GLOBAL_WINDOW_OK`` shape: |strata| rows by construction, the
+    same envelope as the weighted sampler's offset table).  Nothing
+    corpus-sized is touched; compute the per-stratum totals upstream
+    with an ordinary aggregation.
+
+    Reference analogue: none (SURVEY.md §2 — no corpus model);
+    beyond-parity mixing machinery beside ``temperature_mix`` /
+    ``select_token_budget``.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    a = (F.col(avail_col) if isinstance(avail_col, str)
+         else avail_col).cast("long")
+    g = (df.filter(F.col(group_col).isNotNull())
+         .select(F.col(group_col), a.alias("avail")))
+    if g.filter(F.col("avail") < 0).limit(1).count() > 0:
+        raise ValueError("avail must be >= 0")
+    w = Window.orderBy(F.col("avail").asc(), F.col(group_col).asc())
+    ww = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (g.withColumn("__i", F.row_number().over(w))
+              .withColumn("__pfx", F.sum("avail").over(ww))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    # stratum i is FULLY funded iff the budget covers every stratum
+    # up to i at its own avail plus the remaining strata at avail_i:
+    # pfx_i + (n - i) * avail_i <= budget
+    ranked = ranked.withColumn(
+        "__full",
+        (F.col("__pfx") + (F.col("__n") - F.col("__i"))
+         * F.col("avail")) <= F.lit(budget))
+    # the cutoff state: tokens already committed to full strata and
+    # how many capped strata remain
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__full"), F.col("avail"))
+              .otherwise(F.lit(0))).cast("long").alias("__used"),
+        F.sum(F.when(F.col("__full"), F.lit(0)).otherwise(F.lit(1)))
+        .cast("long").alias("__m"),
+        F.min(F.when(~F.col("__full"), F.col("__i")))
+        .alias("__first_capped"))
+    out = (ranked.join(F.broadcast(agg))
+           .withColumn("__level",
+                       F.expr(f"CAST(({budget} - __used) DIV "
+                              "greatest(__m, 1) AS LONG)"))
+           .withColumn("__rem",
+                       F.expr(f"CAST(({budget} - __used) % "
+                              "greatest(__m, 1) AS LONG)"))
+           .withColumn(
+               "alloc",
+               F.when(F.col("__full"), F.col("avail"))
+               .otherwise(F.least(
+                   F.col("avail"),
+                   F.col("__level")
+                   + F.when(F.col("__i") - F.col("__first_capped")
+                            < F.col("__rem"), F.lit(1))
+                   .otherwise(F.lit(0))))))
+    return out.select(F.col(group_col), F.col("avail"),
+                      F.col("alloc").cast("long").alias("alloc"))
+
+
+def token_waterfill_oracle_sql(budget: int, group_col: str = "lang",
+                               avail_sql: str = "sum(n_chars)",
+                               table: str = "documents") -> str:
+    """DuckDB replay of ``token_waterfill`` over per-``group_col``
+    totals of ``avail_sql`` — identical (avail, group) ranking,
+    full-funding predicate, truncating level and remainder spread."""
+    return f"""
+    WITH g AS (
+      SELECT {group_col} AS grp, ({avail_sql})::BIGINT AS avail
+      FROM {table} WHERE {group_col} IS NOT NULL
+      GROUP BY {group_col}),
+    r AS (
+      SELECT grp, avail,
+             row_number() OVER (ORDER BY avail, grp) AS i,
+             sum(avail) OVER (ORDER BY avail, grp
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pfx,
+             count(*) OVER () AS n
+      FROM g),
+    f AS (
+      SELECT *, (pfx + (n - i) * avail) <= {budget} AS is_full
+      FROM r),
+    a AS (
+      SELECT coalesce(sum(CASE WHEN is_full THEN avail END),
+                      0)::BIGINT AS used,
+             sum(CASE WHEN is_full THEN 0 ELSE 1 END)::BIGINT AS m,
+             min(CASE WHEN NOT is_full THEN i END) AS first_capped
+      FROM f)
+    SELECT f.grp AS {group_col}, f.avail,
+           CASE WHEN f.is_full THEN f.avail
+                ELSE least(
+                  f.avail,
+                  ({budget} - a.used) // greatest(a.m, 1)
+                  + CASE WHEN f.i - a.first_capped
+                              < ({budget} - a.used) % greatest(a.m, 1)
+                         THEN 1 ELSE 0 END)
+           END::BIGINT AS alloc
+    FROM f CROSS JOIN a
+    """

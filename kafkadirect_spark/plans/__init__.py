@@ -212,6 +212,10 @@ _PROMOTED = [
 # dedup_minhash_lsh pair surface, composing that query's oracle as
 # the edge CTE; the simhash band graph is 2.4M edges at sf0.1 on
 # this corpus and its wedge join would own the driver's wall).
+# Mixing: `token_waterfill` (curation.token_waterfill_oracle_sql —
+# max-min fair integer budget allocation over per-stratum totals;
+# needs _GLOBAL_WINDOW_OK entries for the |strata|-row rank/prefix
+# windows, the same bounded-offsets envelope as sample_weighted).
 _DEFERRED_NEW: list[str] = []
 
 

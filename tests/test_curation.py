@@ -1601,3 +1601,99 @@ def test_contamination_report_corpus_side_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# token_waterfill (round 12): integer max-min fair budget allocation
+# across strata.
+
+
+def _py_waterfill(items, budget):
+    """Independent model: binary-search the common level, then spread
+    the integer remainder over the capped strata in rank order."""
+    items = sorted(items, key=lambda t: (t[1], t[0]))
+    total = sum(a for _, a in items)
+    if total <= budget:
+        return {g: a for g, a in items}
+    lo, hi = 0, max(a for _, a in items)
+    while lo < hi:                      # max L: sum(min(a, L)) <= budget
+        mid = (lo + hi + 1) // 2
+        if sum(min(a, mid) for _, a in items) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    leftover = budget - sum(min(a, lo) for _, a in items)
+    out = {}
+    for g, a in items:
+        out[g] = min(a, lo)
+        if a > lo and leftover > 0:
+            out[g] += 1
+            leftover -= 1
+    return out
+
+
+def test_waterfill_hand_checked(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 4), ("c", 4), (None, 99)],
+        "grp string, avail long")
+    out = {r.grp: r.alloc for r in curation.token_waterfill(
+        df, "grp", "avail", budget=6).collect()}
+    # level 2, remainder 1 -> the first capped stratum (b) gets 3
+    assert out == {"a": 1, "b": 3, "c": 2}
+    # budget covers everything -> alloc == avail
+    out = {r.grp: r.alloc for r in curation.token_waterfill(
+        df, "grp", "avail", budget=100).collect()}
+    assert out == {"a": 1, "b": 4, "c": 4}
+    out = {r.grp: r.alloc for r in curation.token_waterfill(
+        df, "grp", "avail", budget=0).collect()}
+    assert out == {"a": 0, "b": 0, "c": 0}
+    with pytest.raises(ValueError, match="budget"):
+        curation.token_waterfill(df, "grp", "avail", budget=-1)
+    with pytest.raises(ValueError, match="avail"):
+        curation.token_waterfill(
+            spark.createDataFrame([("a", -5)], "grp string, avail long"),
+            "grp", "avail", budget=3)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=1, max_size=8),
+       st.integers(min_value=0, max_value=300))
+def test_waterfill_matches_python_model(spark, avails, budget):
+    """Engine == the independent binary-search model; the allocation
+    exhausts min(budget, total) exactly and never exceeds avail."""
+    rows = [(f"g{i}", a) for i, a in enumerate(avails)]
+    df = spark.createDataFrame(rows, "grp string, avail long")
+    got = {r.grp: r.alloc for r in curation.token_waterfill(
+        df, "grp", "avail", budget=budget).collect()}
+    want = _py_waterfill(rows, budget)
+    assert got == want
+    assert sum(got.values()) == min(budget, sum(avails))
+    assert all(got[g] <= a for g, a in rows)
+
+
+def test_waterfill_oracle_matches_engine(spark):
+    """Engine == DuckDB on per-language n_chars totals of the real
+    documents at a budget that forces a genuine cutoff."""
+    import duckdb
+
+    SF = "/root/testdata/sf0.001"
+    real = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = real.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("avail"))
+    budget = 100_000
+    eng = sorted(tuple(r) for r in curation.token_waterfill(
+        totals, "lang", "avail", budget=budget).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = sorted(con.sql(curation.token_waterfill_oracle_sql(
+        budget, group_col="lang")).fetchall())
+    assert got == eng and eng
+    assert sum(r[2] for r in eng) == budget       # real cutoff engaged
+    assert any(r[2] < r[1] for r in eng)          # some stratum capped
