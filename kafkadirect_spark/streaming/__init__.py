@@ -11,9 +11,11 @@ machinery (SURVEY.md §2.6):
 - ``sketch``       windowed distinct-count (HLL) + space-saving heavy hitters
 - ``dedup``        streaming MinHash-LSH near-duplicate candidates
 - ``topk``         per-window top-k (salted two-phase rank)
+- ``funnel``       event-time ordered-funnel milestones (watermark
+                   seal ≙ the batch min-ts cascade for non-late rows)
 """
 
 from kafkadirect_spark.streaming import (  # noqa: F401
-    asof, dedup, interactive, retraction, sessions, sketch, suppress,
-    topk, transform, window_fold,
+    asof, dedup, funnel, interactive, retraction, sessions, sketch,
+    suppress, topk, transform, window_fold,
 )

@@ -1399,3 +1399,91 @@ def test_streaming_lsh_candidates_golden(spark, tmpdir):
         assert pairs == {(3, 1)}
     finally:
         q.stop()
+
+
+def test_streaming_funnel_out_of_order_and_late(spark, tmpdir):
+    """Event-time funnel: a signup that ARRIVES after its own view
+    still completes step 1 first once the watermark seals both (the
+    batch-cascade order); a record behind the sealed frontier is
+    dropped; milestones emit exactly once per step."""
+    from kafkadirect_spark.streaming.funnel import streaming_funnel
+
+    S = "user_id string, ts timestamp, event_type string"
+    # b0: u1's view arrives BEFORE its signup; u2 signs up at t=0
+    spark.createDataFrame([("u1", t("00:01:00"), "view"),
+                           ("u2", t("00:00:00"), "signup")], S) \
+        .coalesce(1).write.parquet(f"{tmpdir}/ev/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/ev/*", S).df
+    out = streaming_funnel(src, "user_id", "ts", "event_type",
+                           ["signup", "view"], grace="10 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("funnel")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_funnel").start())
+    try:
+        q.processAllAvailable()
+        # watermark after b0 = 00:50; nothing sealed yet for u1/u2
+        # b1: u1's out-of-order signup (00:55 > wm) + a watermark
+        # driver on another key
+        spark.createDataFrame([("u1", t("00:00:55"), "signup"),
+                               ("u9", t("00:02:00"), "view")], S) \
+            .coalesce(1).write.parquet(f"{tmpdir}/ev/b1")
+        q.processAllAvailable()
+        got = {(r.user_id, r.step, r.event_type, r.step_ts)
+               for r in spark.sql("SELECT * FROM funnel").collect()}
+        # u2 seals as soon as the watermark passes t=0; u1's pair
+        # seals via the event-time timeout once the u9 row pushes the
+        # watermark past 01:00 — the out-of-order signup (arrived
+        # AFTER the view) still completes step 1 first, at its
+        # earlier event time
+        assert ("u2", 1, "signup", t("00:00:00")) in got
+        assert ("u1", 1, "signup", t("00:00:55")) in got
+        assert ("u1", 2, "view", t("00:01:00")) in got
+        # b2: a late u2 view (00:10 — behind u2's sealed frontier)
+        # plus another watermark push: the late record must NOT
+        # produce a step-2 milestone, and nothing re-emits
+        spark.createDataFrame([("u2", t("00:00:10"), "view"),
+                               ("u9", t("00:03:00"), "view")], S) \
+            .coalesce(1).write.parquet(f"{tmpdir}/ev/b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel").collect()
+        got = {(r.user_id, r.step, r.event_type, r.step_ts) for r in rows}
+        assert not any(u == "u2" and s == 2 for u, s, *_ in got)
+        assert len(rows) == len(got) == 3                  # once each
+    finally:
+        q.stop()
+
+
+def test_streaming_funnel_conversion_window_and_guards(spark, tmpdir):
+    """within_seconds counts from the sealed step-0 time; guards
+    mirror the batch operator."""
+    from kafkadirect_spark.streaming.funnel import streaming_funnel
+
+    S = "user_id string, ts timestamp, event_type string"
+    spark.createDataFrame([("u1", t("00:00:00"), "signup"),
+                           ("u1", t("00:02:00"), "view")], S) \
+        .coalesce(1).write.parquet(f"{tmpdir}/ev2/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/ev2/*", S).df
+    out = streaming_funnel(src, "user_id", "ts", "event_type",
+                           ["signup", "view"], grace="0 seconds",
+                           within_seconds=60)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("funnel2")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_funnel2").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([("u9", t("00:10:00"), "signup")], S) \
+            .coalesce(1).write.parquet(f"{tmpdir}/ev2/b1")
+        q.processAllAvailable()
+        got = {(r.user_id, r.step) for r in
+               spark.sql("SELECT * FROM funnel2").collect()}
+        # the view at +120 s falls outside the 60 s window
+        assert got == {("u1", 1)}
+    finally:
+        q.stop()
+    with pytest.raises(ValueError, match="at least 2"):
+        streaming_funnel(src, "user_id", "ts", "event_type", ["x"])
+    with pytest.raises(ValueError, match="distinct"):
+        streaming_funnel(src, "user_id", "ts", "event_type", ["x", "x"])
+    with pytest.raises(ValueError, match="within_seconds"):
+        streaming_funnel(src, "user_id", "ts", "event_type",
+                         ["x", "y"], within_seconds=0)
