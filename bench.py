@@ -147,6 +147,20 @@ def _exactsubstr_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _exactsubstr_incr_suite(spark, sf_dir):
+    # the ingest shape: every-20th doc is the new batch, the rest the
+    # accepted index (the incremental_lsh split) — pins the
+    # distinct-hash index exchange + semi/anti membership plan
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exactsubstr_incremental(
+        docs.filter(F.col("doc_id") % 20 == 0),
+        docs.filter(F.col("doc_id") % 20 != 0), "text", "doc_id")
+
+
 def _kmv_slice_matrix_suite(spark, sf_dir):
     from kafkadirect_spark.functions import sketch
     from kafkadirect_spark.sources.batch import load_table
@@ -423,6 +437,7 @@ def main() -> None:
         # a |slices|-bounded broadcast pair join), and hybrid BM25 ∪
         # cosine RRF (two bounded retrievals, ≤ 2·topn-row fusion)
         "dedup_exactsubstr": _exactsubstr_suite,
+        "dedup_exactsubstr_incr": _exactsubstr_incr_suite,
         "kmv_slice_matrix": _kmv_slice_matrix_suite,
         "hybrid_rrf": _hybrid_rrf_suite,
         # behavioral analytics over events: the funnel's filtered-agg

@@ -1194,11 +1194,28 @@ def exactsubstr_report(df: DataFrame, text_col: str, id_col: str,
     document model); beyond-parity LLM-curation machinery beside
     ``span_dedup`` / ``cdc_chunks``.
     """
-    from pyspark.sql import Window
-
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
     L = min_tokens
+    base, occ, knames = _exactsubstr_occ(df, text_col, id_col, L,
+                                         portable)
+    winners = occ.groupBy(*knames).agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"),
+        F.count(F.lit(1)).alias("__c"))
+    dups = (occ.join(winners, knames)
+            .filter((F.col("__c") > 1)
+                    & ~((F.col(id_col) == F.col(f"__w.{id_col}"))
+                        & (F.col("pos") == F.col("__w.pos"))))
+            .select(F.col(id_col), F.col("pos"),
+                    (F.col("pos") + F.lit(L - 1)).alias("__end")))
+    return _exactsubstr_finalize(base, dups, id_col, emit_text)
+
+
+def _exactsubstr_occ(df: DataFrame, text_col: str, id_col: str,
+                     L: int, portable: bool):
+    """Shared front half of the ExactSubstr family: the token base
+    and the persisted sliding-gram occurrence frame (id, pos, hash
+    key column(s))."""
     base = _widen(df.select(F.col(id_col), F.col(text_col))) \
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
     occ = base.select(
@@ -1211,15 +1228,16 @@ def exactsubstr_report(df: DataFrame, text_col: str, id_col: str,
                 F.crc32(F.col("__g")).alias("__h2")]
     occ = _persist(occ.select(F.col(id_col), "pos", *keys))
     knames = [c for c in occ.columns if c.startswith("__h")]
-    winners = occ.groupBy(*knames).agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"),
-        F.count(F.lit(1)).alias("__c"))
-    dups = (occ.join(winners, knames)
-            .filter((F.col("__c") > 1)
-                    & ~((F.col(id_col) == F.col(f"__w.{id_col}"))
-                        & (F.col("pos") == F.col("__w.pos"))))
-            .select(F.col(id_col), F.col("pos"),
-                    (F.col("pos") + F.lit(L - 1)).alias("__end")))
+    return base, occ, knames
+
+
+def _exactsubstr_finalize(base: DataFrame, dups: DataFrame,
+                          id_col: str, emit_text: bool) -> DataFrame:
+    """Shared back half: merge marked intervals (id, pos, __end) into
+    maximal spans under doc-partitioned windows and rebuild the
+    surviving-token surface row-locally."""
+    from pyspark.sql import Window
+
     wd = Window.partitionBy(id_col).orderBy("pos")
     pme = F.max("__end").over(
         wd.rowsBetween(Window.unboundedPreceding, -1))
@@ -1327,4 +1345,135 @@ def exactsubstr_oracle_sql(min_tokens: int = 8, table: str = "documents",
       FROM tok
       LEFT JOIN per ON per.id = tok.id
       LEFT JOIN kept ON kept.id = tok.id) t
+    """
+
+
+def exactsubstr_incremental(new_df: DataFrame, index_df: DataFrame,
+                            text_col: str, id_col: str,
+                            min_tokens: int = 8, portable: bool = True,
+                            emit_text: bool = False) -> DataFrame:
+    """The daily-ingest form of ``exactsubstr_report`` (the same
+    split as ``incremental_lsh_candidates``): dedup a NEW batch
+    against an already-accepted INDEX corpus without ever re-marking
+    the index.  A new-doc token is marked when its sliding gram
+    appears ANYWHERE in the index (the index keeps its copy — it was
+    accepted first) or when it is a non-first occurrence within the
+    new batch itself.  Equivalently: run the full report over
+    index ∪ new with every index id ordered before every new id, and
+    keep the new-side rows — the equivalence a test pins exactly.
+
+    Returns the ``exactsubstr_report`` row shape for NEW docs only.
+
+    Scale shape: the index contributes ONE distinct-hash exchange and
+    never carries positions (at a steady-state pipeline this set is
+    the thing you persist between ingests); the new side pays the
+    report's own ledger at batch size.  The index-membership test is
+    a semi/anti join pair on the gram hash — the new side streams
+    against it, nothing index-sized is re-sorted per batch.
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    L = min_tokens
+    base, occ, knames = _exactsubstr_occ(new_df, text_col, id_col, L,
+                                         portable)
+    _, idx_occ, _ = _exactsubstr_occ(index_df, text_col, id_col, L,
+                                     portable)
+    idx = idx_occ.select(*knames).distinct()
+    span = lambda d: d.select(  # noqa: E731
+        F.col(id_col), F.col("pos"),
+        (F.col("pos") + F.lit(L - 1)).alias("__end"))
+    in_idx = span(occ.join(idx, knames, "left_semi"))
+    fresh = occ.join(idx, knames, "left_anti")
+    winners = fresh.groupBy(*knames).agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"),
+        F.count(F.lit(1)).alias("__c"))
+    batch_dups = span(
+        fresh.join(winners, knames)
+        .filter((F.col("__c") > 1)
+                & ~((F.col(id_col) == F.col(f"__w.{id_col}"))
+                    & (F.col("pos") == F.col("__w.pos")))))
+    return _exactsubstr_finalize(base, in_idx.unionByName(batch_dups),
+                                 id_col, emit_text)
+
+
+def exactsubstr_incremental_oracle_sql(
+        min_tokens: int = 8, table: str = "documents",
+        id_col: str = "doc_id", text_col: str = "text",
+        new_pred: str = "doc_id % 5 = 0",
+        index_pred: str = "doc_id % 5 <> 0") -> str:
+    """DuckDB replay of ``exactsubstr_incremental`` where both sides
+    are predicates over one table — index membership by hash, the
+    within-batch min-struct winner, and the island merge + rebuild
+    replayed over the new side only."""
+    L = min_tokens
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    gram = " || ' ' || ".join(f"w[g+{j}]" for j in range(L))
+    ph = f"(('0x' || substr(md5({gram}), 1, 14))::BIGINT % {HASH_P})"
+    return f"""
+    WITH tok AS (SELECT {id_col} AS id, ({new_pred}) AS is_new,
+                        {tok} AS w
+                 FROM {table}
+                 WHERE ({new_pred}) OR ({index_pred})),
+    occ0 AS (
+      SELECT id, is_new, g - 1 AS pos, {ph} AS h
+      FROM (SELECT id, is_new, w,
+                   unnest(generate_series(1, len(w) - {L - 1})) AS g
+            FROM tok WHERE len(w) >= {L})),
+    idx AS (SELECT DISTINCT h FROM occ0 WHERE NOT is_new),
+    occ AS (SELECT id, pos, h FROM occ0 WHERE is_new),
+    fresh AS (SELECT * FROM occ
+              WHERE NOT EXISTS (SELECT 1 FROM idx
+                                WHERE idx.h = occ.h)),
+    win AS (
+      SELECT h, min(struct_pack(i := id, p := pos)) AS w0,
+             count(*) AS c
+      FROM fresh GROUP BY h),
+    dups AS (
+      SELECT o.id, o.pos, o.pos + {L - 1} AS e
+      FROM occ o JOIN idx ON o.h = idx.h
+      UNION ALL
+      SELECT o.id, o.pos, o.pos + {L - 1} AS e
+      FROM fresh o JOIN win ON o.h = win.h
+      WHERE win.c > 1
+        AND NOT (o.id = win.w0.i AND o.pos = win.w0.p)),
+    m AS (
+      SELECT id, pos, e,
+             max(e) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM dups),
+    i AS (
+      SELECT id, pos, e,
+             sum(CASE WHEN pme IS NULL OR pos > pme + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos) AS isl
+      FROM m),
+    s AS (
+      SELECT id, isl, min(pos) AS s0, max(e) AS e0
+      FROM i GROUP BY id, isl),
+    per AS (
+      SELECT id, count(*)::BIGINT AS n_spans,
+             sum(e0 - s0 + 1)::BIGINT AS n_removed
+      FROM s GROUP BY id),
+    nt AS (SELECT id, w FROM tok WHERE is_new),
+    kept AS (
+      SELECT t.id,
+             coalesce(string_agg(t.w[u.i + 1], ' ' ORDER BY u.i), '')
+               AS ktext
+      FROM (SELECT id, w, unnest(generate_series(0, len(w) - 1)) AS i
+            FROM nt) u
+      JOIN nt t ON t.id = u.id
+      WHERE NOT EXISTS (SELECT 1 FROM s
+                        WHERE s.id = u.id
+                          AND u.i BETWEEN s.s0 AND s.e0)
+      GROUP BY t.id)
+    SELECT nt.id AS {id_col},
+           len(nt.w)::BIGINT AS n_tokens,
+           coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(per.n_removed, 0)::BIGINT AS n_removed,
+           md5(coalesce(kept.ktext, '')) AS kept_md5
+    FROM nt
+    LEFT JOIN per ON per.id = nt.id
+    LEFT JOIN kept ON kept.id = nt.id
     """

@@ -216,6 +216,11 @@ _PROMOTED = [
 # max-min fair integer budget allocation over per-stratum totals;
 # needs _GLOBAL_WINDOW_OK entries for the |strata|-row rank/prefix
 # windows, the same bounded-offsets envelope as sample_weighted).
+# Ingest: `dedup_exactsubstr_incr`
+# (dedup.exactsubstr_incremental_oracle_sql, every-5th-doc split) —
+# register it OR `dedup_exactsubstr` first, not both in one window
+# (same machinery; the incremental adds the index-membership claim
+# and its union-equivalence test already pins the shared half).
 _DEFERRED_NEW: list[str] = []
 
 

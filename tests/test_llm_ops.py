@@ -1832,3 +1832,59 @@ def test_exactsubstr_fast_hash_agrees_and_plan_is_scale_safe(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "doc_id" in spec, f"unpartitioned window: {spec}"
+
+
+def test_exactsubstr_incremental_hand_checked(spark):
+    """Grams present in the index mark EVERY new-side occurrence (the
+    index keeps its copy); fresh grams dedup within the batch only."""
+    index = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "z1 a b c d e f g h z2"),     # whole index gram -> marked
+         (11, "p q r s t u v w"),           # fresh, first in batch
+         (12, "p q r s t u v w tail")],     # fresh, duplicate -> marked
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_spans, r.n_removed)
+           for r in dedup.exactsubstr_incremental(
+               new, index, "text", "doc_id").collect()}
+    assert out[10] == (10, 1, 8)
+    assert out[11] == (8, 0, 0)
+    assert out[12] == (9, 1, 8)
+    assert set(out) == {10, 11, 12}          # index rows never emitted
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup.exactsubstr_incremental(new, index, "text", "doc_id",
+                                      min_tokens=1)
+
+
+def test_exactsubstr_incremental_equals_union_run(spark, docs):
+    """The pinned equivalence: incremental(new, index) == the full
+    report over index ∪ new with index ids ordered first, restricted
+    to new rows — on the real documents split odd/even (even ids are
+    the index and sort first via a +10^9 shift of the new side)."""
+    shifted = docs.filter(F.col("doc_id") % 2 == 1) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = sorted(tuple(r) for r in dedup.exactsubstr_incremental(
+        shifted, index, "text", "doc_id").collect())
+    full = sorted(tuple(r) for r in dedup.exactsubstr_report(
+        index.unionByName(shifted), "text", "doc_id").collect()
+        if r.doc_id >= 1_000_000_000)
+    assert inc == full and inc
+    assert any(r[2] > 0 for r in inc)        # real cross-side marks
+
+
+def test_exactsubstr_incremental_oracle_matches_engine(spark, docs):
+    """Engine == DuckDB with every-5th doc as the new batch."""
+    import duckdb
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    eng = sorted(tuple(r) for r in dedup.exactsubstr_incremental(
+        new, index, "text", "doc_id").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    got = sorted(con.sql(
+        dedup.exactsubstr_incremental_oracle_sql()).fetchall())
+    assert got == eng and eng

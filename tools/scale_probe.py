@@ -856,6 +856,14 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         # the HOF rebuild are doc-partitioned / row-local
         return dedup.exactsubstr_report(docs, "text", "doc_id")
 
+    def probe_exactsubstr_incr(docs):
+        # fixed new batch (base every-20th) vs the growing corpus as
+        # the index — the production ingest shape: wall should track
+        # the index's distinct-hash pass, the new side is constant
+        new = base.filter(F.col("doc_id") % 20 == 0)
+        return dedup.exactsubstr_incremental(new, docs, "text",
+                                             "doc_id")
+
     def probe_kmv_matrix(docs):
         # per-slice KMV min-k over 20 sources: the (slice, hash)
         # distinct grows with the corpus, the pair join stays a
@@ -874,6 +882,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
 
     probes = {"minhash_lsh": probe_minhash,
               "exactsubstr": probe_exactsubstr,
+              "exactsubstr_incr": probe_exactsubstr_incr,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
