@@ -168,6 +168,17 @@ def _kmv_slice_matrix_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "source", "text")
 
 
+def _phash_pairs_suite(spark, sf_dir):
+    # synth rasters executor-side -> real PNM decode -> aHash ->
+    # band-bucket Hamming pairs: the whole multimodal near-dup path
+    from kafkadirect_spark.functions import multimodal
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synth_media(ids, "doc_id", kind="pnm")
+    return multimodal.phash_pairs(multimodal.image_phash(media),
+                                  "doc_id", max_hamming=1)
+
+
 def _waterfill_suite(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -452,6 +463,9 @@ def main() -> None:
         # max-min fair budget allocation: one corpus agg + windows
         # over the |strata|-row totals frame
         "token_waterfill": _waterfill_suite,
+        # perceptual image near-dup over real rasters (aHash + band
+        # buckets; one (band, byte) exchange, never all-pairs)
+        "media_phash_pairs": _phash_pairs_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

@@ -802,3 +802,190 @@ def synth_image_features_oracle_sql(kind: str = "pnm",
     FROM px
     GROUP BY i
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (round 12): average-hash near-dup over the
+# REAL rasters — multimodal dedup, not just features.
+# ---------------------------------------------------------------------------
+
+
+def phash64(pixels, width: int, height: int, channels: int):
+    """64-bit average hash (aHash) of a decoded raster, integer-exact:
+    gray = truncating channel mean; an 8×8 grid assigns pixel column
+    ``x`` to cell ``(x·8) DIV width`` (ditto rows — every cell is
+    non-empty for width, height ≥ 8); cell value = truncating mean of
+    its gray pixels; threshold = truncating mean of the 64 cell
+    values; bit ``gy·8+gx`` is set iff its cell is STRICTLY above the
+    threshold.  Returned as two non-negative 32-bit halves
+    ``(hi, lo)`` so both engines stay inside BIGINT.
+
+    The aHash property the tests pin: a constant brightness shift
+    (no wraparound) moves every cell and the threshold equally, so
+    the hash is invariant; small local edits flip few cells →
+    small Hamming distance."""
+    if width < 8 or height < 8:
+        raise ValueError("phash64 needs width and height >= 8")
+    gray = pixels
+    if channels != 1:
+        gray = [sum(pixels[p * channels:(p + 1) * channels]) // channels
+                for p in range(width * height)]
+    acc = [[0, 0] for _ in range(64)]
+    for y in range(height):
+        gy = (y * 8) // height
+        row = y * width
+        for x in range(width):
+            b = gy * 8 + (x * 8) // width
+            a = acc[b]
+            a[0] += gray[row + x]
+            a[1] += 1
+    cells = [s // c for s, c in acc]
+    thr = sum(cells) // 64
+    hi = lo = 0
+    for b, v in enumerate(cells):
+        if v > thr:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    return hi, lo
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image payload (PNM family / 24-bit
+    BMP — the real decoders), zero shuffles: ``(doc_id, phash_hi,
+    phash_lo, n_ones)``.  Non-image payloads and rasters smaller than
+    8×8 emit nothing (same skip contract as ``image_features``)."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+        StructField("n_ones", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                kind = sniff_media(b)
+                if kind not in ("pnm", "bmp"):
+                    continue
+                d = decode_pnm(b) if kind == "pnm" else decode_bmp(b)
+                if d["width"] < 8 or d["height"] < 8:
+                    continue
+                hi, lo = phash64(d["pixels"], d["width"], d["height"],
+                                 d["channels"])
+                rows.append({"doc_id": doc_id, "phash_hi": hi,
+                             "phash_lo": lo,
+                             "n_ones": bin(hi).count("1")
+                             + bin(lo).count("1")})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def phash_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance ≤
+    ``max_hamming`` — the image twin of ``dedup.simhash_pairs``, and
+    the same pigeonhole contract: candidates bucket on the hash's 8
+    BYTES (8 bands × 8 bits), so recall is EXACT for
+    ``max_hamming < 8``; band collisions pay one row-local
+    ``bit_count(xor)`` verification each.  Shuffles: one (band, byte)
+    bucket exchange — never all-pairs.  Returns
+    ``(id_a, id_b, hamming)``."""
+    if not 0 <= max_hamming < 8:
+        raise ValueError("max_hamming must be in [0, 8) — 8 bands of "
+                         "8 bits give exact recall below 8 only")
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(t).alias("band"),
+            F.expr(f"CAST(({'phash_lo' if t < 4 else 'phash_hi'} DIV "
+                   f"{1 << (8 * (t % 4))}) % 256 AS INT)").alias("byte"))
+        for t in range(8)])).alias("b")
+    tagged = hashes.select(F.col(id_col), "phash_hi", "phash_lo", bands) \
+        .select(id_col, "phash_hi", "phash_lo", "b.band", "b.byte")
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cand = (a.join(b, ["band", "byte"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.phash_hi").alias("__ha"),
+                    F.col("a.phash_lo").alias("__la"),
+                    F.col("b.phash_hi").alias("__hb"),
+                    F.col("b.phash_lo").alias("__lb"))
+            .distinct())
+    ham = (F.bit_count(F.expr("__ha ^ __hb"))
+           + F.bit_count(F.expr("__la ^ __lb")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def synth_phash_pairs_oracle_sql(kind: str = "pnm",
+                                 max_hamming: int = 6,
+                                 table: str = "documents",
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``phash_pairs(image_phash(synth_media(...)))``
+    end to end: gradient pixel synthesis → gray → 8×8 truncating cell
+    means → threshold bits → 32-bit halves → byte bands → bucket
+    pairs → bit_count(xor) Hamming — a green row proves the raster
+    container round-trip AND the whole perceptual-dedup pipeline."""
+    if kind not in ("pnm", "bmp"):
+        raise ValueError("kind must be 'pnm' or 'bmp'")
+    if not 0 <= max_hamming < 8:
+        raise ValueError("max_hamming must be in [0, 8)")
+    if kind == "pnm":
+        gray = "(x * 7 + y * 13 + i) % 256"
+        gsrc = ""
+    else:
+        # truncating 3-channel mean of the BMP gradient
+        gray = ("((x*7 + y*13 + i) % 256 + (x*7 + y*13 + i + 41) % 256"
+                " + (x*7 + y*13 + i + 82) % 256) // 3")
+        gsrc = ""
+    return f"""
+    WITH ids AS (SELECT DISTINCT {id_col} AS i FROM {table}),
+    dims AS (SELECT i, 16 + (i % 17) AS w, 12 + (i % 13) AS h
+             FROM ids),
+    px AS (
+      SELECT d.i, d.w, d.h, x, y, {gray} AS g
+      FROM dims d,
+           (SELECT unnest(generate_series(0, 31)) AS x),
+           (SELECT unnest(generate_series(0, 24)) AS y){gsrc}
+      WHERE x < d.w AND y < d.h),
+    cells AS (
+      SELECT i, ((y * 8) // h) * 8 + (x * 8) // w AS b,
+             SUM(g) // COUNT(*) AS cv
+      FROM px GROUP BY i, ((y * 8) // h) * 8 + (x * 8) // w),
+    thr AS (SELECT i, SUM(cv) // 64 AS t FROM cells GROUP BY i),
+    hash AS (
+      SELECT c.i,
+             SUM(CASE WHEN c.cv > thr.t AND c.b >= 32
+                      THEN 1::BIGINT << (c.b - 32) ELSE 0 END)
+               ::BIGINT AS hi,
+             SUM(CASE WHEN c.cv > thr.t AND c.b < 32
+                      THEN 1::BIGINT << c.b ELSE 0 END)::BIGINT AS lo
+      FROM cells c JOIN thr ON thr.i = c.i
+      GROUP BY c.i),
+    bands AS (
+      SELECT i, hi, lo, t AS band,
+             CASE WHEN t < 4 THEN (lo // (1::BIGINT << (8 * t))) % 256
+                  ELSE (hi // (1::BIGINT << (8 * (t - 4)))) % 256
+             END AS byte
+      FROM hash, (SELECT unnest(generate_series(0, 7)) AS t)),
+    cand AS (
+      SELECT DISTINCT a.i AS id_a, b.i AS id_b,
+             a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.byte = b.byte AND a.i < b.i)
+    SELECT id_a, id_b,
+           (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INTEGER
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+          <= {max_hamming}
+    """

@@ -221,6 +221,13 @@ _PROMOTED = [
 # register it OR `dedup_exactsubstr` first, not both in one window
 # (same machinery; the incremental adds the index-membership claim
 # and its union-equivalence test already pins the shared half).
+# Multimodal near-dup: `media_phash_pairs`
+# (multimodal.synth_phash_pairs_oracle_sql — synthesis → real raster
+# decode → aHash → band buckets → Hamming, all SQL-replayed; a green
+# row proves the container round-trip AND the perceptual pipeline).
+# Register with max_hamming=1 or emit groupBy(hamming).count() —
+# measured pair counts at 5k ids: ≤2 → 42.7k rows (too fat for the
+# driver's pandas compare), ≤1 keeps it modest.
 _DEFERRED_NEW: list[str] = []
 
 

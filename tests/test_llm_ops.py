@@ -1888,3 +1888,103 @@ def test_exactsubstr_incremental_oracle_matches_engine(spark, docs):
     got = sorted(con.sql(
         dedup.exactsubstr_incremental_oracle_sql()).fetchall())
     assert got == eng and eng
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (round 12): aHash over the REAL rasters +
+# Hamming pair mining — multimodal near-dup, not just features.
+
+
+def test_phash64_matches_naive_and_brightness_invariance(spark):
+    """phash64 == a from-scratch recompute; a constant brightness
+    shift (no wraparound) leaves the hash invariant (the aHash
+    property); sub-8x8 rasters are rejected."""
+    w, h = 16, 12
+    px = [(x * 3 + y * 5) % 90 + 40 for y in range(h) for x in range(w)]
+    hi, lo = multimodal.phash64(px, w, h, 1)
+    cells = {}
+    for y in range(h):
+        for x in range(w):
+            b = ((y * 8) // h) * 8 + (x * 8) // w
+            s, c = cells.get(b, (0, 0))
+            cells[b] = (s + px[y * w + x], c + 1)
+    vals = [cells[b][0] // cells[b][1] for b in range(64)]
+    thr = sum(vals) // 64
+    want_bits = {b for b in range(64) if vals[b] > thr}
+    got_bits = {b for b in range(64)
+                if (lo if b < 32 else hi) >> (b % 32) & 1}
+    assert got_bits == want_bits and 0 < len(got_bits) < 64
+    assert multimodal.phash64([v + 60 for v in px], w, h, 1) == (hi, lo)
+    with pytest.raises(ValueError, match="width and height"):
+        multimodal.phash64([0] * 28, 7, 4, 1)
+
+
+def test_image_phash_and_pairs_identical_payloads(spark):
+    """Identical rasters pair at Hamming 0 through the band-bucket
+    join; a raster below 8x8 emits no hash row; the guard range is
+    enforced."""
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    media = multimodal.synth_media(ids, "doc_id", kind="pnm")
+    # ids 1 and 222 mint DIFFERENT images; duplicate id 1's payload
+    # under a new id instead
+    import pandas as pd
+    rows = media.collect()
+    dup = [(r.doc_id, bytes(r.payload)) for r in rows]
+    dup.append((99, dict((r.doc_id, bytes(r.payload)) for r in rows)[1]))
+    df = spark.createDataFrame(pd.DataFrame(
+        dup, columns=["doc_id", "payload"]))
+    hashes = multimodal.image_phash(df)
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           multimodal.phash_pairs(hashes, "doc_id",
+                                  max_hamming=0).collect()}
+    assert out[(1, 99)] == 0
+    tiny = spark.createDataFrame(
+        pd.DataFrame([(7, multimodal.encode_pnm([0] * 28, 7, 4))],
+                     columns=["doc_id", "payload"]))
+    assert multimodal.image_phash(tiny).count() == 0
+    with pytest.raises(ValueError, match="max_hamming"):
+        multimodal.phash_pairs(hashes, "doc_id", max_hamming=8)
+
+
+def test_phash_pairs_recall_exact_below_band_count(spark):
+    """Pigeonhole recall: the band-bucket candidates recover EVERY
+    pair at Hamming <= 6 on a 60-image sample — verified against the
+    all-pairs python brute force over the same hashes."""
+    import itertools
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    hashes = multimodal.image_phash(
+        multimodal.synth_media(ids, "doc_id", kind="pnm"))
+    hs = {r.doc_id: (r.phash_hi, r.phash_lo) for r in hashes.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = (bin(hs[a][0] ^ hs[b][0]).count("1")
+             + bin(hs[a][1] ^ hs[b][1]).count("1"))
+        if d <= 6:
+            want[(a, b)] = d
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           multimodal.phash_pairs(hashes, "doc_id",
+                                  max_hamming=6).collect()}
+    assert got == want and want
+
+
+def test_phash_pairs_oracle_matches_engine(spark, docs):
+    """Engine == DuckDB end to end (synthesis -> gray -> cells ->
+    threshold bits -> halves -> bands -> bucket pairs -> Hamming)
+    for BOTH raster kinds — a match proves the container round-trip
+    AND the perceptual-dedup pipeline."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    base = docs.select("doc_id")
+    for kind in ("pnm", "bmp"):
+        pairs = multimodal.phash_pairs(
+            multimodal.image_phash(
+                multimodal.synth_media(base, "doc_id", kind=kind)),
+            "doc_id", max_hamming=6)
+        eng = sorted(tuple(r) for r in pairs.collect())
+        got = sorted(con.sql(multimodal.synth_phash_pairs_oracle_sql(
+            kind=kind, max_hamming=6)).fetchall())
+        assert got == eng and len(eng) > 100
