@@ -43,6 +43,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     multimodal.resize_images(img.unionByName(bmp), factor=2) \
         .orderBy("doc_id").select("doc_id", "width", "height").show(10)
 
+    print("== perceptual near-dup (aHash -> byte-band Hamming pairs) ==")
+    multimodal.phash_pairs(multimodal.image_phash(img), "doc_id",
+                           max_hamming=2) \
+        .orderBy("id_a", "id_b").show(10)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

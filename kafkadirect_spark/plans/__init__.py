@@ -228,6 +228,17 @@ _PROMOTED = [
 # Register with max_hamming=1 or emit groupBy(hamming).count() —
 # measured pair counts at 5k ids: ≤2 → 42.7k rows (too fat for the
 # driver's pandas compare), ≤1 keeps it modest.
+#
+# Suggested r13 pick (14 candidates > ~10-slot budget; chosen for
+# claim diversity — one per new family, defer the rest to r14):
+# similarity_ivf_pq_rerank, contamination_report,
+# sample_weighted_group, media_image_features, media_phash_pairs,
+# dedup_exactsubstr (retiring dedup_spans 1:1), hybrid_rrf,
+# funnel_steps, kmv_slice_matrix, token_waterfill — deferring
+# media_audio_features (same codec-proof claim shape as image),
+# path_topk (same events-sequence family as funnel_steps),
+# graph_triangles and dedup_exactsubstr_incr to r14.  Retirement
+# candidates stay as listed above; hold N ≈ 155.
 _DEFERRED_NEW: list[str] = []
 
 

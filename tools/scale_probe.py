@@ -856,6 +856,33 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         # the HOF rebuild are doc-partitioned / row-local
         return dedup.exactsubstr_report(docs, "text", "doc_id")
 
+    ev_base = load_table(spark, sf_dir, "events")
+
+    def _replicate_events(docs):
+        # mirror the docs ladder's factor (docs is persisted — the
+        # count is cheap); organic user growth: each replica mints
+        # fresh user ids, so per-user event density (the funnel
+        # cascade's and the path window's envelope) stays constant
+        # while users scale
+        k = max(1, docs.count() // n_base)
+        df = ev_base
+        for i in range(1, k):
+            df = df.unionByName(ev_base.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 10_000_000)))
+        return df
+
+    def probe_funnel(docs):
+        from kafkadirect_spark.functions import behavior
+        return behavior.funnel_steps(
+            _replicate_events(docs), "user_id", "ts",
+            "event_type", ["signup", "view", "click", "purchase"])
+
+    def probe_path_topk(docs):
+        from kafkadirect_spark.functions import behavior
+        return behavior.path_topk(
+            _replicate_events(docs), "user_id", "ts",
+            "event_type", n=3, k=10, order_break_col="event_id")
+
     def probe_exactsubstr_incr(docs):
         # fixed new batch (base every-20th) vs the growing corpus as
         # the index — the production ingest shape: wall should track
@@ -883,6 +910,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
     probes = {"minhash_lsh": probe_minhash,
               "exactsubstr": probe_exactsubstr,
               "exactsubstr_incr": probe_exactsubstr_incr,
+              "funnel": probe_funnel,
+              "path_topk": probe_path_topk,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
