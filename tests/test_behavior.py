@@ -176,3 +176,102 @@ def test_behavior_plans_are_scale_safe(spark):
     data_sized = [s for s in specs
                   if "user_id" not in s and "n_occurrences" not in s]
     assert not data_sized, data_sized
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_funnel(events, steps, within=None):
+    """Independent model: per user, replay events in (ts, event_id)
+    order through the strict-after cascade."""
+    by_user: dict = {}
+    for eid, ts, u, ty in events:
+        by_user.setdefault(u, []).append((ts, eid, ty))
+    out = []
+    per_user = {}
+    for u, evs in by_user.items():
+        done = []
+        for ts, _eid, ty in sorted(evs):
+            k = len(done)
+            if k >= len(steps) or ty != steps[k]:
+                continue
+            if k > 0 and ts <= done[-1]:
+                continue
+            if within is not None and k > 0 and ts - done[0] > within:
+                continue
+            done.append(ts)
+        per_user[u] = done
+    n0 = sum(1 for d in per_user.values() if len(d) >= 1)
+    for i, s in enumerate(steps, start=1):
+        conv = [d for d in per_user.values() if len(d) >= i]
+        out.append((i, s, len(conv),
+                    1000 * len(conv) // max(n0, 1),
+                    sum(d[i - 1] - d[0] for d in conv)))
+    return out
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=120),   # second
+              st.integers(min_value=1, max_value=4),     # user
+              st.sampled_from(["a", "b", "c", "x"])),
+    min_size=1, max_size=40),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=90)))
+def test_funnel_matches_python_model(spark, rows, within):
+    """Engine == the per-user replay model on random event soups —
+    min-ts semantics equal in-order replay, with and without the
+    conversion window.  Seconds-granularity timestamps keep the
+    model's integer lags exact."""
+    from datetime import datetime, timedelta
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    events = [(i, base + timedelta(seconds=sec), u, ty)
+              for i, (sec, u, ty) in enumerate(rows)]
+    df = spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, "
+                "event_type string")
+    got = sorted(tuple(r) for r in behavior.funnel_steps(
+        df, "user_id", "ts", "event_type", ["a", "b", "c"],
+        within_seconds=within).collect())
+    model = [(i, s, n, p, lag) for i, s, n, p, lag in _py_funnel(
+        [(e, int((ts - base).total_seconds()), u, ty)
+         for e, ts, u, ty in events], ["a", "b", "c"], within)]
+    assert got == sorted(model)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=1, max_value=3),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=2, max_size=30))
+def test_path_topk_matches_python_model(spark, rows):
+    """Engine == a per-user sliding-window recount in (ts, event_id)
+    order, including cross-engine tie ranks."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    events = [(i, base + timedelta(seconds=sec), u, ty)
+              for i, (sec, u, ty) in enumerate(rows)]
+    df = spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, "
+                "event_type string")
+    got = [(r.path, r.n_occurrences, r.rank)
+           for r in behavior.path_topk(
+               df, "user_id", "ts", "event_type", n=2, k=50,
+               order_break_col="event_id").collect()]
+    by_user: dict = {}
+    for eid, ts, u, ty in events:
+        by_user.setdefault(u, []).append((ts, eid, ty))
+    c: Counter = Counter()
+    for evs in by_user.values():
+        seq = [ty for _, _, ty in sorted(evs)]
+        for j in range(len(seq) - 1):
+            c[f"{seq[j]}>{seq[j + 1]}"] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [(p, n, i + 1) for i, (p, n) in enumerate(want)]
+    assert got == want
