@@ -168,6 +168,18 @@ def _kmv_slice_matrix_suite(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "source", "text")
 
 
+def _weighted_quantiles_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions.text import token_count
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.weighted_quantiles(
+        docs, F.col("n_chars"), token_count("text"),
+        [100, 500, 900, 990])
+
+
 def _phash_pairs_suite(spark, sf_dir):
     # synth rasters executor-side -> real PNM decode -> aHash ->
     # band-bucket Hamming pairs: the whole multimodal near-dup path
@@ -466,6 +478,9 @@ def main() -> None:
         # perceptual image near-dup over real rasters (aHash + band
         # buckets; one (band, byte) exchange, never all-pairs)
         "media_phash_pairs": _phash_pairs_suite,
+        # token-weighted order statistics: the histogram-narrowing
+        # recursion with weight mass (register-sized exchanges only)
+        "weighted_quantiles": _weighted_quantiles_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark

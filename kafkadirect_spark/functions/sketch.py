@@ -942,3 +942,124 @@ def kmv_group_jaccard_oracle_sql(group_col: str = "lang",
              AS jaccard_permille
     FROM agg JOIN sz sa ON sa.g = agg.ga JOIN sz sb ON sb.g = agg.gb
     """
+
+
+def weighted_quantiles(df: DataFrame, col: Column | str,
+                       weight_col: Column | str,
+                       qs_permille: list[int], bins: int = 1024,
+                       max_rounds: int = 8) -> DataFrame:
+    """EXACT weight-mass quantiles of an integer column — the
+    ``exact_quantiles`` recursion with row counts replaced by integer
+    weight mass: the q-permille value is
+    ``min v : Σ weight(rows ≤ v) ≥ ceil(q·W/1000)`` (W = total
+    weight), identical to walking ``ORDER BY v`` until the running
+    weight reaches the target.  THE curation question
+    ``exact_quantiles`` cannot ask: "the median TOKEN lives in a
+    document of length X" is the token-weighted length quantile, not
+    the document-count quantile (long docs hold most of the mass).
+
+    Same scale ledger as the unweighted form: one filtered column
+    scan per round, register-sized (≤ bins rows) exchanges and
+    collects, ranges shrink ×bins per round, quantiles share each
+    round's histogram until their ranges diverge.  Weights must be
+    integral; rows with NULL or non-positive weight carry no mass
+    and are excluded (documented, not an error — a zero-token doc
+    holds no tokens).  Returns ``(q_permille, value)``.
+
+    Reference analogue: none (SURVEY.md §2); beyond-parity order
+    statistics beside ``exact_quantiles``.
+    """
+    bad_q = [q for q in qs_permille if not 0 < q <= 1000]
+    if bad_q:
+        raise ValueError(f"q_permille out of (0, 1000]: {bad_q}")
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    wc = (F.col(weight_col) if isinstance(weight_col, str)
+          else weight_col).cast("long")
+    vals = (df.select(c.alias("__v"), wc.alias("__w"))
+            .filter(F.col("__v").isNotNull() & (F.col("__w") > 0)))
+    vals = vals.persist()
+    try:
+        agg = vals.agg(F.sum("__w").alias("tw"),
+                       F.min("__v").alias("lo"),
+                       F.max("__v").alias("hi")).collect()[0]
+        tw, glo, ghi = agg["tw"], agg["lo"], agg["hi"]
+        rows = []
+        if tw:
+            if ghi - glo > (1 << 62):
+                raise ValueError(
+                    f"value range [{glo}, {ghi}] spans more than 2^62; "
+                    "narrow the domain (in-plan bucket arithmetic "
+                    "would overflow)")
+            state = {q: [max((q * tw + 999) // 1000, 1), glo, ghi]
+                     for q in qs_permille}
+            done: dict[int, int] = {}
+            for _ in range(max_rounds):
+                pend = {q: s for q, s in state.items() if q not in done}
+                if not pend:
+                    break
+                ranges: dict[tuple[int, int], list[int]] = {}
+                for q, (_, lo, hi) in pend.items():
+                    ranges.setdefault((lo, hi), []).append(q)
+                for (lo, hi), group in ranges.items():
+                    width = hi - lo + 1
+                    w = max(1, -(-width // bins))  # ceil
+                    hist = {r["b"]: r["m"] for r in
+                            vals.filter(F.col("__v").between(lo, hi))
+                            .groupBy(F.expr(f"(__v - {lo}) DIV {w}")
+                                     .alias("b"))
+                            .agg(F.sum("__w").alias("m"))
+                            .collect()}
+                    cum_at = sorted(hist)
+                    for q in group:
+                        k = state[q][0]
+                        cum = 0
+                        for b in cum_at:
+                            if cum + hist[b] >= k:
+                                blo = lo + b * w
+                                if w == 1:
+                                    done[q] = blo
+                                else:
+                                    state[q] = [k - cum, blo,
+                                                min(blo + w - 1, hi)]
+                                break
+                            cum += hist[b]
+            missing = [q for q in qs_permille if q not in done]
+            if missing:
+                raise RuntimeError(
+                    f"weighted_quantiles did not converge in "
+                    f"{max_rounds} rounds for q={missing} (range "
+                    f"[{glo}, {ghi}], bins={bins}) — raise max_rounds "
+                    "or bins")
+            rows = [(int(q), int(done[q])) for q in qs_permille]
+        spark = df.sparkSession
+        return spark.createDataFrame(rows, "q_permille int, value long")
+    finally:
+        vals.unpersist()
+
+
+def weighted_quantiles_oracle_sql(qs_permille: list[int],
+                                  value_sql: str = "n_chars",
+                                  weight_sql: str =
+                                  ("len(list_filter(regexp_split_to_"
+                                   "array(lower(text), '[^a-z0-9]+'), "
+                                   "x -> x <> ''))"),
+                                  table: str = "documents") -> str:
+    """DuckDB replay of ``weighted_quantiles`` — the naive running-
+    weight walk the distributed recursion must equal: cumulative
+    weight over the value order, target rank ``(q·W + 999) // 1000``."""
+    arms = " UNION ALL ".join(
+        f"""SELECT {q} AS q_permille,
+               (SELECT min(v) FROM c, tot
+                WHERE cw >= (({q} * tot.w + 999) // 1000)) AS value
+        """ for q in qs_permille)
+    return f"""
+    WITH base AS (
+      SELECT ({value_sql})::BIGINT AS v, ({weight_sql})::BIGINT AS w
+      FROM {table}
+      WHERE ({value_sql}) IS NOT NULL AND ({weight_sql}) > 0),
+    tot AS (SELECT sum(w)::HUGEINT AS w FROM base),
+    c AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cw
+      FROM (SELECT v, sum(w) AS w FROM base GROUP BY v))
+    {arms}
+    """

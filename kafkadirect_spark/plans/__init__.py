@@ -229,6 +229,11 @@ _PROMOTED = [
 # measured pair counts at 5k ids: ≤2 → 42.7k rows (too fat for the
 # driver's pandas compare), ≤1 keeps it modest.
 #
+# Order statistics: `weighted_quantiles`
+# (sketch.weighted_quantiles_oracle_sql — token-weighted n_chars
+# quantiles; the exact_quantiles recursion with weight mass, same
+# register-sized ledger, no plan-lint caveats).
+#
 # Suggested r13 pick (14 candidates > ~10-slot budget; chosen for
 # claim diversity — one per new family, defer the rest to r14):
 # similarity_ivf_pq_rerank, contamination_report,

@@ -734,3 +734,79 @@ def test_kmv_group_jaccard_plan_is_bounded(spark):
     assert "BroadcastNestedLoopJoin" in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "g#" in spec or "g AS" in spec, spec
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles (round 12): exact weight-mass order statistics.
+
+
+def test_weighted_quantiles_hand_checked(spark):
+    """Values 1..4 with weights 1,1,1,7: the median TOKEN (q=500)
+    lives at value 4 (it holds 70% of the mass) while the unweighted
+    median row is 2; zero/NULL weights carry no mass."""
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 7), (9, 0), (8, None)],
+        "v long, w long")
+    out = {r.q_permille: r.value for r in sketch.weighted_quantiles(
+        df, "v", "w", [100, 300, 500, 1000]).collect()}
+    # cum mass: 1->1, 2->2, 3->3, 4->10 ; W=10
+    assert out == {100: 1, 300: 3, 500: 4, 1000: 4}
+    un = {r.q_permille: r.value for r in sketch.exact_quantiles(
+        df.filter("w > 0"), "v", [500]).collect()}
+    assert un[500] == 2
+    with pytest.raises(ValueError, match="q_permille"):
+        sketch.weighted_quantiles(df, "v", "w", [0])
+
+
+def test_weighted_quantiles_matches_python_model(spark):
+    """Engine == the naive cumulative walk on random integer
+    (value, weight) sets, including heavy ties and weight skew."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        rows = [(rng.randrange(-50, 2000),
+                 rng.choice([1, 1, 2, 5, 100]))
+                for _ in range(200 + trial * 77)]
+        df = spark.createDataFrame(rows, "v long, w long")
+        qs = [1, 250, 500, 750, 999, 1000]
+        got = {r.q_permille: r.value for r in
+               sketch.weighted_quantiles(df, "v", "w", qs).collect()}
+        tw = sum(w for _, w in rows)
+        srt = sorted(rows)
+        want = {}
+        for q in qs:
+            k, cum = max((q * tw + 999) // 1000, 1), 0
+            for v, w in srt:
+                cum += w
+                if cum >= k:
+                    want[q] = v
+                    break
+        assert got == want, (trial, got, want)
+
+
+def test_weighted_quantiles_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real documents: token-weighted
+    n_chars quantiles (the 'median token lives in a doc of length X'
+    question), with the token weight computed identically on both
+    sides."""
+    import duckdb
+
+    from kafkadirect_spark.functions.text import token_count
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    qs = [100, 500, 900, 990]
+    eng = sorted(tuple(r) for r in sketch.weighted_quantiles(
+        docs, F.col("n_chars"), token_count("text"), qs).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        sketch.weighted_quantiles_oracle_sql(qs)).fetchall())
+    assert got == eng and len(eng) == 4
+    # weighting genuinely moves the answer vs the row-count quantile
+    un = {r.q_permille: r.value for r in sketch.exact_quantiles(
+        docs, "n_chars", [500]).collect()}
+    w = dict(eng)
+    assert w[500] != un[500]
