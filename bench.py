@@ -191,6 +191,15 @@ def _phash_pairs_suite(spark, sf_dir):
                                   "doc_id", max_hamming=1)
 
 
+def _local_clustering_suite(spark, sf_dir):
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.functions.graph import local_clustering
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    return local_clustering(dedup.lsh_candidate_pairs(sigs, "doc_id"))
+
+
 def _waterfill_suite(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -472,6 +481,9 @@ def main() -> None:
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,
+        # per-node closure: the same orientation plus the 3-role
+        # explode + one node-count exchange
+        "graph_local_clustering": _local_clustering_suite,
         # max-min fair budget allocation: one corpus agg + windows
         # over the |strata|-row totals frame
         "token_waterfill": _waterfill_suite,

@@ -94,6 +94,44 @@ def pagerank_scaled(
     return ranks
 
 
+def _orient(pairs: DataFrame, a_col: str, b_col: str):
+    """Shared front half of the triangle family: canonical deduped
+    edges, degrees, and the (degree, id)-oriented edge frame
+    (lo, hi, hs) with hs = the hi endpoint's (degree, id) struct."""
+    e = (pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
+         .filter(F.col("u") < F.col("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.withColumnRenamed("n", "u")
+                 .withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v")
+                .withColumnRenamed("d", "dv"), "v"))
+    lo_first = (F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")))
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lo_first, F.struct("dv", "v"))
+         .otherwise(F.struct(F.col("du").alias("dv"),
+                             F.col("u").alias("v"))).alias("hs"))
+    return e, deg, o
+
+
+def _wedges(o: DataFrame) -> DataFrame:
+    """Wedges at each edge's low endpoint: (lo, x, y) with x before y
+    in the (degree, id) order."""
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    return (w1.join(w2, (F.col("w1.lo") == F.col("w2.lo"))
+                    & (F.col("w1.hs") < F.col("w2.hs")))
+            .select(F.col("w1.lo").alias("lo"),
+                    F.col("w1.hi").alias("x"),
+                    F.col("w2.hi").alias("y")))
+
+
 def triangle_stats(pairs: DataFrame, a_col: str = "id_a",
                    b_col: str = "id_b") -> DataFrame:
     """Exact triangle census of an undirected graph — the structure
@@ -127,31 +165,8 @@ def triangle_stats(pairs: DataFrame, a_col: str = "id_a",
     beyond-parity structure diagnostics beside
     ``dedup.connected_components`` / ``graph.pagerank_scaled``.
     """
-    e = (pairs.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("u"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
-         .filter(F.col("u") < F.col("v"))
-         .distinct())
-    deg = (e.select(F.col("u").alias("n"))
-           .unionAll(e.select(F.col("v").alias("n")))
-           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
-    ed = (e.join(deg.withColumnRenamed("n", "u")
-                 .withColumnRenamed("d", "du"), "u")
-          .join(deg.withColumnRenamed("n", "v")
-                .withColumnRenamed("d", "dv"), "v"))
-    lo_first = (F.struct(F.col("du"), F.col("u"))
-                < F.struct(F.col("dv"), F.col("v")))
-    o = ed.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        F.when(lo_first, F.struct("dv", "v"))
-         .otherwise(F.struct(F.col("du").alias("dv"),
-                             F.col("u").alias("v"))).alias("hs"))
-    w1, w2 = o.alias("w1"), o.alias("w2")
-    wedges = (w1.join(w2, (F.col("w1.lo") == F.col("w2.lo"))
-                      & (F.col("w1.hs") < F.col("w2.hs")))
-              .select(F.col("w1.hi").alias("x"),
-                      F.col("w2.hi").alias("y")))
+    e, deg, o = _orient(pairs, a_col, b_col)
+    wedges = _wedges(o).select("x", "y")
     tri = wedges.join(o.select(F.col("lo").alias("x"),
                                F.col("hi").alias("y")),
                       ["x", "y"], "left_semi")
@@ -214,4 +229,88 @@ def triangle_stats_oracle_sql(pairs_sql: str,
             // greatest(s.n_wedges, 1))::BIGINT
              AS global_clustering_permille
     FROM s, m, tri
+    """
+
+
+def local_clustering(pairs: DataFrame, a_col: str = "id_a",
+                     b_col: str = "id_b") -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients —
+    the keep-best signal ``triangle_stats``'s single global row
+    cannot give: a node whose neighborhood closes (high local
+    coefficient) sits inside a copy-clique and is safe to collapse;
+    a low-coefficient node is a chain hub whose cluster membership
+    deserves verification before merging.  Returns one row per node:
+    ``(node, degree, n_triangles, local_clustering_permille)`` with
+    the Watts-Strogatz local form ``1000·2·t DIV (d·(d−1))``
+    (0 for degree < 2) — all BIGINT, oracle-replayable.
+
+    Same machinery and ledger as ``triangle_stats`` (shared
+    ``_orient`` / ``_wedges`` construction — the Suri &
+    Vassilvitskii orientation), plus: closed wedges keep all three
+    roles (lo, x, y), explode into one row per vertex (exactly 3
+    rows per triangle), and one count exchange on the node id.
+    """
+    e, deg, o = _orient(pairs, a_col, b_col)
+    closed = _wedges(o).join(
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["x", "y"], "left_semi")
+    roles = (closed.select(F.col("lo").alias("n"))
+             .unionAll(closed.select(F.col("x").alias("n")))
+             .unionAll(closed.select(F.col("y").alias("n"))))
+    tcnt = roles.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("t"))
+    return (deg.join(tcnt, "n", "left")
+            .select(F.col("n").alias("node"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.coalesce("t", F.lit(0).cast("long"))
+                    .alias("n_triangles"))
+            .withColumn(
+                "local_clustering_permille",
+                F.expr("CAST(CASE WHEN degree < 2 THEN 0 ELSE "
+                       "1000 * 2 * n_triangles DIV "
+                       "(degree * (degree - 1)) END AS BIGINT)")))
+
+
+def local_clustering_oracle_sql(pairs_sql: str,
+                                a_col: str = "id_a",
+                                b_col: str = "id_b") -> str:
+    """DuckDB replay of ``local_clustering`` over ANY candidate-pair
+    SELECT — the same orientation, closed-wedge roles, and the
+    truncating local coefficient."""
+    return f"""
+    WITH cand AS ({pairs_sql}),
+    e AS (
+      SELECT DISTINCT least({a_col}, {b_col}) AS u,
+             greatest({a_col}, {b_col}) AS v
+      FROM cand WHERE {a_col} <> {b_col}),
+    deg AS (
+      SELECT n, count(*)::BIGINT AS d
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      GROUP BY n),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN e.v ELSE e.u END AS hi,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                  THEN dv.d ELSE du.d END AS dh
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+    closed AS (
+      SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+      FROM o w1 JOIN o w2
+        ON w1.lo = w2.lo AND (w1.dh, w1.hi) < (w2.dh, w2.hi)
+      WHERE EXISTS (SELECT 1 FROM o
+                    WHERE o.lo = w1.hi AND o.hi = w2.hi)),
+    roles AS (
+      SELECT a AS n FROM closed
+      UNION ALL SELECT b FROM closed
+      UNION ALL SELECT c FROM closed),
+    t AS (SELECT n, count(*)::BIGINT AS t FROM roles GROUP BY n)
+    SELECT deg.n AS node, deg.d AS degree,
+           coalesce(t.t, 0)::BIGINT AS n_triangles,
+           (CASE WHEN deg.d < 2 THEN 0
+                 ELSE 1000 * 2 * coalesce(t.t, 0)
+                      // (deg.d * (deg.d - 1)) END)::BIGINT
+             AS local_clustering_permille
+    FROM deg LEFT JOIN t ON t.n = deg.n
     """

@@ -229,6 +229,11 @@ _PROMOTED = [
 # measured pair counts at 5k ids: ≤2 → 42.7k rows (too fat for the
 # driver's pandas compare), ≤1 keeps it modest.
 #
+# Per-node closure: `graph_local_clustering`
+# (graph.local_clustering_oracle_sql over a candidate-pair SELECT —
+# same LSH-surface advice as graph_triangles; per-node rows are the
+# keep-best signal, the global census the corpus report — register
+# at most one of the two per window).
 # Order statistics: `weighted_quantiles`
 # (sketch.weighted_quantiles_oracle_sql — token-weighted n_chars
 # quantiles; the exact_quantiles recursion with weight mass, same

@@ -149,3 +149,82 @@ def test_triangle_stats_plan_is_scale_safe(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_local_clustering_hand_checked_and_consistency(spark):
+    """K4 + pendant: every K4 vertex closes fully except node 1,
+    whose pendant edge dilutes it; per-node triangle counts sum to
+    3x the census total."""
+    import itertools
+
+    from kafkadirect_spark.functions.graph import (local_clustering,
+                                                   triangle_stats)
+
+    edges = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    edges += [(5, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.node: (r.degree, r.n_triangles,
+                    r.local_clustering_permille)
+           for r in local_clustering(df).collect()}
+    # node 1: degree 4, its 3 K4-triangles over 6 possible pairs
+    assert out[1] == (4, 3, 1000 * 2 * 3 // (4 * 3))
+    for n in (2, 3, 4):
+        assert out[n] == (3, 3, 1000)
+    assert out[5] == (1, 0, 0)
+    total = triangle_stats(df).collect()[0].n_triangles
+    assert sum(t for _, t, _ in out.values()) == 3 * total
+
+
+def test_local_clustering_matches_brute_force(spark):
+    """Engine == per-node brute force on the seeded random graph."""
+    import itertools
+    import random
+
+    from kafkadirect_spark.functions.graph import local_clustering
+
+    random.seed(7)
+    nodes = list(range(30))
+    es: set = set()
+    while len(es) < 120:
+        a, b = random.sample(nodes, 2)
+        es.add((min(a, b), max(a, b)))
+    adj = {n: set() for n in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n in nodes:
+        d = len(adj[n])
+        t = sum(1 for x, y in itertools.combinations(sorted(adj[n]), 2)
+                if y in adj[x])
+        want[n] = (d, t, 0 if d < 2 else 1000 * 2 * t // (d * (d - 1)))
+    df = spark.createDataFrame(sorted(es), "id_a long, id_b long")
+    got = {r.node: (r.degree, r.n_triangles,
+                    r.local_clustering_permille)
+           for r in local_clustering(df).collect()}
+    assert got == want
+
+
+def test_local_clustering_oracle_matches_engine(spark):
+    """Engine == DuckDB over the registered simhash candidate graph
+    (oracle composes _SIMHASH_PAIRS_ORACLE) — registration-ready."""
+    import duckdb
+
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.functions.graph import (
+        local_clustering, local_clustering_oracle_sql)
+    from kafkadirect_spark.plans.llm_queries import _SIMHASH_PAIRS_ORACLE
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id",
+                                bits=32, max_hamming=3, n_bands=4)
+    eng = sorted(tuple(x) for x in
+                 local_clustering(pairs.select("id_a", "id_b")).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        local_clustering_oracle_sql(_SIMHASH_PAIRS_ORACLE)).fetchall())
+    assert got == eng and eng
+    assert any(r[3] not in (0, 1000) for r in eng)  # mixed closure
