@@ -13,9 +13,11 @@ machinery (SURVEY.md §2.6):
 - ``topk``         per-window top-k (salted two-phase rank)
 - ``funnel``       event-time ordered-funnel milestones (watermark
                    seal ≙ the batch min-ts cascade for non-late rows)
+- ``anomaly``      per-key windowed rate alerts scored against the
+                   key's own exact-median history at window close
 """
 
 from kafkadirect_spark.streaming import (  # noqa: F401
-    asof, dedup, funnel, interactive, retraction, sessions, sketch,
-    suppress, topk, transform, window_fold,
+    anomaly, asof, dedup, funnel, interactive, retraction, sessions,
+    sketch, suppress, topk, transform, window_fold,
 )

@@ -1487,3 +1487,56 @@ def test_streaming_funnel_conversion_window_and_guards(spark, tmpdir):
     with pytest.raises(ValueError, match="within_seconds"):
         streaming_funnel(src, "user_id", "ts", "event_type",
                          ["x", "y"], within_seconds=0)
+
+
+def test_streaming_rate_alerts_spike_and_late(spark, tmpdir):
+    """Windows close exactly once with an exact-median baseline; a
+    spike window alerts only after min_history windows have closed;
+    a late event behind a closed window is dropped."""
+    from kafkadirect_spark.streaming.anomaly import streaming_rate_alerts
+
+    S = "user_id string, ts timestamp, event_type string"
+
+    def ev(sec, n=1, ty="err"):
+        return [(f"u{i}", t(f"00:{sec // 60:02d}:{sec % 60:02d}"), ty)
+                for i in range(n)]
+
+    # minutes 0..3 steady at 2 events; minute 4 spikes to 12
+    b0 = ev(10, 2) + ev(70, 2) + ev(130, 2) + ev(190, 2) + ev(250, 12)
+    spark.createDataFrame(b0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/ra/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/ra/*", S).df
+    out = streaming_rate_alerts(src, "event_type", "ts",
+                                window="1 minute", history=8,
+                                min_history=3,
+                                threshold_permille=500)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("alerts")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_ra").start())
+    try:
+        q.processAllAvailable()
+        # watermark driver closes minute 4; plus one LATE event for
+        # minute 0 (already closed) that must change nothing
+        spark.createDataFrame(ev(400, 1) + ev(15, 1), S) \
+            .coalesce(1).write.parquet(f"{tmpdir}/ra/b1")
+        q.processAllAvailable()
+        rows = {int((r.window_start - t("00:00:00")).total_seconds())
+                // 60:
+                (r.n_events, r.baseline_median, r.dev_permille,
+                 r.is_alert)
+                for r in spark.sql("SELECT * FROM alerts").collect()}
+        assert rows[0] == (2, 0, 2000, False)     # no history yet
+        assert rows[1] == (2, 2, 0, False)
+        assert rows[2] == (2, 2, 0, False)
+        assert rows[3] == (2, 2, 0, False)
+        # spike: median of [2,2,2,2] = 2 -> dev 5000 > 500, alerted
+        assert rows[4] == (12, 2, 5000, True)
+        assert len(rows) == 5                     # late row added nothing
+    finally:
+        q.stop()
+    with pytest.raises(ValueError, match="min_history"):
+        streaming_rate_alerts(src, "event_type", "ts", history=2,
+                              min_history=3)
+    with pytest.raises(ValueError, match="threshold"):
+        streaming_rate_alerts(src, "event_type", "ts",
+                              threshold_permille=0)
