@@ -97,12 +97,24 @@ def pagerank_scaled(
 def _orient(pairs: DataFrame, a_col: str, b_col: str):
     """Shared front half of the triangle family: canonical deduped
     edges, degrees, and the (degree, id)-oriented edge frame
-    (lo, hi, hs) with hs = the hi endpoint's (degree, id) struct."""
-    e = (pairs.select(
+    (lo, hi, hs) with hs = the hi endpoint's (degree, id) struct.
+
+    The edge frame is PERSISTED (released via
+    ``dedup.release_caches``): the family's DAG references it from
+    five branches (two degree joins, the wedge self-join's two
+    sides, the census aggregates), and without the cache each branch
+    re-runs the ENTIRE upstream candidate generator — measured 2-5×
+    the operator's own wall on the LSH pipeline at sf0.1.  The frame
+    is candidate-pair-sized (bounded by the generator's own caps),
+    never corpus-sized."""
+    from kafkadirect_spark.functions.dedup import _persist
+
+    e = _persist(
+        pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("u"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
-         .filter(F.col("u") < F.col("v"))
-         .distinct())
+        .filter(F.col("u") < F.col("v"))
+        .distinct())
     deg = (e.select(F.col("u").alias("n"))
            .unionAll(e.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -254,9 +266,12 @@ def local_clustering(pairs: DataFrame, a_col: str = "id_a",
     closed = _wedges(o).join(
         o.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
         ["x", "y"], "left_semi")
-    roles = (closed.select(F.col("lo").alias("n"))
-             .unionAll(closed.select(F.col("x").alias("n")))
-             .unionAll(closed.select(F.col("y").alias("n"))))
+    # one explode, not a 3-way unionAll: union branches each
+    # RECOMPUTE the full wedge pipeline (the signatures/orient path
+    # is row-local, so nothing is reused across branches — measured
+    # 3× the census wall at sf0.1 before this shape)
+    roles = closed.select(
+        F.explode(F.array("lo", "x", "y")).alias("n"))
     tcnt = roles.groupBy("n").agg(
         F.count(F.lit(1)).cast("long").alias("t"))
     return (deg.join(tcnt, "n", "left")
