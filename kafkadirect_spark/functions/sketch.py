@@ -1063,3 +1063,140 @@ def weighted_quantiles_oracle_sql(qs_permille: list[int],
       FROM (SELECT v, sum(w) AS w FROM base GROUP BY v))
     {arms}
     """
+
+
+def weighted_quantiles_grouped(df: DataFrame, group_col: str,
+                               col: Column | str,
+                               weight_col: Column | str,
+                               qs_permille: list[int],
+                               bins: int = 1024, max_rounds: int = 8,
+                               max_groups: int = 100_000) -> DataFrame:
+    """Per-group EXACT weight-mass quantiles — the fourth cell of the
+    order-statistics matrix (global/grouped × row-count/weighted):
+    the token-weighted per-language length report ("where does the
+    median ENGLISH token live").  Same narrowing recursion as
+    :func:`exact_quantiles_grouped` with row counts replaced by
+    integer weight mass (:func:`weighted_quantiles` semantics per
+    group), same driver guards (``max_groups`` × bins register state,
+    2^62 range check), same independent per-group convergence.  Rows
+    with NULL group/value or non-positive weight carry no mass.
+    Returns ``(group_col, q_permille, value)``.
+    """
+    bad_q = [q for q in qs_permille if not 0 < q <= 1000]
+    if bad_q:
+        raise ValueError(f"q_permille out of (0, 1000]: {bad_q}")
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    wc = (F.col(weight_col) if isinstance(weight_col, str)
+          else weight_col).cast("long")
+    vals = (df.select(F.col(group_col).alias("__g"), c.alias("__v"),
+                      wc.alias("__w"))
+            .filter(F.col("__v").isNotNull()
+                    & F.col("__g").isNotNull() & (F.col("__w") > 0)))
+    vals = vals.persist()
+    try:
+        stats = (vals.groupBy("__g")
+                 .agg(F.sum("__w").alias("tw"),
+                      F.min("__v").alias("lo"),
+                      F.max("__v").alias("hi"))
+                 .limit(max_groups + 1).collect())
+        if len(stats) > max_groups:
+            raise ValueError(
+                f"more than max_groups={max_groups} groups: per-round "
+                "driver state is O(groups·bins); aggregate to coarser "
+                "segments or raise the cap consciously")
+        for r in stats:
+            if r["hi"] - r["lo"] > (1 << 62):
+                raise ValueError(
+                    f"group {r['__g']!r} value range spans more than "
+                    "2^62 (in-plan bucket arithmetic would overflow)")
+        state: dict[tuple, list[int]] = {}
+        for r in stats:
+            for q in qs_permille:
+                state[(r["__g"], q)] = [
+                    max((q * r["tw"] + 999) // 1000, 1),
+                    r["lo"], r["hi"]]
+        done: dict[tuple, int] = {}
+        spark = df.sparkSession
+        for _ in range(max_rounds):
+            pend = {key: s for key, s in state.items()
+                    if key not in done}
+            if not pend:
+                break
+            ranges: dict[tuple, list] = {}
+            for (gkey, q), (_, lo, hi) in pend.items():
+                width = hi - lo + 1
+                w = max(1, -(-width // bins))
+                ranges.setdefault((gkey, lo, hi, w), []).append(q)
+            rng_rows = [(gk, lo, hi, w) for (gk, lo, hi, w) in ranges]
+            gtype = dict(vals.dtypes)["__g"]
+            # width column named __bw: __w is the WEIGHT on the scan
+            rng = spark.createDataFrame(
+                rng_rows, f"__g {gtype}, __lo long, __hi long, __bw long")
+            hist = (vals.join(F.broadcast(rng), "__g")
+                    .filter(F.col("__v").between(F.col("__lo"),
+                                                 F.col("__hi")))
+                    .groupBy("__g", "__lo", "__bw",
+                             F.expr("(__v - __lo) DIV __bw").alias("b"))
+                    .agg(F.sum("__w").alias("m"))
+                    .collect())
+            by_range: dict[tuple, dict[int, int]] = {}
+            for r in hist:
+                by_range.setdefault((r["__g"], r["__lo"], r["__bw"]),
+                                    {})[r["b"]] = r["m"]
+            for (gkey, lo, hi, w), group_qs in ranges.items():
+                h = by_range.get((gkey, lo, w), {})
+                for q in group_qs:
+                    k = state[(gkey, q)][0]
+                    cum = 0
+                    for b in sorted(h):
+                        if cum + h[b] >= k:
+                            blo = lo + b * w
+                            if w == 1:
+                                done[(gkey, q)] = blo
+                            else:
+                                state[(gkey, q)] = [
+                                    k - cum, blo, min(blo + w - 1, hi)]
+                            break
+                        cum += h[b]
+        missing = sorted(key for key in state if key not in done)
+        if missing:
+            raise RuntimeError(
+                f"weighted_quantiles_grouped did not converge in "
+                f"{max_rounds} rounds for {missing[:5]} — raise "
+                "max_rounds or bins")
+        gtype = dict(vals.dtypes)["__g"]
+        rows = [(gkey, int(q), int(v)) for (gkey, q), v in done.items()]
+        return spark.createDataFrame(
+            rows, f"{group_col} {gtype}, q_permille int, value long")
+    finally:
+        vals.unpersist()
+
+
+def weighted_quantiles_grouped_oracle_sql(
+        qs_permille: list[int], group_col: str = "lang",
+        value_sql: str = "n_chars",
+        weight_sql: str = ("len(list_filter(regexp_split_to_array("
+                           "lower(text), '[^a-z0-9]+'), "
+                           "x -> x <> ''))"),
+        table: str = "documents") -> str:
+    """DuckDB replay of ``weighted_quantiles_grouped`` — the per-group
+    running-weight walk."""
+    arms = " UNION ALL ".join(f"""
+      SELECT c.g, {q} AS q_permille, min(c.v) AS value
+      FROM c JOIN tot ON tot.g = c.g
+      WHERE c.cw >= (({q} * tot.w + 999) // 1000)
+      GROUP BY c.g""" for q in qs_permille)
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS g, ({value_sql})::BIGINT AS v,
+             ({weight_sql})::BIGINT AS w
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND ({value_sql}) IS NOT NULL
+        AND ({weight_sql}) > 0),
+    tot AS (SELECT g, sum(w)::HUGEINT AS w FROM base GROUP BY g),
+    c AS (
+      SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v) AS cw
+      FROM (SELECT g, v, sum(w) AS w FROM base GROUP BY g, v)),
+    arms AS ({arms})
+    SELECT g AS {group_col}, q_permille, value FROM arms
+    """

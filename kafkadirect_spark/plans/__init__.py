@@ -237,7 +237,11 @@ _PROMOTED = [
 # Order statistics: `weighted_quantiles`
 # (sketch.weighted_quantiles_oracle_sql — token-weighted n_chars
 # quantiles; the exact_quantiles recursion with weight mass, same
-# register-sized ledger, no plan-lint caveats).
+# register-sized ledger, no plan-lint caveats) and its grouped twin
+# `weighted_quantiles_by_lang`
+# (sketch.weighted_quantiles_grouped_oracle_sql — register at most
+# one of the two per window, same global-vs-grouped rule as the
+# decile family).
 #
 # Suggested r13 pick (14 candidates > ~10-slot budget; chosen for
 # claim diversity — one per new family, defer the rest to r14):

@@ -810,3 +810,59 @@ def test_weighted_quantiles_oracle_matches_engine(spark):
         docs, "n_chars", [500]).collect()}
     w = dict(eng)
     assert w[500] != un[500]
+
+
+def test_weighted_quantiles_grouped_matches_per_group_walk(spark):
+    """Engine == the naive per-group cumulative walk on random
+    (group, value, weight) sets; equals weighted_quantiles run per
+    group independently."""
+    import random
+
+    rng = random.Random(29)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(0, 500),
+             rng.choice([1, 2, 7, 50])) for _ in range(300)]
+    df = spark.createDataFrame(rows, "grp string, v long, w long")
+    qs = [100, 500, 900, 1000]
+    got = {(r.grp, r.q_permille): r.value
+           for r in sketch.weighted_quantiles_grouped(
+               df, "grp", "v", "w", qs).collect()}
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        sub = sorted((v, w) for gg, v, w in rows if gg == g)
+        tw = sum(w for _, w in sub)
+        for q in qs:
+            k, cum = max((q * tw + 999) // 1000, 1), 0
+            for v, w in sub:
+                cum += w
+                if cum >= k:
+                    want[(g, q)] = v
+                    break
+        solo = {r.q_permille: r.value for r in sketch.weighted_quantiles(
+            df.filter(F.col("grp") == g), "v", "w", qs).collect()}
+        for q in qs:
+            assert solo[q] == want[(g, q)]
+    assert got == want
+
+
+def test_weighted_quantiles_grouped_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real documents: per-language
+    token-weighted n_chars quantiles."""
+    import duckdb
+
+    from kafkadirect_spark.functions.text import token_count
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    qs = [250, 500, 990]
+    eng = sorted(tuple(r) for r in sketch.weighted_quantiles_grouped(
+        docs, "lang", F.col("n_chars"), token_count("text"),
+        qs).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        sketch.weighted_quantiles_grouped_oracle_sql(qs)).fetchall())
+    assert got == eng and len(eng) == 3 * 5    # 5 languages
+    with pytest.raises(ValueError, match="max_groups"):
+        sketch.weighted_quantiles_grouped(
+            docs, "doc_id", "n_chars", "n_chars", [500], max_groups=10)
