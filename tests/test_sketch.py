@@ -866,3 +866,61 @@ def test_weighted_quantiles_grouped_oracle_matches_engine(spark):
     with pytest.raises(ValueError, match="max_groups"):
         sketch.weighted_quantiles_grouped(
             docs, "doc_id", "n_chars", "n_chars", [500], max_groups=10)
+
+
+def _py_kmv_matrix(rows, k=8, n=3):
+    """Independent model of kmv_group_jaccard: md5-prefix 48-bit
+    hashes over word 3-gram shingles, per-group k minima, union-k
+    membership — pure python."""
+    import hashlib
+    import re
+
+    sk: dict = {}
+    for g, text in rows:
+        if g is None:
+            continue
+        toks = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        grams = {" ".join(toks[i:i + n])
+                 for i in range(len(toks) - n + 1)}
+        hs = {int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+              for s in grams}
+        sk.setdefault(g, set()).update(hs)
+    mink = {g: sorted(hs)[:k] for g, hs in sk.items() if hs}
+    out = {}
+    for a in sorted(mink):
+        for b in sorted(mink):
+            if a >= b:
+                continue
+            u = sorted(set(mink[a]) | set(mink[b]))[:k]
+            both = sum(1 for x in u
+                       if x in set(mink[a]) and x in set(mink[b]))
+            out[(a, b)] = (len(mink[a]), len(mink[b]), len(u), both,
+                           1000 * both // max(len(u), 1))
+    return out
+
+
+def test_kmv_group_jaccard_matches_python_model(spark):
+    """Engine == the from-scratch python estimator on small corpora
+    with forced overlap, at a small k so the union-k cap bites."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+
+    @settings(max_examples=8, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                  st.lists(st.sampled_from(words), min_size=3,
+                           max_size=12)),
+        min_size=2, max_size=10))
+    def run(rows):
+        data = [(g, " ".join(ws)) for g, ws in rows]
+        df = spark.createDataFrame(data, "grp string, text string")
+        got = {(r.group_a, r.group_b):
+               (r.n_a, r.n_b, r.union_k, r.n_both, r.jaccard_permille)
+               for r in sketch.kmv_group_jaccard(
+                   df, "grp", "text", k=8).collect()}
+        assert got == _py_kmv_matrix(data, k=8)
+
+    run()
