@@ -180,6 +180,18 @@ def _weighted_quantiles_suite(spark, sf_dir):
         [100, 500, 900, 990])
 
 
+def _weighted_quantiles_grouped_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions.text import token_count
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.weighted_quantiles_grouped(
+        docs, "lang", F.col("n_chars"), token_count("text"),
+        [250, 500, 990])
+
+
 def _phash_pairs_suite(spark, sf_dir):
     # synth rasters executor-side -> real PNM decode -> aHash ->
     # band-bucket Hamming pairs: the whole multimodal near-dup path
@@ -493,6 +505,9 @@ def main() -> None:
         # token-weighted order statistics: the histogram-narrowing
         # recursion with weight mass (register-sized exchanges only)
         "weighted_quantiles": _weighted_quantiles_suite,
+        # ... and its per-language grouped twin (broadcast range
+        # table per round, groups converge independently)
+        "weighted_quantiles_grouped": _weighted_quantiles_grouped_suite,
     }
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
