@@ -1589,3 +1589,78 @@ def sax_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         permilles=_SAX_CFG["permilles"],
         max_bucket=_SAX_CFG["max_bucket"])
     return timeseries.sax_nearest(pairs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 registrations (pre-scheduled by the r12 plan, oracle
+# generators pytest-pinned engine==oracle in round 12).
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions import behavior, similarity  # noqa: E402
+
+
+@query("similarity_ivf_pq_rerank", oracle=ivf_pq_rerank_oracle_sql())
+def similarity_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (functions/similarity.py ivf_pq_rerank, Jégou et al.
+    2011 §VI — registered r13 per the r12 plan): the IVFADC
+    composite's per-probe shortlist at n·refine, re-scored with the
+    EXACT squared L2 on the quantized integer grid — everything
+    similarity_ivf_pq does plus ONE hash join of the
+    ≤probes·n·refine-row shortlist against the quantized index
+    projection, a row-local zip_with fold, and a per-probe top-n
+    window over shortlist-sized input; nothing data-sized is
+    re-shuffled for the refinement.  Centroid scoring rides the same
+    bounded IVF broadcast (test_plans._BNLJ_OK).  The oracle composes
+    the ivf_pq oracle at n·refine as the shortlist CTE and replays
+    the integer L2 re-rank with the engine's (dist2, neighbor_id)
+    tie-break.  At scale codebooks train once; queries pay only the
+    shortlist — SCALE.md:414 measures the recall the +R stage buys
+    (1.4-2.6× end-to-end at the same nprobe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_pq_rerank(emb, "vec_id", "embedding", probes,
+                                    n=3, refine=4, centroid_stride=25,
+                                    nprobe=4, m=4, k=4, iters=2)
+
+
+@query("kmv_slice_matrix",
+       oracle=sketch.kmv_group_jaccard_oracle_sql(group_col="source"))
+def kmv_slice_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs corpus-slice similarity matrix from per-slice KMV
+    sketches (functions/sketch.py kmv_group_jaccard, Beyer et al.
+    2007 — registered r13 per the r12 plan): one (slice, gram-hash)
+    distinct exchange, salted two-phase per-slice min-k (no slice's
+    whole gram set ever sorts on one task), then every slice pair's
+    Jaccard estimated from the ≤k-row sketches alone — the
+    "how much does source A overlap source B" mixing diagnostic
+    without ever joining two corpora.  The pair join is a broadcast
+    nested-loop over |slices| sketch ROWS (20 sources → 190 pairs),
+    bounded by construction regardless of corpus size — allowlisted
+    in test_plans._BNLJ_OK.  The oracle replays tokenize / shingle /
+    48-bit hash / ranked min-k / union-minima membership
+    integer-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.kmv_group_jaccard(docs, "source", "text")
+
+
+@query("funnel_steps",
+       oracle=behavior.funnel_steps_oracle_sql(
+           ["signup", "view", "click", "purchase"],
+           within_seconds=3600 * 24 * 30))
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate conversion-funnel report with a conversion window
+    (functions/behavior.py funnel_steps — registered r13 per the r12
+    plan): per step, how many users completed signup → view → click →
+    purchase IN ORDER within 30 days of their step-0 completion, with
+    truncating conversion permille and summed step-0→step-k lags.
+    The complement of the registered per-user `event_funnel` (stage
+    rows): this is the corpus-level report.  Min-ts cascade with ZERO
+    windows (plan-tested in test_behavior.py) — one narrow
+    user-keyed exchange per step, never a per-user event sort or
+    collect.  The oracle replays the cascade as chained CTEs with
+    epoch-second lags and the truncating permille."""
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "view", "click", "purchase"],
+        within_seconds=3600 * 24 * 30)

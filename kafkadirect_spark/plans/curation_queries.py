@@ -1022,3 +1022,84 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.bpe_token_count("text").cast("long").alias("w"))
     return curation.sample_weighted_n(sized, "doc_id", "w", 100)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 registrations (pre-scheduled by the r12 plan, oracle
+# generators pytest-pinned engine==oracle in round 12).
+# ---------------------------------------------------------------------------
+
+
+@query("contamination_report",
+       oracle=curation.contamination_report_oracle_sql(n=8))
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document n-gram leakage audit (functions/curation.py
+    contamination_report — registered r13 per the r12 plan): for
+    every evaluation document (odd doc_ids), how many of its distinct
+    word 8-grams appear ANYWHERE in the training corpus (even
+    doc_ids), plus the truncating contamination_milli ratio — the
+    report `decontaminate`'s boolean flag cannot give.  The corpus
+    side streams through a broadcast left-semi (eval gram hashes out,
+    bounded hits back) and NEVER shuffles — plan-pinned in
+    test_curation.py test_contamination_report_corpus_side_never_
+    shuffles; at 100 TB the train corpus pays one scan, zero
+    exchanges.  The oracle replays tokenize / 8-gram / portable-hash
+    membership (31-bit collisions replay identically) and the
+    truncating milli ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    return curation.contamination_report(train, ev, "text", "doc_id",
+                                         n=8)
+
+
+@query("sample_weighted_group",
+       oracle=curation.sample_weighted_per_group_oracle_sql(
+           30, _BPE_SQL, "lang", group_out="lang"))
+def sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n weighted draws PER LANGUAGE (functions/curation.py
+    sample_weighted_n_per_group — registered r13 per the r12 plan):
+    the stratified data-mixing shape (a fixed token budget per
+    stratum, drawn by document weight) — 30 BPE-token-weighted draws
+    per language via integer systematic sampling run independently
+    inside every stratum.  Unlike the global `sample_weighted`
+    (allowlisted ≤shards-row offset window), every window here is
+    group-PARTITIONED — per-(group, shard) prefix sums, a
+    group-partitioned offset table, DECIMAL(38,0) ceil walk;
+    Σpicks = 30 per group exactly, hypothesis-pinned vs an
+    independent python model and bit-replayed by the oracle's
+    HUGEINT walk of the same (shard, hash, id) order."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id",
+        text.bpe_token_count("text").cast("long").alias("w"))
+    return curation.sample_weighted_n_per_group(
+        sized, "lang", "doc_id", "w", 30)
+
+
+_WATERFILL_BUDGET = 100_000
+
+
+@query("token_waterfill",
+       oracle=curation.token_waterfill_oracle_sql(
+           _WATERFILL_BUDGET, group_col="lang"))
+def token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair integer allocation of a global token budget
+    across language strata (functions/curation.py token_waterfill,
+    Bertsekas & Gallager 1992 §6.5.2 — registered r13 per the r12
+    plan): every stratum capped at a common water level L, strata
+    with less contribute everything, L the largest affordable level,
+    leftover distributed deterministically — Σalloc =
+    min(budget, Σavail) EXACTLY (hypothesis-pinned vs a binary-search
+    model).  The allocator runs entirely on the ≤|strata|-row totals
+    frame: one map-side-combined per-language sum of n_chars, then
+    rank/prefix windows over |strata| rows (allowlisted in
+    test_plans._GLOBAL_WINDOW_OK — the bounded-by-construction
+    envelope sample_weighted's offset table rides).  The oracle
+    replays the level search and the leftover tie-break
+    integer-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("avail"))
+    return curation.token_waterfill(totals, "lang", "avail",
+                                    budget=_WATERFILL_BUDGET)

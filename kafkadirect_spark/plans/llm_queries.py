@@ -37,14 +37,15 @@ _SHINGLES_CTE = f"""
 _PERMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
 
 
-@query(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1
-    """,
-)
+# RETIRED r13 (registration-budget policy item c): `dedup_exact` —
+# whole-document content-hash dedup (r10 driver rows green).  Claims
+# carried by two survivors: `dedup_clusters` (composes the SAME
+# dedup.exact_dedup one-shuffle content-hash groupBy as its prefilter
+# stage, driver-checked through the composite) and the incoming
+# `dedup_exactsubstr` (whole-doc duplicates are the degenerate case
+# of corpus-wide repeated-substring removal — a fully-duplicated doc
+# loses all its tokens, pinned by test_exactsubstr_hand_checked's
+# doc 3).  The operator and its pytest goldens remain in the library.
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup — one shuffle on the 128-bit content hash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -755,30 +756,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.bpe_token_count("text").cast("long").alias("bpe_tokens"))
 
 
-@query(
-    "dedup_spans",
-    oracle="""
-    WITH words AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    chunks AS (
-      SELECT doc_id, g AS pos,
-             array_to_string(w[(g*8+1):(g*8+8)], ' ') AS span
-      FROM (SELECT doc_id, w,
-                   unnest(generate_series(
-                     0, CAST(ceil(len(w)/8.0) AS BIGINT) - 1)) AS g
-            FROM words)),
-    sel AS (
-      SELECT doc_id, pos, span,
-             ROW_NUMBER() OVER (PARTITION BY span
-                                ORDER BY doc_id, pos) AS rn
-      FROM chunks)
-    SELECT doc_id,
-           string_agg(span, ' ' ORDER BY pos) AS text_dedup,
-           COUNT(*) AS n_spans
-    FROM sel WHERE rn = 1
-    GROUP BY doc_id
-    """,
-)
+# RETIRED r13 (registration-budget policy item c, the r12 plan's
+# named 1:1 partner): `dedup_spans` — chunk-aligned C4-style span
+# dedup (r10 driver rows green).  Claim carried by the incoming
+# `dedup_exactsubstr`, which strictly subsumes it at the same hash
+# machinery: fixed non-overlapping 8-word chunks cannot catch a
+# duplicated passage that straddles a chunk boundary; the
+# alignment-free sliding-window recipe catches every duplicated
+# 8-token substring corpus-wide, first occurrence wins in both.  The
+# operator and its pytest goldens remain in the library.
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (C4 recipe): 8-word chunks, global
     first-occurrence wins, documents rebuilt from surviving spans —
@@ -1112,11 +1098,15 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters, docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
 
 
-@query(
-    "bpe_chunks",
-    oracle=bpe.chunk_oracle_sql(n_merges=12, budget=40,
-                                min_count=2, max_word_types=4096),
-)
+# RETIRED r13 (registration-budget policy item c — "three chunking
+# shapes, keep two"): `bpe_chunks` (r10 driver rows green).  Claims
+# carried by the survivors: `windowed_chunks` (the SAME
+# train→encode→slice assembly under the SAME BPE tokenizer, with the
+# strictly richer overlapping-window slicing) and `unigram_chunk`
+# (the same chunk surface under the second tokenizer family); the
+# BPE trainer itself stays driver-checked through `bpe_merges` and
+# the encode through `bpe_token_lengths`.  The operator and its
+# pytest goldens remain in the library.
 def bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-input assembly under the LEARNED tokenizer
     (functions/bpe.py bpe_chunk): train → encode → split into
@@ -1275,3 +1265,109 @@ def wordpiece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_word_types=_WP_PARAMS["max_word_types"])
     return tokeval.tokenizer_eval(docs, enc, "doc_id", "text",
                                   "pieces", by="lang")
+
+
+# ---------------------------------------------------------------------------
+# Round 13 registrations (pre-scheduled by the r12 plan, oracle
+# generators pytest-pinned engine==oracle in round 12).
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions import retrieval  # noqa: E402
+
+
+@query("dedup_exactsubstr", oracle=dedup.exactsubstr_oracle_sql())
+def dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free cross-document repeated-substring dedup — the
+    ExactSubstr recipe of Lee et al. 2021, arXiv:2107.06499 §4.1
+    (functions/dedup.py exactsubstr_report — registered r13 per the
+    r12 plan, retiring `dedup_spans` 1:1, whose chunk-aligned claim
+    this strictly subsumes at the same hash machinery): every
+    non-first occurrence of a duplicated 8-token window marks its
+    tokens, overlapping marks merge into maximal spans
+    (gaps-and-islands, doc-partitioned windows only), exactly one
+    copy of every duplicated substring survives corpus-wide.  One
+    gram-hash exchange (min+count algebraic aggregate, hot
+    boilerplate grams absorbed map-side), a row-local HOF rebuild —
+    no per-token explode on the marked side; organic probe
+    7.8→5.5→9.5 s across 16× data (sub-linear, SCALE.md).  Emits
+    (doc_id, n_tokens, n_spans, n_removed, kept_md5) — the md5 is
+    the scalar rendering of the surviving text (registered-surface
+    rule).  The oracle replays sliding gram hashes, min-struct winner
+    selection, island merge and the kept-token md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exactsubstr_report(docs, "text", "doc_id")
+
+
+_RRF_TERMS = ["data", "model", "learning"]
+
+
+@query("hybrid_rrf",
+       oracle=retrieval.hybrid_rank_rrf_oracle_sql(_RRF_TERMS,
+                                                   probe_id=7))
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by reciprocal-rank
+    fusion (functions/retrieval.py hybrid_rank_rrf, Cormack & Clarke
+    2009 — registered r13 per the r12 plan): BM25 top-20 for the term
+    query ∪ exact cosine top-20 for probe embedding 7, fused as
+    rrf_score = Σ scale DIV (c + rank) — fixed-point integers, only
+    RANKS cross the arm boundary, fusion touches ≤ 2·topn rows.  The
+    BM25 arm composes the registered `bm25_search` machinery
+    verbatim (same scalar-subquery broadcast, _BNLJ_OK rationale);
+    the cosine arm is TakeOrdered top-n, never a global sort; the one
+    rank window sorts the ≤topn-row lexical result (allowlisted in
+    test_plans._GLOBAL_WINDOW_OK).  The oracle replays both arms and
+    the truncating fusion.  Cross-engine caveat (ADVICE r12): the
+    semantic arm's ranks come from float64 cosine ordering (numpy
+    engine-side vs DuckDB list_cosine_similarity) — the RRF integers
+    are exact GIVEN equal ranks; near-tied cosines could in principle
+    rank differently across engines (not observed on this corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.hybrid_rank_rrf(docs, emb, _RRF_TERMS, probe_id=7)
+
+
+@query("media_image_features",
+       oracle=multimodal.synth_image_features_oracle_sql("bmp"))
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container round-trip, driver-verified end to end
+    (functions/multimodal.py — registered r13 per the r12 plan):
+    deterministic 24-bit BMP payloads are SYNTHESIZED executor-side
+    from doc ids (mapInPandas — the object-store media-source
+    stand-in: scan → batch → encode), then DECODED by the real BMP
+    parser (BGR order, 4-byte row padding) and reduced to integer
+    features (width, height, channels, truncating mean_milli,
+    min/max pixel).  Zero shuffles end to end.  A green row proves
+    the encoder, the decoder AND the feature math agree with the
+    oracle's from-scratch SQL replay of the gradient synthesis +
+    feature arithmetic — the container round-trip itself is the
+    claim.  (The P5/PNM twin is driven through media_phash_pairs;
+    JPEG/PNG remain labeled strict-raising stubs — env-blocked.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    img = multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                 kind="bmp")
+    return multimodal.image_features(img)
+
+
+@query("media_phash_pairs",
+       oracle=multimodal.synth_phash_pairs_oracle_sql(
+           kind="pnm", max_hamming=1))
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs over REAL P5 rasters
+    (functions/multimodal.py — registered r13 per the r12 plan):
+    synthesize genuine PGM payloads from doc ids, decode with the
+    real PNM parser, integer-exact 64-bit average-hash (8×8 cell
+    means vs global mean), then Hamming-≤1 pairs via simhash-style
+    byte bands — candidates bucket on the hash's 8 BYTES, recall is
+    pigeonhole-EXACT for max_hamming < 8, each band collision pays
+    one row-local bit_count(xor).  Shuffles: one (band, byte) bucket
+    exchange — never all-pairs.  max_hamming=1 keeps the result
+    driver-sized (the r12 plan's measured fatness note: ≤2 → 42.7k
+    rows at 5k ids).  The oracle replays synthesis → gray → cells →
+    threshold bits → halves → bands → bucket pairs → Hamming
+    entirely in SQL — a green row proves the perceptual-dedup
+    pipeline AND the container round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_phash(
+        multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                               kind="pnm"))
+    return multimodal.phash_pairs(hashes, "doc_id", max_hamming=1)

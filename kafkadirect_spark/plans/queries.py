@@ -520,15 +520,15 @@ def join_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", "c_name", "c_mktsegment").df
 
 
-@query(
-    "join_stream_table_left",
-    oracle="""
-    SELECT e.event_id, e.user_id, c.c_name
-    FROM events e LEFT JOIN customer c
-      ON e.user_id = c.c_custkey AND c.c_acctbal > 5000
-    WHERE e.event_type = 'signup'
-    """,
-)
+# RETIRED r13 (registration-budget policy item c): the interval-join
+# family already consolidated left into inner+outer (r11) — the same
+# subsumption applies here: `join_stream_table` drives the identical
+# Stream.join_table lookup path (core.py:373) at how="inner", and the
+# left-padding semantics (unmatched stream records emit
+# joiner(v, null), KStream.java:1760) stay driver-checked through
+# `join_interval_outer`'s two-sided padding and the KTable⋈KTable
+# outer row.  The operator and its pytest goldens remain in the
+# library.
 def join_stream_table_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left lookup join — unmatched stream records emit joiner(v, null)
     (KStream.java:1760)."""

@@ -203,6 +203,34 @@ _BNLJ_OK = {
     # capped by max_probes, centroids by centroid_stride); the ADC
     # stage after it is hash joins only.
     "similarity_ivf_pq",
+    # IVFADC+R (registered r13): the SAME bounded centroid broadcast
+    # as similarity_ivf_pq inside its shortlist stage; the +R re-rank
+    # after it is one hash join of the ≤ probes·n·refine-row
+    # shortlist plus a row-local zip_with fold — no new nested-loop
+    # shape is introduced by the refinement.
+    "similarity_ivf_pq_rerank",
+    # KMV slice matrix (registered r13): the all-pairs join runs over
+    # SKETCH rows — one row of ≤ k=256 minima per slice, |slices|
+    # bounded by the group column's domain (20 sources → 190 pairs),
+    # never the corpus; the broadcast nested loop IS the |slices|²/2
+    # pair enumeration, bounded by construction at any data volume.
+    "kmv_slice_matrix",
+    # hybrid RRF (registered r13): its BM25 arm composes bm25_search's
+    # machinery verbatim — the one-ROW (N, Σdl) corpus stats ride onto
+    # the (doc, query-term) tf table as a broadcast literal (the same
+    # scalar-subquery pattern as the bm25_search entry below).
+    "hybrid_rrf",
+    # funnel report (registered r13): the one-ROW step-0 cohort count
+    # (__n0) rides onto the ≤ |steps|-row report frame for the
+    # conversion permille — the scalar-subquery pattern; the cascade
+    # itself is filtered hash aggregations and user-keyed hash joins.
+    "funnel_steps",
+    # waterfill allocator (registered r13): one-ROW aggregates (grand
+    # total / affordable level) ride onto the ≤ |strata|-row totals
+    # frame — every nested-loop side is register-sized by
+    # construction; the corpus was reduced by ONE map-side-combined
+    # aggregate before the allocator runs.
+    "token_waterfill",
     # Q22 shape: the global (sum_cents, n) one-ROW aggregate is
     # cross-joined onto customer as a broadcast literal — the scalar
     # subquery pattern the allowlist exists for.
@@ -271,6 +299,18 @@ _GLOBAL_WINDOW_OK = {
     # (registered r12; the word-count exchange itself is hash-
     # partitioned and the vocabulary is never ranked).
     "vocab_coverage",
+    # the ONE rank window sorts the ≤ topn-row (default 20) BM25
+    # result — a LIMIT feeds it, bounded by construction; the cosine
+    # arm is TakeOrdered and the fusion touches ≤ 2·topn rows
+    # (registered r13; plan-pinned in test_retrieval.py's
+    # test_hybrid_rrf_plan_is_bounded).
+    "hybrid_rrf",
+    # rank/prefix windows over the ≤ |strata|-row per-group TOTALS
+    # frame (the group column's domain — 5 languages here), the same
+    # bounded-offsets envelope as sample_weighted's shard table; the
+    # corpus itself is reduced by ONE map-side-combined aggregate
+    # before any window (registered r13).
+    "token_waterfill",
 }
 
 
