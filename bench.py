@@ -275,6 +275,7 @@ def main() -> None:
         value_decile_buckets as _value_decile_buckets_q,
     )
     from kafkadirect_spark.plans.llm_queries import (
+        bpe_chunks as _bpe_chunks_q,
         dedup_containment as _dedup_containment_q,
     )
     from kafkadirect_spark.plans.queries import stream_count as _stream_count_q
@@ -406,7 +407,9 @@ def main() -> None:
         # plan shape:
         # - bpe_chunks: the mapInPandas encode + row-local slice pass
         #   (distinct from bpe_merges' training shape)
-        "bpe_chunks": QUERIES["bpe_chunks"],
+        # retired from the registry r13 (chunking-shape consolidation);
+        # the suite plan stays fingerprint-pinned via the direct call
+        "bpe_chunks": _bpe_chunks_q,
         # - collocations_topk: PMI over the bigram/unigram tables with
         #   the one-row total broadcast
         "collocations_topk": QUERIES["collocations_topk"],
@@ -602,26 +605,40 @@ def main() -> None:
     with open(plans_path, "w") as fh:
         json.dump({"sf": sf_dir, "plans": plans}, fh, indent=1, sort_keys=True)
 
-    # Compact timings-only JSON as the FINAL stdout line (the driver
-    # parses the tail of stdout; keep this well under its window).
+    # Output contract (re-learned the hard way in r12): the driver
+    # captures only the LAST ~2000 chars of bench stdout, and the
+    # extras map (70+ suites) outgrew that window — BENCH_r12.json's
+    # tail starts mid-extras and the nine headline suite numbers were
+    # truncated away (VERDICT r12 item 3).  Fix: the fat per-suite
+    # detail prints FIRST, and the FINAL stdout line is a compact
+    # headline JSON (metric / value / the nine reference suites /
+    # plan-diff counts) guaranteed to fit the tail window whole.
+    detail = json.dumps({
+        "metric": "bench_extras_detail",
+        "extras": extras,
+        "plan_diff": plan_diff,
+        "sf": sf_dir,
+    }, separators=(",", ":"))
+    print(detail)
     line = json.dumps({
         "metric": "reference_suites_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "extras": extras,
         "extras_wall_sec": round(sum(extras.values()), 3),
-        "plan_diff": plan_diff,
+        "n_extras": len(extras),
+        "plan_diff": {k: v for k, v in plan_diff.items()
+                      if k != "changed_names"},
         "sf": sf_dir,
     }, separators=(",", ":"))
-    # Hard guard on the output contract: if suite growth ever pushes
-    # the line toward the driver's tail-capture window again, fail
-    # LOUDLY here instead of shipping a truncated, unparseable tail
-    # (the silent round-5 failure mode).  ~0.9 kB today; 8 kB bound.
-    if len(line) >= 8192:  # not an assert: must survive python -O
+    # Hard guard on the output contract: the FINAL line must survive
+    # the driver's ~2000-char tail capture with room for the detail
+    # line's own tail above it.  Fail LOUDLY instead of shipping a
+    # truncated headline (the silent r5/r12 failure modes).
+    if len(line) >= 1800:  # not an assert: must survive python -O
         raise RuntimeError(
-            f"bench summary line grew to {len(line)} bytes — move detail "
-            "into BENCH_PLANS.json, the driver tail window will truncate it")
+            f"bench headline line grew to {len(line)} bytes — trim it, "
+            "the driver's 2000-char tail window will truncate it")
     print(line)
 
 
