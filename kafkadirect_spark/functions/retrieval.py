@@ -8,6 +8,13 @@ Integer-exact by construction: each system contributes
 1/(c+rank) in fixed point), so the fused score is a BIGINT that both
 engines reproduce bit-for-bit; only RANKS cross the fusion boundary —
 the BM25 decimals and the cosine floats stay inside their systems.
+Cross-engine caveat (ADVICE r12): the semantic arm's RANKS come from
+float64 cosine ordering (numpy matmul engine-side vs DuckDB
+``list_cosine_similarity`` in the oracle), so the post-rank integer
+arithmetic is exact GIVEN equal ranks — near-tied cosines could in
+principle order differently across engines; the parity guarantee is
+therefore "integer-exact downstream of float-agreeing ranks", not
+float-free end to end like this module's integer-only siblings.
 
 Reference analogue: none (SURVEY.md §2 — the reference has no
 document or retrieval model); beyond-parity machinery composing

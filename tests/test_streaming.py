@@ -1531,7 +1531,12 @@ def test_streaming_rate_alerts_spike_and_late(spark, tmpdir):
         assert rows[3] == (2, 2, 0, False)
         # spike: median of [2,2,2,2] = 2 -> dev 5000 > 500, alerted
         assert rows[4] == (12, 2, 5000, True)
-        assert len(rows) == 5                     # late row added nothing
+        # minute 5 had NO events but the watermark (from the minute-6
+        # driver event) closed it anyway: the synthesized zero-count
+        # window scores against median [2,2,2,2,12] = 2 and alerts —
+        # traffic collapse is detected (ADVICE r12)
+        assert rows[5] == (0, 2, 1000, True)
+        assert len(rows) == 6                     # late row added nothing
     finally:
         q.stop()
     with pytest.raises(ValueError, match="min_history"):
@@ -1540,3 +1545,58 @@ def test_streaming_rate_alerts_spike_and_late(spark, tmpdir):
     with pytest.raises(ValueError, match="threshold"):
         streaming_rate_alerts(src, "event_type", "ts",
                               threshold_permille=0)
+
+
+def test_streaming_rate_alerts_collapse_and_expiry(spark, tmpdir):
+    """A key that goes silent synthesizes zero-count windows (collapse
+    alerts), expires after `history` consecutive zero closes with
+    nothing pending, and starts COLD if it returns (ADVICE r12)."""
+    from kafkadirect_spark.streaming.anomaly import streaming_rate_alerts
+
+    S = "user_id string, ts timestamp, event_type string"
+
+    def ev(sec, n=1, ty="err"):
+        return [(f"u{i}", t(f"00:{sec // 60:02d}:{sec % 60:02d}"), ty)
+                for i in range(n)]
+
+    # "err" bursts in minute 0 then goes silent; "ok" ticks every
+    # minute 0..6 purely to advance the watermark past err's silence
+    b0 = ev(10, 4)
+    for m in range(7):
+        b0 += ev(m * 60 + 5, 1, ty="ok")
+    spark.createDataFrame(b0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/rc/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/rc/*", S).df
+    # key on event_type so the steady "ok" key drives the watermark
+    # across "err"'s silent minutes
+    out = streaming_rate_alerts(src, "event_type", "ts",
+                                window="1 minute", history=2,
+                                min_history=1, threshold_permille=500)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("collapse")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_rc").start())
+    try:
+        q.processAllAvailable()
+        # err returns in minute 8 after the expiry gap; the ok driver
+        # event lands in minute 9 so the watermark closes minute 8
+        spark.createDataFrame(ev(485, 1) + ev(555, 1, ty="ok"), S) \
+            .coalesce(1).write.parquet(f"{tmpdir}/rc/b1")
+        q.processAllAvailable()
+        err = {int((r.window_start - t("00:00:00")).total_seconds())
+               // 60:
+               (r.n_events, r.baseline_median, r.dev_permille,
+                r.is_alert)
+               for r in spark.sql(
+                   "SELECT * FROM collapse WHERE event_type='err'")
+               .collect()}
+        assert err[0] == (4, 0, 4000, False)   # cold: no history yet
+        # silent minutes synthesize zeros and ALERT against the median
+        assert err[1] == (0, 4, 1000, True)
+        assert err[2] == (0, 2, 1000, True)
+        # after minute 2 the last `history`=2 closes are both zero and
+        # nothing is pending -> state removed: minutes 3..7 emit NO
+        # rows (bounded synthesis), and the comeback window is COLD
+        assert err[8] == (1, 0, 1000, False)
+        assert set(err) == {0, 1, 2, 8}
+    finally:
+        q.stop()
