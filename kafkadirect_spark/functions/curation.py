@@ -2279,6 +2279,157 @@ def contamination_report_oracle_sql(
     """
 
 
+def contamination_spans(train: DataFrame, eval_df: DataFrame,
+                        text_col: str, id_col: str,
+                        n: int = 8) -> DataFrame:
+    """Span-level contamination audit (round 13) — the report
+    gram-set membership (``contamination_report``) cannot give: for
+    every evaluation document, the LONGEST contiguous token run whose
+    every ``n``-gram window appears in the training corpus, plus the
+    count of maximal leaked spans and the total leaked-token mass.
+    This is the decontamination measure the GPT-3/PaLM reports use
+    (Brown et al. 2020 appendix C; Chowdhery et al. 2022 §8 both
+    report leakage by overlapping SPANS, not gram counts): a doc with
+    30 scattered leaked grams is noise, a doc with one 300-token
+    leaked run is a verbatim test-set copy.
+
+    Returns ``(id_col, n_tokens, n_grams, n_leak_spans,
+    max_leak_tokens, leaked_tokens, leak_milli)`` for EVERY eval doc;
+    ``leak_milli = 1000·leaked_tokens DIV max(n_tokens, 1)``.  A hit
+    at gram position p marks tokens [p, p+n−1]; overlapping or
+    adjacent marks merge into maximal spans (the exactsubstr
+    gaps-and-islands, same merge rule: positions p, q share a span
+    iff q ≤ p + n).
+
+    Scale shape — identical to ``contamination_report``: the
+    MB-scale eval side's distinct gram hashes broadcast, the train
+    corpus streams through ONE broadcast semi-join with zero
+    corpus-side shuffle, and only the bounded hit-hash set comes
+    back; the islands windows are all eval-doc-PARTITIONED over hit
+    positions (≤ |eval grams| rows).  Hash collisions can only
+    over-count leakage — the conservative direction for an audit.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    pos = (_widen(eval_df.select(F.col(id_col), F.col(text_col)))
+           .select(F.col(id_col),
+                   tokens(text_col).alias("__w"))
+           .select(F.col(id_col),
+                   F.size("__w").cast("long").alias("n_tokens"),
+                   F.posexplode_outer(shingles(F.col("__w"), n))
+                   .alias("__p", "__g"))
+           .select(id_col, "n_tokens", "__p",
+                   portable_hash(F.col("__g")).alias("__gh")))
+    eval_hashes = F.broadcast(
+        pos.filter(F.col("__gh").isNotNull()).select("__gh").distinct())
+    hits = F.broadcast(
+        _widen(train.select(F.col(text_col)))
+        .select(F.explode(shingles(tokens(text_col), n)).alias("__g"))
+        .select(portable_hash(F.col("__g")).alias("__gh"))
+        .join(eval_hashes, "__gh", "left_semi")
+        .distinct())
+    per = (pos.groupBy(F.col(id_col), F.col("n_tokens"))
+           .agg(F.count("__p").cast("long").alias("n_grams")))
+    hp = (pos.join(hits, "__gh", "left_semi")
+          .select(F.col(id_col), F.col("__p").cast("long").alias("__p")))
+    w = Window.partitionBy(id_col).orderBy("__p")
+    prev = F.lag("__p").over(w)
+    spans = (hp.withColumn(
+                 "__new",
+                 F.when(prev.isNull() | (F.col("__p") > prev + n), 1)
+                 .otherwise(0))
+             .withColumn("__isl", F.sum("__new").over(w))
+             .groupBy(id_col, "__isl")
+             .agg((F.max("__p") - F.min("__p") + n).alias("__len"))
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_leak_spans"),
+                  F.max("__len").cast("long").alias("max_leak_tokens"),
+                  F.sum("__len").cast("long").alias("leaked_tokens")))
+    zero = F.lit(0).cast("long")
+    out = (per.join(F.broadcast(spans), id_col, "left")
+           .select(F.col(id_col), "n_tokens", "n_grams",
+                   F.coalesce("n_leak_spans", zero).alias("n_leak_spans"),
+                   F.coalesce("max_leak_tokens", zero)
+                   .alias("max_leak_tokens"),
+                   F.coalesce("leaked_tokens", zero)
+                   .alias("leaked_tokens")))
+    return out.withColumn(
+        "leak_milli",
+        F.expr("CAST(1000 * leaked_tokens DIV "
+               "greatest(n_tokens, 1) AS BIGINT)"))
+
+
+def contamination_spans_oracle_sql(
+        n: int = 8, table: str = "documents", id_col: str = "doc_id",
+        text_col: str = "text", train_pred: str = "doc_id % 2 = 0",
+        eval_pred: str = "doc_id % 2 = 1") -> str:
+    """DuckDB replay of ``contamination_spans(train, eval)`` where
+    both sides are predicates over one table: the same tokenize /
+    positional ``n``-gram / portable-hash pipeline, hash membership,
+    and the gaps-and-islands span merge (1-based positions vs
+    Spark's 0-based — span LENGTHS and counts only use position
+    differences, so the offset cancels).  r14 registration
+    candidate."""
+    tok = (f"list_filter(regexp_split_to_array(lower({text_col}), "
+           "'[^a-z0-9]+'), x -> x <> '')")
+    gram = " || ' ' || ".join(f"w[g+{j}]" for j in range(n))
+    ph = f"(('0x' || substr(md5({gram}), 1, 14))::BIGINT % 2147483647)"
+    return f"""
+    WITH tok AS (SELECT {id_col} AS id,
+                        ({train_pred}) AS is_train,
+                        ({eval_pred}) AS is_eval,
+                        {tok} AS w
+                 FROM {table}
+                 WHERE ({eval_pred}) OR ({train_pred})),
+    gh AS (
+      SELECT id, is_train, is_eval, g AS p, {ph} AS h
+      FROM (SELECT id, is_train, is_eval, w,
+                   unnest(generate_series(1, len(w) - {n - 1})) AS g
+            FROM tok WHERE len(w) >= {n})),
+    eg AS (SELECT id, p, h FROM gh WHERE is_eval),
+    tg AS (SELECT DISTINCT h FROM gh WHERE is_train),
+    hp AS (SELECT eg.id, eg.p FROM eg
+           JOIN tg ON tg.h = eg.h),
+    isl AS (
+      SELECT id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY id ORDER BY p)
+                       IS NULL
+                    OR p > lag(p) OVER (PARTITION BY id ORDER BY p)
+                       + {n}
+                  THEN 1 ELSE 0 END AS nw
+      FROM hp),
+    grp AS (
+      SELECT id, p,
+             SUM(nw) OVER (PARTITION BY id ORDER BY p) AS g
+      FROM isl),
+    spans AS (
+      SELECT id, g, MAX(p) - MIN(p) + {n} AS len
+      FROM grp GROUP BY id, g),
+    per_s AS (
+      SELECT id, COUNT(*)::BIGINT AS n_leak_spans,
+             MAX(len)::BIGINT AS max_leak_tokens,
+             SUM(len)::BIGINT AS leaked_tokens
+      FROM spans GROUP BY id),
+    per_g AS (
+      SELECT t.id, len(t.w)::BIGINT AS n_tokens,
+             COALESCE(c.n_grams, 0)::BIGINT AS n_grams
+      FROM tok t
+      LEFT JOIN (SELECT id, COUNT(*)::BIGINT AS n_grams
+                 FROM eg GROUP BY id) c ON c.id = t.id
+      WHERE t.is_eval)
+    SELECT per_g.id AS {id_col}, per_g.n_tokens, per_g.n_grams,
+           COALESCE(per_s.n_leak_spans, 0)::BIGINT AS n_leak_spans,
+           COALESCE(per_s.max_leak_tokens, 0)::BIGINT
+             AS max_leak_tokens,
+           COALESCE(per_s.leaked_tokens, 0)::BIGINT AS leaked_tokens,
+           (1000 * COALESCE(per_s.leaked_tokens, 0)
+            // greatest(per_g.n_tokens, 1))::BIGINT AS leak_milli
+    FROM per_g LEFT JOIN per_s ON per_s.id = per_g.id
+    """
+
+
 def token_waterfill(df: DataFrame, group_col: str,
                     avail_col: Column | str,
                     budget: int) -> DataFrame:

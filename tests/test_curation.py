@@ -1697,3 +1697,82 @@ def test_waterfill_oracle_matches_engine(spark):
     assert got == eng and eng
     assert sum(r[2] for r in eng) == budget       # real cutoff engaged
     assert any(r[2] < r[1] for r in eng)          # some stratum capped
+
+
+# ---------------------------------------------------------------------------
+# contamination_spans (round 13): span-level leakage — longest leaked
+# token run per eval doc via positional gram hits + gaps-and-islands.
+
+
+def test_contamination_spans_hand_checked(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "x x a b c d e y y a b c d z"),   # runs [2..6] and [9..12]
+         (3, "too short"),                      # < n tokens
+         (5, "q r s t u v w x")],               # grams, no hits
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_grams, r.n_leak_spans,
+                      r.max_leak_tokens, r.leaked_tokens, r.leak_milli)
+           for r in curation.contamination_spans(
+               train, ev, "text", "doc_id", n=4).collect()}
+    # hits at gram positions {2, 3, 9}: island [2,3] -> 5 tokens
+    # (a b c d e), island [9] -> 4 tokens (a b c d)
+    assert out[1] == (14, 11, 2, 5, 9, 9000 // 14)
+    assert out[3] == (2, 0, 0, 0, 0, 0)
+    assert out[5] == (8, 5, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="n must"):
+        curation.contamination_spans(train, ev, "text", "doc_id", n=0)
+
+
+def test_contamination_spans_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real documents (even half corpus, odd
+    half eval), and span/report consistency: a doc has a leaked span
+    iff the gram-set report counts contamination."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    eng = sorted(tuple(r) for r in curation.contamination_spans(
+        train, ev, "text", "doc_id", n=8).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        curation.contamination_spans_oracle_sql(n=8)).fetchall())
+    assert got == eng and eng
+    assert any(r[3] > 0 for r in eng)        # real leaked spans exist
+    assert all(r[5] >= r[4] for r in eng)    # Σspans >= max span
+    rep = {r.doc_id: r.n_contaminated
+           for r in curation.contamination_report(
+               train, ev, "text", "doc_id", n=8).collect()}
+    assert all((rep[r[0]] > 0) == (r[3] > 0) for r in eng)
+
+
+def test_contamination_spans_plan_is_bounded(spark):
+    """The corpus side reaches its semi-join through broadcasts only
+    (no SortMergeJoin, no CartesianProduct) and every window is
+    partitioned by the eval doc id."""
+    import contextlib
+    import io
+    import re
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(6)],
+        "doc_id long, text string")
+    out = curation.contamination_spans(
+        df.filter(F.col("doc_id") % 2 == 0),
+        df.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "doc_id" in spec, f"unpartitioned window: {spec}"
