@@ -103,6 +103,27 @@ def _contamination_report_suite(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id")
 
 
+def _contamination_spans_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.sources.batch import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contamination_spans(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id")
+
+
+def _media_image_features_suite(spark, sf_dir):
+    # the registered media_image_features shape: executor-side BMP
+    # synthesis -> real decode -> integer features, zero shuffles
+    from kafkadirect_spark.functions import multimodal
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_features(
+        multimodal.synth_media(ids, "doc_id", kind="bmp"))
+
+
 def _wordpiece_suite(spark, sf_dir):
     from kafkadirect_spark.functions import wordpiece
     from kafkadirect_spark.sources.batch import load_table
@@ -477,6 +498,11 @@ def main() -> None:
         "similarity_ivf_pq_rerank": _ivf_pq_rerank_suite,
         "sample_weighted_group": _sample_weighted_group_suite,
         "contamination_report": _contamination_report_suite,
+        # r13 additions: span-level leakage (same broadcast semi-join,
+        # plus doc-partitioned island windows) and the registered BMP
+        # round-trip feature pass (mapInPandas, zero shuffles)
+        "contamination_spans": _contamination_spans_suite,
+        "media_image_features": _media_image_features_suite,
         # late-r12 library-level operators: alignment-free ExactSubstr
         # dedup (one gram-hash exchange + doc-partitioned island
         # windows + row-local HOF rebuild), the KMV corpus-slice

@@ -177,11 +177,19 @@ _PROMOTED = [
 # adds the index-membership claim over the now-registered
 # dedup_exactsubstr machinery), `weighted_quantiles` OR
 # `weighted_quantiles_by_lang` (at most one, same global-vs-grouped
-# rule as the decile family).  That is ~5 adds; balance with item-c
-# retirements where a genuine subsumption exists, else let N drift
-# inside the 151..200 band (horizon 3 holds).  Fill = the 33
-# alphabetically-first of the 49 surviving r11-dated queries,
-# leaving ~16 r11 leftovers as r15's mandatory front.
+# rule as the decile family).  Landed library-level in r13 per
+# policy item b (oracle generators pytest-pinned engine==oracle):
+# `contamination_spans` (curation.contamination_spans_oracle_sql —
+# span-level leakage: longest leaked token run per eval doc; the
+# natural pairing rule is report-vs-spans, keep both ONLY if each
+# carries a distinct claim — spans strictly extends the report, so
+# consider registering spans and retiring `contamination_report` 1:1
+# once the report has its first green row this round).  That is ~6
+# adds; balance with item-c retirements where a genuine subsumption
+# exists, else let N drift inside the 151..200 band (horizon 3
+# holds).  Fill = the 33 alphabetically-first of the 49 surviving
+# r11-dated queries, leaving ~16 r11 leftovers as r15's mandatory
+# front.
 _DEFERRED_NEW: list[str] = []
 
 

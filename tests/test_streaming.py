@@ -1661,3 +1661,60 @@ def test_streaming_windowed_distinct_matches_batch(spark, tmpdir):
     with pytest.raises(ValueError, match="p must"):
         streaming_windowed_distinct(src, "event_type", "ts",
                                     "user_id", p=99)
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmpdir):
+    """The stateless ingest flag equals batch curation.decontaminate
+    bit-for-bit across micro-batches; the plan is stateless (no
+    stateful operator in the streaming query); the eval-size guard
+    raises loudly."""
+    from kafkadirect_spark.functions import curation
+    from kafkadirect_spark.streaming.decontaminate import (
+        streaming_decontaminate,
+    )
+
+    S = "doc_id long, ts timestamp, text string"
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    rows0 = [
+        (1, t("00:00:01"), "the quick brown fox jumps over the lazy dog today"),
+        (2, t("00:00:02"), "completely unrelated text with many words here now"),
+        (3, t("00:00:03"), "short"),
+    ]
+    rows1 = [
+        (4, t("00:01:01"), "prefix words then the quick brown fox jumps over the lazy dog"),
+        (5, t("00:01:02"), "another clean document streaming through the gate now yes"),
+    ]
+    spark.createDataFrame(rows0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/dc/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/dc/*", S).df
+    out = streaming_decontaminate(src, eval_df, "text", n=8)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("decon")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_dc").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows1, S).coalesce(1) \
+            .write.parquet(f"{tmpdir}/dc/b1")
+        q.processAllAvailable()
+        got = {r.doc_id: r.contaminated for r in
+               spark.sql("SELECT * FROM decon").collect()}
+        batch = spark.createDataFrame(rows0 + rows1, S)
+        want = {r.doc_id: r.contaminated for r in curation.decontaminate(
+            batch, eval_df, "text", "doc_id", n=8).collect()}
+        assert got == want and len(got) == 5
+        assert got[1] and got[4]            # leaked 8-gram present
+        assert not got[2] and not got[3] and not got[5]
+        # stateless: the running query reports no state store rows
+        prog = q.lastProgress
+        assert not prog or all(
+            s.get("numRowsTotal", 0) == 0
+            for s in prog.get("stateOperators", []))
+    finally:
+        q.stop()
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        streaming_decontaminate(src, eval_df, "text", n=8,
+                                max_eval_grams=1)
+    with pytest.raises(ValueError, match="n must"):
+        streaming_decontaminate(src, eval_df, "text", n=0)

@@ -828,6 +828,16 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         return curation.contamination_report(docs, ev, "text",
                                              "doc_id", n=8)
 
+    def probe_contamination_spans(docs):
+        # span-level twin of probe_contamination: same fixed eval set
+        # vs the growing corpus; the extra work over the report is
+        # eval-sided only (hit positions + doc-partitioned island
+        # windows), so wall should stay report-shaped — corpus-scan
+        # bound
+        ev = base.filter(F.col("doc_id") % 20 == 0)
+        return curation.contamination_spans(docs, ev, "text",
+                                            "doc_id", n=8)
+
     def probe_weighted_group(docs):
         # per-language token budgets over the growing corpus: one
         # (group, shard) exchange + a |groups|·shards broadcast —
@@ -931,6 +941,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "bigram_surprisal": probe_bigram_surprisal,
               "cluster_split": probe_cluster_split,
               "contamination": probe_contamination,
+              "contamination_spans": probe_contamination_spans,
               "weighted_group": probe_weighted_group}
     if ops:
         unknown = set(ops) - set(probes)
