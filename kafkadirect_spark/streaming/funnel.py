@@ -72,9 +72,15 @@ def streaming_funnel(stream_df: DataFrame, user_col: str,
             for pdf in pdf_iter:
                 if not len(pdf):
                     continue
-                for ts, ty in zip(pdf[ts_col], pdf[type_col]):
-                    ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
-                    if st["f"] is not None and ts_ms <= st["f"]:
+                # vectorized epoch-ms conversion (the anomaly-module
+                # fix, r13): one astype per Arrow batch, no per-row
+                # pd.Timestamp construction
+                ms = (pdf[ts_col].astype("datetime64[ns]")
+                      .astype("int64") // 1_000_000)
+                f = st["f"]
+                for ts_ms, ty in zip(ms.tolist(),
+                                     pdf[type_col].tolist()):
+                    if f is not None and ts_ms <= f:
                         continue            # late: behind the seal
                     st["buf"].append([ts_ms, ty])
 
