@@ -114,15 +114,20 @@ _MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
     )"""
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Shared with the r14 graph-registration candidates (the
+# _SIMHASH_PAIRS_ORACLE pattern): graph.triangle_stats_oracle_sql /
+# local_clustering_oracle_sql compose THIS text as their edge CTE, so
+# the registered pair replay and the graph replay can never drift
+# apart (byte-identity pinned in tests/test_graph.py).
+_MINHASH_PAIRS_ORACLE = f"""
     WITH {_MINHASH_BANDS_CTES}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band, v0, v1, v2, v3)
     WHERE a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs (32 hashes, 8 bands × 4) —
     the sub-quadratic 100 TB near-dup path; shuffles only on

@@ -228,3 +228,39 @@ def test_local_clustering_oracle_matches_engine(spark):
         local_clustering_oracle_sql(_SIMHASH_PAIRS_ORACLE)).fetchall())
     assert got == eng and eng
     assert any(r[3] not in (0, 1000) for r in eng)  # mixed closure
+
+
+def test_triangle_stats_oracle_matches_engine_lsh_surface(spark):
+    """Engine == DuckDB over the SELECTIVE registered MinHash-LSH
+    candidate graph — the surface the r13 plan prescribes for the
+    r14 graph registration (the simhash band graph is 2.4M edges at
+    sf0.1; the LSH graph stays driver-sized).  Also pins that the
+    registered dedup_minhash_lsh oracle IS the shared
+    _MINHASH_PAIRS_ORACLE variable the composition embeds, so the
+    two replays can never drift apart."""
+    import duckdb
+
+    from kafkadirect_spark.functions import dedup
+    from kafkadirect_spark.functions.graph import (
+        local_clustering, local_clustering_oracle_sql, triangle_stats,
+        triangle_stats_oracle_sql)
+    from kafkadirect_spark.plans import ORACLE_SQL
+    from kafkadirect_spark.plans.llm_queries import _MINHASH_PAIRS_ORACLE
+
+    assert ORACLE_SQL["dedup_minhash_lsh"] == _MINHASH_PAIRS_ORACLE
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    eng = [tuple(x) for x in triangle_stats(pairs).collect()]
+    got = con.sql(
+        triangle_stats_oracle_sql(_MINHASH_PAIRS_ORACLE)).fetchall()
+    assert got == eng and eng[0][1] > 0        # real edges present
+    eng_lc = sorted(tuple(x) for x in local_clustering(pairs).collect())
+    got_lc = sorted(con.sql(
+        local_clustering_oracle_sql(_MINHASH_PAIRS_ORACLE)).fetchall())
+    assert got_lc == eng_lc and eng_lc
