@@ -169,8 +169,10 @@ _PROMOTED = [
 # `path_topk` (behavior.path_topk_oracle_sql — one user-partitioned
 # lead window + TakeOrdered; needs a _GLOBAL_WINDOW_OK entry for the
 # ≤k-row rank window), `graph_triangles` OR `graph_local_clustering`
-# (at most one, over the SELECTIVE dedup_minhash_lsh pair surface,
-# composing that query's oracle as the edge CTE — the simhash band
+# (at most one, over the SELECTIVE dedup_minhash_lsh pair surface —
+# its oracle is now the shared _MINHASH_PAIRS_ORACLE variable and
+# both graph compositions over that exact text are pytest-pinned in
+# test_graph.py, so the registration is mechanical; the simhash band
 # graph is 2.4M edges at sf0.1 and its wedge join would own the
 # driver's wall), `dedup_exactsubstr_incr`
 # (dedup.exactsubstr_incremental_oracle_sql, every-5th-doc split —
