@@ -121,15 +121,17 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
                 break
         st["f"] = w0
 
-        if dead:
+        if dead or st["f"] is None:
+            # dead: `history` zeros closed with nothing pending.
+            # f None: a fresh key whose every arrival was late — it
+            # never opened a window, so keeping (and never timing
+            # out) its empty state would leak a zombie row.
             state.remove()
         else:
             state.update((json.dumps(st),))
-            if st["f"] is not None:
-                # wake at the next close even with no arrivals — this
-                # is what lets silent windows synthesize their zeros
-                state.setTimeoutTimestamp(
-                    max(st["f"] + win_ms, wm + 1))
+            # wake at the next close even with no arrivals — this
+            # is what lets silent windows synthesize their zeros
+            state.setTimeoutTimestamp(max(st["f"] + win_ms, wm + 1))
         if rows:
             yield pd.DataFrame(rows)
 
