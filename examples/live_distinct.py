@@ -1,8 +1,8 @@
 """Live distinct-user dashboard demo — the streaming form of the
 batch HLL sketch: per event type, the tumbling-window distinct-user
-ESTIMATE (exact-integer HLL registers folded in watermarked state)
-emits the moment the watermark closes each window
-(streaming/distinct.py).
+ESTIMATE (exact-integer HLL registers folded in watermarked window
+state) emits the moment the watermark closes each window
+(streaming/sketch.py windowed_distinct_hll).
 
 The rate source stands in as the event feed (broker-free): a
 synthetic traffic mix where each type draws user ids from a pool
@@ -12,9 +12,9 @@ separate.  The same topology runs against
 
 Reading the numbers: this is the RAW integer estimator (the
 oracle-exact path — see functions/sketch.py's module docstring), so
-near-empty sketches read ≈ 0.72·m (~184 at p=8) instead of the true
-tiny count; `sketch.hll_estimate_corrected` applies the classic
-LinearCounting correction when a float path is acceptable.  The
+near-empty sketches read ≈ 0.72·m instead of the true tiny count;
+`sketch.hll_estimate_corrected` applies the classic LinearCounting
+correction when a float path is acceptable.  The
 view/click/purchase separation — and the exactly-once window close —
 is what this demo shows.
 
@@ -28,9 +28,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, ".")
 
 from kafkadirect_spark import get_spark
-from kafkadirect_spark.streaming.distinct import (
-    streaming_windowed_distinct,
-)
+from kafkadirect_spark.streaming.sketch import windowed_distinct_hll
 
 
 def main(seconds: str = "45") -> None:
@@ -48,9 +46,9 @@ def main(seconds: str = "45") -> None:
                .when(F.col("value") % 10 < 9, F.col("value") % 50)
                .otherwise(F.col("value") % 5).alias("user_id"),
                F.col("timestamp").alias("ts")))
-    counts = streaming_windowed_distinct(src, "event_type", "ts",
-                                         "user_id",
-                                         window="5 seconds", p=8)
+    counts = windowed_distinct_hll(src, key_cols=["event_type"],
+                                   ts_col="ts", value_col="user_id",
+                                   size="5 seconds", p=8)
     q = (counts.writeStream.outputMode("append").format("console")
          .option("truncate", "false").start())
     limit = float(seconds)

@@ -19,9 +19,22 @@ bit-for-bit (golden-tested in tests/test_sketch.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kafkadirect_spark.functions import sketch
 from kafkadirect_spark.streaming.window_fold import streaming_windowed_aggregate
+
+
+def _stringify(stream_df: DataFrame, value_col: str) -> DataFrame:
+    """Cast the value to STRING before it crosses into pandas (round
+    13): a NULL anywhere in an Arrow batch turns a long column into
+    float64, and ``str(5.0) != "5"`` silently breaks the portable-hash
+    parity with the batch path (regression-pinned in
+    tests/test_sketch.py).  Casting JVM-side makes the Python-side
+    ``str(v)`` a no-op on Spark's own canonical rendering for every
+    input type; nulls stay null."""
+    return stream_df.withColumn(value_col,
+                                F.col(value_col).cast("string"))
 
 
 def windowed_distinct_hll(
@@ -54,7 +67,7 @@ def windowed_distinct_hll(
                 "nonzero_buckets": est["nonzero_buckets"]}
 
     return streaming_windowed_aggregate(
-        stream_df, key_cols, ts_col, size,
+        _stringify(stream_df, value_col), key_cols, ts_col, size,
         initializer=dict, aggregator=aggregator, finisher=finisher,
         agg_fields="est_distinct long, nonzero_buckets long",
         advance=advance, grace=grace)
@@ -114,7 +127,7 @@ def windowed_heavy_hitters(
                 "top_errs": [e for _, (_n, e) in top]}
 
     return streaming_windowed_aggregate(
-        stream_df, key_cols, ts_col, size,
+        _stringify(stream_df, value_col), key_cols, ts_col, size,
         initializer=dict, aggregator=aggregator, finisher=finisher,
         agg_fields=("top_values array<string>, top_counts array<long>, "
                     "top_errs array<long>"),

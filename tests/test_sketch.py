@@ -924,3 +924,46 @@ def test_kmv_group_jaccard_matches_python_model(spark):
         assert got == _py_kmv_matrix(data, k=8)
 
     run()
+
+
+def test_streaming_windowed_distinct_hll_null_mixed_batch(spark, tmp_path):
+    """Nullable-long hazard regression (round 13): a NULL in the same
+    Arrow batch converts the pandas value column to float64, and
+    str(5.0) != "5" silently breaks hash parity with the batch
+    sketch.  The wrapper now casts the value to STRING JVM-side
+    (Spark's own canonical rendering), so a null-mixed window still
+    matches batch hll_distinct bit-for-bit; nulls are skipped."""
+    from datetime import datetime
+
+    from kafkadirect_spark.sources.stream import stream_from_dir
+    from kafkadirect_spark.streaming.sketch import windowed_distinct_hll
+
+    KV = "key string, value long, ts timestamp"
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    rows = [("a", 5, t("10:00:05")), ("a", None, t("10:00:15")),
+            ("a", 7, t("10:00:25")), ("a", 5, t("10:00:35"))]
+    spark.createDataFrame(rows, KV).coalesce(1).write.parquet(
+        f"{tmp_path}/in/b0")
+    src = stream_from_dir(spark, f"{tmp_path}/in/*", KV,
+                          key="key", ts="ts")
+    out = windowed_distinct_hll(
+        src.df, key_cols=["key"], ts_col="ts", value_col="value",
+        size="1 minute")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("hll_nul")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([("a", 9, t("10:02:00"))], KV) \
+            .coalesce(1).write.parquet(f"{tmp_path}/in/b1")
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM hll_nul").collect()
+        assert len(got) == 1
+        batch = spark.createDataFrame(
+            [(5,), (None,), (7,), (5,)], "value long")
+        want = sketch.hll_distinct(batch, "value").collect()[0]
+        assert (got[0].est_distinct, got[0].nonzero_buckets) == (
+            want.est_distinct, want.nonzero_buckets)
+        assert got[0].nonzero_buckets == 2     # nulls skipped
+    finally:
+        q.stop()

@@ -1601,68 +1601,6 @@ def test_streaming_rate_alerts_collapse_and_expiry(spark, tmpdir):
     finally:
         q.stop()
 
-
-def test_streaming_windowed_distinct_matches_batch(spark, tmpdir):
-    """The closed-window sketch numbers are INTEGER-IDENTICAL to the
-    batch hll_distinct of the same rows (duplicates across batches
-    fold onto the same register); late values behind a closed window
-    are dropped; state is removed when no window stays open."""
-    from kafkadirect_spark.functions import sketch
-    from kafkadirect_spark.streaming.distinct import (
-        streaming_windowed_distinct,
-    )
-
-    S = "user_id long, ts timestamp, event_type string"
-
-    def ev(sec, uid, ty="err"):
-        return [(uid, t(f"00:{sec // 60:02d}:{sec % 60:02d}"), ty)]
-
-    # err minute 0: users 1,2,2,3 ; minute 1: 1,9 ; ok drives the clock
-    b0 = (ev(10, 1) + ev(15, 2) + ev(20, 2) + ev(30, 3)
-          + ev(70, 1) + ev(80, 9)
-          + ev(5, 7, "ok") + ev(125, 8, "ok"))
-    spark.createDataFrame(b0, S).coalesce(1) \
-        .write.parquet(f"{tmpdir}/wd/b0")
-    src = stream_from_dir(spark, f"{tmpdir}/wd/*", S).df
-    out = streaming_windowed_distinct(src, "event_type", "ts",
-                                      "user_id", window="1 minute",
-                                      p=6)
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName("wdist")
-         .option("checkpointLocation", f"{tmpdir}/ckpt_wd").start())
-    try:
-        q.processAllAvailable()
-        # b1: a LATE err value for closed minute 0 (must change
-        # nothing), a fresh err window at minute 4, an ok driver
-        spark.createDataFrame(
-            ev(12, 99) + ev(250, 5) + ev(310, 8, "ok"), S) \
-            .coalesce(1).write.parquet(f"{tmpdir}/wd/b1")
-        q.processAllAvailable()
-        got = {(r.event_type,
-                int((r.window_start - t("00:00:00")).total_seconds())
-                // 60):
-               (r.nonzero_buckets, r.sum_pow, r.est_distinct)
-               for r in spark.sql("SELECT * FROM wdist").collect()}
-
-        def batch(vals):
-            df = spark.createDataFrame([(v,) for v in vals], "v long")
-            r = sketch.hll_distinct(df, "v", p=6).collect()[0]
-            return (r.nonzero_buckets, r.sum_pow, r.est_distinct)
-
-        assert got[("err", 0)] == batch([1, 2, 2, 3])  # late 99 absent
-        assert got[("err", 1)] == batch([1, 9])
-        assert got[("err", 4)] == batch([5])
-        assert got[("ok", 0)] == batch([7])
-        assert got[("ok", 2)] == batch([8])
-        assert ("ok", 5) not in got        # still open at the end
-        assert len(got) == 5
-    finally:
-        q.stop()
-    with pytest.raises(ValueError, match="p must"):
-        streaming_windowed_distinct(src, "event_type", "ts",
-                                    "user_id", p=99)
-
-
 def test_streaming_decontaminate_matches_batch(spark, tmpdir):
     """The stateless ingest flag equals batch curation.decontaminate
     bit-for-bit across micro-batches; the plan is stateless (no
