@@ -23,7 +23,10 @@ carrying the user's running aggregate:
 
 The user aggregate must be JSON-serializable (it rides in the state
 store); per-row Python cost is the same contract as the reference's
-user lambdas — this is the escape hatch, not the hot path.
+user lambdas — this is the escape hatch, not the hot path.  Pandas
+dtype caveat for aggregators that string-render or hash values: see
+streaming/window_fold.py's module docstring (a null-mixed Arrow
+batch widens longs to float64; cast to string JVM-side first).
 """
 
 from __future__ import annotations

@@ -22,6 +22,16 @@ suppress-untilWindowCloses contract.
 
 The user aggregate must be JSON-serializable; per-row Python cost is
 the reference's own user-lambda contract (escape hatch, not hot path).
+
+Row values arrive through pandas/Arrow, with pandas' dtype widening:
+a NULL anywhere in a batch turns a long column into float64, so an
+aggregator that STRING-RENDERS or hashes values (``str(v)``) can
+silently diverge from a JVM-side rendering of the same column
+(``str(5.0) != "5"``).  Cast such columns to string JVM-side before
+the fold — ``streaming/sketch.py``'s ``_stringify`` is the pattern
+(round-13 regression: tests/test_sketch.py's null-mixed window).
+Numeric folds (+, min, max, counts) are unaffected: integers stay
+exact through float64 up to 2^53 and the output schema casts back.
 """
 
 from __future__ import annotations
