@@ -1776,3 +1776,58 @@ def test_contamination_spans_plan_is_bounded(spark):
     assert "BroadcastHashJoin" in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "doc_id" in spec, f"unpartitioned window: {spec}"
+
+
+def _py_contamination_spans(train_texts, ev_texts, n):
+    """Independent model: gram-STRING membership (collisions are
+    impossible at these sizes), python islands merge."""
+    def grams(t):
+        w = [x for x in __import__("re").split(r"[^a-z0-9]+",
+                                               t.lower()) if x]
+        return w, [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    tset = set()
+    for t in train_texts:
+        tset.update(grams(t)[1])
+    out = {}
+    for i, t in enumerate(ev_texts):
+        w, gs = grams(t)
+        hits = [p for p, g in enumerate(gs) if g in tset]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + n:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        lens = [e - s + n for s, e in spans]
+        leaked = sum(lens)
+        out[i] = (len(w), len(gs), len(spans),
+                  max(lens, default=0), leaked,
+                  1000 * leaked // max(len(w), 1))
+    return out
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=1, max_size=4),
+       st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=1, max_size=4),
+       st.integers(min_value=2, max_value=3))
+def test_contamination_spans_matches_python_model(spark, train_texts,
+                                                  ev_texts, n):
+    """Engine == an independent python model (gram-string identity)
+    on adversarially repetitive two-letter texts: hit positions,
+    island merge, span counts/lengths and the truncating milli all
+    agree."""
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ev_texts)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_grams, r.n_leak_spans,
+                      r.max_leak_tokens, r.leaked_tokens, r.leak_milli)
+           for r in curation.contamination_spans(
+               train, ev, "text", "doc_id", n=n).collect()}
+    assert got == _py_contamination_spans(train_texts, ev_texts, n)
