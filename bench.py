@@ -103,6 +103,16 @@ def _contamination_report_suite(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id")
 
 
+def _attribution_suite(spark, sf_dir):
+    # last-touch credit: one user-partitioned window + |types|-row agg
+    from kafkadirect_spark.functions import behavior
+    from kafkadirect_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.attribution_last_touch(
+        ev, "user_id", "ts", "event_type", "purchase",
+        within_seconds=3600 * 24, order_break_col="event_id")
+
+
 def _contamination_spans_suite(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -519,6 +529,7 @@ def main() -> None:
         # TakeOrdered
         "funnel_steps": _funnel_suite,
         "path_topk": _path_topk_suite,
+        "attribution_last_touch": _attribution_suite,
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,

@@ -212,3 +212,113 @@ def path_topk_oracle_sql(n: int = 3, k: int = 10,
              ::BIGINT AS rank
     FROM c ORDER BY n_occurrences DESC, path LIMIT {k}
     """
+
+
+def attribution_last_touch(events: DataFrame, user_col: str,
+                           ts_col: str, type_col: str,
+                           conversion: str,
+                           within_seconds: int | None = None,
+                           order_break_col: str | None = None
+                           ) -> DataFrame:
+    """Last-touch conversion attribution (round 13) — the credit-
+    assignment companion to the funnel (which counts conversions) and
+    the path miner (which counts sequences): every ``conversion``
+    event is attributed to the LATEST non-conversion event type
+    strictly before it in the user's (ts, tiebreak) order — and, with
+    ``within_seconds``, no further back than that lookback (whole
+    epoch seconds, the funnel convention).  Conversions with no
+    qualifying touch attribute to ``(direct)``.  Returns one row per
+    attributed type: ``(touch_type, n_conversions, share_milli,
+    sum_lag_seconds)`` with ``share_milli = 1000·n DIV total`` and
+    lags summed over attributed conversions only.
+
+    Scale shape: ONE window pass partitioned by the user id
+    (``last(..., ignorenulls)`` over rows-preceding — a user's own
+    event count bounds the task-local sort, nothing global sorts),
+    one aggregate on the ≤|types|-row attribution key, and the one-ROW
+    conversion total broadcast onto the report frame for the share
+    (the funnel_steps scalar-subquery shape — needs the same
+    ``_BNLJ_OK`` entry if registered).  Supply ``order_break_col``
+    (e.g. the event id) for deterministic same-timestamp order.
+    """
+    from pyspark.sql import Window
+
+    if within_seconds is not None and within_seconds < 1:
+        raise ValueError("within_seconds must be >= 1")
+    brk = order_break_col or type_col
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col(brk))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(
+        F.col(type_col) != conversion,
+        F.struct(F.col(ts_col).alias("t"),
+                 F.col(type_col).alias("y")))
+    conv = (events.filter(F.col(user_col).isNotNull())
+            .withColumn("__lt", F.last(touch, ignorenulls=True).over(w))
+            .filter(F.col(type_col) == conversion))
+    lag = (F.unix_timestamp(ts_col)
+           - F.unix_timestamp(F.col("__lt.t")))
+    qualified = F.col("__lt").isNotNull() & (
+        F.lit(True) if within_seconds is None
+        else lag <= within_seconds)
+    conv = conv.select(
+        F.when(qualified, F.col("__lt.y"))
+         .otherwise(F.lit("(direct)")).alias("touch_type"),
+        F.when(qualified, lag).otherwise(F.lit(0))
+         .cast("long").alias("__lag"))
+    rep = conv.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("__lag").cast("long").alias("sum_lag_seconds"))
+    total = conv.agg(F.count(F.lit(1)).alias("__n"))
+    return (rep.join(F.broadcast(total))
+            .select("touch_type", "n_conversions",
+                    F.expr("CAST(1000 * n_conversions DIV "
+                           "greatest(__n, 1) AS LONG)")
+                    .alias("share_milli"),
+                    "sum_lag_seconds"))
+
+
+def attribution_oracle_sql(conversion: str,
+                           within_seconds: int | None = None,
+                           table: str = "events",
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           order_break_col: str | None = None) -> str:
+    """DuckDB replay of ``attribution_last_touch`` — identical
+    rows-preceding IGNORE NULLS window, whole-second lookback,
+    ``(direct)`` fallback, truncating share."""
+    brk = order_break_col or type_col
+    win = (f"PARTITION BY {user_col} ORDER BY {ts_col}, {brk} "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+    lag = (f"epoch_ms({ts_col}) // 1000 "
+           "- epoch_ms(lt.t) // 1000")
+    qual = "lt IS NOT NULL" if within_seconds is None else (
+        f"lt IS NOT NULL AND {lag} <= {within_seconds}")
+    return f"""
+    WITH e AS (
+      SELECT {user_col}, {ts_col}, {type_col}, {brk}
+      FROM {table} WHERE {user_col} IS NOT NULL),
+    c AS (
+      SELECT {ts_col}, {type_col},
+             last_value(CASE WHEN {type_col} <> '{conversion}'
+                             THEN struct_pack(
+                               t := {ts_col}, y := {type_col}) END
+                        IGNORE NULLS) OVER ({win}) AS lt
+      FROM e),
+    conv AS (
+      SELECT CASE WHEN {qual} THEN lt.y ELSE '(direct)' END
+               AS touch_type,
+             CASE WHEN {qual} THEN {lag} ELSE 0 END AS lag_s
+      FROM c WHERE {type_col} = '{conversion}'),
+    rep AS (
+      SELECT touch_type, count(*)::BIGINT AS n_conversions,
+             sum(lag_s)::BIGINT AS sum_lag_seconds
+      FROM conv GROUP BY touch_type),
+    tot AS (SELECT count(*)::BIGINT AS n FROM conv)
+    SELECT touch_type, n_conversions,
+           (1000 * n_conversions // greatest(tot.n, 1))::BIGINT
+             AS share_milli,
+           sum_lag_seconds
+    FROM rep CROSS JOIN tot
+    """

@@ -186,7 +186,13 @@ _PROMOTED = [
 # natural pairing rule is report-vs-spans, keep both ONLY if each
 # carries a distinct claim — spans strictly extends the report, so
 # consider registering spans and retiring `contamination_report` 1:1
-# once the report has its first green row this round).  That is ~6
+# once the report has its first green row this round), and
+# `attribution_last_touch` (behavior.attribution_oracle_sql —
+# last-touch conversion credit over events; one user-partitioned
+# rows-preceding window + a |types|-row report; needs the funnel's
+# _BNLJ_OK rationale for its one-row total broadcast; a DISTINCT
+# claim from funnel_steps/path_topk — credit assignment, not
+# counting or sequence mining).  That is ~7
 # adds; balance with item-c retirements where a genuine subsumption
 # exists, else let N drift inside the 151..200 band (horizon 3
 # holds).  Fill = the 33 alphabetically-first of the 49 surviving

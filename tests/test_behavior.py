@@ -275,3 +275,94 @@ def test_path_topk_matches_python_model(spark, rows):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
     want = [(p, n, i + 1) for i, (p, n) in enumerate(want)]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch (round 13): last-touch conversion credit.
+
+
+def test_attribution_hand_checked(spark):
+    ev = _ev(spark, [
+        ("2024-01-01 00:00:00", 1, "ad"),
+        ("2024-01-01 00:00:30", 1, "email"),
+        ("2024-01-01 00:01:00", 1, "purchase"),   # -> email, lag 30
+        ("2024-01-01 00:05:00", 1, "purchase"),   # -> email, lag 270
+        ("2024-01-01 00:00:10", 2, "purchase"),   # no touch -> direct
+        ("2024-01-01 00:00:00", 3, "ad"),
+        ("2024-01-01 02:00:00", 3, "purchase"),   # outside 1h window
+    ])
+    from kafkadirect_spark.functions import behavior
+    out = {r.touch_type: (r.n_conversions, r.share_milli,
+                          r.sum_lag_seconds)
+           for r in behavior.attribution_last_touch(
+               ev, "user_id", "ts", "event_type", "purchase",
+               within_seconds=3600).collect()}
+    assert out["email"] == (2, 500, 300)
+    assert out["(direct)"] == (2, 500, 0)
+    assert set(out) == {"email", "(direct)"}
+    # no lookback window: user 3's ad gets the credit
+    out = {r.touch_type: r.n_conversions
+           for r in behavior.attribution_last_touch(
+               ev, "user_id", "ts", "event_type", "purchase").collect()}
+    assert out == {"email": 2, "ad": 1, "(direct)": 1}
+    # a prior conversion never takes credit (nulled out of the window)
+    ev2 = _ev(spark, [
+        ("2024-01-01 00:00:00", 7, "purchase"),
+        ("2024-01-01 00:01:00", 7, "purchase"),
+    ])
+    out = {r.touch_type: r.n_conversions
+           for r in behavior.attribution_last_touch(
+               ev2, "user_id", "ts", "event_type", "purchase").collect()}
+    assert out == {"(direct)": 2}
+    with pytest.raises(ValueError, match="within_seconds"):
+        behavior.attribution_last_touch(ev, "user_id", "ts",
+                                        "event_type", "purchase",
+                                        within_seconds=0)
+
+
+def test_attribution_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real events table, with and without a
+    lookback window — window order, whole-second lags, (direct)
+    fallback and truncating shares replay exactly."""
+    import duckdb
+
+    from kafkadirect_spark.functions import behavior
+    from kafkadirect_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF, "events")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    for within in (None, 3600 * 24):
+        eng = sorted(tuple(r) for r in behavior.attribution_last_touch(
+            ev, "user_id", "ts", "event_type", "purchase",
+            within_seconds=within,
+            order_break_col="event_id").collect())
+        got = sorted(con.sql(behavior.attribution_oracle_sql(
+            "purchase", within_seconds=within,
+            order_break_col="event_id")).fetchall())
+        assert got == eng and len(eng) >= 2
+    assert any(r[0] == "(direct)" for r in eng)
+
+
+def test_attribution_plan_is_partitioned(spark):
+    """The only data-sized window is user-partitioned; no cartesian
+    product; the one-row total rides a broadcast (the funnel's
+    scalar-subquery shape)."""
+    import contextlib
+    import io
+    import re
+
+    from kafkadirect_spark.functions import behavior
+
+    ev = _ev(spark, [("2024-01-01 00:00:00", 1, "ad"),
+                     ("2024-01-01 00:00:30", 1, "purchase")])
+    out = behavior.attribution_last_touch(ev, "user_id", "ts",
+                                          "event_type", "purchase")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "user_id" in spec, f"unpartitioned window: {spec}"

@@ -893,6 +893,15 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             _replicate_events(docs), "user_id", "ts",
             "event_type", n=3, k=10, order_break_col="event_id")
 
+    def probe_attribution(docs):
+        # last-touch credit assignment: one user-partitioned window
+        # pass + a |types|-row aggregate — the sessionization envelope
+        from kafkadirect_spark.functions import behavior
+        return behavior.attribution_last_touch(
+            _replicate_events(docs), "user_id", "ts", "event_type",
+            "purchase", within_seconds=3600 * 24,
+            order_break_col="event_id")
+
     def probe_exactsubstr_incr(docs):
         # fixed new batch (base every-20th) vs the growing corpus as
         # the index — the production ingest shape: wall should track
@@ -922,6 +931,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "exactsubstr_incr": probe_exactsubstr_incr,
               "funnel": probe_funnel,
               "path_topk": probe_path_topk,
+              "attribution": probe_attribution,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
