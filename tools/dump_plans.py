@@ -214,12 +214,19 @@ def main() -> None:
         interval_overlap_join as _interval_overlap_join_q,
         value_decile_buckets as _value_decile_buckets_q,
     )
+    from kafkadirect_spark.plans.llm_queries import (
+        bpe_chunks as _bpe_chunks_q,
+        dedup_spans as _dedup_spans_q,
+    )
     from kafkadirect_spark.session import get_spark
 
     lookup = dict(QUERIES)
     lookup["interval_overlap_join"] = _interval_overlap_join_q
     lookup["distinct_orders_hll"] = _distinct_orders_hll_q
     lookup["value_decile_buckets"] = _value_decile_buckets_q
+    # r13 retirements whose plans stay headliners
+    lookup["bpe_chunks"] = _bpe_chunks_q
+    lookup["dedup_spans"] = _dedup_spans_q
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dump-plans")
