@@ -103,6 +103,16 @@ def _contamination_report_suite(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id")
 
 
+def _theil_sen_suite(spark, sf_dir):
+    # robust per-user trend: capped pair join + group windows
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.theil_sen_milli(ev, "user_id", "ts", "value",
+                                      max_points=16,
+                                      order_break_col="event_id")
+
+
 def _attribution_suite(spark, sf_dir):
     # last-touch credit: one user-partitioned window + |types|-row agg
     from kafkadirect_spark.functions import behavior
@@ -530,6 +540,7 @@ def main() -> None:
         "funnel_steps": _funnel_suite,
         "path_topk": _path_topk_suite,
         "attribution_last_touch": _attribution_suite,
+        "theil_sen": _theil_sen_suite,
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,

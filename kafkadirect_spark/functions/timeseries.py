@@ -323,3 +323,123 @@ def sax_nearest_oracle_sql(t0: str, t1: str, k: int = 3,
     SELECT user_id, neighbor_id, dist2, rank::BIGINT AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def theil_sen_milli(events: DataFrame, group_col: str, ts_col: str,
+                    value_col: str, max_points: int = 64,
+                    order_break_col: str | None = None) -> DataFrame:
+    """Robust per-group trend — the Theil–Sen estimator (Sen 1968,
+    public; the median of all pairwise slopes), integerized (round
+    13): values quantize to milli-units, timestamps to whole epoch
+    seconds, each pair's slope is ``1000·Δv_milli / Δt_s`` under
+    TRUNCATING (toward-zero) integer division (micro-value-units per
+    second), and the group's trend is the lower median of its pair
+    slopes under the deterministic total order (slope, rn_a, rn_b).  Robust to ~29%
+    outliers where a least-squares slope is not — the "is this metric
+    actually drifting" primitive for noisy per-segment telemetry.
+
+    Returns ``(group_col, n_points, n_pairs, slope_micro)`` for every
+    group with ≥ 2 usable points; groups whose points all share one
+    timestamp (no positive Δt) report ``n_pairs = 0`` and NULL slope.
+
+    Bounded by construction: each group contributes its FIRST
+    ``max_points`` points in (ts, value, tiebreak) order — a loud,
+    deterministic truncation (the SAX ``max_bucket`` discipline), so
+    the pair join is an equi-join on the group key with
+    ≤ max_points²/2 pairs per group regardless of group size, and
+    every window is group-partitioned.  Negative-slope division
+    parity is pinned, not assumed: Spark's integral ``DIV`` and
+    DuckDB's BIGINT ``//`` BOTH truncate toward zero (measured — a
+    floor-vs-trunc mix would shift negative slopes by 1), and a
+    negative non-divisible pair in the hand test plus the real-events
+    oracle sweep hold the convention.
+    """
+    from pyspark.sql import Window
+
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    brk = order_break_col or value_col
+    pts = (events
+           .filter(F.col(group_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+           .select(F.col(group_col).alias("g"),
+                   F.unix_timestamp(ts_col).cast("long").alias("t"),
+                   F.floor(F.col(value_col) * 1000).cast("long")
+                   .alias("v"),
+                   F.col(brk).alias("__brk")))
+    w = Window.partitionBy("g").orderBy("t", "v", "__brk")
+    pts = (pts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= max_points)
+           .select("g", "t", "v", "rn"))
+    npts = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.rn") < F.col("b.rn"))
+                    & (F.col("b.t") > F.col("a.t")))
+             .select(F.col("a.g").alias("g"),
+                     (1000 * (F.col("b.v") - F.col("a.v")))
+                     .alias("__num"),
+                     (F.col("b.t") - F.col("a.t")).alias("__den"),
+                     F.col("a.rn").alias("__ra"),
+                     F.col("b.rn").alias("__rb")))
+    # truncating division on BOTH engines (see docstring)
+    slope = F.expr("CAST(__num DIV __den AS LONG)")
+    pairs = pairs.select("g", slope.alias("s"), "__ra", "__rb")
+    wm = Window.partitionBy("g").orderBy("s", "__ra", "__rb")
+    med = (pairs
+           .withColumn("__r", F.row_number().over(wm))
+           .withColumn("__n", F.count(F.lit(1))
+                       .over(Window.partitionBy("g")))
+           .filter(F.col("__r") == F.expr("(__n + 1) DIV 2"))
+           .select("g", F.col("__n").cast("long").alias("n_pairs"),
+                   F.col("s").alias("slope_micro")))
+    zero = F.lit(0).cast("long")
+    return (npts.join(med, "g", "left")
+            .select(F.col("g").alias(group_col), "n_points",
+                    F.coalesce("n_pairs", zero).alias("n_pairs"),
+                    "slope_micro"))
+
+
+def theil_sen_oracle_sql(group_col: str = "event_type",
+                         max_points: int = 64,
+                         table: str = "events", ts_col: str = "ts",
+                         value_col: str = "value",
+                         order_break_col: str | None = None) -> str:
+    """DuckDB replay of ``theil_sen_milli`` — identical point
+    selection window, truncating-division slopes (BIGINT ``//``
+    truncates toward zero, exactly like Spark's ``DIV``),
+    lower-median rank under the same (slope, rn_a, rn_b) order."""
+    brk = order_break_col or value_col
+    return f"""
+    WITH pts0 AS (
+      SELECT {group_col} AS g,
+             epoch_ms({ts_col}) // 1000 AS t,
+             CAST(floor({value_col} * 1000) AS BIGINT) AS v,
+             {brk} AS brk
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        AND {value_col} IS NOT NULL),
+    pts AS (
+      SELECT g, t, v,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY t, v, brk) AS rn
+      FROM pts0 QUALIFY rn <= {max_points}),
+    np AS (SELECT g, count(*)::BIGINT AS n_points FROM pts GROUP BY g),
+    pr AS (
+      SELECT a.g, (1000 * (b.v - a.v)) // (b.t - a.t) AS s,
+             a.rn AS ra, b.rn AS rb
+      FROM pts a JOIN pts b
+        ON a.g = b.g AND a.rn < b.rn AND b.t > a.t),
+    med AS (
+      SELECT g, s, ra, rb,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY s, ra, rb) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM pr QUALIFY r = (n + 1) // 2)
+    SELECT np.g AS {group_col}, np.n_points,
+           COALESCE(med.n, 0)::BIGINT AS n_pairs,
+           med.s AS slope_micro
+    FROM np LEFT JOIN med ON med.g = np.g
+    """

@@ -192,7 +192,12 @@ _PROMOTED = [
 # rows-preceding window + a |types|-row report; needs the funnel's
 # _BNLJ_OK rationale for its one-row total broadcast; a DISTINCT
 # claim from funnel_steps/path_topk — credit assignment, not
-# counting or sequence mining).  That is ~7
+# counting or sequence mining), and `theil_sen` /
+# `theil_sen_by_user` (timeseries.theil_sen_oracle_sql — integerized
+# robust median-slope trend, Sen 1968; max_points-capped pair join,
+# group-partitioned windows, truncating-division parity pinned on
+# negative slopes; a robust-statistics claim no registered query
+# makes).  That is ~8
 # adds; balance with item-c retirements where a genuine subsumption
 # exists, else let N drift inside the 151..200 band (horizon 3
 # holds).  Fill = the 33 alphabetically-first of the 49 surviving

@@ -333,3 +333,100 @@ def test_sax_nearest_oracle_matches_engine(spark):
         T0, T1, k=3, n_segments=6, permilles=(500,),
         max_bucket=64)).fetchall())
     assert got == eng and eng
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_milli (round 13): integerized robust trend per group.
+
+
+def test_theil_sen_hand_checked(spark):
+    # group "up": points (t, v) = (0,1.0) (10,2.0) (20,4.0):
+    # slopes milli/s floor(1000*dv_milli/dt): (1000*1000)//10=100000,
+    # (3000*1000)//20=150000, (2000*1000)//10=200000 ->
+    # median 150000.  group "down": a negative NON-divisible slope
+    # pins the truncate-toward-zero convention both engines share
+    # (Spark DIV == DuckDB BIGINT //; a floor would give -428572).
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "up", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 10), 1, "up", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 20), 1, "up", 4.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 0, 0), 2, "down", 4.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 0, 0, 7), 2, "down", 1.0, "{}"),
+        # one usable point + one same-second twin: no positive-dt pair
+        (6, dt.datetime(2024, 1, 1, 0, 0, 0), 3, "flat", 1.0, "{}"),
+        (7, dt.datetime(2024, 1, 1, 0, 0, 0), 3, "flat", 9.0, "{}"),
+    ]
+    out = {r.event_type: (r.n_points, r.n_pairs, r.slope_micro)
+           for r in timeseries.theil_sen_milli(
+               _events(spark, rows), "event_type", "ts",
+               "value").collect()}
+    assert out["up"] == (3, 3, 150000)
+    # -3000*1000/7 = -428571.43 -> truncates to -428571 in BOTH engines
+    assert out["down"] == (2, 1, -428571)
+    assert out["flat"] == (2, 0, None)
+    with pytest.raises(ValueError, match="max_points"):
+        timeseries.theil_sen_milli(_events(spark, rows), "event_type",
+                                   "ts", "value", max_points=1)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    # 9 points on an exact +1.0/s line plus one absurd outlier: the
+    # median slope stays exactly 1_000_000 micro-units/s
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i), "{}") for i in range(9)]
+    rows.append((99, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "x",
+                 -5000.0, "{}"))
+    out = timeseries.theil_sen_milli(
+        _events(spark, rows), "event_type", "ts", "value").collect()[0]
+    assert out.slope_micro == 1_000_000 and out.n_points == 10
+
+
+def test_theil_sen_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real events per event_type (and per
+    user for a 200-user slice) — point truncation order, floor
+    slopes, lower-median rank replay exactly."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = sorted(tuple(r) for r in timeseries.theil_sen_milli(
+        ev, "event_type", "ts", "value",
+        order_break_col="event_id").collect())
+    got = sorted(con.sql(timeseries.theil_sen_oracle_sql(
+        "event_type", order_break_col="event_id")).fetchall())
+    assert got == eng and len(eng) >= 3
+    assert any(r[3] is not None for r in eng)
+    eng_u = sorted(tuple(r) for r in timeseries.theil_sen_milli(
+        ev.filter(F.col("user_id") < 200), "user_id", "ts", "value",
+        max_points=16, order_break_col="event_id").collect())
+    con.execute("CREATE VIEW ev_slice AS SELECT * FROM events "
+                "WHERE user_id < 200")
+    got_u = sorted(con.sql(timeseries.theil_sen_oracle_sql(
+        "user_id", max_points=16, table="ev_slice",
+        order_break_col="event_id")).fetchall())
+    assert got_u == eng_u and len(eng_u) >= 10
+
+
+def test_theil_sen_plan_is_bounded(spark):
+    """The pair join is a group-key equi hash join (no cartesian
+    product); every window is group-partitioned."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i), "{}") for i in range(5)]
+    out = timeseries.theil_sen_milli(_events(spark, rows),
+                                     "event_type", "ts", "value")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "g#" in spec, f"unpartitioned window: {spec}"

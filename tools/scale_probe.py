@@ -902,6 +902,15 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             "purchase", within_seconds=3600 * 24,
             order_break_col="event_id")
 
+    def probe_theil_sen(docs):
+        # robust per-user trend: the selection window caps each group
+        # at max_points, so pair work is |groups|*max_points^2 and the
+        # corpus pays only the scan + the group-partitioned window
+        from kafkadirect_spark.functions import timeseries
+        return timeseries.theil_sen_milli(
+            _replicate_events(docs), "user_id", "ts", "value",
+            max_points=16, order_break_col="event_id")
+
     def probe_exactsubstr_incr(docs):
         # fixed new batch (base every-20th) vs the growing corpus as
         # the index — the production ingest shape: wall should track
@@ -932,6 +941,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "funnel": probe_funnel,
               "path_topk": probe_path_topk,
               "attribution": probe_attribution,
+              "theil_sen": probe_theil_sen,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
