@@ -1,6 +1,8 @@
 """Behavioral analytics demo over the events stream table: the
 ordered signup→view→click→purchase funnel (with and without a
-conversion window) and the most-traveled event paths.
+conversion window), the most-traveled event paths, and last-touch
+conversion attribution (which touch type gets credit for each
+purchase).
 
 No reference analogue (SURVEY.md §2 — the reference aggregates but
 has no ordered-sequence operators); this demos the beyond-parity
@@ -35,6 +37,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== top 10 event trigram paths ==")
     behavior.path_topk(ev, "user_id", "ts", "event_type", n=3, k=10,
                        order_break_col="event_id").show(truncate=False)
+
+    print("== last-touch attribution, 24h lookback ==")
+    behavior.attribution_last_touch(
+        ev, "user_id", "ts", "event_type", "purchase",
+        within_seconds=24 * 3600, order_break_col="event_id") \
+        .orderBy("n_conversions", ascending=False).show()
 
 
 if __name__ == "__main__":
