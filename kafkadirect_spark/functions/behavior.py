@@ -266,10 +266,17 @@ def attribution_last_touch(events: DataFrame, user_col: str,
          .otherwise(F.lit("(direct)")).alias("touch_type"),
         F.when(qualified, lag).otherwise(F.lit(0))
          .cast("long").alias("__lag"))
-    rep = conv.groupBy("touch_type").agg(
+    from kafkadirect_spark.functions.dedup import _persist
+
+    # the conversion total == Σ n_conversions, so derive it from the
+    # ≤|types|-row report frame — re-aggregating `conv` would run the
+    # full user-partitioned window pass a second time; persisting the
+    # tiny report makes the shared lineage run ONCE even without
+    # exchange reuse (r13 review)
+    rep = _persist(conv.groupBy("touch_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
-        F.sum("__lag").cast("long").alias("sum_lag_seconds"))
-    total = conv.agg(F.count(F.lit(1)).alias("__n"))
+        F.sum("__lag").cast("long").alias("sum_lag_seconds")))
+    total = rep.agg(F.sum("n_conversions").alias("__n"))
     return (rep.join(F.broadcast(total))
             .select("touch_type", "n_conversions",
                     F.expr("CAST(1000 * n_conversions DIV "

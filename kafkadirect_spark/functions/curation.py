@@ -2284,9 +2284,13 @@ def contamination_spans(train: DataFrame, eval_df: DataFrame,
                         n: int = 8) -> DataFrame:
     """Span-level contamination audit (round 13) — the report
     gram-set membership (``contamination_report``) cannot give: for
-    every evaluation document, the LONGEST contiguous token run whose
-    every ``n``-gram window appears in the training corpus, plus the
-    count of maximal leaked spans and the total leaked-token mass.
+    every evaluation document, the LONGEST maximal run of LEAKED
+    tokens (tokens covered by at least one training-matched
+    ``n``-gram window — adjacent/overlapping hit windows merge, so a
+    run may bridge interior windows that did not themselves match;
+    it is the marked-token span, not a verbatim-copy length), plus
+    the count of maximal leaked spans and the total leaked-token
+    mass.
     This is the decontamination measure the GPT-3/PaLM reports use
     (Brown et al. 2020 appendix C; Chowdhery et al. 2022 §8 both
     report leakage by overlapping SPANS, not gram counts): a doc with
@@ -2316,8 +2320,12 @@ def contamination_spans(train: DataFrame, eval_df: DataFrame,
     pos = (_widen(eval_df.select(F.col(id_col), F.col(text_col)))
            .select(F.col(id_col),
                    tokens(text_col).alias("__w"))
+           # greatest(…, 0): size(NULL) is -1 with ANSI off, while
+           # the oracle coalesces a NULL token list to 0 — a
+           # NULL-text eval doc must report n_tokens 0 in both
            .select(F.col(id_col),
-                   F.size("__w").cast("long").alias("n_tokens"),
+                   F.greatest(F.size("__w"), F.lit(0))
+                   .cast("long").alias("n_tokens"),
                    F.posexplode_outer(shingles(F.col("__w"), n))
                    .alias("__p", "__g"))
            .select(id_col, "n_tokens", "__p",
@@ -2413,7 +2421,8 @@ def contamination_spans_oracle_sql(
              SUM(len)::BIGINT AS leaked_tokens
       FROM spans GROUP BY id),
     per_g AS (
-      SELECT t.id, len(t.w)::BIGINT AS n_tokens,
+      SELECT t.id,
+             COALESCE(len(t.w), 0)::BIGINT AS n_tokens,
              COALESCE(c.n_grams, 0)::BIGINT AS n_grams
       FROM tok t
       LEFT JOIN (SELECT id, COUNT(*)::BIGINT AS n_grams

@@ -339,8 +339,9 @@ def theil_sen_milli(events: DataFrame, group_col: str, ts_col: str,
     actually drifting" primitive for noisy per-segment telemetry.
 
     Returns ``(group_col, n_points, n_pairs, slope_micro)`` for every
-    group with ≥ 2 usable points; groups whose points all share one
-    timestamp (no positive Δt) report ``n_pairs = 0`` and NULL slope.
+    group with ≥ 1 usable point; groups with no positive-Δt pair
+    (a single point, or points all sharing one timestamp) report
+    ``n_pairs = 0`` and NULL slope.
 
     Bounded by construction: each group contributes its FIRST
     ``max_points`` points in (ts, value, tiebreak) order — a loud,

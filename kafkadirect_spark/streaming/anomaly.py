@@ -16,11 +16,17 @@ Collapse-to-zero IS detected (ADVICE r12): once a key has state, the
 watermark closes EVERY window from the key's frontier — windows with
 no arrivals synthesize a zero-count row, so a key whose traffic
 stops scores ``dev_permille = 1000`` against its own median and
-alerts like any other deviation.  Long-idle keys expire: after
-``history`` consecutive zero-count closes with no pending windows
-the key's state is removed (the same ``state.remove()`` discipline
-as sessions/window_fold/suppress); a key that later returns starts
-cold and never alerts on its comeback window.
+alerts like any other deviation.  Zero-count closes never enter the
+baseline history (the median stays "typical traffic when there IS
+traffic", so a legitimately sparse key firing every few windows is
+not scored against a zero-polluted median), and at most ``history``
+consecutive zero rows emit per silence: after that the collapse is
+acknowledged — further silent windows are skipped (the frontier
+jumps to the next window holding data, bounding the seal pass
+against clock-skewed far-future events) and a key with nothing
+pending expires via ``state.remove()`` (the sessions/window_fold/
+suppress discipline); a key that later returns starts cold and never
+alerts on its comeback window.
 
 State per key is bounded: open-window partial counts (closed by the
 watermark, the same envelope as streaming/window_fold.py), a
@@ -68,7 +74,11 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
 
     def fn(key, pdf_iter, state):
         st = (json.loads(state.get[0]) if state.exists
-              else {"open": {}, "hist": [], "f": None})
+              else {"open": {}, "hist": [], "f": None, "z": 0})
+        # checkpoint compatibility: state persisted by earlier
+        # versions lacks the frontier / zero-run keys
+        st.setdefault("f", None)
+        st.setdefault("z", 0)
         wm = state.getCurrentWatermarkMs()
 
         if not state.hasTimedOut:
@@ -92,12 +102,33 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
 
         # seal: close EVERY window from the frontier the watermark
         # has passed — windows with no arrivals synthesize n=0, so
-        # traffic collapse scores and alerts (ADVICE r12)
+        # traffic collapse scores and alerts (ADVICE r12).  Two
+        # bounds keep the pass small and the baseline honest
+        # (round-13 review findings):
+        # - zero-count closes never enter `hist` (the baseline stays
+        #   the median of windows that HAD traffic, so a sparse key
+        #   firing every few windows is not scored against a
+        #   zero-polluted median); instead `z` counts CONSECUTIVE
+        #   zero closes;
+        # - once z reaches `history`, the collapse is acknowledged:
+        #   further zero windows emit nothing and the frontier JUMPS
+        #   straight to the next window holding data — so one
+        #   clock-skewed far-future event cannot make this loop
+        #   iterate per window across years (≤ |open|·(history+1)
+        #   iterations per pass), and a fully idle key expires.
         rows = []
         dead = False
         w0 = st["f"]
         while w0 is not None and w0 + win_ms <= wm:
-            n = st["open"].pop(str(w0), 0)
+            k = str(w0)
+            if k not in st["open"] and st["z"] >= history:
+                if not st["open"]:
+                    dead = True     # long-idle: nothing pending
+                    break
+                nxt = min(int(x) for x in st["open"])
+                w0 = nxt            # aligned by construction
+                continue
+            n = st["open"].pop(k, 0)
             h = sorted(st["hist"])
             med = (h[len(h) // 2] if len(h) % 2
                    else (h[len(h) // 2 - 1] + h[len(h) // 2]) // 2) \
@@ -110,15 +141,12 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
                 "dev_permille": dev,
                 "is_alert": (len(st["hist"]) >= min_history
                              and dev > threshold_permille)})
-            st["hist"] = (st["hist"] + [n])[-history:]
+            if n > 0:
+                st["hist"] = (st["hist"] + [n])[-history:]
+                st["z"] = 0
+            else:
+                st["z"] += 1
             w0 += win_ms
-            if (not st["open"] and len(st["hist"]) >= history
-                    and not any(st["hist"])):
-                # long-idle: `history` consecutive zero closes and
-                # nothing pending — expire the key; if it returns it
-                # starts cold (and cold keys never alert)
-                dead = True
-                break
         st["f"] = w0
 
         if dead or st["f"] is None:

@@ -1710,7 +1710,8 @@ def test_contamination_spans_hand_checked(spark):
     ev = spark.createDataFrame(
         [(1, "x x a b c d e y y a b c d z"),   # runs [2..6] and [9..12]
          (3, "too short"),                      # < n tokens
-         (5, "q r s t u v w x")],               # grams, no hits
+         (5, "q r s t u v w x"),                # grams, no hits
+         (7, None)],                            # NULL text -> all zeros
         "doc_id long, text string")
     out = {r.doc_id: (r.n_tokens, r.n_grams, r.n_leak_spans,
                       r.max_leak_tokens, r.leaked_tokens, r.leak_milli)
@@ -1721,6 +1722,20 @@ def test_contamination_spans_hand_checked(spark):
     assert out[1] == (14, 11, 2, 5, 9, 9000 // 14)
     assert out[3] == (2, 0, 0, 0, 0, 0)
     assert out[5] == (8, 5, 0, 0, 0, 0)
+    assert out[7] == (0, 0, 0, 0, 0, 0)   # NULL text, not -1 tokens
+    # the oracle agrees on the synthetic table INCLUDING the NULL row
+    # (size(NULL) is -1 in Spark with ANSI off; both sides pin 0)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'a b c d e f g h'), (1, 'x x a b c d e y y a b c d z'), "
+        "(3, 'too short'), (5, 'q r s t u v w x'), "
+        "(7, CAST(NULL AS VARCHAR))) t(doc_id, text)")
+    got = {r[0]: tuple(r[1:]) for r in con.sql(
+        curation.contamination_spans_oracle_sql(n=4)).fetchall()}
+    assert got == out
     with pytest.raises(ValueError, match="n must"):
         curation.contamination_spans(train, ev, "text", "doc_id", n=0)
 

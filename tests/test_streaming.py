@@ -1591,13 +1591,101 @@ def test_streaming_rate_alerts_collapse_and_expiry(spark, tmpdir):
                .collect()}
         assert err[0] == (4, 0, 4000, False)   # cold: no history yet
         # silent minutes synthesize zeros and ALERT against the median
+        # — which stays 4 (zero closes never enter the baseline, so a
+        # sparse key is never scored against a zero-polluted median)
         assert err[1] == (0, 4, 1000, True)
-        assert err[2] == (0, 2, 1000, True)
-        # after minute 2 the last `history`=2 closes are both zero and
-        # nothing is pending -> state removed: minutes 3..7 emit NO
-        # rows (bounded synthesis), and the comeback window is COLD
+        assert err[2] == (0, 4, 1000, True)
+        # after minute 2 the zero-run hits `history`=2 and nothing is
+        # pending -> state removed: minutes 3..7 emit NO rows
+        # (bounded synthesis), and the comeback window is COLD
         assert err[8] == (1, 0, 1000, False)
         assert set(err) == {0, 1, 2, 8}
+    finally:
+        q.stop()
+
+
+def test_streaming_rate_alerts_sparse_key_and_bounded_synthesis(
+        spark, tmpdir):
+    """Review findings (round 13): (a) a legitimately sparse key's
+    DATA windows never false-alert — zero closes stay out of the
+    baseline, so traffic is scored against 'typical traffic when
+    there is traffic'; (b) one clock-skewed far-future event cannot
+    trigger per-window synthesis across the gap — after `history`
+    consecutive zero closes the frontier jumps to the next window
+    holding data."""
+    from kafkadirect_spark.streaming.anomaly import streaming_rate_alerts
+
+    S = "user_id string, ts timestamp, event_type string"
+
+    def ev(sec, n=1, ty="err"):
+        return [(f"u{i}", t(f"{sec // 3600:02d}:"
+                            f"{sec % 3600 // 60:02d}:{sec % 60:02d}"),
+                 ty) for i in range(n)]
+
+    # (a) sparse: err fires 1 event in minutes 0, 3, 6; ok every
+    # minute 0..7 drives the watermark
+    b0 = ev(10, 1) + ev(190, 1) + ev(370, 1)
+    for m in range(8):
+        b0 += ev(m * 60 + 5, 1, ty="ok")
+    spark.createDataFrame(b0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/rs/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/rs/*", S).df
+    out = streaming_rate_alerts(src, "event_type", "ts",
+                                window="1 minute", history=3,
+                                min_history=1, threshold_permille=500)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sparse")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_rs").start())
+    try:
+        q.processAllAvailable()
+        err = {int((r.window_start - t("00:00:00")).total_seconds())
+               // 60:
+               (r.n_events, r.baseline_median, r.dev_permille,
+                r.is_alert)
+               for r in spark.sql(
+                   "SELECT * FROM sparse WHERE event_type='err'")
+               .collect()}
+        # the firing windows NEVER alert (median stays 1, dev 0) —
+        # pre-fix these scored against a zero-polluted median and
+        # false-alerted on every normal window
+        assert err[0] == (1, 0, 1000, False)      # cold
+        assert err[3] == (1, 1, 0, False)
+        assert err[6] == (1, 1, 0, False)
+        # the silent minutes between firings do report collapse
+        assert err[1] == (0, 1, 1000, True)
+        assert err[4] == (0, 1, 1000, True)
+    finally:
+        q.stop()
+
+    # (b) poison: err has minutes 0..2 steady, then ONE event ~70
+    # days out; the seal emits exactly `history` zero rows, jumps,
+    # and the far window stays open — never one row per skipped
+    # window
+    import datetime as _dt
+    poison_ts = (t("00:00:00")
+                 + _dt.timedelta(seconds=6_000_000))
+    b0 = (ev(10, 2) + ev(70, 2) + ev(130, 2)
+          + [("u0", poison_ts, "err")])
+    spark.createDataFrame(b0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/rp/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/rp/*", S).df
+    out = streaming_rate_alerts(src, "event_type", "ts",
+                                window="1 minute", history=3,
+                                min_history=2, threshold_permille=500)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("poison")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_rp").start())
+    try:
+        q.processAllAvailable()
+        rows = {int((r.window_start - t("00:00:00")).total_seconds())
+                // 60:
+                (r.n_events, r.is_alert)
+                for r in spark.sql("SELECT * FROM poison").collect()}
+        # minutes 0-2 data + exactly `history`=3 zero rows; the
+        # ~100k intermediate windows emit NOTHING
+        assert set(rows) == {0, 1, 2, 3, 4, 5}
+        assert rows[0] == (2, False) and rows[2] == (2, False)
+        assert rows[3] == (0, True) and rows[5] == (0, True)
     finally:
         q.stop()
 
