@@ -134,6 +134,16 @@ def _contamination_spans_suite(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id")
 
 
+def _media_audio_features_suite(spark, sf_dir):
+    # the r14 media_audio_features candidate: executor-side WAV-PCM16
+    # synthesis -> real decode -> integer features, zero shuffles
+    from kafkadirect_spark.functions import multimodal
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_features(
+        multimodal.synth_media(ids, "doc_id", kind="wav"))
+
+
 def _media_image_features_suite(spark, sf_dir):
     # the registered media_image_features shape: executor-side BMP
     # synthesis -> real decode -> integer features, zero shuffles
@@ -523,6 +533,7 @@ def main() -> None:
         # round-trip feature pass (mapInPandas, zero shuffles)
         "contamination_spans": _contamination_spans_suite,
         "media_image_features": _media_image_features_suite,
+        "media_audio_features": _media_audio_features_suite,
         # late-r12 library-level operators: alignment-free ExactSubstr
         # dedup (one gram-hash exchange + doc-partitioned island
         # windows + row-local HOF rebuild), the KMV corpus-slice

@@ -366,3 +366,53 @@ def test_attribution_plan_is_partitioned(spark):
     assert "CartesianProduct" not in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "user_id" in spec, f"unpartitioned window: {spec}"
+
+
+def _py_attribution(rows, conversion, within):
+    """Independent model: per user, events in (ts, event_id) order;
+    each conversion credits the latest preceding non-conversion touch
+    inside the whole-second lookback, else (direct)."""
+    by_user = {}
+    for eid, (sec, u, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((sec, eid, ty))
+    rep = {}
+    for evs in by_user.values():
+        evs.sort()
+        for i, (sec, _eid, ty) in enumerate(evs):
+            if ty != conversion:
+                continue
+            touch, lag = "(direct)", 0
+            for psec, _pid, pty in reversed(evs[:i]):
+                if pty == conversion:
+                    continue
+                if within is not None and sec - psec > within:
+                    break       # older touches are even further back
+                touch, lag = pty, sec - psec
+                break
+            n, s = rep.get(touch, (0, 0))
+            rep[touch] = (n + 1, s + lag)
+    total = sum(n for n, _ in rep.values())
+    return {t: (n, 1000 * n // max(total, 1), s)
+            for t, (n, s) in rep.items()}
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=120),
+                          st.integers(min_value=1, max_value=3),
+                          st.sampled_from(["a", "b", "p"])),
+                min_size=1, max_size=25),
+       st.sampled_from([None, 30]))
+def test_attribution_matches_python_model(spark, evs, within):
+    """Engine == an independent python model on random multi-user
+    event sequences (ties broken by event id in both), with and
+    without a lookback window."""
+    rows = [(f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}", u, ty)
+            for sec, u, ty in evs]
+    got = {r.touch_type: (r.n_conversions, r.share_milli,
+                          r.sum_lag_seconds)
+           for r in behavior.attribution_last_touch(
+               _ev(spark, rows), "user_id", "ts", "event_type", "p",
+               within_seconds=within,
+               order_break_col="event_id").collect()}
+    assert got == _py_attribution(evs, "p", within)
