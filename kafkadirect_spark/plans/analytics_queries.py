@@ -1664,3 +1664,85 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type",
         ["signup", "view", "click", "purchase"],
         within_seconds=3600 * 24 * 30)
+
+
+# ---------------------------------------------------------------------------
+# Round 14 registrations (pre-scheduled by the r13 plan, oracle
+# generators pytest-pinned engine==oracle in round 13).
+# ---------------------------------------------------------------------------
+
+
+@query("theil_sen",
+       oracle=timeseries.theil_sen_oracle_sql(
+           "event_type", order_break_col="event_id"))
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group trend — the Theil–Sen estimator
+    (functions/timeseries.py theil_sen_milli, Sen 1968 — registered
+    r14 per the r13 plan): per event_type, the lower median of all
+    pairwise integerized slopes (milli-values per whole epoch
+    second, micro-units, TRUNCATING division) over the first
+    max_points=64 points in the deterministic (t, v, event_id)
+    order.  Robust to ~29% outliers where least squares is not — the
+    "is this metric actually drifting" primitive no registered query
+    makes (value_drift_by_slice compares DISTRIBUTIONS, this fits a
+    trend).  Scale shape: point selection is a group-partitioned
+    rank window; the pair join is capped at ≤ max_points²/2 pairs
+    per group BY CONSTRUCTION at any group size; the median is a
+    group-partitioned rank over those pairs — no global window, no
+    data-sized sort (plan-pinned in test_timeseries.py).  The oracle
+    replays point truncation order, floor slopes and the lower-median
+    rank; truncating-division parity is MEASURED on negative slopes
+    (hand pin), not assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.theil_sen_milli(ev, "event_type", "ts", "value",
+                                      order_break_col="event_id")
+
+
+@query("path_topk",
+       oracle=behavior.path_topk_oracle_sql(
+           n=3, k=10, order_break_col="event_id"))
+def path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent length-3 consecutive event-type paths
+    (functions/behavior.py path_topk — registered r14 per the r13
+    plan): per user, trigrams of consecutive events in
+    (ts, event_id) order via lead windows, counted corpus-wide,
+    ranked (count desc, path) — "what do users actually do", the
+    exploratory companion to the hypothesis-driven `funnel_steps`
+    (which counts a GIVEN sequence) and `attribution_last_touch`
+    (which assigns credit).  Scale shape: ONE user-partitioned
+    window pass (a user's own event count bounds the task-local
+    sort), one path-count exchange, TakeOrdered top-k; the final
+    rank window sorts the ≤ k-row LIMIT result — bounded by
+    construction, allowlisted in test_plans._GLOBAL_WINDOW_OK.  The
+    oracle replays the lead windows, path join and ranking."""
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.path_topk(ev, "user_id", "ts", "event_type",
+                              n=3, k=10, order_break_col="event_id")
+
+
+@query("attribution_last_touch",
+       oracle=behavior.attribution_oracle_sql(
+           "purchase", within_seconds=3600 * 24,
+           order_break_col="event_id"))
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution with a 24h lookback
+    (functions/behavior.py attribution_last_touch — registered r14
+    per the r13 plan): every purchase is credited to the LATEST
+    non-purchase event type strictly before it in the user's
+    (ts, event_id) order, no further back than 24h (whole epoch
+    seconds, the funnel convention); purchases with no qualifying
+    touch credit `(direct)`.  Emits per touch type: conversions,
+    truncating share_milli, summed lag seconds — credit assignment,
+    a DISTINCT claim from funnel counting and path mining.  Scale
+    shape: ONE user-partitioned last(ignorenulls) rows-preceding
+    window (task-local sort bounded by a user's own events), one
+    aggregate onto the ≤|types|-row report, and the one-ROW
+    conversion total broadcast for the share — the funnel_steps
+    scalar-subquery shape, allowlisted in test_plans._BNLJ_OK.
+    Hypothesis-pinned vs an independent python model; the oracle
+    replays window order, whole-second lags, the (direct) fallback
+    and truncating shares."""
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.attribution_last_touch(
+        ev, "user_id", "ts", "event_type", "purchase",
+        within_seconds=3600 * 24, order_break_col="event_id")

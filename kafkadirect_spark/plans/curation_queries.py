@@ -1030,27 +1030,46 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("contamination_report",
-       oracle=curation.contamination_report_oracle_sql(n=8))
-def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-eval-document n-gram leakage audit (functions/curation.py
-    contamination_report — registered r13 per the r12 plan): for
-    every evaluation document (odd doc_ids), how many of its distinct
-    word 8-grams appear ANYWHERE in the training corpus (even
-    doc_ids), plus the truncating contamination_milli ratio — the
-    report `decontaminate`'s boolean flag cannot give.  The corpus
-    side streams through a broadcast left-semi (eval gram hashes out,
-    bounded hits back) and NEVER shuffles — plan-pinned in
-    test_curation.py test_contamination_report_corpus_side_never_
-    shuffles; at 100 TB the train corpus pays one scan, zero
-    exchanges.  The oracle replays tokenize / 8-gram / portable-hash
-    membership (31-bit collisions replay identically) and the
-    truncating milli ratio."""
+# RETIRED r14 (registration-budget policy item c, the r13 plan's
+# named 1:1 pairing): `contamination_report` — per-eval-doc distinct
+# 8-gram leakage COUNTS (registered r13, driver-green D13) is
+# strictly subsumed by `contamination_spans` below, which replays the
+# SAME tokenize / positional 8-gram / portable-hash / broadcast-semi
+# membership machinery and then ADDS the span merge (longest leaked
+# run, span count, leaked-token mass) — the measure the GPT-3/PaLM
+# decontamination reports actually use.  Carried claims: the
+# corpus-side-never-shuffles plan shape (still plan-pinned in
+# test_curation.py for BOTH operators), the gram-membership math
+# (spans' n_grams column is the report's denominator surface), and
+# the milli-ratio truncation.  The operator stays in the library
+# (`curation.contamination_report`) with its pytest goldens and the
+# streaming `decontaminate` twin.
+
+
+@query("contamination_spans",
+       oracle=curation.contamination_spans_oracle_sql(n=8))
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination audit (functions/curation.py
+    contamination_spans, Brown et al. 2020 appendix C / Chowdhery et
+    al. 2022 §8 — registered r14 per the r13 plan, retiring
+    `contamination_report` 1:1 whose gram-count claim this strictly
+    extends): for every evaluation document (odd doc_ids), the
+    LONGEST maximal run of tokens covered by training-matched 8-gram
+    windows (adjacent/overlapping hits merge — gaps-and-islands on
+    eval-doc-partitioned windows), plus span count, leaked-token
+    mass, and the truncating leak_milli ratio — a doc with 30
+    scattered leaked grams is noise; one 300-token leaked run is a
+    verbatim test-set copy.  The train corpus streams through ONE
+    broadcast left-semi with ZERO corpus-side shuffles (plan-pinned
+    in test_curation.py); the positional span work is eval-sided
+    only.  The oracle replays tokenize / positional grams /
+    portable-hash membership / island merge in SQL (1-based vs
+    0-based positions cancel in span lengths)."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     ev = docs.filter(F.col("doc_id") % 2 == 1)
-    return curation.contamination_report(train, ev, "text", "doc_id",
-                                         n=8)
+    return curation.contamination_spans(train, ev, "text", "doc_id",
+                                        n=8)
 
 
 @query("sample_weighted_group",

@@ -1376,3 +1376,86 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.synth_media(docs.select("doc_id"), "doc_id",
                                kind="pnm"))
     return multimodal.phash_pairs(hashes, "doc_id", max_hamming=1)
+
+
+# ---------------------------------------------------------------------------
+# Round 14 registrations (pre-scheduled by the r13 plan, oracle
+# generators pytest-pinned engine==oracle in round 13 or earlier).
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions.graph import (  # noqa: E402
+    triangle_stats, triangle_stats_oracle_sql)
+
+
+@query("media_audio_features",
+       oracle=multimodal.synth_audio_features_oracle_sql())
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container round-trip — the WAV twin of the
+    driver-green `media_image_features` (functions/multimodal.py —
+    registered r14 per the r13 plan): deterministic PCM16 triangle
+    waves are SYNTHESIZED executor-side from doc ids (mapInPandas,
+    the object-store media-source stand-in), then DECODED by the
+    real RIFF/WAVE parser (chunk walk, fmt/data extraction,
+    little-endian int16 samples) and reduced to integer features
+    (sample_rate, channels, n_samples, duration_ms, peak, truncating
+    mean-square energy, zero crossings over the sign-carrying
+    stream).  Zero shuffles end to end.  The oracle replays the
+    triangle synthesis + feature arithmetic from scratch — the WAV
+    container is exercised on the ENGINE side only, so a green row
+    proves the PCM16 encode/decode round-trip bit-exactly.
+    (MP3/compressed codecs remain labeled strict-raising stubs —
+    env-blocked.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    wav = multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                 kind="wav")
+    return multimodal.audio_features(wav)
+
+
+@query("graph_triangles",
+       oracle=triangle_stats_oracle_sql(_MINHASH_PAIRS_ORACLE))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the REGISTERED MinHash-LSH candidate
+    graph (functions/graph.py triangle_stats, Suri & Vassilvitskii
+    2011 — registered r14 per the r13 plan, over the SELECTIVE LSH
+    pair surface; the simhash band graph is 2.4M edges at sf0.1 and
+    its wedge join would own the driver's wall): orient every edge
+    low→high in the (degree, id) total order, build wedges only at
+    the low endpoint (caps per-node out-degree at O(√m) — the
+    last-reducer fix), close them with one semi-join.  The structure
+    diagnostic for transitive dedup merging: high closure → tight
+    copy cliques, low closure → chains of borderline matches that
+    over-collapse.  The one-ROW census aggregates are assembled by
+    broadcast cross-join (the scalar-subquery shape —
+    test_plans._BNLJ_OK).  The oracle composes the registered
+    `dedup_minhash_lsh` oracle VERBATIM as its edge CTE (byte-identity
+    pinned in test_graph.py) and replays orientation, wedges and
+    closure in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    return triangle_stats(pairs)
+
+
+@query("dedup_exactsubstr_incr",
+       oracle=dedup.exactsubstr_incremental_oracle_sql())
+def dedup_exactsubstr_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr — the daily-ingest form of the
+    driver-green `dedup_exactsubstr` (functions/dedup.py
+    exactsubstr_incremental — registered r14 per the r13 plan):
+    dedup a NEW batch (every 5th doc) against an already-accepted
+    INDEX corpus (the rest) without re-marking the index.  The
+    DISTINCT claim over the registered whole-corpus report is the
+    index-membership split: a new-doc token is marked when its gram
+    appears ANYWHERE in the index (semi-join against the index's
+    distinct hash set — the thing a steady-state pipeline persists
+    between ingests) or is a non-first occurrence within the batch
+    (the report's own min-struct winner rule); pinned equal to the
+    full report over index ∪ new restricted to new rows
+    (test_llm_ops.py).  The index side pays ONE distinct-hash
+    exchange and never carries positions; nothing index-sized
+    re-sorts per batch.  The oracle replays membership, winners and
+    the island merge over the new side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.exactsubstr_incremental(new, index, "text", "doc_id")

@@ -231,6 +231,18 @@ _BNLJ_OK = {
     # construction; the corpus was reduced by ONE map-side-combined
     # aggregate before the allocator runs.
     "token_waterfill",
+    # last-touch attribution (registered r14): the one-ROW conversion
+    # total rides onto the ≤ |types|-row report frame for the
+    # share_milli — the funnel_steps scalar-subquery shape; the
+    # attribution itself is one user-partitioned window + one hash
+    # aggregate.
+    "attribution_last_touch",
+    # triangle census (registered r14): the one-ROW census aggregates
+    # (n_edges, n_triangles) are assembled onto the one-ROW
+    # (n_nodes, n_wedges) frame by broadcast cross-join — every
+    # nested-loop side is a SINGLE-ROW aggregate by construction; the
+    # wedge/closure work is hash joins on the oriented edge list.
+    "graph_triangles",
     # Q22 shape: the global (sum_cents, n) one-ROW aggregate is
     # cross-joined onto customer as a broadcast literal — the scalar
     # subquery pattern the allowlist exists for.
@@ -305,6 +317,11 @@ _GLOBAL_WINDOW_OK = {
     # (registered r13; plan-pinned in test_retrieval.py's
     # test_hybrid_rrf_plan_is_bounded).
     "hybrid_rrf",
+    # the ONE rank window sorts the ≤ k-row (default 10) path-count
+    # result — a LIMIT (TakeOrdered) feeds it, bounded by
+    # construction; the per-user lead windows are user-partitioned
+    # (registered r14).
+    "path_topk",
     # rank/prefix windows over the ≤ |strata|-row per-group TOTALS
     # frame (the group column's domain — 5 languages here), the same
     # bounded-offsets envelope as sample_weighted's shard table; the
