@@ -48,6 +48,26 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from kafkadirect_spark.streaming.util import interval_ms as _interval_ms
 
 
+def _upgrade_state(st: dict) -> dict:
+    """Checkpoint-compatibility shim: state persisted by versions
+    before the collapse-synthesis round lacks the frontier / zero-run
+    keys.  The frontier must be DERIVED from the pending open windows,
+    not pinned to None (ADVICE r13): with f=None a restored key
+    holding open counts would be ``state.remove()``d on its first
+    timeout (silently dropping the pending window counts), or — if an
+    arrival landed first — re-anchored at the NEW bucket, stranding
+    older open windows below the frontier where the z>=history jump
+    could later walk backward and re-emit already-sealed windows.
+    Current-format states pass through unchanged (a persisted state
+    always has a non-None frontier — the update path removes the key
+    otherwise)."""
+    if st.get("f") is None:
+        st["f"] = min((int(k) for k in st.get("open", {})),
+                      default=None)
+    st.setdefault("z", 0)
+    return st
+
+
 def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
                           ts_col: str, window: str = "1 minute",
                           history: int = 8, min_history: int = 3,
@@ -73,12 +93,9 @@ def streaming_rate_alerts(stream_df: DataFrame, key_col: str,
                   "dev_permille long, is_alert boolean")
 
     def fn(key, pdf_iter, state):
-        st = (json.loads(state.get[0]) if state.exists
-              else {"open": {}, "hist": [], "f": None, "z": 0})
-        # checkpoint compatibility: state persisted by earlier
-        # versions lacks the frontier / zero-run keys
-        st.setdefault("f", None)
-        st.setdefault("z", 0)
+        st = _upgrade_state(
+            json.loads(state.get[0]) if state.exists
+            else {"open": {}, "hist": [], "f": None, "z": 0})
         wm = state.getCurrentWatermarkMs()
 
         if not state.hasTimedOut:

@@ -1744,3 +1744,28 @@ def test_streaming_decontaminate_matches_batch(spark, tmpdir):
                                 max_eval_grams=1)
     with pytest.raises(ValueError, match="n must"):
         streaming_decontaminate(src, eval_df, "text", n=0)
+
+
+def test_rate_alert_state_upgrade_derives_frontier():
+    """ADVICE r13 (medium): restoring a PRE-frontier-format checkpoint
+    (no 'f'/'z' keys) must derive the frontier from the pending open
+    windows — not pin it to None, which either dropped the pending
+    counts on the first timeout (state.remove()) or, after a new
+    arrival, stranded older open windows below a re-anchored frontier
+    where the z>=history jump could re-emit sealed windows."""
+    from kafkadirect_spark.streaming.anomaly import _upgrade_state
+
+    # old-format state with pending windows: frontier = their min
+    st = _upgrade_state({"open": {"120000": 1, "60000": 3},
+                         "hist": [2, 2]})
+    assert st["f"] == 60000 and st["z"] == 0
+    assert st["open"] == {"120000": 1, "60000": 3}    # counts kept
+    # old-format state with nothing pending: stays None (the seal
+    # loop is a no-op and the empty key is removed — correct)
+    assert _upgrade_state({"open": {}, "hist": []})["f"] is None
+    # current-format passthrough: untouched
+    cur = {"open": {"60000": 1}, "hist": [1], "f": 60000, "z": 2}
+    assert _upgrade_state(dict(cur)) == cur
+    # fresh-key initial dict: unchanged shape
+    fresh = _upgrade_state({"open": {}, "hist": [], "f": None, "z": 0})
+    assert fresh["f"] is None and fresh["z"] == 0
