@@ -93,10 +93,18 @@ def funnel_steps_oracle_sql(steps: list[str],
                             ts_col: str = "ts",
                             type_col: str = "event_type") -> str:
     """DuckDB replay of ``funnel_steps``: the same min-ts cascade as
-    chained CTEs, epoch-second lags, truncating permille."""
-    # epoch_ms // 1000 truncates like Spark's unix_timestamp (the
-    # events table carries subsecond parts; epoch(..)::BIGINT would
-    # ROUND and disagree on half-second boundaries)
+    chained CTEs, epoch-second lags, truncating permille.
+
+    Epoch assumption (ADVICE r13): ``epoch_ms // 1000`` matches
+    Spark's ``unix_timestamp`` only for timestamps >= 1970 — DuckDB's
+    ``//`` truncates toward zero while Spark FLOORS, so the two
+    diverge by 1s on negative-epoch subsecond timestamps.  The events
+    table (and any sane event log) is post-1970; the oracle assumes
+    that."""
+    # epoch_ms // 1000 truncates like Spark's unix_timestamp for
+    # NON-NEGATIVE epochs (the events table carries subsecond parts;
+    # epoch(..)::BIGINT would ROUND and disagree on half-second
+    # boundaries)
     w = (f"AND epoch_ms(e.{ts_col}) // 1000 "
          f"- epoch_ms(s0.t0) // 1000 <= {within_seconds}"
          if within_seconds is not None else "")
@@ -240,6 +248,13 @@ def attribution_last_touch(events: DataFrame, user_col: str,
     (the funnel_steps scalar-subquery shape — needs the same
     ``_BNLJ_OK`` entry if registered).  Supply ``order_break_col``
     (e.g. the event id) for deterministic same-timestamp order.
+
+    Cache note (ADVICE r13): the tiny report frame is registered via
+    ``dedup._persist`` so the shared lineage runs once; like every
+    ``_persist`` user it stays pinned until
+    ``dedup.release_caches()`` — long-lived sessions invoking this
+    repeatedly should call that (each entry is ≤|types| rows, but the
+    registry itself is unbounded in count).
     """
     from pyspark.sql import Window
 
@@ -294,7 +309,12 @@ def attribution_oracle_sql(conversion: str,
                            order_break_col: str | None = None) -> str:
     """DuckDB replay of ``attribution_last_touch`` — identical
     rows-preceding IGNORE NULLS window, whole-second lookback,
-    ``(direct)`` fallback, truncating share."""
+    ``(direct)`` fallback, truncating share.
+
+    Epoch assumption (ADVICE r13): the ``epoch_ms // 1000`` lag
+    matches Spark's ``unix_timestamp`` only for timestamps >= 1970
+    (DuckDB ``//`` truncates toward zero, Spark floors — a 1s
+    divergence on negative-epoch subsecond timestamps)."""
     brk = order_break_col or type_col
     win = (f"PARTITION BY {user_col} ORDER BY {ts_col}, {brk} "
            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")

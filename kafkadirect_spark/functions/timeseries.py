@@ -411,7 +411,14 @@ def theil_sen_oracle_sql(group_col: str = "event_type",
     """DuckDB replay of ``theil_sen_milli`` — identical point
     selection window, truncating-division slopes (BIGINT ``//``
     truncates toward zero, exactly like Spark's ``DIV``),
-    lower-median rank under the same (slope, rn_a, rn_b) order."""
+    lower-median rank under the same (slope, rn_a, rn_b) order.
+
+    Epoch assumption (ADVICE r13): the ``epoch_ms // 1000`` second
+    quantization matches Spark's ``unix_timestamp`` only for
+    timestamps >= 1970 (DuckDB ``//`` truncates toward zero, Spark
+    floors — 1s divergence on negative-epoch subsecond timestamps).
+    The SLOPE division itself is unaffected: both engines truncate
+    Δv/Δt toward zero, pinned on negative slopes by hand."""
     brk = order_break_col or value_col
     return f"""
     WITH pts0 AS (
