@@ -144,6 +144,17 @@ def _media_audio_features_suite(spark, sf_dir):
         multimodal.synth_media(ids, "doc_id", kind="wav"))
 
 
+def _media_video_features_suite(spark, sf_dir):
+    # the r15 media_video_features candidate: executor-side YUV4MPEG2
+    # synthesis -> real decode -> integer features incl. scene-cut
+    # localization, zero shuffles
+    from kafkadirect_spark.functions import multimodal
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.video_features(
+        multimodal.synth_media(ids, "doc_id", kind="y4m"))
+
+
 def _media_image_features_suite(spark, sf_dir):
     # the registered media_image_features shape: executor-side BMP
     # synthesis -> real decode -> integer features, zero shuffles
@@ -534,6 +545,9 @@ def main() -> None:
         "contamination_spans": _contamination_spans_suite,
         "media_image_features": _media_image_features_suite,
         "media_audio_features": _media_audio_features_suite,
+        # r14 addition: the registered-surface-ready y4m video
+        # round-trip (mapInPandas, zero shuffles)
+        "media_video_features": _media_video_features_suite,
         # late-r12 library-level operators: alignment-free ExactSubstr
         # dedup (one gram-hash exchange + doc-partitioned island
         # windows + row-local HOF rebuild), the KMV corpus-slice

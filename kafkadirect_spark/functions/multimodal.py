@@ -7,10 +7,12 @@ honestly in two: formats needing no codec library are REAL
 end-to-end — RIFF/WAVE PCM (stdlib ``wave``), Sun AU with exact
 integer G.711 µ-law expansion/compression (round 12), the FULL
 netpbm family P1-P6 (binary, ASCII and packed-bitmap rasters,
-sub-8-bit maxval normalization; round 12 widened P5/P6-only), and
+sub-8-bit maxval normalization; round 12 widened P5/P6-only),
 uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up/top-down, row
-padding; round 12) — decode, integer feature extraction, block-mean
-resize, re-encode all real — while compressed formats (JPEG/PNG/
+padding; round 12), and YUV4MPEG2 video (.y4m — parameter header,
+FRAME markers, planar mono/420*/422/444 luma; round 14) — decode,
+integer feature extraction, frame sampling, block-mean resize,
+re-encode all real — while compressed formats (JPEG/PNG/
 MP3/H.264; PIL/ffmpeg absent in this environment) remain behind
 ``decode_stub``: a clearly-marked deterministic fake that derives
 pseudo-metadata from the bytes, or raises NotImplementedError in
@@ -482,11 +484,13 @@ def decode_au(payload: bytes) -> dict:
 
 
 def sniff_media(payload: bytes) -> str | None:
-    """Container sniff by magic bytes: 'wav' / 'au' / 'pnm' / 'bmp'
-    for the real decoder paths, None for everything else (stub
+    """Container sniff by magic bytes: 'wav' / 'au' / 'pnm' / 'bmp' /
+    'y4m' for the real decoder paths, None for everything else (stub
     territory)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     if payload[:4] == _AU_MAGIC:
         return "au"
     if (payload[:1] == b"P" and payload[1:2] in b"123456"
@@ -672,8 +676,10 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
     """Deterministic REAL media synthesis from any id column — the
     sandbox stand-in for an object-store media source: each id mints
     a genuine WAV-PCM or µ-law AU payload (integer triangle wave
-    whose period derives from the id) or a genuine P5 / 24-bit BMP
-    image (gradient+id pattern), built executor-side in mapInPandas
+    whose period derives from the id), a genuine P5 / 24-bit BMP
+    image (gradient+id pattern), or a genuine YUV4MPEG2 mono video
+    (gradient frames with a deterministic mid-stream scene cut),
+    built executor-side in mapInPandas
     so the corpus-scale path is the real one (scan → batch →
     encode), not a driver loop."""
     import pandas as pd
@@ -682,8 +688,9 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
     ])
-    if kind not in ("wav", "pnm", "au", "bmp"):
-        raise ValueError("kind must be 'wav', 'au', 'pnm' or 'bmp'")
+    if kind not in ("wav", "pnm", "au", "bmp", "y4m"):
+        raise ValueError(
+            "kind must be 'wav', 'au', 'pnm', 'bmp' or 'y4m'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -699,6 +706,18 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                     payload = (encode_wav_pcm16(tri, sample_rate=rate)
                                if kind == "wav"
                                else encode_au(tri, sample_rate=rate))
+                elif kind == "y4m":
+                    # gradient frames with a +96 luma jump mid-stream
+                    # (the deterministic scene cut the features must
+                    # localize); dims/frames/fps derive from the id
+                    w, h = 8 + (i % 5) * 2, 6 + (i % 4) * 2
+                    nf, num = 3 + (i % 4), 24 + (i % 6)
+                    frames = [
+                        [(x * 7 + y * 13 + i + f * 29
+                          + (96 if f >= nf // 2 else 0)) % 256
+                         for y in range(h) for x in range(w)]
+                        for f in range(nf)]
+                    payload = encode_y4m(frames, w, h, fps_num=num)
                 else:
                     w, h = 16 + (i % 17), 12 + (i % 13)
                     if kind == "pnm":
@@ -988,4 +1007,268 @@ def synth_phash_pairs_oracle_sql(kind: str = "pnm",
     FROM cand
     WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
           <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# REAL video container (round 14): YUV4MPEG2 (.y4m) — the public
+# uncompressed video interchange format (mjpegtools; plain-text
+# header + raw planar frames, no codec library needed).  Completes
+# the image/audio/VIDEO triad of real container round-trips; H.264/
+# VP9/AV1 and friends stay behind decode_stub like every compressed
+# format (env-blocked).
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+# luma-first planar frame size in PIXELS per colorspace tag prefix,
+# as a (num, den) multiplier of w*h; luma plane is always first
+_Y4M_CS = {
+    "mono": (1, 1),
+    "420": (3, 2),      # C420, C420jpeg, C420mpeg2, C420paldv
+    "422": (2, 1),
+    "444": (3, 1),
+}
+
+
+def encode_y4m(frames, width: int, height: int, fps_num: int = 25,
+               fps_den: int = 1) -> bytes:
+    """Serialize luma frames (each a flat row-major list of
+    ``width·height`` 8-bit values) into a REAL YUV4MPEG2 payload
+    (``Cmono`` colorspace — grayscale video, exactly the planar luma
+    the features consume).  Payloads built here parse with any
+    standards-compliant y4m reader (mjpegtools/ffmpeg), not just
+    ours."""
+    if width < 1 or height < 1:
+        raise ValueError("width/height must be >= 1")
+    if fps_num < 1 or fps_den < 1:
+        raise ValueError("fps must be a positive rational")
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n"
+        % (width, height, fps_num, fps_den))
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame pixel count != width*height")
+        out += b"FRAME\n"
+        out += bytes(fr)
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """REAL decode of a YUV4MPEG2 payload: parse the parameter header
+    (W/H/F/I/A/C/X tags), walk the FRAME markers, return per-frame
+    LUMA planes (chroma planes of 420/422/444 are parsed past, not
+    kept — every feature here is luma-space).  Interlaced streams and
+    colorspaces outside mono/420*/422/444 raise NotImplementedError
+    (labeled), truncated payloads raise ValueError."""
+    if payload[:9] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated y4m header")
+    w = h = None
+    num, den = 25, 1
+    cs = "420"                       # spec default when C is absent
+    for tok in payload[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == "I":
+            if val not in ("p", "?"):
+                raise NotImplementedError(
+                    f"interlaced y4m (I{val}) not wired "
+                    "(progressive only)")
+        elif tag == "C":
+            key = "mono" if val.startswith("mono") else val[:3]
+            if key not in _Y4M_CS:
+                raise NotImplementedError(
+                    f"y4m colorspace C{val} not wired "
+                    "(mono/420*/422/444 only)")
+            cs = key
+        # A (aspect) and X (extension) tags carry no pixel layout
+    if not w or not h or w < 1 or h < 1:
+        raise ValueError("y4m header missing W/H")
+    if num < 1 or den < 1:
+        raise ValueError("y4m header has non-positive frame rate")
+    mul_n, mul_d = _Y4M_CS[cs]
+    fsize = w * h * mul_n // mul_d
+    luma_n = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m FRAME marker")
+        pos = fnl + 1
+        if pos + fsize > len(payload):
+            raise ValueError("truncated y4m frame data")
+        frames.append(list(payload[pos:pos + luma_n]))
+        pos += fsize
+    return {"codec": "y4m", "width": w, "height": h,
+            "fps_num": num, "fps_den": den, "colorspace": cs,
+            "n_frames": len(frames), "frames": frames}
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """REAL video feature extraction over YUV4MPEG2 payloads
+    (mapInPandas, Arrow-batched, zero shuffles): per payload —
+    ``(doc_id, width, height, n_frames, fps_num, fps_den,
+    duration_ms, mean_luma_milli, max_delta_milli, cut_frame)``.
+    All integers: duration_ms = 1000·frames·den DIV num,
+    mean_luma_milli the truncating ×1000 mean over every luma sample,
+    max_delta_milli the LARGEST inter-frame mean-luma jump
+    (1000·|Σf − Σf−1| DIV (w·h)) — the scene-change / shot-cut
+    signal — and cut_frame the FIRST frame index achieving it (NULL
+    for single-frame streams).  Non-y4m payloads emit nothing —
+    route compressed video to a real codec box, not past it."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("fps_den", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("mean_luma_milli", LongType()),
+        StructField("max_delta_milli", LongType()),
+        StructField("cut_frame", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if sniff_media(b) != "y4m":
+                    continue
+                d = decode_y4m(b)
+                w, h, nf = d["width"], d["height"], d["n_frames"]
+                sums = [sum(fr) for fr in d["frames"]]
+                area = w * h
+                deltas = [1000 * abs(b2 - a) // area
+                          for a, b2 in zip(sums, sums[1:])]
+                max_d = max(deltas, default=0)
+                cut = (deltas.index(max_d) + 1) if deltas else None
+                rows.append({
+                    "doc_id": doc_id, "width": w, "height": h,
+                    "n_frames": nf,
+                    "fps_num": d["fps_num"], "fps_den": d["fps_den"],
+                    "duration_ms": 1000 * nf * d["fps_den"]
+                    // max(d["fps_num"], 1),
+                    "mean_luma_milli": (1000 * sum(sums)
+                                        // (nf * area)) if nf else 0,
+                    "max_delta_milli": max_d,
+                    "cut_frame": cut,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over YUV4MPEG2 payloads: every
+    ``every_n``-th luma frame is re-encoded as a genuine P5 raster —
+    ``(doc_id, frame_idx, width, height, payload)`` — so sampled
+    frames flow straight into the image pipeline (`image_features`,
+    `image_phash`, `resize_images`): the video→keyframe→image-dedup
+    composition a multimodal curation pipeline runs.  The explode
+    happens executor-side inside mapInPandas (output scales with
+    frames KEPT, input pays one scan, zero shuffles); non-y4m
+    payloads emit nothing."""
+    import pandas as pd
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if sniff_media(b) != "y4m":
+                    continue
+                d = decode_y4m(b)
+                w, h = d["width"], d["height"]
+                for idx in range(0, d["n_frames"], every_n):
+                    rows.append({
+                        "doc_id": doc_id, "frame_idx": idx,
+                        "width": w, "height": h,
+                        "payload": encode_pnm(d["frames"][idx], w, h),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def synth_video_features_oracle_sql(table: str = "documents",
+                                    id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``video_features(synth_media(df, id,
+    'y4m'))``: the per-frame gradient synthesis (dims / frame count /
+    fps / mid-stream +96 luma jump derived from the id) and the
+    integer features — the y4m container (header tags, FRAME
+    markers, planar luma) is exercised on the ENGINE side only, so a
+    match proves the encode/decode round-trip bit-exactly, including
+    the scene-cut localization."""
+    return f"""
+    WITH ids AS (SELECT DISTINCT {id_col} AS i FROM {table}),
+    p AS (SELECT i, 8 + (i % 5) * 2 AS w, 6 + (i % 4) * 2 AS h,
+                 3 + (i % 4) AS nf, 24 + (i % 6) AS num FROM ids),
+    px AS (
+      SELECT p.i, p.w, p.h, p.nf, p.num, f,
+             (x * 7 + y * 13 + p.i + f * 29
+              + CASE WHEN f >= p.nf // 2 THEN 96 ELSE 0 END) % 256
+               AS v
+      FROM p,
+           (SELECT unnest(generate_series(0, 5)) AS f),
+           (SELECT unnest(generate_series(0, 15)) AS x),
+           (SELECT unnest(generate_series(0, 11)) AS y)
+      WHERE f < p.nf AND x < p.w AND y < p.h),
+    fs AS (
+      SELECT i, f, SUM(v) AS s,
+             ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+             ANY_VALUE(nf) AS nf, ANY_VALUE(num) AS num
+      FROM px GROUP BY i, f),
+    d AS (
+      SELECT i, f, w, h, nf, num, s,
+             1000 * abs(s - lag(s) OVER (PARTITION BY i ORDER BY f))
+               // (w * h) AS dm
+      FROM fs),
+    agg AS (
+      SELECT i, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+             ANY_VALUE(nf) AS nf, ANY_VALUE(num) AS num,
+             SUM(s) AS total,
+             COALESCE(MAX(dm), 0) AS maxd
+      FROM d GROUP BY i),
+    cf AS (
+      SELECT d.i, MIN(d.f) AS cut
+      FROM d JOIN (SELECT i, MAX(dm) AS maxd FROM d GROUP BY i) m
+        ON d.i = m.i AND d.dm = m.maxd
+      GROUP BY d.i)
+    SELECT agg.i AS {id_col},
+           CAST(agg.w AS INTEGER) AS width,
+           CAST(agg.h AS INTEGER) AS height,
+           CAST(agg.nf AS INTEGER) AS n_frames,
+           CAST(agg.num AS INTEGER) AS fps_num,
+           CAST(1 AS INTEGER) AS fps_den,
+           (1000 * agg.nf // agg.num)::BIGINT AS duration_ms,
+           (1000 * agg.total // (agg.nf * agg.w * agg.h))::BIGINT
+             AS mean_luma_milli,
+           agg.maxd::BIGINT AS max_delta_milli,
+           CAST(cf.cut AS INTEGER) AS cut_frame
+    FROM agg LEFT JOIN cf ON agg.i = cf.i
     """

@@ -1988,3 +1988,129 @@ def test_phash_pairs_oracle_matches_engine(spark, docs):
         got = sorted(con.sql(multimodal.synth_phash_pairs_oracle_sql(
             kind=kind, max_hamming=6)).fetchall())
         assert got == eng and len(eng) > 100
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 video (round 14): the REAL video container path — header
+# parse, FRAME walk, planar luma, integer features with scene-cut
+# localization, and the video→keyframe→image composition.
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_round_trip_and_header_variants():
+    fr = [[(x * 3 + y * 5 + f * 7) % 256
+           for y in range(6) for x in range(8)] for f in range(4)]
+    p = multimodal.encode_y4m(fr, 8, 6, fps_num=30)
+    assert multimodal.sniff_media(p) == "y4m"
+    d = multimodal.decode_y4m(p)
+    assert (d["width"], d["height"], d["n_frames"]) == (8, 6, 4)
+    assert d["frames"] == fr
+    assert (d["fps_num"], d["fps_den"], d["colorspace"]) == (30, 1, "mono")
+
+    # chroma-carrying colorspaces: luma plane extracted, chroma
+    # parsed past (sizes: 420 -> wh/4 per chroma plane, 422 -> wh/2,
+    # 444 -> wh); C absent defaults to 420 per the spec
+    luma = bytes(range(8))
+    for tag, chroma in (("C420jpeg", 4), ("C420mpeg2", 4),
+                        ("C422", 8), ("C444", 16), ("", 4)):
+        hdr = ("YUV4MPEG2 W4 H2 F25:1 Ip A1:1"
+               + (" " + tag if tag else "")).encode() + b"\n"
+        d2 = multimodal.decode_y4m(hdr + b"FRAME\n" + luma
+                                   + bytes(chroma))
+        assert d2["frames"] == [list(luma)], tag
+    # A/X tags are layout-neutral and skipped
+    d3 = multimodal.decode_y4m(
+        b"YUV4MPEG2 W2 H2 F1:1 A128:117 XYSCSS=MONO Cmono\n"
+        b"FRAME\n\x01\x02\x03\x04")
+    assert d3["frames"] == [[1, 2, 3, 4]]
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F1:1 It Cmono\nFRAME\nabcd")
+    with _pt.raises(NotImplementedError, match="colorspace"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F1:1 C411\nFRAME\nabcd")
+    with _pt.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal.decode_y4m(b"RIFFxxxx")
+    with _pt.raises(ValueError, match="missing W/H"):
+        multimodal.decode_y4m(b"YUV4MPEG2 F1:1 Cmono\n")
+    with _pt.raises(ValueError, match="FRAME marker"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F1:1 Cmono\nFRAMX\nabcd")
+    with _pt.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F1:1 Cmono\nFRAME\nab")
+    with _pt.raises(ValueError, match="frame pixel count"):
+        multimodal.encode_y4m([[1, 2]], 2, 2)
+
+
+def test_video_features_hand_checked(spark):
+    # 2x2, 3 frames: means 10, 10, 110 -> one clean cut at frame 2
+    frames = [[10, 10, 10, 10], [12, 8, 12, 8], [110, 110, 110, 110]]
+    p = multimodal.encode_y4m(frames, 2, 2, fps_num=10)
+    media = spark.createDataFrame(
+        [(1, p), (2, b"not a video")], "doc_id long, payload binary")
+    rows = multimodal.video_features(media).collect()
+    assert len(rows) == 1                     # non-y4m emits nothing
+    r = rows[0]
+    assert (r.width, r.height, r.n_frames) == (2, 2, 3)
+    assert (r.fps_num, r.fps_den) == (10, 1)
+    assert r.duration_ms == 1000 * 3 // 10
+    total = sum(sum(f) for f in frames)
+    assert r.mean_luma_milli == 1000 * total // 12
+    # frame sums 40, 40, 440 -> deltas 0, 400 -> milli per px: 100000
+    assert r.max_delta_milli == 1000 * 400 // 4
+    assert r.cut_frame == 2
+    # single-frame stream: no deltas, NULL cut
+    p1 = multimodal.encode_y4m([[5, 5, 5, 5]], 2, 2)
+    r1 = multimodal.video_features(spark.createDataFrame(
+        [(3, p1)], "doc_id long, payload binary")).collect()[0]
+    assert r1.max_delta_milli == 0 and r1.cut_frame is None
+
+
+def test_video_frame_sample_composes_into_image_pipeline(spark):
+    frames = [[(x * 7 + y * 11 + f * 3) % 256
+               for y in range(4) for x in range(6)] for f in range(5)]
+    p = multimodal.encode_y4m(frames, 6, 4)
+    media = spark.createDataFrame([(9, p)], "doc_id long, payload binary")
+    got = {r.frame_idx: r for r in
+           multimodal.video_frame_sample(media, every_n=2).collect()}
+    assert set(got) == {0, 2, 4}              # every 2nd frame kept
+    for idx, r in got.items():
+        assert (r.width, r.height) == (6, 4)
+        d = multimodal.decode_pnm(bytes(r.payload))   # genuine P5
+        assert d["pixels"] == frames[idx]
+    # sampled frames flow straight into the image pipeline
+    feats = {r.doc_id: r for r in multimodal.image_features(
+        multimodal.video_frame_sample(media, every_n=5)
+        .select("doc_id", "payload")).collect()}
+    f0 = frames[0]
+    assert feats[9].mean_milli == 1000 * sum(f0) // len(f0)
+    assert feats[9].min_px == min(f0) and feats[9].max_px == max(f0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="every_n"):
+        multimodal.video_frame_sample(media, every_n=0)
+
+
+def test_synth_video_features_oracle_matches_engine(spark, docs):
+    """Engine (synth_media y4m → video_features, both mapInPandas
+    through the REAL YUV4MPEG2 container) == the DuckDB replay of the
+    gradient synthesis + feature math INCLUDING the per-id scene-cut
+    frame — a match proves the y4m encode/decode round-trip
+    bit-exactly.  Registration candidate for r15."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    vid = multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                 kind="y4m")
+    eng = sorted(tuple(r)
+                 for r in multimodal.video_features(vid).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(con.sql(
+        multimodal.synth_video_features_oracle_sql()).fetchall())
+    assert got == eng and len(eng) == 500
+    # the synthetic mid-stream +96 jump is really localized: a clear
+    # majority of ids cut exactly at nf // 2 (the %256 wrap of the
+    # per-frame +29 drift moves the max elsewhere for the rest —
+    # measured 388/500)
+    hits = sum(1 for r in eng if r[9] == (3 + r[0] % 4) // 2)
+    assert hits > 350
