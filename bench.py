@@ -113,6 +113,17 @@ def _theil_sen_suite(spark, sf_dir):
                                       order_break_col="event_id")
 
 
+def _cusum_suite(spark, sf_dir):
+    # r15 candidate: per-user sequential changepoint — prefix-sum
+    # CUSUM closed form, group-partitioned windows only
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.cusum_changepoint_milli(
+        ev, "user_id", "ts", "value", h_milli=20_000,
+        order_break_col="event_id")
+
+
 def _attribution_suite(spark, sf_dir):
     # last-touch credit: one user-partitioned window + |types|-row agg
     from kafkadirect_spark.functions import behavior
@@ -566,6 +577,8 @@ def main() -> None:
         "path_topk": _path_topk_suite,
         "attribution_last_touch": _attribution_suite,
         "theil_sen": _theil_sen_suite,
+        # r14 addition: sequential changepoint over per-user series
+        "cusum_changepoint": _cusum_suite,
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,

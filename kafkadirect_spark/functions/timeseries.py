@@ -451,3 +451,160 @@ def theil_sen_oracle_sql(group_col: str = "event_type",
            med.s AS slope_micro
     FROM np LEFT JOIN med ON med.g = np.g
     """
+
+
+def cusum_changepoint_milli(events: DataFrame, group_col: str,
+                            ts_col: str, value_col: str,
+                            h_milli: int,
+                            order_break_col: str | None = None
+                            ) -> DataFrame:
+    """Sequential changepoint detection per group — the two-sided
+    CUSUM chart (Page 1954, public; the classic "when did this metric
+    shift" monitor), integerized (round 14): values quantize to
+    milli-units, each point's deviation is measured against the
+    group's LOWER-MEDIAN milli value (the robust center — a few
+    outliers cannot move the reference the way a mean would), and the
+    one-sided statistics fold sequentially in (ts, v, tiebreak)
+    order::
+
+        S+_i = max(0, S+_{i-1} + dev_i)      (upward shifts)
+        S-_i = max(0, S-_{i-1} - dev_i)      (downward shifts)
+
+    computed DISTRIBUTED via the prefix-sum closed form
+    ``S+_i = P_i − min(0, min_{j≤i} P_j)`` (and mirrored for S−,
+    P = running sum of deviations) — two group-partitioned window
+    passes, no sequential recursion, no driver loop.  The group's
+    changepoint is the FIRST point where either side exceeds
+    ``h_milli``; ``direction`` is the larger side there ('up' wins a
+    tie, deterministically).
+
+    Returns ``(group_col, n_points, ref_milli, max_cusum_pos,
+    max_cusum_neg, changepoint_ts, direction)`` — changepoint_ts /
+    direction NULL when no alarm fires.  All arithmetic is BIGINT;
+    the DuckDB oracle replays it bit-exactly.
+
+    The claim no other operator makes: theil_sen fits a GLOBAL trend,
+    value_drift compares DISTRIBUTIONS between slices — CUSUM
+    LOCALIZES a level shift in time, per group, with Page's optimal
+    sequential statistic.
+
+    Scale shape: every window is group-partitioned (a group's own
+    row count bounds the task-local sort — the user_moving_avg
+    envelope); the lower-median reference is one value-ordered rank
+    window plus a group-keyed hash join; the report is one aggregate.
+    No unpartitioned window, no data-sized collect.
+    """
+    from pyspark.sql import Window
+
+    if h_milli < 1:
+        raise ValueError("h_milli must be >= 1")
+    brk = order_break_col or value_col
+    pts = (events
+           .filter(F.col(group_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+           .select(F.col(group_col).alias("g"),
+                   F.col(ts_col).alias("t"),
+                   F.floor(F.col(value_col) * 1000).cast("long")
+                   .alias("v"),
+                   F.col(brk).alias("__brk")))
+    # lower-median reference per group (value-ordered rank window)
+    wv = Window.partitionBy("g").orderBy("v", "t", "__brk")
+    wg = Window.partitionBy("g")
+    ref = (pts.withColumn("__rv", F.row_number().over(wv))
+           .withColumn("__n", F.count(F.lit(1)).over(wg))
+           .filter(F.col("__rv") == F.expr("(__n + 1) DIV 2"))
+           .select("g", F.col("v").alias("__ref"),
+                   F.col("__n").cast("long").alias("n_points")))
+    wt = Window.partitionBy("g").orderBy("t", "v", "__brk")
+    wp = wt.rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.col("v") - F.col("__ref")
+    run = (pts.join(ref, "g")
+           .withColumn("__rn", F.row_number().over(wt))
+           .withColumn("__p", F.sum(dev).over(wp))
+           .withColumn("__sp", F.col("__p")
+                       - F.least(F.lit(0), F.min("__p").over(wp)))
+           .withColumn("__sn", F.greatest(F.lit(0),
+                                          F.max("__p").over(wp))
+                       - F.col("__p")))
+    alarm = (F.col("__sp") > h_milli) | (F.col("__sn") > h_milli)
+    direction = F.when(F.col("__sp") >= F.col("__sn"),
+                       F.lit("up")).otherwise(F.lit("down"))
+    hit = F.when(alarm, F.struct(F.col("__rn").alias("rn"),
+                                 F.col("t").alias("t"),
+                                 direction.alias("d")))
+    return (run.groupBy("g")
+            .agg(F.max("n_points").alias("n_points"),
+                 F.max("__ref").alias("ref_milli"),
+                 F.max("__sp").cast("long").alias("max_cusum_pos"),
+                 F.max("__sn").cast("long").alias("max_cusum_neg"),
+                 F.min(hit).alias("__hit"))
+            .select(F.col("g").alias(group_col), "n_points",
+                    "ref_milli", "max_cusum_pos", "max_cusum_neg",
+                    F.col("__hit.t").alias("changepoint_ts"),
+                    F.col("__hit.d").alias("direction")))
+
+
+def cusum_changepoint_oracle_sql(group_col: str = "event_type",
+                                 h_milli: int = 1000,
+                                 table: str = "events",
+                                 ts_col: str = "ts",
+                                 value_col: str = "value",
+                                 order_break_col: str | None = None
+                                 ) -> str:
+    """DuckDB replay of ``cusum_changepoint_milli`` — identical
+    lower-median reference, prefix-sum CUSUM closed form, first-alarm
+    localization and tie convention.  Ordering uses the RAW timestamp
+    (no epoch arithmetic anywhere, so the >=1970 caveat of the
+    lag-based oracles does not apply here)."""
+    brk = order_break_col or value_col
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g, {ts_col} AS t,
+             CAST(floor({value_col} * 1000) AS BIGINT) AS v,
+             {brk} AS brk
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        AND {value_col} IS NOT NULL),
+    med AS (
+      SELECT g, v AS ref, n::BIGINT AS n_points
+      FROM (SELECT g, v,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY v, t, brk) AS rv,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM pts)
+      WHERE rv = (n + 1) // 2),
+    run AS (
+      SELECT p.g, p.t, med.ref, med.n_points,
+             row_number() OVER w AS rn,
+             SUM(p.v - med.ref) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pf
+      FROM pts p JOIN med ON p.g = med.g
+      WINDOW w AS (PARTITION BY p.g ORDER BY p.t, p.v, p.brk)),
+    s AS (
+      SELECT g, t, ref, n_points, rn,
+             pf - LEAST(0, MIN(pf) OVER wp) AS sp,
+             GREATEST(0, MAX(pf) OVER wp) - pf AS sn
+      FROM run
+      WINDOW wp AS (PARTITION BY g ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT g AS {group_col},
+           MAX(n_points)::BIGINT AS n_points,
+           MAX(ref)::BIGINT AS ref_milli,
+           MAX(sp)::BIGINT AS max_cusum_pos,
+           MAX(sn)::BIGINT AS max_cusum_neg,
+           (MIN(CASE WHEN sp > {h_milli} OR sn > {h_milli}
+                     THEN struct_pack(rn := rn, t := t,
+                                      d := CASE WHEN sp >= sn
+                                                THEN 'up'
+                                                ELSE 'down' END)
+                END)).t AS changepoint_ts,
+           (MIN(CASE WHEN sp > {h_milli} OR sn > {h_milli}
+                     THEN struct_pack(rn := rn, t := t,
+                                      d := CASE WHEN sp >= sn
+                                                THEN 'up'
+                                                ELSE 'down' END)
+                END)).d AS direction
+    FROM s GROUP BY g
+    """

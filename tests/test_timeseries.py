@@ -430,3 +430,176 @@ def test_theil_sen_plan_is_bounded(spark):
     assert "CartesianProduct" not in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "g#" in spec, f"unpartitioned window: {spec}"
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint_milli (round 14): sequential level-shift
+# localization per group (Page 1954), prefix-sum closed form.
+
+
+def test_cusum_hand_checked(spark):
+    # group "shift": values 1.0 x4 then 3.0 x3 -> v_milli 1000/3000,
+    # lower median of [1000 x4, 3000 x3] = 1000 -> devs 0,0,0,0,
+    # 2000,2000,2000; P = 0,0,0,0,2000,4000,6000; S+ = P (min prefix
+    # incl. empty = 0); S- = 0 everywhere.  h=3000: first alarm at
+    # the 6th point (S+ = 4000).
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "shift",
+             1.0 if i < 4 else 3.0, "{}") for i in range(7)]
+    out = {r.event_type: r for r in timeseries.cusum_changepoint_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        h_milli=3000, order_break_col="event_id").collect()}
+    r = out["shift"]
+    assert (r.n_points, r.ref_milli) == (7, 1000)
+    assert (r.max_cusum_pos, r.max_cusum_neg) == (6000, 0)
+    assert r.changepoint_ts == dt.datetime(2024, 1, 1, 0, 0, 5)
+    assert r.direction == "up"
+    # downward shift mirrors through S-
+    rows_d = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "drop",
+               5.0 if i < 4 else 2.0, "{}") for i in range(7)]
+    r2 = timeseries.cusum_changepoint_milli(
+        _events(spark, rows_d), "event_type", "ts", "value",
+        h_milli=3000, order_break_col="event_id").collect()[0]
+    assert r2.direction == "down" and r2.max_cusum_neg == 9000
+    assert r2.changepoint_ts == dt.datetime(2024, 1, 1, 0, 0, 5)
+    # no alarm below threshold: NULL changepoint / direction
+    r3 = timeseries.cusum_changepoint_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        h_milli=999_999, order_break_col="event_id").collect()[0]
+    assert r3.changepoint_ts is None and r3.direction is None
+    assert r3.max_cusum_pos == 6000        # stats still reported
+    with pytest.raises(ValueError, match="h_milli"):
+        timeseries.cusum_changepoint_milli(
+            _events(spark, rows), "event_type", "ts", "value",
+            h_milli=0)
+
+
+def test_cusum_median_reference_is_robust(spark):
+    # steady 2.0 with ONE absurd spike: the median reference stays
+    # 2000, the spike inflates S+ for exactly one step and decays —
+    # no alarm at h above the single-step excursion, while a MEAN
+    # reference would have drifted every deviation.
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             2.0, "{}") for i in range(9)]
+    rows[4] = (4, dt.datetime(2024, 1, 1, 0, 0, 4), 1, "x", 500.0, "{}")
+    r = timeseries.cusum_changepoint_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        h_milli=600_000, order_break_col="event_id").collect()[0]
+    assert r.ref_milli == 2000
+    assert r.max_cusum_pos == 498_000      # the one-step excursion
+    assert r.changepoint_ts is None        # h above it: no alarm
+    # and a genuine PERSISTENT shift at the same h does alarm even
+    # though every individual deviation is far below the spike (the
+    # shifted tail stays the MINORITY so the median reference holds
+    # at the pre-shift level)
+    rows2 = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+              2.0 if i < 20 else 72.0, "{}") for i in range(30)]
+    r2 = timeseries.cusum_changepoint_milli(
+        _events(spark, rows2), "event_type", "ts", "value",
+        h_milli=600_000, order_break_col="event_id").collect()[0]
+    assert r2.direction == "up" and r2.changepoint_ts is not None
+
+
+def test_cusum_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real events per event_type (and per
+    user for a 200-user slice) — median reference, prefix-sum CUSUM,
+    first-alarm localization and the up/down tie rule replay
+    exactly.  Registration candidate for r15."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = sorted(tuple(r) for r in timeseries.cusum_changepoint_milli(
+        ev, "event_type", "ts", "value", h_milli=50_000,
+        order_break_col="event_id").collect())
+    got = sorted(con.sql(timeseries.cusum_changepoint_oracle_sql(
+        "event_type", h_milli=50_000,
+        order_break_col="event_id")).fetchall())
+    assert got == eng and len(eng) == 5
+    assert any(r[5] is not None for r in eng)     # real alarms fire
+    eng_u = sorted(tuple(r) for r in timeseries.cusum_changepoint_milli(
+        ev.filter(F.col("user_id") < 200), "user_id", "ts", "value",
+        h_milli=20_000, order_break_col="event_id").collect())
+    con.execute("CREATE VIEW ev_slice AS SELECT * FROM events "
+                "WHERE user_id < 200")
+    got_u = sorted(con.sql(timeseries.cusum_changepoint_oracle_sql(
+        "user_id", h_milli=20_000, table="ev_slice",
+        order_break_col="event_id")).fetchall())
+    assert got_u == eng_u and len(eng_u) >= 10
+
+
+def _py_cusum(points, h):
+    """Independent sequential model: the TEXTBOOK recursive CUSUM
+    (not the prefix-sum closed form the engine uses)."""
+    pts = sorted(points)                    # (t, v_milli, brk)
+    vals = sorted(v for _, v, _ in pts)
+    ref = vals[(len(vals) + 1) // 2 - 1]
+    sp = sn = maxp = maxn = 0
+    cut = None
+    for i, (t, v, _) in enumerate(pts):
+        sp = max(0, sp + (v - ref))
+        sn = max(0, sn - (v - ref))
+        maxp, maxn = max(maxp, sp), max(maxn, sn)
+        if cut is None and (sp > h or sn > h):
+            cut = (t, "up" if sp >= sn else "down")
+    return (len(pts), ref, maxp, maxn,
+            cut[0] if cut else None, cut[1] if cut else None)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 50),            # second offset
+              st.integers(-40, 40),          # value (integral -> the
+                                             # milli quantization is
+                                             # exact on both sides)
+              st.sampled_from(["a", "b"])),  # group
+    min_size=1, max_size=40))
+def test_cusum_matches_python_model(spark, rows):
+    """The distributed prefix-sum closed form == the textbook
+    sequential recursion, on arbitrary integer series."""
+    data = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=s), 1, g, float(v), "{}")
+            for i, (s, v, g) in enumerate(rows)]
+    h = 5000
+    got = {r.event_type:
+           (r.n_points, r.ref_milli, r.max_cusum_pos, r.max_cusum_neg,
+            r.changepoint_ts, r.direction)
+           for r in timeseries.cusum_changepoint_milli(
+               _events(spark, data), "event_type", "ts", "value",
+               h_milli=h, order_break_col="event_id").collect()}
+    for g in {g for _, _, g in rows}:
+        pts = [(dt.datetime(2024, 1, 1, 0, 0, 0)
+                + dt.timedelta(seconds=s), v * 1000, i)
+               for i, (s, v, gg) in enumerate(rows) if gg == g]
+        assert got[g] == _py_cusum(pts, h), g
+
+
+def test_cusum_plan_is_bounded(spark):
+    """Every window is group-partitioned; the reference join is a
+    group-key hash join (no cartesian product)."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i), "{}") for i in range(5)]
+    out = timeseries.cusum_changepoint_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        h_milli=1000)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "g#" in spec, f"unpartitioned window: {spec}"
