@@ -1769,3 +1769,63 @@ def test_rate_alert_state_upgrade_derives_frontier():
     # fresh-key initial dict: unchanged shape
     fresh = _upgrade_state({"open": {}, "hist": [], "f": None, "z": 0})
     assert fresh["f"] is None and fresh["z"] == 0
+
+
+def test_streaming_cusum_alerts_shift_rearm_and_late(spark, tmpdir):
+    """Watermark-sealed value-shift monitor: warmup median reference,
+    alarm at the exact crossing event, re-arm catches a second shift,
+    out-of-order arrivals fold in event-time order, and a late event
+    behind the seal changes nothing."""
+    from kafkadirect_spark.streaming.cusum import streaming_cusum_alerts
+
+    S = "user_id string, ts timestamp, value double"
+
+    def ev(sec, v, u="k1"):
+        return (u, t(f"00:{sec // 60:02d}:{sec % 60:02d}"), v)
+
+    # warmup = 4 points of ~2.0 (median 2000); then a +3.0 shift:
+    # devs +3000 each -> S+ crosses h=5000 at the SECOND shifted
+    # point (6000); re-armed, the next two shifted points cross
+    # again (3000 -> 6000) at the fourth.  Batch 0 is deliberately
+    # OUT OF ORDER within itself (the seal must sort it).
+    b0 = [ev(3, 2.0), ev(1, 1.9), ev(2, 2.1), ev(4, 2.0),
+          ev(10, 5.0), ev(11, 5.0), ev(12, 5.0), ev(13, 5.0),
+          ev(60, 2.0)]                     # watermark driver
+    import random
+    random.Random(7).shuffle(b0)
+    spark.createDataFrame(b0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/cu/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/cu/*", S).df
+    out = streaming_cusum_alerts(src, "user_id", "ts", "value",
+                                 h_milli=5000, warmup=4)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cusum")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_cu").start())
+    try:
+        q.processAllAvailable()
+        # a LATE low value behind the seal must be dropped, and a
+        # later downward shift must alarm 'down' after re-arm
+        b1 = [ev(5, -50.0),                 # late: behind watermark
+              ev(70, -1.0), ev(71, -1.0), ev(72, -1.0),
+              ev(120, 2.0)]                 # watermark driver
+        spark.createDataFrame(b1, S).coalesce(1) \
+            .write.parquet(f"{tmpdir}/cu/b1")
+        q.processAllAvailable()
+        rows = [(int((r.alarm_ts - t("00:00:00")).total_seconds()),
+                 r.direction, r.stat_milli, r.ref_milli)
+                for r in spark.sql(
+                    "SELECT * FROM cusum ORDER BY alarm_ts").collect()]
+        # warmup median of [1900, 2000, 2100, 2000] -> 2000
+        assert rows[0] == (11, "up", 6000, 2000)      # first crossing
+        assert rows[1] == (13, "up", 6000, 2000)      # re-armed
+        # downward: devs -3000 each, crosses 5000 at the second point
+        assert rows[2] == (71, "down", 6000, 2000)
+        assert len(rows) == 3               # late row added nothing
+    finally:
+        q.stop()
+    with pytest.raises(ValueError, match="h_milli"):
+        streaming_cusum_alerts(src, "user_id", "ts", "value",
+                               h_milli=0)
+    with pytest.raises(ValueError, match="warmup"):
+        streaming_cusum_alerts(src, "user_id", "ts", "value",
+                               h_milli=100, warmup=0)

@@ -911,6 +911,23 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             _replicate_events(docs), "user_id", "ts", "value",
             max_points=16, order_break_col="event_id")
 
+    def probe_cusum(docs):
+        # sequential changepoint: two group-partitioned window passes
+        # + one group-keyed ref join — organic user growth keeps the
+        # per-user window task-local, so wall should track the scan
+        from kafkadirect_spark.functions import timeseries
+        return timeseries.cusum_changepoint_milli(
+            _replicate_events(docs), "user_id", "ts", "value",
+            h_milli=20_000, order_break_col="event_id")
+
+    def probe_video_features(docs):
+        # y4m synth -> real decode -> integer features: zero-shuffle
+        # mapInPandas both ways, wall should be id-count linear
+        from kafkadirect_spark.functions import multimodal
+        return multimodal.video_features(
+            multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                   kind="y4m"))
+
     def probe_exactsubstr_incr(docs):
         # fixed new batch (base every-20th) vs the growing corpus as
         # the index — the production ingest shape: wall should track
@@ -942,6 +959,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "path_topk": probe_path_topk,
               "attribution": probe_attribution,
               "theil_sen": probe_theil_sen,
+              "cusum": probe_cusum,
+              "video_features": probe_video_features,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
