@@ -171,8 +171,17 @@ _PROMOTED = [
 # r13/r14), `graph_local_clustering` (per-node closure over the same
 # SELECTIVE _MINHASH_PAIRS_ORACLE surface — register only if
 # graph_triangles lands green AND a per-node claim is judged distinct
-# from the census; otherwise it stays library-level), plus whatever
-# lands library-level this round under policy item b.  Balance with
+# from the census; otherwise it stays library-level), plus the two
+# operators that landed library-level THIS round under policy item b
+# (both oracle generators pytest-pinned engine==oracle in r14):
+# `media_video_features` (multimodal.synth_video_features_oracle_sql
+# — real YUV4MPEG2 round-trip with integer scene-cut localization,
+# completing the image/audio/video triad of driver-verified
+# containers) and `cusum_changepoint` (timeseries.
+# cusum_changepoint_oracle_sql — Page's sequential changepoint via
+# the prefix-sum closed form; group-partitioned windows only, a
+# robust-monitoring claim distinct from theil_sen's trend fit).
+# Balance with
 # item-c retirements where a genuine subsumption exists, else let N
 # drift inside the 151..200 band (horizon 3 holds).  Fill = the
 # 27 alphabetically-first of the 50 surviving r12-dated queries,
