@@ -155,6 +155,16 @@ def _media_audio_features_suite(spark, sf_dir):
         multimodal.synth_media(ids, "doc_id", kind="wav"))
 
 
+def _pii_scrub_suite(spark, sf_dir):
+    # r15 candidate: JVM-side regex redaction + integer Luhn fold
+    # over synthesized injections — row-local, zero shuffles
+    from kafkadirect_spark.functions import privacy
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return privacy.pii_scrub(
+        privacy.synth_pii_text(ids, "doc_id"), "text", "doc_id")
+
+
 def _media_video_features_suite(spark, sf_dir):
     # the r15 media_video_features candidate: executor-side YUV4MPEG2
     # synthesis -> real decode -> integer features incl. scene-cut
@@ -559,6 +569,8 @@ def main() -> None:
         # r14 addition: the registered-surface-ready y4m video
         # round-trip (mapInPandas, zero shuffles)
         "media_video_features": _media_video_features_suite,
+        # r14 addition: redaction + Luhn over synthesized injections
+        "pii_scrub": _pii_scrub_suite,
         # late-r12 library-level operators: alignment-free ExactSubstr
         # dedup (one gram-hash exchange + doc-partitioned island
         # windows + row-local HOF rebuild), the KMV corpus-slice

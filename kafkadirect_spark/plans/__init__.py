@@ -180,8 +180,12 @@ _PROMOTED = [
 # containers) and `cusum_changepoint` (timeseries.
 # cusum_changepoint_oracle_sql — Page's sequential changepoint via
 # the prefix-sum closed form; group-partitioned windows only, a
-# robust-monitoring claim distinct from theil_sen's trend fit).
-# Balance with
+# robust-monitoring claim distinct from theil_sen's trend fit) and
+# `pii_scrub` (privacy.synth_pii_scrub_oracle_sql — regex redaction
+# + integer Luhn validity over Catalyst-synthesized injections; the
+# oracle replays by id arithmetic with NO SQL regex, so the row
+# proves the engine's regex/scrub/Luhn end to end — a compliance
+# claim nothing registered makes).  Balance with
 # item-c retirements where a genuine subsumption exists, else let N
 # drift inside the 151..200 band (horizon 3 holds).  Fill = the
 # 27 alphabetically-first of the 50 surviving r12-dated queries,

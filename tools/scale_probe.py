@@ -928,6 +928,14 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             multimodal.synth_media(docs.select("doc_id"), "doc_id",
                                    kind="y4m"))
 
+    def probe_pii(docs):
+        # regex redaction + Luhn fold: all row-local Catalyst
+        # expressions, wall should be scan-bound
+        from kafkadirect_spark.functions import privacy
+        return privacy.pii_scrub(
+            privacy.synth_pii_text(docs.select("doc_id"), "doc_id"),
+            "text", "doc_id")
+
     def probe_exactsubstr_incr(docs):
         # fixed new batch (base every-20th) vs the growing corpus as
         # the index — the production ingest shape: wall should track
@@ -961,6 +969,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "theil_sen": probe_theil_sen,
               "cusum": probe_cusum,
               "video_features": probe_video_features,
+              "pii": probe_pii,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
