@@ -155,6 +155,16 @@ def _media_audio_features_suite(spark, sf_dir):
         multimodal.synth_media(ids, "doc_id", kind="wav"))
 
 
+def _basket_pairs_suite(spark, sf_dir):
+    # r15 candidate: order/part co-occurrence pairs — basket-keyed
+    # equi self-join bounded by basket size, one pair-count exchange
+    from kafkadirect_spark.functions import basket
+    from kafkadirect_spark.sources.batch import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket.basket_pairs_topk(li, "l_orderkey", "l_partkey",
+                                    k=20, min_support=2)
+
+
 def _pii_scrub_suite(spark, sf_dir):
     # r15 candidate: JVM-side regex redaction + integer Luhn fold
     # over synthesized injections — row-local, zero shuffles
@@ -571,6 +581,8 @@ def main() -> None:
         "media_video_features": _media_video_features_suite,
         # r14 addition: redaction + Luhn over synthesized injections
         "pii_scrub": _pii_scrub_suite,
+        # r14 addition: market-basket pair mining over lineitem
+        "basket_pairs": _basket_pairs_suite,
         # late-r12 library-level operators: alignment-free ExactSubstr
         # dedup (one gram-hash exchange + doc-partitioned island
         # windows + row-local HOF rebuild), the KMV corpus-slice

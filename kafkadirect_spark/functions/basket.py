@@ -1,0 +1,142 @@
+"""Market-basket co-occurrence mining — frequent item PAIRS with
+support and lift over transaction groups (Agrawal & Srikant 1994's
+frequent-itemset problem at the pairs level, public), arranged
+Spark-first and integer-exact:
+
+- one ``distinct`` on (basket, item) (dedup multiplicities — a
+  basket either contains an item or not),
+- a basket-keyed equi self-join with ``item_a < item_b`` (pairs per
+  basket are C(|basket|, 2) — bounded by the basket's OWN size, never
+  the catalog),
+- one pair-count exchange, support/lift as truncating fixed-point
+  integers, TakeOrdered top-k.
+
+``max_basket`` is the skew guard (the SAX ``max_bucket`` / dedup
+hot-shingle discipline): a pathological mega-basket (a crawler
+account, a bulk order) would contribute quadratic pairs, so baskets
+larger than the cap are DROPPED before the join — loudly, as a
+documented envelope, not a silent truncation; the oracle replays the
+same cap.
+
+``lift_milli = 1000 · n_ab · n_baskets DIV (n_a · n_b)`` — >1000
+means the pair co-occurs more than independence predicts (the
+cross-sell signal), computed entirely in BIGINT (n_ab ≤ n_a, n_b ≤
+n_baskets keeps the product under 2^63 for any realistic catalog).
+
+Distinct claim vs the registered text surface: `collocations_topk`
+mines ADJACENT-token PMI inside documents; this mines UNORDERED
+co-membership in transaction groups with support/lift — the
+relational market-basket shape over orders.
+
+Reference analogue: none (SURVEY.md §2 — no itemset surface);
+beyond-parity analytics machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs_topk(df: DataFrame, basket_col: str, item_col: str,
+                      k: int = 20, min_support: int = 2,
+                      max_basket: int = 1000) -> DataFrame:
+    """Top-``k`` co-occurring item pairs —
+    ``(item_a, item_b, n_ab, support_ppm, lift_milli, rank)`` ranked
+    by (n_ab desc, item_a, item_b); pairs below ``min_support``
+    co-occurrences are dropped.  ``support_ppm`` is parts-per-million
+    of all KEPT baskets (after the ``max_basket`` guard), truncating.
+    The final rank window sorts the ≤ k-row LIMIT result (bounded by
+    construction — the path_topk envelope)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    items = (df.filter(F.col(basket_col).isNotNull()
+                       & F.col(item_col).isNotNull())
+             .select(F.col(basket_col).alias("b"),
+                     F.col(item_col).alias("it"))
+             .distinct())
+    sizes = items.groupBy("b").agg(F.count(F.lit(1)).alias("__sz"))
+    # kept feeds FOUR consumers (both self-join sides, the item
+    # frequencies and the basket denominator) — persist so the
+    # distinct+cap lineage runs once (the attribution convention:
+    # registered via dedup._persist, freed by dedup.release_caches())
+    from kafkadirect_spark.functions.dedup import _persist
+
+    kept = _persist(
+        items.join(sizes.filter(F.col("__sz") <= max_basket), "b")
+        .drop("__sz"))
+    # register-sized one-row aggregates (broadcast literals)
+    n_baskets = kept.select("b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"))
+    freq = kept.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("__nf"))
+    a, c = kept.alias("a"), kept.alias("c")
+    pairs = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                    & (F.col("a.it") < F.col("c.it")))
+             .groupBy(F.col("a.it").alias("item_a"),
+                      F.col("c.it").alias("item_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_support))
+    top = (pairs.orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+           .limit(k))
+    fa = freq.select(F.col("it").alias("item_a"),
+                     F.col("__nf").alias("__na"))
+    fb = freq.select(F.col("it").alias("item_b"),
+                     F.col("__nf").alias("__nbf"))
+    scored = (top.join(F.broadcast(fa), "item_a")
+              .join(F.broadcast(fb), "item_b")
+              .join(F.broadcast(n_baskets))
+              .select("item_a", "item_b", "n_ab",
+                      F.expr("CAST(1000000 * n_ab DIV __nb AS LONG)")
+                      .alias("support_ppm"),
+                      F.expr("CAST(1000 * n_ab * __nb DIV "
+                             "(__na * __nbf) AS LONG)")
+                      .alias("lift_milli")))
+    w = Window.orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long"))
+
+
+def basket_pairs_oracle_sql(basket_col: str, item_col: str,
+                            table: str, k: int = 20,
+                            min_support: int = 2,
+                            max_basket: int = 1000) -> str:
+    """DuckDB replay of ``basket_pairs_topk`` — identical dedup, cap,
+    pair join, truncating support/lift and (n_ab desc, a, b) rank."""
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT {basket_col} AS b, {item_col} AS it
+      FROM {table}
+      WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL),
+    kept AS (
+      SELECT b, it FROM items
+      WHERE b IN (SELECT b FROM items GROUP BY b
+                  HAVING count(*) <= {max_basket})),
+    nb AS (SELECT count(DISTINCT b)::BIGINT AS n FROM kept),
+    freq AS (SELECT it, count(*)::BIGINT AS nf FROM kept GROUP BY it),
+    pairs AS (
+      SELECT a.it AS item_a, c.it AS item_b, count(*)::BIGINT AS n_ab
+      FROM kept a JOIN kept c ON a.b = c.b AND a.it < c.it
+      GROUP BY a.it, c.it
+      HAVING count(*) >= {min_support}),
+    top AS (
+      SELECT * FROM pairs
+      ORDER BY n_ab DESC, item_a, item_b LIMIT {k})
+    SELECT t.item_a, t.item_b, t.n_ab,
+           (1000000 * t.n_ab // nb.n)::BIGINT AS support_ppm,
+           (1000 * t.n_ab * nb.n // (fa.nf * fb.nf))::BIGINT
+             AS lift_milli,
+           row_number() OVER (ORDER BY t.n_ab DESC, t.item_a,
+                              t.item_b)::BIGINT AS rank
+    FROM top t
+    JOIN freq fa ON fa.it = t.item_a
+    JOIN freq fb ON fb.it = t.item_b
+    CROSS JOIN nb
+    ORDER BY t.n_ab DESC, t.item_a, t.item_b
+    """

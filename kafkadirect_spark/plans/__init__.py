@@ -185,7 +185,14 @@ _PROMOTED = [
 # + integer Luhn validity over Catalyst-synthesized injections; the
 # oracle replays by id arithmetic with NO SQL regex, so the row
 # proves the engine's regex/scrub/Luhn end to end — a compliance
-# claim nothing registered makes).  Balance with
+# claim nothing registered makes) and `basket_pairs`
+# (basket.basket_pairs_oracle_sql over lineitem order/part baskets —
+# unordered co-membership with truncating support/lift and the
+# mega-basket cap; distinct from collocations_topk's adjacent-token
+# PMI; needs a _GLOBAL_WINDOW_OK entry for the ≤k-row rank window
+# and a _BNLJ_OK entry for the one-row basket-count broadcast).
+# That pool is ~7 candidates for ~5 slots — pick by claim diversity
+# at registration time.  Balance with
 # item-c retirements where a genuine subsumption exists, else let N
 # drift inside the 151..200 band (horizon 3 holds).  Fill = the
 # 27 alphabetically-first of the 50 surviving r12-dated queries,

@@ -928,6 +928,22 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             multimodal.synth_media(docs.select("doc_id"), "doc_id",
                                    kind="y4m"))
 
+    def probe_basket(docs):
+        # market-basket pairs: the self-join is basket-keyed and each
+        # basket's pair count is C(|basket|, 2) with |basket| bounded
+        # by the cap — organic order growth (fresh order keys per
+        # replica) should read linear-at-worst
+        from kafkadirect_spark.functions import basket
+        k = max(1, docs.count() // n_base)
+        li_base = load_table(spark, sf_dir, "lineitem")
+        li = li_base
+        for i in range(1, k):
+            li = li.unionByName(li_base.withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.lit(i * 1_000_000_000)))
+        return basket.basket_pairs_topk(li, "l_orderkey", "l_partkey",
+                                        k=20, min_support=2)
+
     def probe_pii(docs):
         # regex redaction + Luhn fold: all row-local Catalyst
         # expressions, wall should be scan-bound
@@ -970,6 +986,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "cusum": probe_cusum,
               "video_features": probe_video_features,
               "pii": probe_pii,
+              "basket": probe_basket,
               "kmv_matrix": probe_kmv_matrix,
               "hybrid_rrf": probe_hybrid_rrf,
               "bm25": probe_bm25,
