@@ -24,6 +24,14 @@ fold and the redaction rendering end to end without cross-engine
 regex-parity risk.  For real corpora the pytest suite additionally
 pins ``pii_scrub`` against an independent ``re``-module model.
 
+Relationship to ``text.redact_pii`` / the registered ``pii_redaction``
+query (consolidation policy item c): this module STRICTLY SUBSUMES
+that claim — email/SSN/phone masking and counting plus payment-card
+shape, the Luhn validity split, IPv4, per-kind counts and the
+regex-free oracle.  The r15 plan pairs a ``pii_scrub`` registration
+with a 1:1 ``pii_redaction`` retirement; ``text.redact_pii`` stays in
+the library for the mask-token rendering its tests pin.
+
 Reference analogue: none (SURVEY.md §2 — no document model);
 beyond-parity curation machinery beside decontamination and quality
 scoring.
@@ -40,14 +48,16 @@ from pyspark.sql import functions as F
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "card": r"\b\d{4}-\d{4}-\d{4}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}-\d{3}-\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 
-# replacement order matters only in that card must precede phone
-# (defense in depth — the word boundaries already prevent a phone
-# match inside a card, but order makes it structural)
-_SCRUB_ORDER = ("email", "card", "phone", "ipv4")
+# replacement order matters only in that card must precede ssn/phone
+# (defense in depth — the word boundaries already prevent a phone or
+# ssn match inside a card, but order makes it structural; ssn's 3-2-4
+# grouping and phone's 3-3-4 cannot match each other)
+_SCRUB_ORDER = ("email", "card", "ssn", "phone", "ipv4")
 
 
 def _luhn_valid(card: Column) -> Column:
@@ -71,11 +81,12 @@ def _luhn_valid(card: Column) -> Column:
 
 def pii_scrub(df: DataFrame, text_col: str, id_col: str,
               placeholder: str = "[{kind}]") -> DataFrame:
-    """``(id_col, n_emails, n_phones, n_ipv4, n_cards, n_cards_luhn,
-    clean_md5)`` — per-document PII counts (measured on the ORIGINAL
-    text) plus the md5 of the scrubbed rendering, every match
-    replaced by ``placeholder`` with ``{kind}`` = EMAIL/CARD/PHONE/
-    IP.  Row-local end to end; the md5 is the registered-surface
+    """``(id_col, n_emails, n_ssn, n_phones, n_ipv4, n_cards,
+    n_cards_luhn, clean_md5)`` — per-document PII counts (measured
+    on the ORIGINAL text) plus the md5 of the scrubbed rendering,
+    every match replaced by ``placeholder`` with ``{kind}`` = EMAIL/
+    CARD/SSN/PHONE/IP.  Row-local end to end; the md5 is the
+    registered-surface
     scalar rendering of the scrubbed text (emit the text itself via
     ``scrub_text`` when the pipeline needs it)."""
     counts = {
@@ -88,6 +99,7 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col),
         counts["email"].alias("n_emails"),
+        counts["ssn"].alias("n_ssn"),
         counts["phone"].alias("n_phones"),
         counts["ipv4"].alias("n_ipv4"),
         counts["card"].alias("n_cards"),
@@ -99,8 +111,8 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str,
 def scrub_text(text: Column, placeholder: str = "[{kind}]") -> Column:
     """The redacted text column itself — sequential ``regexp_replace``
     over the pattern family (card before phone)."""
-    label = {"email": "EMAIL", "card": "CARD", "phone": "PHONE",
-             "ipv4": "IP"}
+    label = {"email": "EMAIL", "card": "CARD", "ssn": "SSN",
+             "phone": "PHONE", "ipv4": "IP"}
     out = text
     for k in _SCRUB_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[k],
@@ -124,8 +136,8 @@ def _card_digits_sql(i: str) -> str:
 
 def synth_pii_text(df: DataFrame, id_col: str) -> DataFrame:
     """``(id_col, text)`` — deterministic per-id PII injections:
-    ids ≡ 0 (mod 3) carry an email, ≡ 0 (mod 4) a phone, ≡ 0 (mod 5)
-    an IPv4, ≡ 0 (mod 6) a Luhn-VALID card and ≡ 3 (mod 6) the same
+    ids ≡ 0 (mod 3) carry an email, ≡ 1 (mod 7) an SSN, ≡ 0 (mod 4)
+    a phone, ≡ 0 (mod 5) an IPv4, ≡ 0 (mod 6) a Luhn-VALID card and ≡ 3 (mod 6) the same
     card with the check digit bumped (+1 mod 10 — shape matches,
     Luhn must reject).  Built with Catalyst string expressions (no
     UDF): the check digit itself is the Luhn fold run in reverse over
@@ -140,12 +152,9 @@ def synth_pii_text(df: DataFrame, id_col: str) -> DataFrame:
     def dig(j):
         return F.ascii(F.element_at(chars, j)) - F.lit(48)
 
-    # check digit: payload position j (1..15) sits at distance
-    # 15 - j + 1 from the right of the FULL 16-digit number, so the
-    # doubled positions are the odd j... derived below as
-    # (16 - j) % 2 == 1  <=>  j even? No: full-number index of
-    # payload digit j is j; from-right distance = 16 - j; doubled
-    # when that distance is ODD from the check digit (distance 0).
+    # check digit: payload digit j (1..15) sits at distance 16 − j
+    # from the right of the FULL 16-digit number (the check digit is
+    # distance 0), and Luhn doubles the odd distances.
     psum = F.aggregate(
         F.sequence(F.lit(1), F.lit(15)), F.lit(0),
         lambda acc, j: acc + F.when(
@@ -165,6 +174,14 @@ def synth_pii_text(df: DataFrame, id_col: str) -> DataFrame:
         F.when(i % 3 == 0, F.concat(
             F.lit(" user"), i.cast("string"),
             F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(i % 7 == 1, F.concat(
+            F.lit(" "),
+            F.lpad((100 + i % 900).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((10 + i % 90).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((1000 + i % 9000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
         F.when(i % 4 == 0, F.concat(
             F.lit(" 555-"),
             F.lpad((100 + i % 900).cast("string"), 3, "0"),
@@ -194,6 +211,7 @@ def synth_pii_scrub_oracle_sql(table: str = "documents",
     c AS (
       SELECT i,
              CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS e,
+             CASE WHEN i % 7 = 1 THEN 1 ELSE 0 END AS s,
              CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS p,
              CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS ip,
              CASE WHEN i % 6 = 0 OR i % 6 = 3 THEN 1 ELSE 0 END
@@ -201,9 +219,10 @@ def synth_pii_scrub_oracle_sql(table: str = "documents",
              CASE WHEN i % 6 = 0 THEN 1 ELSE 0 END AS cl
       FROM ids),
     txt AS (
-      SELECT i, e, p, ip, cd, cl,
+      SELECT i, e, s, p, ip, cd, cl,
              'log ' || i || ' start'
              || CASE WHEN e = 1 THEN ' [EMAIL]' ELSE '' END
+             || CASE WHEN s = 1 THEN ' [SSN]' ELSE '' END
              || CASE WHEN p = 1 THEN ' [PHONE]' ELSE '' END
              || CASE WHEN ip = 1 THEN ' [IP]' ELSE '' END
              || CASE WHEN cd = 1 THEN ' [CARD]' ELSE '' END
@@ -211,6 +230,7 @@ def synth_pii_scrub_oracle_sql(table: str = "documents",
       FROM c)
     SELECT i AS {id_col},
            e::BIGINT AS n_emails,
+           s::BIGINT AS n_ssn,
            p::BIGINT AS n_phones,
            ip::BIGINT AS n_ipv4,
            cd::BIGINT AS n_cards,

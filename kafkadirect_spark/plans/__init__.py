@@ -184,8 +184,11 @@ _PROMOTED = [
 # `pii_scrub` (privacy.synth_pii_scrub_oracle_sql — regex redaction
 # + integer Luhn validity over Catalyst-synthesized injections; the
 # oracle replays by id arithmetic with NO SQL regex, so the row
-# proves the engine's regex/scrub/Luhn end to end — a compliance
-# claim nothing registered makes) and `basket_pairs`
+# proves the engine's regex/scrub/Luhn end to end; registering it
+# PAIRS with a 1:1 `pii_redaction` retirement under item c —
+# privacy.pii_scrub strictly subsumes that query's email/SSN/phone
+# masking+counting claim and adds card shape, the Luhn split, IPv4
+# and per-kind counts) and `basket_pairs`
 # (basket.basket_pairs_oracle_sql over lineitem order/part baskets —
 # unordered co-membership with truncating support/lift and the
 # mega-basket cap; distinct from collocations_topk's adjacent-token

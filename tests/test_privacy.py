@@ -15,23 +15,24 @@ SF = "/root/testdata/sf0.001"
 
 def test_pii_scrub_hand_checked(spark):
     txt = ("mail bob.smith+x@corp.example.org now, call 555-123-4567 "
-           "or 555-000-1111, host 192.168.0.1, pay "
+           "or 555-000-1111, ssn 123-45-6789, host 192.168.0.1, pay "
            "4539-1488-0343-6467 or 4539-1488-0343-6468 ok")
     df = spark.createDataFrame([(1, txt), (2, "nothing here")],
                                "doc_id long, text string")
     out = {r.doc_id: r for r in
            privacy.pii_scrub(df, "text", "doc_id").collect()}
     r = out[1]
-    assert (r.n_emails, r.n_phones, r.n_ipv4, r.n_cards) == (1, 2, 1, 2)
+    assert (r.n_emails, r.n_ssn, r.n_phones, r.n_ipv4,
+            r.n_cards) == (1, 1, 2, 1, 2)
     # 4539-1488-0343-6467 is Luhn-valid; ...-6468 bumps the check
     assert r.n_cards_luhn == 1
     clean = spark.createDataFrame([(txt,)], "t string").select(
         privacy.scrub_text(F.col("t")).alias("c")).collect()[0].c
     assert clean == ("mail [EMAIL] now, call [PHONE] or [PHONE], "
-                     "host [IP], pay [CARD] or [CARD] ok")
+                     "ssn [SSN], host [IP], pay [CARD] or [CARD] ok")
     r2 = out[2]
-    assert (r2.n_emails, r2.n_phones, r2.n_ipv4, r2.n_cards,
-            r2.n_cards_luhn) == (0, 0, 0, 0, 0)
+    assert (r2.n_emails, r2.n_ssn, r2.n_phones, r2.n_ipv4,
+            r2.n_cards, r2.n_cards_luhn) == (0, 0, 0, 0, 0, 0)
 
 
 def test_luhn_fold_known_numbers(spark):
@@ -63,7 +64,8 @@ def test_pii_scrub_matches_python_re_model(spark):
                   for k, p in pats.items()}
         clean = text
         for k, label in (("email", "EMAIL"), ("card", "CARD"),
-                         ("phone", "PHONE"), ("ipv4", "IP")):
+                         ("ssn", "SSN"), ("phone", "PHONE"),
+                         ("ipv4", "IP")):
             clean = re.sub(pats[k], f"[{label}]", clean)
         luhn = 0
         for c in re.findall(pats["card"], text):
@@ -75,8 +77,8 @@ def test_pii_scrub_matches_python_re_model(spark):
                     for i, x in enumerate(d, 1))
             luhn += s % 10 == 0
         import hashlib
-        return (counts["email"], counts["phone"], counts["ipv4"],
-                counts["card"], luhn,
+        return (counts["email"], counts["ssn"], counts["phone"],
+                counts["ipv4"], counts["card"], luhn,
                 hashlib.md5(clean.encode()).hexdigest())
 
     for frame in (docs, synth):
@@ -103,9 +105,10 @@ def test_synth_pii_oracle_matches_engine(spark):
     got = sorted(con.sql(
         privacy.synth_pii_scrub_oracle_sql()).fetchall())
     assert got == eng and len(eng) == 500
-    # both card polarities genuinely occur
-    assert any(r[4] == 1 and r[5] == 1 for r in eng)
-    assert any(r[4] == 1 and r[5] == 0 for r in eng)
+    # both card polarities genuinely occur, and SSNs do too
+    assert any(r[5] == 1 and r[6] == 1 for r in eng)
+    assert any(r[5] == 1 and r[6] == 0 for r in eng)
+    assert any(r[2] == 1 for r in eng)
 
 
 def test_pii_scrub_plan_is_shuffle_free(spark):
