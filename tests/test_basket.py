@@ -96,3 +96,49 @@ def test_basket_plan_is_bounded(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_basket(rows, k, min_support, max_basket):
+    """Independent model: dedup, cap, pair counts, truncating
+    support/lift, (n desc, a, b) top-k rank."""
+    from collections import defaultdict
+    baskets = defaultdict(set)
+    for b, it in rows:
+        baskets[b].add(it)
+    kept = {b: s for b, s in baskets.items() if len(s) <= max_basket}
+    nb = len(kept)
+    freq = defaultdict(int)
+    for s in kept.values():
+        for it in s:
+            freq[it] += 1
+    pairs = defaultdict(int)
+    for s in kept.values():
+        items = sorted(s)
+        for i, a in enumerate(items):
+            for c in items[i + 1:]:
+                pairs[(a, c)] += 1
+    cand = sorted(((n, a, b) for (a, b), n in pairs.items()
+                   if n >= min_support),
+                  key=lambda t: (-t[0], t[1], t[2]))[:k]
+    return [(a, b, n, 1_000_000 * n // nb,
+             1000 * n * nb // (freq[a] * freq[b]), r + 1)
+            for r, (n, a, b) in enumerate(cand)]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 6)),
+                min_size=1, max_size=40),
+       st.integers(2, 5))
+def test_basket_matches_python_model(spark, rows, cap):
+    """Engine == an independent per-basket recount on arbitrary
+    (basket, item) multisets, including cap, tie ranks and
+    truncating ratios."""
+    got = [tuple(r) for r in basket.basket_pairs_topk(
+        _baskets(spark, rows), "b", "it", k=6, min_support=1,
+        max_basket=cap).collect()]
+    assert got == _py_basket(rows, 6, 1, cap)

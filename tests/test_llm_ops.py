@@ -2114,3 +2114,24 @@ def test_synth_video_features_oracle_matches_engine(spark, docs):
     # measured 388/500)
     hits = sum(1 for r in eng if r[9] == (3 + r[0] % 4) // 2)
     assert hits > 350
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 9), st.integers(1, 7), st.integers(0, 4),
+       st.integers(1, 60), st.integers(1, 4), st.integers(0, 2 ** 32))
+def test_y4m_roundtrip_property(w, h, nf, num, den, seed):
+    """encode_y4m → decode_y4m is the identity on arbitrary frame
+    stacks, dims and frame rates (including zero-frame streams)."""
+    rng = seed
+    frames = []
+    for _ in range(nf):
+        fr = []
+        for _ in range(w * h):
+            rng = (rng * 1103515245 + 12345) % (2 ** 31)
+            fr.append(rng % 256)
+        frames.append(fr)
+    d = multimodal.decode_y4m(
+        multimodal.encode_y4m(frames, w, h, fps_num=num, fps_den=den))
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+    assert (d["fps_num"], d["fps_den"]) == (num, den)
+    assert d["frames"] == frames
