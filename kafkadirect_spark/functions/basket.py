@@ -20,8 +20,10 @@ same cap.
 
 ``lift_milli = 1000 · n_ab · n_baskets DIV (n_a · n_b)`` — >1000
 means the pair co-occurs more than independence predicts (the
-cross-sell signal), computed entirely in BIGINT (n_ab ≤ n_a, n_b ≤
-n_baskets keeps the product under 2^63 for any realistic catalog).
+cross-sell signal).  The numerator is ``1000 · n_ab · n_baskets``,
+which at 100 TB (10^10 baskets, a 10^8-frequency pair) overflows
+BIGINT — so the ratio is computed in DECIMAL(38,0) engine-side and
+HUGEINT oracle-side, truncating division in both.
 
 Distinct claim vs the registered text surface: `collocations_topk`
 mines ADJACENT-token PMI inside documents; this mines UNORDERED
@@ -95,8 +97,12 @@ def basket_pairs_topk(df: DataFrame, basket_col: str, item_col: str,
               .select("item_a", "item_b", "n_ab",
                       F.expr("CAST(1000000 * n_ab DIV __nb AS LONG)")
                       .alias("support_ppm"),
-                      F.expr("CAST(1000 * n_ab * __nb DIV "
-                             "(__na * __nbf) AS LONG)")
+                      # DECIMAL(38,0): the BIGINT product overflows
+                      # at warehouse scale (docstring)
+                      F.expr("CAST(CAST(1000 AS DECIMAL(38,0)) "
+                             "* n_ab * __nb DIV "
+                             "(CAST(__na AS DECIMAL(38,0)) * __nbf) "
+                             "AS LONG)")
                       .alias("lift_milli")))
     w = Window.orderBy(F.col("n_ab").desc(), "item_a", "item_b")
     return scored.withColumn(
@@ -130,8 +136,8 @@ def basket_pairs_oracle_sql(basket_col: str, item_col: str,
       ORDER BY n_ab DESC, item_a, item_b LIMIT {k})
     SELECT t.item_a, t.item_b, t.n_ab,
            (1000000 * t.n_ab // nb.n)::BIGINT AS support_ppm,
-           (1000 * t.n_ab * nb.n // (fa.nf * fb.nf))::BIGINT
-             AS lift_milli,
+           (1000::HUGEINT * t.n_ab * nb.n
+            // (fa.nf::HUGEINT * fb.nf))::BIGINT AS lift_milli,
            row_number() OVER (ORDER BY t.n_ab DESC, t.item_a,
                               t.item_b)::BIGINT AS rank
     FROM top t

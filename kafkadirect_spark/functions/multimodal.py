@@ -1021,11 +1021,15 @@ def synth_phash_pairs_oracle_sql(kind: str = "pnm",
 
 _Y4M_MAGIC = b"YUV4MPEG2"
 
-# luma-first planar frame size in PIXELS per colorspace tag prefix,
-# as a (num, den) multiplier of w*h; luma plane is always first
+# luma-first planar frame size in PIXELS per EXACT 8-bit colorspace
+# tag, as a (num, den) multiplier of w*h; luma plane is always first.
+# Exact-match only: a prefix match would silently mis-size 10/16-bit
+# streams (C420p10/C420p16 carry 2 bytes per sample) — unknown tags
+# must raise, not truncate.
 _Y4M_CS = {
     "mono": (1, 1),
-    "420": (3, 2),      # C420, C420jpeg, C420mpeg2, C420paldv
+    "420": (3, 2), "420jpeg": (3, 2), "420mpeg2": (3, 2),
+    "420paldv": (3, 2),
     "422": (2, 1),
     "444": (3, 1),
 }
@@ -1085,17 +1089,24 @@ def decode_y4m(payload: bytes) -> dict:
                     f"interlaced y4m (I{val}) not wired "
                     "(progressive only)")
         elif tag == "C":
-            key = "mono" if val.startswith("mono") else val[:3]
-            if key not in _Y4M_CS:
+            if val not in _Y4M_CS:
                 raise NotImplementedError(
                     f"y4m colorspace C{val} not wired "
-                    "(mono/420*/422/444 only)")
-            cs = key
+                    "(8-bit mono/420*/422/444 only)")
+            cs = val
         # A (aspect) and X (extension) tags carry no pixel layout
     if not w or not h or w < 1 or h < 1:
         raise ValueError("y4m header missing W/H")
     if num < 1 or den < 1:
         raise ValueError("y4m header has non-positive frame rate")
+    # subsampled chroma planes are ceil(w/2)·ceil(h/2)-shaped for odd
+    # dims — the flat w·h·mul product would mis-size them, so odd
+    # dims are only wired where no axis is subsampled
+    if (cs.startswith("420") and (w % 2 or h % 2)) \
+            or (cs == "422" and w % 2):
+        raise NotImplementedError(
+            f"odd dimensions ({w}x{h}) with subsampled chroma "
+            f"C{cs} not wired (mono/444 accept any dims)")
     mul_n, mul_d = _Y4M_CS[cs]
     fsize = w * h * mul_n // mul_d
     luma_n = w * h

@@ -127,13 +127,6 @@ def scrub_text(text: Column, placeholder: str = "[{kind}]") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _card_digits_sql(i: str) -> str:
-    """SQL for the 15 payload digits of the synthesized card: '4'
-    followed by the zero-padded 14-digit ``i * 87654321 % 10^14``."""
-    return f"'4' || lpad(CAST(({i} * 87654321) % 100000000000000 " \
-           "AS VARCHAR), 14, '0')"
-
-
 def synth_pii_text(df: DataFrame, id_col: str) -> DataFrame:
     """``(id_col, text)`` — deterministic per-id PII injections:
     ids ≡ 0 (mod 3) carry an email, ≡ 1 (mod 7) an SSN, ≡ 0 (mod 4)

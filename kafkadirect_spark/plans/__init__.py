@@ -63,12 +63,14 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # PAYDOWN MATH, recomputed at N=167 (supersedes the r13 note): the
 # horizon-3 capacity bound needs every pool older than upcoming−3 to
 # drain through the window on schedule.  Pools after r14's artifact
-# lands: 18 r11-dated leftovers (mandatory at r15), 50 r12, 50 r13,
-# 50 r14.  r15: 18 mandatory + ~5 new registrations + 27 r12 fill →
-# 23 r12 left at r16; r16: 23 + ~5 + 22 r13 fill → 28 r13 left; the
-# train keeps moving as long as (oldest pool) + (new) ≤ 50.
-# Tightening to horizon 2 stays mathematically false while three
-# trailing pools exist (18 + 50 > 50 at r15).  Decision standing:
+# lands: 20 r11-dated leftovers (mandatory at r15 — 18 by rotation
+# plus the two fill slots the rule-2 media re-verifications took),
+# 50 r12, 48 r13 (the two media rows move to r14), 50 r14.  r15: 20
+# mandatory + ~5 new registrations + 25 r12 fill → 25 r12 left at
+# r16; r16: 25 + ~5 + 20 r13 fill → 28 r13 left; the train keeps
+# moving as long as (oldest pool) + (new) ≤ 50.  Tightening to
+# horizon 2 stays mathematically false while three trailing pools
+# exist (20 + 50 > 50 at r15).  Decision standing:
 # stay in the 151..200 band, keep ~5-10 free slots per round for new
 # oracle-ready operators — the slack IS the feature, not debt.
 # ---------------------------------------------------------------------------
@@ -97,11 +99,7 @@ _PROMOTED = [
     "vocab_topk",
     "winnow_overlap_pairs",
     # -- new in round 14 (the pre-scheduled registrations; never
-    #    driver-verified, so they front).  Rule 2 note: no library
-    #    code path or oracle text of any already-registered query
-    #    changed this round — the r14 additions are new registration
-    #    surfaces over operators that landed library-level in r13 (or
-    #    r12, for the deferred pool); graph_triangles COMPOSES
+    #    driver-verified, so they front).  graph_triangles COMPOSES
     #    dedup_minhash_lsh's oracle (_MINHASH_PAIRS_ORACLE) but that
     #    generator's text is unchanged (byte-identity pinned in
     #    test_graph.py) --
@@ -112,11 +110,24 @@ _PROMOTED = [
     "media_audio_features",
     "path_topk",
     "theil_sen",
-    # -- fill: the 31 alphabetically-first of the 49 surviving
+    # -- rule 2: the y4m video path added branches to the SHARED
+    #    multimodal helpers `sniff_media` (new magic check) and
+    #    `synth_media` (new kind) that sit in these two registered
+    #    queries' code paths; behavior for their pnm/bmp payloads is
+    #    provably unchanged (no raster starts with the y4m magic),
+    #    but rule 2 tracks implementation text, not arguments — the
+    #    driver re-verifies them.  (media_audio_features shares the
+    #    same helpers and fronts above as a new registration; no
+    #    other registered query's implementation or oracle text
+    #    changed this round — behavior.py/timeseries.py edits were
+    #    docstring-only or new functions.) --
+    "media_image_features",
+    "media_phash_pairs",
+    # -- fill: the 29 alphabetically-first of the 49 surviving
     #    r11-dated queries (newest driver row r11 — legal outside the
     #    window this round, mandatory at r15; scheduling the oldest
-    #    now keeps r15's mandatory front to the 18 leftovers
-    #    session_reduce..yahoo_pipeline) --
+    #    now keeps r15's mandatory front to the 20 leftovers
+    #    select_key_regroup..yahoo_pipeline) --
     "cdc_dup_stats",
     "cheapest_supplier",
     "cluster_split",
@@ -146,24 +157,24 @@ _PROMOTED = [
     "quality_topk_per_lang",
     "sample_exact_per_group",
     "sax_pairs",
-    "select_key_regroup",
-    "session_aggregate",
 ]
 
-# No over-subscription this round: the seven new registrations all fit
-# inside the window alongside the 12 mandatory rotations, and the 31
-# fill slots hold r11-dated rotation.  (The tripwire keeps this list
+# No over-subscription this round: the seven new registrations and
+# two rule-2 re-verifications all fit inside the window alongside the
+# 12 mandatory rotations, and the 29 fill slots hold r11-dated
+# rotation.  (The tripwire keeps this list
 # honest: a name may sit here ONLY while it is registered, has no
 # driver row yet, and every window slot is occupied by a mandatory
 # rotation or another never-verified query.)
 #
 # r15 plan (so the next window is predictable): mandatory front = the
-# 18 r11-dated leftovers (session_reduce, shipping_priority,
-# skew_salted_distinct, skew_salted_join, smt_chain, stream_aggregate,
-# stream_reduce, supplier_nation_volume, table_group_aggregate,
-# table_map_values, table_tombstones, tokenizer_eval,
-# ts_policy_previous, unlimited_window_count, windowed_avg_hopping,
-# windowed_chunks, windowed_count_tumbling, yahoo_pipeline); candidate
+# 20 r11-dated leftovers (select_key_regroup, session_aggregate,
+# session_reduce, shipping_priority, skew_salted_distinct,
+# skew_salted_join, smt_chain, stream_aggregate, stream_reduce,
+# supplier_nation_volume, table_group_aggregate, table_map_values,
+# table_tombstones, tokenizer_eval, ts_policy_previous,
+# unlimited_window_count, windowed_avg_hopping, windowed_chunks,
+# windowed_count_tumbling, yahoo_pipeline); candidate
 # registrations (oracle generators already pytest-pinned
 # engine==oracle unless noted): `weighted_quantiles` OR
 # `weighted_quantiles_by_lang` (at most one — the long-deferred
@@ -198,8 +209,8 @@ _PROMOTED = [
 # at registration time.  Balance with
 # item-c retirements where a genuine subsumption exists, else let N
 # drift inside the 151..200 band (horizon 3 holds).  Fill = the
-# 27 alphabetically-first of the 50 surviving r12-dated queries,
-# leaving ~23 r12 leftovers toward r16's mandatory front.
+# ~25 alphabetically-first of the 50 surviving r12-dated queries,
+# leaving ~25 r12 leftovers toward r16's mandatory front.
 _DEFERRED_NEW: list[str] = []
 
 

@@ -25,6 +25,11 @@ Two deliberate, documented differences from the batch operator:
 
 State per key is bounded: the unsealed buffer (emptied as the
 watermark advances) + warmup values (≤ warmup) + two integers.
+Keys are NEVER expired — a monitor's reference must survive
+arbitrarily long quiet periods (the deliberate opposite of the
+rate-anomaly module's idle expiry, where a silent window IS the
+signal); the per-key cost is a few dozen bytes, so key-cardinality
+bounds total state.
 
 Reference analogue: none (SURVEY.md §2 — no sequential-statistics
 operators); beyond-parity streaming machinery beside the rate-anomaly
