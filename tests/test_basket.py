@@ -142,3 +142,18 @@ def test_basket_matches_python_model(spark, rows, cap):
         _baskets(spark, rows), "b", "it", k=6, min_support=1,
         max_basket=cap).collect()]
     assert got == _py_basket(rows, 6, 1, cap)
+
+
+def test_basket_apriori_prune_is_result_invariant(spark):
+    """prune_items drops only items that monotonicity proves cannot
+    reach min_support pairs — the result is IDENTICAL with and
+    without it, on a long-tail shape where it actually prunes."""
+    # items 1,2 co-occur 3x; items 50..80 are singles (prunable)
+    rows = ([(b, it) for b in (1, 2, 3) for it in (1, 2)]
+            + [(b, 50 + b) for b in range(4, 35)])
+    base = [tuple(r) for r in basket.basket_pairs_topk(
+        _baskets(spark, rows), "b", "it", k=5, min_support=2).collect()]
+    pruned = [tuple(r) for r in basket.basket_pairs_topk(
+        _baskets(spark, rows), "b", "it", k=5, min_support=2,
+        prune_items=True).collect()]
+    assert pruned == base and len(base) == 1
