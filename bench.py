@@ -124,6 +124,17 @@ def _cusum_suite(spark, sf_dir):
         order_break_col="event_id")
 
 
+def _twap_suite(spark, sf_dir):
+    # r15 candidate: LOCF time-weighted mean — one group-partitioned
+    # lead window + one map-side-combined aggregate
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.twap_milli(ev, "user_id", "ts", "value",
+                                 "2024-01-01", "2024-01-31",
+                                 order_break_col="event_id")
+
+
 def _attribution_suite(spark, sf_dir):
     # last-touch credit: one user-partitioned window + |types|-row agg
     from kafkadirect_spark.functions import behavior
@@ -603,6 +614,8 @@ def main() -> None:
         "theil_sen": _theil_sen_suite,
         # r14 addition: sequential changepoint over per-user series
         "cusum_changepoint": _cusum_suite,
+        # r14 addition: LOCF time-weighted average over the window
+        "twap": _twap_suite,
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,

@@ -608,3 +608,101 @@ def cusum_changepoint_oracle_sql(group_col: str = "event_type",
                 END)).d AS direction
     FROM s GROUP BY g
     """
+
+
+def twap_milli(events: DataFrame, group_col: str, ts_col: str,
+               value_col: str, t0: str, t1: str,
+               order_break_col: str | None = None) -> DataFrame:
+    """Time-weighted average value per group over ``[t0, t1)`` — the
+    TWAP resample (standard market/telemetry practice, public): each
+    sample holds from its own timestamp until the NEXT sample in the
+    group (last-observation-carried-forward), the final sample holds
+    to the window end, and the average weights values by those
+    holding intervals instead of by row count — the correct mean for
+    IRREGULARLY-sampled series, where a burst of readings must not
+    dominate the way it does in `user_moving_avg`'s row-window mean.
+
+    Integerized: values quantize to milli-units, holding times to
+    whole seconds (``unix_timestamp`` difference, the funnel
+    convention), and ``twap_milli = Σ(v_milli·Δt_s) DIV Σ(Δt_s)``
+    under truncating division.  Returns ``(group_col, n_samples,
+    covered_s, twap_milli)``; ``covered_s`` is the observed span
+    (first sample → window end) — samples at or after ``t1`` and
+    groups with no in-window sample are excluded.  Zero-duration
+    samples (same-second successors) carry no weight, exactly as
+    LOCF semantics dictate.
+
+    Scale shape: ONE group-partitioned lead window (a group's own row
+    count bounds the task-local sort — the user_moving_avg envelope)
+    and one map-side-combined aggregate.  No global window, no
+    data-sized collect.
+    """
+    from pyspark.sql import Window
+
+    import datetime as _dt
+
+    if (_dt.datetime.fromisoformat(t1)
+            <= _dt.datetime.fromisoformat(t0)):
+        raise ValueError("t1 must be after t0")
+    brk = order_break_col or value_col
+    end = F.unix_timestamp(F.lit(t1).cast("timestamp"))
+    pts = (events
+           .filter(F.col(group_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull()
+                   & (F.col(ts_col) >= F.lit(t0).cast("timestamp"))
+                   & (F.col(ts_col) < F.lit(t1).cast("timestamp")))
+           .select(F.col(group_col).alias("g"),
+                   F.unix_timestamp(ts_col).cast("long").alias("t"),
+                   F.floor(F.col(value_col) * 1000).cast("long")
+                   .alias("v"),
+                   F.col(brk).alias("__brk")))
+    w = Window.partitionBy("g").orderBy("t", "v", "__brk")
+    held = pts.withColumn(
+        "__dt", F.coalesce(F.lead("t").over(w), end) - F.col("t"))
+    return (held.groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_samples"),
+                 (end - F.min("t")).cast("long").alias("covered_s"),
+                 F.expr("CAST(sum(v * __dt) DIV "
+                        "greatest(sum(__dt), 1) AS LONG)")
+                 .alias("twap_milli"))
+            .select(F.col("g").alias(group_col), "n_samples",
+                    "covered_s", "twap_milli"))
+
+
+def twap_oracle_sql(t0: str, t1: str,
+                    group_col: str = "event_type",
+                    table: str = "events", ts_col: str = "ts",
+                    value_col: str = "value",
+                    order_break_col: str | None = None) -> str:
+    """DuckDB replay of ``twap_milli`` — identical LOCF lead window,
+    whole-second holding times, truncating weighted division.  The
+    ``epoch_ms // 1000`` quantization carries the same >=1970
+    assumption as the funnel oracles (DuckDB truncates toward zero,
+    Spark floors)."""
+    brk = order_break_col or value_col
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g,
+             epoch_ms({ts_col}) // 1000 AS t,
+             CAST(floor({value_col} * 1000) AS BIGINT) AS v,
+             {brk} AS brk
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        AND {value_col} IS NOT NULL
+        AND {ts_col} >= TIMESTAMP '{t0}'
+        AND {ts_col} < TIMESTAMP '{t1}'),
+    held AS (
+      SELECT g, t, v,
+             COALESCE(lead(t) OVER (PARTITION BY g
+                                    ORDER BY t, v, brk),
+                      epoch_ms(TIMESTAMP '{t1}') // 1000) - t AS dt
+      FROM pts)
+    SELECT g AS {group_col},
+           count(*)::BIGINT AS n_samples,
+           (epoch_ms(TIMESTAMP '{t1}') // 1000 - min(t))::BIGINT
+             AS covered_s,
+           (sum(v * dt) // greatest(sum(dt), 1))::BIGINT
+             AS twap_milli
+    FROM held GROUP BY g
+    """

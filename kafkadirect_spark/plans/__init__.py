@@ -204,8 +204,11 @@ _PROMOTED = [
 # unordered co-membership with truncating support/lift and the
 # mega-basket cap; distinct from collocations_topk's adjacent-token
 # PMI; needs a _GLOBAL_WINDOW_OK entry for the ≤k-row rank window
-# and a _BNLJ_OK entry for the one-row basket-count broadcast).
-# That pool is ~7 candidates for ~5 slots — pick by claim diversity
+# and a _BNLJ_OK entry for the one-row basket-count broadcast) and
+# `twap` (timeseries.twap_oracle_sql — LOCF time-weighted mean over
+# a window, the irregular-sampling claim user_moving_avg's row-window
+# mean cannot make; one lead window + one aggregate).
+# That pool is ~8 candidates for ~5 slots — pick by claim diversity
 # at registration time.  Balance with
 # item-c retirements where a genuine subsumption exists, else let N
 # drift inside the 151..200 band (horizon 3 holds).  Fill = the

@@ -603,3 +603,91 @@ def test_cusum_plan_is_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "g#" in spec, f"unpartitioned window: {spec}"
+
+
+# ---------------------------------------------------------------------------
+# twap_milli (round 14): LOCF time-weighted average over a window.
+
+
+def test_twap_hand_checked(spark):
+    # group "x" over [00:00, 00:10): samples at t=0 (v=1.0, holds
+    # 4 s), t=4 (v=3.0, holds 2 s), t=6 (v=5.0, holds to end: 4 s)
+    # -> twap = (1000*4 + 3000*2 + 5000*4) // 10 = 3000
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "x", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 4), 1, "x", 3.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 0, 6), 1, "x", 5.0, "{}"),
+            # out-of-window sample must be excluded
+            (4, dt.datetime(2024, 1, 1, 0, 0, 20), 1, "x", 9.9, "{}")]
+    out = timeseries.twap_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:10",
+        order_break_col="event_id").collect()[0]
+    assert (out.n_samples, out.covered_s, out.twap_milli) == (3, 10, 3000)
+    # burst robustness: 5 rapid same-second samples of 100.0 inside a
+    # window otherwise held at 1.0 barely move TWAP (row mean would
+    # read ~67): samples t=0 v=1.0 then five at t=8 (first four hold
+    # 0 s, the last holds 2 s) -> (1000*8 + 100000*2) // 10 = 20800
+    rows2 = [(1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "y", 1.0, "{}")]
+    rows2 += [(2 + j, dt.datetime(2024, 1, 1, 0, 0, 8), 1, "y",
+               100.0, "{}") for j in range(5)]
+    out2 = timeseries.twap_milli(
+        _events(spark, rows2), "event_type", "ts", "value",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:10",
+        order_break_col="event_id").collect()[0]
+    assert out2.twap_milli == 20800 and out2.n_samples == 6
+    with pytest.raises(ValueError, match="t1 must"):
+        timeseries.twap_milli(_events(spark, rows), "event_type",
+                              "ts", "value", "2024-01-02",
+                              "2024-01-01")
+
+
+def test_twap_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real events per event_type and per
+    200-user slice — LOCF lead, whole-second holds, truncating
+    weighted mean.  Registration candidate for r15."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    T0, T1 = "2024-01-01", "2024-01-31"
+    ev = load_table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = sorted(tuple(r) for r in timeseries.twap_milli(
+        ev, "event_type", "ts", "value", T0, T1,
+        order_break_col="event_id").collect())
+    got = sorted(con.sql(timeseries.twap_oracle_sql(
+        T0, T1, "event_type", order_break_col="event_id")).fetchall())
+    assert got == eng and len(eng) == 5
+    eng_u = sorted(tuple(r) for r in timeseries.twap_milli(
+        ev.filter(F.col("user_id") < 200), "user_id", "ts", "value",
+        T0, T1, order_break_col="event_id").collect())
+    con.execute("CREATE VIEW ev_slice AS SELECT * FROM events "
+                "WHERE user_id < 200")
+    got_u = sorted(con.sql(timeseries.twap_oracle_sql(
+        T0, T1, "user_id", table="ev_slice",
+        order_break_col="event_id")).fetchall())
+    assert got_u == eng_u and len(eng_u) >= 10
+
+
+def test_twap_plan_is_bounded(spark):
+    """One group-partitioned lead window + one aggregate — no global
+    window, no cartesian."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i), "{}") for i in range(5)]
+    out = timeseries.twap_milli(_events(spark, rows), "event_type",
+                                "ts", "value", "2024-01-01",
+                                "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "g#" in spec, f"unpartitioned window: {spec}"

@@ -944,6 +944,14 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
         return basket.basket_pairs_topk(li, "l_orderkey", "l_partkey",
                                         k=20, min_support=2)
 
+    def probe_twap(docs):
+        # LOCF time-weighted mean: one user-partitioned lead window
+        # + one aggregate — wall should track the scan like cusum
+        from kafkadirect_spark.functions import timeseries
+        return timeseries.twap_milli(
+            _replicate_events(docs), "user_id", "ts", "value",
+            "2024-01-01", "2024-01-31", order_break_col="event_id")
+
     def probe_pii(docs):
         # regex redaction + Luhn fold: all row-local Catalyst
         # expressions, wall should be scan-bound
@@ -984,6 +992,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "attribution": probe_attribution,
               "theil_sen": probe_theil_sen,
               "cusum": probe_cusum,
+              "twap": probe_twap,
               "video_features": probe_video_features,
               "pii": probe_pii,
               "basket": probe_basket,
