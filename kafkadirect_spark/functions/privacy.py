@@ -110,7 +110,8 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str,
 
 def scrub_text(text: Column, placeholder: str = "[{kind}]") -> Column:
     """The redacted text column itself — sequential ``regexp_replace``
-    over the pattern family (card before phone)."""
+    over the pattern family in ``_SCRUB_ORDER`` (card before
+    ssn/phone)."""
     label = {"email": "EMAIL", "card": "CARD", "ssn": "SSN",
              "phone": "PHONE", "ipv4": "IP"}
     out = text
