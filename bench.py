@@ -124,6 +124,16 @@ def _cusum_suite(spark, sf_dir):
         order_break_col="event_id")
 
 
+def _mmr_suite(spark, sf_dir):
+    # r15 candidate: diversified top-k — quantize scan + one-row
+    # probe broadcast + TakeOrdered pool + bounded driver greedy
+    from kafkadirect_spark.functions import retrieval
+    from kafkadirect_spark.sources.batch import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.mmr_diversify_topk(emb, "vec_id", "embedding",
+                                        probe_id=7, n=20, k=5)
+
+
 def _twap_suite(spark, sf_dir):
     # r15 candidate: LOCF time-weighted mean — one group-partitioned
     # lead window + one map-side-combined aggregate
@@ -616,6 +626,8 @@ def main() -> None:
         "cusum_changepoint": _cusum_suite,
         # r14 addition: LOCF time-weighted average over the window
         "twap": _twap_suite,
+        # r14 addition: MMR diversified retrieval over int8 dots
+        "mmr_diversify": _mmr_suite,
         # exact triangle census over the LSH candidate graph:
         # (degree, id)-oriented wedge join + semi-join closure
         "graph_triangles": _triangle_suite,

@@ -207,8 +207,13 @@ _PROMOTED = [
 # and a _BNLJ_OK entry for the one-row basket-count broadcast) and
 # `twap` (timeseries.twap_oracle_sql — LOCF time-weighted mean over
 # a window, the irregular-sampling claim user_moving_avg's row-window
-# mean cannot make; one lead window + one aggregate).
-# That pool is ~8 candidates for ~5 slots — pick by claim diversity
+# mean cannot make; one lead window + one aggregate) and
+# `mmr_diversify` (retrieval.mmr_oracle_sql — Maximal Marginal
+# Relevance re-rank over exact int8 dots, the result-diversification
+# claim hybrid_rrf's fusion cannot make; greedy replayed by a
+# recursive-CTE argmax, the Viterbi discipline; needs a _BNLJ_OK
+# entry for the one-row probe broadcast).
+# That pool is ~9 candidates for ~5 slots — pick by claim diversity
 # at registration time.  Balance with
 # item-c retirements where a genuine subsumption exists, else let N
 # drift inside the 151..200 band (horizon 3 holds).  Fill = the

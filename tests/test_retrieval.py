@@ -106,3 +106,87 @@ def test_hybrid_rrf_plan_is_bounded(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan   # top-k, never a global sort
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversify_topk (round 14): diversified top-k via exact integer
+# MMR over the int8-quantized grid.
+
+
+def test_mmr_hand_checked_defers_near_duplicate(spark):
+    # Quantization is per-vector max-abs (direction-only), so the
+    # vectors are chosen binary-exact on the quantized grid:
+    # probe [2,1] -> [127,63]; a=[2,1] -> [127,63] (rel 20098);
+    # b=[2,31/32] -> [127,61] (rel 19972, near-dup of a);
+    # c=[1,2] -> [63,127] (rel 16002, diverse).  At lam=300 the
+    # diversity term dominates: rank 1 = a, then c beats the
+    # near-duplicate b (ms 16002 vs 19972), b last with its maxsim
+    # against a.
+    from kafkadirect_spark.functions import retrieval
+
+    emb = spark.createDataFrame(
+        [(0, [2.0, 1.0]), (1, [2.0, 1.0]), (2, [2.0, 0.96875]),
+         (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    out = [(r.rank, r.vec_id, r.rel_dot, r.maxsim_dot)
+           for r in retrieval.mmr_diversify_topk(
+               emb, "vec_id", "embedding", probe_id=0, n=3, k=3,
+               lam_milli=300).collect()]
+    assert out[0] == (1, 1, 20098, 0)
+    assert out[1] == (2, 3, 16002, 16002)
+    assert out[2] == (3, 2, 19972, 19972)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="1 <= k <= n"):
+        retrieval.mmr_diversify_topk(emb, "vec_id", "embedding", 0,
+                                     n=2, k=3)
+    with _pt.raises(ValueError, match="lam_milli"):
+        retrieval.mmr_diversify_topk(emb, "vec_id", "embedding", 0,
+                                     lam_milli=1001)
+    with _pt.raises(ValueError, match="<= 64"):
+        retrieval.mmr_diversify_topk(emb, "vec_id", "embedding", 0,
+                                     n=100)
+
+
+def test_mmr_lambda_1000_is_pure_relevance(spark):
+    """lam=1000 zeroes the diversity term: pick order must equal the
+    quantized-relevance top-k order."""
+    from kafkadirect_spark.functions import retrieval
+    from kafkadirect_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mmr = [(r.rank, r.vec_id, r.rel_dot)
+           for r in retrieval.mmr_diversify_topk(
+               emb, "vec_id", "embedding", probe_id=7, n=10, k=10,
+               lam_milli=1000).collect()]
+    rels = sorted(((rel, vid) for _, vid, rel in mmr),
+                  key=lambda t: (-t[0], t[1]))
+    assert [(i + 1, v, r) for i, (r, v) in enumerate(rels)] == mmr
+
+
+def test_mmr_oracle_matches_engine(spark):
+    """Engine (quantize → broadcast-probe dots → TakeOrdered pool →
+    driver greedy) == the DuckDB recursive-CTE replay on the real
+    embeddings, at two lambdas.  Registration candidate for r15."""
+    import duckdb
+
+    from kafkadirect_spark.functions import retrieval
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    for lam in (700, 300):
+        eng = sorted(tuple(r) for r in retrieval.mmr_diversify_topk(
+            emb, "vec_id", "embedding", probe_id=7, n=20, k=5,
+            lam_milli=lam).collect())
+        got = sorted(con.sql(retrieval.mmr_oracle_sql(
+            7, n=20, k=5, lam_milli=lam)).fetchall())
+        assert got == eng and len(eng) == 5, lam
+    # diversification is REAL on this corpus: at lam=700 some later
+    # pick has nonzero maxsim (a near-duplicate was deferred)
+    eng = retrieval.mmr_diversify_topk(
+        emb, "vec_id", "embedding", probe_id=7, n=20, k=5,
+        lam_milli=700).collect()
+    assert any(r.maxsim_dot > 0 for r in eng)
