@@ -126,7 +126,10 @@ def _cusum_suite(spark, sf_dir):
 
 def _mmr_suite(spark, sf_dir):
     # r15 candidate: diversified top-k — quantize scan + one-row
-    # probe broadcast + TakeOrdered pool + bounded driver greedy
+    # probe broadcast + TakeOrdered pool + bounded driver greedy.
+    # Like consumeproduce, the measured work happens inside fn (the
+    # pool collect + greedy); the returned frame is the k-row result,
+    # so its fingerprint pins a LocalTableScan shape.
     from kafkadirect_spark.functions import retrieval
     from kafkadirect_spark.sources.batch import load_table
     emb = load_table(spark, sf_dir, "embeddings")
