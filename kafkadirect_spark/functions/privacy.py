@@ -45,12 +45,23 @@ from pyspark.sql import functions as F
 # Patterns restricted to syntax Java regex compiles identically to
 # the usual RE2-style engines (no backreferences, no lookaround):
 # the pytest model pin runs them through python `re` verbatim.
+#
+# IPv4 precision (ADVICE r14): octets are range-checked to 0-255
+# with no leading zeros, so '999.999.999.999' and '256.1.2.3' no
+# longer count or redact.  One over-match is DELIBERATELY kept
+# (recall over precision): a valid dotted quad embedded in a longer
+# dotted numeric still matches its first four octets ('1.2.3.4.5'
+# redacts the '1.2.3.4' prefix) — excluding it needs lookaround,
+# which the RE2-safe dialect above forbids, and a version string
+# that embeds a full in-range quad is the rarer, safer false
+# positive than missing real addresses would be.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "card": r"\b\d{4}-\d{4}-\d{4}-\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}-\d{3}-\d{4}\b",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ipv4": rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b",
 }
 
 # replacement order matters only in that card must precede ssn/phone

@@ -23,6 +23,13 @@ Two deliberate, documented differences from the batch operator:
   NOT re-estimated — levels are always judged against the warmup
   baseline.
 
+Epoch assumption (the oracle generators' ≥1970 note, stated here for
+the operator too): Spark's event-time watermark starts at epoch 0 and
+never goes below it, so records with epoch-ms ≤ 0 (pre-1970
+timestamps) are sealed-frontier late from the first micro-batch and
+drop — this monitor, like every watermark operator here, assumes
+post-1970 event time.
+
 State per key is bounded: the unsealed buffer (emptied as the
 watermark advances) + warmup values (≤ warmup) + two integers.
 Keys are NEVER expired — a monitor's reference must survive
@@ -111,7 +118,11 @@ def streaming_cusum_alerts(stream_df: DataFrame, key_col: str,
                     "stat_milli": max(st["sp"], st["sn"]),
                     "ref_milli": st["ref"]})
                 st["sp"] = st["sn"] = 0     # re-arm, same reference
-        st["f"] = max(wm, st["f"] or 0)
+        # ADVICE r14: never pin the frontier at 0 via `or 0` — a
+        # first-batch key with no prior seal takes the watermark
+        # itself (Spark starts it at 0 anyway, so the ≥1970 epoch
+        # assumption below is structural, not widened here).
+        st["f"] = wm if st["f"] is None else max(wm, st["f"])
 
         state.update((json.dumps(st),))
         if st["buf"]:

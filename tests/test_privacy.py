@@ -35,6 +35,34 @@ def test_pii_scrub_hand_checked(spark):
             r2.n_cards, r2.n_cards_luhn) == (0, 0, 0, 0, 0, 0)
 
 
+def test_ipv4_octet_range_and_documented_overmatch(spark):
+    """ADVICE r14: octets are range-checked (0-255, no leading
+    zeros), so long dotted numerics that are NOT addresses no longer
+    count; the one documented residue (a valid quad PREFIX of a
+    longer dotted numeric) still matches, by the recall-over-precision
+    choice in the module docstring."""
+    cases = [
+        ("v 999.999.999.999 x", 0, "v 999.999.999.999 x"),
+        ("v 256.1.2.3 x", 0, "v 256.1.2.3 x"),
+        ("v 192.168.01.1 x", 0, "v 192.168.01.1 x"),   # leading zero
+        ("v 0.0.0.0 x", 1, "v [IP] x"),
+        ("v 255.255.255.255 x", 1, "v [IP] x"),
+        # the documented over-match: version-string prefix redacts
+        ("v 1.2.3.4.5 x", 1, "v [IP].5 x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_ipv4 for r in
+           privacy.pii_scrub(df, "text", "doc_id").collect()}
+    clean = {r.doc_id: r.c for r in df.select(
+        "doc_id", privacy.scrub_text(F.col("text")).alias("c"))
+        .collect()}
+    for i, (_, n, want_clean) in enumerate(cases):
+        assert got[i] == n, (i, cases[i])
+        assert clean[i] == want_clean, (i, clean[i])
+
+
 def test_luhn_fold_known_numbers(spark):
     # classic test numbers: valid Visa/Amex-shaped 16-digit grids
     cases = [("4539-1488-0343-6467", True),
