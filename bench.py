@@ -124,6 +124,18 @@ def _cusum_suite(spark, sf_dir):
         order_break_col="event_id")
 
 
+def _acf_suite(spark, sf_dir):
+    # r16 candidate (round 15): per-user rank-lag autocorrelation —
+    # one corpus exchange, pure window aggregates, DECIMAL(38,0)
+    # accumulation
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.acf_milli(ev, "user_id", "ts", "value",
+                                lags=(1, 2, 4, 8), max_points=512,
+                                order_break_col="event_id")
+
+
 def _mmr_suite(spark, sf_dir):
     # r15 candidate: diversified top-k — quantize scan + one-row
     # probe broadcast + TakeOrdered pool + bounded driver greedy.
@@ -218,6 +230,18 @@ def _media_image_features_suite(spark, sf_dir):
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.image_features(
         multimodal.synth_media(ids, "doc_id", kind="bmp"))
+
+
+def _media_png_features_suite(spark, sf_dir):
+    # the r16 media_png_features candidate (round 15): executor-side
+    # PNG synthesis (filter cycles id % 5) -> CRC-verified chunk walk
+    # -> zlib inflate -> all-five-filter unfilter -> integer
+    # features, zero shuffles
+    from kafkadirect_spark.functions import multimodal
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_features(
+        multimodal.synth_media(ids, "doc_id", kind="png"))
 
 
 def _wordpiece_suite(spark, sf_dir):
@@ -599,6 +623,7 @@ def main() -> None:
         # round-trip feature pass (mapInPandas, zero shuffles)
         "contamination_spans": _contamination_spans_suite,
         "media_image_features": _media_image_features_suite,
+        "media_png_features": _media_png_features_suite,
         "media_audio_features": _media_audio_features_suite,
         # r14 addition: the registered-surface-ready y4m video
         # round-trip (mapInPandas, zero shuffles)
@@ -627,6 +652,7 @@ def main() -> None:
         "theil_sen": _theil_sen_suite,
         # r14 addition: sequential changepoint over per-user series
         "cusum_changepoint": _cusum_suite,
+        "acf": _acf_suite,
         # r14 addition: LOCF time-weighted average over the window
         "twap": _twap_suite,
         # r14 addition: MMR diversified retrieval over int8 dots

@@ -1,6 +1,7 @@
 """Real multimodal pipeline demo — the codec-free formats end to end:
-mint genuine WAV-PCM, µ-law Sun-AU, binary-PNM and 24-bit BMP
-payloads executor-side (functions/multimodal.py synth_media), then
+mint genuine WAV-PCM, µ-law Sun-AU, binary-PNM, 24-bit BMP and
+REAL PNG payloads (stdlib-zlib DEFLATE, round 15) executor-side
+(functions/multimodal.py synth_media), then
 run the REAL decode / feature-extract / block-mean-resize passes,
 all zero-shuffle mapInPandas over Arrow batches.
 
@@ -39,8 +40,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== image features (24-bit BMP, bottom-up BGR raster) ==")
     multimodal.image_features(bmp).orderBy("doc_id").show(10)
 
+    png = multimodal.synth_media(ids, "doc_id", kind="png")
+    print("== image features (PNG: CRC walk -> inflate -> unfilter) ==")
+    multimodal.image_features(png).orderBy("doc_id").show(10)
+
     print("== 2x block-mean resize (decode -> resample -> re-encode) ==")
-    multimodal.resize_images(img.unionByName(bmp), factor=2) \
+    multimodal.resize_images(img.unionByName(bmp).unionByName(png),
+                             factor=2) \
         .orderBy("doc_id").select("doc_id", "width", "height").show(10)
 
     print("== perceptual near-dup (aHash -> byte-band Hamming pairs) ==")

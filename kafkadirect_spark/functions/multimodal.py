@@ -9,11 +9,15 @@ integer G.711 µ-law expansion/compression (round 12), the FULL
 netpbm family P1-P6 (binary, ASCII and packed-bitmap rasters,
 sub-8-bit maxval normalization; round 12 widened P5/P6-only),
 uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up/top-down, row
-padding; round 12), and YUV4MPEG2 video (.y4m — parameter header,
-FRAME markers, planar mono/420*/422/444 luma; round 14) — decode,
-integer feature extraction, frame sampling, block-mean resize,
-re-encode all real — while compressed formats (JPEG/PNG/
-MP3/H.264; PIL/ffmpeg absent in this environment) remain behind
+padding; round 12), YUV4MPEG2 video (.y4m — parameter header,
+FRAME markers, planar mono/420*/422/444 luma; round 14), and REAL
+PNG (round 15 — the one compressed raster whose codec stack is
+entirely stdlib: zlib IS the DEFLATE layer; CRC-verified chunk walk,
+multi-IDAT inflate, all five scanline filters, 8-bit grey/truecolor
+non-interlaced) — decode, integer feature extraction, frame
+sampling, block-mean resize, re-encode all real — while
+transform-codec formats (JPEG/MP3/H.264; PIL/ffmpeg absent in this
+environment) remain behind
 ``decode_stub``: a clearly-marked deterministic fake that derives
 pseudo-metadata from the bytes, or raises NotImplementedError in
 ``strict`` mode where a real decoder is required.
@@ -184,8 +188,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 # WAVE with PCM samples (stdlib `wave` + struct) and binary PNM
 # images (P5 grayscale / P6 RGB — the netpbm formats, a trivial
 # header + raw bytes).  These paths are fully real — parse, decode to
-# arrays, feature-extract, resize — while compressed formats (JPEG/
-# PNG/MP3/H.264) keep the labeled stub.  Everything emitted is
+# arrays, feature-extract, resize — while transform-codec formats
+# (JPEG/MP3/H.264) keep the labeled stub (PNG graduated to a real
+# path in round 15: stdlib zlib is its whole compression layer).
+# Everything emitted is
 # integer-exact (sums, truncating means) so goldens replay anywhere.
 # ---------------------------------------------------------------------------
 
@@ -393,6 +399,179 @@ def decode_bmp(payload: bytes) -> dict:
             "channels": 3, "pixels": pixels}
 
 
+# --- PNG (ISO/IEC 15948, public): the one "compressed" raster whose
+# whole codec stack is STDLIB — zlib IS the DEFLATE layer — so unlike
+# JPEG/MP3/H.264 (which need external transform codecs and stay
+# labeled stubs) PNG is implementable REAL here (round 15): chunk
+# walk with CRC32 verification, multi-IDAT inflate, and the five
+# scanline filters (None/Sub/Up/Average/Paeth) applied/unfiltered
+# exactly per spec §9.  8-bit greyscale (color type 0) and truecolor
+# (type 2), non-interlaced; palette/alpha/16-bit/Adam7 raise labeled
+# NotImplementedError. ---
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4) — nearest of the left /
+    up / up-left neighbors to their linear estimate, ties resolved
+    left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, width: int, height: int, channels: int = 1,
+               filter_type: int = 0) -> bytes:
+    """Serialize 8-bit pixels (row-major, ``width·height·channels``
+    values) into a REAL PNG — greyscale (color type 0) or RGB
+    (type 2), every scanline filtered with ``filter_type`` (0 None /
+    1 Sub / 2 Up / 3 Average / 4 Paeth — one knob so the synth path
+    exercises every unfilter branch of any standards-compliant
+    reader, ours included); IDAT deflated with stdlib zlib.
+    Payloads built here open in any image viewer."""
+    import struct
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (grey) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel count != width*height*channels")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    bpp, stride = channels, width * channels
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = bytes(pixels[y * stride:(y + 1) * stride])
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        else:
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = b
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                raw.append((row[x] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       0 if channels == 1 else 2, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decode of a PNG payload: signature check, chunk walk with
+    per-chunk CRC32 VERIFICATION (corruption fails loudly, never
+    decodes garbage), multi-IDAT concatenation, zlib inflate, and
+    exact unfiltering of all five scanline filter types — so
+    standards-compliant output from ANY encoder (whatever filters it
+    chose per row) decodes here, not just our own.  Ancillary chunks
+    are skipped.  8-bit grey/truecolor non-interlaced only:
+    palette/alpha color types, other bit depths and Adam7 interlace
+    raise NotImplementedError (labeled).  Returns pixels as a flat
+    row-major list."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos < len(payload):
+        if len(payload) - pos < 12:
+            raise ValueError("truncated PNG chunk")
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) != ln or len(payload) - pos < 12 + ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                f"PNG chunk CRC mismatch in {tag.decode('latin1')}")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+            break
+    if ihdr is None or not ended or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not wired")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not wired (8 only)")
+    if color not in (0, 2):
+        raise NotImplementedError(
+            f"PNG color type {color} not wired (grey/truecolor only)")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    bpp = 1 if color == 0 else 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+    pixels: list[int] = []
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        pixels += list(line)
+        prior = bytes(line)
+    return {"codec": "png", "width": width, "height": height,
+            "channels": bpp, "pixels": pixels}
+
+
+def resize_png(payload: bytes, factor: int) -> bytes:
+    """REAL image downsample for PNG payloads: decode → block-mean
+    resample → re-encode (filter 0) — the PNM/BMP resize contract on
+    the PNG container."""
+    d = decode_png(payload)
+    out, ow, oh = _block_mean(d["pixels"], d["width"], d["height"],
+                              d["channels"], factor)
+    return encode_png(out, ow, oh, channels=d["channels"])
+
+
 # --- Sun AU audio: 24-byte big-endian header + raw samples.  µ-law
 # decode/encode are the exact G.711 integer formulas — no codec
 # library, no floats, replayable anywhere. ---
@@ -485,12 +664,14 @@ def decode_au(payload: bytes) -> dict:
 
 def sniff_media(payload: bytes) -> str | None:
     """Container sniff by magic bytes: 'wav' / 'au' / 'pnm' / 'bmp' /
-    'y4m' for the real decoder paths, None for everything else (stub
-    territory)."""
+    'png' / 'y4m' for the real decoder paths, None for everything
+    else (stub territory)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     if payload[:4] == _AU_MAGIC:
         return "au"
     if (payload[:1] == b"P" and payload[1:2] in b"123456"
@@ -555,8 +736,9 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """REAL image feature extraction over PNM (full P1-P6 family) and
-    24-bit BMP payloads (round 12) (mapInPandas, zero shuffles):
+    """REAL image feature extraction over PNM (full P1-P6 family),
+    24-bit BMP (round 12) and 8-bit grey/truecolor PNG (round 15)
+    payloads (mapInPandas, zero shuffles):
     ``(doc_id, width, height, channels, mean_milli, min_px, max_px)``
     with the mean as a truncating ×1000 integer.  Other payloads emit
     nothing."""
@@ -578,9 +760,10 @@ def image_features(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 kind = sniff_media(b)
-                if kind not in ("pnm", "bmp"):
+                if kind not in ("pnm", "bmp", "png"):
                     continue
-                d = decode_pnm(b) if kind == "pnm" else decode_bmp(b)
+                d = {"pnm": decode_pnm, "bmp": decode_bmp,
+                     "png": decode_png}[kind](b)
                 px = d["pixels"]
                 rows.append({
                     "doc_id": doc_id,
@@ -663,6 +846,9 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                 elif kind == "bmp":
                     rb = resize_bmp(b, factor)
                     d = decode_bmp(rb)
+                elif kind == "png":
+                    rb = resize_png(b, factor)
+                    d = decode_png(rb)
                 else:
                     continue
                 rows.append({"doc_id": doc_id, "payload": rb,
@@ -688,9 +874,9 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
     ])
-    if kind not in ("wav", "pnm", "au", "bmp", "y4m"):
+    if kind not in ("wav", "pnm", "au", "bmp", "png", "y4m"):
         raise ValueError(
-            "kind must be 'wav', 'au', 'pnm', 'bmp' or 'y4m'")
+            "kind must be 'wav', 'au', 'pnm', 'bmp', 'png' or 'y4m'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -724,6 +910,16 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                         px = [((x * 7 + y * 13 + i) % 256)
                               for y in range(h) for x in range(w)]
                         payload = encode_pnm(px, w, h)
+                    elif kind == "png":
+                        # same gradient as pnm; the filter cycles
+                        # through ALL FIVE scanline filters across
+                        # ids, so a corpus round-trip exercises every
+                        # unfilter branch (the oracle replays only
+                        # the pixel math — filters must cancel)
+                        px = [((x * 7 + y * 13 + i) % 256)
+                              for y in range(h) for x in range(w)]
+                        payload = encode_png(px, w, h,
+                                             filter_type=i % 5)
                     else:
                         px = [((x * 7 + y * 13 + i + ch * 41) % 256)
                               for y in range(h) for x in range(w)
@@ -789,18 +985,20 @@ def synth_image_features_oracle_sql(kind: str = "pnm",
                                     table: str = "documents",
                                     id_col: str = "doc_id") -> str:
     """DuckDB replay of ``image_features(synth_media(df, id,
-    kind))`` for kind ∈ {'pnm', 'bmp'}: the gradient-pattern pixel
-    synthesis and the integer features — the raster container
-    (P5 header+raw / BMP bottom-up BGR padded rows) is exercised on
-    the ENGINE side only, so a match proves the image encode/decode
-    round-trip."""
-    if kind not in ("pnm", "bmp"):
-        raise ValueError("kind must be 'pnm' or 'bmp'")
-    channels = 1 if kind == "pnm" else 3
-    pix = ("(x * 7 + y * 13 + i) % 256" if kind == "pnm"
-           else "(x * 7 + y * 13 + i + ch * 41) % 256")
-    ch_src = ("" if kind == "pnm"
-              else ", (SELECT unnest(generate_series(0, 2)) AS ch)")
+    kind))`` for kind ∈ {'pnm', 'bmp', 'png'}: the gradient-pattern
+    pixel synthesis and the integer features — the raster container
+    (P5 header+raw / BMP bottom-up BGR padded rows / PNG
+    CRC-verified chunks + zlib inflate + the per-id scanline filter)
+    is exercised on the ENGINE side only, so a match proves the
+    image encode/decode round-trip (for PNG, across all five filter
+    types — the synth cycles ``filter_type = id % 5``)."""
+    if kind not in ("pnm", "bmp", "png"):
+        raise ValueError("kind must be 'pnm', 'bmp' or 'png'")
+    channels = 3 if kind == "bmp" else 1
+    pix = ("(x * 7 + y * 13 + i + ch * 41) % 256" if kind == "bmp"
+           else "(x * 7 + y * 13 + i) % 256")
+    ch_src = (", (SELECT unnest(generate_series(0, 2)) AS ch)"
+              if kind == "bmp" else "")
     return f"""
     WITH ids AS (SELECT DISTINCT {id_col} AS i FROM {table}),
     dims AS (SELECT i, 16 + (i % 17) AS w, 12 + (i % 13) AS h
@@ -872,9 +1070,10 @@ def phash64(pixels, width: int, height: int, channels: int):
 
 def image_phash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash per image payload (PNM family / 24-bit
-    BMP — the real decoders), zero shuffles: ``(doc_id, phash_hi,
-    phash_lo, n_ones)``.  Non-image payloads and rasters smaller than
-    8×8 emit nothing (same skip contract as ``image_features``)."""
+    BMP / 8-bit PNG — the real decoders), zero shuffles: ``(doc_id,
+    phash_hi, phash_lo, n_ones)``.  Non-image payloads and rasters
+    smaller than 8×8 emit nothing (same skip contract as
+    ``image_features``)."""
     import pandas as pd
 
     out_schema = StructType([
@@ -890,9 +1089,10 @@ def image_phash(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 kind = sniff_media(b)
-                if kind not in ("pnm", "bmp"):
+                if kind not in ("pnm", "bmp", "png"):
                     continue
-                d = decode_pnm(b) if kind == "pnm" else decode_bmp(b)
+                d = {"pnm": decode_pnm, "bmp": decode_bmp,
+                     "png": decode_png}[kind](b)
                 if d["width"] < 8 or d["height"] < 8:
                     continue
                 hi, lo = phash64(d["pixels"], d["width"], d["height"],
@@ -954,11 +1154,11 @@ def synth_phash_pairs_oracle_sql(kind: str = "pnm",
     means → threshold bits → 32-bit halves → byte bands → bucket
     pairs → bit_count(xor) Hamming — a green row proves the raster
     container round-trip AND the whole perceptual-dedup pipeline."""
-    if kind not in ("pnm", "bmp"):
-        raise ValueError("kind must be 'pnm' or 'bmp'")
+    if kind not in ("pnm", "bmp", "png"):
+        raise ValueError("kind must be 'pnm', 'bmp' or 'png'")
     if not 0 <= max_hamming < 8:
         raise ValueError("max_hamming must be in [0, 8)")
-    if kind == "pnm":
+    if kind in ("pnm", "png"):              # same greyscale gradient
         gray = "(x * 7 + y * 13 + i) % 256"
         gsrc = ""
     else:

@@ -706,3 +706,169 @@ def twap_oracle_sql(t0: str, t1: str,
              AS twap_milli
     FROM held GROUP BY g
     """
+
+
+def acf_milli(events: DataFrame, group_col: str, ts_col: str,
+              value_col: str, lags=(1, 2, 4, 8),
+              max_points: int = 512,
+              order_break_col: str | None = None) -> DataFrame:
+    """Per-group sample autocorrelation at the requested rank lags
+    (Box & Jenkins 1970's ACF, public; round 15) — the periodicity
+    question no other operator here asks: theil_sen fits a TREND,
+    cusum_changepoint localizes a LEVEL SHIFT, sax_pairs clusters
+    SHAPES across groups; the ACF answers "does this metric echo
+    itself L steps later" (alternation → acf(1) ≈ −1000, a period-L
+    cycle → a positive spike at lag L).
+
+    Integerized and replayable: values quantize to milli-units, the
+    series order is the (ts, v, tiebreak) rank (RANK lags, not
+    wall-clock lags — deliberate: the estimator stays defined under
+    irregular sampling, and the choice is documented rather than
+    silently resampled; use `twap_milli`/`paa_profiles` first for a
+    wall-clock-regular view), and::
+
+        acf(L) = Σ_{i≤n−L} (n·v_i − s)(n·v_{i+L} − s)
+               / Σ_{i≤n}   (n·v_i − s)²
+
+    (s = Σv — scaling the deviations by n clears the fractional mean;
+    the n² factors cancel).  ``acf_milli`` is the truncating ×1000
+    integer with the SIGN split out before division (both engines
+    divide non-negative integers — no floor-vs-trunc divergence on
+    negative correlations).  Accumulation runs in DECIMAL(38,0)
+    (HUGEINT oracle-side): the summed squared deviations overflow
+    BIGINT past ~10⁹ milli-deviations, the basket_pairs lesson; safe
+    to |v_milli| ~ 10¹² at the default cap.
+
+    ``max_points`` caps each group at its first ``max_points`` points
+    in rank order (the theil_sen envelope — a loud, documented
+    window, not a silent truncation; the oracle replays it).
+    Constant groups (zero variance) are excluded — the ratio is
+    undefined; lags ≥ a group's point count emit nothing.
+
+    Returns ``(group_col, lag, n_points, n_pairs, acf_milli)``.
+
+    Scale shape: ONE corpus exchange end to end, plan-pinned — the
+    rank cap, the lead windows, the group stats (count/sum/den as
+    whole-partition window aggregates — deliberately NOT a groupBy +
+    self-join, which would re-scan the input once per consumer) and
+    the final (g, lag) aggregate all share the one hash(g)
+    partitioning (a group's own row count bounds every task-local
+    sort; test_timeseries.py pins exchanges ≤ 1).  No global window,
+    no join, no collect.
+
+    Reference analogue: none (SURVEY.md §2 — no sequential-statistics
+    surface); beyond-parity monitoring machinery beside
+    cusum/theil_sen/twap.
+    """
+    from pyspark.sql import Window
+
+    lag_list = sorted({int(x) for x in lags})
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError("lags must be positive integers")
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    brk = order_break_col or value_col
+    pts = (events
+           .filter(F.col(group_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+           .select(F.col(group_col).alias("g"),
+                   F.col(ts_col).alias("t"),
+                   F.floor(F.col(value_col) * 1000).cast("long")
+                   .alias("v"),
+                   F.col(brk).alias("__brk")))
+    wr = Window.partitionBy("g").orderBy("t", "v", "__brk")
+    kept = (pts.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= max_points)
+            .select("g", "v", "__rn"))
+    # everything below is WINDOW aggregates over the same hash(g)
+    # partitioning — no self-join, so the group stats / deviations /
+    # den all ride the one rank-window exchange
+    wg = Window.partitionBy("g")
+    wl = Window.partitionBy("g").orderBy("__rn")
+    base = kept.select(
+        "g", "v",
+        F.count(F.lit(1)).over(wg).alias("__n"),
+        F.sum("v").over(wg).alias("__s"),
+        *[F.lead("v", L).over(wl).alias(f"__l{L}") for L in lag_list])
+    dev = (F.col("__n") * F.col("v") - F.col("__s")) \
+        .cast("decimal(38,0)")
+    base = (base.withColumn("__d", dev)
+            .withColumn("__den",
+                        F.sum(F.col("__d") * F.col("__d")).over(wg)))
+    arr = F.array(*[
+        F.struct(F.lit(L).alias("lag"), F.col(f"__l{L}").alias("lv"))
+        for L in lag_list])
+    ex = (base.select("g", "__n", "__s", "__d", "__den",
+                      F.explode(arr).alias("p"))
+          .filter(F.col("p.lv").isNotNull()))
+    devl = (F.col("__n") * F.col("p.lv") - F.col("__s")) \
+        .cast("decimal(38,0)")
+    num = (ex.groupBy("g", F.col("p.lag").alias("lag"))
+           .agg(F.sum(F.col("__d") * devl).alias("__num"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.max("__den").alias("__den"),
+                F.max("__n").cast("long").alias("n_points")))
+    sign = F.when(F.col("__num") < 0, F.lit(-1)).otherwise(F.lit(1))
+    mag = F.expr("CAST(CAST(1000 AS DECIMAL(38,0)) * abs(__num) "
+                 "DIV __den AS LONG)")
+    return (num.filter(F.col("__den") > 0)
+            .select(F.col("g").alias(group_col), "lag", "n_points",
+                    "n_pairs",
+                    (sign * mag).cast("long").alias("acf_milli")))
+
+
+def acf_oracle_sql(group_col: str = "event_type",
+                   lags=(1, 2, 4, 8), max_points: int = 512,
+                   table: str = "events", ts_col: str = "ts",
+                   value_col: str = "value",
+                   order_break_col: str | None = None) -> str:
+    """DuckDB replay of ``acf_milli`` — identical rank order and cap,
+    n-scaled integer deviations, HUGEINT accumulation, the sign split
+    and truncating non-negative division.  Ordering uses the RAW
+    timestamp (no epoch arithmetic — the >=1970 caveat does not
+    apply)."""
+    lag_list = sorted({int(x) for x in lags})
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError("lags must be positive integers")
+    brk = order_break_col or value_col
+    vals = ", ".join(f"({L})" for L in lag_list)
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g, {ts_col} AS t,
+             CAST(floor({value_col} * 1000) AS BIGINT) AS v,
+             {brk} AS brk
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        AND {value_col} IS NOT NULL),
+    kept AS (
+      SELECT g, v, rn
+      FROM (SELECT g, v,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY t, v, brk) AS rn
+            FROM pts)
+      WHERE rn <= {max_points}),
+    st AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+           FROM kept GROUP BY g),
+    dv AS (
+      SELECT k.g, k.rn,
+             (st.n::HUGEINT * k.v - st.s)::HUGEINT AS d, st.n
+      FROM kept k JOIN st ON st.g = k.g),
+    den AS (SELECT g, SUM(d * d)::HUGEINT AS den,
+                   MAX(n)::BIGINT AS n_points
+            FROM dv GROUP BY g),
+    num AS (
+      SELECT a.g, l.lag, SUM(a.d * b.d)::HUGEINT AS num,
+             COUNT(*)::BIGINT AS n_pairs
+      FROM dv a
+      JOIN (VALUES {vals}) l(lag) ON TRUE
+      JOIN dv b ON b.g = a.g AND b.rn = a.rn + l.lag
+      GROUP BY a.g, l.lag)
+    SELECT num.g AS {group_col}, num.lag::INTEGER AS lag,
+           den.n_points, num.n_pairs,
+           ((CASE WHEN num.num < 0 THEN -1 ELSE 1 END)
+            * ((1000::HUGEINT * abs(num.num)) // den.den))::BIGINT
+             AS acf_milli
+    FROM num JOIN den ON den.g = num.g
+    WHERE den.den > 0
+    """

@@ -1514,17 +1514,19 @@ def test_synth_audio_features_oracle_matches_engine(spark, docs):
 
 
 def test_synth_image_features_oracle_matches_engine(spark, docs):
-    """Engine (synth_media → image_features through the REAL P5 and
-    24-bit BMP containers) == the DuckDB replay of the gradient
-    synthesis + feature math, for BOTH rasters.  Registration-ready
-    for r13."""
+    """Engine (synth_media → image_features through the REAL P5,
+    24-bit BMP and PNG containers) == the DuckDB replay of the
+    gradient synthesis + feature math, for ALL THREE rasters (png
+    added round 15 — its synth cycles filter_type = id % 5, so the
+    match proves every unfilter branch).  pnm/bmp registered; png is
+    a registration candidate for r16."""
     import duckdb
 
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
-    for kind in ("pnm", "bmp"):
+    for kind in ("pnm", "bmp", "png"):
         img = multimodal.synth_media(docs.select("doc_id"), "doc_id",
                                      kind=kind)
         eng = sorted(tuple(r)
@@ -1979,7 +1981,7 @@ def test_phash_pairs_oracle_matches_engine(spark, docs):
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
     base = docs.select("doc_id")
-    for kind in ("pnm", "bmp"):
+    for kind in ("pnm", "bmp", "png"):
         pairs = multimodal.phash_pairs(
             multimodal.image_phash(
                 multimodal.synth_media(base, "doc_id", kind=kind)),
@@ -2135,3 +2137,176 @@ def test_y4m_roundtrip_property(w, h, nf, num, den, seed):
     assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
     assert (d["fps_num"], d["fps_den"]) == (num, den)
     assert d["frames"] == frames
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 15): the REAL compressed-raster path — stdlib zlib is
+# the whole DEFLATE layer, so the codec is implementable here with no
+# external library: CRC-verified chunk walk, multi-IDAT inflate, all
+# five scanline filters.
+# ---------------------------------------------------------------------------
+
+
+def test_png_round_trip_all_filters_and_sniff():
+    """encode_png → decode_png is the identity for grey and RGB under
+    every filter type; the magic sniffs as 'png'."""
+    import random
+
+    rng = random.Random(151)
+    for ch in (1, 3):
+        for ft in range(5):
+            w, h = rng.randrange(1, 40), rng.randrange(1, 30)
+            px = [rng.randrange(256) for _ in range(w * h * ch)]
+            p = multimodal.encode_png(px, w, h, channels=ch,
+                                      filter_type=ft)
+            assert multimodal.sniff_media(p) == "png"
+            d = multimodal.decode_png(p)
+            assert (d["codec"], d["width"], d["height"],
+                    d["channels"]) == ("png", w, h, ch)
+            assert d["pixels"] == px, (ch, ft)
+    with pytest.raises(ValueError, match="filter_type"):
+        multimodal.encode_png([0], 1, 1, filter_type=5)
+    with pytest.raises(ValueError, match="channels"):
+        multimodal.encode_png([0, 0], 1, 1, channels=2)
+    with pytest.raises(ValueError, match="pixel count"):
+        multimodal.encode_png([0, 0], 1, 1)
+
+
+def test_png_decoder_handles_foreign_encoders():
+    """A standards-compliant PNG our encoder could NOT have written —
+    per-ROW varying filter types, the IDAT split across two chunks,
+    and an ancillary tEXt chunk in between structure — must decode
+    exactly.  The file is built IN-TEST from the spec formulas
+    (independent construction, nothing imported from the module), so
+    this pins the decoder against the spec rather than against our
+    own writer."""
+    import struct
+    import zlib
+
+    w, h, ch = 5, 6, 3
+    bpp, stride = ch, w * ch
+    pixels = [(x * 31 + y * 17 + c * 7) % 256
+              for y in range(h) for x in range(w) for c in range(ch)]
+    filters = [0, 1, 2, 3, 4, 3]            # one row per filter type
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        row = bytes(pixels[y * stride:(y + 1) * stride])
+        ft = filters[y]
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:                            # spec §9.4 Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c))
+            raw.append((row[x] - pred) & 0xFF)
+        prior = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    z = zlib.compress(bytes(raw), 9)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2,
+                                            0, 0, 0))
+               + chunk(b"tEXt", b"Comment\x00spec-built")  # skipped
+               + chunk(b"IDAT", z[:7]) + chunk(b"IDAT", z[7:])
+               + chunk(b"IEND", b""))
+    d = multimodal.decode_png(payload)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == pixels
+
+
+def test_png_crc_verification_and_labeled_stubs():
+    """Corruption fails LOUDLY (CRC mismatch, truncation, bad filter
+    bytes — never silent garbage); the out-of-scope shapes (16-bit,
+    palette/alpha, Adam7) raise labeled NotImplementedError."""
+    import struct
+    import zlib
+
+    good = multimodal.encode_png([9, 8, 7, 6], 2, 2)
+    # flip one IDAT payload byte: the chunk CRC must catch it
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(good[:-6])
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"P5 2 2 255 junk")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        multimodal.decode_png(good[:8])
+
+    def mk(depth=8, color=0, interlace=0, raw=None, w=2, h=2):
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+        raw = raw if raw is not None else bytes([0, 1, 2, 0, 3, 4])
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                             color, 0, 0, interlace))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_png(mk(depth=16))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        multimodal.decode_png(mk(color=3))
+    with pytest.raises(NotImplementedError, match="color type 6"):
+        multimodal.decode_png(mk(color=6))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        multimodal.decode_png(mk(interlace=1))
+    with pytest.raises(ValueError, match="bad PNG filter type"):
+        multimodal.decode_png(mk(raw=bytes([7, 1, 2, 0, 3, 4])))
+    with pytest.raises(ValueError, match="raster size"):
+        multimodal.decode_png(mk(raw=bytes([0, 1, 2])))
+
+
+def test_png_features_phash_resize_compose(spark, docs):
+    """The PNG path composes into every image consumer exactly like
+    PNM/BMP: synth → image_features matches a local decode replay,
+    image_phash emits for ≥8×8 rasters, and resize_images halves the
+    dims with a PNG re-encode (block-mean parity with the PNM resize
+    on identical pixels)."""
+    base = docs.select("doc_id").limit(40)
+    img = multimodal.synth_media(base, "doc_id", kind="png")
+    feats = {r.doc_id: r for r in
+             multimodal.image_features(img).collect()}
+    local = {r.doc_id: multimodal.decode_png(bytes(r.payload))
+             for r in img.collect()}
+    assert set(feats) == set(local) and len(feats) == 40
+    for i, d in local.items():
+        px = d["pixels"]
+        f = feats[i]
+        assert (f.width, f.height, f.channels) == (
+            d["width"], d["height"], 1)
+        assert f.mean_milli == 1000 * sum(px) // len(px)
+        assert (f.min_px, f.max_px) == (min(px), max(px))
+    hashes = multimodal.image_phash(img)
+    assert hashes.count() == 40              # all synth rasters ≥ 8×8
+    rz = {r.doc_id: r for r in
+          multimodal.resize_images(img, factor=2).collect()}
+    for i, d in local.items():
+        r = rz[i]
+        assert (r.width, r.height) == (-(-d["width"] // 2),
+                                       -(-d["height"] // 2))
+        rd = multimodal.decode_png(bytes(r.payload))
+        # block-mean parity with the PNM resize on the same pixels
+        pd = multimodal.decode_pnm(multimodal.resize_pnm(
+            multimodal.encode_pnm(d["pixels"], d["width"],
+                                  d["height"]), 2))
+        assert rd["pixels"] == pd["pixels"]

@@ -691,3 +691,159 @@ def test_twap_plan_is_bounded(spark):
     assert "CartesianProduct" not in plan
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "g#" in spec, f"unpartitioned window: {spec}"
+
+
+# ---------------------------------------------------------------------------
+# acf_milli (round 15): per-group rank-lag autocorrelation.
+
+
+def test_acf_hand_checked(spark):
+    # alternating 0/1 series, n=4: n-scaled devs are ∓2000, so
+    # den = 4·2000², num(1) = 3 pairs of opposite sign → -750
+    # (the classical biased estimator divides by the FULL-series
+    # den, so finite alternation reads -750, not -1000), and
+    # num(2) = 2 same-sign pairs → +500
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i % 2), "{}") for i in range(4)]
+    out = {(r.event_type, r.lag): r for r in timeseries.acf_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        lags=(1, 2), order_break_col="event_id").collect()}
+    assert out[("x", 1)].acf_milli == -750
+    assert out[("x", 1)].n_pairs == 3
+    assert out[("x", 2)].acf_milli == 500
+    assert out[("x", 2)].n_pairs == 2
+    assert out[("x", 1)].n_points == 4
+    # a constant group has zero variance: excluded, not divided by 0
+    const = [(10 + i, dt.datetime(2024, 1, 1, 0, 1, i), 1, "c",
+              7.0, "{}") for i in range(5)]
+    got = timeseries.acf_milli(
+        _events(spark, rows + const), "event_type", "ts", "value",
+        lags=(1,), order_break_col="event_id").collect()
+    assert {r.event_type for r in got} == {"x"}
+    # lags >= the group's point count emit nothing
+    assert timeseries.acf_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        lags=(9,), order_break_col="event_id").count() == 0
+    with pytest.raises(ValueError, match="lags"):
+        timeseries.acf_milli(_events(spark, rows), "event_type",
+                             "ts", "value", lags=(0,))
+    with pytest.raises(ValueError, match="max_points"):
+        timeseries.acf_milli(_events(spark, rows), "event_type",
+                             "ts", "value", max_points=1)
+
+
+def test_acf_periodicity_detection(spark):
+    """The design claim: a clean period-5 cycle spikes positive at
+    lag 5 and reads negative at the half-period offsets."""
+    cyc = [0.0, 10.0, 20.0, 10.0, 0.0]
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=i), 1, "p", cyc[i % 5], "{}")
+            for i in range(40)]
+    out = {r.lag: r.acf_milli for r in timeseries.acf_milli(
+        _events(spark, rows), "event_type", "ts", "value",
+        lags=(1, 2, 3, 5), order_break_col="event_id").collect()}
+    assert out[5] > 800                      # the cycle echoes
+    # (the classical biased estimator keeps the full-series den,
+    # so 8 clean cycles over 40 points read ~0.875, not 1.0)
+    assert out[5] > out[1] > out[2]          # and dominates
+    assert out[2] < 0 and out[3] < 0         # anti-phase offsets
+
+
+def _py_acf(vals, lags):
+    """Independent model: exact integer replay of the n-scaled
+    estimator with the sign/magnitude split."""
+    n, s = len(vals), sum(vals)
+    d = [n * v - s for v in vals]
+    den = sum(x * x for x in d)
+    out = {}
+    for L in lags:
+        pairs = [(d[i], d[i + L]) for i in range(n - L)] if L < n else []
+        if not pairs or den == 0:
+            continue
+        num = sum(a * b for a, b in pairs)
+        sign = -1 if num < 0 else 1
+        out[L] = (len(pairs), sign * (1000 * abs(num) // den))
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 50),            # second offset
+              st.integers(-40, 40),          # integral value
+              st.sampled_from(["a", "b"])),  # group
+    min_size=1, max_size=40))
+def test_acf_matches_python_model(spark, rows):
+    data = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=s), 1, g, float(v), "{}")
+            for i, (s, v, g) in enumerate(rows)]
+    lags = (1, 2, 7)
+    got = {(r.event_type, r.lag):
+           (r.n_points, r.n_pairs, r.acf_milli)
+           for r in timeseries.acf_milli(
+               _events(spark, data), "event_type", "ts", "value",
+               lags=lags, order_break_col="event_id").collect()}
+    want = {}
+    for g in {g for _, _, g in rows}:
+        pts = sorted(
+            (dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=s), v * 1000, i)
+            for i, (s, v, gg) in enumerate(rows) if gg == g)
+        vals = [v for _, v, _ in pts]
+        for L, (np_, am) in _py_acf(vals, lags).items():
+            want[(g, L)] = (len(vals), np_, am)
+    assert got == want
+
+
+def test_acf_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real events per event_type and per
+    200-user slice.  Registration candidate for r16."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = sorted(tuple(r) for r in timeseries.acf_milli(
+        ev, "event_type", "ts", "value",
+        order_break_col="event_id").collect())
+    got = sorted(con.sql(timeseries.acf_oracle_sql(
+        "event_type", order_break_col="event_id")).fetchall())
+    assert got == eng and len(eng) == 20      # 5 types × 4 lags
+    eng_u = sorted(tuple(r) for r in timeseries.acf_milli(
+        ev.filter(F.col("user_id") < 200), "user_id", "ts", "value",
+        lags=(1, 3), max_points=64,
+        order_break_col="event_id").collect())
+    con.execute("CREATE VIEW ev_slice AS SELECT * FROM events "
+                "WHERE user_id < 200")
+    got_u = sorted(con.sql(timeseries.acf_oracle_sql(
+        "user_id", lags=(1, 3), max_points=64, table="ev_slice",
+        order_break_col="event_id")).fetchall())
+    assert got_u == eng_u and len(eng_u) >= 10
+
+
+def test_acf_plan_is_bounded(spark):
+    """Every window is group-partitioned, joins are group-keyed (no
+    cartesian product), and the whole estimator pays ONE corpus
+    exchange — the rank window's; the stats/den/num aggregates and
+    the final join all reuse its partitioning."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i % 3), "{}") for i in range(8)]
+    out = timeseries.acf_milli(_events(spark, rows), "event_type",
+                               "ts", "value", lags=(1, 2))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "g#" in spec, f"unpartitioned window: {spec}"
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 1, f"{n_ex} exchanges:\n{plan[:2000]}"

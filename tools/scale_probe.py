@@ -952,6 +952,26 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             _replicate_events(docs), "user_id", "ts", "value",
             "2024-01-01", "2024-01-31", order_break_col="event_id")
 
+    def probe_png_features(docs):
+        # PNG synth (filter cycles id % 5) -> CRC walk -> inflate ->
+        # unfilter -> integer features: zero-shuffle mapInPandas both
+        # ways, wall should be id-count linear like video_features
+        from kafkadirect_spark.functions import multimodal
+        return multimodal.image_features(
+            multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                   kind="png"))
+
+    def probe_acf(docs):
+        # rank-lag autocorrelation: ONE corpus exchange (the rank
+        # window), everything downstream is window aggregates over
+        # the same hash(g) partitioning — organic user growth keeps
+        # the per-user sort task-local, wall should track the scan
+        from kafkadirect_spark.functions import timeseries
+        return timeseries.acf_milli(
+            _replicate_events(docs), "user_id", "ts", "value",
+            lags=(1, 2, 4, 8), max_points=512,
+            order_break_col="event_id")
+
     def probe_pii(docs):
         # regex redaction + Luhn fold: all row-local Catalyst
         # expressions, wall should be scan-bound
@@ -994,6 +1014,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "cusum": probe_cusum,
               "twap": probe_twap,
               "video_features": probe_video_features,
+              "png_features": probe_png_features,
+              "acf": probe_acf,
               "pii": probe_pii,
               "basket": probe_basket,
               "kmv_matrix": probe_kmv_matrix,
