@@ -29,54 +29,59 @@ from kafkadirect_spark.plans import analytics_queries  # noqa: F401  (registers 
 # (c) near-duplicate query shapes should be consolidated or retired
 # rather than accumulated.
 #
-# r14 executes the rotation the r13 tripwire prescribed (the 12
-# r10-dated leftovers front, verbatim) and registers SEVEN queries —
-# the r13 plan's deferred pool plus the two r13 library-level
-# operators the VERDICT requires at the driver by r15 (all with
-# oracle generators pytest-pinned engine==oracle in round 13 or
-# earlier), one per operator family for claim diversity:
-# media_audio_features (real WAV/PCM16 round-trip — the audio twin
-# of the D13-green media_image_features), path_topk (consecutive
-# event-type path mining; + _GLOBAL_WINDOW_OK for the ≤k-row rank
-# window), graph_triangles (exact triangle census over the SELECTIVE
-# registered MinHash-LSH pair surface, composing
-# _MINHASH_PAIRS_ORACLE verbatim as its edge CTE; + _BNLJ_OK for the
-# one-row census cross-joins — the simhash surface is 2.4M edges at
-# sf0.1 and stays bench-only, and local_clustering stays
-# library-level under the "at most one" rule), dedup_exactsubstr_incr
-# (index-membership incremental ExactSubstr over the D13-green
-# machinery), theil_sen (robust median-slope trend, Sen 1968 — the
-# freshest hypothesis pin of the r13 trio), contamination_spans
-# (span-level leakage, Brown/Chowdhery measure) and
-# attribution_last_touch (last-touch credit assignment; + _BNLJ_OK
-# for the one-row total broadcast) — and RETIRES ONE shape under
-# item c, the r13 plan's named 1:1 pairing: contamination_report
-# (→ contamination_spans strictly extends its gram-count claim at
-# the same membership machinery; first green row landed D13, so the
-# report→spans handoff loses no driver evidence).  Every retired
-# OPERATOR stays in the library with its pytest goldens.
-# N = 167 (161 + 7 − 1); horizon stays 3 (151..200 band).
-# weighted_quantiles(/by_lang) stays deferred (oracle-ready, no slot
-# pressure — the decile family already carries a driver-green
-# grouped-quantile claim).
+# r15 executes the rotation the r14 tripwire prescribed (the 20
+# r11-dated leftovers front, verbatim) and registers SIX queries —
+# the r14 plan's pre-scheduled pool (all with oracle generators
+# pytest-pinned engine==oracle in round 14 or earlier), one per
+# operator family for claim diversity: pii_scrub (regex redaction +
+# integer Luhn validity over Catalyst-synthesized injections; the
+# regex-FREE arithmetic oracle proves the engine's regexes end to
+# end), media_video_features (real YUV4MPEG2 round-trip with
+# integer scene-cut localization — completes the driver-verified
+# image/audio/video container triad), cusum_changepoint (Page's
+# sequential changepoint via the prefix-sum closed form — the
+# when-did-it-shift claim theil_sen's trend fit and value_drift's
+# distribution compare cannot make), twap (LOCF time-weighted mean —
+# the irregular-sampling claim user_moving_avg's row-window mean
+# cannot make), basket_pairs (unordered co-membership support/lift
+# over order baskets — the relational market-basket claim, judged
+# more distinct than mmr_diversify vs the existing retrieval family;
+# + _BNLJ_OK one-row basket-count broadcast and _GLOBAL_WINDOW_OK
+# ≤k-row rank window), and weighted_quantiles (the weighted-order-
+# statistics claim deferred since r12 — "the median TOKEN lives in a
+# doc of length X", not the row-count quantile) — and RETIRES ONE
+# shape under item c, the r14 plan's named 1:1 pairing:
+# pii_redaction (→ pii_scrub strictly extends its email/SSN/phone
+# masking+counting claim with card shape, the Luhn split, IPv4,
+# per-kind counts and the regex-free oracle).  mmr_diversify stays
+# library-level this round (oracle-pinned, r16 pool);
+# graph_local_clustering stays library-level PERMANENTLY under the
+# "at most one" rule — DECISION RECORDED (VERDICT r14 item 5): the
+# driver-green census already proves the orientation / wedge /
+# closure machinery and the per-node variant shares its entire edge
+# surface, so a per-node row would re-prove the same claim at a
+# recurring window cost; it keeps its goldens and bench fingerprint.
+# Every retired OPERATOR stays in the library with its pytest
+# goldens.  N = 172 (167 + 6 − 1); horizon stays 3 (151..200 band).
 #
-# PAYDOWN MATH, recomputed at N=167 (supersedes the r13 note): the
+# PAYDOWN MATH, recomputed at N=172 (supersedes the r14 note): the
 # horizon-3 capacity bound needs every pool older than upcoming−3 to
-# drain through the window on schedule.  Pools after r14's artifact
-# lands: 20 r11-dated leftovers (mandatory at r15 — 18 by rotation
-# plus the two fill slots the rule-2 media re-verifications took),
-# 50 r12, 48 r13 (the two media rows move to r14), 50 r14.  r15: 20
-# mandatory + ~5 new registrations + 25 r12 fill → 25 r12 left at
-# r16; r16: 25 + ~5 + 20 r13 fill → 28 r13 left; the train keeps
-# moving as long as (oldest pool) + (new) ≤ 50.  Tightening to
-# horizon 2 stays mathematically false while three trailing pools
-# exist (20 + 50 > 50 at r15).  Decision standing:
+# drain through the window on schedule.  Pools after r15's artifact
+# lands: 28 r12-dated leftovers (mandatory at r16 — 25 by rotation
+# plus the three fill slots the rule-2 media re-verifications took),
+# 47 r13, 47 r14 (the three media rows move to r15), 50 r15
+# (28 + 47 + 47 + 50 = 172 ✓, recomputed from the artifacts).  r16:
+# 28 mandatory + ~5 new registrations + 17 r13 fill → 30 r13 left at
+# r17; r17: 30 + ~5 + 15 r14 fill → 32 r14 left; the train keeps
+# moving as long as (oldest pool) + (new) ≤ 50.
+# Tightening to horizon 2 stays mathematically false while three
+# trailing pools exist (28 + 47 > 50 at r16).  Decision standing:
 # stay in the 151..200 band, keep ~5-10 free slots per round for new
 # oracle-ready operators — the slack IS the feature, not debt.
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
-    # Round-14 window.  Two admission rules (VERDICT r4, standing):
+    # Round-15 window.  Two admission rules (VERDICT r4, standing):
     # (1) every query whose newest driver CORRECTNESS row would
     #     otherwise fall past the capacity horizon — enforced by
     #     tests/test_plans.py's rotation-staleness sweep;
@@ -84,141 +89,132 @@ _PROMOTED = [
     #     round stays inside the sampled window so the driver, not
     #     just the local checker, re-verifies the new behavior.
     #
-    # -- rule 1, mandatory: the 12 r10-dated leftovers the r13
+    # -- rule 1, mandatory: the 20 r11-dated leftovers the r14
     #    tripwire named verbatim --
-    "similarity_ann_multiprobe",
-    "similarity_topk",
-    "term_relevance_topk",
-    "text_quality",
-    "text_repetition",
-    "unigram_chunk",
-    "user_moving_avg",
-    "value_drift_by_slice",
-    "value_quantiles_hist",
-    "vocab_overlap_kmv",
-    "vocab_topk",
-    "winnow_overlap_pairs",
-    # -- new in round 14 (the pre-scheduled registrations; never
-    #    driver-verified, so they front).  graph_triangles COMPOSES
-    #    dedup_minhash_lsh's oracle (_MINHASH_PAIRS_ORACLE) but that
-    #    generator's text is unchanged (byte-identity pinned in
-    #    test_graph.py) --
-    "attribution_last_touch",
-    "contamination_spans",
-    "dedup_exactsubstr_incr",
-    "graph_triangles",
+    "select_key_regroup",
+    "session_aggregate",
+    "session_reduce",
+    "shipping_priority",
+    "skew_salted_distinct",
+    "skew_salted_join",
+    "smt_chain",
+    "stream_aggregate",
+    "stream_reduce",
+    "supplier_nation_volume",
+    "table_group_aggregate",
+    "table_map_values",
+    "table_tombstones",
+    "tokenizer_eval",
+    "ts_policy_previous",
+    "unlimited_window_count",
+    "windowed_avg_hopping",
+    "windowed_chunks",
+    "windowed_count_tumbling",
+    "yahoo_pipeline",
+    # -- new in round 15 (the pre-scheduled registrations; never
+    #    driver-verified, so they front).  The r14 ipv4 ADVICE fix
+    #    (octet range check) changed privacy.py's pattern table; the
+    #    only registered query on that code path is pii_scrub itself,
+    #    fronting here --
+    "basket_pairs",
+    "cusum_changepoint",
+    "media_video_features",
+    "pii_scrub",
+    "twap",
+    "weighted_quantiles",
+    # -- rule 2: the round-15 REAL PNG path (stdlib-zlib codec)
+    #    added branches to the SHARED multimodal helpers
+    #    `sniff_media` (new magic check), `synth_media` (new kind),
+    #    and the image_features / image_phash dispatch tables that
+    #    sit in these three registered queries' code paths; behavior
+    #    for their pnm/bmp/wav payloads is provably unchanged (no
+    #    such payload starts with the PNG magic), but rule 2 tracks
+    #    implementation text, not arguments — the driver re-verifies
+    #    them.  (media_video_features shares the same helpers and
+    #    fronts above as a new registration; no other registered
+    #    query's implementation or oracle text changed this round.)
+    #    Three fill slots paid for these — see the fill note below. --
     "media_audio_features",
-    "path_topk",
-    "theil_sen",
-    # -- rule 2: the y4m video path added branches to the SHARED
-    #    multimodal helpers `sniff_media` (new magic check) and
-    #    `synth_media` (new kind) that sit in these two registered
-    #    queries' code paths; behavior for their pnm/bmp payloads is
-    #    provably unchanged (no raster starts with the y4m magic),
-    #    but rule 2 tracks implementation text, not arguments — the
-    #    driver re-verifies them.  (media_audio_features shares the
-    #    same helpers and fronts above as a new registration; no
-    #    other registered query's implementation or oracle text
-    #    changed this round — behavior.py/timeseries.py edits were
-    #    docstring-only or new functions.) --
     "media_image_features",
     "media_phash_pairs",
-    # -- fill: the 29 alphabetically-first of the 49 surviving
-    #    r11-dated queries (newest driver row r11 — legal outside the
-    #    window this round, mandatory at r15; scheduling the oldest
-    #    now keeps r15's mandatory front to the 20 leftovers
-    #    select_key_regroup..yahoo_pipeline) --
-    "cdc_dup_stats",
-    "cheapest_supplier",
-    "cluster_split",
-    "corpus_profile",
-    "corpus_stats",
-    "customer_order_distribution",
-    "dedup_incremental_lsh",
-    "dedup_jaccard_prefix",
-    "dedup_simhash_pairs",
-    "dedup_verified_pairs",
-    "disjunctive_revenue",
-    "distinct_users_by_type_hll",
-    "doc_chunks",
-    "doc_surprisal",
-    "domain_cap",
-    "exact_quantiles_by_type",
-    "flat_map_rekey_ledger",
-    "idle_rich_customers",
-    "importance_weights",
-    "interval_overlap_left",
-    "lonely_returns",
-    "market_share",
-    "ngram_topk",
-    "partition_fingerprints",
-    "product_type_profit",
-    "quality_gopher",
-    "quality_topk_per_lang",
-    "sample_exact_per_group",
-    "sax_pairs",
+    # -- fill: the 21 alphabetically-first of the 49 surviving
+    #    r12-dated queries (newest driver row r12 — legal outside the
+    #    window this round, mandatory at r16; scheduling the oldest
+    #    now leaves a 28-query r16 mandatory front: the 25
+    #    large_order_customers..zorder_events leftovers plus the
+    #    three alphabetically-last fills the rule-2 media
+    #    re-admissions displaced — important_part_stock,
+    #    join_explosion_check, kmeans_clusters) --
+    "asof_enrich",
+    "bm25_search",
+    "boilerplate_flag",
+    "bpe_merges",
+    "collocations_topk",
+    "corpus_curation",
+    "corpus_mix_upsample",
+    "decontaminate_bloom",
+    "dedup_containment_anti",
+    "dedup_edit_verified",
+    "dedup_embedding_cosine",
+    "dedup_keep_longest",
+    "doc_fingerprint",
+    "embedding_pq_codes",
+    "embedding_profile",
+    "event_funnel",
+    "event_gaps",
+    "events_skew_report",
+    "forecast_revenue",
+    "global_shuffle",
+    "heavy_hitters_cms",
 ]
 
-# No over-subscription this round: the seven new registrations and
-# two rule-2 re-verifications all fit inside the window alongside the
-# 12 mandatory rotations, and the 29 fill slots hold r11-dated
+# No over-subscription this round: the six new registrations and
+# three rule-2 media re-verifications fit inside the window alongside
+# the 20 mandatory rotations, and the 21 fill slots hold r12-dated
 # rotation.  (The tripwire keeps this list
 # honest: a name may sit here ONLY while it is registered, has no
 # driver row yet, and every window slot is occupied by a mandatory
 # rotation or another never-verified query.)
 #
-# r15 plan (so the next window is predictable): mandatory front = the
-# 20 r11-dated leftovers (select_key_regroup, session_aggregate,
-# session_reduce, shipping_priority, skew_salted_distinct,
-# skew_salted_join, smt_chain, stream_aggregate, stream_reduce,
-# supplier_nation_volume, table_group_aggregate, table_map_values,
-# table_tombstones, tokenizer_eval, ts_policy_previous,
-# unlimited_window_count, windowed_avg_hopping, windowed_chunks,
-# windowed_count_tumbling, yahoo_pipeline); candidate
-# registrations (oracle generators already pytest-pinned
-# engine==oracle unless noted): `weighted_quantiles` OR
-# `weighted_quantiles_by_lang` (at most one — the long-deferred
-# weighted-order-statistics claim; no slot pressure forced it out in
-# r13/r14), `graph_local_clustering` (per-node closure over the same
-# SELECTIVE _MINHASH_PAIRS_ORACLE surface — register only if
-# graph_triangles lands green AND a per-node claim is judged distinct
-# from the census; otherwise it stays library-level), plus the two
-# operators that landed library-level THIS round under policy item b
-# (both oracle generators pytest-pinned engine==oracle in r14):
-# `media_video_features` (multimodal.synth_video_features_oracle_sql
-# — real YUV4MPEG2 round-trip with integer scene-cut localization,
-# completing the image/audio/video triad of driver-verified
-# containers) and `cusum_changepoint` (timeseries.
-# cusum_changepoint_oracle_sql — Page's sequential changepoint via
-# the prefix-sum closed form; group-partitioned windows only, a
-# robust-monitoring claim distinct from theil_sen's trend fit) and
-# `pii_scrub` (privacy.synth_pii_scrub_oracle_sql — regex redaction
-# + integer Luhn validity over Catalyst-synthesized injections; the
-# oracle replays by id arithmetic with NO SQL regex, so the row
-# proves the engine's regex/scrub/Luhn end to end; registering it
-# PAIRS with a 1:1 `pii_redaction` retirement under item c —
-# privacy.pii_scrub strictly subsumes that query's email/SSN/phone
-# masking+counting claim and adds card shape, the Luhn split, IPv4
-# and per-kind counts) and `basket_pairs`
-# (basket.basket_pairs_oracle_sql over lineitem order/part baskets —
-# unordered co-membership with truncating support/lift and the
-# mega-basket cap; distinct from collocations_topk's adjacent-token
-# PMI; needs a _GLOBAL_WINDOW_OK entry for the ≤k-row rank window
-# and a _BNLJ_OK entry for the one-row basket-count broadcast) and
-# `twap` (timeseries.twap_oracle_sql — LOCF time-weighted mean over
-# a window, the irregular-sampling claim user_moving_avg's row-window
-# mean cannot make; one lead window + one aggregate) and
-# `mmr_diversify` (retrieval.mmr_oracle_sql — Maximal Marginal
-# Relevance re-rank over exact int8 dots, the result-diversification
-# claim hybrid_rrf's fusion cannot make; greedy replayed by a
-# recursive-CTE argmax, the Viterbi discipline; needs a _BNLJ_OK
-# entry for the one-row probe broadcast).
-# That pool is ~9 candidates for ~5 slots — pick by claim diversity
-# at registration time.  Balance with
-# item-c retirements where a genuine subsumption exists, else let N
-# drift inside the 151..200 band (horizon 3 holds).  Fill = the
-# ~25 alphabetically-first of the 50 surviving r12-dated queries,
-# leaving ~25 r12 leftovers toward r16's mandatory front.
+# r16 plan (so the next window is predictable): mandatory front = the
+# 28 r12-dated leftovers (the 25 alphabetically-last
+# large_order_customers, late_shipment_priority,
+# length_weighted_sample, local_supplier_volume, multimodal_meta,
+# partition_diff, priority_returned_orders, promotable_suppliers,
+# range_bucket_join, sample_weighted, sax_nearest, similarity_ivf_pq,
+# small_quantity_revenue, supplier_pagerank, supplier_part_variety,
+# surprisal_bigram, table_to_stream_count, temperature_mix,
+# text_langid, token_budget_select, top_supplier, vocab_coverage,
+# volume_shipping, wordpiece_eval, zorder_events, PLUS the three
+# fills the rule-2 media re-admissions displaced:
+# important_part_stock, join_explosion_check, kmeans_clusters);
+# candidate registrations (oracle generators already pytest-pinned
+# engine==oracle unless noted): `media_png_features` (the REAL
+# stdlib-zlib PNG round-trip landed r15 —
+# multimodal.synth_image_features_oracle_sql(kind='png'); the synth
+# cycles filter_type = id % 5, so ONE driver row proves CRC-verified
+# chunk walk, inflate and all five scanline unfilters; a genuinely
+# new claim: the container triad rows prove uncompressed codecs,
+# this proves a COMPRESSED one), `acf` (landed r15 —
+# timeseries.acf_oracle_sql; per-group rank-lag autocorrelation, Box
+# & Jenkins — the PERIODICITY claim cusum/theil_sen/sax cannot make;
+# one corpus exchange, pure window aggregates, hypothesis-pinned vs
+# an exact integer model), `mmr_diversify` (retrieval.
+# mmr_oracle_sql — Maximal Marginal Relevance re-rank over exact
+# int8 dots, the result-diversification claim hybrid_rrf's fusion
+# cannot make; greedy replayed by a recursive-CTE argmax; needs a
+# _BNLJ_OK entry for the one-row probe broadcast),
+# `weighted_quantiles_by_lang` ONLY if a per-group weighted claim is
+# judged distinct from this round's global `weighted_quantiles` +
+# the driver-green grouped decile family (likely not — default to
+# skipping it), and the standing
+# library-level pool (`graph_local_clustering` is DECIDED
+# library-level permanently — see the census note above; do not
+# re-litigate).  Balance with item-c retirements where a genuine
+# subsumption exists, else let N drift inside the 151..200 band
+# (horizon 3 holds).  Fill = the ~17 alphabetically-first of the 47
+# r13-dated queries, leaving ~30 r13 leftovers toward r17's
+# mandatory front (30 + ~5 new ≤ 50 — the train still moves).
 _DEFERRED_NEW: list[str] = []
 
 

@@ -1746,3 +1746,122 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.attribution_last_touch(
         ev, "user_id", "ts", "event_type", "purchase",
         within_seconds=3600 * 24, order_break_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 15 registrations (pre-scheduled by the r14 plan, oracle
+# generators pytest-pinned engine==oracle in round 14 or earlier).
+# ---------------------------------------------------------------------------
+
+from kafkadirect_spark.functions import basket  # noqa: E402
+
+
+@query("cusum_changepoint",
+       oracle=timeseries.cusum_changepoint_oracle_sql(
+           "event_type", h_milli=50_000, order_break_col="event_id"))
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential changepoint localization — the two-sided CUSUM
+    chart (functions/timeseries.py cusum_changepoint_milli, Page
+    1954 — registered r15 per the r14 plan): per event_type, fold
+    deviations from the group's lower-median milli value into Page's
+    one-sided statistics and report the FIRST point where either
+    side exceeds h_milli, with direction ('up' wins ties) and both
+    maxima.  Computed DISTRIBUTED via the prefix-sum closed form
+    ``S+_i = P_i − min(0, min_{j≤i} P_j)`` — no sequential recursion;
+    hypothesis-pinned against the textbook recursive form.  The
+    claim no other registered query makes: theil_sen fits a GLOBAL
+    trend and value_drift compares DISTRIBUTIONS between slices —
+    CUSUM answers WHEN a level shift happened, per group, with the
+    optimal sequential statistic.  Scale shape: every window is
+    group-partitioned (a group's own rows bound the task-local
+    sort), the reference join is a group-keyed hash join, the report
+    is one aggregate (plan-pinned in test_timeseries.py).  The
+    oracle replays reference, closed form, first-alarm rank and tie
+    convention bit-exactly; the streaming twin (`streaming/cusum.py`)
+    runs the same statistic live under watermark-sealed order."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.cusum_changepoint_milli(
+        ev, "event_type", "ts", "value", h_milli=50_000,
+        order_break_col="event_id")
+
+
+_TWAP_T0, _TWAP_T1 = "2024-01-01", "2024-01-31"
+
+
+@query("twap",
+       oracle=timeseries.twap_oracle_sql(
+           _TWAP_T0, _TWAP_T1, "event_type",
+           order_break_col="event_id"))
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event_type over the January
+    window (functions/timeseries.py twap_milli — registered r15 per
+    the r14 plan): each sample holds from its own timestamp to the
+    NEXT sample in the group (LOCF), the last to the window end, and
+    the mean weights values by those holding seconds — the correct
+    mean for IRREGULARLY-sampled series, the claim user_moving_avg's
+    row-window mean cannot make (a burst of readings must not
+    dominate; pinned by the burst hand-check in test_timeseries.py).
+    Integerized: milli values, whole-second holds, truncating
+    weighted division.  Scale shape: ONE group-partitioned lead
+    window + one map-side-combined aggregate — no global window, no
+    collect.  The oracle replays the lead window, holds and
+    truncating division (epoch arithmetic carries the documented
+    >=1970 assumption)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.twap_milli(ev, "event_type", "ts", "value",
+                                 _TWAP_T0, _TWAP_T1,
+                                 order_break_col="event_id")
+
+
+@query("basket_pairs",
+       oracle=basket.basket_pairs_oracle_sql(
+           "l_orderkey", "l_partkey", "lineitem",
+           k=15, min_support=2))
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order/part baskets
+    (functions/basket.py basket_pairs_topk, Agrawal & Srikant 1994 —
+    registered r15 per the r14 plan): top-15 co-occurring part pairs
+    across orders with truncating support_ppm and lift_milli —
+    UNORDERED co-membership in transaction groups, the relational
+    market-basket claim `collocations_topk`'s adjacent-token PMI
+    cannot make.  Scale shape: pairs come from a basket-keyed equi
+    self-join bounded at C(|basket|, 2) per basket with the
+    max_basket mega-basket guard (oracle replays the cap); lift runs
+    in DECIMAL(38,0) (the BIGINT product overflows at 10^10
+    baskets); the one-ROW kept-basket count broadcasts onto the
+    ≤ k-row top frame (test_plans._BNLJ_OK) and the final rank
+    window sorts that same ≤ k-row LIMIT result
+    (test_plans._GLOBAL_WINDOW_OK).  The Apriori prune is
+    deliberately opt-in — MEASURED slower on uniform TPC-H parts
+    (basket.py docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket.basket_pairs_topk(li, "l_orderkey", "l_partkey",
+                                    k=15, min_support=2)
+
+
+_WQ_QS = [100, 500, 900, 990]
+
+
+@query("weighted_quantiles",
+       oracle=sketch.weighted_quantiles_oracle_sql(_WQ_QS))
+def weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weight-mass order statistics (functions/sketch.py
+    weighted_quantiles — registered r15, the weighted-order-
+    statistics claim deferred since r12): token-weighted n_chars
+    quantiles over the documents table — "the median TOKEN lives in
+    a document of length X", which is NOT the row-count quantile
+    exact_quantiles answers (long docs hold most of the token mass;
+    the oracle test pins that the answers genuinely differ).  Scale
+    shape: the exact_quantiles iterative histogram narrowing with
+    row counts replaced by integer weight mass — per round one
+    filtered column scan, a ≤ bins-row register aggregate and
+    collect, ranges shrink ×bins per round (the register-sized-
+    collect convention); quantiles share each round's histogram
+    until ranges diverge.  The oracle replays the naive running-
+    weight walk the recursion must equal, with the token weight
+    computed identically on both sides."""
+    from kafkadirect_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.weighted_quantiles(docs, F.col("n_chars"),
+                                     token_count("text"), _WQ_QS)

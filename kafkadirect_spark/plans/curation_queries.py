@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkadirect_spark.functions import curation, text
+from kafkadirect_spark.functions import curation, privacy, text
 from kafkadirect_spark.functions.curation import SPLIT_BUCKETS
 from kafkadirect_spark.plans.llm_queries import _STOPWORDS_SQL, _TOK
 from kafkadirect_spark.plans.queries import query
@@ -207,42 +207,46 @@ def boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n=10, max_doc_freq=2)
 
 
-@query(
-    "pii_redaction",
-    oracle="""
-    WITH pii AS (
-      SELECT doc_id,
-             text || ' contact user' || doc_id::VARCHAR ||
-             '@example.com or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-               AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-               '[0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_hash,
-           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
-              + len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
-              + len(regexp_extract_all(t, '[0-9]{3}[- ][0-9]{4}')) AS BIGINT)
-             AS n_pii
-    FROM pii
-    """,
-)
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing: synthesize a deterministic email + phone per doc
-    (the corpus itself is PII-free), then mask emails/SSNs/phones and
-    count spans — the scrubbing stage as codegen'd regexp chains, no
-    shuffle; the oracle replays the identical RE2-safe patterns."""
+# RETIRED r15 (registration-budget policy item c, the r14 plan's
+# named 1:1 pairing): `pii_redaction` — email/SSN/phone masking +
+# total span count over per-doc synthetic injections (registered
+# r3-era, driver-green through D12) is strictly subsumed by
+# `pii_scrub` below, which masks the SAME kinds plus payment-card
+# shape and IPv4, SPLITS card shape matches from Luhn-VALID numbers
+# (the integer fold a compliance audit needs), counts per kind
+# instead of in total, and upgrades the oracle from cross-engine
+# regex replay to the regex-FREE arithmetic form (the synth_media
+# discipline — a green row proves the ENGINE's regexes end to end
+# with no SQL-regex-dialect parity risk).  Carried claims: the
+# zero-shuffle codegen'd regexp-chain plan shape (plan-pinned in
+# test_privacy.py) and the masked-rendering md5 surface.  The
+# operator stays in the library (`text.redact_pii` /
+# `text.pii_count`) with its pytest goldens and its bench
+# fingerprint row.
+
+
+@query("pii_scrub", oracle=privacy.synth_pii_scrub_oracle_sql())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with integer Luhn validity (functions/privacy.py —
+    registered r15 per the r14 plan, retiring `pii_redaction` 1:1
+    whose email/SSN/phone claim this strictly extends): per document,
+    counts of emails / SSNs / phones / IPv4s / card-SHAPED tokens and
+    of Luhn-VALID cards (shape matches are mostly order-id noise; the
+    valid ones are what an audit must flag), plus the md5 of the
+    scrubbed rendering.  Text is SYNTHESIZED from doc ids
+    (deterministic injections whose placement, Luhn check digit and
+    redacted form are pure id arithmetic — the Catalyst-side reverse
+    Luhn fold computes the check digit), so the DuckDB oracle replays
+    counts and the clean-text md5 with NO SQL regex anywhere: a green
+    row proves the engine's regexes, scrub order, Luhn fold and
+    rendering end to end.  Scale shape: regexp + higher-order
+    aggregate expressions inside WholeStageCodegen, ZERO shuffles,
+    zero Python — the scrub rides the ingest scan (plan-pinned in
+    test_privacy.py).  The real-corpus path is additionally pinned
+    against an independent python-`re` model."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.concat(
-        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com or 555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
-    return docs.select(
-        "doc_id",
-        F.md5(text.redact_pii(t)).alias("redacted_hash"),
-        text.pii_count(t).alias("n_pii"))
+    synth = privacy.synth_pii_text(docs.select("doc_id"), "doc_id")
+    return privacy.pii_scrub(synth, "text", "doc_id")
 
 
 @query(

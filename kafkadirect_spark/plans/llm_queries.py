@@ -1459,3 +1459,34 @@ def dedup_exactsubstr_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     index = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.exactsubstr_incremental(new, index, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 15 registrations (pre-scheduled by the r14 plan, oracle
+# generators pytest-pinned engine==oracle in round 14).
+# ---------------------------------------------------------------------------
+
+
+@query("media_video_features",
+       oracle=multimodal.synth_video_features_oracle_sql())
+def media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container round-trip — the YUV4MPEG2 leg that
+    completes the driver-verified image (BMP/PNM, D13) / audio (WAV,
+    D14) / video triad (functions/multimodal.py — registered r15 per
+    the r14 plan): deterministic luma-gradient frame stacks with a
+    mid-stream +96 jump are SYNTHESIZED executor-side from doc ids
+    (mapInPandas, the object-store media-source stand-in), ENCODED
+    through the real y4m writer (header tags, FRAME markers, planar
+    luma), DECODED back by the real parser, and reduced to integer
+    features — dims, frame count, fps, duration_ms, mean luma, and
+    the scene-cut localization (largest inter-frame mean-luma delta
+    + the first frame achieving it).  Zero shuffles end to end.  The
+    oracle replays the gradient synthesis + feature arithmetic from
+    scratch — the y4m container is exercised on the ENGINE side
+    only, so a green row proves the encode/decode round-trip
+    bit-exactly including the cut frame.  (JPEG/MP4-class compressed
+    codecs remain labeled strict-raising stubs — env-blocked.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    vid = multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                 kind="y4m")
+    return multimodal.video_features(vid)

@@ -280,6 +280,12 @@ _BNLJ_OK = {
     # sides are register-space, bounded by construction regardless of
     # data volume; the raw events never enter this join.
     "rolling_distinct_hll",
+    # basket pair mining (registered r15): the one-ROW kept-basket
+    # count rides onto the ≤ k-row TOP frame for support_ppm /
+    # lift_milli — the funnel_steps scalar-subquery shape; the pair
+    # enumeration itself is a basket-keyed equi hash join bounded at
+    # C(|basket|, 2) per basket under the max_basket cap.
+    "basket_pairs",
 }
 
 # Queries allowed ONE unpartitioned window over an input that is
@@ -328,6 +334,12 @@ _GLOBAL_WINDOW_OK = {
     # corpus itself is reduced by ONE map-side-combined aggregate
     # before any window (registered r13).
     "token_waterfill",
+    # the ONE rank window sorts the ≤ k-row (15 here) pair-count
+    # result — a LIMIT (orderBy+limit over the aggregated pair
+    # frame) feeds it, bounded by construction; the pair join and
+    # count exchange are hash-partitioned (registered r15; the
+    # path_topk envelope).
+    "basket_pairs",
 }
 
 

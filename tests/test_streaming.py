@@ -1829,3 +1829,67 @@ def test_streaming_cusum_alerts_shift_rearm_and_late(spark, tmpdir):
     with pytest.raises(ValueError, match="warmup"):
         streaming_cusum_alerts(src, "user_id", "ts", "value",
                                h_milli=100, warmup=0)
+
+
+def test_streaming_cusum_state_envelope_high_cardinality(spark, tmpdir):
+    """State-growth envelope under key churn (VERDICT r14 item 6).
+    The monitor's documented never-expire policy makes key
+    CARDINALITY the one open state-growth vector across the streaming
+    modules — so pin the envelope by reading the checkpoint back
+    through the state-store data source: total state rows == distinct
+    keys ever seen (never-expire, growth is O(keys)); every sealed
+    key's unsealed buffer is EMPTY once the watermark passes it;
+    warmup storage caps at `warmup` values; and the serialized
+    per-key record stays under a fixed byte bound REGARDLESS of how
+    many events the key folded (the hot key folds 60 sealed points,
+    the churn keys one each, same envelope) — state is O(keys), never
+    O(events)."""
+    import json
+
+    from kafkadirect_spark.streaming.cusum import streaming_cusum_alerts
+
+    S = "user_id string, ts timestamp, value double"
+    churn = [(f"churn{i}", t("00:00:01"), 2.0) for i in range(300)]
+    hot = [("hot", t(f"00:00:{s:02d}"), 2.0 + (s % 3))
+           for s in range(60)]
+    b0 = churn + hot + [("wm", t("01:00:00"), 2.0)]
+    spark.createDataFrame(b0, S).coalesce(1) \
+        .write.parquet(f"{tmpdir}/cu/b0")
+    src = stream_from_dir(spark, f"{tmpdir}/cu/*", S).df
+    out = streaming_cusum_alerts(src, "user_id", "ts", "value",
+                                 h_milli=10_000, warmup=4)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cusum_env")
+         .option("checkpointLocation", f"{tmpdir}/ckpt_env").start())
+    try:
+        q.processAllAvailable()
+        # advance the watermark past every buffered event so the
+        # churn keys' event-time timeouts fire and their buffers seal
+        spark.createDataFrame([("wm", t("02:00:00"), 2.0)], S) \
+            .coalesce(1).write.parquet(f"{tmpdir}/cu/b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = {r.key.user_id: r.value.groupState.state
+          for r in spark.read.format("statestore")
+          .load(f"{tmpdir}/ckpt_env").collect()}
+    # never-expire: every key ever seen holds exactly one state row
+    assert len(st) == 302                     # 300 churn + hot + wm
+    envelope = max(len(s) for s in st.values())
+    for key, raw in st.items():
+        d = json.loads(raw)
+        if key != "wm":                       # the final watermark
+            # driver's own last event is legitimately still pending
+            # (nothing later exists to seal it) — everything else
+            # drained
+            assert d["buf"] == [], key
+        assert len(d["buf"]) <= 1, key        # pending ≤ the unsealed tail
+        assert len(d["warm"]) <= 4, key       # warmup cap
+        assert len(raw) <= 160, (key, len(raw), raw)
+    # the 60-event hot key fits the SAME envelope as one-event keys:
+    # its points folded into (ref, sp, sn) and were not retained
+    hot_d = json.loads(st["hot"])
+    assert hot_d["ref"] is not None and hot_d["warm"] == []
+    assert len(st["hot"]) <= envelope
+    # total state is key-linear with a pinned constant: ≤ 160 B/key
+    assert sum(len(s) for s in st.values()) <= 160 * 302
