@@ -136,6 +136,17 @@ def _acf_suite(spark, sf_dir):
                                 order_break_col="event_id")
 
 
+def _seasonal_profile_suite(spark, sf_dir):
+    # r16 candidate (round 15): classical decomposition + seasonal
+    # strength — one corpus exchange, pure window aggregates
+    from kafkadirect_spark.functions import timeseries
+    from kafkadirect_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.seasonal_profile_milli(
+        ev, "user_id", "ts", "value", period=5, max_points=512,
+        order_break_col="event_id")
+
+
 def _mmr_suite(spark, sf_dir):
     # r15 candidate: diversified top-k — quantize scan + one-row
     # probe broadcast + TakeOrdered pool + bounded driver greedy.
@@ -653,6 +664,7 @@ def main() -> None:
         # r14 addition: sequential changepoint over per-user series
         "cusum_changepoint": _cusum_suite,
         "acf": _acf_suite,
+        "seasonal_profile": _seasonal_profile_suite,
         # r14 addition: LOCF time-weighted average over the window
         "twap": _twap_suite,
         # r14 addition: MMR diversified retrieval over int8 dots

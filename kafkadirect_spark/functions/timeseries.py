@@ -872,3 +872,223 @@ def acf_oracle_sql(group_col: str = "event_type",
     FROM num JOIN den ON den.g = num.g
     WHERE den.den > 0
     """
+
+
+def seasonal_profile_milli(events: DataFrame, group_col: str,
+                           ts_col: str, value_col: str, period: int,
+                           max_points: int = 512,
+                           order_break_col: str | None = None
+                           ) -> DataFrame:
+    """Classical additive seasonal decomposition per group
+    (moving-average method — Macaulay 1931, Hyndman &
+    Athanasopoulos FPP ch. 3, public; round 15) with the Wang, Smith
+    & Hyndman (2006) seasonal-STRENGTH measure — the "what does the
+    cycle look like, and how much of the signal is it" claim that
+    completes the monitoring suite: acf_milli DETECTS a period,
+    this PROFILES it (per-phase seasonal offsets) and SCORES it
+    (strength ∈ [0, 1000]); theil_sen fits the trend,
+    cusum_changepoint localizes shifts.
+
+    Integer-exact pipeline over the (ts, v, tiebreak) rank order:
+
+    - trend_i = truncating mean of the centered ``period``-row window
+      (period must be ODD ≥ 3 — the classic even-period 2×MA is out
+      of scope, raise rather than approximate); edge rows without a
+      full window are excluded, exactly as the textbook method drops
+      them;
+    - detrended d_i = v_i − trend_i (milli units);
+    - seasonal_k = LOWER MEDIAN of d_i at phase k = (rank−1) % period
+      (the robust center, the cusum discipline — a few outliers
+      cannot bend the profile the way the textbook phase MEAN would),
+      then centered: s'_k = seasonal_k − (Σ_k seasonal_k) DIV
+      n_phases (both engines' integral division truncates toward
+      zero — the theil_sen MEASURED parity pin covers the negative
+      case);
+    - remainder r_i = d_i − s'_{phase(i)};
+    - strength_milli = max(0, 1000 − (1000·VR) DIV VD) with
+      VR = m·Σr² − (Σr)² and VD = m·Σd² − (Σd)² (the n² factors of
+      the two variances cancel; both numerators are ≥ 0, so the
+      division is non-negative on both engines).  Accumulation runs
+      in DECIMAL(38,0)/HUGEINT (the acf/basket overflow lesson).
+
+    Returns one row per (group, phase):
+    ``(group_col, phase, n_obs, seasonal_milli, strength_milli)`` —
+    phases with no full-window observation are absent; groups whose
+    detrended variance is zero (constant after trend removal —
+    strength undefined) are excluded, the acf convention.
+
+    ``max_points`` caps each group at its first points in rank order
+    (the theil_sen envelope; the oracle replays it).
+
+    Scale shape: ONE corpus exchange end to end, plan-pinned — the
+    rank cap, the centered-MA window, the per-phase median and the
+    group-level centering/variance aggregates are ALL window
+    functions over specs that hash(g) satisfies ((g) and (g, phase)
+    partitionings both co-locate on g); no join, no groupBy, no
+    collect; a group's own row count bounds every task-local sort.
+
+    Reference analogue: none (SURVEY.md §2 — no sequential-statistics
+    surface); beyond-parity monitoring machinery beside
+    acf/cusum/theil_sen/twap.
+    """
+    from pyspark.sql import Window
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be an odd integer >= 3 (the "
+                         "even-period 2xMA variant is not wired)")
+    if max_points < period:
+        raise ValueError("max_points must be >= period")
+    h = (period - 1) // 2
+    brk = order_break_col or value_col
+    pts = (events
+           .filter(F.col(group_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+           .select(F.col(group_col).alias("g"),
+                   F.col(ts_col).alias("t"),
+                   F.floor(F.col(value_col) * 1000).cast("long")
+                   .alias("v"),
+                   F.col(brk).alias("__brk")))
+    wr = Window.partitionBy("g").orderBy("t", "v", "__brk")
+    kept = (pts.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= max_points)
+            .select("g", "v", "__rn",
+                    ((F.col("__rn") - 1) % period).alias("__ph")))
+    wma = (Window.partitionBy("g").orderBy("__rn")
+           .rowsBetween(-h, h))
+    trended = (kept
+               .withColumn("__wc", F.count(F.lit(1)).over(wma))
+               .withColumn("__ws", F.sum("v").over(wma))
+               .filter(F.col("__wc") == period)
+               .withColumn("__d", F.col("v")
+                           - F.expr(f"__ws DIV {period}")))
+    # per-phase lower median as a WINDOW value (no filter-then-join):
+    # the winner rank is (m+1) DIV 2 in (d, rn) order
+    wp = Window.partitionBy("g", "__ph").orderBy("__d", "__rn")
+    wpc = Window.partitionBy("g", "__ph")
+    wg = Window.partitionBy("g")
+    winner = F.col("__rv") == F.expr("(__m + 1) DIV 2")
+    t2 = (trended
+          .withColumn("__rv", F.row_number().over(wp))
+          .withColumn("__m", F.count(F.lit(1)).over(wpc)))
+    t3 = (t2.withColumn("__sk", F.max(F.when(winner, F.col("__d")))
+                        .over(wpc))
+          .withColumn("__adj", F.sum(F.when(winner, F.col("__d")))
+                      .over(wg))
+          .withColumn("__np", F.sum(F.when(winner, F.lit(1)))
+                      .over(wg)))
+    seasonal = F.col("__sk") - F.expr("__adj DIV __np")
+    dd = F.col("__d").cast("decimal(38,0)")
+    t4 = (t3.withColumn("__s", seasonal)
+          .withColumn("__r", (F.col("__d") - F.col("__s"))
+                      .cast("decimal(38,0)"))
+          .withColumn("__dd", dd))
+    t5 = (t4
+          .withColumn("__mg", F.count(F.lit(1)).over(wg)
+                      .cast("decimal(38,0)"))
+          .withColumn("__sd", F.sum("__dd").over(wg))
+          .withColumn("__sd2", F.sum(F.col("__dd") * F.col("__dd"))
+                      .over(wg))
+          .withColumn("__sr", F.sum("__r").over(wg))
+          .withColumn("__sr2", F.sum(F.col("__r") * F.col("__r"))
+                      .over(wg)))
+    vd = F.col("__mg") * F.col("__sd2") - F.col("__sd") * F.col("__sd")
+    vr = F.col("__mg") * F.col("__sr2") - F.col("__sr") * F.col("__sr")
+    strength = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr("CAST(1000 - CAST(1000 AS DECIMAL(38,0)) * __vr "
+               "DIV __vd AS LONG)"))
+    return (t5.withColumn("__vd", vd).withColumn("__vr", vr)
+            .filter(winner & (F.col("__vd") > 0))
+            .select(F.col("g").alias(group_col),
+                    F.col("__ph").cast("int").alias("phase"),
+                    F.col("__m").cast("long").alias("n_obs"),
+                    F.col("__s").cast("long").alias("seasonal_milli"),
+                    strength.alias("strength_milli")))
+
+
+def seasonal_profile_oracle_sql(group_col: str = "event_type",
+                                period: int = 5,
+                                max_points: int = 512,
+                                table: str = "events",
+                                ts_col: str = "ts",
+                                value_col: str = "value",
+                                order_break_col: str | None = None
+                                ) -> str:
+    """DuckDB replay of ``seasonal_profile_milli`` — identical rank
+    order and cap, centered-MA trend with truncating mean, per-phase
+    lower median, truncating centering, HUGEINT variance numerators
+    and the clamped strength division.  Ordering uses the RAW
+    timestamp (no epoch arithmetic — the >=1970 caveat does not
+    apply)."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be an odd integer >= 3")
+    h = (period - 1) // 2
+    brk = order_break_col or value_col
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g, {ts_col} AS t,
+             CAST(floor({value_col} * 1000) AS BIGINT) AS v,
+             {brk} AS brk
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        AND {value_col} IS NOT NULL),
+    kept AS (
+      SELECT g, v, rn, (rn - 1) % {period} AS ph
+      FROM (SELECT g, v,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY t, v, brk) AS rn
+            FROM pts)
+      WHERE rn <= {max_points}),
+    tr AS (
+      SELECT g, v, rn, ph,
+             v - (SUM(v) OVER w // {period}) AS d
+      FROM kept
+      WINDOW w AS (PARTITION BY g ORDER BY rn
+                   ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+      QUALIFY COUNT(*) OVER w = {period}),
+    med AS (
+      SELECT g, ph, d, rn,
+             row_number() OVER (PARTITION BY g, ph
+                                ORDER BY d, rn) AS rv,
+             count(*) OVER (PARTITION BY g, ph) AS m
+      FROM tr),
+    sk AS (
+      SELECT g, ph, m,
+             MAX(CASE WHEN rv = (m + 1) // 2 THEN d END)
+               OVER (PARTITION BY g, ph) AS sk0,
+             CASE WHEN rv = (m + 1) // 2 THEN d END AS win,
+             d, rn
+      FROM med),
+    cen AS (
+      SELECT g, ph, m, d, rn, sk0,
+             SUM(win) OVER (PARTITION BY g) AS adj,
+             SUM(CASE WHEN win IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY g) AS np,
+             CASE WHEN win IS NOT NULL THEN 1 ELSE 0 END AS is_win
+      FROM sk),
+    dec AS (
+      -- adj // np: DuckDB's integer // truncates toward zero exactly
+      -- like Spark's DIV (the theil_sen measured parity pin; re-pinned
+      -- on negatives in test_seasonal_profile_matches_python_model)
+      SELECT g, ph, m, rn, is_win,
+             sk0 - (adj // np) AS s,
+             d::HUGEINT AS dd,
+             (d - (sk0 - (adj // np)))::HUGEINT AS r
+      FROM cen),
+    var_ AS (
+      SELECT g, ph, m, rn, is_win, s,
+             COUNT(*) OVER (PARTITION BY g)::HUGEINT AS mg,
+             SUM(dd) OVER (PARTITION BY g) AS sd,
+             SUM(dd * dd) OVER (PARTITION BY g) AS sd2,
+             SUM(r) OVER (PARTITION BY g) AS sr,
+             SUM(r * r) OVER (PARTITION BY g) AS sr2
+      FROM dec)
+    SELECT g AS {group_col}, ph::INTEGER AS phase,
+           m::BIGINT AS n_obs, s::BIGINT AS seasonal_milli,
+           GREATEST(0, 1000 - (1000::HUGEINT * (mg * sr2 - sr * sr))
+                    // (mg * sd2 - sd * sd))::BIGINT
+             AS strength_milli
+    FROM var_
+    WHERE is_win = 1 AND (mg * sd2 - sd * sd) > 0
+    """

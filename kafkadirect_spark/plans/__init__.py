@@ -199,7 +199,13 @@ _PROMOTED = [
 # timeseries.acf_oracle_sql; per-group rank-lag autocorrelation, Box
 # & Jenkins — the PERIODICITY claim cusum/theil_sen/sax cannot make;
 # one corpus exchange, pure window aggregates, hypothesis-pinned vs
-# an exact integer model), `mmr_diversify` (retrieval.
+# an exact integer model), `seasonal_profile` (landed r15 —
+# timeseries.seasonal_profile_oracle_sql; classical additive
+# decomposition + Wang-Smith-Hyndman seasonal STRENGTH — acf DETECTS
+# a period, this PROFILES and SCORES it; same one-exchange pure-
+# window envelope; at most ONE of acf/seasonal_profile should
+# register per round — they share the monitoring family, pick by
+# which claim the window needs), `mmr_diversify` (retrieval.
 # mmr_oracle_sql — Maximal Marginal Relevance re-rank over exact
 # int8 dots, the result-diversification claim hybrid_rrf's fusion
 # cannot make; greedy replayed by a recursive-CTE argmax; needs a

@@ -847,3 +847,185 @@ def test_acf_plan_is_bounded(spark):
         assert "g#" in spec, f"unpartitioned window: {spec}"
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 1, f"{n_ex} exchanges:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# seasonal_profile_milli (round 15): classical additive decomposition
+# + seasonal strength.
+
+
+def test_seasonal_profile_hand_checked(spark):
+    # clean period-3 cycle [10, 20, 30] milli × 4: interior trend is
+    # (10+20+30) DIV 3 = 20 everywhere, so detrended is exactly the
+    # phase offset (-10 / 0 / +10), medians center to themselves
+    # (adj = 0), remainder is all-zero -> strength 1000
+    cyc = [0.010, 0.020, 0.030]
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             cyc[i % 3], "{}") for i in range(12)]
+    out = {r.phase: r for r in timeseries.seasonal_profile_milli(
+        _events(spark, rows), "event_type", "ts", "value", period=3,
+        order_break_col="event_id").collect()}
+    # trend rows are rn 2..11 -> phase 1 sees 4 obs, phases 0/2 see 3
+    assert (out[0].n_obs, out[0].seasonal_milli) == (3, -10)
+    assert (out[1].n_obs, out[1].seasonal_milli) == (4, 0)
+    assert (out[2].n_obs, out[2].seasonal_milli) == (3, 10)
+    assert all(r.strength_milli == 1000 for r in out.values())
+    # a pure ramp has NO seasonality: detrended is constant 0 ->
+    # zero variance -> the group is excluded (strength undefined)
+    ramp = [(i, dt.datetime(2024, 1, 1, 0, 1, i), 1, "r",
+             float(i), "{}") for i in range(12)]
+    got = timeseries.seasonal_profile_milli(
+        _events(spark, rows + ramp), "event_type", "ts", "value",
+        period=3, order_break_col="event_id")
+    assert {r.event_type for r in got.collect()} == {"x"}
+    with pytest.raises(ValueError, match="odd"):
+        timeseries.seasonal_profile_milli(
+            _events(spark, rows), "event_type", "ts", "value",
+            period=4)
+    with pytest.raises(ValueError, match="max_points"):
+        timeseries.seasonal_profile_milli(
+            _events(spark, rows), "event_type", "ts", "value",
+            period=5, max_points=3)
+
+
+def test_seasonal_profile_noisy_cycle_scores_high(spark):
+    """The design claim: a cycle buried under a linear trend still
+    profiles correctly (the MA removes the ramp) and scores a high
+    strength, while shuffled values score near zero."""
+    import random
+
+    cyc = [0, 40, 80, 40, 0]
+    vals = [i * 0.003 + cyc[i % 5] / 1000 for i in range(60)]
+    shuf = vals[:]
+    random.Random(5).shuffle(shuf)
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=i), 1, "cyc", vals[i], "{}")
+            for i in range(60)]
+    rows += [(100 + i, dt.datetime(2024, 1, 1, 0, 0, 0)
+              + dt.timedelta(seconds=i), 1, "rnd", shuf[i], "{}")
+             for i in range(60)]
+    out = {(r.event_type, r.phase): r
+           for r in timeseries.seasonal_profile_milli(
+               _events(spark, rows), "event_type", "ts", "value",
+               period=5, order_break_col="event_id").collect()}
+    cyc_strength = out[("cyc", 0)].strength_milli
+    rnd_strength = out[("rnd", 0)].strength_milli
+    assert cyc_strength > 900 > rnd_strength
+    # the profile recovers the cycle's shape ordering
+    s = {ph: out[("cyc", ph)].seasonal_milli for ph in range(5)}
+    assert s[2] > s[1] > s[0] and s[2] > s[3] > s[4]
+
+
+def _py_seasonal(vals, period):
+    """Independent model: exact integer replay (python // floors, so
+    negative truncating divisions are spelled out — this is the
+    negative-division parity re-pin)."""
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    n, h = len(vals), (period - 1) // 2
+    tr = [(i, vals[i] - trunc_div(sum(vals[i - h:i + h + 1]), period))
+          for i in range(n) if i - h >= 0 and i + h < n]
+    if not tr:
+        return {}
+    from collections import defaultdict
+    by = defaultdict(list)
+    for i, d in tr:
+        by[i % period].append((d, i))
+    sk, m = {}, {}
+    for ph, lst in by.items():
+        lst.sort()
+        m[ph] = len(lst)
+        sk[ph] = lst[(len(lst) + 1) // 2 - 1][0]
+    c = trunc_div(sum(sk.values()), len(sk))
+    s = {ph: v - c for ph, v in sk.items()}
+    ds = [d for _, d in tr]
+    rs = [d - s[i % period] for i, d in tr]
+    mg = len(tr)
+    vd = mg * sum(d * d for d in ds) - sum(ds) ** 2
+    vr = mg * sum(r * r for r in rs) - sum(rs) ** 2
+    if vd <= 0:
+        return {}
+    st = max(0, 1000 - (1000 * vr) // vd)
+    return {ph: (m[ph], s[ph], st) for ph in sk}
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 50),            # second offset
+              st.integers(-40, 40),          # integral value
+              st.sampled_from(["a", "b"])),  # group
+    min_size=1, max_size=40))
+def test_seasonal_profile_matches_python_model(spark, rows):
+    data = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=s), 1, g, float(v), "{}")
+            for i, (s, v, g) in enumerate(rows)]
+    got = {(r.event_type, r.phase):
+           (r.n_obs, r.seasonal_milli, r.strength_milli)
+           for r in timeseries.seasonal_profile_milli(
+               _events(spark, data), "event_type", "ts", "value",
+               period=3, order_break_col="event_id").collect()}
+    want = {}
+    for g in {g for _, _, g in rows}:
+        pts = sorted(
+            (dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=s), v * 1000, i)
+            for i, (s, v, gg) in enumerate(rows) if gg == g)
+        for ph, t in _py_seasonal([v for _, v, _ in pts], 3).items():
+            want[(g, ph)] = t
+    assert got == want
+
+
+def test_seasonal_profile_oracle_matches_engine(spark):
+    """Engine == DuckDB on the real events per event_type and per
+    200-user slice.  Registration candidate for r16."""
+    import duckdb
+
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = sorted(tuple(r) for r in timeseries.seasonal_profile_milli(
+        ev, "event_type", "ts", "value", period=5,
+        order_break_col="event_id").collect())
+    got = sorted(con.sql(timeseries.seasonal_profile_oracle_sql(
+        "event_type", period=5,
+        order_break_col="event_id")).fetchall())
+    assert got == eng and len(eng) == 25      # 5 types × 5 phases
+    eng_u = sorted(tuple(r) for r in timeseries.seasonal_profile_milli(
+        ev.filter(F.col("user_id") < 200), "user_id", "ts", "value",
+        period=3, max_points=64,
+        order_break_col="event_id").collect())
+    con.execute("CREATE VIEW ev_slice2 AS SELECT * FROM events "
+                "WHERE user_id < 200")
+    got_u = sorted(con.sql(timeseries.seasonal_profile_oracle_sql(
+        "user_id", period=3, max_points=64, table="ev_slice2",
+        order_break_col="event_id")).fetchall())
+    assert got_u == eng_u and len(eng_u) >= 10
+
+
+def test_seasonal_profile_plan_is_bounded(spark):
+    """Every window is group-partitioned (the (g, phase) specs
+    co-locate on g) and the whole decomposition pays ONE corpus
+    exchange — no join, no groupBy, no collect."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "x",
+             float(i % 3), "{}") for i in range(9)]
+    out = timeseries.seasonal_profile_milli(
+        _events(spark, rows), "event_type", "ts", "value", period=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "g#" in spec, f"unpartitioned window: {spec}"
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 1, f"{n_ex} exchanges:\n{plan[:2000]}"

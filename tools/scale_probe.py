@@ -972,6 +972,15 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             lags=(1, 2, 4, 8), max_points=512,
             order_break_col="event_id")
 
+    def probe_seasonal(docs):
+        # classical decomposition + strength: like acf, ONE corpus
+        # exchange and pure window aggregates — organic user growth
+        # keeps every per-user sort task-local, wall tracks the scan
+        from kafkadirect_spark.functions import timeseries
+        return timeseries.seasonal_profile_milli(
+            _replicate_events(docs), "user_id", "ts", "value",
+            period=5, max_points=512, order_break_col="event_id")
+
     def probe_pii(docs):
         # regex redaction + Luhn fold: all row-local Catalyst
         # expressions, wall should be scan-bound
@@ -1016,6 +1025,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "video_features": probe_video_features,
               "png_features": probe_png_features,
               "acf": probe_acf,
+              "seasonal_profile": probe_seasonal,
               "pii": probe_pii,
               "basket": probe_basket,
               "kmv_matrix": probe_kmv_matrix,
