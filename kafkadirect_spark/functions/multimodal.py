@@ -518,6 +518,11 @@ def decode_png(payload: bytes) -> dict:
             break
     if ihdr is None or not ended or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        # CRC only proves the bytes present are intact, not that 13
+        # of them are — keep the loud-ValueError contract instead of
+        # letting struct.unpack leak a struct.error
+        raise ValueError(f"bad IHDR length {len(ihdr)} (want 13)")
     width, height, depth, color, comp, filt, interlace = \
         struct.unpack(">IIBBBBB", ihdr)
     if interlace != 0:
@@ -531,8 +536,20 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("bad PNG compression/filter method")
     bpp = 1 if color == 0 else 3
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    want = (stride + 1) * height
+    # bounded inflate: the expected raster size is known from IHDR,
+    # so never materialize more than want+1 bytes — an unbounded
+    # zlib.decompress would let a small crafted payload (high-ratio
+    # deflate stream behind a tiny IHDR) exhaust executor memory
+    # before the size check could reject it
+    dec = zlib.decompressobj()
+    out = bytearray()
+    data = bytes(idat)
+    while data and len(out) <= want and not dec.eof:
+        out += dec.decompress(data, want + 1 - len(out))
+        data = dec.unconsumed_tail
+    raw = bytes(out)
+    if len(raw) != want or not dec.eof:
         raise ValueError("PNG raster size mismatch")
     pixels: list[int] = []
     prior = bytes(stride)
@@ -566,6 +583,8 @@ def resize_png(payload: bytes, factor: int) -> bytes:
     """REAL image downsample for PNG payloads: decode → block-mean
     resample → re-encode (filter 0) — the PNM/BMP resize contract on
     the PNG container."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
     d = decode_png(payload)
     out, ow, oh = _block_mean(d["pixels"], d["width"], d["height"],
                               d["channels"], factor)
@@ -906,20 +925,21 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                     payload = encode_y4m(frames, w, h, fps_num=num)
                 else:
                     w, h = 16 + (i % 17), 12 + (i % 13)
-                    if kind == "pnm":
+                    if kind in ("pnm", "png"):
+                        # ONE shared grey gradient for both raster
+                        # kinds — the oracles replay this exact
+                        # formula, so it must not fork per container
                         px = [((x * 7 + y * 13 + i) % 256)
                               for y in range(h) for x in range(w)]
-                        payload = encode_pnm(px, w, h)
-                    elif kind == "png":
-                        # same gradient as pnm; the filter cycles
-                        # through ALL FIVE scanline filters across
-                        # ids, so a corpus round-trip exercises every
-                        # unfilter branch (the oracle replays only
-                        # the pixel math — filters must cancel)
-                        px = [((x * 7 + y * 13 + i) % 256)
-                              for y in range(h) for x in range(w)]
-                        payload = encode_png(px, w, h,
-                                             filter_type=i % 5)
+                        # png: the filter cycles through ALL FIVE
+                        # scanline filters across ids, so a corpus
+                        # round-trip exercises every unfilter branch
+                        # (the oracle replays only the pixel math —
+                        # filters must cancel)
+                        payload = (encode_pnm(px, w, h)
+                                   if kind == "pnm"
+                                   else encode_png(px, w, h,
+                                                   filter_type=i % 5))
                     else:
                         px = [((x * 7 + y * 13 + i + ch * 41) % 256)
                               for y in range(h) for x in range(w)

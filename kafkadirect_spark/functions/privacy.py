@@ -46,16 +46,20 @@ from pyspark.sql import functions as F
 # the usual RE2-style engines (no backreferences, no lookaround):
 # the pytest model pin runs them through python `re` verbatim.
 #
-# IPv4 precision (ADVICE r14): octets are range-checked to 0-255
-# with no leading zeros, so '999.999.999.999' and '256.1.2.3' no
-# longer count or redact.  One over-match is DELIBERATELY kept
-# (recall over precision): a valid dotted quad embedded in a longer
-# dotted numeric still matches its first four octets ('1.2.3.4.5'
-# redacts the '1.2.3.4' prefix) — excluding it needs lookaround,
-# which the RE2-safe dialect above forbids, and a version string
-# that embeds a full in-range quad is the rarer, safer false
-# positive than missing real addresses would be.
-_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+# IPv4 precision (ADVICE r14): octets are range-checked to 0-255,
+# so '999.999.999.999' and '256.1.2.3' no longer count or redact.
+# Zero-PADDED octets stay matched ('192.168.01.1', '010.001.002.003'
+# — fixed-width log formats emit these and most parsers accept them;
+# a PII scrubber keeps the recall).  One over-match family is
+# DELIBERATELY kept (recall over precision): a valid dotted quad
+# embedded in a longer dotted numeric still matches — both as a
+# PREFIX ('1.2.3.4.5' redacts its '1.2.3.4') and as a SUFFIX
+# ('1234.1.2.3.4' redacts its '1.2.3.4', since \\b holds between '.'
+# and a digit) — excluding either polarity needs lookaround, which
+# the RE2-safe dialect above forbids, and a version string embedding
+# a full in-range quad is the rarer, safer false positive than
+# missing real addresses would be.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|0[0-9]{1,2}|[1-9]?[0-9])"
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "card": r"\b\d{4}-\d{4}-\d{4}-\d{4}\b",

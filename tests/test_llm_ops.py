@@ -2274,6 +2274,51 @@ def test_png_crc_verification_and_labeled_stubs():
         multimodal.decode_png(mk(raw=bytes([7, 1, 2, 0, 3, 4])))
     with pytest.raises(ValueError, match="raster size"):
         multimodal.decode_png(mk(raw=bytes([0, 1, 2])))
+    # a CRC-valid IHDR of the wrong LENGTH must stay a ValueError,
+    # not leak struct.error (round-15 self-review)
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    short_ihdr = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", b"\x00" * 12)
+                  + chunk(b"IDAT", zlib.compress(b"\x00"))
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR length"):
+        multimodal.decode_png(short_ihdr)
+    with pytest.raises(ValueError, match="factor"):
+        multimodal.resize_png(good, 0)
+
+
+def test_png_decompression_bomb_is_bounded():
+    """A tiny payload whose deflate stream inflates far past the
+    IHDR-declared raster must be rejected WITHOUT materializing the
+    inflated bytes (round-15 self-review: an unbounded
+    zlib.decompress would let ~100 KB of input allocate gigabytes in
+    the mapInPandas worker).  Pinned by budget: decoding a ~64 MB
+    bomb behind a 2x2 header must fail fast and cheap."""
+    import resource
+    import struct
+    import time
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9))
+            + chunk(b"IEND", b""))
+    assert len(bomb) < 200_000          # the input really is tiny
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="raster size"):
+        multimodal.decode_png(bomb)
+    assert time.perf_counter() - t0 < 1.0
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on linux: allow slack, but nowhere near 64 MB
+    assert after - before < 16 << 10, (before, after)
 
 
 def test_png_features_phash_resize_compose(spark, docs):

@@ -36,19 +36,25 @@ def test_pii_scrub_hand_checked(spark):
 
 
 def test_ipv4_octet_range_and_documented_overmatch(spark):
-    """ADVICE r14: octets are range-checked (0-255, no leading
-    zeros), so long dotted numerics that are NOT addresses no longer
-    count; the one documented residue (a valid quad PREFIX of a
-    longer dotted numeric) still matches, by the recall-over-precision
-    choice in the module docstring."""
+    """ADVICE r14: octets are range-checked (0-255), so long dotted
+    numerics that are NOT addresses no longer count; zero-PADDED
+    octets stay matched (fixed-width log formats — the recall a
+    scrubber must keep); the documented residue (a valid quad inside
+    a longer dotted numeric, BOTH polarities) still matches, by the
+    recall-over-precision choice in the module docstring."""
     cases = [
         ("v 999.999.999.999 x", 0, "v 999.999.999.999 x"),
         ("v 256.1.2.3 x", 0, "v 256.1.2.3 x"),
-        ("v 192.168.01.1 x", 0, "v 192.168.01.1 x"),   # leading zero
         ("v 0.0.0.0 x", 1, "v [IP] x"),
         ("v 255.255.255.255 x", 1, "v [IP] x"),
-        # the documented over-match: version-string prefix redacts
-        ("v 1.2.3.4.5 x", 1, "v [IP].5 x"),
+        # zero-padded forms redact (recall regression caught in the
+        # round-15 self-review: the first octet-ranged pattern
+        # excluded them)
+        ("v 192.168.01.1 x", 1, "v [IP] x"),
+        ("v 010.001.002.003 x", 1, "v [IP] x"),
+        # the documented over-match, both polarities
+        ("v 1.2.3.4.5 x", 1, "v [IP].5 x"),            # prefix
+        ("v 1234.1.2.3.4 x", 1, "v 1234.[IP] x"),      # suffix
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _, _) in enumerate(cases)],
