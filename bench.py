@@ -243,6 +243,16 @@ def _media_image_features_suite(spark, sf_dir):
         multimodal.synth_media(ids, "doc_id", kind="bmp"))
 
 
+def _media_gif_features_suite(spark, sf_dir):
+    # round 15: executor-side GIF synthesis -> sub-block LZW decode
+    # -> palette expansion -> integer features, zero shuffles
+    from kafkadirect_spark.functions import multimodal
+    from kafkadirect_spark.sources.batch import load_table
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_features(
+        multimodal.synth_media(ids, "doc_id", kind="gif"))
+
+
 def _media_png_features_suite(spark, sf_dir):
     # the r16 media_png_features candidate (round 15): executor-side
     # PNG synthesis (filter cycles id % 5) -> CRC-verified chunk walk
@@ -635,6 +645,7 @@ def main() -> None:
         "contamination_spans": _contamination_spans_suite,
         "media_image_features": _media_image_features_suite,
         "media_png_features": _media_png_features_suite,
+        "media_gif_features": _media_gif_features_suite,
         "media_audio_features": _media_audio_features_suite,
         # r14 addition: the registered-surface-ready y4m video
         # round-trip (mapInPandas, zero shuffles)

@@ -1,6 +1,7 @@
 """Real multimodal pipeline demo — the codec-free formats end to end:
-mint genuine WAV-PCM, µ-law Sun-AU, binary-PNM, 24-bit BMP and
-REAL PNG payloads (stdlib-zlib DEFLATE, round 15) executor-side
+mint genuine WAV-PCM, µ-law Sun-AU, binary-PNM, 24-bit BMP, REAL
+PNG (stdlib-zlib DEFLATE) and REAL LZW GIF payloads (round 15)
+executor-side
 (functions/multimodal.py synth_media), then
 run the REAL decode / feature-extract / block-mean-resize passes,
 all zero-shuffle mapInPandas over Arrow batches.
@@ -43,6 +44,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     png = multimodal.synth_media(ids, "doc_id", kind="png")
     print("== image features (PNG: CRC walk -> inflate -> unfilter) ==")
     multimodal.image_features(png).orderBy("doc_id").show(10)
+
+    gif = multimodal.synth_media(ids, "doc_id", kind="gif")
+    print("== image features (GIF: sub-block LZW -> palette -> RGB) ==")
+    multimodal.image_features(gif).orderBy("doc_id").show(10)
 
     print("== 2x block-mean resize (decode -> resample -> re-encode) ==")
     multimodal.resize_images(img.unionByName(bmp).unionByName(png),

@@ -11,10 +11,14 @@ sub-8-bit maxval normalization; round 12 widened P5/P6-only),
 uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up/top-down, row
 padding; round 12), YUV4MPEG2 video (.y4m — parameter header,
 FRAME markers, planar mono/420*/422/444 luma; round 14), and REAL
-PNG (round 15 — the one compressed raster whose codec stack is
+PNG (round 15 — the compressed raster whose codec stack is
 entirely stdlib: zlib IS the DEFLATE layer; CRC-verified chunk walk,
 multi-IDAT inflate, all five scanline filters, 8-bit grey/truecolor
-non-interlaced) — decode, integer feature extraction, frame
+non-interlaced) and REAL LZW GIF (round 15 — the compressed raster
+whose codec needs NO library at all: variable-width 9→12-bit code
+stream, deferred clear, sub-block framing, global/local color
+tables, 4-pass interlace; first frame decoded, animation frames
+counted) — decode, integer feature extraction, frame
 sampling, block-mean resize, re-encode all real — while
 transform-codec formats (JPEG/MP3/H.264; PIL/ffmpeg absent in this
 environment) remain behind
@@ -683,10 +687,12 @@ def decode_au(payload: bytes) -> dict:
 
 def sniff_media(payload: bytes) -> str | None:
     """Container sniff by magic bytes: 'wav' / 'au' / 'pnm' / 'bmp' /
-    'png' / 'y4m' for the real decoder paths, None for everything
-    else (stub territory)."""
+    'png' / 'gif' / 'y4m' for the real decoder paths, None for
+    everything else (stub territory)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     if payload[:8] == _PNG_MAGIC:
@@ -756,8 +762,8 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 def image_features(media: DataFrame) -> DataFrame:
     """REAL image feature extraction over PNM (full P1-P6 family),
-    24-bit BMP (round 12) and 8-bit grey/truecolor PNG (round 15)
-    payloads (mapInPandas, zero shuffles):
+    24-bit BMP (round 12), 8-bit grey/truecolor PNG and LZW GIF
+    (round 15) payloads (mapInPandas, zero shuffles):
     ``(doc_id, width, height, channels, mean_milli, min_px, max_px)``
     with the mean as a truncating ×1000 integer.  Other payloads emit
     nothing."""
@@ -779,10 +785,10 @@ def image_features(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 kind = sniff_media(b)
-                if kind not in ("pnm", "bmp", "png"):
+                if kind not in ("pnm", "bmp", "png", "gif"):
                     continue
                 d = {"pnm": decode_pnm, "bmp": decode_bmp,
-                     "png": decode_png}[kind](b)
+                     "png": decode_png, "gif": decode_gif}[kind](b)
                 px = d["pixels"]
                 rows.append({
                     "doc_id": doc_id,
@@ -840,10 +846,14 @@ def resize_bmp(payload: bytes, factor: int) -> bytes:
 
 
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
-    """Distributed REAL resize over PNM and BMP payloads (mapInPandas,
-    zero shuffles): ``(doc_id, payload, width, height)`` with the
-    payload re-encoded at the reduced size in its own container.
-    Other payloads emit nothing."""
+    """Distributed REAL resize over PNM, BMP and PNG payloads
+    (mapInPandas, zero shuffles): ``(doc_id, payload, width,
+    height)`` with the payload re-encoded at the reduced size in its
+    own container.  Other payloads emit nothing — including GIF,
+    deliberately: the resampled block means would need a NEW color
+    table (re-quantization), which is a lossy editorial choice, not
+    a resize; decode GIFs and re-encode into a truecolor container
+    instead."""
     import pandas as pd
 
     out_schema = StructType([
@@ -893,9 +903,10 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
     ])
-    if kind not in ("wav", "pnm", "au", "bmp", "png", "y4m"):
+    if kind not in ("wav", "pnm", "au", "bmp", "png", "gif", "y4m"):
         raise ValueError(
-            "kind must be 'wav', 'au', 'pnm', 'bmp', 'png' or 'y4m'")
+            "kind must be 'wav', 'au', 'pnm', 'bmp', 'png', 'gif' "
+            "or 'y4m'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -925,7 +936,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                     payload = encode_y4m(frames, w, h, fps_num=num)
                 else:
                     w, h = 16 + (i % 17), 12 + (i % 13)
-                    if kind in ("pnm", "png"):
+                    if kind in ("pnm", "png", "gif"):
                         # ONE shared grey gradient for both raster
                         # kinds — the oracles replay this exact
                         # formula, so it must not fork per container
@@ -936,10 +947,12 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                         # round-trip exercises every unfilter branch
                         # (the oracle replays only the pixel math —
                         # filters must cancel)
-                        payload = (encode_pnm(px, w, h)
-                                   if kind == "pnm"
-                                   else encode_png(px, w, h,
-                                                   filter_type=i % 5))
+                        payload = (
+                            encode_pnm(px, w, h) if kind == "pnm"
+                            else encode_gif(px, w, h)
+                            if kind == "gif"
+                            else encode_png(px, w, h,
+                                            filter_type=i % 5))
                     else:
                         px = [((x * 7 + y * 13 + i + ch * 41) % 256)
                               for y in range(h) for x in range(w)
@@ -1005,16 +1018,20 @@ def synth_image_features_oracle_sql(kind: str = "pnm",
                                     table: str = "documents",
                                     id_col: str = "doc_id") -> str:
     """DuckDB replay of ``image_features(synth_media(df, id,
-    kind))`` for kind ∈ {'pnm', 'bmp', 'png'}: the gradient-pattern
-    pixel synthesis and the integer features — the raster container
-    (P5 header+raw / BMP bottom-up BGR padded rows / PNG
-    CRC-verified chunks + zlib inflate + the per-id scanline filter)
-    is exercised on the ENGINE side only, so a match proves the
-    image encode/decode round-trip (for PNG, across all five filter
-    types — the synth cycles ``filter_type = id % 5``)."""
-    if kind not in ("pnm", "bmp", "png"):
-        raise ValueError("kind must be 'pnm', 'bmp' or 'png'")
-    channels = 3 if kind == "bmp" else 1
+    kind))`` for kind ∈ {'pnm', 'bmp', 'png', 'gif'}: the
+    gradient-pattern pixel synthesis and the integer features — the
+    raster container (P5 header+raw / BMP bottom-up BGR padded rows /
+    PNG CRC-verified chunks + zlib inflate + the per-id scanline
+    filter / GIF sub-block LZW + gray palette) is exercised on the
+    ENGINE side only, so a match proves the image encode/decode
+    round-trip (for PNG, across all five filter types — the synth
+    cycles ``filter_type = id % 5``).  For gif the engine expands
+    the gray palette to RGB triplets: channels reads 3 and the
+    triplicated mean/min/max equal the gray ones exactly
+    (floor(3S·1000 / 3n) = floor(S·1000 / n))."""
+    if kind not in ("pnm", "bmp", "png", "gif"):
+        raise ValueError("kind must be 'pnm', 'bmp', 'png' or 'gif'")
+    channels = 3 if kind in ("bmp", "gif") else 1
     pix = ("(x * 7 + y * 13 + i + ch * 41) % 256" if kind == "bmp"
            else "(x * 7 + y * 13 + i) % 256")
     ch_src = (", (SELECT unnest(generate_series(0, 2)) AS ch)"
@@ -1090,8 +1107,8 @@ def phash64(pixels, width: int, height: int, channels: int):
 
 def image_phash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash per image payload (PNM family / 24-bit
-    BMP / 8-bit PNG — the real decoders), zero shuffles: ``(doc_id,
-    phash_hi, phash_lo, n_ones)``.  Non-image payloads and rasters
+    BMP / 8-bit PNG / LZW GIF — the real decoders), zero shuffles:
+    ``(doc_id, phash_hi, phash_lo, n_ones)``.  Non-image payloads and rasters
     smaller than 8×8 emit nothing (same skip contract as
     ``image_features``)."""
     import pandas as pd
@@ -1109,10 +1126,10 @@ def image_phash(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 kind = sniff_media(b)
-                if kind not in ("pnm", "bmp", "png"):
+                if kind not in ("pnm", "bmp", "png", "gif"):
                     continue
                 d = {"pnm": decode_pnm, "bmp": decode_bmp,
-                     "png": decode_png}[kind](b)
+                     "png": decode_png, "gif": decode_gif}[kind](b)
                 if d["width"] < 8 or d["height"] < 8:
                     continue
                 hi, lo = phash64(d["pixels"], d["width"], d["height"],
@@ -1174,11 +1191,13 @@ def synth_phash_pairs_oracle_sql(kind: str = "pnm",
     means → threshold bits → 32-bit halves → byte bands → bucket
     pairs → bit_count(xor) Hamming — a green row proves the raster
     container round-trip AND the whole perceptual-dedup pipeline."""
-    if kind not in ("pnm", "bmp", "png"):
-        raise ValueError("kind must be 'pnm', 'bmp' or 'png'")
+    if kind not in ("pnm", "bmp", "png", "gif"):
+        raise ValueError("kind must be 'pnm', 'bmp', 'png' or 'gif'")
     if not 0 <= max_hamming < 8:
         raise ValueError("max_hamming must be in [0, 8)")
-    if kind in ("pnm", "png"):              # same greyscale gradient
+    if kind in ("pnm", "png", "gif"):       # same greyscale gradient
+        # (gif's RGB expansion triplicates the gray value, and the
+        # phash gray conversion (r+g+b)//3 maps it straight back)
         gray = "(x * 7 + y * 13 + i) % 256"
         gsrc = ""
     else:
@@ -1253,6 +1272,244 @@ _Y4M_CS = {
     "422": (2, 1),
     "444": (3, 1),
 }
+
+
+# --- GIF (CompuServe 87a/89a, public spec): the raster whose whole
+# compression layer — LZW — needs NO library at all (round 15, the
+# PNG lesson continued): variable-width LSB-first code stream with
+# dictionary growth 9→12 bits, clear/end codes, deferred-clear
+# full-table behavior, sub-block framing, global/local color tables
+# and 4-pass interlace are all implemented per spec.  decode is
+# bounded by the descriptor-declared raster size (the PNG
+# decompression-bomb discipline).  The encoder writes a valid LZW
+# stream via the classic literal+periodic-CLEAR technique (public),
+# so payloads built here open in any viewer; the decoder additionally
+# reads REAL dictionary-compressed streams (pinned against an
+# independent spec-built LZW compressor in the tests). ---
+
+
+def _lzw_decode(data: bytes, min_code_size: int,
+                max_pixels: int) -> bytes:
+    """GIF-flavor LZW decode to palette indices, output bounded at
+    ``max_pixels`` (a crafted stream cannot balloon memory — it fails
+    loudly the moment it overruns the declared raster)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[bytes | None] = \
+        [bytes([i]) for i in range(clear)] + [None, None]
+    next_code = end + 1
+    out = bytearray()
+    prev: int | None = None
+    acc = nbits = 0
+    i = 0
+    finished = False
+    while not finished:
+        while nbits < width:
+            if i >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([c]) for c in range(clear)] + [None, None]
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            finished = True
+            continue
+        if prev is None:
+            if code >= clear:
+                raise ValueError("bad GIF LZW code after clear")
+            out += table[code]
+        else:
+            if code < next_code and code < len(table) \
+                    and table[code] is not None:
+                entry = table[code]
+            elif code == next_code:
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError(f"bad GIF LZW code {code}")
+            out += entry
+            if next_code < 4096:            # full table: stop adding
+                table.append(table[prev] + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        prev = code
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW output exceeds declared raster")
+    return bytes(out)
+
+
+def encode_gif(pixels, width: int, height: int) -> bytes:
+    """Serialize 8-bit GRAYSCALE pixels into a REAL GIF87a payload:
+    256-entry gray global color table, one image, LZW stream written
+    with the classic literal-codes + periodic-CLEAR technique (a
+    fully valid stream any decoder reads; the code width stays at 9
+    bits by clearing before the dictionary would grow past it).
+    Payloads built here open in any image viewer."""
+    import struct
+
+    if not 1 <= width <= 0xFFFF or not 1 <= height <= 0xFFFF:
+        raise ValueError("width/height must be in [1, 65535]")
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])    # 256-entry GCT
+    for v in range(256):
+        out += bytes([v, v, v])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) \
+        + b"\x00"
+    out += bytes([8])                            # LZW min code size
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(256)                                    # initial CLEAR
+    for j, v in enumerate(pixels):
+        if not 0 <= v <= 255:
+            raise ValueError("pixel out of range")
+        # re-CLEAR before the decoder's table could reach 512
+        # entries (254 codes after a clear, see _lzw_decode): the
+        # code width never leaves 9 bits
+        if j and j % 128 == 0:
+            emit(256)
+        emit(v)
+    emit(257)                                    # END
+    if nbits:
+        stream.append(acc & 0xFF)
+    for k in range(0, len(stream), 255):
+        blk = stream[k:k + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL decode of a GIF payload: header + logical screen
+    descriptor, global/local color tables, extension blocks skipped,
+    sub-block reassembly, full variable-width LZW (dictionary growth
+    9→12 bits, deferred clear), 4-pass interlace reordering, palette
+    → RGB expansion.  The FIRST image is decoded (``n_frames``
+    counts all image descriptors — animation frames beyond the first
+    are walked, not decoded).  Corruption fails loudly; the LZW
+    output is bounded by the declared raster (the PNG bomb
+    discipline)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF color table")
+        pos += 3 * n
+    first = None
+    n_frames = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF (no trailer)")
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:                            # trailer
+            break
+        if b == 0x21:                            # extension
+            pos += 1                             # label
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+        elif b == 0x2C:                          # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, w, h = struct.unpack_from("<HHHH", payload, pos)
+            ip = payload[pos + 8]
+            pos += 9
+            interlaced = bool(ip & 0x40)
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                ct = payload[pos:pos + 3 * n]
+                if len(ct) != 3 * n:
+                    raise ValueError("truncated GIF color table")
+                pos += 3 * n
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF image data")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                blk = payload[pos:pos + ln]
+                if len(blk) != ln:
+                    raise ValueError("truncated GIF image data")
+                data += blk
+                pos += ln
+            n_frames += 1
+            if first is None:
+                if ct is None:
+                    raise ValueError("GIF image with no color table")
+                if w < 1 or h < 1:
+                    raise ValueError("bad GIF image dimensions")
+                idx = _lzw_decode(bytes(data), mcs, w * h)
+                if len(idx) != w * h:
+                    raise ValueError("GIF raster size mismatch")
+                if interlaced:                   # 4-pass row order
+                    order = (list(range(0, h, 8))
+                             + list(range(4, h, 8))
+                             + list(range(2, h, 4))
+                             + list(range(1, h, 2)))
+                    rows = [idx[r * w:(r + 1) * w]
+                            for r in range(h)]
+                    fixed = [b""] * h
+                    for src, y in enumerate(order):
+                        fixed[y] = rows[src]
+                    idx = b"".join(fixed)
+                px = []
+                n_ct = len(ct) // 3
+                for c in idx:
+                    if c >= n_ct:
+                        raise ValueError(
+                            "GIF pixel index outside color table")
+                    px += [ct[3 * c], ct[3 * c + 1], ct[3 * c + 2]]
+                first = (w, h, px)
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    if first is None:
+        raise ValueError("GIF with no image")
+    w, h, px = first
+    return {"codec": "gif", "width": w, "height": h, "channels": 3,
+            "pixels": px, "n_frames": n_frames}
 
 
 def encode_y4m(frames, width: int, height: int, fps_num: int = 25,

@@ -122,17 +122,18 @@ _PROMOTED = [
     "pii_scrub",
     "twap",
     "weighted_quantiles",
-    # -- rule 2: the round-15 REAL PNG path (stdlib-zlib codec)
-    #    added branches to the SHARED multimodal helpers
-    #    `sniff_media` (new magic check), `synth_media` (new kind),
-    #    and the image_features / image_phash dispatch tables that
-    #    sit in these three registered queries' code paths; behavior
-    #    for their pnm/bmp/wav payloads is provably unchanged (no
-    #    such payload starts with the PNG magic), but rule 2 tracks
-    #    implementation text, not arguments — the driver re-verifies
-    #    them.  (media_video_features shares the same helpers and
-    #    fronts above as a new registration; no other registered
-    #    query's implementation or oracle text changed this round.)
+    # -- rule 2: the round-15 REAL PNG and GIF paths (stdlib-zlib /
+    #    pure-LZW codecs) added branches to the SHARED multimodal
+    #    helpers `sniff_media` (new magic checks), `synth_media` (new
+    #    kinds), and the image_features / image_phash dispatch tables
+    #    that sit in these three registered queries' code paths;
+    #    behavior for their pnm/bmp/wav payloads is provably
+    #    unchanged (no such payload starts with the PNG/GIF magics),
+    #    but rule 2 tracks implementation text, not arguments — the
+    #    driver re-verifies them.  (media_video_features shares the
+    #    same helpers and fronts above as a new registration; no
+    #    other registered query's implementation or oracle text
+    #    changed this round.)
     #    Three fill slots paid for these — see the fill note below. --
     "media_audio_features",
     "media_image_features",
@@ -195,7 +196,11 @@ _PROMOTED = [
 # cycles filter_type = id % 5, so ONE driver row proves CRC-verified
 # chunk walk, inflate and all five scanline unfilters; a genuinely
 # new claim: the container triad rows prove uncompressed codecs,
-# this proves a COMPRESSED one), `acf` (landed r15 —
+# this proves a COMPRESSED one; `media_gif_features` — the LZW twin,
+# oracle-ready via synth_image_features_oracle_sql(kind='gif') — is
+# the SAME compressed-raster claim family: register AT MOST ONE of
+# png/gif per round, png first for its five-filter coverage), `acf`
+# (landed r15 —
 # timeseries.acf_oracle_sql; per-group rank-lag autocorrelation, Box
 # & Jenkins — the PERIODICITY claim cusum/theil_sen/sax cannot make;
 # one corpus exchange, pure window aggregates, hypothesis-pinned vs

@@ -1526,7 +1526,7 @@ def test_synth_image_features_oracle_matches_engine(spark, docs):
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
-    for kind in ("pnm", "bmp", "png"):
+    for kind in ("pnm", "bmp", "png", "gif"):
         img = multimodal.synth_media(docs.select("doc_id"), "doc_id",
                                      kind=kind)
         eng = sorted(tuple(r)
@@ -1981,7 +1981,7 @@ def test_phash_pairs_oracle_matches_engine(spark, docs):
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
     base = docs.select("doc_id")
-    for kind in ("pnm", "bmp", "png"):
+    for kind in ("pnm", "bmp", "png", "gif"):
         pairs = multimodal.phash_pairs(
             multimodal.image_phash(
                 multimodal.synth_media(base, "doc_id", kind=kind)),
@@ -2355,3 +2355,180 @@ def test_png_features_phash_resize_compose(spark, docs):
             multimodal.encode_pnm(d["pixels"], d["width"],
                                   d["height"]), 2))
         assert rd["pixels"] == pd["pixels"]
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 15): the LZW raster — the compression layer needs no
+# library at all; the decoder reads real dictionary-compressed
+# streams, interlace, local color tables and animations.
+# ---------------------------------------------------------------------------
+
+
+def test_gif_round_trip_and_sniff():
+    """encode_gif → decode_gif expands the gray palette to identical
+    RGB triplets, across sizes that cross CLEAR boundaries (>128 px)
+    and sub-block boundaries (>255 stream bytes)."""
+    import random
+
+    rng = random.Random(87)
+    for trial in range(5):
+        w, h = rng.randrange(1, 60), rng.randrange(1, 40)
+        px = [rng.randrange(256) for _ in range(w * h)]
+        p = multimodal.encode_gif(px, w, h)
+        assert multimodal.sniff_media(p) == "gif"
+        d = multimodal.decode_gif(p)
+        assert (d["codec"], d["width"], d["height"], d["channels"],
+                d["n_frames"]) == ("gif", w, h, 3, 1)
+        assert d["pixels"] == [v for g in px for v in (g, g, g)]
+    with pytest.raises(ValueError, match="pixel count"):
+        multimodal.encode_gif([0, 0], 1, 1)
+    with pytest.raises(ValueError, match="width/height"):
+        multimodal.encode_gif([], 0, 1)
+
+
+def _lzw_compress_ref(indices, mcs):
+    """Independent spec-built GIF-LZW COMPRESSOR (dictionary growth,
+    width bump when the just-added code reaches 1<<width, 12-bit
+    full-table stop) — nothing imported from the module, so the
+    decoder is pinned against the spec, not against our writer."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    run = b""
+    for c in indices:
+        nxt = run + bytes([c])
+        if nxt in table:
+            run = nxt
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        run = bytes([c])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decoder_handles_foreign_encoders():
+    """A GIF our encoder could NOT have written — real
+    dictionary-compressed LZW with width growth past 9 bits, an
+    INTERLACED first frame, a LOCAL color table, a skipped GIF89a
+    graphic-control extension, and a second (animation) frame — must
+    decode the first frame exactly and count both."""
+    import struct
+    import zlib  # noqa: F401  (parallel with the PNG foreign test)
+
+    w, h = 40, 33                            # enough repetition for
+    px = [(x // 3 + y // 2) % 7 for y in range(h)  # dict growth
+          for x in range(w)]
+    # interlace: store rows in 4-pass order
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    stored = []
+    for y in order:
+        stored += px[y * w:(y + 1) * w]
+    lzw = _lzw_compress_ref(stored, 4)       # 16-entry local table
+    lct = bytes([(17 * i) % 256 for i in range(16 * 3)])
+    blocks = bytearray()
+    for k in range(0, len(lzw), 200):
+        blk = lzw[k:k + 200]
+        blocks += bytes([len(blk)]) + blk
+    blocks += b"\x00"
+    frame2 = _lzw_compress_ref([0, 1, 2, 3], 4)
+    payload = (b"GIF89a" + struct.pack("<HH", w, h)
+               + bytes([0x00, 0, 0])         # no global table
+               + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, skipped
+               + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+               + bytes([0x80 | 0x40 | 0x03]) # LCT(16) + interlaced
+               + lct + bytes([4]) + blocks
+               + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+               + bytes([0x80 | 0x03]) + lct + bytes([4])
+               + bytes([len(frame2)]) + frame2 + b"\x00"
+               + b"\x3b")
+    d = multimodal.decode_gif(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, 2)
+    want = []
+    for c in px:
+        want += [lct[3 * c], lct[3 * c + 1], lct[3 * c + 2]]
+    assert d["pixels"] == want
+
+
+def test_gif_guards_and_bounded_lzw():
+    """Corruption fails loudly; an LZW stream coding far more pixels
+    than the descriptor declares is rejected the moment it overruns
+    (the PNG decompression-bomb discipline)."""
+    import struct
+
+    good = multimodal.encode_gif([1, 2, 3, 4], 2, 2)
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"PNG? nope")
+    with pytest.raises(ValueError, match="truncated GIF"):
+        multimodal.decode_gif(good[:-2])
+    with pytest.raises(ValueError, match="bad GIF block"):
+        multimodal.decode_gif(good[:-1] + b"\x7f")
+    # 2x2 descriptor, 4096-pixel stream: must fail fast, bounded
+    lzw = _lzw_compress_ref([5] * 4096, 8)
+    gct = bytearray()
+    for v in range(256):
+        gct += bytes([v, v, v])
+    blocks = bytearray()
+    for k in range(0, len(lzw), 255):
+        blk = lzw[k:k + 255]
+        blocks += bytes([len(blk)]) + blk
+    blocks += b"\x00"
+    bomb = (b"GIF87a" + struct.pack("<HH", 2, 2)
+            + bytes([0x87, 0, 0]) + bytes(gct)
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+            + bytes([8]) + blocks + b"\x3b")
+    with pytest.raises(ValueError, match="exceeds declared raster"):
+        multimodal.decode_gif(bomb)
+    # an index outside a small color table is caught, not wrapped
+    lzw2 = _lzw_compress_ref([3, 3, 9, 3], 4)
+    lct = bytes([10, 20, 30] * 8)            # 8-entry table
+    small = (b"GIF87a" + struct.pack("<HH", 2, 2)
+             + bytes([0x00, 0, 0])
+             + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+             + bytes([0x80 | 0x02]) + lct + bytes([4])
+             + bytes([len(lzw2)]) + lzw2 + b"\x00\x3b")
+    with pytest.raises(ValueError, match="outside color table"):
+        multimodal.decode_gif(small)
+
+
+def test_gif_features_phash_compose(spark, docs):
+    """synth gif → image_features matches a local decode replay and
+    image_phash emits — the GIF path composes into the image
+    consumers exactly like PNM/BMP/PNG."""
+    base = docs.select("doc_id").limit(30)
+    img = multimodal.synth_media(base, "doc_id", kind="gif")
+    feats = {r.doc_id: r for r in
+             multimodal.image_features(img).collect()}
+    local = {r.doc_id: multimodal.decode_gif(bytes(r.payload))
+             for r in img.collect()}
+    assert set(feats) == set(local) and len(feats) == 30
+    for i, d in local.items():
+        px = d["pixels"]
+        f = feats[i]
+        assert (f.width, f.height, f.channels) == (
+            d["width"], d["height"], 3)
+        assert f.mean_milli == 1000 * sum(px) // len(px)
+        assert (f.min_px, f.max_px) == (min(px), max(px))
+    assert multimodal.image_phash(img).count() == 30

@@ -961,6 +961,15 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
             multimodal.synth_media(docs.select("doc_id"), "doc_id",
                                    kind="png"))
 
+    def probe_gif_features(docs):
+        # GIF synth -> sub-block LZW decode -> palette expansion ->
+        # integer features: zero-shuffle mapInPandas both ways, wall
+        # should be id-count linear like png/video
+        from kafkadirect_spark.functions import multimodal
+        return multimodal.image_features(
+            multimodal.synth_media(docs.select("doc_id"), "doc_id",
+                                   kind="gif"))
+
     def probe_acf(docs):
         # rank-lag autocorrelation: ONE corpus exchange (the rank
         # window), everything downstream is window aggregates over
@@ -1024,6 +1033,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_repl: int = 16,
               "twap": probe_twap,
               "video_features": probe_video_features,
               "png_features": probe_png_features,
+              "gif_features": probe_gif_features,
               "acf": probe_acf,
               "seasonal_profile": probe_seasonal,
               "pii": probe_pii,
