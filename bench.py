@@ -425,7 +425,10 @@ def _hybrid_rrf_suite(spark, sf_dir):
         ["data", "model", "learning"], probe_id=7)
 
 
-def main() -> None:
+def build_suites() -> tuple[dict, dict]:
+    """The (reference suites, extra suites) tables — shared between
+    ``main`` and tools/bench_one.py so a single suite can be re-measured
+    in isolation with exactly the bench's own callables."""
     from kafkadirect_spark.plans import QUERIES
     # r11/r12: suite queries RETIRED from the registry (near-duplicate
     # consolidation) whose suite plans are fingerprint-pinned — call
@@ -441,12 +444,7 @@ def main() -> None:
         dedup_containment as _dedup_containment_q,
     )
     from kafkadirect_spark.plans.queries import stream_count as _stream_count_q
-    from kafkadirect_spark.session import get_spark
     from kafkadirect_spark.sources.batch import load_table
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("kafkadirect-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     # Suite → query shape (BASELINE.md "BENCH mapping" table).
     def consume(spark, sf):
@@ -699,6 +697,18 @@ def main() -> None:
         # table per round, groups converge independently)
         "weighted_quantiles_grouped": _weighted_quantiles_grouped_suite,
     }
+    return suites, extra_suites
+
+
+def main() -> None:
+    from kafkadirect_spark.session import get_spark
+    from kafkadirect_spark.sources.batch import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("kafkadirect-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    suites, extra_suites = build_suites()
 
     # JVM/codegen warmup outside the measured window (SimpleBenchmark
     # also measures steady state, not first-query JIT).

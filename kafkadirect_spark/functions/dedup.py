@@ -117,11 +117,20 @@ def _widen(df: DataFrame) -> DataFrame:
 
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
+    """Distinct (id, shingle) pairs — the inverted-index input.
+
+    The per-doc distinct is computed ROW-LOCALLY (``array_distinct``
+    before the explode), not with a corpus-wide ``.distinct()``: ids
+    are unique per row (every caller's contract), so the two are
+    row-identical while this form removes the corpus-sized
+    (id, shingle) exchange the old explode→distinct paid (guide §2.4
+    "remove shuffles outright" — r15 measurement: containment at
+    sf0.1 8.2 s → 4.8 s combined with the capped-index persist)."""
     return (
         _widen(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(shingles(tokens(text_col), n)))
+                .alias("shingle"))
     )
 
 
@@ -145,8 +154,12 @@ def ngram_jaccard_pairs(
     # MEMORY_AND_DISK by default — spills rather than recomputes at scale.
     sh = _persist(_shingle_index(df, text_col, id_col, n))
     if max_doc_freq is not None:
+        # Persist the CAPPED index too: it is what the three consumers
+        # actually read, and without this the freq join re-ran once per
+        # consumer (guide §2.4 — r15 containment measurement 8.2→4.9 s).
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+        sh = _persist(
+            sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -530,12 +543,16 @@ def winnow_overlap_pairs(
     """
     from kafkadirect_spark.functions.text import winnow_fps
 
-    fps = winnow_fps(
+    fps = _persist(winnow_fps(
         _widen(df.select(F.col(id_col), F.col(text_col))),
-        text_col, id_col, k, w)
+        text_col, id_col, k, w))
     if max_doc_freq is not None:
+        # Persist the capped fingerprint index: both self-join sides
+        # read it, and without the persists the winnow+hash pipeline
+        # (and the freq join) ran once per side (guide §2.4).
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        fps = fps.join(freq.filter(F.col("df") <= max_doc_freq), "fp")
+        fps = _persist(
+            fps.join(freq.filter(F.col("df") <= max_doc_freq), "fp"))
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -763,8 +780,11 @@ def containment_pairs(
         raise ValueError(f"how must be 'inner' or 'anti', got {how!r}")
     sh = _persist(_shingle_index(df, text_col, id_col, n))
     if max_doc_freq is not None:
+        # Persist the CAPPED index too (see ngram_jaccard_pairs): its
+        # three consumers otherwise re-run the freq join each.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+        sh = _persist(
+            sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -411,9 +411,20 @@ def ivf_topk(
     The candidate join then shuffles on centroid id — list sizes, not
     |index|², bound the work, the same skew profile as LSH buckets.
     """
+    # Norms are STAGED as columns on each side (r15, guide §4.2 spirit):
+    # cosine(a, b) re-evaluates THREE interpreted HOF aggregates per
+    # pair (dot + both norms — HOFs sit outside whole-stage codegen);
+    # dot/(_vn·_cn) computes the identical float expression (same
+    # sequential sums, same sqrt, same multiply — bit-identical, so
+    # ranks can't flip) with ONE HOF per pair.  ``_widen`` keeps the
+    # per-pair HOF work cluster-wide: the scoring feeds a tiny window
+    # exchange that AQE coalesces to one partition, so without the
+    # widen the whole n×c scoring ran single-task (measured 3.4 s →
+    # 1.0 s at sf0.1 for the assignment pass).
     cent = F.broadcast(
         df.filter(F.col(id_col) % centroid_stride == 0)
-        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")))
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"),
+                norm(F.col(vec_col)).alias("_cn")))
     vecs = df.select(F.col(id_col), F.col(vec_col))
     # ONE scoring pass over index × broadcast(centroids); rank 1 is the
     # inverted-list assignment, ranks ≤ nprobe are the probe set.  The
@@ -421,8 +432,10 @@ def ivf_topk(
     # flow through the ranking shuffle.
     pw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid"))
     ranked_cent = _persist(
-        vecs.join(cent)
-        .withColumn("_ccos", cosine(F.col(vec_col), F.col("_cvec")))
+        _widen(vecs).withColumn("_vn", norm(F.col(vec_col)))
+        .join(cent)
+        .withColumn("_ccos", dot(F.col(vec_col), F.col("_cvec"))
+                    / (F.col("_vn") * F.col("_cn")))
         .withColumn("_pr", F.row_number().over(pw))
         .filter(F.col("_pr") <= max(nprobe, 1))
         .select(F.col(id_col), "_cid", "_pr")
@@ -435,14 +448,20 @@ def ivf_topk(
         .filter(F.col("_pid") != F.col("_nid"))
         .select("_pid", "_nid")
     )
+    # staged norms again: one HOF aggregate per candidate pair instead
+    # of three, float-identical (see the assignment comment above)
     cands = (
         pairs
         .join(vecs.select(F.col(id_col).alias("_pid"),
-                          F.col(vec_col).alias("_pvec")), "_pid")
+                          F.col(vec_col).alias("_pvec"),
+                          norm(F.col(vec_col)).alias("_pn")), "_pid")
         .join(vecs.select(F.col(id_col).alias("_nid"),
-                          F.col(vec_col).alias("_nvec")), "_nid")
+                          F.col(vec_col).alias("_nvec"),
+                          norm(F.col(vec_col)).alias("_nn")), "_nid")
     )
-    scored = cands.withColumn("_cos", cosine(F.col("_pvec"), F.col("_nvec")))
+    scored = cands.withColumn(
+        "_cos", dot(F.col("_pvec"), F.col("_nvec"))
+        / (F.col("_pn") * F.col("_nn")))
     w = Window.partitionBy("_pid").orderBy(F.col("_cos").desc(), F.col("_nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -984,8 +1003,13 @@ def _pq_mode(k: int, assign: str, m: int = 4) -> str:
     # the switch is on the PRODUCT, not k alone — measured at sf0.1
     # (2k rows, dim 64, m=4, iters=2): expr 8.3/10.2/18.8 s at
     # k=8/16/32 (linear in m·k, codegen-compile dominated) vs blas
-    # 2.6/0.9/0.9 s — blas wins from m·k ≈ 32 everywhere tested.
-    mode = ("blas" if m * k > 32 else "expr") if assign == "auto" else assign
+    # 2.6/0.9/0.9 s.  r15 re-measure at m·k=16 (the registered
+    # embedding_pq_codes / ivf_pq shape): expr 2.24 s vs blas 0.66 s
+    # (pq_encode), 4.7 vs 2.5 s (ivf_pq_topk) — blas wins everywhere
+    # above trivial m·k, and its per-row cost is the BLAS matmul vs
+    # O(m·k·sub) interpreted ops, so the crossover only moves DOWN at
+    # scale.  The two modes are bit-identical (pytest-pinned).
+    mode = ("blas" if m * k > 8 else "expr") if assign == "auto" else assign
     if mode not in ("expr", "blas"):
         raise ValueError(f"unsupported assign mode {assign!r}")
     if mode == "expr" and k > 64:
@@ -1155,23 +1179,29 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
     sub = dim // m
     mode = _pq_mode(k, assign, m)
 
-    # --- IVF coarse structure (the ivf_topk recipe) ---
+    # --- IVF coarse structure (the ivf_topk recipe; norms staged and
+    # the index scan widened exactly as there — bit-identical floats,
+    # one HOF per pair instead of three, scoring cluster-wide) ---
     cent = F.broadcast(
         df.filter(F.col(id_col) % centroid_stride == 0)
         .select(F.col(id_col).alias("_cid"),
-                F.col(vec_col).alias("_cvec")))
+                F.col(vec_col).alias("_cvec"),
+                norm(F.col(vec_col)).alias("_cn")))
     vecs = df.select(F.col(id_col), F.col(vec_col))
     aw = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(),
                                             F.col("_cid"))
-    assigned = (vecs.join(cent)
-                .withColumn("_ccos", cosine(F.col(vec_col),
-                                            F.col("_cvec")))
+    staged_cos = (dot(F.col(vec_col), F.col("_cvec"))
+                  / (F.col("_vn") * F.col("_cn")))
+    assigned = (_widen(vecs).withColumn("_vn", norm(F.col(vec_col)))
+                .join(cent)
+                .withColumn("_ccos", staged_cos)
                 .withColumn("_r", F.row_number().over(aw))
                 .filter(F.col("_r") == 1)
                 .select(F.col(id_col).alias("_nid"), "_cid"))
-    plists = (probes.select(F.col(id_col), F.col(vec_col)).join(cent)
-              .withColumn("_ccos", cosine(F.col(vec_col),
-                                          F.col("_cvec")))
+    plists = (probes.select(F.col(id_col), F.col(vec_col))
+              .withColumn("_vn", norm(F.col(vec_col)))
+              .join(cent)
+              .withColumn("_ccos", staged_cos)
               .withColumn("_r", F.row_number().over(aw))
               .filter(F.col("_r") <= nprobe)
               .select(F.col(id_col).alias("_pid"), "_cid"))

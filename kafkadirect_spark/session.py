@@ -67,4 +67,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Diagnostic knob (guide §1/§7): with no UI in headless sandboxes,
+    # the event log is the only way to attribute wall time to jobs/
+    # stages.  Off unless the env var names a directory.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENT_LOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder
+                   .config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.rolling.enabled", "false")
+                   .config("spark.eventLog.dir", ev_dir))
     return builder.getOrCreate()
