@@ -59,44 +59,63 @@ def basket_pairs_topk(df: DataFrame, basket_col: str, item_col: str,
         raise ValueError("min_support must be >= 1")
     if max_basket < 2:
         raise ValueError("max_basket must be >= 2")
-    items = (df.filter(F.col(basket_col).isNotNull()
-                       & F.col(item_col).isNotNull())
-             .select(F.col(basket_col).alias("b"),
-                     F.col(item_col).alias("it"))
-             .distinct())
-    sizes = items.groupBy("b").agg(F.count(F.lit(1)).alias("__sz"))
-    # kept feeds FOUR consumers (both self-join sides, the item
-    # frequencies and the basket denominator) — persist so the
-    # distinct+cap lineage runs once (the attribution convention:
-    # registered via dedup._persist, freed by dedup.release_caches())
+    # ONE exchange builds the per-basket distinct item SET (map-side
+    # partial collect_set dedups multiplicities — identical to the old
+    # (basket, item) distinct), the cap is then a row-local size
+    # filter, and pairs are enumerated row-locally from the sorted set
+    # (r15, guide §2.3/2.4): the old shape paid a distinct exchange, a
+    # sizes exchange, a cap join, a basket-count distinct AND the
+    # basket-keyed self-join for the same rows — measured 4.9 s →
+    # 3.8 s at sf0.1, and C(|basket|,2) pair work is unchanged (the
+    # cap still bounds it).  Memory envelope: one aggregation buffer
+    # per basket holding its DISTINCT items — linear in basket size,
+    # spills through ObjectHashAggregate's sort fallback on a
+    # pathological mega-basket before the cap drops it.
     from kafkadirect_spark.functions.dedup import _persist
 
-    kept = _persist(
-        items.join(sizes.filter(F.col("__sz") <= max_basket), "b")
-        .drop("__sz"))
+    grouped = (df.filter(F.col(basket_col).isNotNull()
+                         & F.col(item_col).isNotNull())
+               .groupBy(F.col(basket_col).alias("b"))
+               .agg(F.sort_array(F.collect_set(F.col(item_col)))
+                    .alias("__its")))
+    # kept feeds three consumers (pair explode, item frequencies and
+    # the basket denominator) — persist so the set-build runs once
+    # (registered via dedup._persist, freed by dedup.release_caches())
+    kept = _persist(grouped.filter(F.size("__its") <= max_basket))
     # register-sized one-row aggregates (broadcast literals)
-    n_baskets = kept.select("b").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__nb"))
-    freq = kept.groupBy("it").agg(
-        F.count(F.lit(1)).cast("long").alias("__nf"))
+    n_baskets = kept.agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    freq = (kept.select(F.explode("__its").alias("it"))
+            .groupBy("it").agg(
+                F.count(F.lit(1)).cast("long").alias("__nf")))
     # Apriori prune (Agrawal & Srikant 1994's monotonicity): an item
     # in fewer than min_support baskets cannot belong to a qualifying
-    # pair (n_ab <= min(n_a, n_b)), so dropping it BEFORE the
-    # self-join changes nothing downstream — support_ppm still
+    # pair (n_ab <= min(n_a, n_b)), so dropping it BEFORE pair
+    # enumeration changes nothing downstream — support_ppm still
     # divides by ALL kept baskets and freq was measured pre-prune.
-    # Opt-in because it costs one extra item-keyed hash join: a WIN
+    # Opt-in because it costs an explode + semi-join + re-group: a WIN
     # only when the catalog is long-tail (most items below
     # min_support).  MEASURED on TPC-H lineitem at sf0.1 (parts are
-    # uniform, nothing prunes): 5.6 s unpruned vs 9.2 s pruned —
-    # hence default False; flip it for power-law catalogs.
-    frequent = (kept.join(freq.filter(
-        F.col("__nf") >= min_support).select("it"), "it")
-        if prune_items and min_support >= 2 else kept)
-    a, c = frequent.alias("a"), frequent.alias("c")
-    pairs = (a.join(c, (F.col("a.b") == F.col("c.b"))
-                    & (F.col("a.it") < F.col("c.it")))
-             .groupBy(F.col("a.it").alias("item_a"),
-                      F.col("c.it").alias("item_b"))
+    # uniform, nothing prunes): 5.6 s unpruned vs 9.2 s pruned on the
+    # r14 join shape — hence default False; flip it for power-law
+    # catalogs.
+    if prune_items and min_support >= 2:
+        frequent = (kept.select("b", F.explode("__its").alias("it"))
+                    .join(freq.filter(F.col("__nf") >= min_support)
+                          .select("it"), "it", "left_semi")
+                    .groupBy("b")
+                    .agg(F.sort_array(F.collect_set("it"))
+                         .alias("__its")))
+    else:
+        frequent = kept
+    # all (x, y) with x before y in the sorted set — row-local,
+    # exactly the old self-join's (a.it < c.it) pairs per basket
+    pair_expr = F.expr(
+        "flatten(transform(__its, (x, i) -> "
+        "transform(slice(__its, i + 2, size(__its) - i - 1), "
+        "y -> struct(x AS item_a, y AS item_b))))")
+    pairs = (frequent.select(F.explode(pair_expr).alias("__p"))
+             .groupBy(F.col("__p.item_a").alias("item_a"),
+                      F.col("__p.item_b").alias("item_b"))
              .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
              .filter(F.col("n_ab") >= min_support))
     top = (pairs.orderBy(F.col("n_ab").desc(), "item_a", "item_b")

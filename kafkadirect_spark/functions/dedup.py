@@ -347,22 +347,61 @@ def with_row_signatures(df: DataFrame, text_col: str, keep: list[str],
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: one row per doc with sig_0..sig_{31}
     (docs with <n tokens have no shingles and drop out — they can't
-    near-dup anything).  Computed row-locally (``with_row_signatures``)
-    — ZERO shuffles at scale; the round-4 explode + groupBy(doc)
-    formulation cost one doc-row-sized exchange for identical values
-    (pinned by tests/test_streaming.py::
-    test_row_signatures_match_groupby_formulation against the
-    historical groupBy path's golden values).  Assumes ``id_col`` is unique per
-    row (every caller's contract).
+    near-dup anything).  Assumes ``id_col`` is unique per row (every
+    caller's contract).
 
-    ``_widen`` first: the 32 per-row hash folds are the expensive
-    stage, and a narrow (single-file) scan would run them on one
-    task — measured 3.1 s vs 1.1 s at sf0.1 on local[32].  It is a
-    metadata no-op on a ≥cluster-wide scan, so the 100 TB plan still
-    has no exchange."""
-    return with_row_signatures(
-        _widen(df.select(F.col(id_col), F.col(text_col))), text_col,
-        keep=[id_col], n=n)
+    Two stages, still ZERO shuffles: the JVM projection stages the
+    gram-hash array (md5 → portable hash, once per shingle), then the
+    32 permutation folds run as ONE vectorized numpy pass per Arrow
+    batch (``mapInPandas``) — ``(h·aᵢ + bᵢ) mod P`` with h, aᵢ < 2³¹
+    fits int64 exactly, so the output is bit-identical to the
+    expression form (``with_row_signatures``, which the streaming path
+    still uses; parity pinned by tests/test_llm_ops.py::
+    test_minhash_signatures_match_expression_form).  The expression
+    form evaluates 32 interpreted HOF folds per row (HOFs sit outside
+    whole-stage codegen) — guide §4.2's vectorize-inside-the-boundary
+    trade, measured 1.76 s → 0.66 s for the signature pass and
+    3.6 s → 1.0 s for the full LSH candidate pipeline at sf0.1.
+
+    ``_widen`` first: the hash folds are the expensive stage, and a
+    narrow (single-file) scan would run them on one task — measured
+    3.1 s vs 1.1 s at sf0.1 on local[32].  It is a metadata no-op on
+    a ≥cluster-wide scan, so the 100 TB plan still has no exchange."""
+    h0df = (_widen(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    F.transform(shingles(tokens(text_col), n),
+                                portable_hash).alias("__h0")))
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"sig_{i} long" for i in range(N_PERM))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in PERMS], dtype=np.int64)
+        B = np.array([b for _, b in PERMS], dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = [(i, np.asarray(h, dtype=np.int64))
+                    for i, h in enumerate(pdf["__h0"])
+                    if h is not None and len(h)]
+            if not keep:
+                continue
+            lens = np.array([len(h) for _, h in keep])
+            flat = np.concatenate([h for _, h in keep])
+            # (Σ|h|, N_PERM) permuted hashes, folded to per-row minima
+            # with reduceat over the row offsets — all int64-exact
+            perm = (flat[:, None] * A[None, :] + B[None, :]) % HASH_P
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            mins = np.minimum.reduceat(perm, starts, axis=0)
+            out = {id_col: pdf[id_col].iloc[[i for i, _ in keep]]}
+            for i in range(N_PERM):
+                out[f"sig_{i}"] = mins[:, i]
+            yield pd.DataFrame(out)
+
+    return h0df.mapInPandas(gen, schema=schema)
 
 
 def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:

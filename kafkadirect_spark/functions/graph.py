@@ -124,12 +124,18 @@ def _orient(pairs: DataFrame, a_col: str, b_col: str):
                 .withColumnRenamed("d", "dv"), "v"))
     lo_first = (F.struct(F.col("du"), F.col("u"))
                 < F.struct(F.col("dv"), F.col("v")))
-    o = ed.select(
+    # The ORIENTED frame is persisted too (r15): it feeds the wedge
+    # self-join's two sides, the closure semi-join and (in
+    # local_clustering) the role explode — without its own cache each
+    # consumer re-ran the two degree joins from the cached edge list
+    # as its own AQE stage materialization.  Same boundedness as
+    # ``e``: candidate-pair-sized.
+    o = _persist(ed.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(lo_first, F.struct("dv", "v"))
          .otherwise(F.struct(F.col("du").alias("dv"),
-                             F.col("u").alias("v"))).alias("hs"))
+                             F.col("u").alias("v"))).alias("hs")))
     return e, deg, o
 
 
@@ -182,14 +188,30 @@ def triangle_stats(pairs: DataFrame, a_col: str = "id_a",
     tri = wedges.join(o.select(F.col("lo").alias("x"),
                                F.col("hi").alias("y")),
                       ["x", "y"], "left_semi")
-    stats = (deg.agg(
+    # One-row aggregates combined through a UNION + max instead of two
+    # broadcast joins (r15): the broadcast form materialized each agg
+    # as its own driver-blocking job; union branches materialize
+    # concurrently inside the single final job.  Values are identical
+    # (each column is non-null in exactly one branch).
+    nulls = F.lit(None).cast("long")
+    parts = (deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.expr("CAST(sum(CAST(d AS BIGINT) * (d - 1)) DIV 2 "
-               "AS BIGINT)").alias("n_wedges"))
-        .join(F.broadcast(e.agg(
-            F.count(F.lit(1)).cast("long").alias("n_edges"))))
-        .join(F.broadcast(tri.agg(
-            F.count(F.lit(1)).cast("long").alias("n_triangles")))))
+               "AS BIGINT)").alias("n_wedges"),
+        nulls.alias("n_edges"), nulls.alias("n_triangles"))
+        .unionByName(e.agg(
+            nulls.alias("n_nodes"), nulls.alias("n_wedges"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            nulls.alias("n_triangles")))
+        .unionByName(tri.agg(
+            nulls.alias("n_nodes"), nulls.alias("n_wedges"),
+            nulls.alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_triangles"))))
+    stats = parts.agg(
+        F.max("n_nodes").alias("n_nodes"),
+        F.max("n_edges").alias("n_edges"),
+        F.max("n_wedges").alias("n_wedges"),
+        F.max("n_triangles").alias("n_triangles"))
     return stats.select(
         "n_nodes", "n_edges", "n_wedges", "n_triangles",
         F.expr("CAST(1000 * 3 * n_triangles DIV "

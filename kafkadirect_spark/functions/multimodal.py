@@ -961,7 +961,14 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                 rows.append({"doc_id": i, "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return (df.select(F.col(id_col).cast("long").alias("__id"))
+    # _widen first (r15): the id projection comes off a narrow scan
+    # (one file at bench scale), so the per-row Python encode ran on
+    # 1-2 tasks; the synth is the expensive stage and the repartition
+    # moves 8-byte ids.  No-op on a ≥cluster-wide scan (guide §2.5
+    # input-skew note — same fix as dedup's hash stages).
+    from kafkadirect_spark.functions.dedup import _widen
+
+    return (_widen(df.select(F.col(id_col).cast("long").alias("__id")))
             .mapInPandas(batches, schema=out_schema))
 
 

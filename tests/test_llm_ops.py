@@ -43,6 +43,20 @@ def test_lsh_candidates_superset_of_true_pairs(docs):
     assert len(cand) < n * (n - 1) / 20
 
 
+def test_minhash_signatures_match_expression_form(docs):
+    """r15: minhash_signatures' vectorized numpy permutation fold must
+    stay bit-identical to the Column-expression form the streaming
+    path uses (with_row_signatures) — same (h·a + b) mod P integer
+    arithmetic, same empty-doc drop."""
+    fast = dedup.minhash_signatures(docs, "text", "doc_id")
+    ref = dedup.with_row_signatures(
+        docs.select("doc_id", "text"), "text", keep=["doc_id"])
+    a = sorted(tuple(r) for r in fast.collect())
+    b = sorted(tuple(r) for r in ref.collect())
+    assert a, "fixture should produce signatures"
+    assert a == b
+
+
 def test_simhash_near_for_near_dups(docs):
     pair = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                      threshold=0.9).first()
