@@ -1271,10 +1271,14 @@ def exactsubstr_report(df: DataFrame, text_col: str, id_col: str,
 
 
 def _exactsubstr_occ(df: DataFrame, text_col: str, id_col: str,
-                     L: int, portable: bool):
+                     L: int, portable: bool, persist: bool = True):
     """Shared front half of the ExactSubstr family: the token base
-    and the persisted sliding-gram occurrence frame (id, pos, hash
-    key column(s))."""
+    and the sliding-gram occurrence frame (id, pos, hash key
+    column(s)), persisted when it has more than one consumer
+    (``persist=False`` for single-consumer callers — the incremental
+    path's INDEX side reduces straight to a distinct hash set, and
+    materializing a corpus-sized (id, pos, hash) cache for that one
+    pass cost ~0.9 s at sf0.1 for nothing, r15)."""
     base = _widen(df.select(F.col(id_col), F.col(text_col))) \
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
     occ = base.select(
@@ -1285,7 +1289,9 @@ def _exactsubstr_occ(df: DataFrame, text_col: str, id_col: str,
     else:
         keys = [F.xxhash64("__g").alias("__h"),
                 F.crc32(F.col("__g")).alias("__h2")]
-    occ = _persist(occ.select(F.col(id_col), "pos", *keys))
+    occ = occ.select(F.col(id_col), "pos", *keys)
+    if persist:
+        occ = _persist(occ)
     knames = [c for c in occ.columns if c.startswith("__h")]
     return base, occ, knames
 
@@ -1435,8 +1441,10 @@ def exactsubstr_incremental(new_df: DataFrame, index_df: DataFrame,
     L = min_tokens
     base, occ, knames = _exactsubstr_occ(new_df, text_col, id_col, L,
                                          portable)
+    # persist=False: the index side is consumed exactly once (the
+    # distinct-hash reduction below) — no cache, no positions kept
     _, idx_occ, _ = _exactsubstr_occ(index_df, text_col, id_col, L,
-                                     portable)
+                                     portable, persist=False)
     idx = idx_occ.select(*knames).distinct()
     span = lambda d: d.select(  # noqa: E731
         F.col(id_col), F.col("pos"),
