@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -210,12 +212,22 @@ def encode_wav_pcm16(samples, sample_rate: int = 16000,
     import struct
     import wave
 
+    if isinstance(samples, np.ndarray):
+        # vectorized serialization for the synth path; the range
+        # check keeps struct.pack's loud-error contract
+        arr = samples.astype(np.int64)
+        if arr.size and (int(arr.min()) < -0x8000
+                         or int(arr.max()) > 0x7FFF):
+            struct.pack(f"<{arr.size}h", *arr.tolist())
+        frames = arr.astype("<i2").tobytes()
+    else:
+        frames = struct.pack(f"<{len(samples)}h", *samples)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(frames)
     return buf.getvalue()
 
 
@@ -230,14 +242,18 @@ def encode_pnm(pixels, width: int, height: int,
         raise ValueError("pixel count != width*height*channels")
     magic = b"P5" if channels == 1 else b"P6"
     header = magic + f"\n{width} {height}\n255\n".encode()
+    if isinstance(pixels, np.ndarray):
+        if pixels.size and (int(pixels.min()) < 0
+                            or int(pixels.max()) > 255):
+            raise ValueError("bytes must be in range(0, 256)")
+        return header + pixels.astype(np.uint8).tobytes()
     return header + bytes(pixels)
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL decode of a RIFF/WAVE PCM payload: container metadata via
-    stdlib `wave`, samples as an int16 list (channel-interleaved)."""
+def _decode_wav_arr(payload: bytes) -> dict:
+    """`decode_wav` with the samples as an int64 numpy array — the
+    zero-copy form the feature extractors consume."""
     import io
-    import struct
     import wave
 
     with wave.open(io.BytesIO(payload), "rb") as w:
@@ -247,20 +263,24 @@ def decode_wav(payload: bytes) -> dict:
     if sw != 2:
         raise NotImplementedError(f"PCM sample width {sw} not wired "
                                   "(16-bit only)")
-    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    samples = np.frombuffer(
+        raw[:len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
     return {"codec": "pcm_s16le", "sample_rate": rate, "channels": ch,
             "n_frames": nf, "samples": samples}
 
 
-def decode_pnm(payload: bytes) -> dict:
-    """REAL decode of a PNM payload — the FULL netpbm family as of
-    round 12: binary P5 (gray) / P6 (RGB) / P4 (packed 1-bit bitmap)
-    and ASCII P1 (bitmap) / P2 (gray) / P3 (RGB).  Parses the
-    whitespace/comment-tolerant header, returns pixels as a flat
-    row-major list.  Bitmap formats follow the netpbm convention
-    (1 = black): values are emitted ALREADY scaled to 0/255
-    (1 → 0, 0 → 255) so features mean the same thing across the
-    family."""
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a RIFF/WAVE PCM payload: container metadata via
+    stdlib `wave`, samples as an int16 list (channel-interleaved)."""
+    d = _decode_wav_arr(payload)
+    d["samples"] = d["samples"].tolist()
+    return d
+
+
+def _decode_pnm_arr(payload: bytes) -> dict:
+    """`decode_pnm` with the pixels as a numpy array — the zero-copy
+    form the feature extractors consume (binary rasters never build a
+    per-pixel python list)."""
     magic = payload[:2]
     if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         raise ValueError("not a PNM payload")
@@ -292,18 +312,17 @@ def decode_pnm(payload: bytes) -> dict:
         pix = payload[pos:pos + n]
         if len(pix) != n:
             raise ValueError("truncated PNM raster")
-        pixels = list(pix)
+        pixels = np.frombuffer(pix, dtype=np.uint8)
     elif kind == 4:                         # packed bits, row-padded
         pos += 1
         stride = -(-width // 8)
         if len(payload) - pos < stride * height:
             raise ValueError("truncated PNM raster")
-        pixels = []
-        for y in range(height):
-            row = payload[pos + y * stride:pos + (y + 1) * stride]
-            for x in range(width):
-                bit = (row[x >> 3] >> (7 - (x & 7))) & 1
-                pixels.append(0 if bit else 255)
+        packed = np.frombuffer(payload, dtype=np.uint8,
+                               count=stride * height, offset=pos)
+        bits = np.unpackbits(packed.reshape(height, stride),
+                             axis=1)[:, :width]   # MSB-first
+        pixels = np.where(bits != 0, 0, 255).reshape(-1)  # 1 = black
     elif kind == 1:                         # ASCII bitmap: digits may
         vals, i = [], pos                   # pack without whitespace
         while i < len(payload) and len(vals) < n:
@@ -320,21 +339,36 @@ def decode_pnm(payload: bytes) -> dict:
                 raise ValueError("bad P1 raster character")
         if len(vals) < n:
             raise ValueError("truncated PNM raster")
-        pixels = [0 if v else 255 for v in vals]
+        pixels = np.where(np.array(vals, dtype=np.int64) != 0, 0, 255)
     else:                                   # P2/P3 — ASCII tokens
         toks = payload[pos:].split()
         if len(toks) < n:
             raise ValueError("truncated PNM raster")
-        vals = [int(t) for t in toks[:n]]
-        if any(v < 0 or v > maxval for v in vals):
+        vals = np.array([int(t) for t in toks[:n]], dtype=np.int64)
+        if vals.size and (int(vals.min()) < 0
+                          or int(vals.max()) > maxval):
             raise ValueError("PNM sample out of range")
         pixels = vals
     if not bitmap and maxval != 255:
         # normalize sub-8-bit rasters to the family's 0-255 surface
         # (truncating ×255 DIV maxval — integer-exact)
-        pixels = [v * 255 // maxval for v in pixels]
+        pixels = pixels.astype(np.int64) * 255 // maxval
     return {"codec": "pnm", "width": width, "height": height,
             "channels": channels, "pixels": pixels}
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """REAL decode of a PNM payload — the FULL netpbm family as of
+    round 12: binary P5 (gray) / P6 (RGB) / P4 (packed 1-bit bitmap)
+    and ASCII P1 (bitmap) / P2 (gray) / P3 (RGB).  Parses the
+    whitespace/comment-tolerant header, returns pixels as a flat
+    row-major list.  Bitmap formats follow the netpbm convention
+    (1 = black): values are emitted ALREADY scaled to 0/255
+    (1 → 0, 0 → 255) so features mean the same thing across the
+    family."""
+    d = _decode_pnm_arr(payload)
+    d["pixels"] = d["pixels"].tolist()
+    return d
 
 
 def encode_bmp(pixels, width: int, height: int) -> bytes:
@@ -344,31 +378,28 @@ def encode_bmp(pixels, width: int, height: int) -> bytes:
     payloads built here open in any image viewer."""
     import struct
 
-    if len(pixels) != width * height * 3:
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.size != width * height * 3:
         raise ValueError("pixel count != width*height*3")
+    if px.size and (int(px.min()) < 0 or int(px.max()) > 255):
+        raise ValueError("bytes must be in range(0, 256)")
     stride = (width * 3 + 3) & ~3
     img_size = stride * height
     header = (b"BM"
               + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
               + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
                             0, img_size, 2835, 2835, 0, 0))
-    out = bytearray(header)
-    pad = b"\x00" * (stride - width * 3)
-    for y in range(height - 1, -1, -1):          # bottom-up
-        for x in range(width):
-            r, g, b = pixels[(y * width + x) * 3:(y * width + x) * 3 + 3]
-            out += bytes((b, g, r))               # BGR on disk
-        out += pad
-    return bytes(out)
+    # bottom-up rows, BGR byte order, 4-byte row padding — all pure
+    # reindexing, done as one vectorized reshape instead of per pixel
+    bgr = px.reshape(height, width, 3).astype(np.uint8)[::-1, :, ::-1]
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width * 3] = bgr.reshape(height, width * 3)
+    return header + rows.tobytes()
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """REAL decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER or
-    larger, BI_RGB): honors the pixel-array offset, bottom-up or
-    top-down row order, BGR byte order and 4-byte row padding;
-    returns pixels as a flat row-major top-down RGB list.  Paletted /
-    compressed / other-depth BMPs raise NotImplementedError (labeled
-    — wire a real codec box for those)."""
+def _decode_bmp_arr(payload: bytes) -> dict:
+    """`decode_bmp` with the pixels as a numpy array — the zero-copy
+    form the feature extractors consume."""
     import struct
 
     if payload[:2] != b"BM":
@@ -392,15 +423,25 @@ def decode_bmp(payload: bytes) -> dict:
     stride = (width * 3 + 3) & ~3
     if len(payload) - pix_off < stride * height:
         raise ValueError("truncated BMP pixel array")
-    pixels = []
-    for oy in range(height):
-        y = oy if top_down else height - 1 - oy
-        row = payload[pix_off + y * stride:pix_off + y * stride + width * 3]
-        for x in range(width):
-            b, g, r = row[x * 3:x * 3 + 3]
-            pixels += [r, g, b]
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * height,
+                        offset=pix_off).reshape(height, stride)
+    bgr = arr[:, :width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
     return {"codec": "bmp", "width": width, "height": height,
-            "channels": 3, "pixels": pixels}
+            "channels": 3, "pixels": bgr[:, :, ::-1].reshape(-1)}
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER or
+    larger, BI_RGB): honors the pixel-array offset, bottom-up or
+    top-down row order, BGR byte order and 4-byte row padding;
+    returns pixels as a flat row-major top-down RGB list.  Paletted /
+    compressed / other-depth BMPs raise NotImplementedError (labeled
+    — wire a real codec box for those)."""
+    d = _decode_bmp_arr(payload)
+    d["pixels"] = d["pixels"].tolist()
+    return d
 
 
 # --- PNG (ISO/IEC 15948, public): the one "compressed" raster whose
@@ -449,51 +490,52 @@ def encode_png(pixels, width: int, height: int, channels: int = 1,
 
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (grey) or 3 (RGB)")
-    if len(pixels) != width * height * channels:
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.size != width * height * channels:
         raise ValueError("pixel count != width*height*channels")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError("filter_type must be 0..4")
+    if px.size and (int(px.min()) < 0 or int(px.max()) > 255):
+        raise ValueError("bytes must be in range(0, 256)")
     bpp, stride = channels, width * channels
-    raw = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
-        row = bytes(pixels[y * stride:(y + 1) * stride])
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw += row
-        else:
-            for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                c = prior[x - bpp] if x >= bpp else 0
-                if filter_type == 1:
-                    pred = a
-                elif filter_type == 2:
-                    pred = b
-                elif filter_type == 3:
-                    pred = (a + b) // 2
-                else:
-                    pred = _paeth(a, b, c)
-                raw.append((row[x] - pred) & 0xFF)
-        prior = row
+    # the encode-side predictors read RAW (unfiltered) neighbors, so
+    # every filter vectorizes whole-image (no sequential dependency —
+    # that only exists on the decode side)
+    img = px.reshape(height, stride)
+    prior = np.vstack([np.zeros((1, stride), dtype=np.int64),
+                       img[:-1]])
+    left = np.zeros_like(img)
+    left[:, bpp:] = img[:, :-bpp]
+    ul = np.zeros_like(img)
+    ul[:, bpp:] = prior[:, :-bpp]
+    if filter_type == 0:
+        res = img
+    elif filter_type == 1:
+        res = img - left
+    elif filter_type == 2:
+        res = img - prior
+    elif filter_type == 3:
+        res = img - (left + prior) // 2
+    else:
+        p = left + prior - ul
+        pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                      np.abs(p - ul))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prior, ul))
+        res = img - pred
+    raw = np.empty((height, stride + 1), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = (res & 0xFF).astype(np.uint8)
     ihdr = struct.pack(">IIBBBBB", width, height, 8,
                        0 if channels == 1 else 2, 0, 0, 0)
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL decode of a PNG payload: signature check, chunk walk with
-    per-chunk CRC32 VERIFICATION (corruption fails loudly, never
-    decodes garbage), multi-IDAT concatenation, zlib inflate, and
-    exact unfiltering of all five scanline filter types — so
-    standards-compliant output from ANY encoder (whatever filters it
-    chose per row) decodes here, not just our own.  Ancillary chunks
-    are skipped.  8-bit grey/truecolor non-interlaced only:
-    palette/alpha color types, other bit depths and Adam7 interlace
-    raise NotImplementedError (labeled).  Returns pixels as a flat
-    row-major list."""
+def _decode_png_arr(payload: bytes) -> dict:
+    """`decode_png` with the pixels as a numpy array — the zero-copy
+    form the feature extractors consume."""
     import struct
     import zlib
 
@@ -555,7 +597,10 @@ def decode_png(payload: bytes) -> dict:
     raw = bytes(out)
     if len(raw) != want or not dec.eof:
         raise ValueError("PNG raster size mismatch")
-    pixels: list[int] = []
+    # unfilter row-by-row (Sub/Average/Paeth reconstruct sequentially
+    # in x — tiny rows, the bytearray loop wins over numpy there) but
+    # accumulate into ONE buffer instead of a growing per-pixel list
+    out_px = bytearray(stride * height)
     prior = bytes(stride)
     for y in range(height):
         ft = raw[y * (stride + 1)]
@@ -577,10 +622,27 @@ def decode_png(payload: bytes) -> dict:
                 line[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
         elif ft != 0:
             raise ValueError(f"bad PNG filter type {ft}")
-        pixels += list(line)
+        out_px[y * stride:(y + 1) * stride] = line
         prior = bytes(line)
     return {"codec": "png", "width": width, "height": height,
-            "channels": bpp, "pixels": pixels}
+            "channels": bpp,
+            "pixels": np.frombuffer(bytes(out_px), dtype=np.uint8)}
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decode of a PNG payload: signature check, chunk walk with
+    per-chunk CRC32 VERIFICATION (corruption fails loudly, never
+    decodes garbage), multi-IDAT concatenation, zlib inflate, and
+    exact unfiltering of all five scanline filter types — so
+    standards-compliant output from ANY encoder (whatever filters it
+    chose per row) decodes here, not just our own.  Ancillary chunks
+    are skipped.  8-bit grey/truecolor non-interlaced only:
+    palette/alpha color types, other bit depths and Adam7 interlace
+    raise NotImplementedError (labeled).  Returns pixels as a flat
+    row-major list."""
+    d = _decode_png_arr(payload)
+    d["pixels"] = d["pixels"].tolist()
+    return d
 
 
 def resize_png(payload: bytes, factor: int) -> bytes:
@@ -636,6 +698,22 @@ def pcm16_to_ulaw(x: int) -> int:
     return 0x7F ^ mask
 
 
+_ULAW_SEG_END_ARR = np.array(_ULAW_SEG_END, dtype=np.int64)
+
+
+def _pcm16_to_ulaw_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized `pcm16_to_ulaw` — element-wise identical (numpy's
+    >> on signed ints is arithmetic, like C and python int >>;
+    differential-pinned in tests)."""
+    x = np.asarray(x, dtype=np.int64) >> 2
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    x = np.minimum(np.abs(x), 8159) + (0x84 >> 2)
+    seg = np.searchsorted(_ULAW_SEG_END_ARR, x, side="left")
+    segc = np.minimum(seg, 7)
+    val = (segc << 4) | ((x >> (segc + 1)) & 0x0F)
+    return (np.where(seg > 7, 0x7F, val) ^ mask).astype(np.uint8)
+
+
 def encode_au(samples, sample_rate: int = 8000, channels: int = 1,
               encoding: str = "ulaw") -> bytes:
     """Serialize int16 samples into a REAL Sun AU payload — µ-law
@@ -644,10 +722,20 @@ def encode_au(samples, sample_rate: int = 8000, channels: int = 1,
     import struct
 
     if encoding == "ulaw":
-        data = bytes(pcm16_to_ulaw(int(s)) for s in samples)
+        arr = (samples if isinstance(samples, np.ndarray)
+               else np.array([int(s) for s in samples],
+                             dtype=np.int64))
+        data = _pcm16_to_ulaw_arr(arr).tobytes()
         enc = 1
     elif encoding == "pcm16":
-        data = struct.pack(f">{len(samples)}h", *samples)
+        if isinstance(samples, np.ndarray):
+            arr = samples.astype(np.int64)
+            if arr.size and (int(arr.min()) < -0x8000
+                             or int(arr.max()) > 0x7FFF):
+                struct.pack(f">{arr.size}h", *arr.tolist())
+            data = arr.astype(">i2").tobytes()
+        else:
+            data = struct.pack(f">{len(samples)}h", *samples)
         enc = 3
     else:
         raise ValueError("encoding must be 'ulaw' or 'pcm16'")
@@ -656,11 +744,14 @@ def encode_au(samples, sample_rate: int = 8000, channels: int = 1,
     return header + data
 
 
-def decode_au(payload: bytes) -> dict:
-    """REAL decode of a Sun AU payload: big-endian header, then µ-law
-    (encoding 1 — expanded through the exact G.711 formula) or 16-bit
-    linear PCM BE (encoding 3) to an int16 sample list.  Other
-    encodings raise NotImplementedError (labeled)."""
+_ULAW_EXPAND = np.array([ulaw_to_pcm16(u) for u in range(256)],
+                        dtype=np.int64)
+
+
+def _decode_au_arr(payload: bytes) -> dict:
+    """`decode_au` with the samples as an int64 numpy array — the
+    zero-copy form the feature extractors consume (µ-law expands
+    through a 256-entry table built from the exact G.711 formula)."""
     import struct
 
     if payload[:4] != _AU_MAGIC:
@@ -672,17 +763,28 @@ def decode_au(payload: bytes) -> dict:
     if len(data) != size:
         raise ValueError("truncated AU data")
     if enc == 1:
-        samples = [ulaw_to_pcm16(b) for b in data]
+        samples = _ULAW_EXPAND[np.frombuffer(data, dtype=np.uint8)]
         codec = "ulaw"
     elif enc == 3:
-        samples = list(struct.unpack(f">{len(data) // 2}h",
-                                     data[:len(data) // 2 * 2]))
+        samples = np.frombuffer(
+            data[:len(data) // 2 * 2], dtype=">i2").astype(np.int64)
         codec = "pcm_s16be"
     else:
         raise NotImplementedError(f"AU encoding {enc} not wired "
                                   "(1=µ-law, 3=PCM16 only)")
     return {"codec": codec, "sample_rate": rate, "channels": ch,
-            "n_frames": len(samples) // max(ch, 1), "samples": samples}
+            "n_frames": int(samples.size) // max(ch, 1),
+            "samples": samples}
+
+
+def decode_au(payload: bytes) -> dict:
+    """REAL decode of a Sun AU payload: big-endian header, then µ-law
+    (encoding 1 — expanded through the exact G.711 formula) or 16-bit
+    linear PCM BE (encoding 3) to an int16 sample list.  Other
+    encodings raise NotImplementedError (labeled)."""
+    d = _decode_au_arr(payload)
+    d["samples"] = d["samples"].tolist()
+    return d
 
 
 def sniff_media(payload: bytes) -> str | None:
@@ -738,22 +840,22 @@ def audio_features(media: DataFrame) -> DataFrame:
                 kind = sniff_media(b)
                 if kind not in ("wav", "au"):
                     continue
-                d = decode_wav(b) if kind == "wav" else decode_au(b)
-                s = d["samples"]
-                n = len(s)
-                nz = [x for x in s if x != 0]
-                zc = sum(1 for a, b2 in zip(nz, nz[1:])
-                         if (a < 0) != (b2 < 0))
-                rows.append({
+                d = (_decode_wav_arr(b) if kind == "wav"
+                     else _decode_au_arr(b))
+                s = d["samples"]                # int64; s² ≤ 2³⁰, so
+                n = int(s.size)                 # the Σs² stays exact
+                nz = s[s != 0] < 0              # in int64 to ~8e9
+                rows.append({                   # samples per payload
                     "doc_id": doc_id,
                     "sample_rate": d["sample_rate"],
                     "channels": d["channels"],
                     "n_samples": n,
                     "duration_ms": 1000 * d["n_frames"]
                     // max(d["sample_rate"], 1),
-                    "peak": max((abs(x) for x in s), default=0),
-                    "energy_mean": (sum(x * x for x in s) // n) if n else 0,
-                    "zero_crossings": zc,
+                    "peak": int(np.abs(s).max()) if n else 0,
+                    "energy_mean": (int(np.dot(s, s)) // n) if n else 0,
+                    "zero_crossings": int(
+                        np.count_nonzero(nz[1:] != nz[:-1])),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
@@ -787,16 +889,19 @@ def image_features(media: DataFrame) -> DataFrame:
                 kind = sniff_media(b)
                 if kind not in ("pnm", "bmp", "png", "gif"):
                     continue
-                d = {"pnm": decode_pnm, "bmp": decode_bmp,
-                     "png": decode_png, "gif": decode_gif}[kind](b)
+                d = {"pnm": _decode_pnm_arr, "bmp": _decode_bmp_arr,
+                     "png": _decode_png_arr,
+                     "gif": _decode_gif_arr}[kind](b)
                 px = d["pixels"]
+                n = int(px.size)
                 rows.append({
                     "doc_id": doc_id,
                     "width": d["width"], "height": d["height"],
                     "channels": d["channels"],
-                    "mean_milli": 1000 * sum(px) // len(px) if px else 0,
-                    "min_px": min(px, default=0),
-                    "max_px": max(px, default=0),
+                    "mean_milli": (1000 * int(px.sum(dtype=np.int64))
+                                   // n) if n else 0,
+                    "min_px": int(px.min()) if n else 0,
+                    "max_px": int(px.max()) if n else 0,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
@@ -909,6 +1014,9 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
             "or 'y4m'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the per-id sample/pixel math runs vectorized (numpy
+        # broadcasts over the raster/stream axes); values are
+        # non-negative before each % so python and numpy agree
         for pdf in it:
             rows = []
             for doc_id in pdf["__id"]:
@@ -916,8 +1024,8 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                 if kind in ("wav", "au"):
                     period = 8 + (i % 23)
                     n = 256 + (i % 128)
-                    tri = [((t % period) * 2000 - period * 1000)
-                           for t in range(n)]
+                    t = np.arange(n, dtype=np.int64)
+                    tri = (t % period) * 2000 - period * 1000
                     rate = 8000 + 1000 * (i % 5)
                     payload = (encode_wav_pcm16(tri, sample_rate=rate)
                                if kind == "wav"
@@ -928,20 +1036,25 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                     # localize); dims/frames/fps derive from the id
                     w, h = 8 + (i % 5) * 2, 6 + (i % 4) * 2
                     nf, num = 3 + (i % 4), 24 + (i % 6)
-                    frames = [
-                        [(x * 7 + y * 13 + i + f * 29
-                          + (96 if f >= nf // 2 else 0)) % 256
-                         for y in range(h) for x in range(w)]
-                        for f in range(nf)]
-                    payload = encode_y4m(frames, w, h, fps_num=num)
+                    x = np.arange(w, dtype=np.int64)
+                    y = np.arange(h, dtype=np.int64)
+                    f = np.arange(nf, dtype=np.int64)
+                    grid = x[None, :] * 7 + y[:, None] * 13 + i
+                    cut = np.where(f >= nf // 2, 96, 0)
+                    fr = ((grid[None, :, :] + (f * 29 + cut)
+                           [:, None, None]) % 256)
+                    payload = encode_y4m(list(fr.reshape(nf, -1)),
+                                         w, h, fps_num=num)
                 else:
                     w, h = 16 + (i % 17), 12 + (i % 13)
+                    x = np.arange(w, dtype=np.int64)
+                    y = np.arange(h, dtype=np.int64)
                     if kind in ("pnm", "png", "gif"):
                         # ONE shared grey gradient for both raster
                         # kinds — the oracles replay this exact
                         # formula, so it must not fork per container
-                        px = [((x * 7 + y * 13 + i) % 256)
-                              for y in range(h) for x in range(w)]
+                        px = ((x[None, :] * 7 + y[:, None] * 13 + i)
+                              % 256).reshape(-1)
                         # png: the filter cycles through ALL FIVE
                         # scanline filters across ids, so a corpus
                         # round-trip exercises every unfilter branch
@@ -954,9 +1067,10 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
                             else encode_png(px, w, h,
                                             filter_type=i % 5))
                     else:
-                        px = [((x * 7 + y * 13 + i + ch * 41) % 256)
-                              for y in range(h) for x in range(w)
-                              for ch in range(3)]
+                        ch = np.arange(3, dtype=np.int64)
+                        px = ((x[None, :, None] * 7 + y[:, None, None]
+                               * 13 + i + ch[None, None, :] * 41)
+                              % 256).reshape(-1)
                         payload = encode_bmp(px, w, h)
                 rows.append({"doc_id": i, "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
@@ -1087,28 +1201,23 @@ def phash64(pixels, width: int, height: int, channels: int):
     small Hamming distance."""
     if width < 8 or height < 8:
         raise ValueError("phash64 needs width and height >= 8")
-    gray = pixels
-    if channels != 1:
-        gray = [sum(pixels[p * channels:(p + 1) * channels]) // channels
-                for p in range(width * height)]
-    acc = [[0, 0] for _ in range(64)]
-    for y in range(height):
-        gy = (y * 8) // height
-        row = y * width
-        for x in range(width):
-            b = gy * 8 + (x * 8) // width
-            a = acc[b]
-            a[0] += gray[row + x]
-            a[1] += 1
-    cells = [s // c for s, c in acc]
-    thr = sum(cells) // 64
+    px = np.asarray(pixels, dtype=np.int64)
+    gray = (px.reshape(-1, channels).sum(axis=1) // channels
+            if channels != 1 else px)
+    gx = (np.arange(width, dtype=np.int64) * 8) // width
+    gy = (np.arange(height, dtype=np.int64) * 8) // height
+    cell = (gy[:, None] * 8 + gx[None, :]).reshape(-1)
+    cnt = np.bincount(cell, minlength=64)
+    tot = np.zeros(64, dtype=np.int64)
+    np.add.at(tot, cell, gray)
+    cells = tot // cnt
+    thr = int(cells.sum()) // 64
     hi = lo = 0
-    for b, v in enumerate(cells):
-        if v > thr:
-            if b < 32:
-                lo |= 1 << b
-            else:
-                hi |= 1 << (b - 32)
+    for b in np.flatnonzero(cells > thr).tolist():
+        if b < 32:
+            lo |= 1 << b
+        else:
+            hi |= 1 << (b - 32)
     return hi, lo
 
 
@@ -1135,8 +1244,9 @@ def image_phash(media: DataFrame) -> DataFrame:
                 kind = sniff_media(b)
                 if kind not in ("pnm", "bmp", "png", "gif"):
                     continue
-                d = {"pnm": decode_pnm, "bmp": decode_bmp,
-                     "png": decode_png, "gif": decode_gif}[kind](b)
+                d = {"pnm": _decode_pnm_arr, "bmp": _decode_bmp_arr,
+                     "png": _decode_png_arr,
+                     "gif": _decode_gif_arr}[kind](b)
                 if d["width"] < 8 or d["height"] < 8:
                     continue
                 hi, lo = phash64(d["pixels"], d["width"], d["height"],
@@ -1303,39 +1413,83 @@ def _lzw_decode(data: bytes, min_code_size: int,
     if not 2 <= min_code_size <= 8:
         raise ValueError(f"bad LZW min code size {min_code_size}")
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
-    width = min_code_size + 1
-    table: list[bytes | None] = \
-        [bytes([i]) for i in range(clear)] + [None, None]
-    next_code = end + 1
+    # chunk-parsed decode: all codes up to the next possible width
+    # change parse at the current width in ONE vectorized pass (each
+    # code adds at most one table entry, so the boundary is known in
+    # advance); literal runs are emitted whole and their table
+    # entries materialized lazily — only when a dictionary reference
+    # actually needs them.  Reparse happens only on width growth or
+    # CLEAR.  Behavior (output bytes AND error paths) is identical to
+    # the scalar bit-loop this replaces.
+    allbits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                            bitorder="little")
+    nbits_total = allbits.size
     out = bytearray()
+    bitpos = 0
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [None, None]
+    table: list[bytes | None] = list(base)
+    next_code = end + 1          # counts RESERVED slots incl. pending
     prev: int | None = None
-    acc = nbits = 0
-    i = 0
-    finished = False
-    while not finished:
-        while nbits < width:
-            if i >= len(data):
-                raise ValueError("truncated GIF LZW stream")
-            acc |= data[i] << nbits
-            nbits += 8
+    pending: list[int] = []      # literal codes with lazy table entries
+    pend_prev: int | None = None
+    pow2 = np.array([1 << b for b in range(12)], dtype=np.uint32)
+
+    while True:
+        room = ((1 << width) - next_code) if width < 12 else (1 << 30)
+        room = max(room, 1)
+        avail = (nbits_total - bitpos) // width
+        if avail <= 0:
+            raise ValueError("truncated GIF LZW stream")
+        take = min(room, avail)
+        parse_width = width
+        codes = (allbits[bitpos:bitpos + take * width]
+                 .reshape(take, width).astype(np.uint32) @ pow2[:width])
+        specials = np.flatnonzero(codes >= clear)
+        i = 0
+        si = 0
+        restart = False
+        while i < take:
+            nxt = int(specials[si]) if si < specials.size else take
+            if nxt > i:                       # literal run [i, nxt)
+                run = codes[i:nxt]
+                if not pending:
+                    pend_prev = prev
+                pending.extend(run.tolist())
+                out += run.astype(np.uint8).tobytes()
+                grow = (nxt - i) if prev is not None else (nxt - i - 1)
+                next_code = min(next_code + grow, 4096)
+                prev = int(run[-1])
+                if len(out) > max_pixels:
+                    raise ValueError(
+                        "GIF LZW output exceeds declared raster")
+                i = nxt
+                continue
+            code = int(codes[i])
             i += 1
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = [bytes([c]) for c in range(clear)] + [None, None]
-            next_code = end + 1
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            finished = True
-            continue
-        if prev is None:
-            if code >= clear:
+            si += 1
+            if code == clear:
+                pending.clear()
+                pend_prev = None
+                table = list(base)
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                restart = True        # old-width parse is now invalid
+                break
+            if code == end:
+                return bytes(out)
+            if pending:                        # materialize lazily
+                p = pend_prev
+                for c in pending:
+                    if p is not None and len(table) < 4096 \
+                            and len(table) < next_code:
+                        table.append(table[p] + table[c][:1])
+                    p = c
+                pending.clear()
+                pend_prev = None
+            if prev is None:
                 raise ValueError("bad GIF LZW code after clear")
-            out += table[code]
-        else:
             if code < next_code and code < len(table) \
                     and table[code] is not None:
                 entry = table[code]
@@ -1347,12 +1501,18 @@ def _lzw_decode(data: bytes, min_code_size: int,
             if next_code < 4096:            # full table: stop adding
                 table.append(table[prev] + entry[:1])
                 next_code += 1
-                if next_code == (1 << width) and width < 12:
-                    width += 1
-        prev = code
-        if len(out) > max_pixels:
-            raise ValueError("GIF LZW output exceeds declared raster")
-    return bytes(out)
+            prev = code
+            if len(out) > max_pixels:
+                raise ValueError(
+                    "GIF LZW output exceeds declared raster")
+        bitpos += i * parse_width
+        if restart:
+            continue
+        if width < 12 and next_code >= (1 << width):
+            width += 1
+
+
+_GIF_GCT = bytes(v for g in range(256) for v in (g, g, g))
 
 
 def encode_gif(pixels, width: int, height: int) -> bytes:
@@ -1366,41 +1526,36 @@ def encode_gif(pixels, width: int, height: int) -> bytes:
 
     if not 1 <= width <= 0xFFFF or not 1 <= height <= 0xFFFF:
         raise ValueError("width/height must be in [1, 65535]")
-    if len(pixels) != width * height:
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.size != width * height:
         raise ValueError("pixel count != width*height")
+    if px.size and (int(px.min()) < 0 or int(px.max()) > 255):
+        raise ValueError("pixel out of range")
     out = bytearray(b"GIF87a")
     out += struct.pack("<HH", width, height)
     out += bytes([0x80 | 0x70 | 0x07, 0, 0])    # 256-entry GCT
-    for v in range(256):
-        out += bytes([v, v, v])
+    out += _GIF_GCT
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) \
         + b"\x00"
     out += bytes([8])                            # LZW min code size
-    acc = nbits = 0
-    stream = bytearray()
-
-    def emit(code):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += 9
-        while nbits >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    emit(256)                                    # initial CLEAR
-    for j, v in enumerate(pixels):
-        if not 0 <= v <= 255:
-            raise ValueError("pixel out of range")
-        # re-CLEAR before the decoder's table could reach 512
-        # entries (254 codes after a clear, see _lzw_decode): the
-        # code width never leaves 9 bits
-        if j and j % 128 == 0:
-            emit(256)
-        emit(v)
-    emit(257)                                    # END
-    if nbits:
-        stream.append(acc & 0xFF)
+    # code stream: initial CLEAR, then literals with a re-CLEAR
+    # before each 128th pixel (the decoder's table never reaches 512
+    # entries, so the code width stays at 9 bits) — laid out as one
+    # uint16 code vector and bit-packed in a single numpy pass
+    n = px.size
+    n_clear = (n - 1) // 128 if n else 0
+    codes = np.empty(1 + n + n_clear + 1, dtype=np.uint16)
+    codes[0] = 256
+    j = np.arange(n, dtype=np.int64)
+    codes[1 + j + j // 128] = px.astype(np.uint16)
+    cj = np.arange(128, n, 128, dtype=np.int64)
+    codes[cj + cj // 128] = 256
+    codes[-1] = 257
+    bits = np.zeros(((codes.size * 9 + 7) // 8) * 8, dtype=np.uint8)
+    base = np.arange(codes.size, dtype=np.int64) * 9
+    for b in range(9):
+        bits[base + b] = (codes >> b) & 1
+    stream = np.packbits(bits, bitorder="little").tobytes()
     for k in range(0, len(stream), 255):
         blk = stream[k:k + 255]
         out += bytes([len(blk)]) + blk
@@ -1408,16 +1563,9 @@ def encode_gif(pixels, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> dict:
-    """REAL decode of a GIF payload: header + logical screen
-    descriptor, global/local color tables, extension blocks skipped,
-    sub-block reassembly, full variable-width LZW (dictionary growth
-    9→12 bits, deferred clear), 4-pass interlace reordering, palette
-    → RGB expansion.  The FIRST image is decoded (``n_frames``
-    counts all image descriptors — animation frames beyond the first
-    are walked, not decoded).  Corruption fails loudly; the LZW
-    output is bounded by the declared raster (the PNG bomb
-    discipline)."""
+def _decode_gif_arr(payload: bytes) -> dict:
+    """`decode_gif` with the pixels as a numpy array — the zero-copy
+    form the feature extractors consume."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1491,24 +1639,21 @@ def decode_gif(payload: bytes) -> dict:
                 idx = _lzw_decode(bytes(data), mcs, w * h)
                 if len(idx) != w * h:
                     raise ValueError("GIF raster size mismatch")
+                idx_arr = np.frombuffer(idx, dtype=np.uint8)
                 if interlaced:                   # 4-pass row order
-                    order = (list(range(0, h, 8))
-                             + list(range(4, h, 8))
-                             + list(range(2, h, 4))
-                             + list(range(1, h, 2)))
-                    rows = [idx[r * w:(r + 1) * w]
-                            for r in range(h)]
-                    fixed = [b""] * h
-                    for src, y in enumerate(order):
-                        fixed[y] = rows[src]
-                    idx = b"".join(fixed)
-                px = []
+                    order = np.array(
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2)),
+                        dtype=np.int64)
+                    fixed = np.empty((h, w), dtype=np.uint8)
+                    fixed[order] = idx_arr.reshape(h, w)
+                    idx_arr = fixed.reshape(-1)
                 n_ct = len(ct) // 3
-                for c in idx:
-                    if c >= n_ct:
-                        raise ValueError(
-                            "GIF pixel index outside color table")
-                    px += [ct[3 * c], ct[3 * c + 1], ct[3 * c + 2]]
+                if idx_arr.size and int(idx_arr.max()) >= n_ct:
+                    raise ValueError(
+                        "GIF pixel index outside color table")
+                px = (np.frombuffer(ct, dtype=np.uint8)
+                      .reshape(-1, 3)[idx_arr].reshape(-1))
                 first = (w, h, px)
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
@@ -1517,6 +1662,21 @@ def decode_gif(payload: bytes) -> dict:
     w, h, px = first
     return {"codec": "gif", "width": w, "height": h, "channels": 3,
             "pixels": px, "n_frames": n_frames}
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL decode of a GIF payload: header + logical screen
+    descriptor, global/local color tables, extension blocks skipped,
+    sub-block reassembly, full variable-width LZW (dictionary growth
+    9→12 bits, deferred clear), 4-pass interlace reordering, palette
+    → RGB expansion.  The FIRST image is decoded (``n_frames``
+    counts all image descriptors — animation frames beyond the first
+    are walked, not decoded).  Corruption fails loudly; the LZW
+    output is bounded by the declared raster (the PNG bomb
+    discipline)."""
+    d = _decode_gif_arr(payload)
+    d["pixels"] = d["pixels"].tolist()
+    return d
 
 
 def encode_y4m(frames, width: int, height: int, fps_num: int = 25,
@@ -1535,20 +1695,24 @@ def encode_y4m(frames, width: int, height: int, fps_num: int = 25,
         b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n"
         % (width, height, fps_num, fps_den))
     for fr in frames:
-        if len(fr) != width * height:
-            raise ValueError("frame pixel count != width*height")
-        out += b"FRAME\n"
-        out += bytes(fr)
+        if isinstance(fr, np.ndarray):
+            if fr.size != width * height:
+                raise ValueError("frame pixel count != width*height")
+            if fr.size and (int(fr.min()) < 0 or int(fr.max()) > 255):
+                raise ValueError("bytes must be in range(0, 256)")
+            out += b"FRAME\n"
+            out += fr.astype(np.uint8).tobytes()
+        else:
+            if len(fr) != width * height:
+                raise ValueError("frame pixel count != width*height")
+            out += b"FRAME\n"
+            out += bytes(fr)
     return bytes(out)
 
 
-def decode_y4m(payload: bytes) -> dict:
-    """REAL decode of a YUV4MPEG2 payload: parse the parameter header
-    (W/H/F/I/A/C/X tags), walk the FRAME markers, return per-frame
-    LUMA planes (chroma planes of 420/422/444 are parsed past, not
-    kept — every feature here is luma-space).  Interlaced streams and
-    colorspaces outside mono/420*/422/444 raise NotImplementedError
-    (labeled), truncated payloads raise ValueError."""
+def _decode_y4m_arr(payload: bytes) -> dict:
+    """`decode_y4m` with each luma plane as a numpy array — the
+    zero-copy form the feature extractors consume."""
     if payload[:9] != _Y4M_MAGIC:
         raise ValueError("not a YUV4MPEG2 payload")
     nl = payload.find(b"\n")
@@ -1603,11 +1767,24 @@ def decode_y4m(payload: bytes) -> dict:
         pos = fnl + 1
         if pos + fsize > len(payload):
             raise ValueError("truncated y4m frame data")
-        frames.append(list(payload[pos:pos + luma_n]))
+        frames.append(np.frombuffer(payload, dtype=np.uint8,
+                                    count=luma_n, offset=pos))
         pos += fsize
     return {"codec": "y4m", "width": w, "height": h,
             "fps_num": num, "fps_den": den, "colorspace": cs,
             "n_frames": len(frames), "frames": frames}
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """REAL decode of a YUV4MPEG2 payload: parse the parameter header
+    (W/H/F/I/A/C/X tags), walk the FRAME markers, return per-frame
+    LUMA planes (chroma planes of 420/422/444 are parsed past, not
+    kept — every feature here is luma-space).  Interlaced streams and
+    colorspaces outside mono/420*/422/444 raise NotImplementedError
+    (labeled), truncated payloads raise ValueError."""
+    d = _decode_y4m_arr(payload)
+    d["frames"] = [f.tolist() for f in d["frames"]]
+    return d
 
 
 def video_features(media: DataFrame) -> DataFrame:
@@ -1644,9 +1821,10 @@ def video_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if sniff_media(b) != "y4m":
                     continue
-                d = decode_y4m(b)
+                d = _decode_y4m_arr(b)
                 w, h, nf = d["width"], d["height"], d["n_frames"]
-                sums = [sum(fr) for fr in d["frames"]]
+                sums = [int(fr.sum(dtype=np.int64))
+                        for fr in d["frames"]]
                 area = w * h
                 deltas = [1000 * abs(b2 - a) // area
                           for a, b2 in zip(sums, sums[1:])]
@@ -1697,7 +1875,7 @@ def video_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
                 b = bytes(payload)
                 if sniff_media(b) != "y4m":
                     continue
-                d = decode_y4m(b)
+                d = _decode_y4m_arr(b)
                 w, h = d["width"], d["height"]
                 for idx in range(0, d["n_frames"], every_n):
                     rows.append({

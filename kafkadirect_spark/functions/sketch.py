@@ -514,6 +514,35 @@ def py_hist_quantiles(counts: dict[int, int], qs_permille: list[int],
     return out
 
 
+def _histogram_bins(span: int, bins: int, n_groups: int = 1) -> int:
+    """Adaptive histogram resolution for the exact-selection kernels
+    (r15, re-tuned): the MINIMAL bin count that achieves the MINIMAL
+    round count within a per-round driver-transfer budget.  Rounds =
+    ceil(log_bins(span)), so widening bins only pays when it removes
+    a round — a 64Ki histogram of a 500Ki-wide domain still needs 2
+    rounds and just makes every exchange/collect 64× bigger (measured
+    +1.0 s on exact_quantiles_by_type at sf0.1, the first cut of this
+    knob).  The budget caps a round's collected rows at ~64Ki total
+    (pending_groups × bins), never below the caller's ``bins`` so a
+    many-group call keeps its requested resolution.  Results are
+    identical at any resolution — selection is exact by construction;
+    only the scan count moves."""
+    cap = max(bins, (1 << 16) // max(n_groups, 1))
+    span = max(span, 1)
+    r = 1
+    while True:
+        # minimal b with b**r >= span (integer nth-root ceiling;
+        # float pow seeds it, integer checks pin it)
+        b = max(int(round(span ** (1.0 / r))), 1)
+        while b > 1 and (b - 1) ** r >= span:
+            b -= 1
+        while b ** r < span:
+            b += 1
+        if b <= cap:
+            return max(b, 2)
+        r += 1
+
+
 def exact_quantiles(df: DataFrame, col: Column | str,
                     qs_permille: list[int], bins: int = 1024,
                     max_rounds: int = 8) -> DataFrame:
@@ -570,15 +599,13 @@ def exact_quantiles(df: DataFrame, col: Column | str,
                     "would overflow)")
             # Adaptive resolution (r15, guide §1.2 "don't compute
             # things you throw away"): each round is a full scan of
-            # the persisted column, so widen the histogram as far as
-            # one collect can carry — up to 64Ki buckets, and never
-            # more than the actual value span (a span-sized histogram
-            # finishes in ONE round).  Driver state stays O(bins);
-            # results are identical at any resolution (the selection
-            # is exact by construction) — only the round count moves.
-            # Measured: mad_outliers at sf0.1 4.9 s → 3.3 s (2 rounds
-            # × 2 selections → 1 × 2).
-            bins = max(bins, min(65536, ghi - glo + 1))
+            # the persisted column — pick the cheapest resolution
+            # that still hits the minimal round count (docstring of
+            # _histogram_bins; a span-sized histogram finishes in ONE
+            # round when the span fits the driver budget).  Measured:
+            # mad_outliers at sf0.1 4.9 s → 3.3 s (2 rounds × 2
+            # selections → 1 × 2).
+            bins = _histogram_bins(ghi - glo + 1, bins)
             # state per quantile: (remaining rank k, lo, hi); group
             # quantiles with identical ranges to share histograms
             state = {q: [max((q * n + 999) // 1000, 1), glo, ghi]
@@ -680,17 +707,16 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str,
                 raise ValueError(
                     f"group {r['__g']!r} value range spans more than "
                     "2^62 (in-plan bucket arithmetic would overflow)")
-        # Adaptive resolution (r15 — see exact_quantiles): widen the
-        # histogram to cut rounds (each round scans the persisted
-        # column), bounded by the widest group's span (span-sized =
-        # one round), 64Ki buckets, AND the per-round driver budget
-        # of ~4M (groups × bins) collect rows — many-group calls keep
-        # the caller's resolution, few-group calls (the mad/decile
-        # shapes) converge in 1-2 rounds.  Result-identical at any
-        # resolution; only the round count moves.
+        # Adaptive resolution (r15 — see _histogram_bins): the
+        # minimal bin count hitting the minimal round count for the
+        # WIDEST group (groups converge independently; the widest
+        # drives the round count), with the per-round driver budget
+        # divided across groups — many-group calls keep the caller's
+        # resolution.  Result-identical at any resolution; only the
+        # scan count moves.
         if stats:
             widest = max(r["hi"] - r["lo"] + 1 for r in stats)
-            bins = max(bins, min(65536, (1 << 22) // len(stats), widest))
+            bins = _histogram_bins(widest, bins, len(stats))
         # state[(gkey, q)] = [remaining rank, lo, hi]
         state: dict[tuple, list[int]] = {}
         for r in stats:

@@ -2546,3 +2546,69 @@ def test_gif_features_phash_compose(spark, docs):
         assert f.mean_milli == 1000 * sum(px) // len(px)
         assert (f.min_px, f.max_px) == (min(px), max(px))
     assert multimodal.image_phash(img).count() == 30
+
+
+def test_vectorized_codec_paths_match_scalar_forms():
+    """r15 vectorization parity pins: the numpy µ-law compressor
+    equals the scalar G.711 formula on the FULL int16 domain; the
+    ndarray fast paths of every encoder produce byte-identical
+    payloads to their list paths; the _arr decoder variants are the
+    list decoders minus the tolist()."""
+    import numpy as np
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    got = multimodal._pcm16_to_ulaw_arr(xs)
+    sample = list(range(-32768, 32768, 257)) + [-32768, 32767, -1, 0, 1]
+    for x in sample:
+        assert int(got[x + 32768]) == multimodal.pcm16_to_ulaw(x), x
+
+    s = [((t % 11) * 2000 - 11000) for t in range(300)]
+    arr = np.array(s, dtype=np.int64)
+    assert (multimodal.encode_wav_pcm16(arr, sample_rate=9000)
+            == multimodal.encode_wav_pcm16(s, sample_rate=9000))
+    for enc in ("ulaw", "pcm16"):
+        assert (multimodal.encode_au(arr, encoding=enc)
+                == multimodal.encode_au(s, encoding=enc))
+
+    px = [(x * 7 + y * 13 + 3) % 256 for y in range(12) for x in range(16)]
+    pxa = np.array(px, dtype=np.int64)
+    assert multimodal.encode_pnm(pxa, 16, 12) == \
+        multimodal.encode_pnm(px, 16, 12)
+    assert multimodal.encode_gif(pxa, 16, 12) == \
+        multimodal.encode_gif(px, 16, 12)
+    for ft in range(5):
+        assert (multimodal.encode_png(pxa, 16, 12, filter_type=ft)
+                == multimodal.encode_png(px, 16, 12, filter_type=ft))
+    px3 = [v % 256 for v in range(16 * 12 * 3)]
+    assert (multimodal.encode_bmp(np.array(px3), 16, 12)
+            == multimodal.encode_bmp(px3, 16, 12))
+    fr = [list(range(48)), [255 - v for v in range(48)]]
+    assert (multimodal.encode_y4m([np.array(f) for f in fr], 8, 6)
+            == multimodal.encode_y4m(fr, 8, 6))
+
+    wav = multimodal.encode_wav_pcm16(s, sample_rate=9000)
+    au = multimodal.encode_au(s)
+    gif = multimodal.encode_gif(px, 16, 12)
+    png = multimodal.encode_png(px, 16, 12, filter_type=4)
+    bmp = multimodal.encode_bmp(px3, 16, 12)
+    pnm = multimodal.encode_pnm(px, 16, 12)
+    y4m = multimodal.encode_y4m(fr, 8, 6)
+    for pay, dec, arr_dec, key in [
+            (wav, multimodal.decode_wav, multimodal._decode_wav_arr,
+             "samples"),
+            (au, multimodal.decode_au, multimodal._decode_au_arr,
+             "samples"),
+            (gif, multimodal.decode_gif, multimodal._decode_gif_arr,
+             "pixels"),
+            (png, multimodal.decode_png, multimodal._decode_png_arr,
+             "pixels"),
+            (bmp, multimodal.decode_bmp, multimodal._decode_bmp_arr,
+             "pixels"),
+            (pnm, multimodal.decode_pnm, multimodal._decode_pnm_arr,
+             "pixels")]:
+        d1, d2 = dec(pay), arr_dec(pay)
+        assert d1[key] == d2[key].tolist()
+        assert {k: v for k, v in d1.items() if k != key} \
+            == {k: v for k, v in d2.items() if k != key}
+    dy1, dy2 = multimodal.decode_y4m(y4m), multimodal._decode_y4m_arr(y4m)
+    assert dy1["frames"] == [f.tolist() for f in dy2["frames"]]
