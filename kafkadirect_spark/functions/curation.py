@@ -885,32 +885,35 @@ def surprisal_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Reference analogue: none (SURVEY.md §2 — no document model);
     beyond-parity curation machinery.
 
-    Scale ledger: occurrences are collapsed to distinct (doc, token)
-    with a count BEFORE the frequency join (map-side combine bounds the
-    exchange by distinct pairs, not raw tokens); the vocabulary
-    frequency table aggregates to ≤|vocab| rows (heavy-tail hot tokens
-    absorbed map-side) and joins back by token — AQE broadcasts it when
-    it fits, which a real vocabulary (~10⁷ rows) does.  The corpus
-    total ``N`` is a 1-row aggregate joined by broadcast, never a
-    driver collect.  Final groupBy(doc) is the only data-sized
-    exchange.
+    Scale ledger (r15 reshape): the vocabulary frequency table
+    aggregates straight off the exploded occurrences (map-side
+    combine bounds its exchange by |vocab| per partition) and joins
+    back by token — AQE broadcasts it when it fits, which a real
+    vocabulary (~10⁷ rows) does.  The corpus total ``N`` is a 1-row
+    aggregate joined by broadcast, never a driver collect.  Final
+    groupBy(doc) partial-aggregates map-side, so its exchange carries
+    ~|docs| rows.  The previous shape ALSO collapsed occurrences to a
+    persisted distinct-(doc, token) frame before the join "to bound
+    the exchange" — measured 3.91 s vs 1.11 s best-of-3 at sf0.1 for
+    this shape: the (doc, token) exchange + cache materialization
+    cost far more than it saved, because with the frequency side
+    broadcast the occurrences never shuffle at all (guide §2.4 —
+    remove shuffles outright, and §5 — a cache is only worth what its
+    recompute costs).
     """
-    occ = (
+    toks = (
         _widen(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__k"))
     )
-    occ = _persist(occ)
-    cnt = occ.groupBy("__tok").agg(F.sum("__k").alias("__c"))
+    cnt = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     total = cnt.agg(F.sum("__c").alias("__n"))
     bits = (F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("__c"))))
     return (
-        occ.join(cnt, "__tok")
+        toks.join(cnt, "__tok")
         .join(F.broadcast(total))
         .groupBy(id_col)
-        .agg(F.sum("__k").cast("long").alias("n_tokens"),
-             F.sum(F.col("__k") * bits).cast("long").alias("surprisal_bits"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.sum(bits).cast("long").alias("surprisal_bits"))
     )
 
 
@@ -1002,18 +1005,21 @@ def nb_classify(train: DataFrame, score: DataFrame, id_col: str,
     wide = (occ_t.groupBy("__tok")
             .pivot("__cls", classes).agg(F.first("__c")))
 
+    # r15 reshape (see surprisal_scores): score raw occurrences
+    # against the broadcast pivot table instead of pre-collapsing to
+    # distinct (doc, token) counts — the (doc, token) exchange cost
+    # more than it bounded, and the final groupBy(doc) partial-
+    # aggregates map-side either way.  Σ over occurrences ≡ Σ k·bits.
     occ = (
         _widen(score.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(tokens(text_col))
                 .alias("__tok"))
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__k"))
     )
 
     def bits(c: str):
         cc = F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long")
-        return F.col("__k") * (F.lit(denom[c])
-                               - (F.length(F.bin(cc + 1)) - 1))
+        return (F.lit(denom[c])
+                - (F.length(F.bin(cc + 1)) - 1))
 
     sums = (occ.join(wide, "__tok", "left")
             .groupBy(id_col)
@@ -1345,16 +1351,20 @@ def bigram_surprisal_scores(df: DataFrame, id_col: str, text_col: str,
     tokens have no bigrams and are absent (left-join + coalesce on the
     caller side if zero rows are needed).
 
-    Scale ledger: per-doc bigrams collapse to distinct (doc, w1, w2)
-    counts before any join (map-side combine bounds the exchange);
-    the LM bigram table aggregates to ≤ |observed bigrams| rows and
-    joins back by (w1, w2) — a plain hash join, AQE-broadcast when it
-    fits; prefix counts derive from the bigram table (one more
-    vocabulary-sized aggregate, no second corpus pass); the unigram
-    backoff table is an ordinary vocabulary-sized join (AQE broadcasts
-    it when it fits; a 100 TB corpus's ~10^7-row vocabulary may not)
-    and the 1-row total is broadcast.  Final
-    groupBy(doc) is the only data-sized exchange.  Reference
+    Scale ledger (r15 reshape): the LM bigram table aggregates to
+    ≤ |observed bigrams| rows and joins back by (w1, w2) against the
+    RAW per-occurrence bigrams — a plain hash join, AQE-broadcast
+    when it fits; prefix counts derive from the bigram table (one
+    more vocabulary-sized aggregate, no second corpus pass); the
+    unigram backoff table is an ordinary vocabulary-sized join (AQE
+    broadcasts it when it fits; a 100 TB corpus's ~10^7-row
+    vocabulary may not) and the 1-row total is broadcast.  Final
+    groupBy(doc) partial-aggregates map-side (~|docs| exchange rows).
+    The previous shape first collapsed occurrences to a distinct
+    (doc, w1, w2) count frame "to bound the exchange" — same
+    measured loss as the unigram scorer's old shape (see
+    surprisal_scores): with the LM side broadcast the occurrences
+    never shuffle, so that exchange was pure overhead.  Reference
     analogue: none (SURVEY.md §2 — no document model).
     """
     def _bigrams(frame: DataFrame) -> DataFrame:
@@ -1365,9 +1375,7 @@ def bigram_surprisal_scores(df: DataFrame, id_col: str, text_col: str,
                         F.explode(bigram_structs("__w")).alias("__b"))
                 .select(id_col, "__b.w1", "__b.w2"))
 
-    doc_bi = (_bigrams(df)
-              .groupBy(id_col, "w1", "w2")
-              .agg(F.count(F.lit(1)).alias("__k")))
+    doc_bi = _bigrams(df)
     lm_src = _bigrams(lm_df if lm_df is not None else df)
     lm2 = _persist(lm_src.groupBy("w1", "w2")
                    .agg(F.count(F.lit(1)).alias("__c2")))
@@ -1392,8 +1400,8 @@ def bigram_surprisal_scores(df: DataFrame, id_col: str, text_col: str,
         .join(uni.withColumnRenamed("__u", "w2"), "w2", "left")
         .join(F.broadcast(tot))
         .groupBy(id_col)
-        .agg(F.sum("__k").cast("long").alias("n_bigrams"),
-             F.sum(F.col("__k") * bits).cast("long").alias("surprisal_bits"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.sum(bits).cast("long").alias("surprisal_bits"))
     )
 
 
@@ -1457,6 +1465,14 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
             F.max("__k").cast("long").alias(f"__{pfx}_max"))
 
     toks = tokens(text_col)
+    # r15: the 3-gram branch needs only total+distinct — both are
+    # row-local native array ops (size / array_distinct, codegen'd,
+    # NOT lambda HOFs), so its explode + two exchanges are gone.  The
+    # 2-gram branch keeps the exploded aggregate because top_2gram_ppm
+    # needs the max gram multiplicity, which has no cheap row-local
+    # form (a sorted-adjacency fold is an interpreted lambda per gram
+    # — the basket_pairs lesson).
+    g3 = shingles(toks, 3)
     base = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_words"),
@@ -1468,10 +1484,13 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
         F.size(F.array_intersect(
             toks, F.array(*[F.lit(w) for w in STOPWORDS])))
         .cast("long").alias("stopword_hits"),
+        F.greatest(F.size(g3), F.lit(0)).cast("long")
+        .alias("__g3_total"),
+        F.greatest(F.size(F.array_distinct(g3)), F.lit(0)).cast("long")
+        .alias("__g3_distinct"),
     )
     out = (base
            .join(gram_stats(2, "g2"), id_col, "left")
-           .join(gram_stats(3, "g3"), id_col, "left")
            .na.fill(0))
 
     m = F.lit(1_000_000)

@@ -172,16 +172,22 @@ def sax_pipeline(events: DataFrame, user_col: str, ts_col: str,
     ``len(permilles)`` rows (register-sized, the exact_quantiles
     contract).
 
-    Deliberately does NOT persist the PAA frame: ``exact_quantiles``
-    caches its own exploded projection for the narrowing rounds, and
-    the pair join recomputes its two PAA sides from the pushed-down
-    scan — a bounded recompute, where a persist here with no handle
-    returned leaked an executor-cached DataFrame for the session
-    lifetime (ADVICE r10)."""
+    The PAA frame is PERSISTED (r15): it is USER-sized (one row per
+    group, never event-sized) and three consumers re-derived it from
+    the full events scan + segment aggregation (the quantile input,
+    the word build, and the pair join's two sides) — measured 3.15 →
+    2.96 s best-of-3 on the sax_pairs suite at sf0.1.  The r10 leak
+    concern (a persist with no returned handle outlived the caller)
+    is addressed by registering through ``dedup._persist``, whose
+    ``release_caches`` the bench and pipeline callers already invoke.
+    The WORDS frame stays unpersisted — measured WORSE when cached
+    (3.56 s): it derives row-locally from the cached PAA, and the
+    extra materialization barrier buys nothing."""
     from kafkadirect_spark.functions import sketch
+    from kafkadirect_spark.functions.dedup import _persist
 
-    paa = paa_profiles(events, user_col, ts_col, value_col, t0, t1,
-                       n_segments)
+    paa = _persist(paa_profiles(events, user_col, ts_col, value_col,
+                                t0, t1, n_segments))
     means = paa.select(F.explode("paa").alias("m"))
     qs = sketch.exact_quantiles(means, "m", list(permilles))
     bks = [int(r["value"]) for r in
