@@ -1049,6 +1049,10 @@ def weighted_quantiles(df: DataFrame, col: Column | str,
                     f"value range [{glo}, {ghi}] spans more than 2^62; "
                     "narrow the domain (in-plan bucket arithmetic "
                     "would overflow)")
+            # adaptive resolution (r15 — see _histogram_bins): each
+            # round is a full weighted scan, so pick the cheapest
+            # resolution hitting the minimal round count
+            bins = _histogram_bins(ghi - glo + 1, bins)
             state = {q: [max((q * tw + 999) // 1000, 1), glo, ghi]
                      for q in qs_permille}
             done: dict[int, int] = {}
@@ -1168,6 +1172,11 @@ def weighted_quantiles_grouped(df: DataFrame, group_col: str,
                 raise ValueError(
                     f"group {r['__g']!r} value range spans more than "
                     "2^62 (in-plan bucket arithmetic would overflow)")
+        # adaptive resolution (r15 — see _histogram_bins), widest
+        # group drives the round count, budget split across groups
+        if stats:
+            widest = max(r["hi"] - r["lo"] + 1 for r in stats)
+            bins = _histogram_bins(widest, bins, len(stats))
         state: dict[tuple, list[int]] = {}
         for r in stats:
             for q in qs_permille:
