@@ -103,21 +103,21 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     back; the data itself is scanned, never reshuffled.  Returns the
     input columns plus ``(med, abs_dev, mad)``.
     """
-    from kafkadirect_spark.functions.sketch import exact_quantiles_grouped
+    from kafkadirect_spark.functions.sketch import grouped_median_mad
 
     if k < 1:
         raise ValueError("k must be >= 1")
     base = df.filter(F.col(value_col).isNotNull())
-    med = (exact_quantiles_grouped(base, group_col, value_col, [500],
-                                   max_groups=max_groups)
-           .select(F.col(group_col), F.col("value").alias("med")))
-    dev = (base.join(F.broadcast(med), group_col)
-           .withColumn("abs_dev",
-                       F.abs(F.col(value_col) - F.col("med"))))
-    mad = (exact_quantiles_grouped(dev, group_col, "abs_dev", [500],
-                                   max_groups=max_groups)
-           .select(F.col(group_col), F.col("value").alias("mad")))
-    return (dev.join(F.broadcast(mad), group_col)
+    # Fused kernel (r15): one persisted (group, value) cache serves
+    # BOTH selections (the deviation pass is a row-local broadcast
+    # derivation of it, and pass 2's stats job is derived from pass
+    # 1's), and the two stat columns come back in ONE ≤ groups-row
+    # broadcast join instead of two.
+    stats = grouped_median_mad(base, group_col, value_col,
+                               max_groups=max_groups)
+    return (base.join(F.broadcast(stats), group_col)
+            .withColumn("abs_dev",
+                        F.abs(F.col(value_col) - F.col("med")))
             .filter(F.col("abs_dev") > F.lit(k) * F.col("mad")))
 
 

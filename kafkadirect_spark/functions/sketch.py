@@ -660,6 +660,74 @@ def exact_quantiles(df: DataFrame, col: Column | str,
         vals.unpersist()
 
 
+def _grouped_select(vals: DataFrame, state: dict, bins: int,
+                    max_rounds: int) -> dict:
+    """The shared grouped histogram-narrowing loop: ``vals`` is the
+    (``__g``, ``__v``) frame (persisted by the caller, or a cheap
+    row-local derivation of one), ``state[(gkey, q)] = [remaining
+    rank, lo, hi]`` the selection targets.  Each round broadcasts the
+    per-group candidate ranges onto one scan of ``vals``, histograms
+    (group, bucket) with map-side combine, and narrows every pending
+    target — EXACT selection by construction at any resolution (a
+    starting range only has to COVER the group's values; bins/ranges
+    move the round count, never the result).  Returns
+    ``done[(gkey, q)] = value``; raises if ``max_rounds`` is hit."""
+    spark = vals.sparkSession
+    done: dict[tuple, int] = {}
+    for _ in range(max_rounds):
+        pend = {key: s for key, s in state.items() if key not in done}
+        if not pend:
+            break
+        # one (group, lo, w) range table per distinct pending range
+        ranges: dict[tuple, list] = {}
+        for (gkey, q), (_, lo, hi) in pend.items():
+            width = hi - lo + 1
+            w = max(1, -(-width // bins))
+            ranges.setdefault((gkey, lo, hi, w), []).append(q)
+        rng_rows = [(gk, lo, hi, w) for (gk, lo, hi, w) in ranges]
+        gtype = dict(vals.dtypes)["__g"]
+        rng = spark.createDataFrame(
+            rng_rows, f"__g {gtype}, __lo long, __hi long, __w long")
+        # toPandas, not collect(): Arrow keeps the wide-histogram
+        # round's groups×bins rows a cheap transfer (see
+        # exact_quantiles — Row materialization dominated)
+        hist = (vals.join(F.broadcast(rng), "__g")
+                .filter(F.col("__v").between(F.col("__lo"),
+                                             F.col("__hi")))
+                .groupBy("__g", "__lo", "__w",
+                         F.expr("(__v - __lo) DIV __w").alias("b"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .toPandas())
+        by_range: dict[tuple, dict[int, int]] = {}
+        for g, lo_, w_, b_, c_ in zip(
+                hist["__g"], hist["__lo"], hist["__w"],
+                hist["b"], hist["cnt"]):
+            by_range.setdefault((g, int(lo_), int(w_)),
+                                {})[int(b_)] = int(c_)
+        for (gkey, lo, hi, w), group_qs in ranges.items():
+            h = by_range.get((gkey, lo, w), {})
+            for q in group_qs:
+                k = state[(gkey, q)][0]
+                cum = 0
+                for b in sorted(h):
+                    if cum + h[b] >= k:
+                        blo = lo + b * w
+                        if w == 1:
+                            done[(gkey, q)] = blo
+                        else:
+                            state[(gkey, q)] = [
+                                k - cum, blo, min(blo + w - 1, hi)]
+                        break
+                    cum += h[b]
+    missing = sorted(key for key in state if key not in done)
+    if missing:
+        raise RuntimeError(
+            f"grouped selection did not converge in "
+            f"{max_rounds} rounds for {missing[:5]} — raise "
+            "max_rounds or bins")
+    return done
+
+
 def exact_quantiles_grouped(df: DataFrame, group_col: str,
                             col: Column | str, qs_permille: list[int],
                             bins: int = 1024,
@@ -723,63 +791,96 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str,
             for q in qs_permille:
                 state[(r["__g"], q)] = [
                     max((q * r["n"] + 999) // 1000, 1), r["lo"], r["hi"]]
-        done: dict[tuple, int] = {}
-        spark = df.sparkSession
-        for _ in range(max_rounds):
-            pend = {key: s for key, s in state.items() if key not in done}
-            if not pend:
-                break
-            # one (group, lo, w) range table per distinct pending range
-            ranges: dict[tuple, list] = {}
-            for (gkey, q), (_, lo, hi) in pend.items():
-                width = hi - lo + 1
-                w = max(1, -(-width // bins))
-                ranges.setdefault((gkey, lo, hi, w), []).append(q)
-            rng_rows = [(gk, lo, hi, w) for (gk, lo, hi, w) in ranges]
-            gtype = dict(vals.dtypes)["__g"]
-            rng = spark.createDataFrame(
-                rng_rows, f"__g {gtype}, __lo long, __hi long, __w long")
-            # toPandas, not collect(): Arrow keeps the wide-histogram
-            # round's groups×bins rows a cheap transfer (see
-            # exact_quantiles — Row materialization dominated)
-            hist = (vals.join(F.broadcast(rng), "__g")
-                    .filter(F.col("__v").between(F.col("__lo"),
-                                                 F.col("__hi")))
-                    .groupBy("__g", "__lo", "__w",
-                             F.expr("(__v - __lo) DIV __w").alias("b"))
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .toPandas())
-            by_range: dict[tuple, dict[int, int]] = {}
-            for g, lo_, w_, b_, c_ in zip(
-                    hist["__g"], hist["__lo"], hist["__w"],
-                    hist["b"], hist["cnt"]):
-                by_range.setdefault((g, int(lo_), int(w_)),
-                                    {})[int(b_)] = int(c_)
-            for (gkey, lo, hi, w), group_qs in ranges.items():
-                h = by_range.get((gkey, lo, w), {})
-                for q in group_qs:
-                    k = state[(gkey, q)][0]
-                    cum = 0
-                    for b in sorted(h):
-                        if cum + h[b] >= k:
-                            blo = lo + b * w
-                            if w == 1:
-                                done[(gkey, q)] = blo
-                            else:
-                                state[(gkey, q)] = [
-                                    k - cum, blo, min(blo + w - 1, hi)]
-                            break
-                        cum += h[b]
-        missing = sorted(key for key in state if key not in done)
-        if missing:
-            raise RuntimeError(
-                f"exact_quantiles_grouped did not converge in "
-                f"{max_rounds} rounds for {missing[:5]} — raise "
-                "max_rounds or bins")
+        done = _grouped_select(vals, state, bins, max_rounds)
         gtype = dict(vals.dtypes)["__g"]
+        spark = df.sparkSession
         rows = [(gkey, int(q), int(v)) for (gkey, q), v in done.items()]
         return spark.createDataFrame(
             rows, f"{group_col} {gtype}, q_permille int, value long")
+    finally:
+        vals.unpersist()
+
+
+def grouped_median_mad(df: DataFrame, group_col: str,
+                       col: Column | str,
+                       bins: int = 1024,
+                       max_rounds: int = 8,
+                       max_groups: int = 100_000) -> DataFrame:
+    """Per-group (median, MAD) in ONE kernel invocation — the fused
+    form ``mad_outliers`` needs.  Two separate
+    :func:`exact_quantiles_grouped` calls paid the second pass's
+    persist + stats scan of the RAW data; here the deviation pass is
+    a row-local derivation of the already-cached (group, value) frame
+    (one broadcast join against the ≤ groups-row median table), its
+    row count per group is pass 1's ``n`` verbatim (|v − med| is
+    non-null exactly where v is), and its range is covered by
+    ``[0, max(hi − med, med − lo)]`` from pass 1's stats — so the
+    second stats job disappears entirely.  Both selections are the
+    same exact rank-``⌈n/2⌉`` cover as ``exact_quantiles_grouped([500])``
+    (a covering range changes the round count, never the result).
+
+    Returns ``(group_col, med, mad)``.  Null group keys and null
+    values are excluded, as in the grouped kernel.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    g = F.col(group_col)
+    vals = df.select(g.alias("__g"), c.alias("__v")) \
+        .filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    vals = vals.persist()
+    try:
+        spark = df.sparkSession
+        gtype = dict(vals.dtypes)["__g"]
+        stats = (vals.groupBy("__g")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.min("__v").alias("lo"),
+                      F.max("__v").alias("hi"))
+                 .limit(max_groups + 1).collect())
+        if len(stats) > max_groups:
+            raise ValueError(
+                f"more than max_groups={max_groups} groups: per-round "
+                "driver state is O(groups·bins); aggregate to coarser "
+                "segments or raise the cap consciously")
+        for r in stats:
+            if r["hi"] - r["lo"] > (1 << 62):
+                raise ValueError(
+                    f"group {r['__g']!r} value range spans more than "
+                    "2^62 (in-plan bucket arithmetic would overflow)")
+        if not stats:
+            return spark.createDataFrame(
+                [], f"{group_col} {gtype}, med long, mad long")
+        rank = {r["__g"]: max((500 * r["n"] + 999) // 1000, 1)
+                for r in stats}
+
+        med_bins = _histogram_bins(
+            max(r["hi"] - r["lo"] + 1 for r in stats), bins, len(stats))
+        med = _grouped_select(
+            vals,
+            {(r["__g"], 500): [rank[r["__g"]], r["lo"], r["hi"]]
+             for r in stats},
+            med_bins, max_rounds)
+        med = {gkey: v for (gkey, _), v in med.items()}
+
+        # deviation pass rides the SAME cache: row-local |v − med|
+        # over a broadcast of the ≤ groups-row median table
+        med_df = spark.createDataFrame(
+            [(gkey, int(v)) for gkey, v in med.items()],
+            f"__g {gtype}, __med long")
+        dev = (vals.join(F.broadcast(med_df), "__g")
+               .select("__g",
+                       F.abs(F.col("__v") - F.col("__med")).alias("__v")))
+        bound = {r["__g"]: max(r["hi"] - med[r["__g"]],
+                               med[r["__g"]] - r["lo"]) for r in stats}
+        mad_bins = _histogram_bins(
+            max(b + 1 for b in bound.values()), bins, len(stats))
+        mad = _grouped_select(
+            dev,
+            {(gkey, 500): [rank[gkey], 0, b]
+             for gkey, b in bound.items()},
+            mad_bins, max_rounds)
+        rows = [(gkey, int(v), int(mad[(gkey, 500)]))
+                for gkey, v in med.items()]
+        return spark.createDataFrame(
+            rows, f"{group_col} {gtype}, med long, mad long")
     finally:
         vals.unpersist()
 

@@ -967,3 +967,32 @@ def test_streaming_windowed_distinct_hll_null_mixed_batch(spark, tmp_path):
         assert got[0].nonzero_buckets == 2     # nulls skipped
     finally:
         q.stop()
+
+
+def test_grouped_median_mad_matches_two_kernel_calls(spark):
+    """The fused (median, MAD) kernel must agree with the two separate
+    exact_quantiles_grouped([500]) passes it replaces (r15 mad_outliers
+    optimization): same cover rule, same ranks — the fused pass only
+    reuses pass 1's cache/stats, never changes a selection.  Cases:
+    negative values, even/odd n, MAD=0 degenerate, a wide-range group."""
+    from pyspark.sql import functions as F
+
+    rows = ([("a", v) for v in (-7, -3, 0, 4, 9, 100)]       # even n
+            + [("b", v) for v in (5, 5, 5, 6)]               # MAD = 0
+            + [("c", v) for v in (1, 2, 1_000_000)]          # wide, odd n
+            + [("d", None), (None, 3)])                      # null skips
+    df = spark.createDataFrame(rows, "g string, v long")
+    fused = {r["g"]: (r["med"], r["mad"])
+             for r in sketch.grouped_median_mad(df, "g", "v").collect()}
+    med = {r["g"]: r["value"]
+           for r in sketch.exact_quantiles_grouped(
+               df, "g", "v", [500]).collect()}
+    med_df = spark.createDataFrame(
+        [(g, int(v)) for g, v in med.items()], "g string, med long")
+    dev = (df.join(med_df, "g")
+           .select("g", F.abs(F.col("v") - F.col("med")).alias("d")))
+    mad = {r["g"]: r["value"]
+           for r in sketch.exact_quantiles_grouped(
+               dev, "g", "d", [500]).collect()}
+    assert fused == {g: (med[g], mad[g]) for g in med}
+    assert set(fused) == {"a", "b", "c"} and fused["b"][1] == 0
