@@ -97,11 +97,13 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     the group shares one value), any deviation flags — the standard
     degenerate-MAD behavior, deterministic in both engines.
 
-    Scale ledger: two grouped histogram-narrowing selection passes
-    (``sketch.exact_quantiles_grouped`` — register-sized exchanges
-    and ≤ groups·bins collects, never a sort), each broadcast-joined
+    Scale ledger: one fused grouped histogram-narrowing kernel
+    (``sketch.grouped_median_mad`` — register-sized exchanges and
+    ≤ groups·bins collects, never a sort; the MAD pass rides the
+    median pass's cached (group, value) frame and derives its stats
+    from pass 1's), and ONE ≤ groups-row (med, mad) broadcast joined
     back; the data itself is scanned, never reshuffled.  Returns the
-    input columns plus ``(med, abs_dev, mad)``.
+    input columns plus ``(med, mad, abs_dev)``.
     """
     from kafkadirect_spark.functions.sketch import grouped_median_mad
 
