@@ -198,8 +198,7 @@ def _media_audio_features_suite(spark, sf_dir):
     from kafkadirect_spark.functions import multimodal
     from kafkadirect_spark.sources.batch import load_table
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.audio_features(
-        multimodal.synth_media(ids, "doc_id", kind="wav"))
+    return multimodal.synth_features(ids, "doc_id", kind="wav")
 
 
 def _basket_pairs_suite(spark, sf_dir):
@@ -229,18 +228,17 @@ def _media_video_features_suite(spark, sf_dir):
     from kafkadirect_spark.functions import multimodal
     from kafkadirect_spark.sources.batch import load_table
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.video_features(
-        multimodal.synth_media(ids, "doc_id", kind="y4m"))
+    return multimodal.synth_features(ids, "doc_id", kind="y4m")
 
 
 def _media_image_features_suite(spark, sf_dir):
     # the registered media_image_features shape: executor-side BMP
-    # synthesis -> real decode -> integer features, zero shuffles
+    # synthesis -> real decode -> integer features FUSED in one
+    # Python stage (r16), zero shuffles
     from kafkadirect_spark.functions import multimodal
     from kafkadirect_spark.sources.batch import load_table
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_features(
-        multimodal.synth_media(ids, "doc_id", kind="bmp"))
+    return multimodal.synth_features(ids, "doc_id", kind="bmp")
 
 
 def _media_gif_features_suite(spark, sf_dir):
@@ -249,8 +247,7 @@ def _media_gif_features_suite(spark, sf_dir):
     from kafkadirect_spark.functions import multimodal
     from kafkadirect_spark.sources.batch import load_table
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_features(
-        multimodal.synth_media(ids, "doc_id", kind="gif"))
+    return multimodal.synth_features(ids, "doc_id", kind="gif")
 
 
 def _media_png_features_suite(spark, sf_dir):
@@ -261,8 +258,7 @@ def _media_png_features_suite(spark, sf_dir):
     from kafkadirect_spark.functions import multimodal
     from kafkadirect_spark.sources.batch import load_table
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_features(
-        multimodal.synth_media(ids, "doc_id", kind="png"))
+    return multimodal.synth_features(ids, "doc_id", kind="png")
 
 
 def _wordpiece_suite(spark, sf_dir):
@@ -360,9 +356,8 @@ def _phash_pairs_suite(spark, sf_dir):
     from kafkadirect_spark.functions import multimodal
     from kafkadirect_spark.sources.batch import load_table
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = multimodal.synth_media(ids, "doc_id", kind="pnm")
-    return multimodal.phash_pairs(multimodal.image_phash(media),
-                                  "doc_id", max_hamming=1)
+    hashes = multimodal.synth_phash(ids, "doc_id", kind="pnm")
+    return multimodal.phash_pairs(hashes, "doc_id", max_hamming=1)
 
 
 def _local_clustering_suite(spark, sf_dir):

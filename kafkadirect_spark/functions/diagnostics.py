@@ -41,21 +41,29 @@ def skew_report(df: DataFrame, key_col: str, parts: int = 200,
         raise ValueError("parts must be >= 1")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    from kafkadirect_spark.functions.sketch import exact_quantiles
+    from kafkadirect_spark.functions.sketch import _exact_quantiles_from
 
     spark = df.sparkSession
     counts = (df.groupBy(F.col(key_col).cast("string").alias("__k"))
               .agg(F.count(F.lit(1)).alias("__cnt"))
               .persist())
     try:
+        # One stats pass serves BOTH the scalar stats and the quantile
+        # kernel (r16, guide §1.2): min joins the aggregate the report
+        # already pays, and the narrowing loop runs directly on the
+        # persisted counts frame — the kernel's own persist + stats
+        # job (a full re-aggregation of the same cache) is gone.
         s = counts.agg(F.sum("__cnt").alias("total"),
                        F.count(F.lit(1)).alias("n_keys"),
+                       F.min("__cnt").alias("mn"),
                        F.max("__cnt").alias("mx")).collect()[0]
         if s["total"] is None:
             raise ValueError("skew_report: input has no rows")
         total, n_keys, mx = int(s["total"]), int(s["n_keys"]), int(s["mx"])
-        qs = {r["q_permille"]: int(r["value"]) for r in
-              exact_quantiles(counts, "__cnt", [500, 990]).collect()}
+        qs = _exact_quantiles_from(
+            counts.select(F.col("__cnt").alias("__v")),
+            n_keys, int(s["mn"]), mx, [500, 990],
+            label="skew_report quantiles")
         stats = [
             ("total_rows", None, total),
             ("distinct_keys", None, n_keys),
@@ -210,37 +218,51 @@ def embedding_profile(df: DataFrame, vec_col: str,
 
     One scan; every aggregate is register-sized.
     """
-    from kafkadirect_spark.functions.sketch import exact_quantiles
+    from kafkadirect_spark.functions.sketch import _exact_quantiles_from
 
     v = F.col(vec_col)
     sumsq = F.aggregate(
         F.transform(v, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
+    # Persist the narrow projection (r16, guide §1.2/§5): the norm
+    # fold over every vector is the expensive per-row work, and it
+    # previously ran TWICE — once for the scalar aggregate, once
+    # inside the quantile kernel's own persist+stats pass.  One cache
+    # (3 narrow columns), one stats aggregate extended with the
+    # kernel's n/lo/hi, and the narrowing rounds scan the cache.
     base = df.select(
         v.isNull().cast("int").alias("__isnull"),
         F.size(v).alias("__dim"),
         F.when(v.isNotNull(),
                F.floor(F.lit(norm_scale) * F.sqrt(sumsq))
-               .cast("long")).alias("__norm"))
-    s = base.agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum("__isnull").alias("null_vectors"),
-        F.min(F.when(F.col("__isnull") == 0, F.col("__dim")))
-        .alias("dim_min"),
-        F.max(F.when(F.col("__isnull") == 0, F.col("__dim")))
-        .alias("dim_max"),
-        F.sum(F.when(F.col("__norm") == 0, 1).otherwise(0))
-        .alias("zero_vectors")).collect()[0]
-    qs = {r["q_permille"]: int(r["value"]) for r in
-          exact_quantiles(base.filter(F.col("__isnull") == 0),
-                          "__norm", [500, 990]).collect()}
-    row = [(int(s["n_vectors"]), int(s["null_vectors"]),
-            int(s["dim_min"]), int(s["dim_max"]),
-            int(s["zero_vectors"]), qs.get(500), qs.get(990))]
-    return df.sparkSession.createDataFrame(
-        row, "n_vectors long, null_vectors long, dim_min long, "
-             "dim_max long, zero_vectors long, norm_p50 long, "
-             "norm_p99 long")
+               .cast("long")).alias("__norm")).persist()
+    try:
+        s = base.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("__isnull").alias("null_vectors"),
+            F.min(F.when(F.col("__isnull") == 0, F.col("__dim")))
+            .alias("dim_min"),
+            F.max(F.when(F.col("__isnull") == 0, F.col("__dim")))
+            .alias("dim_max"),
+            F.sum(F.when(F.col("__norm") == 0, 1).otherwise(0))
+            .alias("zero_vectors"),
+            F.count("__norm").alias("__qn"),
+            F.min("__norm").alias("__qlo"),
+            F.max("__norm").alias("__qhi")).collect()[0]
+        qs = _exact_quantiles_from(
+            base.filter(F.col("__norm").isNotNull())
+                .select(F.col("__norm").alias("__v")),
+            int(s["__qn"]), s["__qlo"], s["__qhi"], [500, 990],
+            label="embedding_profile quantiles")
+        row = [(int(s["n_vectors"]), int(s["null_vectors"]),
+                int(s["dim_min"]), int(s["dim_max"]),
+                int(s["zero_vectors"]), qs.get(500), qs.get(990))]
+        return df.sparkSession.createDataFrame(
+            row, "n_vectors long, null_vectors long, dim_min long, "
+                 "dim_max long, zero_vectors long, norm_p50 long, "
+                 "norm_p99 long")
+    finally:
+        base.unpersist()
 
 
 def embedding_profile_sql(table: str, vec_col: str,

@@ -809,6 +809,43 @@ def sniff_media(payload: bytes) -> str | None:
     return None
 
 
+_AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("peak", IntegerType()),
+    StructField("energy_mean", LongType()),
+    StructField("zero_crossings", LongType()),
+])
+
+
+def _audio_feature_row(doc_id, b: bytes) -> dict | None:
+    """Per-payload audio feature math — shared by ``audio_features``
+    and the fused ``synth_features`` (one formula, no drift)."""
+    kind = sniff_media(b)
+    if kind not in ("wav", "au"):
+        return None
+    d = (_decode_wav_arr(b) if kind == "wav"
+         else _decode_au_arr(b))
+    s = d["samples"]                # int64; s² ≤ 2³⁰, so
+    n = int(s.size)                 # the Σs² stays exact
+    nz = s[s != 0] < 0              # in int64 to ~8e9
+    return {                        # samples per payload
+        "doc_id": doc_id,
+        "sample_rate": d["sample_rate"],
+        "channels": d["channels"],
+        "n_samples": n,
+        "duration_ms": 1000 * d["n_frames"]
+        // max(d["sample_rate"], 1),
+        "peak": int(np.abs(s).max()) if n else 0,
+        "energy_mean": (int(np.dot(s, s)) // n) if n else 0,
+        "zero_crossings": int(
+            np.count_nonzero(nz[1:] != nz[:-1])),
+    }
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """REAL audio feature extraction over WAV-PCM and Sun-AU payloads
     (µ-law expanded through the exact G.711 integers — round 12)
@@ -821,45 +858,50 @@ def audio_features(media: DataFrame) -> DataFrame:
     codec box, not past it."""
     import pandas as pd
 
-    out_schema = StructType([
-        StructField("doc_id", LongType()),
-        StructField("sample_rate", IntegerType()),
-        StructField("channels", IntegerType()),
-        StructField("n_samples", LongType()),
-        StructField("duration_ms", LongType()),
-        StructField("peak", IntegerType()),
-        StructField("energy_mean", LongType()),
-        StructField("zero_crossings", LongType()),
-    ])
+    out_schema = _AUDIO_FEATURES_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                kind = sniff_media(b)
-                if kind not in ("wav", "au"):
-                    continue
-                d = (_decode_wav_arr(b) if kind == "wav"
-                     else _decode_au_arr(b))
-                s = d["samples"]                # int64; s² ≤ 2³⁰, so
-                n = int(s.size)                 # the Σs² stays exact
-                nz = s[s != 0] < 0              # in int64 to ~8e9
-                rows.append({                   # samples per payload
-                    "doc_id": doc_id,
-                    "sample_rate": d["sample_rate"],
-                    "channels": d["channels"],
-                    "n_samples": n,
-                    "duration_ms": 1000 * d["n_frames"]
-                    // max(d["sample_rate"], 1),
-                    "peak": int(np.abs(s).max()) if n else 0,
-                    "energy_mean": (int(np.dot(s, s)) // n) if n else 0,
-                    "zero_crossings": int(
-                        np.count_nonzero(nz[1:] != nz[:-1])),
-                })
+            rows = [r for doc_id, payload
+                    in zip(pdf["doc_id"], pdf["payload"])
+                    if (r := _audio_feature_row(doc_id,
+                                                bytes(payload)))]
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+_IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("mean_milli", LongType()),
+    StructField("min_px", IntegerType()),
+    StructField("max_px", IntegerType()),
+])
+
+
+def _image_feature_row(doc_id, b: bytes) -> dict | None:
+    """Per-payload image feature math — shared by ``image_features``
+    and the fused ``synth_features`` (one formula, no drift)."""
+    kind = sniff_media(b)
+    if kind not in ("pnm", "bmp", "png", "gif"):
+        return None
+    d = {"pnm": _decode_pnm_arr, "bmp": _decode_bmp_arr,
+         "png": _decode_png_arr,
+         "gif": _decode_gif_arr}[kind](b)
+    px = d["pixels"]
+    n = int(px.size)
+    return {
+        "doc_id": doc_id,
+        "width": d["width"], "height": d["height"],
+        "channels": d["channels"],
+        "mean_milli": (1000 * int(px.sum(dtype=np.int64))
+                       // n) if n else 0,
+        "min_px": int(px.min()) if n else 0,
+        "max_px": int(px.max()) if n else 0,
+    }
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -871,38 +913,14 @@ def image_features(media: DataFrame) -> DataFrame:
     nothing."""
     import pandas as pd
 
-    out_schema = StructType([
-        StructField("doc_id", LongType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("channels", IntegerType()),
-        StructField("mean_milli", LongType()),
-        StructField("min_px", IntegerType()),
-        StructField("max_px", IntegerType()),
-    ])
+    out_schema = _IMAGE_FEATURES_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                kind = sniff_media(b)
-                if kind not in ("pnm", "bmp", "png", "gif"):
-                    continue
-                d = {"pnm": _decode_pnm_arr, "bmp": _decode_bmp_arr,
-                     "png": _decode_png_arr,
-                     "gif": _decode_gif_arr}[kind](b)
-                px = d["pixels"]
-                n = int(px.size)
-                rows.append({
-                    "doc_id": doc_id,
-                    "width": d["width"], "height": d["height"],
-                    "channels": d["channels"],
-                    "mean_milli": (1000 * int(px.sum(dtype=np.int64))
-                                   // n) if n else 0,
-                    "min_px": int(px.min()) if n else 0,
-                    "max_px": int(px.max()) if n else 0,
-                })
+            rows = [r for doc_id, payload
+                    in zip(pdf["doc_id"], pdf["payload"])
+                    if (r := _image_feature_row(doc_id,
+                                                bytes(payload)))]
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return media.mapInPandas(batches, schema=out_schema)
@@ -992,6 +1010,60 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
+_SYNTH_KINDS = ("wav", "pnm", "au", "bmp", "png", "gif", "y4m")
+
+
+def _synth_payload(i: int, kind: str) -> bytes:
+    """One deterministic synthetic payload for id ``i`` — the shared
+    per-id synthesis behind ``synth_media`` and the fused
+    ``synth_features`` / ``synth_phash`` paths (one formula, so the
+    fused and staged forms can never drift).  The per-id sample/pixel
+    math runs vectorized (numpy broadcasts over the raster/stream
+    axes); values are non-negative before each % so python and numpy
+    agree."""
+    if kind in ("wav", "au"):
+        period = 8 + (i % 23)
+        n = 256 + (i % 128)
+        t = np.arange(n, dtype=np.int64)
+        tri = (t % period) * 2000 - period * 1000
+        rate = 8000 + 1000 * (i % 5)
+        return (encode_wav_pcm16(tri, sample_rate=rate)
+                if kind == "wav"
+                else encode_au(tri, sample_rate=rate))
+    if kind == "y4m":
+        # gradient frames with a +96 luma jump mid-stream (the
+        # deterministic scene cut the features must localize);
+        # dims/frames/fps derive from the id
+        w, h = 8 + (i % 5) * 2, 6 + (i % 4) * 2
+        nf, num = 3 + (i % 4), 24 + (i % 6)
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        f = np.arange(nf, dtype=np.int64)
+        grid = x[None, :] * 7 + y[:, None] * 13 + i
+        cut = np.where(f >= nf // 2, 96, 0)
+        fr = ((grid[None, :, :] + (f * 29 + cut)
+               [:, None, None]) % 256)
+        return encode_y4m(list(fr.reshape(nf, -1)), w, h, fps_num=num)
+    w, h = 16 + (i % 17), 12 + (i % 13)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    if kind in ("pnm", "png", "gif"):
+        # ONE shared grey gradient for the raster kinds — the oracles
+        # replay this exact formula, so it must not fork per container
+        px = ((x[None, :] * 7 + y[:, None] * 13 + i) % 256).reshape(-1)
+        # png: the filter cycles through ALL FIVE scanline filters
+        # across ids, so a corpus round-trip exercises every unfilter
+        # branch (the oracle replays only the pixel math — filters
+        # must cancel)
+        return (encode_pnm(px, w, h) if kind == "pnm"
+                else encode_gif(px, w, h) if kind == "gif"
+                else encode_png(px, w, h, filter_type=i % 5))
+    ch = np.arange(3, dtype=np.int64)
+    px = ((x[None, :, None] * 7 + y[:, None, None]
+           * 13 + i + ch[None, None, :] * 41) % 256).reshape(-1)
+    return encode_bmp(px, w, h)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
     """Deterministic REAL media synthesis from any id column — the
     sandbox stand-in for an object-store media source: each id mints
@@ -1008,71 +1080,16 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
     ])
-    if kind not in ("wav", "pnm", "au", "bmp", "png", "gif", "y4m"):
+    if kind not in _SYNTH_KINDS:
         raise ValueError(
             "kind must be 'wav', 'au', 'pnm', 'bmp', 'png', 'gif' "
             "or 'y4m'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # the per-id sample/pixel math runs vectorized (numpy
-        # broadcasts over the raster/stream axes); values are
-        # non-negative before each % so python and numpy agree
         for pdf in it:
-            rows = []
-            for doc_id in pdf["__id"]:
-                i = int(doc_id)
-                if kind in ("wav", "au"):
-                    period = 8 + (i % 23)
-                    n = 256 + (i % 128)
-                    t = np.arange(n, dtype=np.int64)
-                    tri = (t % period) * 2000 - period * 1000
-                    rate = 8000 + 1000 * (i % 5)
-                    payload = (encode_wav_pcm16(tri, sample_rate=rate)
-                               if kind == "wav"
-                               else encode_au(tri, sample_rate=rate))
-                elif kind == "y4m":
-                    # gradient frames with a +96 luma jump mid-stream
-                    # (the deterministic scene cut the features must
-                    # localize); dims/frames/fps derive from the id
-                    w, h = 8 + (i % 5) * 2, 6 + (i % 4) * 2
-                    nf, num = 3 + (i % 4), 24 + (i % 6)
-                    x = np.arange(w, dtype=np.int64)
-                    y = np.arange(h, dtype=np.int64)
-                    f = np.arange(nf, dtype=np.int64)
-                    grid = x[None, :] * 7 + y[:, None] * 13 + i
-                    cut = np.where(f >= nf // 2, 96, 0)
-                    fr = ((grid[None, :, :] + (f * 29 + cut)
-                           [:, None, None]) % 256)
-                    payload = encode_y4m(list(fr.reshape(nf, -1)),
-                                         w, h, fps_num=num)
-                else:
-                    w, h = 16 + (i % 17), 12 + (i % 13)
-                    x = np.arange(w, dtype=np.int64)
-                    y = np.arange(h, dtype=np.int64)
-                    if kind in ("pnm", "png", "gif"):
-                        # ONE shared grey gradient for both raster
-                        # kinds — the oracles replay this exact
-                        # formula, so it must not fork per container
-                        px = ((x[None, :] * 7 + y[:, None] * 13 + i)
-                              % 256).reshape(-1)
-                        # png: the filter cycles through ALL FIVE
-                        # scanline filters across ids, so a corpus
-                        # round-trip exercises every unfilter branch
-                        # (the oracle replays only the pixel math —
-                        # filters must cancel)
-                        payload = (
-                            encode_pnm(px, w, h) if kind == "pnm"
-                            else encode_gif(px, w, h)
-                            if kind == "gif"
-                            else encode_png(px, w, h,
-                                            filter_type=i % 5))
-                    else:
-                        ch = np.arange(3, dtype=np.int64)
-                        px = ((x[None, :, None] * 7 + y[:, None, None]
-                               * 13 + i + ch[None, None, :] * 41)
-                              % 256).reshape(-1)
-                        payload = encode_bmp(px, w, h)
-                rows.append({"doc_id": i, "payload": payload})
+            rows = [{"doc_id": int(doc_id),
+                     "payload": _synth_payload(int(doc_id), kind)}
+                    for doc_id in pdf["__id"]]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     # _widen first (r15): the id projection comes off a narrow scan
@@ -1084,6 +1101,71 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "wav") -> DataFrame:
 
     return (_widen(df.select(F.col(id_col).cast("long").alias("__id")))
             .mapInPandas(batches, schema=out_schema))
+
+
+def _synth_fused(df: DataFrame, id_col: str, kind: str,
+                 row_fn, out_schema: StructType) -> DataFrame:
+    """Shared body of the fused synth→derive operators: ONE
+    mapInPandas running ``_synth_payload`` and ``row_fn`` back to
+    back per id (r16, guide §4.1): the synthesized payload never
+    crosses the Python→JVM→Arrow→Python boundary between the synth
+    and feature stages, and each task holds ONE Python worker instead
+    of two chained ones — the staged form's 2·cores concurrent-worker
+    demand made its stage wall spawn-latency-bound whenever the
+    worker pool was cold (measured: the staged image suite's steady
+    stage is ~15 s task time, but a cold pool reads 66 s and 3-4×
+    the wall).  Same per-id formulas as the staged operators by
+    construction — both call the same ``_synth_payload`` /
+    ``row_fn`` helpers."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [r for i in pdf["__id"]
+                    if (r := row_fn(int(i),
+                                    _synth_payload(int(i), kind)))]
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    from kafkadirect_spark.functions.dedup import _widen
+
+    return (_widen(df.select(F.col(id_col).cast("long").alias("__id")))
+            .mapInPandas(batches, schema=out_schema))
+
+
+def synth_features(df: DataFrame, id_col: str,
+                   kind: str = "wav") -> DataFrame:
+    """``{audio,image,video}_features(synth_media(df, id, kind))``
+    fused into ONE Python stage — result-identical to the staged
+    composition (same ``_synth_payload`` + per-payload row helpers),
+    with the payload column never materialized through the JVM.  Use
+    the staged operators when the payloads themselves are the
+    product; use this when only the features are."""
+    if kind not in _SYNTH_KINDS:
+        raise ValueError(
+            "kind must be 'wav', 'au', 'pnm', 'bmp', 'png', 'gif' "
+            "or 'y4m'")
+    row_fn, schema = {
+        "wav": (_audio_feature_row, _AUDIO_FEATURES_SCHEMA),
+        "au": (_audio_feature_row, _AUDIO_FEATURES_SCHEMA),
+        "pnm": (_image_feature_row, _IMAGE_FEATURES_SCHEMA),
+        "bmp": (_image_feature_row, _IMAGE_FEATURES_SCHEMA),
+        "png": (_image_feature_row, _IMAGE_FEATURES_SCHEMA),
+        "gif": (_image_feature_row, _IMAGE_FEATURES_SCHEMA),
+        "y4m": (_video_feature_row, _VIDEO_FEATURES_SCHEMA),
+    }[kind]
+    return _synth_fused(df, id_col, kind, row_fn, schema)
+
+
+def synth_phash(df: DataFrame, id_col: str,
+                kind: str = "pnm") -> DataFrame:
+    """``image_phash(synth_media(df, id, kind))`` fused into ONE
+    Python stage — result-identical to the staged composition (same
+    ``_synth_payload`` + ``_image_phash_row``); see
+    ``synth_features``."""
+    if kind not in ("pnm", "bmp", "png", "gif"):
+        raise ValueError("kind must be 'pnm', 'bmp', 'png' or 'gif'")
+    return _synth_fused(df, id_col, kind, _image_phash_row,
+                        _IMAGE_PHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1221,6 +1303,31 @@ def phash64(pixels, width: int, height: int, channels: int):
     return hi, lo
 
 
+_IMAGE_PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("phash_hi", LongType()),
+    StructField("phash_lo", LongType()),
+    StructField("n_ones", IntegerType()),
+])
+
+
+def _image_phash_row(doc_id, b: bytes) -> dict | None:
+    """Per-payload aHash math — shared by ``image_phash`` and the
+    fused ``synth_phash`` (one formula, no drift)."""
+    kind = sniff_media(b)
+    if kind not in ("pnm", "bmp", "png", "gif"):
+        return None
+    d = {"pnm": _decode_pnm_arr, "bmp": _decode_bmp_arr,
+         "png": _decode_png_arr,
+         "gif": _decode_gif_arr}[kind](b)
+    if d["width"] < 8 or d["height"] < 8:
+        return None
+    hi, lo = phash64(d["pixels"], d["width"], d["height"],
+                     d["channels"])
+    return {"doc_id": doc_id, "phash_hi": hi, "phash_lo": lo,
+            "n_ones": bin(hi).count("1") + bin(lo).count("1")}
+
+
 def image_phash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash per image payload (PNM family / 24-bit
     BMP / 8-bit PNG / LZW GIF — the real decoders), zero shuffles:
@@ -1229,32 +1336,14 @@ def image_phash(media: DataFrame) -> DataFrame:
     ``image_features``)."""
     import pandas as pd
 
-    out_schema = StructType([
-        StructField("doc_id", LongType()),
-        StructField("phash_hi", LongType()),
-        StructField("phash_lo", LongType()),
-        StructField("n_ones", IntegerType()),
-    ])
+    out_schema = _IMAGE_PHASH_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                kind = sniff_media(b)
-                if kind not in ("pnm", "bmp", "png", "gif"):
-                    continue
-                d = {"pnm": _decode_pnm_arr, "bmp": _decode_bmp_arr,
-                     "png": _decode_png_arr,
-                     "gif": _decode_gif_arr}[kind](b)
-                if d["width"] < 8 or d["height"] < 8:
-                    continue
-                hi, lo = phash64(d["pixels"], d["width"], d["height"],
-                                 d["channels"])
-                rows.append({"doc_id": doc_id, "phash_hi": hi,
-                             "phash_lo": lo,
-                             "n_ones": bin(hi).count("1")
-                             + bin(lo).count("1")})
+            rows = [r for doc_id, payload
+                    in zip(pdf["doc_id"], pdf["payload"])
+                    if (r := _image_phash_row(doc_id,
+                                              bytes(payload)))]
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return media.mapInPandas(batches, schema=out_schema)
@@ -1787,6 +1876,47 @@ def decode_y4m(payload: bytes) -> dict:
     return d
 
 
+_VIDEO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("fps_num", IntegerType()),
+    StructField("fps_den", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("mean_luma_milli", LongType()),
+    StructField("max_delta_milli", LongType()),
+    StructField("cut_frame", IntegerType()),
+])
+
+
+def _video_feature_row(doc_id, b: bytes) -> dict | None:
+    """Per-payload video feature math — shared by ``video_features``
+    and the fused ``synth_features`` (one formula, no drift)."""
+    if sniff_media(b) != "y4m":
+        return None
+    d = _decode_y4m_arr(b)
+    w, h, nf = d["width"], d["height"], d["n_frames"]
+    sums = [int(fr.sum(dtype=np.int64))
+            for fr in d["frames"]]
+    area = w * h
+    deltas = [1000 * abs(b2 - a) // area
+              for a, b2 in zip(sums, sums[1:])]
+    max_d = max(deltas, default=0)
+    cut = (deltas.index(max_d) + 1) if deltas else None
+    return {
+        "doc_id": doc_id, "width": w, "height": h,
+        "n_frames": nf,
+        "fps_num": d["fps_num"], "fps_den": d["fps_den"],
+        "duration_ms": 1000 * nf * d["fps_den"]
+        // max(d["fps_num"], 1),
+        "mean_luma_milli": (1000 * sum(sums)
+                            // (nf * area)) if nf else 0,
+        "max_delta_milli": max_d,
+        "cut_frame": cut,
+    }
+
+
 def video_features(media: DataFrame) -> DataFrame:
     """REAL video feature extraction over YUV4MPEG2 payloads
     (mapInPandas, Arrow-batched, zero shuffles): per payload —
@@ -1801,46 +1931,14 @@ def video_features(media: DataFrame) -> DataFrame:
     route compressed video to a real codec box, not past it."""
     import pandas as pd
 
-    out_schema = StructType([
-        StructField("doc_id", LongType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("n_frames", IntegerType()),
-        StructField("fps_num", IntegerType()),
-        StructField("fps_den", IntegerType()),
-        StructField("duration_ms", LongType()),
-        StructField("mean_luma_milli", LongType()),
-        StructField("max_delta_milli", LongType()),
-        StructField("cut_frame", IntegerType()),
-    ])
+    out_schema = _VIDEO_FEATURES_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                if sniff_media(b) != "y4m":
-                    continue
-                d = _decode_y4m_arr(b)
-                w, h, nf = d["width"], d["height"], d["n_frames"]
-                sums = [int(fr.sum(dtype=np.int64))
-                        for fr in d["frames"]]
-                area = w * h
-                deltas = [1000 * abs(b2 - a) // area
-                          for a, b2 in zip(sums, sums[1:])]
-                max_d = max(deltas, default=0)
-                cut = (deltas.index(max_d) + 1) if deltas else None
-                rows.append({
-                    "doc_id": doc_id, "width": w, "height": h,
-                    "n_frames": nf,
-                    "fps_num": d["fps_num"], "fps_den": d["fps_den"],
-                    "duration_ms": 1000 * nf * d["fps_den"]
-                    // max(d["fps_num"], 1),
-                    "mean_luma_milli": (1000 * sum(sums)
-                                        // (nf * area)) if nf else 0,
-                    "max_delta_milli": max_d,
-                    "cut_frame": cut,
-                })
+            rows = [r for doc_id, payload
+                    in zip(pdf["doc_id"], pdf["payload"])
+                    if (r := _video_feature_row(doc_id,
+                                                bytes(payload)))]
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return media.mapInPandas(batches, schema=out_schema)

@@ -43,11 +43,29 @@ contract stays on the raw estimator.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 P_DEFAULT = 10
 W_FIELD = 32
+
+# Per-round driver-transfer budget for the exact-selection kernels:
+# the max (pending_groups × bins) histogram rows one narrowing round
+# may collect.  r16 re-tune (guide §1.2 "measure again"): the r15
+# 64Ki budget optimized transfer bytes, but each narrowing round is a
+# FULL SCAN of the persisted value frame plus 2-3 driver-coordinated
+# jobs — the serial term that dominates these suites (joblog: ~300 ms
+# per round-scan at sf0.1 against a ~10 ms register transfer).  A
+# same-session sweep (64Ki / 1M / 4M / 16M, best-of-5 per suite)
+# measured 4M best: value_outliers_mad 3.16→1.93 s, value_decile
+# 2.21→1.66 s, exact_quantiles_by_type 1.52→1.21 s; 16M is past the
+# knee (bigger aggregate hash tables, no rounds left to remove).
+# 4M rows ≈ 64 MB of Arrow — fixed driver state, independent of data
+# size.  Env-overridable for small-driver deployments.
+_ROUND_BUDGET = int(os.environ.get(
+    "SPARK_GRAFT_SKETCH_ROUND_BUDGET", str(1 << 22)))
 
 
 def _m(p: int) -> int:
@@ -516,18 +534,18 @@ def py_hist_quantiles(counts: dict[int, int], qs_permille: list[int],
 
 def _histogram_bins(span: int, bins: int, n_groups: int = 1) -> int:
     """Adaptive histogram resolution for the exact-selection kernels
-    (r15, re-tuned): the MINIMAL bin count that achieves the MINIMAL
-    round count within a per-round driver-transfer budget.  Rounds =
-    ceil(log_bins(span)), so widening bins only pays when it removes
-    a round — a 64Ki histogram of a 500Ki-wide domain still needs 2
-    rounds and just makes every exchange/collect 64× bigger (measured
-    +1.0 s on exact_quantiles_by_type at sf0.1, the first cut of this
-    knob).  The budget caps a round's collected rows at ~64Ki total
-    (pending_groups × bins), never below the caller's ``bins`` so a
-    many-group call keeps its requested resolution.  Results are
-    identical at any resolution — selection is exact by construction;
-    only the scan count moves."""
-    cap = max(bins, (1 << 16) // max(n_groups, 1))
+    (r15, re-tuned r16): the MINIMAL bin count that achieves the
+    MINIMAL round count within the per-round driver-transfer budget
+    ``_ROUND_BUDGET`` (see its comment for the r16 sweep that set it —
+    every round REMOVED is a full scan of the persisted value frame
+    plus 2-3 sequential driver jobs saved, which dwarfs the register
+    transfer it widens).  Rounds = ceil(log_bins(span)), so widening
+    bins only pays when it removes a round.  The budget caps a
+    round's collected rows at pending_groups × bins, never below the
+    caller's ``bins`` so a many-group call keeps its requested
+    resolution.  Results are identical at any resolution — selection
+    is exact by construction; only the scan count moves."""
+    cap = max(bins, _ROUND_BUDGET // max(n_groups, 1))
     span = max(span, 1)
     r = 1
     while True:
@@ -541,6 +559,92 @@ def _histogram_bins(span: int, bins: int, n_groups: int = 1) -> int:
         if b <= cap:
             return max(b, 2)
         r += 1
+
+
+def _global_select(vals: DataFrame, state: dict, bins: int,
+                   max_rounds: int, weighted: bool = False) -> dict:
+    """The shared GLOBAL histogram-narrowing loop (ungrouped twin of
+    ``_grouped_select``): ``vals`` is a (``__v``[, ``__w``]) frame —
+    persisted by the caller, or a row-local derivation of one —
+    ``state[q] = [remaining rank (row count or weight mass), lo,
+    hi]``.  Each round histograms every distinct pending range with
+    one filtered scan (quantiles share a round's histogram until
+    their ranges diverge) and narrows; EXACT selection by
+    construction at any resolution.  Returns ``done[q] = value``;
+    the caller raises on keys missing after ``max_rounds``."""
+    mass = (F.sum("__w") if weighted else F.count(F.lit(1))).alias("m")
+    done: dict[int, int] = {}
+    for _ in range(max_rounds):
+        pend = {q: s for q, s in state.items() if q not in done}
+        if not pend:
+            break
+        ranges: dict[tuple[int, int], list[int]] = {}
+        for q, (_, lo, hi) in pend.items():
+            ranges.setdefault((lo, hi), []).append(q)
+        for (lo, hi), group in ranges.items():
+            width = hi - lo + 1
+            w = max(1, -(-width // bins))  # ceil
+            # toPandas, not collect(): the Arrow path makes a
+            # span-wide histogram (up to _ROUND_BUDGET rows) a
+            # cheap transfer, where Row materialization cost more
+            # than the scans the wide histogram saves (measured —
+            # guide §6 Arrow-for-driver)
+            hpdf = (vals.filter(F.col("__v").between(lo, hi))
+                    .groupBy(F.expr(f"(__v - {lo}) DIV {w}")
+                             .alias("b"))
+                    .agg(mass)
+                    .toPandas())
+            hist = dict(zip((int(x) for x in hpdf["b"]),
+                            (int(x) for x in hpdf["m"])))
+            cum_at = sorted(hist)
+            for q in group:
+                k = state[q][0]
+                cum = 0
+                for b in cum_at:
+                    if cum + hist[b] >= k:
+                        blo = lo + b * w
+                        if w == 1:
+                            done[q] = blo
+                        else:
+                            state[q] = [k - cum, blo,
+                                        min(blo + w - 1, hi)]
+                        break
+                    cum += hist[b]
+    return done
+
+
+def _exact_quantiles_from(vals: DataFrame, n: int, glo: int, ghi: int,
+                          qs_permille: list[int], bins: int = 1024,
+                          max_rounds: int = 8,
+                          label: str = "exact_quantiles") -> dict:
+    """Narrowing selection over an ALREADY-AVAILABLE single-column
+    (``__v``) frame with PRECOMPUTED stats — the fused entry for
+    callers that already pay a stats aggregate over (a persisted
+    superset of) the same frame, so the kernel's own persist + stats
+    job would be pure recompute (guide §1.2 "don't compute things you
+    throw away"; r16 — ``skew_report`` and ``embedding_profile`` fold
+    the kernel stats into the scan they already run).  ``n`` is the
+    non-null row count, ``[glo, ghi]`` a COVERING range (covering
+    moves the round count, never the exact result).  Returns
+    ``{q_permille: value}``; empty when ``n`` is falsy."""
+    if not n:
+        return {}
+    if ghi - glo > (1 << 62):
+        raise ValueError(
+            f"value range [{glo}, {ghi}] spans more than 2^62; "
+            "narrow the domain (in-plan bucket arithmetic "
+            "would overflow)")
+    bins = _histogram_bins(ghi - glo + 1, bins)
+    state = {q: [max((q * n + 999) // 1000, 1), glo, ghi]
+             for q in qs_permille}
+    done = _global_select(vals, state, bins, max_rounds)
+    missing = [q for q in qs_permille if q not in done]
+    if missing:
+        raise RuntimeError(
+            f"{label} did not converge in {max_rounds} "
+            f"rounds for q={missing} (range [{glo}, {ghi}], "
+            f"bins={bins}) — raise max_rounds or bins")
+    return {q: int(done[q]) for q in qs_permille}
 
 
 def exact_quantiles(df: DataFrame, col: Column | str,
@@ -590,70 +694,14 @@ def exact_quantiles(df: DataFrame, col: Column | str,
                        F.min("__v").alias("lo"),
                        F.max("__v").alias("hi")).collect()[0]
         n, glo, ghi = agg["n"], agg["lo"], agg["hi"]
-        rows = []
-        if n:
-            if ghi - glo > (1 << 62):
-                raise ValueError(
-                    f"value range [{glo}, {ghi}] spans more than 2^62; "
-                    "narrow the domain (in-plan bucket arithmetic "
-                    "would overflow)")
-            # Adaptive resolution (r15, guide §1.2 "don't compute
-            # things you throw away"): each round is a full scan of
-            # the persisted column — pick the cheapest resolution
-            # that still hits the minimal round count (docstring of
-            # _histogram_bins; a span-sized histogram finishes in ONE
-            # round when the span fits the driver budget).  Measured:
-            # mad_outliers at sf0.1 4.9 s → 3.3 s (2 rounds × 2
-            # selections → 1 × 2).
-            bins = _histogram_bins(ghi - glo + 1, bins)
-            # state per quantile: (remaining rank k, lo, hi); group
-            # quantiles with identical ranges to share histograms
-            state = {q: [max((q * n + 999) // 1000, 1), glo, ghi]
-                     for q in qs_permille}
-            done: dict[int, int] = {}
-            for _ in range(max_rounds):
-                pend = {q: s for q, s in state.items() if q not in done}
-                if not pend:
-                    break
-                ranges: dict[tuple[int, int], list[int]] = {}
-                for q, (_, lo, hi) in pend.items():
-                    ranges.setdefault((lo, hi), []).append(q)
-                for (lo, hi), group in ranges.items():
-                    width = hi - lo + 1
-                    w = max(1, -(-width // bins))  # ceil
-                    # toPandas, not collect(): the Arrow path makes a
-                    # span-wide histogram (up to 64Ki rows) a
-                    # millisecond transfer, where Row materialization
-                    # cost more than the scans the wide histogram
-                    # saves (measured — guide §6 Arrow-for-driver)
-                    hpdf = (vals.filter(F.col("__v").between(lo, hi))
-                            .groupBy(F.expr(f"(__v - {lo}) DIV {w}")
-                                     .alias("b"))
-                            .agg(F.count(F.lit(1)).alias("cnt"))
-                            .toPandas())
-                    hist = dict(zip((int(x) for x in hpdf["b"]),
-                                    (int(x) for x in hpdf["cnt"])))
-                    cum_at = sorted(hist)
-                    for q in group:
-                        k = state[q][0]
-                        cum = 0
-                        for b in cum_at:
-                            if cum + hist[b] >= k:
-                                blo = lo + b * w
-                                if w == 1:
-                                    done[q] = blo
-                                else:
-                                    state[q] = [k - cum, blo,
-                                                min(blo + w - 1, hi)]
-                                break
-                            cum += hist[b]
-            missing = [q for q in qs_permille if q not in done]
-            if missing:
-                raise RuntimeError(
-                    f"exact_quantiles did not converge in {max_rounds} "
-                    f"rounds for q={missing} (range [{glo}, {ghi}], "
-                    f"bins={bins}) — raise max_rounds or bins")
-            rows = [(int(q), int(done[q])) for q in qs_permille]
+        # Adaptive resolution + the shared loop (_global_select):
+        # each round is a full scan of the persisted column — pick
+        # the cheapest resolution that still hits the minimal round
+        # count (docstring of _histogram_bins; a span-sized histogram
+        # finishes in ONE round when the span fits the driver budget).
+        done = _exact_quantiles_from(vals, n, glo, ghi, qs_permille,
+                                     bins, max_rounds)
+        rows = [(int(q), done[q]) for q in qs_permille] if done else []
         spark = df.sparkSession
         return spark.createDataFrame(rows, "q_permille int, value long")
     finally:
@@ -661,11 +709,12 @@ def exact_quantiles(df: DataFrame, col: Column | str,
 
 
 def _grouped_select(vals: DataFrame, state: dict, bins: int,
-                    max_rounds: int) -> dict:
+                    max_rounds: int, weighted: bool = False) -> dict:
     """The shared grouped histogram-narrowing loop: ``vals`` is the
-    (``__g``, ``__v``) frame (persisted by the caller, or a cheap
-    row-local derivation of one), ``state[(gkey, q)] = [remaining
-    rank, lo, hi]`` the selection targets.  Each round broadcasts the
+    (``__g``, ``__v``[, ``__w``]) frame (persisted by the caller, or
+    a cheap row-local derivation of one), ``state[(gkey, q)] =
+    [remaining rank (row count, or weight mass when ``weighted``),
+    lo, hi]`` the selection targets.  Each round broadcasts the
     per-group candidate ranges onto one scan of ``vals``, histograms
     (group, bucket) with map-side combine, and narrows every pending
     target — EXACT selection by construction at any resolution (a
@@ -673,12 +722,14 @@ def _grouped_select(vals: DataFrame, state: dict, bins: int,
     move the round count, never the result).  Returns
     ``done[(gkey, q)] = value``; raises if ``max_rounds`` is hit."""
     spark = vals.sparkSession
+    mass = (F.sum("__w") if weighted else F.count(F.lit(1))).alias("m")
     done: dict[tuple, int] = {}
     for _ in range(max_rounds):
         pend = {key: s for key, s in state.items() if key not in done}
         if not pend:
             break
-        # one (group, lo, w) range table per distinct pending range
+        # one (group, lo, bw) range table per distinct pending range
+        # (bucket width named __bw: __w is the WEIGHT on the scan)
         ranges: dict[tuple, list] = {}
         for (gkey, q), (_, lo, hi) in pend.items():
             width = hi - lo + 1
@@ -687,21 +738,21 @@ def _grouped_select(vals: DataFrame, state: dict, bins: int,
         rng_rows = [(gk, lo, hi, w) for (gk, lo, hi, w) in ranges]
         gtype = dict(vals.dtypes)["__g"]
         rng = spark.createDataFrame(
-            rng_rows, f"__g {gtype}, __lo long, __hi long, __w long")
+            rng_rows, f"__g {gtype}, __lo long, __hi long, __bw long")
         # toPandas, not collect(): Arrow keeps the wide-histogram
         # round's groups×bins rows a cheap transfer (see
         # exact_quantiles — Row materialization dominated)
         hist = (vals.join(F.broadcast(rng), "__g")
                 .filter(F.col("__v").between(F.col("__lo"),
                                              F.col("__hi")))
-                .groupBy("__g", "__lo", "__w",
-                         F.expr("(__v - __lo) DIV __w").alias("b"))
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("__g", "__lo", "__bw",
+                         F.expr("(__v - __lo) DIV __bw").alias("b"))
+                .agg(mass)
                 .toPandas())
         by_range: dict[tuple, dict[int, int]] = {}
         for g, lo_, w_, b_, c_ in zip(
-                hist["__g"], hist["__lo"], hist["__w"],
-                hist["b"], hist["cnt"]):
+                hist["__g"], hist["__lo"], hist["__bw"],
+                hist["b"], hist["m"]):
             by_range.setdefault((g, int(lo_), int(w_)),
                                 {})[int(b_)] = int(c_)
         for (gkey, lo, hi, w), group_qs in ranges.items():
@@ -726,6 +777,32 @@ def _grouped_select(vals: DataFrame, state: dict, bins: int,
             f"{max_rounds} rounds for {missing[:5]} — raise "
             "max_rounds or bins")
     return done
+
+
+def _grouped_stats(vals: DataFrame, max_groups: int,
+                   weighted: bool = False) -> list:
+    """Shared prologue of the grouped selection kernels (r16, ADVICE
+    consolidation): the per-group (mass ``m``, lo, hi) stats collect
+    over the (``__g``, ``__v``[, ``__w``]) frame, the ``max_groups``
+    driver guard, and the 2^62 in-plan-arithmetic range check — one
+    place, so the guard logic cannot drift between kernels.  ``m`` is
+    the row count, or the weight sum when ``weighted``."""
+    mass = (F.sum("__w") if weighted else F.count(F.lit(1))).alias("m")
+    stats = (vals.groupBy("__g")
+             .agg(mass, F.min("__v").alias("lo"),
+                  F.max("__v").alias("hi"))
+             .limit(max_groups + 1).collect())
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"more than max_groups={max_groups} groups: per-round "
+            "driver state is O(groups·bins); aggregate to coarser "
+            "segments or raise the cap consciously")
+    for r in stats:
+        if r["hi"] - r["lo"] > (1 << 62):
+            raise ValueError(
+                f"group {r['__g']!r} value range spans more than "
+                "2^62 (in-plan bucket arithmetic would overflow)")
+    return stats
 
 
 def exact_quantiles_grouped(df: DataFrame, group_col: str,
@@ -760,21 +837,7 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str,
         .filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
     vals = vals.persist()
     try:
-        stats = (vals.groupBy("__g")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.min("__v").alias("lo"),
-                      F.max("__v").alias("hi"))
-                 .limit(max_groups + 1).collect())
-        if len(stats) > max_groups:
-            raise ValueError(
-                f"more than max_groups={max_groups} groups: per-round "
-                "driver state is O(groups·bins); aggregate to coarser "
-                "segments or raise the cap consciously")
-        for r in stats:
-            if r["hi"] - r["lo"] > (1 << 62):
-                raise ValueError(
-                    f"group {r['__g']!r} value range spans more than "
-                    "2^62 (in-plan bucket arithmetic would overflow)")
+        stats = _grouped_stats(vals, max_groups)
         # Adaptive resolution (r15 — see _histogram_bins): the
         # minimal bin count hitting the minimal round count for the
         # WIDEST group (groups converge independently; the widest
@@ -790,7 +853,7 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str,
         for r in stats:
             for q in qs_permille:
                 state[(r["__g"], q)] = [
-                    max((q * r["n"] + 999) // 1000, 1), r["lo"], r["hi"]]
+                    max((q * r["m"] + 999) // 1000, 1), r["lo"], r["hi"]]
         done = _grouped_select(vals, state, bins, max_rounds)
         gtype = dict(vals.dtypes)["__g"]
         spark = df.sparkSession
@@ -820,7 +883,12 @@ def grouped_median_mad(df: DataFrame, group_col: str,
     (a covering range changes the round count, never the result).
 
     Returns ``(group_col, med, mad)``.  Null group keys and null
-    values are excluded, as in the grouped kernel.
+    values are excluded, as in the grouped kernel.  NOTE the
+    truncation order (documented contract, unchanged from the
+    two-call form's spec): the value column is cast to long UP FRONT,
+    so for non-integral inputs deviations are |trunc(v) − med|, not
+    trunc(|v − med|) — pass an already-integral column (the repo's
+    cents/milli convention) as every caller does.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("long")
     g = F.col(group_col)
@@ -830,25 +898,11 @@ def grouped_median_mad(df: DataFrame, group_col: str,
     try:
         spark = df.sparkSession
         gtype = dict(vals.dtypes)["__g"]
-        stats = (vals.groupBy("__g")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.min("__v").alias("lo"),
-                      F.max("__v").alias("hi"))
-                 .limit(max_groups + 1).collect())
-        if len(stats) > max_groups:
-            raise ValueError(
-                f"more than max_groups={max_groups} groups: per-round "
-                "driver state is O(groups·bins); aggregate to coarser "
-                "segments or raise the cap consciously")
-        for r in stats:
-            if r["hi"] - r["lo"] > (1 << 62):
-                raise ValueError(
-                    f"group {r['__g']!r} value range spans more than "
-                    "2^62 (in-plan bucket arithmetic would overflow)")
+        stats = _grouped_stats(vals, max_groups)
         if not stats:
             return spark.createDataFrame(
                 [], f"{group_col} {gtype}, med long, mad long")
-        rank = {r["__g"]: max((500 * r["n"] + 999) // 1000, 1)
+        rank = {r["__g"]: max((500 * r["m"] + 999) // 1000, 1)
                 for r in stats}
 
         med_bins = _histogram_bins(
@@ -1150,43 +1204,13 @@ def weighted_quantiles(df: DataFrame, col: Column | str,
                     f"value range [{glo}, {ghi}] spans more than 2^62; "
                     "narrow the domain (in-plan bucket arithmetic "
                     "would overflow)")
-            # adaptive resolution (r15 — see _histogram_bins): each
-            # round is a full weighted scan, so pick the cheapest
-            # resolution hitting the minimal round count
+            # adaptive resolution (r15 — see _histogram_bins) + the
+            # shared narrowing loop with weight mass as the rank unit
             bins = _histogram_bins(ghi - glo + 1, bins)
             state = {q: [max((q * tw + 999) // 1000, 1), glo, ghi]
                      for q in qs_permille}
-            done: dict[int, int] = {}
-            for _ in range(max_rounds):
-                pend = {q: s for q, s in state.items() if q not in done}
-                if not pend:
-                    break
-                ranges: dict[tuple[int, int], list[int]] = {}
-                for q, (_, lo, hi) in pend.items():
-                    ranges.setdefault((lo, hi), []).append(q)
-                for (lo, hi), group in ranges.items():
-                    width = hi - lo + 1
-                    w = max(1, -(-width // bins))  # ceil
-                    hist = {r["b"]: r["m"] for r in
-                            vals.filter(F.col("__v").between(lo, hi))
-                            .groupBy(F.expr(f"(__v - {lo}) DIV {w}")
-                                     .alias("b"))
-                            .agg(F.sum("__w").alias("m"))
-                            .collect()}
-                    cum_at = sorted(hist)
-                    for q in group:
-                        k = state[q][0]
-                        cum = 0
-                        for b in cum_at:
-                            if cum + hist[b] >= k:
-                                blo = lo + b * w
-                                if w == 1:
-                                    done[q] = blo
-                                else:
-                                    state[q] = [k - cum, blo,
-                                                min(blo + w - 1, hi)]
-                                break
-                            cum += hist[b]
+            done = _global_select(vals, state, bins, max_rounds,
+                                  weighted=True)
             missing = [q for q in qs_permille if q not in done]
             if missing:
                 raise RuntimeError(
@@ -1258,21 +1282,7 @@ def weighted_quantiles_grouped(df: DataFrame, group_col: str,
                     & F.col("__g").isNotNull() & (F.col("__w") > 0)))
     vals = vals.persist()
     try:
-        stats = (vals.groupBy("__g")
-                 .agg(F.sum("__w").alias("tw"),
-                      F.min("__v").alias("lo"),
-                      F.max("__v").alias("hi"))
-                 .limit(max_groups + 1).collect())
-        if len(stats) > max_groups:
-            raise ValueError(
-                f"more than max_groups={max_groups} groups: per-round "
-                "driver state is O(groups·bins); aggregate to coarser "
-                "segments or raise the cap consciously")
-        for r in stats:
-            if r["hi"] - r["lo"] > (1 << 62):
-                raise ValueError(
-                    f"group {r['__g']!r} value range spans more than "
-                    "2^62 (in-plan bucket arithmetic would overflow)")
+        stats = _grouped_stats(vals, max_groups, weighted=True)
         # adaptive resolution (r15 — see _histogram_bins), widest
         # group drives the round count, budget split across groups
         if stats:
@@ -1282,57 +1292,11 @@ def weighted_quantiles_grouped(df: DataFrame, group_col: str,
         for r in stats:
             for q in qs_permille:
                 state[(r["__g"], q)] = [
-                    max((q * r["tw"] + 999) // 1000, 1),
+                    max((q * r["m"] + 999) // 1000, 1),
                     r["lo"], r["hi"]]
-        done: dict[tuple, int] = {}
+        done = _grouped_select(vals, state, bins, max_rounds,
+                               weighted=True)
         spark = df.sparkSession
-        for _ in range(max_rounds):
-            pend = {key: s for key, s in state.items()
-                    if key not in done}
-            if not pend:
-                break
-            ranges: dict[tuple, list] = {}
-            for (gkey, q), (_, lo, hi) in pend.items():
-                width = hi - lo + 1
-                w = max(1, -(-width // bins))
-                ranges.setdefault((gkey, lo, hi, w), []).append(q)
-            rng_rows = [(gk, lo, hi, w) for (gk, lo, hi, w) in ranges]
-            gtype = dict(vals.dtypes)["__g"]
-            # width column named __bw: __w is the WEIGHT on the scan
-            rng = spark.createDataFrame(
-                rng_rows, f"__g {gtype}, __lo long, __hi long, __bw long")
-            hist = (vals.join(F.broadcast(rng), "__g")
-                    .filter(F.col("__v").between(F.col("__lo"),
-                                                 F.col("__hi")))
-                    .groupBy("__g", "__lo", "__bw",
-                             F.expr("(__v - __lo) DIV __bw").alias("b"))
-                    .agg(F.sum("__w").alias("m"))
-                    .collect())
-            by_range: dict[tuple, dict[int, int]] = {}
-            for r in hist:
-                by_range.setdefault((r["__g"], r["__lo"], r["__bw"]),
-                                    {})[r["b"]] = r["m"]
-            for (gkey, lo, hi, w), group_qs in ranges.items():
-                h = by_range.get((gkey, lo, w), {})
-                for q in group_qs:
-                    k = state[(gkey, q)][0]
-                    cum = 0
-                    for b in sorted(h):
-                        if cum + h[b] >= k:
-                            blo = lo + b * w
-                            if w == 1:
-                                done[(gkey, q)] = blo
-                            else:
-                                state[(gkey, q)] = [
-                                    k - cum, blo, min(blo + w - 1, hi)]
-                            break
-                        cum += h[b]
-        missing = sorted(key for key in state if key not in done)
-        if missing:
-            raise RuntimeError(
-                f"weighted_quantiles_grouped did not converge in "
-                f"{max_rounds} rounds for {missing[:5]} — raise "
-                "max_rounds or bins")
         gtype = dict(vals.dtypes)["__g"]
         rows = [(gkey, int(q), int(v)) for (gkey, q), v in done.items()]
         return spark.createDataFrame(

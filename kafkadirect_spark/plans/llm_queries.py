@@ -1351,11 +1351,14 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's from-scratch SQL replay of the gradient synthesis +
     feature arithmetic — the container round-trip itself is the
     claim.  (The P5/PNM twin is driven through media_phash_pairs;
-    JPEG/PNG remain labeled strict-raising stubs — env-blocked.)"""
+    JPEG/PNG remain labeled strict-raising stubs — env-blocked.)
+    r16: synth → decode → features run FUSED in one Python stage
+    (multimodal.synth_features — same per-id formulas by
+    construction; the payload no longer round-trips through the JVM
+    between two chained Python stages, guide §4.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    img = multimodal.synth_media(docs.select("doc_id"), "doc_id",
-                                 kind="bmp")
-    return multimodal.image_features(img)
+    return multimodal.synth_features(docs.select("doc_id"), "doc_id",
+                                     kind="bmp")
 
 
 @query("media_phash_pairs",
@@ -1375,11 +1378,12 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at 5k ids).  The oracle replays synthesis → gray → cells →
     threshold bits → halves → bands → bucket pairs → Hamming
     entirely in SQL — a green row proves the perceptual-dedup
-    pipeline AND the container round-trip."""
+    pipeline AND the container round-trip.  r16: synth → decode →
+    aHash run FUSED in one Python stage (multimodal.synth_phash —
+    same per-id formulas by construction, guide §4.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = multimodal.image_phash(
-        multimodal.synth_media(docs.select("doc_id"), "doc_id",
-                               kind="pnm"))
+    hashes = multimodal.synth_phash(docs.select("doc_id"), "doc_id",
+                                    kind="pnm")
     return multimodal.phash_pairs(hashes, "doc_id", max_hamming=1)
 
 
@@ -1409,11 +1413,12 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     container is exercised on the ENGINE side only, so a green row
     proves the PCM16 encode/decode round-trip bit-exactly.
     (MP3/compressed codecs remain labeled strict-raising stubs —
-    env-blocked.)"""
+    env-blocked.)  r16: synth → decode → features run FUSED in one
+    Python stage (multimodal.synth_features — same per-id formulas
+    by construction, guide §4.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    wav = multimodal.synth_media(docs.select("doc_id"), "doc_id",
-                                 kind="wav")
-    return multimodal.audio_features(wav)
+    return multimodal.synth_features(docs.select("doc_id"), "doc_id",
+                                     kind="wav")
 
 
 @query("graph_triangles",
@@ -1490,8 +1495,10 @@ def media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch — the y4m container is exercised on the ENGINE side
     only, so a green row proves the encode/decode round-trip
     bit-exactly including the cut frame.  (JPEG/MP4-class compressed
-    codecs remain labeled strict-raising stubs — env-blocked.)"""
+    codecs remain labeled strict-raising stubs — env-blocked.)
+    r16: synth → encode → decode → features run FUSED in one Python
+    stage (multimodal.synth_features — same per-id formulas by
+    construction, guide §4.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    vid = multimodal.synth_media(docs.select("doc_id"), "doc_id",
-                                 kind="y4m")
-    return multimodal.video_features(vid)
+    return multimodal.synth_features(docs.select("doc_id"), "doc_id",
+                                     kind="y4m")
