@@ -818,17 +818,38 @@ def containment_pairs(
     if how not in ("inner", "anti"):
         raise ValueError(f"how must be 'inner' or 'anti', got {how!r}")
     sh = _persist(_shingle_index(df, text_col, id_col, n))
+    join_key = "shingle"
     if max_doc_freq is not None:
         # Persist the CAPPED index too (see ngram_jaccard_pairs): its
         # three consumers otherwise re-run the freq join each.
+        #
+        # Dictionary-encode the shingle key while building it (r16,
+        # guide §2.3 "narrower types"): the cap join already exchanges
+        # the corpus index by the shingle STRING once — unavoidable —
+        # but the SELF-JOIN below re-exchanges the capped index twice
+        # more and the string is pure routing there (never read
+        # downstream).  Assign each surviving shingle a dense 8-byte
+        # id instead: ``monotonically_increasing_id`` AFTER a
+        # ``sortWithinPartitions`` makes the assignment DETERMINISTIC
+        # (partition = hash(shingle) within the executed plan, offset
+        # = rank in the sorted partition), so a recomputed cache
+        # partition reproduces the same ids — exact, collision-free,
+        # and no extra exchange (the sort rides the freq aggregate's
+        # existing partitioning).  Pair counts are identical by
+        # bijection; the persisted index also shrinks to (id, sid).
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = _persist(
-            sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle"))
+        keys = (freq.filter(F.col("df") <= max_doc_freq)
+                .select("shingle")
+                .sortWithinPartitions("shingle")
+                .withColumn("__sid", F.monotonically_increasing_id()))
+        sh = _persist(sh.join(keys, "shingle")
+                      .select(F.col(id_col), "__sid"))
+        join_key = "__sid"
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), join_key)
+    b = sh.select(F.col(id_col).alias("id_b"), join_key)
     common = (
-        a.join(b, "shingle")
+        a.join(b, join_key)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
