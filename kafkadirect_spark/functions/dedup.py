@@ -1058,8 +1058,21 @@ def cdc_dup_stats(df: DataFrame, text_col: str, id_col: str,
     sized), and one groupBy(doc).  A corpus-wide boilerplate chunk is
     one hot aggregation key — absorbed by partial aggregation, the
     same envelope as ``span_dedup``.
+
+    r16 (guide §2.5/§5): the input is ``_widen``ed BEFORE chunking —
+    this op's plan already exchanges, so unlike ``cdc_chunks``'s
+    pinned ride-the-scan contract there is no zero-exchange property
+    to protect, and a narrow scan otherwise serializes the md5-chain
+    chunking on 1-2 tasks (joblog: two sequential ~650 ms single-task
+    stages per run at sf0.1) — and the chunk frame, projected to the
+    three columns this report reads, is persisted so the expensive
+    chunking pipeline feeds its two consumers (freq + join side)
+    once instead of twice.
     """
-    ch = cdc_chunks(df, text_col, id_col, g=g, mask_bits=mask_bits)
+    base = _widen(df.select(F.col(id_col), F.col(text_col)))
+    ch = _persist(
+        cdc_chunks(base, text_col, id_col, g=g, mask_bits=mask_bits)
+        .select(F.col(id_col), "n_tokens", "chunk_hash"))
     freq = (ch.groupBy("chunk_hash")
             .agg(F.count_distinct(F.col(id_col)).alias("__nd")))
     j = ch.join(freq, "chunk_hash")

@@ -232,16 +232,51 @@ def winnow_fps(df, text_col: str, id_col: str, k: int = 5,
                w: int = 4):
     """``(id_col, fp)`` rows of winnowing fingerprints — the staged,
     hot-path form of ``winnow``: the gram-hash array is materialized
-    as a projection column, so the window lambda indexes a plain
-    attribute and each gram is hashed exactly once (O(n) md5s per
-    row vs the single-expression form's O(n²); 122× at sf0.01).
-    Still zero shuffles — two narrow projections + one explode."""
+    as a projection column, so each gram is hashed exactly once (O(n)
+    md5s per row vs the single-expression form's O(n²); 122× at
+    sf0.01).  Still zero shuffles — narrow projections + one explode.
+
+    r16 (guide §4.1 "prefer built-ins over per-element lambdas"):
+    the window minima come from a SPARSE-TABLE DOUBLING instead of
+    the per-window interpreted ``array_min(slice(hs, i, w))`` fold —
+    ⌈log₂ w⌉(+1) ``zip_with(m, shift_s(m), least)`` passes, each one
+    O(n) lambda evaluations with O(1) work apiece, against the old
+    n windows × O(w) slice-allocate-scan apiece.  Each level is
+    staged as its own projection column (an expression referenced
+    twice per level would otherwise be re-evaluated — the same CSE
+    rule that staged ``__hs``).  ``zip_with`` pads the shifted copy
+    with nulls at the tail and ``least`` skips nulls, so every level
+    keeps the original length with exact pairwise minima; entry i of
+    the final level is min over [i, i+w−1] — identical, element for
+    element, to the old window fold (parity-pinned in
+    tests/test_llm_ops.py)."""
     hs = F.transform(char_shingles(text_col, k), portable_hash)
-    staged = df.select(F.col(id_col), hs.alias("__hs"))
-    return (staged
-            .select(F.col(id_col),
-                    F.explode(_winnow_over(F.col("__hs"), w))
-                    .alias("fp")))
+    staged = df.select(F.col(id_col), hs.alias("__m"))
+
+    def shifted_min(shift: int) -> Column:
+        m = F.col("__m")
+        return F.zip_with(
+            m,
+            F.slice(m, shift + 1,
+                    F.greatest(F.size(m) - shift, F.lit(0))),
+            lambda x, y: F.least(x, y))
+
+    # m := pairwise min of m and m shifted by p, doubling p; one
+    # final overlapping combine reaches non-power-of-two widths
+    p = 1
+    while 2 * p <= w:
+        staged = staged.select(F.col(id_col),
+                               shifted_min(p).alias("__m"))
+        p *= 2
+    if p < w:
+        staged = staged.select(F.col(id_col),
+                               shifted_min(w - p).alias("__m"))
+    n_win = F.size(F.col("__m")) - F.lit(w - 1)
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(F.slice(F.col("__m"), 1, n_win))
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 # Normalization rules — RE2-safe and identical in Java regex and RE2

@@ -314,6 +314,33 @@ def test_winnow_shared_substring_guarantee(spark):
         assert fps[i] <= allh[i]
 
 
+def test_winnow_fps_doubling_matches_window_fold(spark):
+    """r16 parity pin: winnow_fps' sparse-table doubling (zip_with
+    pairwise minima) must reproduce the per-window
+    ``array_min(slice(hs, i, w))`` fold (``_winnow_over``) element
+    for element — including the degenerate sizes around n = k+w−1
+    and non-power-of-two window widths."""
+    from pyspark.sql import functions as F
+    from kafkadirect_spark.functions import text as T
+    texts = ["", "ab", "abcd", "abcdefgh", "abcdefghi",
+             "aaaaaaaaaaaa", "abcabcabcabcabc",
+             "the quick brown fox jumps over the lazy dog",
+             "xyzxyzxyzxyzxyzxyzxyzxyzxyzxyz"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for k, w in [(5, 4), (3, 3), (2, 1), (4, 5), (5, 7)]:
+        got = sorted((r.doc_id, r.fp) for r in
+                     T.winnow_fps(df, "text", "doc_id", k=k, w=w)
+                     .collect())
+        hs = F.transform(T.char_shingles("text", k), T.portable_hash)
+        staged = df.select("doc_id", hs.alias("__hs"))
+        want = sorted((r.doc_id, r.fp) for r in staged.select(
+            "doc_id",
+            F.explode(T._winnow_over(F.col("__hs"), w)).alias("fp"))
+            .collect())
+        assert got == want, (k, w)
+
+
 def test_repetition_ratio(spark):
     from pyspark.sql import functions as F
     from kafkadirect_spark.functions import text as T
